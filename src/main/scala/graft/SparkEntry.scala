@@ -1,13 +1,397 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator in SURVEY.md §2 is exposed as a named query; where the
+  * semantics are SQL-expressible the matching DuckDB oracle is declared in
+  * [[oracleSql]] with identical column names, types (BIGINT/DOUBLE/STRING)
+  * and ordering. Approximate / LSH / streaming-internal operators are
+  * declared without an oracle (rows-only check) by design.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship on sf0.001: the full reference hot path — enrich → partitioned
+    * ORC landing → read back → per-partition accounting. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Ingest.flagship(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // M1 — ingestion pipeline (reference hot path)
+    "q_ingest_partition_counts" -> (Ingest.partitionCounts _),
+    "p1_serde_parse" -> (RowTransforms.serdeParse _),
+    "p2_path_render" -> (RowTransforms.pathRender _),
+    "p34_time_convert" -> (RowTransforms.timeConvert _),
+    "p5_partition_extract" -> (RowTransforms.partitionExtract _),
+    "p6_json_encode" -> (RowTransforms.jsonEncode _),
+    "p7_category_default" -> (RowTransforms.categoryDefault _),
+    "p8_filter_project" -> (RowTransforms.filterProject _),
+    // M2 — counter / bookkeeping analytics
+    "a2_window_counts" -> (Counters.windowCounts _),
+    "a3_category_window_counts" -> (Counters.categoryWindowCounts _),
+    "a5_completeness" -> ((s, d) => Counters.completeness(s, d)),
+    "a6_max_ts_per_category" -> (Counters.maxTsPerCategory _),
+    "a7_distinct_counts" -> (Counters.distinctCounts _),
+    "a7b_approx_distinct" -> (Counters.approxDistinct _),
+    "t7_upsert_latest" -> (Counters.upsertLatest _),
+    // M3 — relational surface
+    "j1_inner_join_agg" -> (Relational.innerJoinAgg _),
+    "j2_broadcast_join" -> (Relational.broadcastJoin _),
+    "j3_left_join" -> (Relational.leftJoin _),
+    "j4_semi_join" -> (Relational.semiJoin _),
+    "j5_anti_join" -> (Relational.antiJoin _),
+    "j6_star_join" -> (Relational.starJoin _),
+    "j7_range_join" -> (Relational.rangeJoin _),
+    "j8_asof_join" -> (Relational.asofJoin _),
+    "w1_rank_per_group" -> (Relational.rankPerGroup _),
+    "w2_lag_lead" -> (Relational.lagLead _),
+    "w3_running_sum" -> (Relational.runningSum _),
+    "w4_ntile_rank" -> (Relational.ntileRank _),
+    "s1_topk" -> (Relational.topK _),
+    "s2_union" -> (Relational.unionSets _),
+    "s3_intersect" -> (Relational.intersectSets _),
+    "s4_except" -> (Relational.exceptSets _),
+    "a8_rollup" -> (Relational.rollupAgg _),
+    "a9_cube" -> (Relational.cubeAgg _),
+    "f1_string_funcs" -> (Relational.stringFuncs _),
+    "f2_datetime_funcs" -> (Relational.datetimeFuncs _),
+    "f3_math_funcs" -> (Relational.mathFuncs _),
+    "f4_array_funcs" -> (Relational.arrayFuncs _),
+    // M4 — streaming / stateful
+    "t1_stream_counts" -> (StreamingIngest.streamCounts _),
+    "t2_sessionize" -> ((s, d) => StreamingIngest.sessionize(s, d)),
+    // M5 — [EXT] LLM-pipeline operators
+    "x1_dedup_exact" -> (Dedup.exactDedup _),
+    "x2_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "x3_dedup_simhash" -> (Dedup.simhashDedup _),
+    "x4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "x5_embed_neardup" -> ((s, d) => Dedup.embedCosine(s, d)),
+    "x5b_embed_neardup_lsh" -> ((s, d) => Dedup.embedCosineLsh(s, d)),
+    "x6_ann_cosine_topk" -> ((s, d) => Similarity.bruteTopK(s, d)),
+    "x6b_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "x6c_centroid_matrix" -> (Similarity.centroidMatrix _),
+    "x7_lang_id" -> (TextAnalysis.langId _),
+    "x8_quality_score" -> (TextAnalysis.qualityScore _),
+    "x9_token_counts" -> (TextAnalysis.tokenCounts _),
+    "x10_fingerprint" -> (TextAnalysis.fingerprint _),
+    "x11_multimodal_features" -> (Multimodal.mediaFeatures _),
+    "x12_frame_sample" -> (Multimodal.frameSample _),
+  )
+
+  // ---- DuckDB oracle SQL ----------------------------------------------------
+  // Shared snippets, kept byte-equivalent to the Spark expressions:
+  private def epochS(c: String) = s"CAST(floor(epoch($c)) AS BIGINT)"
+  private def bucketE(c: String) = s"CAST(floor(epoch($c)/300)*300 AS BIGINT)"
+  private def logdateS(c: String) =
+    s"strftime(make_timestamp(CAST(floor(epoch($c)/300)*300 AS BIGINT)*1000000), '%Y%m%d%H%M')"
+  private def dsum(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(28,4))) AS DOUBLE)"
+  private val toks = """string_split_regex(trim(lower(text)), '\s+')"""
+  private def polyHashSql(e: String) =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length($e)), i -> CAST(ascii(substring($e, i, 1)) AS BIGINT))), (acc, x) -> (acc * 31 + x) % 1000000007)"
+  private def dotD(a: String, b: String) =
+    s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+  private def cosineD(a: String, b: String) =
+    s"${dotD(a, b)} / (sqrt(${dotD(a, a)}) * sqrt(${dotD(b, b)}))"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_ingest_partition_counts" ->
+      s"""SELECT ${logdateS("ts")} AS logdate, count(*) AS n_events,
+          count(DISTINCT coalesce(event_type, 'no_category')) AS n_categories,
+          CAST(floor(max(epoch(ts))) AS BIGINT) AS max_epoch
+          FROM events GROUP BY 1 ORDER BY 1""",
+    "p1_serde_parse" ->
+      """SELECT event_id, event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events ORDER BY event_id""",
+    "p2_path_render" ->
+      s"""SELECT event_id,
+          'logs/logdate=' || ${logdateS("ts")} || '/category=' || coalesce(event_type, 'no_category') AS path
+          FROM events ORDER BY event_id""",
+    "p34_time_convert" ->
+      s"""SELECT event_id, ${epochS("ts")} AS epoch, ${bucketE("ts")} AS bucket_epoch,
+          ${logdateS("ts")} AS five_min_str,
+          strftime(make_timestamp(${epochS("ts")} * 1000000), '%Y-%m-%d %H:%M:%S') AS ts_str
+          FROM events ORDER BY event_id""",
+    "p5_partition_extract" ->
+      s"""WITH s AS (SELECT event_id,
+            'logdate=' || ${logdateS("ts")} || '/category=' || coalesce(event_type, 'no_category') AS spec
+          FROM events)
+          SELECT event_id, spec,
+            regexp_extract(spec, '\\Qlogdate\\E=([^/]*)', 1) AS logdate_v,
+            regexp_extract(spec, '\\Qcategory\\E=([^/]*)', 1) AS category_v
+          FROM s ORDER BY event_id""",
+    "p6_json_encode" ->
+      s"""SELECT event_type AS category, ${bucketE("ts")} AS bucket_epoch,
+          '{"count":' || CAST(count(*) AS VARCHAR) || ',"timestamp":' || CAST(max(${epochS("ts")}) AS VARCHAR) || '}' AS counter_json
+          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "p7_category_default" ->
+      """SELECT coalesce(nullif(event_type, 'error'), 'no_category') AS category, count(*) AS cnt
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "p8_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+         FROM lineitem
+         WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_discount >= 0.02 AND l_discount <= 0.08
+         ORDER BY l_orderkey, l_linenumber""",
+    "a2_window_counts" ->
+      s"""SELECT ${bucketE("ts")} AS bucket_epoch, count(*) AS cnt,
+          max(${epochS("ts")}) AS last_update_epoch
+          FROM events GROUP BY 1 ORDER BY 1""",
+    "a3_category_window_counts" ->
+      s"""SELECT ${bucketE("ts")} AS bucket_epoch,
+          coalesce(event_type, 'no_category') AS category,
+          count(*) AS cnt, max(${epochS("ts")}) AS last_update_epoch
+          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "a5_completeness" ->
+      s"""WITH detail AS (
+            SELECT ${logdateS("ts")} AS logdate,
+                   'host' || CAST(user_id % 5 AS VARCHAR) AS hostname,
+                   count(*) AS sinkcount
+            FROM events GROUP BY 1, 2)
+          SELECT logdate, count(DISTINCT hostname) AS n_hosts,
+                 CAST(SUM(sinkcount) AS BIGINT) AS total_sunk
+          FROM detail GROUP BY logdate
+          HAVING count(DISTINCT hostname) >= 5 ORDER BY logdate""",
+    "a6_max_ts_per_category" ->
+      s"""SELECT event_type AS category, max(${epochS("ts")}) AS last_epoch, count(*) AS cnt
+          FROM events GROUP BY 1 ORDER BY 1""",
+    "a7_distinct_counts" ->
+      """SELECT event_type AS category, count(DISTINCT user_id) AS n_users,
+         count(DISTINCT event_id) AS n_events
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "t7_upsert_latest" ->
+      s"""WITH ranked AS (
+            SELECT user_id, event_type, event_id, ts, value,
+                   row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+          SELECT user_id, event_type, event_id AS last_event_id,
+                 ${epochS("ts")} AS last_epoch, value AS last_value
+          FROM ranked WHERE rn = 1 ORDER BY user_id, event_type""",
+    "j1_inner_join_agg" ->
+      s"""SELECT o_orderpriority, count(*) AS n_items,
+          ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1 ORDER BY 1""",
+    "j2_broadcast_join" ->
+      s"""SELECT p_brand, count(*) AS n_items, ${dsum("l_quantity")} AS sum_qty
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1 ORDER BY 1""",
+    "j3_left_join" ->
+      """SELECT c_mktsegment, count(o_orderkey) AS n_orders,
+         count(DISTINCT c_custkey) AS n_customers
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY 1 ORDER BY 1""",
+    "j4_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+         ORDER BY c_custkey""",
+    "j5_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+         ORDER BY c_custkey""",
+    "j6_star_join" ->
+      s"""SELECT r_name, n_name, ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+          count(*) AS n_items
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "j7_range_join" ->
+      """SELECT p_brand, count(*) AS n_matches
+         FROM lineitem JOIN part ON l_quantity >= p_size - 1 AND l_quantity <= p_size + 1
+         GROUP BY 1 ORDER BY 1""",
+    "j8_asof_join" ->
+      s"""SELECT p.event_id, p.user_id,
+          (SELECT CAST(floor(epoch(max(e.ts))) AS BIGINT) FROM events e
+           WHERE e.user_id = p.user_id AND e.event_type = 'error' AND e.ts <= p.ts) AS last_error_epoch
+          FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""",
+    "w1_rank_per_group" ->
+      s"""WITH custrev AS (
+            SELECT c_mktsegment, c_custkey, ${dsum("o_totalprice")} AS cust_rev
+            FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+          ranked AS (
+            SELECT c_mktsegment, c_custkey, cust_rev,
+                   row_number() OVER (PARTITION BY c_mktsegment ORDER BY cust_rev DESC, c_custkey) AS rnk
+            FROM custrev)
+          SELECT c_mktsegment, CAST(rnk AS BIGINT) AS rnk, c_custkey, cust_rev
+          FROM ranked WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""",
+    "w2_lag_lead" ->
+      s"""SELECT event_id, user_id, ${epochS("ts")} AS epoch,
+          ${epochS("ts")} - lag(${epochS("ts")}, 1) OVER w AS gap_prev,
+          lead(${epochS("ts")}, 1) OVER w - ${epochS("ts")} AS gap_next
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          ORDER BY event_id""",
+    "w3_running_sum" ->
+      s"""SELECT l_suppkey, l_orderkey, l_linenumber, ${epochS("l_shipdate")} AS ship_epoch,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) OVER (
+            PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+          FROM lineitem
+          ORDER BY l_suppkey, ship_epoch, l_orderkey, l_linenumber""",
+    "w4_ntile_rank" ->
+      """SELECT c_custkey, c_acctbal,
+         CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+         CAST(dense_rank() OVER w AS BIGINT) AS drnk
+         FROM customer WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
+         ORDER BY c_custkey""",
+    "s1_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "s2_union" ->
+      """SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+         UNION
+         SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         ORDER BY custkey""",
+    "s3_intersect" ->
+      """SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+         INTERSECT
+         SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         ORDER BY custkey""",
+    "s4_except" ->
+      """SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+         EXCEPT
+         SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         ORDER BY custkey""",
+    "a8_rollup" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+          coalesce(l_linestatus, 'ALL') AS linestatus,
+          count(*) AS n, ${dsum("l_quantity")} AS sum_qty
+          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+          ORDER BY returnflag, linestatus""",
+    "a9_cube" ->
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+          coalesce(o_orderpriority, 'ALL') AS orderpriority,
+          count(*) AS n, ${dsum("o_totalprice")} AS sum_price
+          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+          ORDER BY orderstatus, orderpriority""",
+    "f1_string_funcs" ->
+      """SELECT p_partkey, lower(p_name) AS lname, substring(p_name, 1, 5) AS prefix,
+         CAST(length(p_name) AS BIGINT) AS name_len,
+         CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+         p_brand || '|' || p_type AS brand_type,
+         regexp_extract(p_type, '^([A-Za-z]+)', 1) AS first_word
+         FROM part ORDER BY p_partkey""",
+    "f2_datetime_funcs" ->
+      s"""SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+          CAST(month(o_orderdate) AS BIGINT) AS mo,
+          CAST(day(o_orderdate) AS BIGINT) AS dom,
+          strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+          ${epochS("o_orderdate")} AS order_epoch
+          FROM orders ORDER BY o_orderkey""",
+    "f3_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+         CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+         abs(l_discount - 0.05) AS disc_dev,
+         round(sqrt(l_extendedprice), 6) AS price_sqrt,
+         l_orderkey % 7 AS key_mod,
+         round(l_extendedprice * l_quantity, 2) AS gross
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "f4_array_funcs" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+         round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+         round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b), 6) AS sq_norm,
+         round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE))), (a, b) -> a + b) / len(embedding), 6) AS mean_val,
+         CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive
+         FROM embeddings ORDER BY vec_id""",
+    "t1_stream_counts" ->
+      s"""SELECT ${bucketE("ts")} AS bucket_epoch,
+          coalesce(event_type, 'no_category') AS category, count(*) AS cnt
+          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "t2_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id, ${epochS("ts")} AS epoch, ts FROM events),
+          m AS (SELECT user_id, epoch,
+                  CASE WHEN lag(epoch) OVER w IS NULL OR epoch - lag(epoch) OVER w > 1800
+                       THEN 1 ELSE 0 END AS new_session
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+          FROM m GROUP BY 1 ORDER BY 1""",
+    "x1_dedup_exact" ->
+      """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies,
+         CAST(length(text) AS BIGINT) AS text_len
+         FROM documents GROUP BY text ORDER BY keeper_id""",
+    "x4_ngram_jaccard" ->
+      s"""WITH docs AS (SELECT doc_id, $toks AS toks FROM documents),
+          sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+                 FROM docs, unnest(generate_series(1, len(toks) - 2)) AS t(i)
+                 WHERE len(toks) >= 3),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+          SELECT id1, id2, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+          FROM inter JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+          WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.8
+          ORDER BY id1, id2""",
+    "x5_embed_neardup" ->
+      s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
+          round(${cosineD("a.embedding", "b.embedding")}, 6) AS cosine
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE round(${cosineD("a.embedding", "b.embedding")}, 6) >= 0.4
+          ORDER BY id1, id2""",
+    "x6_ann_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+          SELECT vec_id, CAST(label AS BIGINT) AS label,
+          round(${cosineD("embedding", "qe")}, 6) AS cosine
+          FROM embeddings, q WHERE vec_id <> 0
+          ORDER BY cosine DESC, vec_id LIMIT 10""",
+    "x7_lang_id" ->
+      s"""WITH scored AS (SELECT doc_id, lang AS labeled_lang,
+            CAST(len(list_filter($toks, w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS s_en,
+            CAST(len(list_filter($toks, w -> w IN ('el','la','de','y','que'))) AS BIGINT) AS s_es,
+            CAST(len(list_filter($toks, w -> w IN ('der','die','das','und','ist'))) AS BIGINT) AS s_de,
+            CAST(len(list_filter($toks, w -> w IN ('le','la','et','les','des'))) AS BIGINT) AS s_fr
+          FROM documents)
+          SELECT doc_id, labeled_lang, s_en, s_es, s_de, s_fr,
+            CASE WHEN s_en + s_es + s_de + s_fr = 0 THEN 'unknown'
+                 WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                 WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                 WHEN s_de >= s_fr THEN 'de'
+                 ELSE 'fr' END AS predicted_lang
+          FROM scored ORDER BY doc_id""",
+    "x8_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM documents),
+          s AS (SELECT doc_id,
+            CAST(len(tk) AS BIGINT) AS n_tokens,
+            CAST(len(tk) AS DOUBLE) AS n_tok,
+            CAST(len(list_distinct(tk)) AS DOUBLE) AS n_uniq,
+            CAST(len(list_filter(tk, w -> w IN ('the','a','of','and','to','el','la','de','y','que','der','die','das','und','ist','le','et','les','des'))) AS DOUBLE) AS n_stop,
+            CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS DOUBLE) AS n_punct,
+            CAST(length(text) AS DOUBLE) AS n_chars_d
+          FROM t)
+          SELECT doc_id, n_tokens,
+            round(n_uniq / n_tok, 6) AS uniq_ratio,
+            round(n_stop / n_tok, 6) AS stop_ratio,
+            round(n_punct / n_chars_d, 6) AS punct_ratio,
+            round((CASE WHEN n_tok >= 20 AND n_tok <= 1000 THEN 1.0 WHEN n_tok >= 5 THEN 0.5 ELSE 0.0 END) * 0.4
+                  + (n_uniq / n_tok) * 0.4 + (n_stop / n_tok) * 0.2, 6) AS quality
+          FROM s ORDER BY doc_id""",
+    "x9_token_counts" ->
+      s"""SELECT lang, count(*) AS n_docs,
+          CAST(SUM(len($toks)) AS BIGINT) AS total_ws_tokens,
+          CAST(SUM(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS total_bpeish_tokens,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          FROM documents GROUP BY 1 ORDER BY 1""",
+    "x10_fingerprint" ->
+      s"""SELECT doc_id,
+          ${polyHashSql("text")} AS fp,
+          ${polyHashSql("substring(text, 1, 32)")} AS fp_prefix
+          FROM documents ORDER BY doc_id""",
+    "x11_multimodal_features" ->
+      """SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png' WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+         CAST(doc_id % 640 + 32 AS BIGINT) AS width,
+         CAST(doc_id % 480 + 24 AS BIGINT) AS height,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS b0,
+         CAST(ascii(substring(text, 5, 1)) AS BIGINT) AS b4
+         FROM documents ORDER BY media_id""",
+    "x12_frame_sample" ->
+      """SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) // 32 + 1 AS BIGINT) AS n_frames
+         FROM documents ORDER BY media_id""",
+  )
 }

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** P1 — the pluggable event-body deserializer surface.
+  *
+  * The reference loads a serde class reflectively from config and calls
+  * `deserialize(bytes, reuse): List[AnyRef]` per event against a Hive
+  * `StructTypeInfo` (`/root/reference/.../serde/TextDeserializer.scala:44-68`,
+  * wired at `HiveBatchedSink.scala:244-253`). The Spark-native surface is a
+  * `Column => Column` that turns an opaque body column into a typed struct —
+  * built-in `from_json` / `from_csv` / split+cast stay fully inside codegen,
+  * so a custom serde never forces a deopt of the scan stage.
+  */
+trait Serde extends Serializable {
+  /** Parse the opaque body column into a struct column with `schema`. */
+  def parse(body: Column): Column
+  def schema: StructType
+}
+
+/** JSON bodies (the `events.props` fixture shape). */
+final case class JsonSerde(schema: StructType) extends Serde {
+  def parse(body: Column): Column = from_json(body, schema)
+}
+
+/** CSV bodies — `from_csv` with an explicit delimiter. */
+final case class CsvSerde(schema: StructType, delimiter: String = ",") extends Serde {
+  def parse(body: Column): Column =
+    from_csv(body, schema, Map("sep" -> delimiter))
+}
+
+/** Delimited bodies parsed positionally with casts — the closest analogue of
+  * a hand-written `TextDeserializer` subclass (split on a delimiter, cast
+  * each field to the metastore-declared type). */
+final case class DelimitedSerde(fields: Seq[(String, DataType)], delimiter: String = "\t")
+    extends Serde {
+  val schema: StructType = StructType(fields.map { case (n, t) =>
+    org.apache.spark.sql.types.StructField(n, t)
+  })
+  def parse(body: Column): Column = {
+    val parts = split(body, java.util.regex.Pattern.quote(delimiter))
+    struct(fields.zipWithIndex.map { case ((n, t), i) =>
+      element_at(parts, i + 1).cast(t).as(n)
+    }: _*)
+  }
+}
+
+/** Hive type-string → Spark schema, the metastore-resolved schema path
+  * (`util/HiveUtils.scala:79-88` + `TextDeserializer.scala:51-54`):
+  * e.g. `"id:bigint,name:string,tags:array<string>"`. */
+object HiveTypeString {
+  def toStructType(colsWithTypes: String): StructType =
+    StructType(colsWithTypes.split(",").map { f =>
+      val Array(n, t) = f.split(":", 2)
+      org.apache.spark.sql.types.StructField(
+        n.trim, org.apache.spark.sql.types.DataType.fromDDL(t.trim))
+    })
+}

@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float>` columns via codegen'd higher-order
+  * functions (`zip_with`/`aggregate`) — the Spark-native representation for
+  * embedding columns (engine extension; no analogue in the reference).
+  *
+  * Floats are widened to double *before* accumulating so results are
+  * IEEE-deterministic for a fixed element order (array order is fixed, so
+  * unlike a shuffled SUM this is reproducible across runs and engines).
+  */
+object VectorFns {
+
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  def sqNorm(a: Column): Column = dot(a, a)
+
+  def norm(a: Column): Column = sqrt(sqNorm(a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Random-hyperplane LSH bucket: sign bits of `nBits` fixed pseudo-random
+    * projections, packed into a long. Deterministic (projection vectors from
+    * a fixed xorshift over (bit, dim)), so bucketing is stable across runs —
+    * the scale path for cosine near-dup / ANN (bucket-join instead of
+    * all-pairs). */
+  def signBucket(v: Column, dim: Int, nBits: Int): Column = {
+    def proj(bit: Int, d: Int): Double = {
+      var x = bit.toLong * 2654435761L + d.toLong * 40503L + 12345L
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      // map to (-1, 1)
+      (x % 1000003L).toDouble / 1000003.0
+    }
+    val dv = asDouble(v)
+    val bits = (0 until nBits).map { b =>
+      val pv = typedLit((0 until dim).map(d => proj(b, d)))
+      val s = aggregate(zip_with(dv, pv, (x, y) => x * y), lit(0.0), (acc, t) => acc + t)
+      when(s > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce((x, y) => x.bitwiseOR(y))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{Headers, Times}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** M2 — the counter / bookkeeping analytics family.
+  *
+  * The reference maintains these imperatively: per-batch local HashMaps
+  * merged into global LRU-bounded maps under a lock
+  * (`/root/reference/.../util/TimedUtils.scala:55-133`,
+  * `counter/TimedSinkCounter.scala:33-55`) plus a JDBC bookkeeping table
+  * with a GROUP BY/HAVING completeness probe
+  * (`dao/HiveSinkDetailDao.scala:42-98`). Each becomes one declarative
+  * aggregation; Spark inserts the partial→final split (the reference's
+  * two-phase merge) automatically, and watermark state eviction replaces
+  * the 500-bucket LRU (`TimedUtils.scala:114-124`).
+  */
+object Counters {
+
+  /** A2 — global 5-min tumbling-window count (+ last update ts, A6 shape).
+    * TimedUtils.scala:55-68,126-133. */
+  def windowCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(Times.bucketEpoch(col("ts"), 300L).as("bucket_epoch"))
+      .agg(count(lit(1)).as("cnt"),
+           max(Times.epochSeconds(col("ts"))).as("last_update_epoch"))
+      .orderBy(col("bucket_epoch"))
+
+  /** A3 — per-category × 5-min count from the *event-time* header
+    * (TimedUtils.scala:74-112; category defaulting P7 folded in). */
+  def categoryWindowCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(
+        Times.bucketEpoch(col("ts"), 300L).as("bucket_epoch"),
+        Headers.categoryOrDefault(col("event_type")).as("category"))
+      .agg(count(lit(1)).as("cnt"),
+           max(Times.epochSeconds(col("ts"))).as("last_update_epoch"))
+      .orderBy(col("bucket_epoch"), col("category"))
+
+  /** A6 — max update timestamp per category (the `TimestampCount.timestamp`
+    * overwrite, TimedUtils.scala:126-133). */
+  def maxTsPerCategory(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type").as("category"))
+      .agg(max(Times.epochSeconds(col("ts"))).as("last_epoch"),
+           count(lit(1)).as("cnt"))
+      .orderBy(col("category"))
+
+  /** The `hive_sink_detail` bookkeeping table synthesized from events —
+    * one row per (logdate, hostname), as each sink host writes on close
+    * (`callback/UpdateSinkDetailCallback.scala:29-58`). Hostname is derived
+    * deterministically from `user_id` to model a 5-host fleet. */
+  def sinkDetail(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(
+        Times.logdate(col("ts")).as("logdate"),
+        concat(lit("host"), (col("user_id") % 5).cast("string")).as("hostname"))
+      .agg(count(lit(1)).as("receivecount"),
+           count(lit(1)).as("sinkcount"),
+           max(Times.epochSeconds(col("ts"))).as("updatetime"))
+      .withColumn("name", lit("sink"))
+      .withColumn("state", lit("NEW"))
+
+  /** A5 — the completeness check: logdates reported by ≥ `n` hosts
+    * (GROUP BY + HAVING, `dao/HiveSinkDetailDao.scala:42-61`; threshold =
+    * online-server count from ZK, `HiveBatchedSink.scala:187`). */
+  def completeness(spark: SparkSession, sfDir: String, n: Int = 5): DataFrame =
+    sinkDetail(spark, sfDir)
+      .where(col("state") === "NEW" && col("name") === "sink")
+      .groupBy(col("logdate"))
+      .agg(countDistinct(col("hostname")).as("n_hosts"),
+           sum(col("sinkcount")).as("total_sunk"))
+      .where(col("n_hosts") >= n)
+      .orderBy(col("logdate"))
+
+  /** T7 — upsert semantics (exists ? UPDATE : INSERT,
+    * `dao/HiveSinkDetailDao.scala:73-98`): latest row per key wins.
+    * Keys = (user_id, event_type); latest by (ts, event_id). At scale this
+    * is one shuffle on the key — the MERGE pattern for a snapshot table. */
+  def upsertLatest(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("last_event_id"),
+        Times.epochSeconds(col("ts")).as("last_epoch"),
+        col("value").as("last_value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** A7 — distinct counting: exact per category. */
+  def distinctCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type").as("category"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+           countDistinct(col("event_id")).as("n_events"))
+      .orderBy(col("category"))
+
+  /** A7 — approximate distinct (HLL++). Engine-value differs from any
+    * oracle by construction → rows-only check. At 100 TB this is the only
+    * sane distinct-user count: fixed-size sketch, no shuffle of raw ids. */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type").as("category"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy(col("category"))
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** M5 — multimodal column plumbing (engine extension).
+  *
+  * Media (image/audio/video) ride through the engine as opaque `binary`
+  * columns plus a typed metadata struct — exactly how the reference treats
+  * event bodies (`Event.body: Array[Byte]`,
+  * `/root/reference/.../HiveBatchedSink.scala:308` + pluggable serde).
+  * The Spark-side plumbing here — schema, batching, partition-friendly
+  * derived keys — is real; the actual media decode is STUBBED (this
+  * container has no image/audio libs) behind `decodeStub`, a deterministic
+  * fake that maps bytes → features so the pipeline shape is testable
+  * end-to-end. On a real cluster, swap `decodeStub` for a vectorized
+  * decode (e.g. `mapInPandas`/`mapPartitions` batching a native codec).
+  */
+object Multimodal {
+
+  /** Synthesize a multimodal table from `documents`: payload = utf-8 bytes
+    * of the text (standing in for media bytes), plus typed metadata. */
+  def mediaTable(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        (col("doc_id") % 640 + 32).cast("int").as("width"),
+        (col("doc_id") % 480 + 24).cast("int").as("height"),
+        when(col("doc_id") % 3 === 0, "image/png")
+          .when(col("doc_id") % 3 === 1, "audio/wav")
+          .otherwise("video/mp4").as("mime"),
+        col("source")).as("meta"))
+
+  /** STUB decode — deterministic fake "feature extraction" from the raw
+    * bytes (length + a few byte probes). Marked ??? semantically: replace
+    * with a real codec off-container. Kept as pure column expressions so
+    * even the stub is codegen'd and distributable. */
+  def decodeStub(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    struct(
+      octet_length(payload).cast("long").as("n_bytes"),
+      ascii(substring(payload.cast("string"), 1, 1)).cast("long").as("b0"),
+      ascii(substring(payload.cast("string"), 5, 1)).cast("long").as("b4"))
+
+  /** X11 — metadata + stub-decoded features, the full multimodal pass:
+    * scan → decode(batch) → typed features → partitionable output. */
+  def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir)
+      .select(col("media_id"), col("meta.mime").as("mime"),
+        col("meta.width").cast("long").as("width"),
+        col("meta.height").cast("long").as("height"),
+        decodeStub(col("payload")).as("f"))
+      .select(col("media_id"), col("mime"), col("width"), col("height"),
+        col("f.n_bytes").as("n_bytes"), col("f.b0").as("b0"), col("f.b4").as("b4"))
+      .orderBy(col("media_id"))
+
+  /** Frame sampling plumbing: explode a deterministic frame index per media
+    * row (1 frame / 32 bytes) — the generator shape a video pipeline uses,
+    * without a real decoder. */
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir)
+      .select(col("media_id"),
+        explode(sequence(lit(0L), (octet_length(col("payload")) / 32).cast("long"))).as("frame_no"))
+      .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
+      .orderBy(col("media_id"))
+}

@@ -1,0 +1,276 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{Num, Times}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** M3 — the relational operator surface (SURVEY.md §2.4-2.7).
+  *
+  * Absent in the reference (its only relational artifact is the bookkeeping
+  * GROUP BY/HAVING, `/root/reference/.../dao/HiveSinkDetailDao.scala:42-61`);
+  * the engine exposes Spark's full join/window/sort/set surface and
+  * demonstrates each over the fixture star schema, with the physical
+  * strategy chosen deliberately:
+  *   - fact⋈fact → shuffle (sort-merge/shuffled-hash, Catalyst+AQE pick)
+  *   - fact⋈dim  → `broadcast(dim)` so the 100 TB side never shuffles
+  *   - non-equi  → broadcast nested-loop with the small side broadcast
+  *   - top-k     → `TakeOrderedAndProject` (no global sort materialized)
+  */
+object Relational {
+
+  /** Exact decimal revenue term (order-independent; see Num). */
+  private def revenue: Column = Num.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+
+  // ---- Joins -------------------------------------------------------------
+
+  /** J1 — fact⋈fact equi inner join + aggregation (shuffle join: both sides
+    * large at scale, AQE may convert to broadcast at small SF). */
+  def innerJoinAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"), revenue.as("revenue"))
+      .orderBy(col("o_orderpriority"))
+
+  /** J2 — explicit broadcast join against a dim (no shuffle of lineitem). */
+  def broadcastJoin(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+           Num.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("p_brand"))
+
+  /** J3 — left outer join preserving customers with no orders. */
+  def leftJoin(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+           countDistinct(col("c_custkey")).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+
+  /** J4 — left semi (EXISTS): customers that placed a high-value order. */
+  def semiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val bigOrders = Tables.orders(spark, sfDir).where(col("o_totalprice") > 100000.0)
+    Tables.customer(spark, sfDir)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** J5 — left anti (NOT EXISTS): customers with no high-value order. */
+  def antiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val bigOrders = Tables.orders(spark, sfDir).where(col("o_totalprice") > 100000.0)
+    Tables.customer(spark, sfDir)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** J6 — multiway star join (TPC-H Q5 shape): one shuffle join between the
+    * facts, every dim broadcast; revenue per region/nation. */
+  def starJoin(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** J7 — theta/range join: non-equi predicate, small side broadcast →
+    * BroadcastNestedLoopJoin (the only plan that doesn't blow up when
+    * there's no equi key; dim is 200 rows so the fact side streams). */
+  def rangeJoin(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)),
+        col("l_quantity") >= col("p_size") - 1 && col("l_quantity") <= col("p_size") + 1)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("p_brand"))
+
+  /** J8 — as-of join: for each purchase event, the most recent error event
+    * by the same user at-or-before it. Implemented the scalable way — a
+    * single sort within user partitions + `last(_, ignoreNulls)` carry-
+    * forward — not a per-row range probe (which would be O(n·m) at 100 TB).
+    * Errors sort before purchases at equal ts so "≤" semantics hold. */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .where(col("event_type").isin("purchase", "error"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "error", Times.epochSeconds(col("ts"))).as("err_epoch"),
+        when(col("event_type") === "error", lit(0)).otherwise(lit(1)).as("kind"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_error_epoch", last(col("err_epoch"), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("last_error_epoch"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---- Window functions ----------------------------------------------------
+
+  /** W1 — ranking: top-3 customers by revenue within each market segment.
+    * Revenue is decimal-exact so ranks are deterministic; remaining ties
+    * broken by custkey. */
+  def rankPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val custRev = Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(Num.dsum(col("o_totalprice")).as("cust_rev"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("cust_rev").desc, col("c_custkey"))
+    custRev.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 3)
+      .select(col("c_mktsegment"), col("rnk"), col("c_custkey"), col("cust_rev"))
+      .orderBy(col("c_mktsegment"), col("rnk"))
+  }
+
+  /** W2 — lag/lead: seconds since previous / until next event per user. */
+  def lagLead(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        Times.epochSeconds(col("ts")).as("epoch"))
+      .withColumn("gap_prev", col("epoch") - lag(col("epoch"), 1).over(w))
+      .withColumn("gap_next", lead(col("epoch"), 1).over(w) - col("epoch"))
+      .drop("ts")
+      .orderBy(col("event_id"))
+  }
+
+  /** W3 — running (cumulative) sum per supplier over ship order. Summed in
+    * decimal so the running values are exact at any partitioning. */
+  def runningSum(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, sfDir)
+      .withColumn("running_qty", sum(Num.dsumCast(col("l_quantity"))).over(w).cast("double"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        Times.epochSeconds(col("l_shipdate")).as("ship_epoch"), col("running_qty"))
+      .orderBy(col("l_suppkey"), col("ship_epoch"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** W4 — ntile + dense_rank over customer balances. */
+  def ntileRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // ---- Sorts / limits / top-k / set ops -----------------------------------
+
+  /** S1 — top-k: plans TakeOrderedAndProject (per-partition heap + driver
+    * merge — no global sort even at 100 TB). */
+  def topK(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .limit(10)
+
+  /** S2 — union (distinct, via the set-op contract): customers in the top
+    * revenue set ∪ customers with urgent orders. */
+  def unionSets(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = highValueCust(spark, sfDir)
+    val b = urgentCust(spark, sfDir)
+    a.union(b).distinct().orderBy(col("custkey"))
+  }
+
+  /** S3 — intersect (ANSI INTERSECT semantics = distinct). */
+  def intersectSets(spark: SparkSession, sfDir: String): DataFrame =
+    highValueCust(spark, sfDir).intersect(urgentCust(spark, sfDir)).orderBy(col("custkey"))
+
+  /** S4 — except (ANSI EXCEPT semantics = distinct). */
+  def exceptSets(spark: SparkSession, sfDir: String): DataFrame =
+    highValueCust(spark, sfDir).except(urgentCust(spark, sfDir)).orderBy(col("custkey"))
+
+  private def highValueCust(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir).where(col("o_totalprice") > 150000.0)
+      .select(col("o_custkey").as("custkey")).distinct()
+
+  private def urgentCust(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir).where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey")).distinct()
+
+  // ---- Grouping sets -------------------------------------------------------
+
+  /** A8 — rollup over (returnflag, linestatus); subtotal rows surfaced with
+    * an explicit ALL sentinel so the output is engine-portable. */
+  def rollupAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), Num.dsum(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  /** A9 — cube over (orderstatus, orderpriority). */
+  def cubeAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), Num.dsum(col("o_totalprice")).as("sum_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+        col("n"), col("sum_price"))
+      .orderBy(col("orderstatus"), col("orderpriority"))
+
+  // ---- Scalar function surface (§2.7) --------------------------------------
+
+  /** F1 — string functions over part names. */
+  def stringFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey"),
+        lower(col("p_name")).as("lname"),
+        substring(col("p_name"), 1, 5).as("prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        size(split(col("p_name"), " ")).cast("long").as("n_words"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_extract(col("p_type"), "^([A-Za-z]+)", 1).as("first_word"))
+      .orderBy(col("p_partkey"))
+
+  /** F2 — date/time functions over orders. */
+  def datetimeFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        Times.epochSeconds(col("o_orderdate")).as("order_epoch"))
+      .orderBy(col("o_orderkey"))
+
+  /** F3 — math functions (IEEE-deterministic subset). */
+  def mathFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_quantity")).cast("long").as("qty_floor"),
+        ceil(col("l_quantity")).cast("long").as("qty_ceil"),
+        abs(col("l_discount") - 0.05).as("disc_dev"),
+        round(sqrt(col("l_extendedprice")), 6).as("price_sqrt"),
+        (col("l_orderkey") % 7).cast("long").as("key_mod"),
+        round(col("l_extendedprice") * col("l_quantity"), 2).as("gross"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** F4 — array higher-order functions over embeddings (see also
+    * Similarity for the full dot-product path). */
+  def arrayFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(element_at(v, 1), 6).as("first_val"),
+        round(aggregate(v, lit(0.0), (acc, x) => acc + x * x), 6).as("sq_norm"),
+        round(aggregate(v, lit(0.0), (acc, x) => acc + x) / size(col("embedding")), 6).as("mean_val"),
+        size(filter(v, x => x > 0.0)).cast("long").as("n_positive"))
+      .orderBy(col("vec_id"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{Headers, Paths, Times}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** M1/M2 — the projection / filter / row-transform family (SURVEY.md §2.2),
+  * each reference mechanism as one codegen'd projection.
+  */
+object RowTransforms {
+
+  /** P1 — serde parse: opaque JSON body → typed fields
+    * (`serde/TextDeserializer.scala:44-68` surface). */
+  def serdeParse(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("body", Ingest.propsSerde.parse(col("props")))
+      .select(col("event_id"), col("event_type"), col("body.k").as("k"))
+      .orderBy(col("event_id"))
+
+  /** P2 — path/partition template render (BucketPath.escapeString analogue,
+    * `HiveBatchedSink.scala:311-315`). */
+  def pathRender(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        Paths.renderPath("logs", Paths.renderSpec(
+          "logdate" -> Times.logdate(col("ts")),
+          "category" -> Headers.categoryOrDefault(col("event_type")))).as("path"))
+      .orderBy(col("event_id"))
+
+  /** P3/P4 — time floor + string↔epoch conversions
+    * (`util/TimedUtils.scala:44-49`, `util/CommonUtils.scala:30-40`). */
+  def timeConvert(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        Times.epochSeconds(col("ts")).as("epoch"),
+        Times.bucketEpoch(col("ts"), 300L).as("bucket_epoch"),
+        Times.fiveMinStr(col("ts")).as("five_min_str"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+      .orderBy(col("event_id"))
+
+  /** P2∘P5 — spec render/parse round trip (`util/HiveUtils.scala:126-139`):
+    * extractors recover exactly what the renderer wrote. */
+  def partitionExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val spec = Paths.renderSpec(
+      "logdate" -> Times.logdate(col("ts")),
+      "category" -> Headers.categoryOrDefault(col("event_type")))
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), spec.as("spec"),
+        Paths.partitionValue(spec, "logdate").as("logdate_v"),
+        Paths.partitionValue(spec, "category").as("category_v"))
+      .orderBy(col("event_id"))
+  }
+
+  /** P6 — JSON encoding of the counter map entries
+    * (`util/TimedUtils.scala:51-53` Gson analogue), built portably by
+    * concatenation so byte-identical across engines. */
+  def jsonEncode(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type").as("category"),
+        Times.bucketEpoch(col("ts"), 300L).as("bucket_epoch"))
+      .agg(count(lit(1)).as("cnt"), max(Times.epochSeconds(col("ts"))).as("last_epoch"))
+      .select(col("category"), col("bucket_epoch"),
+        concat(lit("{\"count\":"), col("cnt").cast("string"),
+          lit(",\"timestamp\":"), col("last_epoch").cast("string"), lit("}")).as("counter_json"))
+      .orderBy(col("category"), col("bucket_epoch"))
+
+  /** P7 — header classification / defaulting (`util/TimedUtils.scala:82-93`).
+    * Fixture events have no nulls, so nulls are synthesized via `nullif`
+    * to exercise the sentinel paths deterministically. */
+  def categoryDefault(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(Headers.categoryOrDefault(nullif(col("event_type"), lit("error"))).as("category"))
+      .groupBy(col("category")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("category"))
+
+  /** P8 — filter/predicate + projection, shaped so both land in the
+    * parquet scan (PushedFilters + pruned ReadSchema). */
+  def filterProject(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") < lit("1996-01-01").cast("timestamp")
+        && col("l_discount") >= 0.02 && col("l_discount") <= 0.08)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+}

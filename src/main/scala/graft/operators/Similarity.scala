@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorFns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** M5 — similarity search over the `embeddings` table (engine extension).
+  *
+  * Scale design: the query vector (or centroid set) is tiny → broadcast;
+  * the corpus side is scanned once with the dot product fused into the
+  * scan stage, and top-k is `TakeOrderedAndProject` (per-partition heaps,
+  * no global sort). IVF restricts the scan to the nearest partitions.
+  */
+object Similarity {
+
+  /** The probe: embedding of the given vec_id (a 1-row broadcast). */
+  private def probe(spark: SparkSession, sfDir: String, queryId: Long): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") === queryId)
+      .select(col("embedding").as("q"))
+
+  /** X6 — exact brute-force cosine top-k: the correctness baseline every
+    * ANN variant is judged against. One scan, one broadcast, one top-k. */
+  def bruteTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L, k: Int = 10): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(probe(spark, sfDir, queryId)))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        round(VectorFns.cosine(col("embedding"), col("q")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+
+  /** X6b — IVF-style ANN: coarse-quantize the corpus by `label` (stand-in
+    * for k-means cells: centroids = per-cell mean), probe the `nprobe`
+    * nearest cells, then exact-rank within them. At 100 TB the corpus is
+    * *partitioned by cell* on disk, so the probe prunes partitions at the
+    * scan — this query is shaped to keep that property. */
+  def ivfTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+              k: Int = 10, nprobe: Int = 3): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val dim = 64
+    // centroids: element-wise mean per label (aggregate each position)
+    val centroids = e.groupBy(col("label"))
+      .agg(array((0 until dim).map(i =>
+        avg(element_at(VectorFns.asDouble(col("embedding")), i + 1))): _*).as("centroid"))
+    val q = probe(spark, sfDir, queryId)
+    val probedCells = centroids.crossJoin(broadcast(q))
+      .select(col("label"), VectorFns.cosine(col("centroid"), col("q")).as("csim"))
+      .orderBy(col("csim").desc, col("label"))
+      .limit(nprobe)
+      .select(col("label"))
+    e.where(col("vec_id") =!= queryId)
+      .join(broadcast(probedCells), "label")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        round(VectorFns.cosine(col("embedding"), col("q")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Pairwise label-centroid similarity matrix — a tiny all-pairs on an
+    * already-reduced aggregate (10×10), the legitimate use of cross join. */
+  def centroidMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = 64
+    val c = Tables.embeddings(spark, sfDir).groupBy(col("label"))
+      .agg(array((0 until dim).map(i =>
+        avg(element_at(VectorFns.asDouble(col("embedding")), i + 1))): _*).as("centroid"))
+    c.as("a").join(c.as("b"), col("a.label") < col("b.label"))
+      .select(col("a.label").cast("long").as("l1"), col("b.label").cast("long").as("l2"),
+        round(VectorFns.cosine(col("a.centroid"), col("b.centroid")), 6).as("cosine"))
+      .orderBy(col("l1"), col("l2"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** M5 — text-analysis operators over `documents` (engine extension for
+  * LLM-data pipelines). All pure column expressions: per-document work
+  * fuses with the scan, per-corpus aggregates are one partial-final
+  * hash aggregate — the shape that holds at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language marker lexicons for the n-gram/stopword language-ID
+    * heuristic. (Fixture texts are synthetic English-ish tokens, so this
+    * demonstrates the operator mechanics, not linguistic accuracy.) */
+  private val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  private def markerHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit(_)): _*))).cast("long")
+
+  /** X7 — language ID: argmax of marker-lexicon hits with a fixed
+    * tie-break order (en > es > de > fr > unknown). */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val scored = Tables.documents(spark, sfDir).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      markerHits(toks, markers("en")).as("s_en"),
+      markerHits(toks, markers("es")).as("s_es"),
+      markerHits(toks, markers("de")).as("s_de"),
+      markerHits(toks, markers("fr")).as("s_fr"))
+    scored.select(col("doc_id"), col("labeled_lang"),
+        col("s_en"), col("s_es"), col("s_de"), col("s_fr"),
+        when(col("s_en") + col("s_es") + col("s_de") + col("s_fr") === 0, lit("unknown"))
+          .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), lit("en"))
+          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), lit("es"))
+          .when(col("s_de") >= col("s_fr"), lit("de"))
+          .otherwise(lit("fr")).as("predicted_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X8 — document quality scoring: length / punctuation / stopword /
+    * repetition signals combined into a [0,1] score (the usual pre-filter
+    * stack for LLM training corpora, cf. Gopher/C4 rules). */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val nUniq = size(array_distinct(toks)).cast("double")
+    val stop = markers.values.flatten.toSeq.distinct
+    val stopRatio = size(filter(toks, t => t.isin(stop.map(lit(_)): _*))).cast("double") / nTok
+    val punctRatio = (length(col("text")) - length(regexp_replace(col("text"), "[\\.,;:!\\?]", "")))
+      .cast("double") / length(col("text")).cast("double")
+    val lenScore = when(nTok >= 20 && nTok <= 1000, lit(1.0))
+      .when(nTok >= 5, lit(0.5)).otherwise(lit(0.0))
+    Tables.documents(spark, sfDir).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        round(nUniq / nTok, 6).as("uniq_ratio"),
+        round(stopRatio, 6).as("stop_ratio"),
+        round(punctRatio, 6).as("punct_ratio"),
+        round(lenScore * 0.4 + (nUniq / nTok) * 0.4 + stopRatio * 0.2, 6).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X9 — token counting: whitespace tokens and a BPE-ish regex unit count
+    * (letter runs / digit runs / other marks), aggregated per language —
+    * the corpus-size accounting every training pipeline needs. */
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        size(TextFns.tokens(col("text"))).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+")).cast("long").as("bpeish_tokens"),
+        col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("total_ws_tokens"),
+        sum(col("bpeish_tokens")).as("total_bpeish_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
+
+  /** X10 — document fingerprinting: portable polynomial rolling hash of the
+    * full text (mod 1e9+7) + first-shingle hash; content-addressable id for
+    * incremental dedup across pipeline runs. */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        TextFns.polyHash(col("text")).as("fp"),
+        TextFns.polyHash(substring(col("text"), 1, 32)).as("fp_prefix"))
+      .orderBy(col("doc_id"))
+}

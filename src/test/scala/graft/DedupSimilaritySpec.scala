@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** [EXT] operator tests: planted near-dups found, LSH candidates ⊆ exact,
+  * ANN brute/IVF agreement on the fixture. */
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash LSH finds the planted near-dup pairs (J≥0.8 per exact jaccard)") {
+    val exact = Dedup.ngramJaccard(spark, sf, 0.8)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(spark, sf)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    // high-J pairs are exactly what LSH must recall
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall too low; exact=${exact.size} lsh=${lsh.size}")
+  }
+
+  test("exact dedup keeps one keeper per distinct text") {
+    val d = Dedup.exactDedup(spark, sf)
+    assert(d.count() == Tables.documents(spark, sf).select($"text").distinct().count())
+  }
+
+  test("embedding LSH near-dup pairs are a subset of exact pairs") {
+    val exact = Dedup.embedCosine(spark, sf, 0.4)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embedCosineLsh(spark, sf, 0.4)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("ANN: brute-force top-1 is the global max; IVF hits are ranked correctly") {
+    val brute = Similarity.bruteTopK(spark, sf, 0L, 10).collect()
+    assert(brute.length == 10)
+    val cosines = brute.map(_.getDouble(2))
+    assert(cosines.toSeq == cosines.sorted.reverse.toSeq)
+    val ivf = Similarity.ivfTopK(spark, sf, 0L, 10, 3).collect()
+    assert(ivf.length == 10)
+    // IVF results must be a subset of the corpus ranked consistently
+    val ivfCos = ivf.map(_.getDouble(2))
+    assert(ivfCos.toSeq == ivfCos.sorted.reverse.toSeq)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.functions.{Headers, Paths, TextFns, Times, VectorFns}
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the column-function layer (SURVEY.md §5.2-5.3):
+  * bucket boundary cases, render/parse round trips, portable hashes. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("5-min bucketing floor semantics at boundaries (TimedUtils.scala:45)") {
+    // exactly on a 300s boundary / 1s before / 1s after
+    val df = Seq(
+      "2024-01-01 00:05:00", "2024-01-01 00:04:59", "2024-01-01 00:05:01"
+    ).toDF("s").select(to_timestamp($"s").as("ts"))
+    val got = df.select(Times.fiveMinStr($"ts")).as[String].collect()
+    assert(got.toSeq == Seq("202401010005", "202401010000", "202401010005"))
+  }
+
+  test("bucketEpoch is a floor: bucket(ts) <= ts < bucket(ts)+300") {
+    val eps = Tables.events(spark, sf)
+      .select(Times.bucketEpoch($"ts", 300L).as("b"), Times.epochSeconds($"ts").as("e"))
+      .where(!($"b" <= $"e" && $"e" < $"b" + 300L))
+    assert(eps.count() == 0)
+  }
+
+  test("partition spec render/parse round trip (P2 ∘ P5 = id)") {
+    val df = Seq(("202401011200", "click"), ("x=1", "with/slash")).toDF("logdate", "cat")
+    val spec = Paths.renderSpec("logdate" -> $"logdate", "category" -> $"cat")
+    val got = df.select(
+      Paths.partitionValue(spec, "logdate").as("ld"),
+      Paths.partitionValues(spec).as("vals")).collect()
+    assert(got(0).getString(0) == "202401011200")
+    assert(got(0).getSeq[String](1) == Seq("202401011200", "click"))
+  }
+
+  test("header defaulting sentinels (TimedUtils.scala:82-93)") {
+    val df = Seq[(Option[String], Option[String])](
+      (None, None), (Some("click"), Some("not a ts")), (Some("x"), Some("2024-01-01 00:00:00"))
+    ).toDF("cat", "tsraw")
+    val got = df.select(
+      Headers.categoryOrDefault($"cat").as("c"),
+      Headers.timestampClass($"tsraw").as("t")).collect()
+    assert(got(0).getString(0) == "no_category" && got(0).getString(1) == "no_timestamp")
+    assert(got(1).getString(1) == "invalid_timestamp")
+    assert(got(2).getString(1) == "202401010000")
+  }
+
+  test("polyHash: deterministic, matches reference fold") {
+    def ref(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % TextFns.HashP)
+    val got = Seq("hello world", "a", "").toDF("s")
+      .select(TextFns.polyHash($"s")).as[Long].collect()
+    assert(got.toSeq == Seq(ref("hello world"), ref("a"), 0L))
+  }
+
+  test("shingles: n-1 fewer than tokens; short docs → empty") {
+    val df = Seq("a b c d e", "a b").toDF("text")
+    val got = df.select(size(TextFns.shingles(TextFns.tokens($"text"), 3))).as[Int].collect()
+    assert(got.toSeq == Seq(3, 0))
+  }
+
+  test("simhash: identical token sets → identical hash; disjoint differ") {
+    val df = Seq("spark query engine fast", "spark query engine fast", "totally different words here")
+      .toDF("text")
+    val h = df.select(TextFns.simhash32(
+      transform(TextFns.tokens($"text"), t => TextFns.polyHash(t)))).as[Long].collect()
+    assert(h(0) == h(1))
+    assert(h(0) != h(2))
+  }
+
+  test("vector cosine: self-similarity is 1.0") {
+    val one = Tables.embeddings(spark, sf).limit(5)
+      .select(round(VectorFns.cosine($"embedding", $"embedding"), 9).as("c"))
+      .as[Double].collect()
+    assert(one.forall(c => math.abs(c - 1.0) < 1e-9))
+  }
+}
