@@ -16,8 +16,10 @@ object SparkEntry {
 
   /** Flagship on sf0.001: the full reference hot path — enrich → partitioned
     * ORC landing → read back → per-partition accounting. */
-  def entry(spark: SparkSession): DataFrame =
+  def entry(spark: SparkSession): DataFrame = {
+    Tables.ensureParquetConf(spark) // driver may pass a fresh session
     Ingest.flagship(spark, "/root/testdata/sf0.001")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // M1 — ingestion pipeline (reference hot path)

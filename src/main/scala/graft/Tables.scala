@@ -13,13 +13,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark has no native type
+    * for: read nanos as long (SPARK-40819). Applied once per session by the
+    * entry points (Bench/Verify/SparkSpec/entry) rather than as a hidden
+    * side effect of every table load. */
+  def ensureParquetConf(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark has no native type
-    // for: read nanos as long (SPARK-40819), then truncate to a microsecond
+    // Nanos arrive as long (see ensureParquetConf); truncate to a microsecond
     // TIMESTAMP — exactly what engines with µs timestamps (DuckDB included)
     // do on read, so semantics agree. Integer `div` (not `/`): nano epochs
     // exceed double's 2^53 exact range.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

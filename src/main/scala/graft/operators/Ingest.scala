@@ -56,9 +56,10 @@ object Ingest {
     * Proves partition pruning-ready layout and that landed rows equal
     * source rows (the invariant the reference's bookkeeping table tracks). */
   def flagship(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_landing_${sfDir.replaceAll("[^0-9a-zA-Z]", "_")}")
-      .getAbsolutePath
+    // Unique per-invocation dir: a fixed path + dynamic-overwrite would let
+    // stale partitions from a previous run (different data) pollute the
+    // read-back accounting.
+    val out = java.nio.file.Files.createTempDirectory("graft_landing_").toString
     land(spark, sfDir, out)
     spark.read.orc(out)
       .groupBy(col("logdate"))

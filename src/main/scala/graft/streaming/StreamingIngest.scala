@@ -21,15 +21,25 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamingIngest {
 
   /** The streaming source over the fixture events (file source; schema
-    * pinned from a batch read, as streams need explicit schemas). */
+    * pinned from a batch read, as streams need explicit schemas).
+    *
+    * The source directory is derived deterministically from `sfDir` and
+    * created once (create-if-absent): the checkpoint offset log records the
+    * source path, so a resumed query must see the *same* directory — a fresh
+    * temp dir per call breaks restart with "Wrong basePath". This is the S2
+    * exactly-once-on-resume contract the reference provably lacks
+    * (`HiveBatchedSink.scala:335` ack-before-flush FIXME). */
   def source(spark: SparkSession, sfDir: String): DataFrame = {
-    // See Tables.load: TIMESTAMP(NANOS) parquet → long nanos → µs timestamp.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.ensureParquetConf(spark)
     // The file stream source wants a directory; expose the single fixture
-    // file through a temp dir symlink (testdata itself is read-only).
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
-    java.nio.file.Files.createSymbolicLink(
-      dir.resolve("events.parquet"), java.nio.file.Paths.get(sfDir, "events.parquet"))
+    // file through a per-sfDir symlink dir (testdata itself is read-only).
+    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_stream_src_" + sfDir.replaceAll("[^0-9a-zA-Z]", "_"))
+    if (!java.nio.file.Files.exists(dir)) {
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve("events.parquet"), java.nio.file.Paths.get(sfDir, "events.parquet"))
+    }
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val raw = spark.readStream.schema(schema).parquet(dir.toString)
     if (schema("ts").dataType == org.apache.spark.sql.types.LongType)

@@ -14,6 +14,7 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    Tables.ensureParquetConf(s)
     s
   }
   val sf = "/root/testdata/sf0.001"
