@@ -30,6 +30,7 @@ object SparkEntry {
     "p5_partition_extract" -> (RowTransforms.partitionExtract _),
     "p6_json_encode" -> (RowTransforms.jsonEncode _),
     "p7_category_default" -> (RowTransforms.categoryDefault _),
+    "p7b_timestamp_class" -> (RowTransforms.timestampClassify _),
     "p8_filter_project" -> (RowTransforms.filterProject _),
     // M2 — counter / bookkeeping analytics
     "a2_window_counts" -> (Counters.windowCounts _),
@@ -48,10 +49,13 @@ object SparkEntry {
     "j6_star_join" -> (Relational.starJoin _),
     "j7_range_join" -> (Relational.rangeJoin _),
     "j8_asof_join" -> (Relational.asofJoin _),
+    "j9_right_join" -> (Relational.rightJoin _),
+    "j10_full_join" -> (Relational.fullJoin _),
     "w1_rank_per_group" -> (Relational.rankPerGroup _),
     "w2_lag_lead" -> (Relational.lagLead _),
     "w3_running_sum" -> (Relational.runningSum _),
     "w4_ntile_rank" -> (Relational.ntileRank _),
+    "w4b_ntile_scalable" -> ((s, d) => Relational.ntileScalable(s, d)),
     "s1_topk" -> (Relational.topK _),
     "s2_union" -> (Relational.unionSets _),
     "s3_intersect" -> (Relational.intersectSets _),
@@ -132,6 +136,17 @@ object SparkEntry {
     "p7_category_default" ->
       """SELECT coalesce(nullif(event_type, 'error'), 'no_category') AS category, count(*) AS cnt
          FROM events GROUP BY 1 ORDER BY 1""",
+    "p7b_timestamp_class" ->
+      """WITH r AS (SELECT event_id,
+           CASE WHEN event_type = 'error' THEN NULL
+                WHEN event_type = 'click' THEN 'oops'
+                ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS tsraw
+         FROM events)
+         SELECT event_id, tsraw,
+           CASE WHEN tsraw IS NULL THEN 'no_timestamp'
+                WHEN TRY_CAST(tsraw AS TIMESTAMP) IS NULL THEN 'invalid_timestamp'
+                ELSE strftime(make_timestamp(CAST(floor(epoch(TRY_CAST(tsraw AS TIMESTAMP))/300)*300 AS BIGINT)*1000000), '%Y%m%d%H%M') END AS ts_class
+         FROM r ORDER BY event_id""",
     "p8_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
          FROM lineitem
@@ -206,6 +221,17 @@ object SparkEntry {
       """SELECT p_brand, count(*) AS n_matches
          FROM lineitem JOIN part ON l_quantity >= p_size - 1 AND l_quantity <= p_size + 1
          GROUP BY 1 ORDER BY 1""",
+    "j9_right_join" ->
+      s"""SELECT s_suppkey, count(l_orderkey) AS n_items,
+          max(${epochS("l_shipdate")}) AS last_ship_epoch
+          FROM (SELECT * FROM lineitem WHERE l_quantity > 30)
+          RIGHT JOIN supplier ON l_suppkey = s_suppkey
+          GROUP BY 1 ORDER BY 1""",
+    "j10_full_join" ->
+      s"""WITH a AS (SELECT o_orderdate AS d, count(*) AS n_orders FROM orders GROUP BY 1),
+          b AS (SELECT l_shipdate AS d2, ${dsum("l_quantity")} AS day_qty FROM lineitem GROUP BY 1)
+          SELECT ${epochS("coalesce(d, d2)")} AS day_epoch, n_orders, day_qty
+          FROM a FULL JOIN b ON d = d2 ORDER BY day_epoch""",
     "j8_asof_join" ->
       s"""SELECT p.event_id, p.user_id,
           (SELECT CAST(floor(epoch(max(e.ts))) AS BIGINT) FROM events e
@@ -240,6 +266,10 @@ object SparkEntry {
          CAST(dense_rank() OVER w AS BIGINT) AS drnk
          FROM customer WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
          ORDER BY c_custkey""",
+    "w4b_ntile_scalable" ->
+      """SELECT c_custkey, c_acctbal,
+         CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS quartile
+         FROM customer ORDER BY c_custkey""",
     "s1_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
@@ -331,7 +361,8 @@ object SparkEntry {
     "x5_embed_neardup" ->
       s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
           round(${cosineD("a.embedding", "b.embedding")}, 6) AS cosine
-          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id
           WHERE round(${cosineD("a.embedding", "b.embedding")}, 6) >= 0.4
           ORDER BY id1, id2""",
     "x6_ann_cosine_topk" ->

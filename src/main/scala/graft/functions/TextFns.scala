@@ -37,32 +37,58 @@ object TextFns {
       lit(0L),
       (acc, i) => (acc * 31L + ascii(s.substr(i, lit(1)))) % HashP)
 
-  /** Deterministic affine hash family h_i(x) = (a_i*x + b_i) mod p over
-    * already-hashed shingles — the classic minhash construction
-    * (Broder '97). Constants from a fixed LCG so every run/engine agrees. */
-  def affine(i: Int): (Long, Long) = {
-    def lcg(seed: Long): Long = (seed * 6364136223846793005L + 1442695040888963407L) >>> 11
-    val a = (lcg(2 * i + 1) % (HashP - 1)) + 1
-    val b = lcg(2 * i + 2) % HashP
-    (a.abs, b.abs)
+  /** Fast non-portable string hash for internal keys (LSH buckets, minhash
+    * bases): Spark's codegen'd xxhash64. The approximate operators carry no
+    * oracle, so cross-engine portability buys nothing there — only speed
+    * matters, and xxhash64 is a single fixed-width mix per value vs
+    * polyHash's per-character fold. */
+  def fastHash(s: Column): Column = xxhash64(s)
+
+  /** Distinct n-token shingle *hashes* without materializing shingle
+    * strings: hash every token once, then fold adjacent token hashes with
+    * chained xxhash64 via shifted `zip_with` passes — sequential array
+    * scans, no per-index `element_at`, no string concatenation (profiled
+    * ~5× cheaper than building "a b c" strings and hashing those). The
+    * shingle *set* is identical to the string form modulo 64-bit hash
+    * collisions (~2⁻⁶⁴ per pair — immaterial for near-dup detection).
+    * zip_with pads the shorter (shifted) array with nulls; those tail
+    * entries are incomplete shingles and are sliced off. */
+  def shingleHashes(toks: Column, n: Int): Column = {
+    val th = transform(toks, t => xxhash64(t))
+    val full = (1 until n).foldLeft(th) { (acc, j) =>
+      zip_with(acc, slice(th, lit(j + 1), greatest(size(toks), lit(0))),
+        (a, b) => xxhash64(a, b))
+    }
+    when(size(toks) >= n,
+      array_distinct(slice(full, lit(1), size(toks) - (n - 1))))
+      .otherwise(array().cast("array<bigint>"))
   }
 
-  /** MinHash signature (k values) of a distinct-shingle-hash array. */
+  /** MinHash signature (k values) of a distinct-shingle-hash array — the
+    * classic construction (Broder '97) with the hash family h_i(x) =
+    * xxhash64(x, i): k independent cheap rehashes of the 8-byte base hash,
+    * better mixed than an affine family and fully codegen'd. */
   def minhashSig(shingleHashes: Column, k: Int): Column =
     array((0 until k).map { i =>
-      val (a, b) = affine(i)
-      array_min(transform(shingleHashes, h => (lit(a) * h + lit(b)) % HashP))
+      array_min(transform(shingleHashes, h => xxhash64(h, lit(i))))
     }: _*)
 
   /** 32-bit SimHash from an array of term hashes: bit j of the result is the
-    * sign of Σ_terms (2·bit_j(h)−1). Charikar '02, expressed as nested
-    * higher-order functions (no UDF). */
-  def simhash32(termHashes: Column): Column =
-    (0 until 32).map { j =>
-      val bitSum = aggregate(termHashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    * sign of Σ_terms (2·bit_j(h)−1). Charikar '02. Single pass: one
+    * `aggregate` folds every term into a 32-counter array (the previous
+    * form ran 32 separate aggregates = 32 scans of every array), then the
+    * counters collapse into bits via their sign. */
+  def simhash32(termHashes: Column): Column = {
+    val masks = array((0 until 32).map(j => lit(1L << j)): _*)
+    val counts = aggregate(
+      termHashes,
+      array_repeat(lit(0L), 32),
+      (acc, h) => transform(acc, (cnt, i) =>
+        cnt + when(h.bitwiseAND(element_at(masks, i + 1)) =!= 0, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(counts, masks, (c, m) => when(c > 0, m).otherwise(0L)),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
 
   /** Hamming distance between two simhashes (popcount of xor). */
   def hamming(a: Column, b: Column): Column =

@@ -82,16 +82,62 @@ object Relational {
       .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
       .orderBy(col("r_name"), col("n_name"))
 
-  /** J7 — theta/range join: non-equi predicate, small side broadcast →
-    * BroadcastNestedLoopJoin (the only plan that doesn't blow up when
-    * there's no equi key; dim is 200 rows so the fact side streams). */
-  def rangeJoin(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
-      .join(broadcast(Tables.part(spark, sfDir)),
-        col("l_quantity") >= col("p_size") - 1 && col("l_quantity") <= col("p_size") + 1)
+  /** J7 — theta/range join, quantized into an equi-join with aggregation
+    * pushed below it. The naive plan (`l_quantity BETWEEN p_size-1 AND
+    * p_size+1`, no equi key) is a BroadcastNestedLoopJoin —
+    * O(|lineitem|·|part|), 174 s at sf0.1 and quadratic in sf. Two
+    * rewrites compose here:
+    *  1. *Quantize*: the range has bounded integer width, so each part row
+    *     explodes into its 3 covering integer keys and the join becomes an
+    *     equi-join on `floor(l_quantity) = qkey` (floor is single-valued —
+    *     no pair double-counted) with the range predicate as residual.
+    *  2. *Pre-aggregate*: the query only needs per-brand match *counts*,
+    *     and l_quantity has bounded distinct values (integral 1..50), so
+    *     lineitem first collapses to (quantity → count) — a map-side-
+    *     combined aggregate that turns 600 k probe rows into ≤ 50 — and
+    *     the join multiplies counts instead of enumerating the ~7×10⁸
+    *     matching pairs (which made even a hash join take 110 s).
+    * Result: one scan of each table, a broadcast hash join over tiny
+    * inputs, linear at any scale. */
+  def rangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val qtyCounts = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_quantity")).agg(count(lit(1)).as("qty_cnt"))
+    val partKeys = Tables.part(spark, sfDir)
+      .select(col("p_brand"), col("p_size"),
+        explode(array(col("p_size") - 1, col("p_size"), col("p_size") + 1)).as("qkey"))
+    partKeys
+      .join(broadcast(qtyCounts),
+        floor(col("l_quantity")).cast("int") === col("qkey") &&
+          col("l_quantity") >= col("p_size") - 1 && col("l_quantity") <= col("p_size") + 1)
       .groupBy(col("p_brand"))
-      .agg(count(lit(1)).as("n_matches"))
+      .agg(sum(col("qty_cnt")).as("n_matches"))
       .orderBy(col("p_brand"))
+  }
+
+  /** J9 — right outer join: every supplier retained even with no qualifying
+    * lineitems (nulls aggregate to 0 / null). Lineitem is filtered so some
+    * suppliers genuinely have no match — exercising the preserved side. */
+  def rightJoin(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir).where(col("l_quantity") > 30.0)
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"), "right")
+      .groupBy(col("s_suppkey"))
+      .agg(count(col("l_orderkey")).as("n_items"),
+           max(Times.epochSeconds(col("l_shipdate"))).as("last_ship_epoch"))
+      .orderBy(col("s_suppkey"))
+
+  /** J10 — full outer join between two date-keyed aggregates: order days
+    * and ship days only partially overlap, so both null sides appear. A
+    * shuffle hash/sort-merge join on the date key — no BNL. */
+  def fullJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").as("d")).agg(count(lit(1)).as("n_orders"))
+    val b = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_shipdate").as("d2")).agg(Num.dsum(col("l_quantity")).as("day_qty"))
+    a.join(b, col("d") === col("d2"), "full")
+      .select(Times.epochSeconds(coalesce(col("d"), col("d2"))).as("day_epoch"),
+        col("n_orders"), col("day_qty"))
+      .orderBy(col("day_epoch"))
+  }
 
   /** J8 — as-of join: for each purchase event, the most recent error event
     * by the same user at-or-before it. Implemented the scalable way — a
@@ -163,6 +209,36 @@ object Relational {
       .select(col("c_custkey"), col("c_acctbal"))
       .withColumn("quartile", ntile(4).over(w).cast("long"))
       .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** W4b — the 100 TB path for global ntile. `Window.orderBy` with no
+    * partition (W4) moves the whole table to one task; here the exact same
+    * quartile assignment is computed in two distributed phases:
+    * range-partition on the sort key, local row_number per partition, then
+    * global row number = local + cumulative partition counts (a
+    * metadata-sized driver array, not data), and
+    * ntile(k) ≡ floor((rn-1)·k/total)+1 — an identity that holds for SQL
+    * NTILE exactly (first `total mod k` tiles get the extra row). No
+    * single-partition stage anywhere, so it survives any scale-up. */
+  def ntileScalable(spark: SparkSession, sfDir: String, k: Int = 4, parts: Int = 32): DataFrame = {
+    val sortKeys = Seq(col("c_acctbal").desc, col("c_custkey").asc)
+    val ranged = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .repartitionByRange(parts, sortKeys: _*)
+      .withColumn("pid", spark_partition_id())
+    val local = ranged.withColumn("lrn",
+      row_number().over(Window.partitionBy(col("pid")).orderBy(sortKeys: _*)))
+    // partition counts: bounded by `parts`, i.e. metadata, not data
+    val counts = local.groupBy(col("pid")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val offsets = { var acc = 0L; counts.map { case (pid, c) => val o = (pid, acc); acc += c; o } }
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF("pid", "off")
+    local.join(broadcast(offDf), "pid")
+      .withColumn("rn", col("off") + col("lrn"))
+      .select(col("c_custkey"), col("c_acctbal"),
+        (floor((col("rn") - 1) * k / lit(total.toDouble)) + 1).cast("long").as("quartile"))
       .orderBy(col("c_custkey"))
   }
 

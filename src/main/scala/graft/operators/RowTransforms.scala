@@ -74,6 +74,20 @@ object RowTransforms {
       .groupBy(col("category")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("category"))
 
+  /** P7b — the timestamp-header sentinel paths (`util/TimedUtils.scala:85-93`):
+    * missing header → "no_timestamp", unparsable → "invalid_timestamp", else
+    * the 5-min bucket string. Raw headers are synthesized per event_type so
+    * all three branches are exercised deterministically. */
+  def timestampClassify(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        when(col("event_type") === "error", lit(null).cast("string"))
+          .when(col("event_type") === "click", lit("oops"))
+          .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")).as("tsraw"))
+      .select(col("event_id"), col("tsraw"),
+        Headers.timestampClass(col("tsraw")).as("ts_class"))
+      .orderBy(col("event_id"))
+
   /** P8 — filter/predicate + projection, shaped so both land in the
     * parquet scan (PushedFilters + pruned ReadSchema). */
   def filterProject(spark: SparkSession, sfDir: String): DataFrame =

@@ -25,11 +25,16 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("embedding LSH near-dup pairs are a subset of exact pairs") {
-    val exact = Dedup.embedCosine(spark, sf, 0.4)
+    val exact = Dedup.embedCosineAllPairs(spark, sf, 0.4)
       .select($"id1", $"id2").as[(Long, Long)].collect().toSet
     val lsh = Dedup.embedCosineLsh(spark, sf, 0.4)
       .select($"id1", $"id2").as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(exact))
+    // label-blocked exact (the declared X5) is the all-pairs set restricted
+    // to same-label pairs — no pair invented, none dropped within a block
+    val blocked = Dedup.embedCosine(spark, sf, 0.4)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(blocked.subsetOf(exact))
   }
 
   test("ANN: brute-force top-1 is the global max; IVF hits are ranked correctly") {
