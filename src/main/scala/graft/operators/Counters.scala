@@ -66,15 +66,20 @@ object Counters {
 
   /** A5 — the completeness check: logdates reported by ≥ `n` hosts
     * (GROUP BY + HAVING, `dao/HiveSinkDetailDao.scala:42-61`; threshold =
-    * online-server count from ZK, `HiveBatchedSink.scala:187`). */
-  def completeness(spark: SparkSession, sfDir: String, n: Int = 5): DataFrame =
-    sinkDetail(spark, sfDir)
+    * online-server count from ZK, `HiveBatchedSink.scala:187`). Works over
+    * any detail source — the synthesized table here, or a JDBC read
+    * (sources/Bookkeeping) like the reference's real deployment. */
+  def completenessOf(detail: DataFrame, n: Int): DataFrame =
+    detail
       .where(col("state") === "NEW" && col("name") === "sink")
       .groupBy(col("logdate"))
       .agg(countDistinct(col("hostname")).as("n_hosts"),
            sum(col("sinkcount")).as("total_sunk"))
       .where(col("n_hosts") >= n)
       .orderBy(col("logdate"))
+
+  def completeness(spark: SparkSession, sfDir: String, n: Int = 5): DataFrame =
+    completenessOf(sinkDetail(spark, sfDir), n)
 
   /** T7 — upsert semantics (exists ? UPDATE : INSERT,
     * `dao/HiveSinkDetailDao.scala:73-98`): latest row per key wins.

@@ -1,0 +1,103 @@
+package graft.sources
+
+import java.sql.DriverManager
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** S7 — the JDBC bookkeeping channel.
+  *
+  * The reference keeps its fleet-progress table in an external RDBMS through
+  * a raw DriverManager connection (`/root/reference/.../util/DBManager.scala:20-42`)
+  * and hand-built SQL (`dao/HiveSinkDetailDao.scala:73-98` — string
+  * interpolation, injectable). Spark-native mapping:
+  *
+  *  - bulk table I/O → `df.write.jdbc` / `spark.read.jdbc` (partitionable
+  *    reads at scale; the bookkeeping table itself is metadata-sized)
+  *  - the per-close `exists ? UPDATE : INSERT` callback
+  *    (`callback/UpdateSinkDetailCallback.scala:29-58`) → driver-side
+  *    PreparedStatement upsert over the micro-batch's bounded set of
+  *    (logdate, hostname) rows — parameterized, fixing the injection defect.
+  *
+  * Tests run against embedded Derby (in /opt/spark/jars); any JDBC URL works.
+  */
+object Bookkeeping {
+
+  val Table = "hive_sink_detail"
+
+  def derbyUrl(dir: String): String = s"jdbc:derby:$dir;create=true"
+
+  private def connProps = new Properties() // driver resolved by URL from the classpath
+
+  /** Bulk write (overwrite) — S7 `df.write.jdbc`. String columns are pinned
+    * to VARCHAR: Derby's default mapping is CLOB, which cannot appear in
+    * comparisons/GROUP BY — useless for a bookkeeping key table. */
+  def write(df: DataFrame, url: String, table: String = Table): Unit = {
+    val stringCols = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(f => s"${f.name} VARCHAR(1024)")
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (stringCols.nonEmpty) w.option("createTableColumnTypes", stringCols.mkString(", "))
+     else w).jdbc(url, table, connProps)
+  }
+
+  /** Bulk read — S7 `spark.read.jdbc`. */
+  def read(spark: SparkSession, url: String, table: String = Table): DataFrame =
+    spark.read.jdbc(url, table, connProps)
+
+  /** One bookkeeping row, `dao/HiveSinkDetailDao.scala:29` shape. */
+  final case class Detail(name: String, logdate: String, hostname: String,
+                          receivecount: Long, sinkcount: Long,
+                          updatetime: Long, state: String)
+
+  /** Create the bookkeeping table if absent (idempotent). */
+  def ensureTable(url: String, table: String = Table): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val meta = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
+      val exists = try meta.next() finally meta.close()
+      if (!exists) {
+        val st = conn.createStatement()
+        try st.execute(
+          s"""CREATE TABLE $table (
+              name VARCHAR(128), logdate VARCHAR(32), hostname VARCHAR(128),
+              receivecount BIGINT, sinkcount BIGINT, updatetime BIGINT,
+              state VARCHAR(16), PRIMARY KEY (name, logdate, hostname))""")
+        finally st.close()
+      }
+    } finally conn.close()
+  }
+
+  /** T7 — `exists ? UPDATE : INSERT` per (name, logdate, hostname), exactly
+    * the reference callback (`UpdateSinkDetailCallback.scala:29-58`,
+    * `HiveSinkDetailDao.scala:73-98`) but parameterized. The row set per
+    * call is a micro-batch's partitions — bounded metadata, not data. */
+  def upsert(url: String, rows: Seq[Detail], table: String = Table): Unit = {
+    if (rows.isEmpty) return
+    val conn = DriverManager.getConnection(url)
+    try {
+      val upd = conn.prepareStatement(
+        s"""UPDATE $table SET receivecount = receivecount + ?, sinkcount = sinkcount + ?,
+            updatetime = ?, state = ? WHERE name = ? AND logdate = ? AND hostname = ?""")
+      val ins = conn.prepareStatement(
+        s"INSERT INTO $table VALUES (?, ?, ?, ?, ?, ?, ?)")
+      try rows.foreach { r =>
+        upd.setLong(1, r.receivecount); upd.setLong(2, r.sinkcount)
+        upd.setLong(3, r.updatetime); upd.setString(4, r.state)
+        upd.setString(5, r.name); upd.setString(6, r.logdate); upd.setString(7, r.hostname)
+        if (upd.executeUpdate() == 0) {
+          ins.setString(1, r.name); ins.setString(2, r.logdate); ins.setString(3, r.hostname)
+          ins.setLong(4, r.receivecount); ins.setLong(5, r.sinkcount)
+          ins.setLong(6, r.updatetime); ins.setString(7, r.state)
+          ins.executeUpdate()
+        }
+      } finally { upd.close(); ins.close() }
+    } finally conn.close()
+  }
+
+  /** A5 over JDBC: the reference's completeness probe executed where the
+    * bookkeeping lives (`HiveSinkDetailDao.scala:42-61`). */
+  def completeness(spark: SparkSession, url: String, n: Int,
+                   table: String = Table): DataFrame =
+    graft.operators.Counters.completenessOf(read(spark, url, table), n)
+}

@@ -40,4 +40,35 @@ object Landing {
     val specSql = spec.map { case (k, v) => s"$k='${v.replace("'", "''")}'" }.mkString(", ")
     spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS PARTITION ($specSql) LOCATION '$location'")
   }
+
+  /** Batched form: one `ALTER TABLE … ADD IF NOT EXISTS PARTITION p1 … pN`
+    * statement — one catalog round trip per micro-batch instead of one per
+    * partition (the reference pays a metastore thrift call per file close,
+    * `callback/AddPartitionCallback.scala:24-35`). */
+  def registerPartitions(spark: SparkSession, table: String,
+                         parts: Seq[(Map[String, String], String)]): Unit =
+    if (parts.nonEmpty) {
+      val specsSql = parts.map { case (spec, location) =>
+        val specSql = spec.map { case (k, v) => s"$k='${v.replace("'", "''")}'" }.mkString(", ")
+        s"PARTITION ($specSql) LOCATION '$location'"
+      }.mkString(" ")
+      spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS $specsSql")
+    }
+
+  /** S5 — create the external partitioned catalog table over a landing
+    * path (the metastore table the reference resolves its schema from,
+    * `util/HiveUtils.scala:79-88`; here the engine owns the DDL). Data
+    * columns keep their DataFrame order; partition columns go last, as the
+    * file layout demands. */
+  def createPartitionedTable(spark: SparkSession, table: String,
+                             schema: org.apache.spark.sql.types.StructType,
+                             partitionCols: Seq[String], location: String,
+                             format: String = "orc"): Unit = {
+    val dataCols = schema.fields.filterNot(f => partitionCols.contains(f.name))
+    val ddl = (dataCols.map(f => s"${f.name} ${f.dataType.sql}") ++
+      partitionCols.map(c => s"$c ${schema(c).dataType.sql}")).mkString(", ")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS $table ($ddl) USING $format
+                  PARTITIONED BY (${partitionCols.mkString(", ")})
+                  LOCATION '$location'""")
+  }
 }

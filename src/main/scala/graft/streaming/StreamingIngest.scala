@@ -108,24 +108,81 @@ object StreamingIngest {
       .orderBy(col("user_id"))
   }
 
-  /** The landing stream: enrichment + partitioned file sink via
-    * `foreachBatch` with the post-commit epilogue (the T7/T9 callback
-    * chain: bookkeeping upsert + partition registration), checkpointed. */
-  def landStream(spark: SparkSession, sfDir: String, outPath: String,
-                 checkpoint: String): Unit = {
-    val enriched = source(spark, sfDir)
+  /** T9 epilogue targets: the reference's ordered close-callback chain
+    * (`HiveBatchedSink.scala:366-373` — AddPartitionCallback then
+    * UpdateSinkDetailCallback, plus the leader's HTTP notify). Each is
+    * optional; all fire per micro-batch on the driver. */
+  final case class LandingCallbacks(
+      catalogTable: Option[String] = None, // S6: ALTER TABLE ADD PARTITION
+      jdbcUrl: Option[String] = None,      // S7/T7: bookkeeping upsert
+      notifyUrl: Option[String] = None)    // S8: HTTP POST per logdate
+
+  /** What a landing run observed (S9/A1 — the reference's JMX counters,
+    * `counter/TimedSinkCounter.scala:42-55`, surfaced through Spark's
+    * `observe` metrics instead of MBeans). */
+  final case class LandingReport(nEvents: Long, maxEventEpoch: Long,
+                                 logdates: Seq[String])
+
+  /** The enrichment stage of the landing stream (exposed so callers can
+    * derive the landing schema without executing anything). */
+  def enriched(spark: SparkSession, sfDir: String): DataFrame =
+    source(spark, sfDir)
       .withColumn("category", Headers.categoryOrDefault(col("event_type")))
       .withColumn("logdate", Times.logdate(col("ts")))
-    val q = enriched.writeStream
+
+  /** The landing stream: enrichment → `observe` metrics (S9) → partitioned
+    * file sink via `foreachBatch`, checkpointed (S2 exactly-once), with the
+    * post-commit T9 epilogue: register partitions on the catalog table,
+    * upsert per-partition bookkeeping over JDBC, HTTP-notify per logdate.
+    * Every epilogue step works on the batch's *distinct logdates* — a
+    * metadata-sized set (5-min buckets per micro-batch), never row data. */
+  def landStream(spark: SparkSession, sfDir: String, outPath: String,
+                 checkpoint: String,
+                 callbacks: LandingCallbacks = LandingCallbacks()): LandingReport = {
+    callbacks.jdbcUrl.foreach(graft.sources.Bookkeeping.ensureTable(_))
+    val hostname = "driver" // single coordinator; the reference's per-host fleet collapses
+    val stream = enriched(spark, sfDir)
+      .observe("sink", count(lit(1)).as("n_events"),
+        max(Times.epochSeconds(col("ts"))).as("max_event_epoch"))
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("append").partitionBy("logdate").orc(outPath)
-        // post-commit epilogue slot: ADD PARTITION DDL / bookkeeping upsert
-        // (Landing.registerPartition / Counters.upsertLatest shapes)
+        batch.persist()
+        try {
+          batch.write.mode("append").partitionBy("logdate").orc(outPath)
+          // bounded: distinct 5-min partitions in this micro-batch
+          val parts = batch.groupBy(col("logdate"))
+            .agg(count(lit(1)).as("n"), max(Times.epochSeconds(col("ts"))).as("maxe"))
+            .collect()
+          parts.foreach { r => seen += r.getString(0) }
+          callbacks.catalogTable.foreach { t =>
+            graft.sources.Landing.registerPartitions(spark, t,
+              parts.toSeq.map { r =>
+                Map("logdate" -> r.getString(0)) -> s"$outPath/logdate=${r.getString(0)}"
+              })
+          }
+          callbacks.jdbcUrl.foreach { url =>
+            graft.sources.Bookkeeping.upsert(url, parts.toSeq.map { r =>
+              graft.sources.Bookkeeping.Detail("sink", r.getString(0), hostname,
+                r.getLong(1), r.getLong(1), r.getLong(2), "NEW")
+            })
+          }
+          callbacks.notifyUrl.foreach { u =>
+            parts.foreach(r => graft.sources.Notify.post(u, "sink", r.getString(0)))
+          }
+        } finally batch.unpersist()
         ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
     try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+    // S9: fold the per-batch observed metrics (empty when resume had no new data)
+    val observed = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("sink")))
+    val n = observed.map(_.getAs[Long]("n_events")).sum
+    val maxE = observed.flatMap(r => Option(r.getAs[Any]("max_event_epoch")))
+      .map(_.asInstanceOf[Long]).foldLeft(0L)(math.max)
+    LandingReport(n, maxE, seen.toSeq)
   }
 }
