@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Expression converters. Spark scopes these `private[sql]`, so
+  * this one-file bridge lives in the sql package tree solely to lift the
+  * restriction — the standard pattern for libraries that ship native
+  * Catalyst expressions (the engine charter's preferred extension point
+  * over UDFs). No Spark internals are modified. */
+object bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -69,6 +69,16 @@ class FunctionsSpec extends SparkSpec {
     assert(h(0) != h(2))
   }
 
+  test("native DotProduct is bit-identical to the higher-order fold") {
+    val dv = transform($"embedding", x => x.cast("double"))
+    val mismatch = Tables.embeddings(spark, sf)
+      .select(
+        aggregate(zip_with(dv, dv, (x, y) => x * y), lit(0.0), (acc, v) => acc + v).as("hof"),
+        VectorFns.dot($"embedding", $"embedding").as("native"))
+      .where($"hof" =!= $"native") // exact double comparison on purpose
+    assert(mismatch.count() == 0)
+  }
+
   test("vector cosine: self-similarity is 1.0") {
     val one = Tables.embeddings(spark, sf).limit(5)
       .select(round(VectorFns.cosine($"embedding", $"embedding"), 9).as("c"))
