@@ -1,10 +1,11 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** U-1/[EXT] — native codegen'd dense-vector dot product.
   *
@@ -82,4 +83,54 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+/** X10 — native codegen'd portable polynomial string hash:
+  * fold `(acc*31 + char) mod 1000000007` over the characters.
+  *
+  * Replaces the column-expression form
+  * `aggregate(sequence(1, length(s)), 0L, (acc,i) => (acc*31 + ascii(substr(s,i,1))) % p)`,
+  * whose per-character `substr` evaluates an interpreted lambda and
+  * re-seeks the string each step (the O(L²)-ish behavior flagged in
+  * round 1). Identical results for BMP text (chars = UTF-16 units; the
+  * fixture corpus is ASCII, and the DuckDB oracle computes the same fold
+  * over codepoints — equal wherever one char = one codepoint). Unlike
+  * xxhash64 this fold is trivially portable to any engine, which is what
+  * makes the fingerprint operator cross-checkable. */
+case class PolyHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_polyhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) { acc = (acc * 31L + s.charAt(i)) % 1000000007L; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final String $s = $c.toString();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $s.length(); $i++) {
+         |  $acc = ($acc * 31L + $s.charAt($i)) % 1000000007L;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
 }

@@ -29,13 +29,13 @@ object TextFns {
   /** Portable polynomial string hash: fold (acc*31 + codepoint) mod p over
     * the characters. Unlike murmur/xxhash it is trivially reproducible in
     * any engine (the DuckDB oracle computes the identical fold), which is
-    * what makes hash-keyed operators cross-checkable. */
+    * what makes hash-keyed operators cross-checkable. Native codegen'd
+    * single pass ([[graft.expressions.PolyHash]]); the previous
+    * column-expression fold re-seeked the string per character. */
   val HashP = 1000000007L
   def polyHash(s: Column): Column =
-    aggregate(
-      sequence(lit(1), length(s)),
-      lit(0L),
-      (acc, i) => (acc * 31L + ascii(s.substr(i, lit(1)))) % HashP)
+    org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.PolyHash(org.apache.spark.sql.graft.bridge.expression(s)))
 
   /** Fast non-portable string hash for internal keys (LSH buckets, minhash
     * bases): Spark's codegen'd xxhash64. The approximate operators carry no

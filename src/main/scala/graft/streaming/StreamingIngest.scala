@@ -115,7 +115,8 @@ object StreamingIngest {
   final case class LandingCallbacks(
       catalogTable: Option[String] = None, // S6: ALTER TABLE ADD PARTITION
       jdbcUrl: Option[String] = None,      // S7/T7: bookkeeping upsert
-      notifyUrl: Option[String] = None)    // S8: HTTP POST per logdate
+      notifyUrl: Option[String] = None,    // S8: HTTP POST per logdate
+      completeness: Option[CompletenessListener] = None) // T6 watermark watcher
 
   /** What a landing run observed (S9/A1 — the reference's JMX counters,
     * `counter/TimedSinkCounter.scala:42-55`, surfaced through Spark's
@@ -141,7 +142,11 @@ object StreamingIngest {
                  callbacks: LandingCallbacks = LandingCallbacks()): LandingReport = {
     callbacks.jdbcUrl.foreach(graft.sources.Bookkeeping.ensureTable(_))
     val hostname = "driver" // single coordinator; the reference's per-host fleet collapses
+    // The watermark feeds T6 completeness tracking (and the progress log);
+    // with no stateful operator downstream it never drops rows — foreachBatch
+    // still receives every event (T5: the batch path loses nothing).
     val stream = enriched(spark, sfDir)
+      .withWatermark("ts", "10 minutes")
       .observe("sink", count(lit(1)).as("n_events"),
         max(Times.epochSeconds(col("ts"))).as("max_event_epoch"))
     val seen = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -155,6 +160,9 @@ object StreamingIngest {
             .agg(count(lit(1)).as("n"), max(Times.epochSeconds(col("ts"))).as("maxe"))
             .collect()
           parts.foreach { r => seen += r.getString(0) }
+          callbacks.completeness.foreach { l =>
+            parts.foreach(r => l.registerLanded(r.getString(0)))
+          }
           callbacks.catalogTable.foreach { t =>
             graft.sources.Landing.registerPartitions(spark, t,
               parts.toSeq.map { r =>

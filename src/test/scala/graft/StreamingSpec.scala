@@ -28,6 +28,79 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("A4: watermark evicts window state; finalized windows emit append-mode") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String)]
+    val counts = ms.toDF().toDF("ts", "category")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "5 minutes"), col("category"))
+      .count()
+    val qn = "a4_state_sink"
+    val q = counts.writeStream.format("memory").queryName(qn).outputMode("append").start()
+    def t(min: Int) = new java.sql.Timestamp(min * 60000L)
+    try {
+      ms.addData((t(0), "a"), (t(1), "a"), (t(6), "b"))
+      q.processAllAvailable() // watermark advances to 5min after this batch
+      ms.addData((t(20), "c"))
+      q.processAllAvailable() // [0,5) finalized+emitted; watermark → 19min
+      ms.addData((t(21), "c"))
+      q.processAllAvailable() // [5,10) finalized+emitted
+      val emitted = spark.table(qn).select(col("category"), col("count"))
+        .as[(String, Long)].collect().toMap
+      assert(emitted == Map("a" -> 2L, "b" -> 1L)) // open window [20,25) NOT emitted
+      // the bounded-state guarantee (reference's 500-bucket LRU,
+      // TimedUtils.scala:114-124): evicted windows leave the state store
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 2, s"state not bounded: $stateRows rows retained")
+    } finally q.stop()
+  }
+
+  test("T6/T5: completeness listener fires per logdate once the watermark passes it") {
+    import graft.streaming.CompletenessListener
+    // private copy of the fixture so the shared per-sfDir stream source
+    // isn't polluted by the late batch this test appends
+    val sfCopy = java.nio.file.Files.createTempDirectory("graft_t6_sf")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(sf, "events.parquet"),
+      sfCopy.resolve("events.parquet"))
+    val mySf = sfCopy.toString
+    val out = java.nio.file.Files.createTempDirectory("graft_t6_land").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_t6_ckpt").toString
+    val notified = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new CompletenessListener(300L)(ld => notified.add(ld))
+    spark.streams.addListener(listener)
+    try {
+      // run 1: lands + registers every logdate; the watermark during the
+      // first batch is unset, so nothing completes yet (the reference's
+      // poll loop has the same one-cycle lag)
+      val r1 = StreamingIngest.landStream(spark, mySf, out, ckpt,
+        StreamingIngest.LandingCallbacks(completeness = Some(listener)))
+      assert(notified.isEmpty || notified.size() < r1.logdates.size)
+      // T5: a late batch arrives — drop 10 more events into the stream's
+      // source dir, then resume from the checkpoint
+      val srcDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_src_" + mySf.replaceAll("[^0-9a-zA-Z]", "_"))
+      spark.read.parquet(s"$mySf/events.parquet").limit(10)
+        .write.mode("append").parquet(srcDir.toString)
+      StreamingIngest.landStream(spark, mySf, out, ckpt,
+        StreamingIngest.LandingCallbacks(completeness = Some(listener)))
+      // run 2 executes with the persisted watermark = max event ts − 10 min:
+      // exactly the logdates whose window end it passed must complete
+      val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmm")
+      val expected = r1.logdates.filter { ld =>
+        java.time.LocalDateTime.parse(ld, fmt).toEpochSecond(java.time.ZoneOffset.UTC) + 300L <=
+          r1.maxEventEpoch - 600L
+      }.toSet
+      assert(expected.nonEmpty)
+      // listener events arrive async on the listener bus — poll briefly
+      val deadline = System.currentTimeMillis() + 20000
+      while (listener.completed != expected && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(listener.completed == expected)
+      assert(notified.size == expected.size) // fired exactly once each
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("landStream lands every event exactly once (checkpointed)") {
     val out = java.nio.file.Files.createTempDirectory("graft_stream_land").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
