@@ -18,6 +18,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.ensureParquetConf(spark)
+    // Untimed warm-up: session/codegen/JIT startup otherwise lands entirely
+    // on whichever query sorts first (~5 s of pure infrastructure).
+    try Tables.events(spark, sfDir).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

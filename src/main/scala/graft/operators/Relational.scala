@@ -212,15 +212,33 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** SQL NTILE(k) of a global row number `rn` ∈ [1..total]: the first
+    * `total mod k` tiles hold ⌈total/k⌉ rows, the rest ⌊total/k⌋.
+    * (NOT the equal-width `floor((rn-1)k/total)+1` — that only coincides
+    * when k divides total; a property test caught the difference.) Double
+    * division + floor is exact here: numerators are exact integers and a
+    * true non-integer quotient sits ≥ 1/total from the nearest integer,
+    * far beyond one ulp. */
+  private[graft] def ntileExpr(rn: Column, total: Long, k: Int): Column = {
+    val q = total / k
+    val r = total % k
+    if (q == 0) rn.cast("long") // k ≥ total: one row per tile
+    else {
+      val big = (q + 1) * r // rows covered by the oversized tiles
+      when(rn <= big, floor((rn - 1) / lit((q + 1).toDouble)) + 1)
+        .otherwise(floor((rn - big - 1) / lit(q.toDouble)) + r + 1)
+        .cast("long")
+    }
+  }
+
   /** W4b — the 100 TB path for global ntile. `Window.orderBy` with no
     * partition (W4) moves the whole table to one task; here the exact same
     * quartile assignment is computed in two distributed phases:
     * range-partition on the sort key, local row_number per partition, then
     * global row number = local + cumulative partition counts (a
-    * metadata-sized driver array, not data), and
-    * ntile(k) ≡ floor((rn-1)·k/total)+1 — an identity that holds for SQL
-    * NTILE exactly (first `total mod k` tiles get the extra row). No
-    * single-partition stage anywhere, so it survives any scale-up. */
+    * metadata-sized driver array, not data), and tile = [[ntileExpr]] of
+    * that row number. No single-partition stage anywhere, so it survives
+    * any scale-up. */
   def ntileScalable(spark: SparkSession, sfDir: String, k: Int = 4, parts: Int = 32): DataFrame = {
     val sortKeys = Seq(col("c_acctbal").desc, col("c_custkey").asc)
     val ranged = Tables.customer(spark, sfDir)
@@ -238,7 +256,7 @@ object Relational {
     local.join(broadcast(offDf), "pid")
       .withColumn("rn", col("off") + col("lrn"))
       .select(col("c_custkey"), col("c_acctbal"),
-        (floor((col("rn") - 1) * k / lit(total.toDouble)) + 1).cast("long").as("quartile"))
+        ntileExpr(col("rn"), total, k).as("quartile"))
       .orderBy(col("c_custkey"))
   }
 

@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.{Paths, TextFns, Times}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Property tests (SURVEY.md §5.3): the invariants the engine promises,
+  * checked over generated inputs rather than fixtures (scalacheck `Gen`
+  * used directly; Spark evaluation batched per property — one job over
+  * the generated sample). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("∀ts: bucket(ts) <= ts < bucket(ts)+300 (floor property)") {
+    val epochs = Gen.listOfN(200, Gen.choose(0L, 4102444800L)).sample.get
+    val bad = epochs.toDF("e")
+      .select($"e", Times.bucketEpoch(timestamp_seconds($"e"), 300L).as("b"))
+      .where(!($"b" <= $"e" && $"e" < $"b" + 300L))
+    assert(bad.count() == 0)
+  }
+
+  test("∀values: renderSpec ∘ partitionValues = id (escaping totality)") {
+    // strings over a hostile alphabet: '/', '=', '%', quotes, unicode, empties
+    val hostile = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.oneOf("/", "=", "%", "%%2F", "a=b/c", "'", "\"", "ü€", ""))).map(_.mkString)
+    val values = Gen.listOfN(300, hostile).sample.get
+    val got = values.toDF("v")
+      .select($"v", Paths.partitionValues(
+        Paths.renderSpec("k" -> $"v", "k2" -> concat($"v", lit("x")))).as("parsed"))
+      .collect()
+    got.foreach { r =>
+      val v = r.getString(0)
+      assert(r.getSeq[String](1) == Seq(v, v + "x"), s"round trip broke for ${v.take(40)}")
+    }
+  }
+
+  test("∀ascii strings: native polyHash = reference fold") {
+    def ref(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % TextFns.HashP)
+    val strs = Gen.listOfN(300, Gen.asciiPrintableStr.map(_.take(64))).sample.get
+    val got = strs.toDF("s").select($"s", TextFns.polyHash($"s")).collect()
+    got.foreach(r => assert(r.getLong(1) == ref(r.getString(0))))
+  }
+
+  test("∀n,k: ntileExpr(rn) differentially equals Spark's own NTILE(k)") {
+    // the distributed w4b path must agree with the windowed built-in for
+    // every (n, k), including n not divisible by k — the case where the
+    // naive equal-width formula silently diverges (caught by this test)
+    import org.apache.spark.sql.expressions.Window
+    val cases = Gen.listOfN(10, Gen.zip(Gen.choose(1, 400), Gen.choose(1, 9)))
+      .sample.get ++ Seq((7, 5), (1, 3), (4, 4)) // known-tricky shapes
+    cases.foreach { case (n, k) =>
+      val df = (1 to n).toDF("rn")
+      val both = df.select($"rn",
+          graft.operators.Relational.ntileExpr($"rn", n.toLong, k).as("formula"),
+          ntile(k).over(Window.orderBy($"rn")).cast("long").as("builtin"))
+        .where($"formula" =!= $"builtin")
+      assert(both.count() == 0, s"ntile mismatch for n=$n k=$k")
+    }
+  }
+
+  test("∀docs: minhash signature equality fraction is within [0,1] and " +
+    "identical docs have identical signatures") {
+    val texts = Gen.listOfN(50, Gen.listOfN(12,
+      Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")).map(_.mkString(" "))).sample.get
+    val sigs = (texts ++ texts).toDF("text") // every text twice
+      .select($"text", TextFns.minhashSig(
+        TextFns.shingleHashes(TextFns.tokens($"text"), 3), 16).as("sig"))
+      .collect()
+      .groupBy(_.getString(0)).map { case (_, rows) => rows.map(_.getSeq[Long](1)) }
+    sigs.foreach(group => assert(group.distinct.length == 1)) // deterministic
+  }
+}
