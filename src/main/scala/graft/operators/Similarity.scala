@@ -14,22 +14,26 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** The probe: embedding of the given vec_id (a 1-row broadcast). */
-  private def probe(spark: SparkSession, sfDir: String, queryId: Long): DataFrame =
-    Tables.embeddings(spark, sfDir)
+  /** The probe vector, fetched once (1 row — the query vector every vector
+    * search system ships to workers) and inlined as a literal, so the main
+    * scan needs no join at all: Scan → Project → TakeOrderedAndProject. */
+  private def probeVec(spark: SparkSession, sfDir: String, queryId: Long) =
+    typedLit(Tables.embeddings(spark, sfDir)
       .where(col("vec_id") === queryId)
-      .select(col("embedding").as("q"))
+      .select(col("embedding")).head().getSeq[Float](0))
 
   /** X6 — exact brute-force cosine top-k: the correctness baseline every
-    * ANN variant is judged against. One scan, one broadcast, one top-k. */
-  def bruteTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L, k: Int = 10): DataFrame =
+    * ANN variant is judged against. One scan, the dot product fused into
+    * it, one per-partition-heap top-k. */
+  def bruteTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val q = probeVec(spark, sfDir, queryId)
     Tables.embeddings(spark, sfDir)
       .where(col("vec_id") =!= queryId)
-      .crossJoin(broadcast(probe(spark, sfDir, queryId)))
       .select(col("vec_id"), col("label").cast("long").as("label"),
-        round(VectorFns.cosine(col("embedding"), col("q")), 6).as("cosine"))
+        round(VectorFns.cosine(col("embedding"), q), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
+  }
 
   /** X6b — IVF-style ANN: coarse-quantize the corpus by `label` (stand-in
     * for k-means cells: centroids = per-cell mean), probe the `nprobe`
@@ -44,17 +48,16 @@ object Similarity {
     val centroids = e.groupBy(col("label"))
       .agg(array((0 until dim).map(i =>
         avg(element_at(VectorFns.asDouble(col("embedding")), i + 1))): _*).as("centroid"))
-    val q = probe(spark, sfDir, queryId)
-    val probedCells = centroids.crossJoin(broadcast(q))
-      .select(col("label"), VectorFns.cosine(col("centroid"), col("q")).as("csim"))
+    val q = probeVec(spark, sfDir, queryId)
+    val probedCells = centroids
+      .select(col("label"), VectorFns.cosine(col("centroid"), q).as("csim"))
       .orderBy(col("csim").desc, col("label"))
       .limit(nprobe)
       .select(col("label"))
     e.where(col("vec_id") =!= queryId)
       .join(broadcast(probedCells), "label")
-      .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label").cast("long").as("label"),
-        round(VectorFns.cosine(col("embedding"), col("q")), 6).as("cosine"))
+        round(VectorFns.cosine(col("embedding"), q), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }

@@ -1,0 +1,45 @@
+package graft
+
+/** Physical-plan guardrails: the 100 TB design rules, enforced.
+  *
+  * Round 1's perf failures were all plan regressions (a BroadcastNestedLoop
+  * join here, a single-partition Window there) that correctness tests can't
+  * see. This spec walks every declared query's executed plan and rejects
+  * the scale-killer operators outright, with a short allowlist for the
+  * places they are provably bounded:
+  *  - `w4_ntile_rank` keeps the global-order Window as the exact oracle
+  *    form; `w4b_ntile_scalable` is the declared scale path.
+  *  - `x6c_centroid_matrix` is an all-pairs join *after* aggregation to
+  *    ≤ n_clusters rows — quadratic in a constant, not in the data.
+  */
+class PlanSpec extends SparkSpec {
+
+  // streaming queries execute on construction; exercise them anyway at sf0.001
+  private val allowNestedLoop = Set("x6c_centroid_matrix")
+  private val allowSinglePartition = Set("w4_ntile_rank")
+
+  test("no Cartesian product in any declared query") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("no broadcast-nested-loop join outside the bounded allowlist") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      if (!allowNestedLoop.contains(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin — quadratic at scale")
+    }
+  }
+
+  test("no single-partition exchange outside the documented exact form") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      if (!allowSinglePartition.contains(name))
+        assert(!plan.contains("Exchange SinglePartition"),
+          s"$name moves all data to one partition")
+    }
+  }
+}
