@@ -85,6 +85,9 @@ object SparkEntry {
     "x10_fingerprint" -> (TextAnalysis.fingerprint _),
     "x11_multimodal_features" -> (Multimodal.mediaFeatures _),
     "x12_frame_sample" -> (Multimodal.frameSample _),
+    "x13_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
+    "x14_split_stats" -> (TextAnalysis.splitStats _),
+    "x15_tfidf_top_terms" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
   )
 
   // ---- DuckDB oracle SQL ----------------------------------------------------
@@ -426,5 +429,46 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
          CAST(octet_length(encode(text)) // 32 + 1 AS BIGINT) AS n_frames
          FROM documents ORDER BY media_id""",
+    "x13_dup_clusters" ->
+      s"""WITH RECURSIVE
+          docs AS (SELECT doc_id, $toks AS tk FROM documents),
+          sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+                 FROM docs, unnest(generate_series(1, len(tk) - 2)) AS t(i)
+                 WHERE len(tk) >= 3),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          pairs AS (SELECT id1, id2
+                    FROM inter JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+                    WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.8),
+          edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                    UNION ALL SELECT id2, id1 FROM pairs),
+          reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+          SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id""",
+    "x14_split_stats" ->
+      s"""WITH s AS (SELECT
+            CASE WHEN h <= 7 THEN 'train' WHEN h = 8 THEN 'val' ELSE 'test' END AS split,
+            tk, n_chars
+          FROM (SELECT ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 10 AS h,
+                       len($toks) AS tk, n_chars FROM documents))
+          SELECT split, count(*) AS n_docs, CAST(SUM(tk) AS BIGINT) AS total_tokens,
+                 CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          FROM s GROUP BY 1 ORDER BY 1""",
+    "x15_tfidf_top_terms" ->
+      s"""WITH terms AS (SELECT doc_id, lang, unnest($toks) AS term FROM documents),
+          tf AS (SELECT lang, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+          df AS (SELECT term, count(*) AS df
+                 FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+          n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+          scored AS (SELECT lang, term, round(tf * ln(nd / df), 6) AS tfidf
+                     FROM tf JOIN df USING (term), n),
+          ranked AS (SELECT lang, term, tfidf,
+                       row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, term) AS rnk
+                     FROM scored)
+          SELECT lang, CAST(rnk AS BIGINT) AS rnk, term, tfidf
+          FROM ranked WHERE rnk <= 5 ORDER BY lang, rnk""",
   )
 }

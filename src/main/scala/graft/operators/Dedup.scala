@@ -165,6 +165,52 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** X13 — duplicate clusters: connected components over the near-dup
+    * graph (x4's J ≥ 0.8 pairs), so a curation pipeline can keep one doc
+    * per cluster instead of dropping only pairwise losers. Iterative
+    * min-label propagation (the hash-to-min pattern): every doc starts as
+    * its own label; each round propagates the minimum label across edges
+    * until fixpoint. Rounds = graph diameter (near-dup clusters are tiny —
+    * 2-4 rounds in practice); each round is one shuffle join, fully
+    * distributed, with per-round persist + unpersist so lineage stays flat.
+    * Docs outside any pair are their own singleton cluster. */
+  def dupClusters(spark: SparkSession, sfDir: String, threshold: Double = 0.8): DataFrame = {
+    val pairs = ngramJaccard(spark, sfDir, threshold).select(col("id1"), col("id2"))
+    // symmetric edge list (propagation runs both directions)
+    val edges = pairs.union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .toDF("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Iterate over GRAPH NODES only — the dup graph is a small fraction of
+    // the corpus; the full table joins in exactly once, at the end.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Labels only ever decrease (least), so Σ cluster_id strictly decreases
+    // while anything changes — one scalar aggregate per round replaces a
+    // join-based change count.
+    var prevSum = Long.MaxValue
+    var sum_ = labels.agg(sum(col("cluster_id"))).head().getLong(0)
+    while (sum_ < prevSum) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels.join(viaNeighbor, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      prevSum = sum_
+      sum_ = next.agg(sum(col("cluster_id"))).head().getLong(0)
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(labels.withColumnRenamed("cluster_id", "lbl"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The unrestricted exact all-pairs baseline — test-only ground truth for
     * the LSH recall check; deliberately not a declared query (quadratic). */
   def embedCosineAllPairs(spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {

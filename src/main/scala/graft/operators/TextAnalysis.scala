@@ -92,4 +92,48 @@ object TextAnalysis {
         TextFns.polyHash(col("text")).as("fp"),
         TextFns.polyHash(substring(col("text"), 1, 32)).as("fp_prefix"))
       .orderBy(col("doc_id"))
+
+  /** X14 — deterministic train/val/test split + per-split accounting. A
+    * content-stable split must be a pure function of a stable key (never
+    * `rand()` — reruns and backfills would reshuffle the corpus): bucket =
+    * portable hash of doc_id mod 10 → 8/1/1. One scan, one hash aggregate. */
+  def splitStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = pmod(TextFns.polyHash(col("doc_id").cast("string")), lit(10L))
+    Tables.documents(spark, sfDir)
+      .select(
+        when(bucket <= 7, lit("train")).when(bucket === 8, lit("val"))
+          .otherwise(lit("test")).as("split"),
+        size(TextFns.tokens(col("text"))).cast("long").as("toks"),
+        col("n_chars"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("split"))
+  }
+
+  /** X15 — TF-IDF top terms per language: distinct-term document
+    * frequencies (one shuffle on term), idf = ln(N/df) with N fetched as a
+    * metadata scalar, per-(lang, term) total tf, rank by rounded score so
+    * cross-engine float agreement is exact. The "what characterizes this
+    * slice" probe run over every curated corpus. */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count() // metadata scalar (one count, not per-row driver work)
+    val terms = docs.select(col("doc_id"), col("lang"),
+      explode(TextFns.tokens(col("text"))).as("term"))
+    val tf = terms.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df_, "term")
+      .select(col("lang"), col("term"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("lang"), col("rnk"), col("term"), col("tfidf"))
+      .orderBy(col("lang"), col("rnk"))
+  }
 }

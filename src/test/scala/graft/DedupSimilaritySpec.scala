@@ -37,6 +37,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(blocked.subsetOf(exact))
   }
 
+  test("X13: dup clusters are transitive and labeled by the component minimum") {
+    val pairs = Dedup.ngramJaccard(spark, sf, 0.8)
+      .select($"id1", $"id2").as[(Long, Long)].collect()
+    val cl = Dedup.dupClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(cl(a) == cl(b), s"pair ($a,$b) split across clusters") // transitive closure
+    }
+    cl.groupBy(_._2).foreach { case (label, members) =>
+      assert(label == members.keys.min, s"cluster $label not labeled by its min member")
+    }
+  }
+
   test("ANN: brute-force top-1 is the global max; IVF hits are ranked correctly") {
     val brute = Similarity.bruteTopK(spark, sf, 0L, 10).collect()
     assert(brute.length == 10)
