@@ -68,6 +68,7 @@ object SparkEntry {
     "f4_array_funcs" -> (Relational.arrayFuncs _),
     // M4 — streaming / stateful
     "t1_stream_counts" -> (StreamingIngest.streamCounts _),
+    "t1b_stream_counts_append" -> (StreamingIngest.streamCountsAppend _),
     "t2_sessionize" -> ((s, d) => StreamingIngest.sessionize(s, d)),
     // M5 — [EXT] LLM-pipeline operators
     "x1_dedup_exact" -> (Dedup.exactDedup _),
@@ -337,6 +338,13 @@ object SparkEntry {
       s"""SELECT ${bucketE("ts")} AS bucket_epoch,
           coalesce(event_type, 'no_category') AS category, count(*) AS cnt
           FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "t1b_stream_counts_append" ->
+      s"""SELECT ${bucketE("ts")} AS bucket_epoch,
+          coalesce(event_type, 'no_category') AS category, count(*) AS cnt
+          FROM events GROUP BY 1, 2
+          HAVING ${bucketE("ts")} + 300 <=
+            (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 600 FROM events)
+          ORDER BY 1, 2""",
     "t2_sessionize" ->
       s"""WITH e AS (SELECT user_id, event_id, ${epochS("ts")} AS epoch, ts FROM events),
           m AS (SELECT user_id, epoch,

@@ -69,6 +69,35 @@ object StreamingIngest {
       .orderBy(col("bucket_epoch"), col("category"))
   }
 
+  /** T1b/A4 — the scale-correct streaming counter: watermarked, APPEND
+    * mode. Unlike [[streamCounts]] (complete mode — unbounded state, kept
+    * as the everything-emitted oracle demo), this emits a window exactly
+    * once, when the event-time watermark (max event ts − 10 min) passes
+    * its end, and the state store evicts it — bounded state at any scale,
+    * the reference's 500-bucket LRU (`TimedUtils.scala:114-124`) done by
+    * the engine. Deterministic on static input: the terminal no-data
+    * micro-batch flushes every window the final watermark passed, so the
+    * result is the batch aggregation restricted to finalized windows —
+    * which is what the DuckDB oracle expresses. */
+  def streamCountsAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    val qn = "graft_stream_app_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val agg = source(spark, sfDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"),
+        Headers.categoryOrDefault(col("event_type")).as("category"))
+      .count()
+    val q = agg.writeStream
+      .format("memory").queryName(qn)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+    spark.table(qn)
+      .select(unix_timestamp(col("window.start")).as("bucket_epoch"),
+        col("category"), col("count").as("cnt"))
+      .orderBy(col("bucket_epoch"), col("category"))
+  }
+
   /** T2 — sessionization: the idle-close semantics (a writer closes after
     * `idleTimeout` with no writes, HiveBatchedWriter.scala:60-63) as
     * session windows per user. Batch form here (same gap semantics the
