@@ -34,6 +34,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("p8: predicates are pushed into the parquet scan") {
+    val plan = SparkEntry.queries("p8_filter_project")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), "no pushed filters on the scan")
+    assert(plan.contains("LessThan(l_shipdate") || plan.contains("LessThan(l_discount")
+      || plan.contains("GreaterThanOrEqual(l_discount"),
+      "range predicates did not reach the scan")
+  }
+
+  test("top-k queries plan TakeOrderedAndProject, not a global sort") {
+    Seq("s1_topk", "x6_ann_cosine_topk").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"), s"$name lacks TakeOrderedAndProject")
+    }
+  }
+
+  test("star join broadcasts every dimension") {
+    val plan = SparkEntry.queries("j6_star_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val nBroadcasts = "BroadcastExchange".r.findAllIn(plan).length
+    assert(nBroadcasts >= 3, s"expected >=3 broadcast dims, saw $nBroadcasts")
+  }
+
   test("no single-partition exchange outside the documented exact form") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
