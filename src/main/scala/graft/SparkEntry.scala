@@ -85,6 +85,7 @@ object SparkEntry {
     "x9_token_counts" -> (TextAnalysis.tokenCounts _),
     "x10_fingerprint" -> (TextAnalysis.fingerprint _),
     "x11_multimodal_features" -> (Multimodal.mediaFeatures _),
+    "x11b_resize_plan" -> ((s, d) => Multimodal.resizePlan(s, d)),
     "x12_frame_sample" -> (Multimodal.frameSample _),
     "x13_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "x14_split_stats" -> (TextAnalysis.splitStats _),
@@ -433,6 +434,12 @@ object SparkEntry {
          CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS b0,
          CAST(ascii(substring(text, 5, 1)) AS BIGINT) AS b4
          FROM documents ORDER BY media_id""",
+    "x11b_resize_plan" ->
+      """WITH m AS (SELECT doc_id, doc_id % 640 + 32 AS w, doc_id % 480 + 24 AS h FROM documents)
+         SELECT doc_id AS media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(greatest(floor(w * least(224.0 / w, 224.0 / h)), 1) AS BIGINT) AS out_w,
+           CAST(greatest(floor(h * least(224.0 / w, 224.0 / h)), 1) AS BIGINT) AS out_h
+         FROM m ORDER BY media_id""",
     "x12_frame_sample" ->
       """SELECT doc_id AS media_id,
          CAST(octet_length(encode(text)) // 32 + 1 AS BIGINT) AS n_frames

@@ -56,6 +56,21 @@ object Multimodal {
         col("f.n_bytes").as("n_bytes"), col("f.b0").as("b0"), col("f.b4").as("b4"))
       .orderBy(col("media_id"))
 
+  /** X11b — resize planning: target dimensions fitting 224×224 with aspect
+    * ratio preserved — the real preprocessing math every image pipeline
+    * runs before the (here stubbed) byte-level resample. Pure integer/
+    * double column math, fused with the scan. */
+  def resizePlan(spark: SparkSession, sfDir: String, fit: Int = 224): DataFrame = {
+    val w = col("meta.width").cast("long")
+    val h = col("meta.height").cast("long")
+    val scale = least(lit(fit.toDouble) / w, lit(fit.toDouble) / h)
+    mediaTable(spark, sfDir)
+      .select(col("media_id"), w.as("width"), h.as("height"),
+        greatest(floor(w * scale), lit(1L)).cast("long").as("out_w"),
+        greatest(floor(h * scale), lit(1L)).cast("long").as("out_h"))
+      .orderBy(col("media_id"))
+  }
+
   /** Frame sampling plumbing: explode a deterministic frame index per media
     * row (1 frame / 32 bytes) — the generator shape a video pipeline uses,
     * without a real decoder. */
