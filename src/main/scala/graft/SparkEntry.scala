@@ -51,6 +51,7 @@ object SparkEntry {
     "j8_asof_join" -> (Relational.asofJoin _),
     "j9_right_join" -> (Relational.rightJoin _),
     "j10_full_join" -> (Relational.fullJoin _),
+    "j11_salted_skew_join" -> ((s, d) => Relational.saltedSkewJoin(s, d)),
     "w1_rank_per_group" -> (Relational.rankPerGroup _),
     "w2_lag_lead" -> (Relational.lagLead _),
     "w3_running_sum" -> (Relational.runningSum _),
@@ -226,6 +227,11 @@ object SparkEntry {
       """SELECT p_brand, count(*) AS n_matches
          FROM lineitem JOIN part ON l_quantity >= p_size - 1 AND l_quantity <= p_size + 1
          GROUP BY 1 ORDER BY 1""",
+    "j11_salted_skew_join" ->
+      s"""SELECT o_orderpriority, count(*) AS n_items,
+          ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1 ORDER BY 1""",
     "j9_right_join" ->
       s"""SELECT s_suppkey, count(l_orderkey) AS n_items,
           max(${epochS("l_shipdate")}) AS last_ship_epoch

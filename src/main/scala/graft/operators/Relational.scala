@@ -139,6 +139,27 @@ object Relational {
       .orderBy(col("day_epoch"))
   }
 
+  /** J11 — skew-salted equi-join: the manual remedy when one join key is
+    * hot enough that a single reducer owns the shuffle (AQE's skew-join
+    * split is the first lever; salting is the explicit form that also
+    * works for aggregations and older runtimes). Probe rows scatter to
+    * `salts` sub-keys via a hash of a non-key column; the build side
+    * replicates each row to every salt, so every probe row still meets
+    * every matching build row exactly once — result ≡ the plain join,
+    * which is what the oracle checks. Shuffle parallelism on a hot key
+    * rises from 1 task to `salts` tasks at the cost of a `salts`-times
+    * build-side replication (bounded: dims replicate cheaply). */
+  def saltedSkewJoin(spark: SparkSession, sfDir: String, salts: Int = 8): DataFrame = {
+    val probe = Tables.lineitem(spark, sfDir)
+      .withColumn("salt", pmod(xxhash64(col("l_linenumber")), lit(salts)))
+    val build = Tables.orders(spark, sfDir)
+      .withColumn("salt", explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    probe.join(build, col("l_orderkey") === col("o_orderkey") && probe("salt") === build("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"), revenue.as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** J8 — as-of join: for each purchase event, the most recent error event
     * by the same user at-or-before it. Implemented the scalable way — a
     * single sort within user partitions + `last(_, ignoreNulls)` carry-
