@@ -25,6 +25,7 @@ object SparkEntry {
     // M1 — ingestion pipeline (reference hot path)
     "q_ingest_partition_counts" -> (Ingest.partitionCounts _),
     "p1_serde_parse" -> (RowTransforms.serdeParse _),
+    "p1b_delimited_parse" -> (RowTransforms.delimitedParse _),
     "p2_path_render" -> (RowTransforms.pathRender _),
     "p34_time_convert" -> (RowTransforms.timeConvert _),
     "p5_partition_extract" -> (RowTransforms.partitionExtract _),
@@ -118,6 +119,12 @@ object SparkEntry {
       """SELECT event_id, event_type,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
          FROM events ORDER BY event_id""",
+    "p1b_delimited_parse" ->
+      """WITH b AS (SELECT event_id,
+           event_type || '|' || CAST(value AS VARCHAR) AS body FROM events)
+         SELECT event_id, string_split(body, '|')[1] AS category,
+                CAST(string_split(body, '|')[2] AS DOUBLE) AS val
+         FROM b ORDER BY event_id""",
     "p2_path_render" ->
       s"""SELECT event_id,
           'logs/logdate=' || ${logdateS("ts")} || '/category=' || coalesce(event_type, 'no_category') AS path

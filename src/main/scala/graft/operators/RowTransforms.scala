@@ -18,6 +18,24 @@ object RowTransforms {
       .select(col("event_id"), col("event_type"), col("body.k").as("k"))
       .orderBy(col("event_id"))
 
+  /** P1b — the delimited-serde path: the closest shape to a hand-written
+    * `TextDeserializer` subclass (`serde/TextDeserializer.scala:68`) —
+    * positional split + per-field casts against a declared schema. The
+    * body is synthesized from event columns so the parse is verifiable:
+    * serialize → parse must recover the original fields. */
+  def delimitedParse(spark: SparkSession, sfDir: String): DataFrame = {
+    val serde = graft.functions.DelimitedSerde(Seq(
+      "category" -> org.apache.spark.sql.types.StringType,
+      "val" -> org.apache.spark.sql.types.DoubleType), "|")
+    Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        concat_ws("|", col("event_type"), col("value").cast("string")).as("body"))
+      .withColumn("parsed", serde.parse(col("body")))
+      .select(col("event_id"), col("parsed.category").as("category"),
+        col("parsed.val").as("val"))
+      .orderBy(col("event_id"))
+  }
+
   /** P2 — path/partition template render (BucketPath.escapeString analogue,
     * `HiveBatchedSink.scala:311-315`). */
   def pathRender(spark: SparkSession, sfDir: String): DataFrame =

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Headers, Paths, TextFns, Times, VectorFns}
+import graft.functions.{CsvSerde, DelimitedSerde, Headers, JsonSerde, Paths, TextFns, Times, VectorFns}
 import org.apache.spark.sql.functions._
 
 /** Unit tests for the column-function layer (SURVEY.md §5.2-5.3):
@@ -67,6 +67,27 @@ class FunctionsSpec extends SparkSpec {
       transform(TextFns.tokens($"text"), t => TextFns.polyHash(t)))).as[Long].collect()
     assert(h(0) == h(1))
     assert(h(0) != h(2))
+  }
+
+  test("serde surface: JSON, CSV and delimited parse to identical structs") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("a", LongType), StructField("b", StringType)))
+    val df = Seq((7L, "x"), (9L, "y z")).toDF("a", "b")
+      .select($"a", $"b",
+        concat(lit("""{"a":"""), $"a", lit(""","b":""""), $"b", lit("\"}")).as("jsonBody"),
+        concat_ws(",", $"a", $"b").as("csvBody"),
+        concat_ws("\t", $"a", $"b").as("tsvBody"))
+    val parsed = df.select($"a", $"b",
+      JsonSerde(schema).parse($"jsonBody").as("j"),
+      CsvSerde(schema).parse($"csvBody").as("c"),
+      DelimitedSerde(Seq("a" -> LongType, "b" -> StringType), "\t").parse($"tsvBody").as("d"))
+    parsed.collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getString(1))
+      Seq("j", "c", "d").foreach { f =>
+        val s = r.getAs[org.apache.spark.sql.Row](f)
+        assert(s.getLong(0) == a && s.getString(1) == b, s"serde $f mismatched")
+      }
+    }
   }
 
   test("native DotProduct is bit-identical to the higher-order fold") {
