@@ -64,6 +64,7 @@ object SparkEntry {
     "s4_except" -> (Relational.exceptSets _),
     "a8_rollup" -> (Relational.rollupAgg _),
     "a9_cube" -> (Relational.cubeAgg _),
+    "a10_grouping_sets" -> (Relational.groupingSetsAgg _),
     "f1_string_funcs" -> (Relational.stringFuncs _),
     "f2_datetime_funcs" -> (Relational.datetimeFuncs _),
     "f3_math_funcs" -> (Relational.mathFuncs _),
@@ -86,11 +87,12 @@ object SparkEntry {
     "x8_quality_score" -> (TextAnalysis.qualityScore _),
     "x9_token_counts" -> (TextAnalysis.tokenCounts _),
     "x10_fingerprint" -> (TextAnalysis.fingerprint _),
-    "x11_multimodal_features" -> (Multimodal.mediaFeatures _),
+    "x11_multimodal_features" -> ((s, d) => Multimodal.mediaFeatures(s, d)),
     "x11b_resize_plan" -> ((s, d) => Multimodal.resizePlan(s, d)),
     "x12_frame_sample" -> (Multimodal.frameSample _),
     "x13_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "x14_split_stats" -> (TextAnalysis.splitStats _),
+    "x16_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "x15_tfidf_top_terms" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
   )
 
@@ -318,6 +320,12 @@ object SparkEntry {
           count(*) AS n, ${dsum("o_totalprice")} AS sum_price
           FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
           ORDER BY orderstatus, orderpriority""",
+    "a10_grouping_sets" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+          coalesce(l_linestatus, 'ALL') AS linestatus,
+          count(*) AS n, ${dsum("l_quantity")} AS sum_qty
+          FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          ORDER BY returnflag, linestatus""",
     "f1_string_funcs" ->
       """SELECT p_partkey, lower(p_name) AS lname, substring(p_name, 1, 5) AS prefix,
          CAST(length(p_name) AS BIGINT) AS name_len,
@@ -485,6 +493,28 @@ object SparkEntry {
           SELECT split, count(*) AS n_docs, CAST(SUM(tk) AS BIGINT) AS total_tokens,
                  CAST(SUM(n_chars) AS BIGINT) AS total_chars
           FROM s GROUP BY 1 ORDER BY 1""",
+    "x16_incremental_dedup" ->
+      s"""WITH b AS (SELECT doc_id, text,
+            ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 10 AS h FROM documents),
+          newb AS (SELECT doc_id, text FROM b WHERE h >= 8),
+          prior AS (SELECT doc_id, text FROM b WHERE h <= 7),
+          docs AS (SELECT doc_id, $toks AS tk FROM documents),
+          sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+                 FROM docs, unnest(generate_series(1, len(tk) - 2)) AS t(i)
+                 WHERE len(tk) >= 3),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          inter AS (SELECT a.doc_id AS idn, p.doc_id AS idp, count(*) AS i
+                    FROM sh a JOIN newb nb ON a.doc_id = nb.doc_id
+                    JOIN sh p ON a.s = p.s
+                    JOIN prior pr ON p.doc_id = pr.doc_id
+                    GROUP BY 1, 2),
+          neardup AS (SELECT DISTINCT idn FROM inter
+                      JOIN sizes sa ON sa.doc_id = idn JOIN sizes sb ON sb.doc_id = idp
+                      WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.8)
+          SELECT doc_id, ${polyHashSql("text")} AS fp FROM newb
+          WHERE ${polyHashSql("text")} NOT IN (SELECT ${polyHashSql("text")} FROM prior)
+            AND doc_id NOT IN (SELECT idn FROM neardup)
+          ORDER BY doc_id""",
     "x15_tfidf_top_terms" ->
       s"""WITH terms AS (SELECT doc_id, lang, unnest($toks) AS term FROM documents),
           tf AS (SELECT lang, term, count(*) AS tf FROM terms GROUP BY 1, 2),

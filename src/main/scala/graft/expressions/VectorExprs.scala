@@ -19,8 +19,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * (~130 frames per 64-dim pair), while this compiles into the whole-stage
   * codegen loop. Profiled ~10× on the cosine near-dup family.
   *
-  * Assumes dense arrays (no null elements) — embeddings are dense by
-  * construction; a null *array* on either side yields null.
+  * Null semantics also match the HOF form exactly: a null *array*, a
+  * length mismatch (zip_with pads with null → null product → null sum) or
+  * any null *element* yields null — no silent partial sums on malformed
+  * input.
   *
   * Per the engine charter this is the (b)-tier extension point: a custom
   * Catalyst `Expression` with `doGenCode`, used only where built-ins cannot
@@ -43,6 +45,11 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // can return null on length mismatch / null elements even for non-null
+  // input arrays (matching the HOF form), so nullability must not be
+  // derived from the children alone
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_dot"
 
   private def isFloat(e: Expression): Boolean =
@@ -51,12 +58,14 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lf = isFloat(left)
     val rf = isFloat(right)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       s += xv * yv
@@ -73,10 +82,17 @@ case class DotProduct(left: Expression, right: Expression)
       val getA = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getB = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) { $sum += $getA * $getB; }
-         |${ev.value} = $sum;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $a.numElements();
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $sum += $getA * $getB;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $sum; }
+         |}
        """.stripMargin
     })
 

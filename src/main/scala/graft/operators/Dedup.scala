@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.{TextFns, VectorFns}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -29,6 +29,34 @@ object Dedup {
         length(col("text")).cast("long").as("text_len"))
       .orderBy(col("keeper_id"))
 
+  /** Race-safe memoization of a persisted DataFrame: `putIfAbsent` so a
+    * concurrent first access can't leak a second persisted copy (the loser
+    * is unpersisted immediately). Entries live for the session; callers
+    * that tear sessions down mid-process should call [[evictCaches]]. */
+  private def memoize[K](cache: scala.collection.concurrent.TrieMap[K, DataFrame],
+                         key: K)(build: => DataFrame): DataFrame =
+    cache.get(key) match {
+      case Some(df) => df
+      case None =>
+        val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cache.putIfAbsent(key, df) match {
+          case Some(winner) => df.unpersist(); winner
+          case None => df
+        }
+    }
+
+  /** Drop + unpersist every cached index built on `spark` (shingle index and
+    * verified near-dup pair sets). For long-lived processes that cycle
+    * sessions; a process exiting anyway can skip it. */
+  def evictCaches(spark: SparkSession): Unit = {
+    shCache.filterInPlace { case ((s, _), df) =>
+      if (s eq spark) { df.unpersist(); false } else true }
+    pairCache.filterInPlace { case ((s, _, _), df) =>
+      if (s eq spark) { df.unpersist(); false } else true }
+    prefixCache.filterInPlace { case ((s, _, _), df) =>
+      if (s eq spark) { df.unpersist(); false } else true }
+  }
+
   /** Distinct 3-token-shingle hashes per doc — the shared index behind
     * x2/x3/x4. Memoized + persisted per (session, sfDir): each query's DAG
     * references it from several branches (posting explode, signature
@@ -40,14 +68,12 @@ object Dedup {
   private val shCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def shingled(spark: SparkSession, sfDir: String): DataFrame =
-    shCache.getOrElseUpdate((spark, sfDir), {
-      val df = Tables.documents(spark, sfDir)
+    memoize(shCache, (spark, sfDir)) {
+      Tables.documents(spark, sfDir)
         .select(col("doc_id"),
           TextFns.shingleHashes(TextFns.tokens(col("text")), 3).as("sh"))
         .where(size(col("sh")) > 0)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df
-    })
+    }
 
   /** X2 — MinHash+LSH near-dup candidate pairs (shingle→minhash→band→
     * bucket-join). k=16 hashes, 8 bands × 2 rows: catches J≳0.5 pairs with
@@ -115,22 +141,51 @@ object Dedup {
     * while hot shingles land in suffixes and never seed the join. The exact
     * J is then verified per candidate pair via `array_intersect` on the
     * full shingle sets (hash-based, O(n1+n2) per pair). */
-  def ngramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.8): DataFrame = {
+  def ngramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.8): DataFrame =
+    verifiedPairs(spark, sfDir, threshold).orderBy(col("id1"), col("id2"))
+
+  /** The verified (id1, id2, jaccard) near-dup pair set behind x4 *and* x13.
+    * Memoized + persisted per (session, sfDir, threshold) — x13's connected
+    * components consume exactly this edge set, and without the cache it
+    * re-ran the whole prefix-filter join (the round-2 top cost). */
+  private val pairCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Double), DataFrame]
+
+  /** Per-doc ppjoin prefix — the `n - ⌈t·n⌉ + 1` globally-rarest shingles
+    * (rare-first canonical order = ascending document frequency), plus the
+    * doc's shingle count `n`. Memoized: shared by the self-join (x4/x13)
+    * and the cross-run incremental form (x16), which must agree on the
+    * canonical order for the prefix-intersection guarantee to hold.
+    * ceil(t*n - 1e-9): FP guard may only lengthen the prefix (more
+    * candidates), never shorten it (missed pairs). */
+  private val prefixCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Double), DataFrame]
+  private def prefixIndex(spark: SparkSession, sfDir: String,
+                          threshold: Double): DataFrame =
+    memoize(prefixCache, (spark, sfDir, threshold)) {
+      val posting = shingled(spark, sfDir)
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+      val dfreq = posting.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      val byDoc = Window.partitionBy(col("doc_id"))
+      posting.join(dfreq, "s")
+        .withColumn("rnk", row_number().over(byDoc.orderBy(col("df"), col("s"))))
+        .withColumn("n", count(lit(1)).over(byDoc))
+        .where(col("rnk") <= col("n") - ceil(lit(threshold) * col("n") - 1e-9) + 1)
+        .select(col("doc_id"), col("s"), col("n"))
+    }
+
+  /** Length pre-filter for candidate joins: J ≥ t forces |A∩B| ≥ t·max(n1,n2)
+    * and |A∩B| ≤ min(n1,n2), so any qualifying pair has min ≥ t·max. Cheap
+    * integer check on the carried sizes — prunes candidates before the
+    * array_intersect verify. */
+  private def lengthCompatible(n1: Column, n2: Column, threshold: Double): Column =
+    least(n1, n2).cast("double") >= lit(threshold) * greatest(n1, n2)
+
+  /** Exact-Jaccard verification of candidate (id1, id2) pairs against the
+    * full shingle sets — O(n1+n2) per pair via hash-based array_intersect. */
+  private def verifyJaccard(spark: SparkSession, sfDir: String, cand: DataFrame,
+                            threshold: Double): DataFrame = {
     val sh = shingled(spark, sfDir)
-    val posting = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val dfreq = posting.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val byDoc = Window.partitionBy(col("doc_id"))
-    // ceil(t*n - 1e-9): FP guard may only lengthen the prefix (more
-    // candidates), never shorten it (missed pairs).
-    val prefix = posting.join(dfreq, "s")
-      .withColumn("rnk", row_number().over(byDoc.orderBy(col("df"), col("s"))))
-      .withColumn("n", count(lit(1)).over(byDoc))
-      .where(col("rnk") <= col("n") - ceil(lit(threshold) * col("n") - 1e-9) + 1)
-      .select(col("doc_id"), col("s"))
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .distinct()
     cand
       .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
       .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
@@ -140,8 +195,19 @@ object Dedup {
       .select(col("id1"), col("id2"),
         round(col("i") / (col("n1") + col("n2") - col("i")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
-      .orderBy(col("id1"), col("id2"))
   }
+
+  private[graft] def verifiedPairs(spark: SparkSession, sfDir: String,
+                                   threshold: Double): DataFrame =
+    memoize(pairCache, (spark, sfDir, threshold)) {
+      val prefix = prefixIndex(spark, sfDir, threshold)
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+            lengthCompatible(col("a.n"), col("b.n"), threshold))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct()
+      verifyJaccard(spark, sfDir, cand, threshold)
+    }
 
   /** X5 — exact embedding-cosine near-dup within label blocks. The
     * unrestricted exact form (`embedCosineAllPairs`) is an O(n²)
@@ -167,47 +233,122 @@ object Dedup {
 
   /** X13 — duplicate clusters: connected components over the near-dup
     * graph (x4's J ≥ 0.8 pairs), so a curation pipeline can keep one doc
-    * per cluster instead of dropping only pairwise losers. Iterative
-    * min-label propagation (the hash-to-min pattern): every doc starts as
-    * its own label; each round propagates the minimum label across edges
-    * until fixpoint. Rounds = graph diameter (near-dup clusters are tiny —
-    * 2-4 rounds in practice); each round is one shuffle join, fully
-    * distributed, with per-round persist + unpersist so lineage stays flat.
-    * Docs outside any pair are their own singleton cluster. */
+    * per cluster instead of dropping only pairwise losers. The edge set is
+    * the memoized [[verifiedPairs]] — shared with x4, never recomputed.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") instead of plain
+    * min-label propagation — converges in O(log n) rounds regardless of
+    * component diameter, so a chain-shaped dup cluster at 100× can't make
+    * the round count (and each round's shuffle) unbounded. Each round is
+    * two groupBy+join passes over the *edge set only* (the dup graph is a
+    * small fraction of the corpus); per-round persist keeps lineage flat;
+    * the fixpoint is a disjoint union of stars centered at each component's
+    * minimum id. Docs outside any pair are their own singleton cluster. */
   def dupClusters(spark: SparkSession, sfDir: String, threshold: Double = 0.8): DataFrame = {
-    val pairs = ngramJaccard(spark, sfDir, threshold).select(col("id1"), col("id2"))
-    // symmetric edge list (propagation runs both directions)
-    val edges = pairs.union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-      .toDF("src", "dst")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Iterate over GRAPH NODES only — the dup graph is a small fraction of
-    // the corpus; the full table joins in exactly once, at the end.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Labels only ever decrease (least), so Σ cluster_id strictly decreases
-    // while anything changes — one scalar aggregate per round replaces a
-    // join-based change count.
-    var prevSum = Long.MaxValue
-    var sum_ = labels.agg(sum(col("cluster_id"))).head().getLong(0)
-    while (sum_ < prevSum) {
-      val viaNeighbor = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-        .groupBy(col("src").as("doc_id"))
-        .agg(min(col("cluster_id")).as("nbr_min"))
-      val next = labels.join(viaNeighbor, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      prevSum = sum_
-      sum_ = next.agg(sum(col("cluster_id"))).head().getLong(0)
-      labels.unpersist()
-      labels = next
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+    // Canonical directed edges u > v (pairs come as id1 < id2). Eager
+    // localCheckpoint, and again each round: both star operators reference
+    // their input several times, so without truncation the logical plan
+    // (and the driver's re-analysis cost) grows ~8× per round — profiled
+    // at 10 s/round on a 256-edge graph by round 2. Checkpointing makes
+    // every round start from a leaf-level cached relation. On a multi-node
+    // cluster prefer reliable `checkpoint()` (localCheckpoint blocks die
+    // with their executor).
+    var cur = verifiedPairs(spark, sfDir, threshold)
+      .select(col("id2").as("u"), col("id1").as("v"))
+      .localCheckpoint(true)
+    // Zero near-dup pairs → every doc is its own singleton cluster (the
+    // agg-on-empty path NPE'd in round 2).
+    if (cur.isEmpty) {
+      return docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+        .orderBy(col("doc_id"))
     }
-    edges.unpersist()
-    Tables.documents(spark, sfDir).select(col("doc_id"))
-      .join(labels.withColumnRenamed("cluster_id", "lbl"), Seq("doc_id"), "left")
+    // Large-star: every node links its larger neighbors to the minimum of
+    // its closed neighborhood. Small-star: every node links its smaller
+    // neighbors (and itself) to that minimum. Both preserve connectivity;
+    // alternating them halves star depth geometrically.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      sym.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      e.join(mins, "u").where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+    // Fixpoint detection: order-independent 64-bit content signature
+    // (count + bit_xor of a per-edge hash) — one scalar aggregate per
+    // round, no row data on the driver, no overflow under ANSI mode.
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var curSig = sig(cur)
+    var converged = false
+    while (!converged) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val nextSig = sig(next)
+      if (nextSig == curSig) converged = true
+      else { cur = next; curSig = nextSig }
+      // superseded checkpoint blocks are reclaimed by the ContextCleaner
+    }
+    // At the fixpoint every non-center node carries exactly one edge to its
+    // component's min id; min() is a no-op guard, not a correctness lever.
+    val labels = cur.groupBy(col("u").as("doc_id")).agg(min(col("v")).as("lbl"))
+    docs.join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X16 — incremental (cross-run) dedup: the operational 100 TB mode. A
+    * real training-data pipeline does not re-dedup the whole corpus per
+    * crawl; it dedups each *new batch* against the persisted index of
+    * everything already kept — the only-new-work pattern that is the
+    * reference's entire completeness protocol
+    * (`dao/HiveSinkDetailDao.scala:42-61`). Here the corpus splits
+    * deterministically by x14's content-stable hash (prior ≈ 80% stands in
+    * for "all previous runs", new ≈ 20% for "this crawl"), and a new doc
+    * survives iff
+    *   1. exact: its x10 content fingerprint is absent from the prior
+    *      fingerprint index (anti-join — one hash lookup per doc), and
+    *   2. near: no prior doc reaches Jaccard ≥ t, found via the shared
+    *      ppjoin prefix index restricted to new×prior (the prefix order is
+    *      corpus-global, so the prefix-intersection guarantee still holds
+    *      across the two sides; anti-join on the verified matches).
+    * Both probes are index lookups against *prior-run artifacts* — at scale
+    * the fingerprint set and shingle prefix index are exactly what x10's
+    * doc promises gets persisted between runs; nothing rescans the prior
+    * corpus text. */
+  def incrementalDedup(spark: SparkSession, sfDir: String,
+                       threshold: Double = 0.8): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val isNew = pmod(TextFns.polyHash(col("doc_id").cast("string")), lit(10L)) >= 8
+    val newDocs = docs.where(isNew)
+      .select(col("doc_id"), TextFns.polyHash(col("text")).as("fp"))
+    val priorFp = docs.where(!isNew)
+      .select(TextFns.polyHash(col("text")).as("pfp")).distinct()
+    val prefix = prefixIndex(spark, sfDir, threshold)
+    val newIds = docs.where(isNew).select(col("doc_id"))
+    val priorIds = docs.where(!isNew).select(col("doc_id"))
+    val cand = prefix.join(newIds, "doc_id").as("a")
+      .join(prefix.join(priorIds, "doc_id").as("b"),
+        col("a.s") === col("b.s") &&
+          lengthCompatible(col("a.n"), col("b.n"), threshold))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    val nearDupNew = verifyJaccard(spark, sfDir, cand, threshold)
+      .select(col("id1").as("doc_id")).distinct()
+    newDocs
+      .join(priorFp, col("fp") === col("pfp"), "left_anti")
+      .join(nearDupNew, Seq("doc_id"), "left_anti")
       .orderBy(col("doc_id"))
   }
 

@@ -13,10 +13,11 @@ import org.apache.spark.sql.types._
   * `/root/reference/.../HiveBatchedSink.scala:308` + pluggable serde).
   * The Spark-side plumbing here — schema, batching, partition-friendly
   * derived keys — is real; the actual media decode is STUBBED (this
-  * container has no image/audio libs) behind `decodeStub`, a deterministic
-  * fake that maps bytes → features so the pipeline shape is testable
-  * end-to-end. On a real cluster, swap `decodeStub` for a vectorized
-  * decode (e.g. `mapInPandas`/`mapPartitions` batching a native codec).
+  * container has no image/audio libs) behind the pluggable
+  * [[graft.functions.BinaryCodec]] surface: the default column-expression
+  * probe codec stands in for the real thing, and the batched
+  * `mapPartitions` adapter ([[graft.functions.BatchedByteProbeCodec]])
+  * demonstrates exactly where a native vectorized decode drops in.
   */
 object Multimodal {
 
@@ -34,25 +35,20 @@ object Multimodal {
           .otherwise("video/mp4").as("mime"),
         col("source")).as("meta"))
 
-  /** STUB decode — deterministic fake "feature extraction" from the raw
-    * bytes (length + a few byte probes). Marked ??? semantically: replace
-    * with a real codec off-container. Kept as pure column expressions so
-    * even the stub is codegen'd and distributable. */
-  def decodeStub(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    struct(
-      octet_length(payload).cast("long").as("n_bytes"),
-      ascii(substring(payload.cast("string"), 1, 1)).cast("long").as("b0"),
-      ascii(substring(payload.cast("string"), 5, 1)).cast("long").as("b4"))
-
-  /** X11 — metadata + stub-decoded features, the full multimodal pass:
-    * scan → decode(batch) → typed features → partitionable output. */
-  def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame =
-    mediaTable(spark, sfDir)
+  /** X11 — metadata + codec-decoded features, the full multimodal pass:
+    * scan → decode → typed features → partitionable output. The decode step
+    * is pluggable ([[graft.functions.BinaryCodec]], mirror of the text
+    * [[graft.functions.Serde]] surface); the default is the in-container
+    * column-expression stub (this container has no media libraries — a
+    * real deployment swaps in a `mapPartitions` codec like
+    * [[graft.functions.BatchedByteProbeCodec]] demonstrates). */
+  def mediaFeatures(spark: SparkSession, sfDir: String,
+                    codec: graft.functions.BinaryCodec =
+                      graft.functions.ByteProbeCodec): DataFrame =
+    codec.decode(mediaTable(spark, sfDir), "payload", "f")
       .select(col("media_id"), col("meta.mime").as("mime"),
         col("meta.width").cast("long").as("width"),
         col("meta.height").cast("long").as("height"),
-        decodeStub(col("payload")).as("f"))
-      .select(col("media_id"), col("mime"), col("width"), col("height"),
         col("f.n_bytes").as("n_bytes"), col("f.b0").as("b0"), col("f.b4").as("b4"))
       .orderBy(col("media_id"))
 

@@ -139,24 +139,45 @@ object Relational {
       .orderBy(col("day_epoch"))
   }
 
-  /** J11 — skew-salted equi-join: the manual remedy when one join key is
-    * hot enough that a single reducer owns the shuffle (AQE's skew-join
-    * split is the first lever; salting is the explicit form that also
-    * works for aggregations and older runtimes). Probe rows scatter to
-    * `salts` sub-keys via a hash of a non-key column; the build side
-    * replicates each row to every salt, so every probe row still meets
-    * every matching build row exactly once — result ≡ the plain join,
-    * which is what the oracle checks. Shuffle parallelism on a hot key
-    * rises from 1 task to `salts` tasks at the cost of a `salts`-times
-    * build-side replication (bounded: dims replicate cheaply). */
-  def saltedSkewJoin(spark: SparkSession, sfDir: String, salts: Int = 8): DataFrame = {
+  /** J11 — skew-salted equi-join, two-phase hot/cold form: the manual
+    * remedy when a few join keys are hot enough that single reducers own
+    * the shuffle (AQE's skew-join split is the first lever; salting is the
+    * explicit form that also works for aggregations and older runtimes).
+    *
+    * Phase 1 finds candidate hot keys from a *sampled* probe-side key
+    * histogram — top `maxHot` keys by sampled frequency, a bounded set that
+    * is broadcast, never collected. Phase 2 splits both sides on hot-key
+    * membership: hot probe rows scatter across `salts` sub-keys and only
+    * the hot build rows replicate `salts`× (not the whole fact table — the
+    * round-2 design flaw); cold rows take the plain equi-join. Every probe
+    * row still meets every matching build row exactly once, for *any*
+    * hot-key set, so the result ≡ the plain join — which is what the oracle
+    * checks — while the replication cost is `salts · |hot keys|` rows. */
+  def saltedSkewJoin(spark: SparkSession, sfDir: String, salts: Int = 8,
+                     maxHot: Int = 64): DataFrame = {
+    val hotKeys = Tables.lineitem(spark, sfDir)
+      .sample(withReplacement = false, 0.05, seed = 42L)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("l_orderkey"))
+      .limit(maxHot)
+      .select(col("l_orderkey").as("hk"))
     val probe = Tables.lineitem(spark, sfDir)
-      .withColumn("salt", pmod(xxhash64(col("l_linenumber")), lit(salts)))
+      .join(broadcast(hotKeys), col("l_orderkey") === col("hk"), "left")
     val build = Tables.orders(spark, sfDir)
-      .withColumn("salt", explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
-    probe.join(build, col("l_orderkey") === col("o_orderkey") && probe("salt") === build("salt"))
+      .join(broadcast(hotKeys), col("o_orderkey") === col("hk"), "left")
+    val hotJoined = probe.where(col("hk").isNotNull)
+      .withColumn("psalt", pmod(xxhash64(col("l_linenumber")), lit(salts)))
+      .join(build.where(col("hk").isNotNull).drop("hk")
+          .withColumn("bsalt", explode(array((0 until salts).map(i => lit(i.toLong)): _*))),
+        col("l_orderkey") === col("o_orderkey") && col("psalt") === col("bsalt"))
+    val coldJoined = probe.where(col("hk").isNull)
+      .join(build.where(col("hk").isNull).drop("hk"),
+        col("l_orderkey") === col("o_orderkey"))
+    val term = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    hotJoined.select(col("o_orderpriority"), term.as("rev_term"))
+      .union(coldJoined.select(col("o_orderpriority"), term.as("rev_term")))
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_items"), revenue.as("revenue"))
+      .agg(count(lit(1)).as("n_items"), Num.dsum(col("rev_term")).as("revenue"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -262,12 +283,19 @@ object Relational {
     * any scale-up. */
   def ntileScalable(spark: SparkSession, sfDir: String, k: Int = 4, parts: Int = 32): DataFrame = {
     val sortKeys = Seq(col("c_acctbal").desc, col("c_custkey").asc)
-    val ranged = Tables.customer(spark, sfDir)
+    // persist() before anything reads `local` twice: range-partition
+    // boundaries come from seeded reservoir sampling keyed to the RDD id,
+    // so two *separate executions* of this plan may assign rows to
+    // different partitions — offsets computed by the first run would then
+    // mislabel rows in the second. Materializing once pins a single
+    // partitioning for both the counts job and the returned projection.
+    val local = Tables.customer(spark, sfDir)
       .select(col("c_custkey"), col("c_acctbal"))
       .repartitionByRange(parts, sortKeys: _*)
       .withColumn("pid", spark_partition_id())
-    val local = ranged.withColumn("lrn",
-      row_number().over(Window.partitionBy(col("pid")).orderBy(sortKeys: _*)))
+      .withColumn("lrn",
+        row_number().over(Window.partitionBy(col("pid")).orderBy(sortKeys: _*)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // partition counts: bounded by `parts`, i.e. metadata, not data
     val counts = local.groupBy(col("pid")).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
@@ -337,6 +365,21 @@ object Relational {
         coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
         col("n"), col("sum_price"))
       .orderBy(col("orderstatus"), col("orderpriority"))
+
+  /** A10 — explicit GROUPING SETS {(returnflag), (linestatus), ()}: the
+    * third grouping-set form SURVEY §2.3/A7 names beside rollup/cube —
+    * per-flag and per-status marginals plus the grand total in one pass
+    * (one expand + one hash aggregate, same scale shape as rollup). */
+  def groupingSetsAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), Num.dsum(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
 
   // ---- Scalar function surface (§2.7) --------------------------------------
 

@@ -95,6 +95,53 @@ object Bookkeeping {
     } finally conn.close()
   }
 
+  /** Exactly-once form of [[upsert]] for streaming replays: the counter
+    * accumulation and a (name, batchid) commit record are one transaction,
+    * so an at-least-once `foreachBatch` replay (crash after upsert, before
+    * sink commit) cannot double-accumulate — the replay's insert hits the
+    * commit table's primary key, the transaction rolls back, and the call
+    * reports `false` (already committed). The reference has no such guard:
+    * its callback chain re-runs wholesale on a Flume transaction retry. */
+  def upsertCommitted(url: String, runName: String, batchId: Long,
+                      rows: Seq[Detail], table: String = Table): Boolean = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val meta = conn.getMetaData.getTables(null, null, "BATCH_COMMITS", null)
+      val exists = try meta.next() finally meta.close()
+      if (!exists) {
+        val st = conn.createStatement()
+        try st.execute(
+          """CREATE TABLE batch_commits (
+              name VARCHAR(128), batchid BIGINT, PRIMARY KEY (name, batchid))""")
+        finally st.close()
+      }
+      conn.setAutoCommit(false)
+      val ins = conn.prepareStatement("INSERT INTO batch_commits VALUES (?, ?)")
+      val fresh =
+        try { ins.setString(1, runName); ins.setLong(2, batchId); ins.executeUpdate(); true }
+        catch { case _: java.sql.SQLIntegrityConstraintViolationException => false }
+        finally ins.close()
+      if (!fresh) { conn.rollback(); return false }
+      val upd = conn.prepareStatement(
+        s"""UPDATE $table SET receivecount = receivecount + ?, sinkcount = sinkcount + ?,
+            updatetime = ?, state = ? WHERE name = ? AND logdate = ? AND hostname = ?""")
+      val insD = conn.prepareStatement(s"INSERT INTO $table VALUES (?, ?, ?, ?, ?, ?, ?)")
+      try rows.foreach { r =>
+        upd.setLong(1, r.receivecount); upd.setLong(2, r.sinkcount)
+        upd.setLong(3, r.updatetime); upd.setString(4, r.state)
+        upd.setString(5, r.name); upd.setString(6, r.logdate); upd.setString(7, r.hostname)
+        if (upd.executeUpdate() == 0) {
+          insD.setString(1, r.name); insD.setString(2, r.logdate); insD.setString(3, r.hostname)
+          insD.setLong(4, r.receivecount); insD.setLong(5, r.sinkcount)
+          insD.setLong(6, r.updatetime); insD.setString(7, r.state)
+          insD.executeUpdate()
+        }
+      } finally { upd.close(); insD.close() }
+      conn.commit()
+      true
+    } finally conn.close()
+  }
+
   /** A5 over JDBC: the reference's completeness probe executed where the
     * bookkeeping lives (`HiveSinkDetailDao.scala:42-61`). */
   def completeness(spark: SparkSession, url: String, n: Int,

@@ -137,6 +137,38 @@ object StreamingIngest {
       .orderBy(col("user_id"))
   }
 
+  /** Replay-idempotent per-batch ORC landing: write the batch to a
+    * batchId-scoped staging dir (overwrite — a replay clobbers its own
+    * partial attempt), then move each staged file into its logdate
+    * partition under a deterministic `batch-<id>-part-<i>` name. Batch
+    * content and partitioning are deterministic on replay (checkpointed
+    * offsets), so the rename targets are identical and a re-run overwrites
+    * its own files — never appends duplicates. Rename-based one-file-at-a-
+    * time moves are metadata ops on HDFS-likes; on object stores swap this
+    * for a manifest commit (same contract, different primitive). */
+  private def landBatchIdempotent(batch: DataFrame, batchId: Long, outPath: String,
+                                  checkpoint: String,
+                                  fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    import org.apache.hadoop.fs.Path
+    val staging = new Path(checkpoint, s"graft_staging/batch-$batchId")
+    batch.write.mode("overwrite").partitionBy("logdate").orc(staging.toString)
+    val partDirs = fs.listStatus(staging)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("logdate="))
+    partDirs.foreach { d =>
+      val target = new Path(outPath, d.getPath.getName)
+      fs.mkdirs(target)
+      val files = fs.listStatus(d.getPath)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        .sortBy(_.getPath.getName)
+      files.zipWithIndex.foreach { case (f, i) =>
+        val dst = new Path(target, f"batch-$batchId-part-$i%05d.orc")
+        if (fs.exists(dst)) fs.delete(dst, false)
+        fs.rename(f.getPath, dst)
+      }
+    }
+    fs.delete(staging, true)
+  }
+
   /** T9 epilogue targets: the reference's ordered close-callback chain
     * (`HiveBatchedSink.scala:366-373` — AddPartitionCallback then
     * UpdateSinkDetailCallback, plus the leader's HTTP notify). Each is
@@ -161,11 +193,26 @@ object StreamingIngest {
       .withColumn("logdate", Times.logdate(col("ts")))
 
   /** The landing stream: enrichment → `observe` metrics (S9) → partitioned
-    * file sink via `foreachBatch`, checkpointed (S2 exactly-once), with the
-    * post-commit T9 epilogue: register partitions on the catalog table,
-    * upsert per-partition bookkeeping over JDBC, HTTP-notify per logdate.
-    * Every epilogue step works on the batch's *distinct logdates* — a
-    * metadata-sized set (5-min buckets per micro-batch), never row data. */
+    * file sink via `foreachBatch`, checkpointed, with the post-commit T9
+    * epilogue: register partitions on the catalog table, upsert
+    * per-partition bookkeeping over JDBC, HTTP-notify per logdate. Every
+    * epilogue step works on the batch's *distinct logdates* — a
+    * metadata-sized set (5-min buckets per micro-batch), never row data.
+    *
+    * S2 exactly-once under `foreachBatch`'s at-least-once replay contract
+    * (a crash between side effects and the checkpoint commit re-runs the
+    * batch with the same batchId + deterministic content):
+    *  - ORC data: each batch writes to a batchId-scoped staging dir
+    *    (overwrite mode — replay-idempotent), then moves files into the
+    *    logdate partitions under *deterministic batch-scoped names*, so a
+    *    replayed move overwrites its own files instead of appending dupes.
+    *  - JDBC counters: [[graft.sources.Bookkeeping.upsertCommitted]] makes
+    *    the accumulate + a (run, batchId) commit record one transaction —
+    *    a replay rolls back and reports already-committed.
+    *  - A batchId marker file under the checkpoint dir short-circuits fully
+    *    committed replays; catalog ADD PARTITION is IF NOT EXISTS
+    *    (idempotent); the HTTP notify alone stays at-least-once in the
+    *    crash window, as any external call without receiver dedup must. */
   def landStream(spark: SparkSession, sfDir: String, outPath: String,
                  checkpoint: String,
                  callbacks: LandingCallbacks = LandingCallbacks()): LandingReport = {
@@ -181,33 +228,41 @@ object StreamingIngest {
     val seen = scala.collection.mutable.LinkedHashSet.empty[String]
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.persist()
-        try {
-          batch.write.mode("append").partitionBy("logdate").orc(outPath)
-          // bounded: distinct 5-min partitions in this micro-batch
-          val parts = batch.groupBy(col("logdate"))
-            .agg(count(lit(1)).as("n"), max(Times.epochSeconds(col("ts"))).as("maxe"))
-            .collect()
-          parts.foreach { r => seen += r.getString(0) }
-          callbacks.completeness.foreach { l =>
-            parts.foreach(r => l.registerLanded(r.getString(0)))
-          }
-          callbacks.catalogTable.foreach { t =>
-            graft.sources.Landing.registerPartitions(spark, t,
-              parts.toSeq.map { r =>
-                Map("logdate" -> r.getString(0)) -> s"$outPath/logdate=${r.getString(0)}"
-              })
-          }
-          callbacks.jdbcUrl.foreach { url =>
-            graft.sources.Bookkeeping.upsert(url, parts.toSeq.map { r =>
-              graft.sources.Bookkeeping.Detail("sink", r.getString(0), hostname,
-                r.getLong(1), r.getLong(1), r.getLong(2), "NEW")
-            })
-          }
-          callbacks.notifyUrl.foreach { u =>
-            parts.foreach(r => graft.sources.Notify.post(u, "sink", r.getString(0)))
-          }
-        } finally batch.unpersist()
+        val hconf = batch.sparkSession.sessionState.newHadoopConf()
+        val marker = new org.apache.hadoop.fs.Path(checkpoint, s"graft_commits/$batchId")
+        val fs = marker.getFileSystem(hconf)
+        if (!fs.exists(marker)) {
+          batch.persist()
+          try {
+            landBatchIdempotent(batch, batchId, outPath, checkpoint, fs)
+            // bounded: distinct 5-min partitions in this micro-batch
+            val parts = batch.groupBy(col("logdate"))
+              .agg(count(lit(1)).as("n"), max(Times.epochSeconds(col("ts"))).as("maxe"))
+              .collect()
+            parts.foreach { r => seen += r.getString(0) }
+            callbacks.completeness.foreach { l =>
+              parts.foreach(r => l.registerLanded(r.getString(0)))
+            }
+            callbacks.catalogTable.foreach { t =>
+              graft.sources.Landing.registerPartitions(spark, t,
+                parts.toSeq.map { r =>
+                  Map("logdate" -> r.getString(0)) -> s"$outPath/logdate=${r.getString(0)}"
+                })
+            }
+            val jdbcFresh = callbacks.jdbcUrl.forall { url =>
+              graft.sources.Bookkeeping.upsertCommitted(url, "sink", batchId,
+                parts.toSeq.map { r =>
+                  graft.sources.Bookkeeping.Detail("sink", r.getString(0), hostname,
+                    r.getLong(1), r.getLong(1), r.getLong(2), "NEW")
+                })
+            }
+            if (jdbcFresh) callbacks.notifyUrl.foreach { u =>
+              parts.foreach(r => graft.sources.Notify.post(u, "sink", r.getString(0)))
+            }
+            fs.mkdirs(marker.getParent)
+            fs.create(marker, true).close()
+          } finally batch.unpersist()
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -51,6 +51,42 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("X13: zero near-dup pairs degrade to all-singleton clusters (no NPE)") {
+    // threshold > 1 is unsatisfiable, so the edge set is provably empty —
+    // the agg-on-empty path that NPE'd in round 2
+    val cl = Dedup.dupClusters(spark, sf, 1.01).as[(Long, Long)].collect()
+    assert(cl.length == Tables.documents(spark, sf).count())
+    cl.foreach { case (doc, label) => assert(doc == label) }
+  }
+
+  test("X16: incremental dedup survivors are new-batch docs clean against prior") {
+    val bucket = pmod(graft.functions.TextFns.polyHash($"doc_id".cast("string")), lit(10L))
+    val docs = Tables.documents(spark, sf)
+    val newIds = docs.where(bucket >= 8).select($"doc_id").as[Long].collect().toSet
+    val priorTexts = docs.where(bucket <= 7).select($"text").as[String].collect().toSet
+    val newById = docs.where(bucket >= 8)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val survivors = Dedup.incrementalDedup(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(survivors.nonEmpty && survivors.subsetOf(newIds))
+    // no survivor's text appears verbatim in the prior corpus
+    survivors.foreach { id =>
+      assert(!priorTexts.contains(newById(id)), s"doc $id is an exact dup of a prior doc")
+    }
+    // every dropped new doc is either an exact or a near dup against prior
+    val exactPairs = Dedup.ngramJaccard(spark, sf, 0.8)
+      .select($"id1", $"id2").as[(Long, Long)].collect()
+    val nearPriorOfNew = exactPairs.flatMap { case (a, b) =>
+      Seq(a -> b, b -> a).collect {
+        case (n, p) if newIds.contains(n) && !newIds.contains(p) => n
+      }
+    }.toSet
+    (newIds -- survivors).foreach { id =>
+      assert(priorTexts.contains(newById(id)) || nearPriorOfNew.contains(id),
+        s"doc $id dropped without an exact or near dup in prior")
+    }
+  }
+
   test("ANN: brute-force top-1 is the global max; IVF hits are ranked correctly") {
     val brute = Similarity.bruteTopK(spark, sf, 0L, 10).collect()
     assert(brute.length == 10)

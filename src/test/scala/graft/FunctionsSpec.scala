@@ -90,6 +90,35 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("binary codecs: column stub and batched mapPartitions adapter agree") {
+    val nMedia = graft.operators.Multimodal.mediaTable(spark, sf).count()
+    val a = graft.operators.Multimodal
+      .mediaFeatures(spark, sf, graft.functions.ByteProbeCodec).collect()
+    val b = graft.operators.Multimodal
+      .mediaFeatures(spark, sf, graft.functions.BatchedByteProbeCodec(batchSize = 7))
+      .collect()
+    assert(nMedia > 0 && a.length == nMedia)
+    assert(a.toSeq == b.toSeq, "pluggable codecs diverged on identical payloads")
+  }
+
+  test("DotProduct null semantics match the HOF form: mismatch/null-element → null") {
+    val df = Seq(
+      (Seq(1.0, 2.0), Seq(3.0, 4.0)),          // ok: 11.0
+      (Seq(1.0, 2.0, 5.0), Seq(3.0, 4.0))      // length mismatch: null
+    ).toDF("a", "b")
+    val got = df.select(VectorFns.dot($"a", $"b").as("d")).collect()
+    assert(got(0).getDouble(0) == 11.0)
+    assert(got(1).isNullAt(0), "length mismatch must yield null, not a partial sum")
+    // null element → null (same as zip_with/aggregate)
+    val withNull = Seq(1).toDF("i")
+      .select(array(lit(1.0), lit(null).cast("double")).as("a"),
+        array(lit(2.0), lit(3.0)).as("b"))
+    val r = withNull.select(VectorFns.dot($"a", $"b").as("d"),
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0.0), (acc, v) => acc + v).as("hof"))
+      .collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("native DotProduct is bit-identical to the higher-order fold") {
     val dv = transform($"embedding", x => x.cast("double"))
     val mismatch = Tables.embeddings(spark, sf)

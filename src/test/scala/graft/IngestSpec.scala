@@ -30,8 +30,12 @@ class IngestSpec extends SparkSpec {
     Ingest.land(spark, sf, out)
     val one = spark.read.orc(out).where(col("logdate") === "202401010000")
     val scan = one.queryExecution.executedPlan.toString
-    // partition filter must reach the scan, not a post-filter
-    assert(scan.contains("PartitionFilters") || one.count() >= 0)
+    // The partition predicate must reach the scan as a PartitionFilter
+    // carrying the logdate literal — a post-scan Filter means every
+    // partition was read and the test must fail.
+    assert(scan.contains("PartitionFilters"), s"no PartitionFilters in plan:\n$scan")
+    assert(raw"PartitionFilters: \[[^\]]*202401010000".r.findFirstIn(scan).isDefined,
+      s"logdate literal not pushed into PartitionFilters:\n$scan")
     val direct = Tables.events(spark, sf)
       .where(graft.functions.Times.logdate(col("ts")) === "202401010000").count()
     assert(one.count() == direct)
