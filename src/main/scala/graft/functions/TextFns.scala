@@ -46,14 +46,25 @@ object TextFns {
 
   /** Distinct n-token shingle *hashes* without materializing shingle
     * strings: hash every token once, then fold adjacent token hashes with
-    * chained xxhash64 via shifted `zip_with` passes — sequential array
-    * scans, no per-index `element_at`, no string concatenation (profiled
-    * ~5× cheaper than building "a b c" strings and hashing those). The
-    * shingle *set* is identical to the string form modulo 64-bit hash
-    * collisions (~2⁻⁶⁴ per pair — immaterial for near-dup detection).
-    * zip_with pads the shorter (shifted) array with nulls; those tail
-    * entries are incomplete shingles and are sliced off. */
-  def shingleHashes(toks: Column, n: Int): Column = {
+    * chained xxhash64. Native codegen'd single pass
+    * ([[graft.expressions.ShingleHashes]]) — the HOF chain it replaces
+    * ([[shingleHashesHof]], kept as the differential-test reference)
+    * evaluated ~3 interpreted lambda frames per token and dominated the
+    * dedup family's shared index build. The shingle *set* is identical to
+    * the string form modulo 64-bit hash collisions (~2⁻⁶⁴ per pair —
+    * immaterial for near-dup detection). */
+  def shingleHashes(toks: Column, n: Int): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.ShingleHashes(
+        org.apache.spark.sql.graft.bridge.expression(toks), n))
+
+  /** The higher-order-function reference form of [[shingleHashes]] — a
+    * spec asserts the native expression matches it element-for-element.
+    * (zip_with pads the shorter shifted array with nulls; those tail
+    * entries are incomplete shingles and are sliced off. On a null token
+    * array the HOF form yields empty while the native yields null — both
+    * are dropped by the `size > 0` filter every caller applies.) */
+  private[graft] def shingleHashesHof(toks: Column, n: Int): Column = {
     val th = transform(toks, t => xxhash64(t))
     val full = (1 until n).foldLeft(th) { (acc, j) =>
       zip_with(acc, slice(th, lit(j + 1), greatest(size(toks), lit(0))),
@@ -73,12 +84,21 @@ object TextFns {
       array_min(transform(shingleHashes, h => xxhash64(h, lit(i))))
     }: _*)
 
-  /** 32-bit SimHash from an array of term hashes: bit j of the result is the
-    * sign of Σ_terms (2·bit_j(h)−1). Charikar '02. Single pass: one
-    * `aggregate` folds every term into a 32-counter array (the previous
+  /** 32-bit SimHash from an array of term hashes: bit j of the result is
+    * the sign of Σ_terms (2·bit_j(h)−1). Charikar '02. Native codegen'd
+    * two-level loop ([[graft.expressions.SimHash32]]); the HOF fold it
+    * replaces ([[simhash32Hof]], the differential-test reference) evaluated
+    * an interpreted 32-element `transform` per term. */
+  def simhash32(termHashes: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.expressions.SimHash32(
+        org.apache.spark.sql.graft.bridge.expression(termHashes)))
+
+  /** The higher-order-function reference form of [[simhash32]]: one
+    * `aggregate` folds every term into a 32-counter array (the round-1
     * form ran 32 separate aggregates = 32 scans of every array), then the
     * counters collapse into bits via their sign. */
-  def simhash32(termHashes: Column): Column = {
+  private[graft] def simhash32Hof(termHashes: Column): Column = {
     val masks = array((0 until 32).map(j => lit(1L << j)): _*)
     val counts = aggregate(
       termHashes,

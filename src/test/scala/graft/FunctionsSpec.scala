@@ -60,6 +60,34 @@ class FunctionsSpec extends SparkSpec {
     assert(got.toSeq == Seq(3, 0))
   }
 
+  test("native ShingleHashes matches the HOF chain exactly (values and order)") {
+    val toks = TextFns.tokens($"text")
+    val mismatch = Tables.documents(spark, sf)
+      .select(TextFns.shingleHashes(toks, 3).as("native"),
+        TextFns.shingleHashesHof(toks, 3).as("hof"))
+      .where(!($"native" <=> $"hof"))
+    assert(mismatch.count() == 0)
+    // boundary widths: n=1 (tokens themselves) and n > doc length (empty)
+    val edge = Seq("a b", "a").toDF("text")
+    val e = edge.select(
+      TextFns.shingleHashes(TextFns.tokens($"text"), 1).as("n1"),
+      TextFns.shingleHashesHof(TextFns.tokens($"text"), 1).as("n1h"),
+      TextFns.shingleHashes(TextFns.tokens($"text"), 5).as("n5"),
+      TextFns.shingleHashesHof(TextFns.tokens($"text"), 5).as("n5h")).collect()
+    e.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3))
+    }
+  }
+
+  test("native SimHash32 matches the HOF fold exactly") {
+    val sh = TextFns.shingleHashes(TextFns.tokens($"text"), 3)
+    val mismatch = Tables.documents(spark, sf)
+      .select(TextFns.simhash32(sh).as("native"), TextFns.simhash32Hof(sh).as("hof"))
+      .where(!($"native" <=> $"hof"))
+    assert(mismatch.count() == 0)
+  }
+
   test("simhash: identical token sets → identical hash; disjoint differ") {
     val df = Seq("spark query engine fast", "spark query engine fast", "totally different words here")
       .toDF("text")
