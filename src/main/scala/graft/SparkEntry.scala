@@ -93,6 +93,8 @@ object SparkEntry {
     "x13_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "x14_split_stats" -> (TextAnalysis.splitStats _),
     "x16_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
+    "x17_contamination" -> ((s, d) => Dedup.contamination(s, d)),
+    "x18_mixture_sample" -> (TextAnalysis.mixtureSample _),
     "x15_tfidf_top_terms" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
   )
 
@@ -515,6 +517,38 @@ object SparkEntry {
           WHERE ${polyHashSql("text")} NOT IN (SELECT ${polyHashSql("text")} FROM prior)
             AND doc_id NOT IN (SELECT idn FROM neardup)
           ORDER BY doc_id""",
+    "x17_contamination" ->
+      s"""WITH b AS (SELECT doc_id,
+            ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 10 AS h FROM documents),
+          docs AS (SELECT doc_id, $toks AS tk FROM documents),
+          sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+                 FROM docs, unnest(generate_series(1, len(tk) - 2)) AS t(i)
+                 WHERE len(tk) >= 3),
+          rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY 1)
+                   WHERE df <= 50),
+          f AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+          bench AS (SELECT doc_id FROM b WHERE h = 9),
+          train AS (SELECT doc_id FROM b WHERE h <= 7),
+          shared AS (
+            SELECT fb.doc_id AS bench_id, ft.doc_id AS train_id, count(*) AS n_shared
+            FROM f fb JOIN bench bn ON fb.doc_id = bn.doc_id
+            JOIN f ft ON fb.s = ft.s
+            JOIN train tr ON ft.doc_id = tr.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 5),
+          per AS (SELECT bench_id, count(*) AS n_hits, max(n_shared) AS max_shared
+                  FROM shared GROUP BY 1)
+          SELECT bench.doc_id, coalesce(n_hits, 0) AS n_contaminating,
+                 coalesce(max_shared, 0) AS max_shared
+          FROM bench LEFT JOIN per ON bench.doc_id = per.bench_id
+          ORDER BY doc_id""",
+    "x18_mixture_sample" ->
+      s"""SELECT source,
+          30 + (CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 4) * 20 AS target_pct,
+          count(*) AS n_docs,
+          CAST(SUM(CASE WHEN ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 100 <
+            30 + (CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 4) * 20
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+          FROM documents GROUP BY 1, 2 ORDER BY 1""",
     "x15_tfidf_top_terms" ->
       s"""WITH terms AS (SELECT doc_id, lang, unnest($toks) AS term FROM documents),
           tf AS (SELECT lang, term, count(*) AS tf FROM terms GROUP BY 1, 2),

@@ -352,6 +352,45 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** X17 — benchmark decontamination probe: for each doc in the held-out
+    * "benchmark" split (x14's hash bucket 9), count train-split docs
+    * sharing ≥ `minShared` 3-token shingles and the maximum overlap — the
+    * n-gram-containment check every training pipeline runs so eval data
+    * does not leak into training data (cf. GPT-3 §4 / PaLM app. contamination
+    * analyses). Reuses the shared shingle index; ultra-common shingles
+    * (document frequency > `maxDf`) are dropped first — they are
+    * boilerplate, not leakage, and capping df also bounds the posting join
+    * at Σ df² ≤ n·maxDf — the same hot-key cliff x4's prefixes avoid.
+    * Benchmark docs with zero contamination are retained with zeros (the
+    * all-clear is the result a release gate needs). */
+  def contamination(spark: SparkSession, sfDir: String, minShared: Int = 5,
+                    maxDf: Int = 50): DataFrame = {
+    val bucket = pmod(TextFns.polyHash(col("doc_id").cast("string")), lit(10L))
+    val docs = Tables.documents(spark, sfDir)
+    val benchIds = docs.where(bucket === 9).select(col("doc_id"))
+    val trainIds = docs.where(bucket <= 7).select(col("doc_id"))
+    val posting = shingled(spark, sfDir)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val rare = posting.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select(col("s"))
+    val filtered = posting.join(rare, "s")
+    val shared = filtered.join(benchIds, "doc_id")
+      .select(col("doc_id").as("bench_id"), col("s"))
+      .join(filtered.join(trainIds, "doc_id")
+        .select(col("doc_id").as("train_id"), col("s")), "s")
+      .groupBy(col("bench_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    val perBench = shared.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_hits"), max(col("n_shared")).as("max_shared"))
+    benchIds.select(col("doc_id"))
+      .join(perBench.withColumnRenamed("bench_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_contaminating"),
+        coalesce(col("max_shared"), lit(0L)).as("max_shared"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The unrestricted exact all-pairs baseline — test-only ground truth for
     * the LSH recall check; deliberately not a declared query (quadratic). */
   def embedCosineAllPairs(spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {

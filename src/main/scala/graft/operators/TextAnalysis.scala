@@ -112,6 +112,24 @@ object TextAnalysis {
       .orderBy(col("split"))
   }
 
+  /** X18 — deterministic domain-mixture sampling: downsample each source
+    * to a target rate (here a fixed function of the source id: 30/50/70/90%
+    * by `srcnum mod 4`) using the same content-stable hash as x14 — never
+    * `rand()`, so backfills and reruns keep exactly the same docs. This is
+    * the data-mixing step every pretraining corpus build runs (weight
+    * domains up/down); one scan, one hash aggregate for the audit counts. */
+  def mixtureSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("long")
+    val rate = lit(30L) + (srcNum % 4) * 20L
+    val keep = pmod(TextFns.polyHash(col("doc_id").cast("string")), lit(100L)) < rate
+    Tables.documents(spark, sfDir)
+      .select(col("source"), rate.as("target_pct"),
+        when(keep, 1L).otherwise(0L).as("kept"))
+      .groupBy(col("source"), col("target_pct"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   /** X15 — TF-IDF top terms per language: distinct-term document
     * frequencies (one shuffle on term), idf = ln(N/df) with N fetched as a
     * metadata scalar, per-(lang, term) total tf, rank by rounded score so
