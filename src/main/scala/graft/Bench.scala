@@ -19,9 +19,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     Tables.ensureParquetConf(spark)
     // Untimed warm-up: session/codegen/JIT startup otherwise lands entirely
-    // on whichever query sorts first (~5 s of pure infrastructure).
-    try Tables.events(spark, sfDir).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // on whichever query sorts first (~5 s of pure infrastructure). The
+    // second pass warms the shuffle/aggregate machinery too, not just scan.
+    try {
+      Tables.events(spark, sfDir).write.format("noop").mode("overwrite").save()
+      Tables.events(spark, sfDir)
+        .groupBy(org.apache.spark.sql.functions.col("event_type")).count()
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

@@ -73,6 +73,7 @@ object SparkEntry {
     "t1_stream_counts" -> (StreamingIngest.streamCounts _),
     "t1b_stream_counts_append" -> (StreamingIngest.streamCountsAppend _),
     "t2_sessionize" -> ((s, d) => StreamingIngest.sessionize(s, d)),
+    "t3_stream_dedup" -> (StreamingIngest.streamDedupFirstSeen _),
     // M5 — [EXT] LLM-pipeline operators
     "x1_dedup_exact" -> (Dedup.exactDedup _),
     "x2_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -369,6 +370,9 @@ object SparkEntry {
           HAVING ${bucketE("ts")} + 300 <=
             (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 600 FROM events)
           ORDER BY 1, 2""",
+    "t3_stream_dedup" ->
+      """SELECT DISTINCT user_id, coalesce(event_type, 'no_category') AS category
+         FROM events ORDER BY user_id, category""",
     "t2_sessionize" ->
       s"""WITH e AS (SELECT user_id, event_id, ${epochS("ts")} AS epoch, ts FROM events),
           m AS (SELECT user_id, epoch,

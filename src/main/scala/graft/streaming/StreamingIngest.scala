@@ -98,6 +98,43 @@ object StreamingIngest {
       .orderBy(col("bucket_epoch"), col("category"))
   }
 
+  /** T3b/U — streaming first-seen dedup with explicit keyed state
+    * (`flatMapGroupsWithState`): per user, emit each category the first
+    * time it is ever seen and keep the seen-set in managed state — the
+    * streaming form of the incremental-dedup idea (x16): state is the
+    * persisted "what we already kept" index, each micro-batch probes it
+    * and appends only novelty. State per key is bounded by category
+    * cardinality; unbounded-key deployments add a state timeout
+    * (`GroupStateTimeout.ProcessingTimeTimeout`) exactly like the
+    * reference's 500-bucket counter LRU (`TimedUtils.scala:114-124`).
+    * The emitted set over a finite input is exactly the distinct
+    * (user, category) pairs, so a DuckDB oracle checks this real
+    * stateful streaming execution. */
+  def streamDedupFirstSeen(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val qn = "graft_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val pairs = source(spark, sfDir)
+      .select(col("user_id").cast("long").as("user_id"),
+        Headers.categoryOrDefault(col("event_type")).as("category"))
+      .as[(Long, String)]
+    val firstSeen = pairs.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (user: Long, events: Iterator[(Long, String)], state: GroupState[Set[String]]) =>
+        val seen = state.getOption.getOrElse(Set.empty[String])
+        val fresh = events.map(_._2).toSeq.distinct.filterNot(seen)
+        if (fresh.nonEmpty) state.update(seen ++ fresh)
+        fresh.iterator.map(c => (user, c))
+    }.toDF("user_id", "category")
+    val q = firstSeen.writeStream
+      .format("memory").queryName(qn)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+    spark.table(qn).orderBy(col("user_id"), col("category"))
+  }
+
   /** T2 — sessionization: the idle-close semantics (a writer closes after
     * `idleTimeout` with no writes, HiveBatchedWriter.scala:60-63) as
     * session windows per user. Batch form here (same gap semantics the
