@@ -96,6 +96,7 @@ object SparkEntry {
     "x16_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "x17_contamination" -> ((s, d) => Dedup.contamination(s, d)),
     "x18_mixture_sample" -> (TextAnalysis.mixtureSample _),
+    "x19_curated_stats" -> ((s, d) => TextAnalysis.curatedCorpusStats(s, d)),
     "x15_tfidf_top_terms" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
   )
 
@@ -553,6 +554,33 @@ object SparkEntry {
             30 + (CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 4) * 20
             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
           FROM documents GROUP BY 1, 2 ORDER BY 1""",
+    "x19_curated_stats" ->
+      s"""WITH keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+          t AS (SELECT doc_id, text, $toks AS tk FROM documents),
+          q AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+                  round((CASE WHEN CAST(len(tk) AS DOUBLE) >= 20 AND CAST(len(tk) AS DOUBLE) <= 1000 THEN 1.0
+                              WHEN CAST(len(tk) AS DOUBLE) >= 5 THEN 0.5 ELSE 0.0 END) * 0.4
+                        + (CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE)) * 0.4
+                        + (CAST(len(list_filter(tk, w -> w IN ('the','a','of','and','to','el','la','de','y','que','der','die','das','und','ist','le','et','les','des'))) AS DOUBLE) / CAST(len(tk) AS DOUBLE)) * 0.2, 6) AS quality
+                FROM t),
+          s AS (SELECT doc_id,
+                  CAST(len(list_filter(tk, w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS s_en,
+                  CAST(len(list_filter(tk, w -> w IN ('el','la','de','y','que'))) AS BIGINT) AS s_es,
+                  CAST(len(list_filter(tk, w -> w IN ('der','die','das','und','ist'))) AS BIGINT) AS s_de,
+                  CAST(len(list_filter(tk, w -> w IN ('le','la','et','les','des'))) AS BIGINT) AS s_fr
+                FROM t),
+          l AS (SELECT doc_id,
+                  CASE WHEN s_en + s_es + s_de + s_fr = 0 THEN 'unknown'
+                       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                       WHEN s_de >= s_fr THEN 'de'
+                       ELSE 'fr' END AS predicted_lang
+                FROM s)
+          SELECT predicted_lang, count(*) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+          FROM keepers JOIN q USING (doc_id) JOIN l USING (doc_id)
+          WHERE quality >= 0.5
+          GROUP BY 1 ORDER BY 1""",
     "x15_tfidf_top_terms" ->
       s"""WITH terms AS (SELECT doc_id, lang, unnest($toks) AS term FROM documents),
           tf AS (SELECT lang, term, count(*) AS tf FROM terms GROUP BY 1, 2),

@@ -145,37 +145,44 @@ object Relational {
     * explicit form that also works for aggregations and older runtimes).
     *
     * Phase 1 finds candidate hot keys from a *sampled* probe-side key
-    * histogram — top `maxHot` keys by sampled frequency, a bounded set that
-    * is broadcast, never collected. Phase 2 splits both sides on hot-key
-    * membership: hot probe rows scatter across `salts` sub-keys and only
-    * the hot build rows replicate `salts`× (not the whole fact table — the
-    * round-2 design flaw); cold rows take the plain equi-join. Every probe
-    * row still meets every matching build row exactly once, for *any*
-    * hot-key set, so the result ≡ the plain join — which is what the oracle
-    * checks — while the replication cost is `salts · |hot keys|` rows. */
+    * histogram — the top `maxHot` keys by sampled frequency. That set is
+    * bounded metadata (≤ 64 longs), so it is fetched to the driver once and
+    * inlined as an `isin` literal — the alternative (joining the hot-key DF
+    * against both sides) re-evaluated the sample subtree once per tag site.
+    * Phase 2 splits both sides on hot-key membership: hot probe rows
+    * scatter across `salts` sub-keys and only the hot build rows replicate
+    * `salts`× (not the whole fact table — the round-2 design flaw); cold
+    * rows take the plain equi-join. Every probe row still meets every
+    * matching build row exactly once, for *any* hot-key set, so the result
+    * ≡ the plain join — which is what the oracle checks — while the
+    * replication cost is `salts · |hot keys|` rows. */
   def saltedSkewJoin(spark: SparkSession, sfDir: String, salts: Int = 8,
                      maxHot: Int = 64): DataFrame = {
-    val hotKeys = Tables.lineitem(spark, sfDir)
+    // bounded driver fetch: ≤ maxHot keys from a 5% sample, metadata-sized
+    val hot = Tables.lineitem(spark, sfDir)
       .sample(withReplacement = false, 0.05, seed = 42L)
       .groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("l_orderkey"))
       .limit(maxHot)
-      .select(col("l_orderkey").as("hk"))
+      .select(col("l_orderkey")).collect().map(_.getLong(0)).toSeq
     val probe = Tables.lineitem(spark, sfDir)
-      .join(broadcast(hotKeys), col("l_orderkey") === col("hk"), "left")
     val build = Tables.orders(spark, sfDir)
-      .join(broadcast(hotKeys), col("o_orderkey") === col("hk"), "left")
-    val hotJoined = probe.where(col("hk").isNotNull)
-      .withColumn("psalt", pmod(xxhash64(col("l_linenumber")), lit(salts)))
-      .join(build.where(col("hk").isNotNull).drop("hk")
-          .withColumn("bsalt", explode(array((0 until salts).map(i => lit(i.toLong)): _*))),
-        col("l_orderkey") === col("o_orderkey") && col("psalt") === col("bsalt"))
-    val coldJoined = probe.where(col("hk").isNull)
-      .join(build.where(col("hk").isNull).drop("hk"),
-        col("l_orderkey") === col("o_orderkey"))
     val term = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-    hotJoined.select(col("o_orderpriority"), term.as("rev_term"))
-      .union(coldJoined.select(col("o_orderpriority"), term.as("rev_term")))
+    val plainCold = probe.where(!col("l_orderkey").isin(hot: _*))
+      .join(build.where(!col("o_orderkey").isin(hot: _*)),
+        col("l_orderkey") === col("o_orderkey"))
+    val joined =
+      if (hot.isEmpty) plainCold.select(col("o_orderpriority"), term.as("rev_term"))
+      else {
+        val hotJoined = probe.where(col("l_orderkey").isin(hot: _*))
+          .withColumn("psalt", pmod(xxhash64(col("l_linenumber")), lit(salts)))
+          .join(build.where(col("o_orderkey").isin(hot: _*))
+              .withColumn("bsalt", explode(array((0 until salts).map(i => lit(i.toLong)): _*))),
+            col("l_orderkey") === col("o_orderkey") && col("psalt") === col("bsalt"))
+        hotJoined.select(col("o_orderpriority"), term.as("rev_term"))
+          .union(plainCold.select(col("o_orderpriority"), term.as("rev_term")))
+      }
+    joined
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"), Num.dsum(col("rev_term")).as("revenue"))
       .orderBy(col("o_orderpriority"))

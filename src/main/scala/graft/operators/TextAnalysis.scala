@@ -130,6 +130,27 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** X19 — the curation capstone: exact dedup → quality filter → language
+    * accounting composed into the corpus-build query a training pipeline
+    * ends with. One keeper per distinct text (x1's min-id rule), drop docs
+    * scoring under `minQuality` (x8's score), then per-predicted-language
+    * doc/token totals (x7's ID). Demonstrates that the operator family
+    * composes: three shared scans, all joins on doc_id, no new machinery. */
+  def curatedCorpusStats(spark: SparkSession, sfDir: String,
+                         minQuality: Double = 0.5): DataFrame = {
+    val keepers = Dedup.exactDedup(spark, sfDir)
+      .select(col("keeper_id").as("doc_id"))
+    val quality = qualityScore(spark, sfDir)
+      .select(col("doc_id"), col("quality"), col("n_tokens"))
+    val lang = langId(spark, sfDir).select(col("doc_id"), col("predicted_lang"))
+    keepers
+      .join(quality, "doc_id").where(col("quality") >= minQuality)
+      .join(lang, "doc_id")
+      .groupBy(col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("predicted_lang"))
+  }
+
   /** X15 — TF-IDF top terms per language: distinct-term document
     * frequencies (one shuffle on term), idf = ln(N/df) with N fetched as a
     * metadata scalar, per-(lang, term) total tf, rank by rounded score so
