@@ -183,9 +183,9 @@ object StreamingIngest {
     * its own files — never appends duplicates. Rename-based one-file-at-a-
     * time moves are metadata ops on HDFS-likes; on object stores swap this
     * for a manifest commit (same contract, different primitive). */
-  private def landBatchIdempotent(batch: DataFrame, batchId: Long, outPath: String,
-                                  checkpoint: String,
-                                  fs: org.apache.hadoop.fs.FileSystem): Unit = {
+  private[graft] def landBatchIdempotent(batch: DataFrame, batchId: Long, outPath: String,
+                                         checkpoint: String,
+                                         fs: org.apache.hadoop.fs.FileSystem): Unit = {
     import org.apache.hadoop.fs.Path
     val staging = new Path(checkpoint, s"graft_staging/batch-$batchId")
     batch.write.mode("overwrite").partitionBy("logdate").orc(staging.toString)

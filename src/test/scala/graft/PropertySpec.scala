@@ -60,6 +60,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("∀token lists: native ShingleHashes = HOF chain (hostile alphabet, all widths)") {
+    val tok = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("", " ", "ü€", "a b", "\"", "dup", "dup")) // empties, unicode, repeats
+    val texts = Gen.listOfN(200,
+      Gen.choose(0, 12).flatMap(len => Gen.listOfN(len, tok))
+        .map(_.mkString("\u0001"))).sample.get ++
+      Seq("", "a", "a\u0001b") // explicit shorter-than-width edges
+    // tokens re-split on the \u0001 joiner, which no generated token contains
+    Seq(1, 2, 3, 5).foreach { n =>
+      val bad = texts.toDF("t")
+        .select(split($"t", "\u0001").as("toks"))
+        .select(TextFns.shingleHashes($"toks", n).as("native"),
+          TextFns.shingleHashesHof($"toks", n).as("hof"))
+        .where(!($"native" <=> $"hof"))
+      assert(bad.count() == 0, s"native/HOF shingle divergence at n=$n")
+    }
+  }
+
   test("∀docs: minhash signature equality fraction is within [0,1] and " +
     "identical docs have identical signatures") {
     val texts = Gen.listOfN(50, Gen.listOfN(12,

@@ -40,6 +40,38 @@ class SinksSpec extends SparkSpec {
     assert(got(0).getLong(1) == 222L) // latest update time wins
   }
 
+  test("S2: upsertCommitted is transactional per batchId — a replay cannot double-count") {
+    val url = Bookkeeping.derbyUrl(s"${tmp("graft_derby_txn")}/bk")
+    Bookkeeping.ensureTable(url)
+    val rows = Seq(Bookkeeping.Detail("sink", "202401010000", "driver", 10L, 10L, 1L, "NEW"))
+    assert(Bookkeeping.upsertCommitted(url, "sink", 0L, rows))
+    // at-least-once replay of the same batch: rolled back, reported stale
+    assert(!Bookkeeping.upsertCommitted(url, "sink", 0L, rows))
+    // a genuinely new batch still accumulates
+    assert(Bookkeeping.upsertCommitted(url, "sink", 1L, rows))
+    val got = Bookkeeping.read(spark, url)
+      .selectExpr("sinkcount").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(20L), s"expected one row with 2 batches accumulated, got $got")
+  }
+
+  test("S2: landBatchIdempotent replay overwrites its own files, never appends dupes") {
+    val out = tmp("graft_idem_land")
+    val ckpt = tmp("graft_idem_ckpt")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val batch = Tables.events(spark, sf)
+      .withColumn("logdate", graft.functions.Times.logdate(col("ts")))
+      .where(col("event_id") < 500) // deterministic subset, same rows every call
+    StreamingIngest.landBatchIdempotent(batch, 7L, out, ckpt, fs)
+    val first = spark.read.orc(out).count()
+    // crash-replay of the same batchId: deterministic names overwrite
+    StreamingIngest.landBatchIdempotent(batch, 7L, out, ckpt, fs)
+    assert(spark.read.orc(out).count() == first)
+    // a different batch appends alongside, not over
+    StreamingIngest.landBatchIdempotent(batch, 8L, out, ckpt, fs)
+    assert(spark.read.orc(out).count() == 2 * first)
+  }
+
   test("T9 epilogue: catalog partitions + JDBC bookkeeping + HTTP notify + observed metrics") {
     val out = tmp("graft_land_t9")
     val ckpt = tmp("graft_ckpt_t9")
