@@ -33,7 +33,12 @@ final case class CsvSerde(schema: StructType, delimiter: String = ",") extends S
 
 /** Delimited bodies parsed positionally with casts — the closest analogue of
   * a hand-written `TextDeserializer` subclass (split on a delimiter, cast
-  * each field to the metastore-declared type). */
+  * each field to the metastore-declared type). Field access is `try_element_at` and
+  * casts are `try_cast`, so a short or malformed body yields null fields
+  * instead of failing the job under ANSI mode (default in Spark 4) —
+  * the same PERMISSIVE contract `from_json`/`from_csv` give the other
+  * serdes (the reference's deserializer just throws and loses the batch,
+  * `serde/TextDeserializer.scala:68`). */
 final case class DelimitedSerde(fields: Seq[(String, DataType)], delimiter: String = "\t")
     extends Serde {
   val schema: StructType = StructType(fields.map { case (n, t) =>
@@ -42,7 +47,7 @@ final case class DelimitedSerde(fields: Seq[(String, DataType)], delimiter: Stri
   def parse(body: Column): Column = {
     val parts = split(body, java.util.regex.Pattern.quote(delimiter))
     struct(fields.zipWithIndex.map { case ((n, t), i) =>
-      element_at(parts, i + 1).cast(t).as(n)
+      try_element_at(parts, lit(i + 1)).try_cast(t).as(n)
     }: _*)
   }
 }

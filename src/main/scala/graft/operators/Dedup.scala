@@ -391,6 +391,32 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The operational cross-run form of x16's exact leg: dedup `docs`
+    * against a *persisted* fingerprint index directory, then append the
+    * survivors' fingerprints back — so the next run (tomorrow's crawl)
+    * sees everything kept today. The index is plain parquet of x10
+    * fingerprints: O(corpus) 8-byte rows, anti-joined (hash join on fp) —
+    * at 100 TB the index stays a few GB and the probe never rescans prior
+    * text. The in-session x16 shows the same semantics oracle-checked;
+    * this is the disk-backed loop a pipeline actually schedules. Near-dup
+    * probing persists the shingle prefix index the same way. */
+  def dedupAgainstIndex(spark: SparkSession, docs: DataFrame,
+                        indexDir: String): DataFrame = {
+    val withFp = docs.withColumn("fp", TextFns.polyHash(col("text")))
+    val existing =
+      try spark.read.parquet(indexDir).select(col("fp").as("seen_fp"))
+      catch { case _: org.apache.spark.sql.AnalysisException => // first run: no index yet
+        spark.range(0).select(col("id").as("seen_fp")) }
+    val survivors = withFp
+      .join(existing, col("fp") === col("seen_fp"), "left_anti")
+      // one keeper per fingerprint *within* the batch too (min doc_id, x1's rule)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .where(col("rk") === 1).drop("rk")
+    survivors.select(col("fp")).write.mode("append").parquet(indexDir)
+    survivors
+  }
+
   /** The unrestricted exact all-pairs baseline — test-only ground truth for
     * the LSH recall check; deliberately not a declared query (quadratic). */
   def embedCosineAllPairs(spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {

@@ -87,6 +87,26 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("X16 operational loop: the persisted fingerprint index admits only novelty across runs") {
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_fp_idx").toString + "/idx"
+    val bucket = pmod(graft.functions.TextFns.polyHash($"doc_id".cast("string")), lit(10L))
+    val docs = Tables.documents(spark, sf)
+    val prior = docs.where(bucket <= 7)
+    val fresh = docs.where(bucket >= 8)
+    // run 1: prior corpus seeds the index (all its distinct texts survive)
+    val kept1 = Dedup.dedupAgainstIndex(spark, prior, idxDir)
+    assert(kept1.count() == prior.select($"text").distinct().count())
+    // run 2: new batch — exact dups of prior (or within-batch) are dropped
+    val kept2 = Dedup.dedupAgainstIndex(spark, fresh, idxDir)
+    val priorTexts = prior.select($"text").as[String].collect().toSet
+    val expected = fresh.select($"doc_id", $"text").as[(Long, String)].collect()
+      .filterNot { case (_, t) => priorTexts.contains(t) }
+      .groupBy(_._2).map(_._2.map(_._1).min).toSet
+    assert(kept2.select($"doc_id").as[Long].collect().toSet == expected)
+    // run 3: replaying the same batch admits nothing — the cross-run property
+    assert(Dedup.dedupAgainstIndex(spark, fresh, idxDir).isEmpty)
+  }
+
   test("ANN: brute-force top-1 is the global max; IVF hits are ranked correctly") {
     val brute = Similarity.bruteTopK(spark, sf, 0L, 10).collect()
     assert(brute.length == 10)

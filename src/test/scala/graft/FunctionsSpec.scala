@@ -118,6 +118,22 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("serde surface: malformed bodies degrade to null fields, never fail the job") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("a", LongType), StructField("b", StringType)))
+    val df = Seq("{not json", "xyz|ok", "|", "42|fine").toDF("body")
+    val parsed = df.select(
+      JsonSerde(schema).parse($"body").as("j"),
+      CsvSerde(schema, "|").parse($"body").as("c"),
+      DelimitedSerde(Seq("a" -> LongType, "b" -> StringType), "|").parse($"body").as("d"))
+      .collect() // must not throw under ANSI mode
+    assert(parsed.length == 4)
+    val d0 = parsed(1).getAs[org.apache.spark.sql.Row]("d")
+    assert(d0.isNullAt(0) && d0.getString(1) == "ok") // bad long -> null, good field kept
+    val d3 = parsed(3).getAs[org.apache.spark.sql.Row]("d")
+    assert(d3.getLong(0) == 42L && d3.getString(1) == "fine")
+  }
+
   test("binary codecs: column stub and batched mapPartitions adapter agree") {
     val nMedia = graft.operators.Multimodal.mediaTable(spark, sf).count()
     val a = graft.operators.Multimodal
