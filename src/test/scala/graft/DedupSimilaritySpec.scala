@@ -107,6 +107,14 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.dedupAgainstIndex(spark, fresh, idxDir).isEmpty)
   }
 
+  test("evictCaches releases the memoized indexes and queries rebuild cleanly") {
+    // warm the caches, evict, then re-run — results identical, no dangling state
+    val before = Dedup.ngramJaccard(spark, sf, 0.8).collect().toSeq
+    Dedup.evictCaches(spark)
+    val after = Dedup.ngramJaccard(spark, sf, 0.8).collect().toSeq
+    assert(before == after)
+  }
+
   test("ANN: brute-force top-1 is the global max; IVF hits are ranked correctly") {
     val brute = Similarity.bruteTopK(spark, sf, 0L, 10).collect()
     assert(brute.length == 10)

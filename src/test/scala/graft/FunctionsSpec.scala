@@ -143,6 +143,10 @@ class FunctionsSpec extends SparkSpec {
       .collect()
     assert(nMedia > 0 && a.length == nMedia)
     assert(a.toSeq == b.toSeq, "pluggable codecs diverged on identical payloads")
+    // the codec's declared feature schema IS the decoded struct's schema
+    val decoded = graft.functions.ByteProbeCodec
+      .decode(graft.operators.Multimodal.mediaTable(spark, sf), "payload", "f")
+    assert(decoded.schema("f").dataType == graft.functions.ByteProbeCodec.featureSchema)
   }
 
   test("DotProduct null semantics match the HOF form: mismatch/null-element → null") {
