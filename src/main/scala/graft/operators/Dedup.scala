@@ -248,16 +248,19 @@ object Dedup {
   def dupClusters(spark: SparkSession, sfDir: String, threshold: Double = 0.8): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
     // Canonical directed edges u > v (pairs come as id1 < id2). Eager
-    // localCheckpoint, and again each round: both star operators reference
+    // checkpoint, and again each round: both star operators reference
     // their input several times, so without truncation the logical plan
     // (and the driver's re-analysis cost) grows ~8× per round — profiled
     // at 10 s/round on a 256-edge graph by round 2. Checkpointing makes
-    // every round start from a leaf-level cached relation. On a multi-node
-    // cluster prefer reliable `checkpoint()` (localCheckpoint blocks die
-    // with their executor).
-    var cur = verifiedPairs(spark, sfDir, threshold)
-      .select(col("id2").as("u"), col("id1").as("v"))
-      .localCheckpoint(true)
+    // every round start from a leaf-level cached relation. Reliable
+    // `checkpoint()` when the session has a checkpoint dir (cluster mode —
+    // localCheckpoint blocks die with their executor); localCheckpoint
+    // otherwise (single-JVM test/bench).
+    def snapshot(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    var cur = snapshot(verifiedPairs(spark, sfDir, threshold)
+      .select(col("id2").as("u"), col("id1").as("v")))
     // Zero near-dup pairs → every doc is its own singleton cluster (the
     // agg-on-empty path NPE'd in round 2).
     if (cur.isEmpty) {
@@ -294,7 +297,7 @@ object Dedup {
     var curSig = sig(cur)
     var converged = false
     while (!converged) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val next = snapshot(smallStar(largeStar(cur)))
       val nextSig = sig(next)
       if (nextSig == curSig) converged = true
       else { cur = next; curSig = nextSig }
