@@ -548,10 +548,10 @@ object SparkEntry {
           ORDER BY doc_id""",
     "x18_mixture_sample" ->
       s"""SELECT source,
-          30 + (CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 4) * 20 AS target_pct,
+          COALESCE(30 + (TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 4) * 20, 100) AS target_pct,
           count(*) AS n_docs,
           CAST(SUM(CASE WHEN ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 100 <
-            30 + (CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 4) * 20
+            COALESCE(30 + (TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 4) * 20, 100)
             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
           FROM documents GROUP BY 1, 2 ORDER BY 1""",
     "x19_curated_stats" ->

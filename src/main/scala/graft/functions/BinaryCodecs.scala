@@ -73,9 +73,17 @@ final case class BatchedByteProbeCodec(batchSize: Int = 256) extends BinaryCodec
         // here, one call for the whole batch
         batch.map { r =>
           val bytes = r.getAs[Array[Byte]](idx)
-          val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-          def at(i: Int): Long = if (s.length > i) s.charAt(i).toLong else 0L
-          Row.fromSeq(r.toSeq :+ Row(bytes.length.toLong, at(0), at(4)))
+          // null payload → struct of null fields, matching the column
+          // form's semantics (octet_length/ascii of null are null, the
+          // enclosing struct() is still non-null)
+          val feat =
+            if (bytes == null) Row(null, null, null)
+            else {
+              val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+              def at(i: Int): Long = if (s.length > i) s.charAt(i).toLong else 0L
+              Row(bytes.length.toLong, at(0), at(4))
+            }
+          Row.fromSeq(r.toSeq :+ feat)
         }
       }
     }(enc)

@@ -29,33 +29,11 @@ object Dedup {
         length(col("text")).cast("long").as("text_len"))
       .orderBy(col("keeper_id"))
 
-  /** Race-safe memoization of a persisted DataFrame: `putIfAbsent` so a
-    * concurrent first access can't leak a second persisted copy (the loser
-    * is unpersisted immediately). Entries live for the session; callers
-    * that tear sessions down mid-process should call [[evictCaches]]. */
-  private def memoize[K](cache: scala.collection.concurrent.TrieMap[K, DataFrame],
-                         key: K)(build: => DataFrame): DataFrame =
-    cache.get(key) match {
-      case Some(df) => df
-      case None =>
-        val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        cache.putIfAbsent(key, df) match {
-          case Some(winner) => df.unpersist(); winner
-          case None => df
-        }
-    }
-
-  /** Drop + unpersist every cached index built on `spark` (shingle index and
-    * verified near-dup pair sets). For long-lived processes that cycle
-    * sessions; a process exiting anyway can skip it. */
-  def evictCaches(spark: SparkSession): Unit = {
-    shCache.filterInPlace { case ((s, _), df) =>
-      if (s eq spark) { df.unpersist(); false } else true }
-    pairCache.filterInPlace { case ((s, _, _), df) =>
-      if (s eq spark) { df.unpersist(); false } else true }
-    prefixCache.filterInPlace { case ((s, _, _), df) =>
-      if (s eq spark) { df.unpersist(); false } else true }
-  }
+  /** Drop + unpersist every cached index built on `spark` (the [[DfCache]]
+    * registry: shingle/prefix indexes, verified pair sets, ntile's pinned
+    * partitioning). For long-lived processes that cycle sessions; a process
+    * exiting anyway can skip it. */
+  def evictCaches(spark: SparkSession): Unit = DfCache.evict(spark)
 
   /** Distinct 3-token-shingle hashes per doc — the shared index behind
     * x2/x3/x4. Memoized + persisted per (session, sfDir): each query's DAG
@@ -65,10 +43,8 @@ object Dedup {
     * re-running up to 4× per query and across all three queries. At 100 TB
     * this is exactly the materialized shingle index a curation pipeline
     * would build once and reuse; MEMORY_AND_DISK spills instead of OOMing. */
-  private val shCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def shingled(spark: SparkSession, sfDir: String): DataFrame =
-    memoize(shCache, (spark, sfDir)) {
+    DfCache.memoize(spark, s"shingled:$sfDir") {
       Tables.documents(spark, sfDir)
         .select(col("doc_id"),
           TextFns.shingleHashes(TextFns.tokens(col("text")), 3).as("sh"))
@@ -148,9 +124,6 @@ object Dedup {
     * Memoized + persisted per (session, sfDir, threshold) — x13's connected
     * components consume exactly this edge set, and without the cache it
     * re-ran the whole prefix-filter join (the round-2 top cost). */
-  private val pairCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Double), DataFrame]
-
   /** Per-doc ppjoin prefix — the `n - ⌈t·n⌉ + 1` globally-rarest shingles
     * (rare-first canonical order = ascending document frequency), plus the
     * doc's shingle count `n`. Memoized: shared by the self-join (x4/x13)
@@ -158,11 +131,9 @@ object Dedup {
     * canonical order for the prefix-intersection guarantee to hold.
     * ceil(t*n - 1e-9): FP guard may only lengthen the prefix (more
     * candidates), never shorten it (missed pairs). */
-  private val prefixCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Double), DataFrame]
   private def prefixIndex(spark: SparkSession, sfDir: String,
                           threshold: Double): DataFrame =
-    memoize(prefixCache, (spark, sfDir, threshold)) {
+    DfCache.memoize(spark, s"prefix:$sfDir:$threshold") {
       val posting = shingled(spark, sfDir)
         .select(col("doc_id"), explode(col("sh")).as("s"))
       val dfreq = posting.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -199,7 +170,7 @@ object Dedup {
 
   private[graft] def verifiedPairs(spark: SparkSession, sfDir: String,
                                    threshold: Double): DataFrame =
-    memoize(pairCache, (spark, sfDir, threshold)) {
+    DfCache.memoize(spark, s"pairs:$sfDir:$threshold") {
       val prefix = prefixIndex(spark, sfDir, threshold)
       val cand = prefix.as("a").join(prefix.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
@@ -301,7 +272,11 @@ object Dedup {
       val nextSig = sig(next)
       if (nextSig == curSig) converged = true
       else { cur = next; curSig = nextSig }
-      // superseded checkpoint blocks are reclaimed by the ContextCleaner
+      // superseded localCheckpoint blocks are reclaimed by the
+      // ContextCleaner; reliable checkpoint FILES are not cleaned by
+      // default — cluster deployments set
+      // spark.cleaner.referenceTracking.cleanCheckpoints=true (or prune
+      // the checkpoint dir) so O(log n) per-run snapshots can't accumulate
     }
     // At the fixpoint every non-center node carries exactly one edge to its
     // component's min id; min() is a no-op guard, not a correctness lever.

@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped registry of memoized persisted DataFrames (the shared
+  * shingle/prefix/pair indexes, ntile's pinned range partitioning). One
+  * registry instead of a cache map per operator so (a) `putIfAbsent` makes
+  * concurrent first access race-safe — the losing build is unpersisted
+  * immediately, no leaked second copy — and (b) a single [[evict]] releases
+  * everything a session pinned. Entries otherwise live for the session;
+  * long-lived processes that cycle sessions call [[evict]] (exposed as
+  * `Dedup.evictCaches`). */
+private[graft] object DfCache {
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def memoize(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    cache.get((spark, key)) match {
+      case Some(df) => df
+      case None =>
+        val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cache.putIfAbsent((spark, key), df) match {
+          case Some(winner) => df.unpersist(); winner
+          case None => df
+        }
+    }
+
+  def evict(spark: SparkSession): Unit =
+    cache.filterInPlace { case ((s, _), df) =>
+      if (s eq spark) { df.unpersist(); false } else true }
+}

@@ -290,19 +290,22 @@ object Relational {
     * any scale-up. */
   def ntileScalable(spark: SparkSession, sfDir: String, k: Int = 4, parts: Int = 32): DataFrame = {
     val sortKeys = Seq(col("c_acctbal").desc, col("c_custkey").asc)
-    // persist() before anything reads `local` twice: range-partition
+    // Memoized persist before anything reads `local` twice: range-partition
     // boundaries come from seeded reservoir sampling keyed to the RDD id,
     // so two *separate executions* of this plan may assign rows to
     // different partitions — offsets computed by the first run would then
     // mislabel rows in the second. Materializing once pins a single
-    // partitioning for both the counts job and the returned projection.
-    val local = Tables.customer(spark, sfDir)
-      .select(col("c_custkey"), col("c_acctbal"))
-      .repartitionByRange(parts, sortKeys: _*)
-      .withColumn("pid", spark_partition_id())
-      .withColumn("lrn",
-        row_number().over(Window.partitionBy(col("pid")).orderBy(sortKeys: _*)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // partitioning for both the counts job and the returned projection;
+    // the session-scoped registry (vs a bare persist) means repeated calls
+    // reuse one cached copy instead of leaking one per invocation.
+    val local = DfCache.memoize(spark, s"ntile:$sfDir:$parts") {
+      Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_acctbal"))
+        .repartitionByRange(parts, sortKeys: _*)
+        .withColumn("pid", spark_partition_id())
+        .withColumn("lrn",
+          row_number().over(Window.partitionBy(col("pid")).orderBy(sortKeys: _*)))
+    }
     // partition counts: bounded by `parts`, i.e. metadata, not data
     val counts = local.groupBy(col("pid")).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)

@@ -119,8 +119,10 @@ object TextAnalysis {
     * the data-mixing step every pretraining corpus build runs (weight
     * domains up/down); one scan, one hash aggregate for the audit counts. */
   def mixtureSample(spark: SparkSession, sfDir: String): DataFrame = {
-    val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("long")
-    val rate = lit(30L) + (srcNum % 4) * 20L
+    // try_cast: a source name without digits extracts "" and a plain cast
+    // would throw under ANSI mode — such sources default to keep-all (100)
+    val srcNum = regexp_extract(col("source"), "(\\d+)", 1).try_cast("long")
+    val rate = coalesce(lit(30L) + (srcNum % 4) * 20L, lit(100L))
     val keep = pmod(TextFns.polyHash(col("doc_id").cast("string")), lit(100L)) < rate
     Tables.documents(spark, sfDir)
       .select(col("source"), rate.as("target_pct"),

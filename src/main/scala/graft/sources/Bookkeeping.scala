@@ -75,24 +75,29 @@ object Bookkeeping {
   def upsert(url: String, rows: Seq[Detail], table: String = Table): Unit = {
     if (rows.isEmpty) return
     val conn = DriverManager.getConnection(url)
-    try {
-      val upd = conn.prepareStatement(
-        s"""UPDATE $table SET receivecount = receivecount + ?, sinkcount = sinkcount + ?,
-            updatetime = ?, state = ? WHERE name = ? AND logdate = ? AND hostname = ?""")
-      val ins = conn.prepareStatement(
-        s"INSERT INTO $table VALUES (?, ?, ?, ?, ?, ?, ?)")
-      try rows.foreach { r =>
-        upd.setLong(1, r.receivecount); upd.setLong(2, r.sinkcount)
-        upd.setLong(3, r.updatetime); upd.setString(4, r.state)
-        upd.setString(5, r.name); upd.setString(6, r.logdate); upd.setString(7, r.hostname)
-        if (upd.executeUpdate() == 0) {
-          ins.setString(1, r.name); ins.setString(2, r.logdate); ins.setString(3, r.hostname)
-          ins.setLong(4, r.receivecount); ins.setLong(5, r.sinkcount)
-          ins.setLong(6, r.updatetime); ins.setString(7, r.state)
-          ins.executeUpdate()
-        }
-      } finally { upd.close(); ins.close() }
-    } finally conn.close()
+    try upsertRows(conn, rows, table) finally conn.close()
+  }
+
+  /** The shared UPDATE-else-INSERT row loop (used by both the plain and the
+    * transactional upsert — one copy, one place to change the SQL). */
+  private def upsertRows(conn: java.sql.Connection, rows: Seq[Detail],
+                         table: String): Unit = {
+    val upd = conn.prepareStatement(
+      s"""UPDATE $table SET receivecount = receivecount + ?, sinkcount = sinkcount + ?,
+          updatetime = ?, state = ? WHERE name = ? AND logdate = ? AND hostname = ?""")
+    val ins = conn.prepareStatement(
+      s"INSERT INTO $table VALUES (?, ?, ?, ?, ?, ?, ?)")
+    try rows.foreach { r =>
+      upd.setLong(1, r.receivecount); upd.setLong(2, r.sinkcount)
+      upd.setLong(3, r.updatetime); upd.setString(4, r.state)
+      upd.setString(5, r.name); upd.setString(6, r.logdate); upd.setString(7, r.hostname)
+      if (upd.executeUpdate() == 0) {
+        ins.setString(1, r.name); ins.setString(2, r.logdate); ins.setString(3, r.hostname)
+        ins.setLong(4, r.receivecount); ins.setLong(5, r.sinkcount)
+        ins.setLong(6, r.updatetime); ins.setString(7, r.state)
+        ins.executeUpdate()
+      }
+    } finally { upd.close(); ins.close() }
   }
 
   /** Exactly-once form of [[upsert]] for streaming replays: the counter
@@ -106,37 +111,37 @@ object Bookkeeping {
                       rows: Seq[Detail], table: String = Table): Boolean = {
     val conn = DriverManager.getConnection(url)
     try {
-      val meta = conn.getMetaData.getTables(null, null, "BATCH_COMMITS", null)
-      val exists = try meta.next() finally meta.close()
-      if (!exists) {
-        val st = conn.createStatement()
-        try st.execute(
-          """CREATE TABLE batch_commits (
-              name VARCHAR(128), batchid BIGINT, PRIMARY KEY (name, batchid))""")
-        finally st.close()
-      }
+      // create-if-absent portably: attempt and swallow the vendor's
+      // already-exists error (metadata-catalog name casing differs per
+      // vendor — Derby upper-cases, Postgres lower-cases — so a getTables
+      // probe is not reliable across backends)
+      val st = conn.createStatement()
+      try st.execute(
+        """CREATE TABLE batch_commits (
+            name VARCHAR(128), batchid BIGINT, PRIMARY KEY (name, batchid))""")
+      catch { case _: java.sql.SQLException => () }
+      finally st.close()
       conn.setAutoCommit(false)
+      // replay probe inside the transaction: SELECT then INSERT is portable
+      // (no reliance on a vendor-specific duplicate-key exception type);
+      // a racing concurrent inserter still trips the PK below and is
+      // caught as the generic SQLException
+      val sel = conn.prepareStatement(
+        "SELECT 1 FROM batch_commits WHERE name = ? AND batchid = ?")
+      val replay =
+        try {
+          sel.setString(1, runName); sel.setLong(2, batchId)
+          val rs = sel.executeQuery()
+          try rs.next() finally rs.close()
+        } finally sel.close()
+      if (replay) { conn.rollback(); return false }
       val ins = conn.prepareStatement("INSERT INTO batch_commits VALUES (?, ?)")
       val fresh =
         try { ins.setString(1, runName); ins.setLong(2, batchId); ins.executeUpdate(); true }
-        catch { case _: java.sql.SQLIntegrityConstraintViolationException => false }
+        catch { case _: java.sql.SQLException => false } // lost a PK race
         finally ins.close()
       if (!fresh) { conn.rollback(); return false }
-      val upd = conn.prepareStatement(
-        s"""UPDATE $table SET receivecount = receivecount + ?, sinkcount = sinkcount + ?,
-            updatetime = ?, state = ? WHERE name = ? AND logdate = ? AND hostname = ?""")
-      val insD = conn.prepareStatement(s"INSERT INTO $table VALUES (?, ?, ?, ?, ?, ?, ?)")
-      try rows.foreach { r =>
-        upd.setLong(1, r.receivecount); upd.setLong(2, r.sinkcount)
-        upd.setLong(3, r.updatetime); upd.setString(4, r.state)
-        upd.setString(5, r.name); upd.setString(6, r.logdate); upd.setString(7, r.hostname)
-        if (upd.executeUpdate() == 0) {
-          insD.setString(1, r.name); insD.setString(2, r.logdate); insD.setString(3, r.hostname)
-          insD.setLong(4, r.receivecount); insD.setLong(5, r.sinkcount)
-          insD.setLong(6, r.updatetime); insD.setString(7, r.state)
-          insD.executeUpdate()
-        }
-      } finally { upd.close(); insD.close() }
+      upsertRows(conn, rows, table)
       conn.commit()
       true
     } finally conn.close()

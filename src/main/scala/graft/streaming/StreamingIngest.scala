@@ -200,7 +200,12 @@ object StreamingIngest {
       files.zipWithIndex.foreach { case (f, i) =>
         val dst = new Path(target, f"batch-$batchId-part-$i%05d.orc")
         if (fs.exists(dst)) fs.delete(dst, false)
-        fs.rename(f.getPath, dst)
+        // Hadoop FileSystem.rename reports most failures as `false`, not an
+        // exception — failing the batch here (→ retry) beats the silent
+        // data loss of deleting staging below with the file unmoved.
+        if (!fs.rename(f.getPath, dst))
+          throw new java.io.IOException(
+            s"rename ${f.getPath} -> $dst failed; batch $batchId will be retried")
       }
     }
     fs.delete(staging, true)
@@ -286,14 +291,18 @@ object StreamingIngest {
                   Map("logdate" -> r.getString(0)) -> s"$outPath/logdate=${r.getString(0)}"
                 })
             }
-            val jdbcFresh = callbacks.jdbcUrl.forall { url =>
+            callbacks.jdbcUrl.foreach { url =>
               graft.sources.Bookkeeping.upsertCommitted(url, "sink", batchId,
                 parts.toSeq.map { r =>
                   graft.sources.Bookkeeping.Detail("sink", r.getString(0), hostname,
                     r.getLong(1), r.getLong(1), r.getLong(2), "NEW")
                 })
             }
-            if (jdbcFresh) callbacks.notifyUrl.foreach { u =>
+            // notify runs on every replay that reaches here (at-least-once,
+            // as any external call without receiver dedup must be) — gating
+            // it on the JDBC commit would make it at-MOST-once: a crash
+            // after the JDBC commit but before notify would lose it forever
+            callbacks.notifyUrl.foreach { u =>
               parts.foreach(r => graft.sources.Notify.post(u, "sink", r.getString(0)))
             }
             fs.mkdirs(marker.getParent)
