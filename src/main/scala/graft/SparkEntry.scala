@@ -98,6 +98,9 @@ object SparkEntry {
     "x18_mixture_sample" -> (TextAnalysis.mixtureSample _),
     "x19_curated_stats" -> ((s, d) => TextAnalysis.curatedCorpusStats(s, d)),
     "x15_tfidf_top_terms" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
+    "x20_bm25_topk" -> ((s, d) => Search.bm25TopK(s, d)),
+    "x21_sequence_pack" -> ((s, d) => TextAnalysis.sequencePack(s, d)),
+    "x22_length_quantiles" -> (TextAnalysis.lengthQuantiles _),
   )
 
   // ---- DuckDB oracle SQL ----------------------------------------------------
@@ -594,5 +597,46 @@ object SparkEntry {
                      FROM scored)
           SELECT lang, CAST(rnk AS BIGINT) AS rnk, term, tfidf
           FROM ranked WHERE rnk <= 5 ORDER BY lang, rnk""",
+    "x20_bm25_topk" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($toks) AS DOUBLE) AS dl,
+            CAST(len(list_filter($toks, w -> w = 'spark')) AS DOUBLE) AS tf0,
+            CAST(len(list_filter($toks, w -> w = 'join')) AS DOUBLE) AS tf1,
+            CAST(len(list_filter($toks, w -> w = 'window')) AS DOUBLE) AS tf2
+            FROM documents),
+          s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+            SUM(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+            SUM(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+            SUM(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+            FROM d),
+          scored AS (SELECT doc_id,
+            CAST(tf0 AS BIGINT) AS tf_spark, CAST(tf1 AS BIGINT) AS tf_join,
+            CAST(tf2 AS BIGINT) AS tf_window,
+            round(ln(1 + (n_docs - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2)
+                    / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                + ln(1 + (n_docs - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2)
+                    / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                + ln(1 + (n_docs - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2)
+                    / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
+            FROM d, s)
+          SELECT * FROM scored WHERE bm25 > 0
+          ORDER BY bm25 DESC, doc_id LIMIT 10""",
+    "x21_sequence_pack" ->
+      s"""WITH d AS (SELECT source, doc_id, CAST(len($toks) AS BIGINT) AS n_tok
+            FROM documents),
+          c AS (SELECT source, n_tok,
+            SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM d)
+          SELECT source, CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS chunk_id,
+            count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+          FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
+    "x22_length_quantiles" ->
+      s"""SELECT lang, count(*) AS n_docs,
+            round(quantile_cont(n_tok, 0.25), 6) AS p25,
+            round(quantile_cont(n_tok, 0.5), 6) AS p50,
+            round(quantile_cont(n_tok, 0.9), 6) AS p90,
+            round(quantile_cont(n_tok, 0.99), 6) AS p99
+          FROM (SELECT lang, CAST(len($toks) AS BIGINT) AS n_tok FROM documents)
+          GROUP BY 1 ORDER BY 1""",
   )
 }

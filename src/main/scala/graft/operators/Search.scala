@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** M5 — keyword retrieval over `documents` (engine extension for LLM-data
+  * pipelines; the reference has no search surface — its nearest concept is
+  * the category classifier, `serde/TextDeserializer.scala`). Curation
+  * pipelines run exactly this shape constantly: "pull the top documents
+  * matching these probe terms" for audit samples, targeted decontamination
+  * and mixture debugging.
+  */
+object Search {
+
+  /** X20 — BM25 top-k document retrieval for a bounded query-term set
+    * (Robertson–Spärck Jones idf, k1/b defaults from the literature).
+    *
+    * Scale design: the term set is bounded (a query, not a corpus), so
+    * per-doc term frequencies are codegen'd `filter` counts fused with the
+    * scan — no posting-list explode, no shuffle for the score. Corpus
+    * stats (N, avgdl, per-term df) are ONE partial-final aggregate
+    * collected as a single metadata row and inlined as literals (same
+    * pattern as x6's probe vector / x15's N) — the scoring pass is then
+    * Scan → Project → Filter → TakeOrderedAndProject: top-k without a
+    * global sort, two scans total, zero joins. */
+  def bm25TopK(spark: SparkSession, sfDir: String,
+               terms: Seq[String] = Seq("spark", "join", "window"),
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+      .select(col("doc_id") +: size(col("tk")).cast("double").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("tk"), w => w === lit(t))).cast("double").as(s"tf$i")
+        }: _*)
+    // one aggregate row: corpus size, mean doc length, per-term doc freq.
+    // dl/tf are integer-valued doubles, so the sums are order-independent
+    // (exact in FP) and the derived literals are bit-stable across runs.
+    val statsRow = tf.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i")): _*).head()
+    val nDocs = statsRow.getDouble(0)
+    val avgdl = statsRow.getDouble(1)
+    // Per-term BM25 contribution, parenthesized identically to the oracle
+    // SQL so the FP result is bit-equal cross-engine before rounding.
+    def contrib(i: Int): Column = {
+      val df = statsRow.getDouble(2 + i)
+      lit(math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))) *
+        (col(s"tf$i") * lit(k1 + 1)) /
+        (col(s"tf$i") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl)))
+    }
+    tf.select(
+        col("doc_id") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            col(s"tf$i").cast("long").as(s"tf_$t") } :+
+          round(terms.indices.map(contrib).reduce(_ + _), 6).as("bm25"): _*)
+      .where(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -153,6 +153,51 @@ object TextAnalysis {
       .orderBy(col("predicted_lang"))
   }
 
+  /** X21 — token-budget sequence packing: assign documents greedily to
+    * fixed-size training sequences (`seqLen` tokens) and account for each
+    * chunk — the packing step between curation and tokenization in every
+    * pretraining pipeline. A doc belongs to the chunk where its first token
+    * lands in the per-source concatenation stream (exclusive running sum /
+    * seqLen), deterministically ordered by doc_id so reruns pack
+    * identically. Packing is per *source*: the window partitions by source,
+    * so no single-partition stage exists and sources pack in parallel — the
+    * natural unit, since pipelines shard corpora by domain anyway. (A
+    * single global stream would need w4b's offset technique instead.) */
+  def sequencePack(spark: SparkSession, sfDir: String, seqLen: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("source"),
+        floor((col("cum") - col("n_tok")) / lit(seqLen.toDouble)).cast("long").as("chunk_id"),
+        col("n_tok"))
+      .groupBy(col("source"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("source"), col("chunk_id"))
+  }
+
+  /** X22 — exact length quantiles per language: the corpus-shape audit
+    * (p25/p50/p90/p99 of per-doc token counts) run before choosing context
+    * lengths and packing budgets. Spark's `percentile` is the exact
+    * interpolated form — one partial-final aggregate, but the partial state
+    * is the value multiset, so at 100 TB swap in `approx_percentile`
+    * (t-digest sketch, bounded state — the a7b pattern) and keep this exact
+    * form for bounded slices. */
+  def lengthQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("lang"), size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+    base.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(percentile(col("n_tok"), lit(0.25)), 6).as("p25"),
+        round(percentile(col("n_tok"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("n_tok"), lit(0.9)), 6).as("p90"),
+        round(percentile(col("n_tok"), lit(0.99)), 6).as("p99"))
+      .orderBy(col("lang"))
+  }
+
   /** X15 — TF-IDF top terms per language: distinct-term document
     * frequencies (one shuffle on term), idf = ln(N/df) with N fetched as a
     * metadata scalar, per-(lang, term) total tf, rank by rounded score so

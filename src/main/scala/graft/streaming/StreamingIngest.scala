@@ -211,6 +211,56 @@ object StreamingIngest {
     fs.delete(staging, true)
   }
 
+  /** One micro-batch of the streaming cross-run dedup loop (the streaming
+    * form of `Dedup.dedupAgainstIndex` — x16's operational mode fed by a
+    * continuously-arriving crawl). Replay-idempotent under `foreachBatch`'s
+    * at-least-once contract, by construction rather than by marker files:
+    *  - the fingerprint index is parquet partitioned by `batch=<id>`; the
+    *    probe EXCLUDES the current batchId, so a replayed batch is never
+    *    poisoned by its own earlier partial attempt (which would silently
+    *    drop every doc of the batch);
+    *  - survivors and their index entries are written `overwrite` to
+    *    batchId-scoped paths, so a replay clobbers itself byte-for-byte
+    *    (batch content is deterministic from checkpointed offsets).
+    * The index holds one 8-byte hash per kept doc — O(corpus) metadata, a
+    * few GB at 100 TB — and the probe is one anti hash-join; prior text is
+    * never rescanned. Within a batch, x1's min-doc_id keeper rule applies. */
+  private[graft] def dedupIndexBatch(batch: DataFrame, batchId: Long,
+                                     indexDir: String, outDir: String): Unit = {
+    val spark = batch.sparkSession
+    val withFp = batch.withColumn("fp", graft.functions.TextFns.polyHash(col("text")))
+    val existing =
+      try spark.read.parquet(indexDir).where(col("batch") =!= batchId)
+        .select(col("fp").as("seen_fp"))
+      catch { case _: org.apache.spark.sql.AnalysisException => // first batch: no index yet
+        spark.range(0).select(col("id").as("seen_fp")) }
+    val survivors = withFp
+      .join(existing, col("fp") === col("seen_fp"), "left_anti")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .where(col("rk") === 1).drop("rk")
+    survivors.persist()
+    try {
+      survivors.drop("fp").write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      survivors.select(col("fp")).write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+    } finally survivors.unpersist()
+  }
+
+  /** Drive [[dedupIndexBatch]] over a streaming document source: each
+    * micro-batch keeps only content never seen in any prior batch (or run —
+    * the index directory outlives the query, so tomorrow's stream resumes
+    * against everything kept today). `docs` needs `doc_id` and `text`
+    * columns; survivors land under `outDir/batch=<id>/`. */
+  def dedupStream(docs: DataFrame, indexDir: String, outDir: String,
+                  checkpoint: String): Unit = {
+    val q = docs.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) => dedupIndexBatch(b, id, indexDir, outDir); () }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+  }
+
   /** T9 epilogue targets: the reference's ordered close-callback chain
     * (`HiveBatchedSink.scala:366-373` — AddPartitionCallback then
     * UpdateSinkDetailCallback, plus the leader's HTTP notify). Each is

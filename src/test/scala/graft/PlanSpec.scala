@@ -44,7 +44,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("top-k queries plan TakeOrderedAndProject, not a global sort") {
-    Seq("s1_topk", "x6_ann_cosine_topk").foreach { name =>
+    Seq("s1_topk", "x6_ann_cosine_topk", "x20_bm25_topk").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       assert(plan.contains("TakeOrderedAndProject"), s"$name lacks TakeOrderedAndProject")
     }

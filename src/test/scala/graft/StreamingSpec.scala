@@ -111,4 +111,39 @@ class StreamingSpec extends SparkSpec {
     StreamingIngest.landStream(spark, sf, out, ckpt)
     assert(spark.read.orc(out).count() == landed)
   }
+
+  test("dedupStream keeps first-seen content across runs; batch replay is idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ddsrc").toString
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ddidx").toString + "/index"
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ddout").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ddck").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def writeDocs(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").repartition(1).write.mode("append").parquet(srcDir)
+    def stream = spark.readStream.schema(schema).parquet(srcDir)
+    def keptIds = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+
+    // run 1: within-batch dup (docs 0/2 share text) → min-id keeper only
+    writeDocs(Seq(0L -> "alpha beta", 1L -> "gamma delta", 2L -> "alpha beta"))
+    StreamingIngest.dedupStream(stream, idxDir, outDir, ckpt)
+    assert(keptIds == Set(0L, 1L))
+
+    // run 2 (same checkpoint = tomorrow's crawl): doc 3 duplicates run 1's
+    // content and is dropped by the persisted index; 4/5 are new dups → 4
+    writeDocs(Seq(3L -> "alpha beta", 4L -> "epsilon zeta", 5L -> "epsilon zeta"))
+    StreamingIngest.dedupStream(stream, idxDir, outDir, ckpt)
+    assert(keptIds == Set(0L, 1L, 4L))
+
+    // at-least-once replay of run 2's batch (same batchId, same content):
+    // the probe excludes the batch's own index entries, so the replay
+    // reproduces — not drops — its survivors, and overwrites its own output
+    val replay = Seq(3L -> "alpha beta", 4L -> "epsilon zeta", 5L -> "epsilon zeta")
+      .toDF("doc_id", "text")
+    StreamingIngest.dedupIndexBatch(replay, 1L, idxDir, outDir)
+    assert(keptIds == Set(0L, 1L, 4L))
+  }
 }
