@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL-surface registration of the native graft expressions, so
+  * `spark.sql("SELECT graft_polyhash(text) ...")` works anywhere the
+  * DataFrame API does — pure-SQL users (the reference's Hive-QL audience)
+  * get the same codegen'd kernels as `TextFns`/`VectorFns` callers.
+  *
+  * Two entry points, same registrations:
+  *  - cluster-wide: `--conf spark.sql.extensions=graft.GraftExtensions`
+  *    (the standard `SparkSessionExtensions` injection hook, applied at
+  *    session build);
+  *  - live session: `GraftExtensions.register(spark)` for an already-built
+  *    session (tests, notebooks).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** `graft_shingle_hashes(tokens, n)`'s window width must be a foldable
+    * int literal — it shapes codegen, not per-row data. */
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case _ => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  /** (identifier, doc, builder) triples in `injectFunction`'s shape. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_polyhash"),
+      info("graft_polyhash", "graft_polyhash(str) - portable polynomial hash ((acc*31+cp) mod 1e9+7)"),
+      (args: Seq[Expression]) => expressions.PolyHash(args.head)),
+    (FunctionIdentifier("graft_shingle_hashes"),
+      info("graft_shingle_hashes", "graft_shingle_hashes(tokens, n) - distinct hashes of n-token shingles"),
+      (args: Seq[Expression]) => expressions.ShingleHashes(
+        args.head, intLit(args(1), "graft_shingle_hashes", "n"))),
+    (FunctionIdentifier("graft_simhash32"),
+      info("graft_simhash32", "graft_simhash32(term_hashes) - 32-bit simhash of a term-hash array"),
+      (args: Seq[Expression]) => expressions.SimHash32(args.head)),
+    (FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - dot product of two float arrays (null on length mismatch)"),
+      (args: Seq[Expression]) => expressions.DotProduct(args.head, args(1))))
+
+  /** Register on an already-built session (the extensions hook only runs at
+    * session construction). Idempotent: re-registration replaces. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    functions.foreach { case (id, inf, builder) =>
+      reg.registerFunction(id, inf, builder)
+    }
+  }
+}

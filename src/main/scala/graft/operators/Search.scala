@@ -43,6 +43,16 @@ object Search {
         terms.indices.map(i =>
           sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i")): _*).head()
     val nDocs = statsRow.getDouble(0)
+    // empty corpus → avgdl is null and no doc can score; return the empty
+    // result with the right schema instead of NPE-ing on the null fetch
+    if (nDocs == 0.0) {
+      return tf.select(
+        col("doc_id") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            col(s"tf$i").cast("long").as(s"tf_$t") } :+
+          lit(0.0).as("bm25"): _*)
+        .limit(0)
+    }
     val avgdl = statsRow.getDouble(1)
     // Per-term BM25 contribution, parenthesized identically to the oracle
     // SQL so the FP result is bit-equal cross-engine before rounding.

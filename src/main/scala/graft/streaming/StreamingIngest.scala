@@ -224,7 +224,9 @@ object StreamingIngest {
     *    (batch content is deterministic from checkpointed offsets).
     * The index holds one 8-byte hash per kept doc — O(corpus) metadata, a
     * few GB at 100 TB — and the probe is one anti hash-join; prior text is
-    * never rescanned. Within a batch, x1's min-doc_id keeper rule applies. */
+    * never rescanned. Within a batch, x1's min-doc_id keeper rule applies.
+    * `batch` must not pre-exist as an input column: it is the index/output
+    * partition key (batchId-scoped paths are what make replays overwrite). */
   private[graft] def dedupIndexBatch(batch: DataFrame, batchId: Long,
                                      indexDir: String, outDir: String): Unit = {
     val spark = batch.sparkSession

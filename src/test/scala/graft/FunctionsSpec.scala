@@ -183,4 +183,29 @@ class FunctionsSpec extends SparkSpec {
       .as[Double].collect()
     assert(one.forall(c => math.abs(c - 1.0) < 1e-9))
   }
+
+  test("GraftExtensions: SQL surface equals the DataFrame surface") {
+    // register() and the spark.sql.extensions class share one builder list,
+    // so exercising the live-session path covers the injection path too
+    GraftExtensions.register(spark)
+    Tables.documents(spark, sf).limit(50).createOrReplaceTempView("ext_docs")
+    Tables.embeddings(spark, sf).limit(50).createOrReplaceTempView("ext_embs")
+    val sqlSide = spark.sql(
+      """SELECT graft_polyhash(text) AS fp,
+         graft_simhash32(graft_shingle_hashes(split(trim(lower(text)), '\\s+'), 3)) AS sh
+         FROM ext_docs ORDER BY doc_id""").collect()
+    val dfSide = Tables.documents(spark, sf).limit(50).orderBy($"doc_id")
+      .select(TextFns.polyHash($"text").as("fp"),
+        TextFns.simhash32(TextFns.shingleHashes(TextFns.tokens($"text"), 3)).as("sh"))
+      .collect()
+    assert(sqlSide.toSeq == dfSide.toSeq)
+    val dotMismatch = spark.sql(
+      "SELECT graft_dot(embedding, embedding) AS d, embedding FROM ext_embs")
+      .where($"d" =!= VectorFns.dot($"embedding", $"embedding"))
+    assert(dotMismatch.count() == 0)
+    // the shingle width shapes codegen → must be a literal
+    intercept[Exception] {
+      spark.sql("SELECT graft_shingle_hashes(split(text, ' '), doc_id) FROM ext_docs").collect()
+    }
+  }
 }
