@@ -34,21 +34,31 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  /** Arity gate: a clear "expects N arguments" error instead of the raw
+    * IndexOutOfBounds a bare `args(i)` would leak to SQL users. */
+  private def arity(fn: String, n: Int)(b: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression =
+    args => {
+      if (args.length != n) throw new IllegalArgumentException(
+        s"$fn expects $n argument(s), got ${args.length}")
+      b(args)
+    }
+
   /** (identifier, doc, builder) triples in `injectFunction`'s shape. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_polyhash"),
       info("graft_polyhash", "graft_polyhash(str) - portable polynomial hash ((acc*31+cp) mod 1e9+7)"),
-      (args: Seq[Expression]) => expressions.PolyHash(args.head)),
+      arity("graft_polyhash", 1)(args => expressions.PolyHash(args.head))),
     (FunctionIdentifier("graft_shingle_hashes"),
       info("graft_shingle_hashes", "graft_shingle_hashes(tokens, n) - distinct hashes of n-token shingles"),
-      (args: Seq[Expression]) => expressions.ShingleHashes(
-        args.head, intLit(args(1), "graft_shingle_hashes", "n"))),
+      arity("graft_shingle_hashes", 2)(args => expressions.ShingleHashes(
+        args.head, intLit(args(1), "graft_shingle_hashes", "n")))),
     (FunctionIdentifier("graft_simhash32"),
       info("graft_simhash32", "graft_simhash32(term_hashes) - 32-bit simhash of a term-hash array"),
-      (args: Seq[Expression]) => expressions.SimHash32(args.head)),
+      arity("graft_simhash32", 1)(args => expressions.SimHash32(args.head))),
     (FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - dot product of two float arrays (null on length mismatch)"),
-      (args: Seq[Expression]) => expressions.DotProduct(args.head, args(1))))
+      arity("graft_dot", 2)(args => expressions.DotProduct(args.head, args(1)))))
 
   /** Register on an already-built session (the extensions hook only runs at
     * session construction). Idempotent: re-registration replaces. */

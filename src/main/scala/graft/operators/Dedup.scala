@@ -35,6 +35,19 @@ object Dedup {
     * exiting anyway can skip it. */
   def evictCaches(spark: SparkSession): Unit = DfCache.evict(spark)
 
+  /** Eagerly materialize a DataFrame and truncate its lineage: reliable
+    * `checkpoint()` when the session has a checkpoint dir (cluster mode —
+    * localCheckpoint blocks die with their executor), `localCheckpoint`
+    * otherwise (single-JVM test/bench). Unlike `persist()`, the result is
+    * severed from its logical plan, so (a) it can never be re-executed
+    * against state the caller mutates afterwards, and (b) CacheManager's
+    * plan-equality matching can never serve it to a LATER identical-looking
+    * plan whose correct result differs (e.g. a re-read of a directory that
+    * has since gained files). */
+  private[graft] def snapshot(spark: SparkSession, df: DataFrame): DataFrame =
+    if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
+
   /** Distinct 3-token-shingle hashes per doc — the shared index behind
     * x2/x3/x4. Memoized + persisted per (session, sfDir): each query's DAG
     * references it from several branches (posting explode, signature
@@ -219,18 +232,12 @@ object Dedup {
   def dupClusters(spark: SparkSession, sfDir: String, threshold: Double = 0.8): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
     // Canonical directed edges u > v (pairs come as id1 < id2). Eager
-    // checkpoint, and again each round: both star operators reference
+    // [[snapshot]], and again each round: both star operators reference
     // their input several times, so without truncation the logical plan
     // (and the driver's re-analysis cost) grows ~8× per round — profiled
     // at 10 s/round on a 256-edge graph by round 2. Checkpointing makes
-    // every round start from a leaf-level cached relation. Reliable
-    // `checkpoint()` when the session has a checkpoint dir (cluster mode —
-    // localCheckpoint blocks die with their executor); localCheckpoint
-    // otherwise (single-JVM test/bench).
-    def snapshot(df: DataFrame): DataFrame =
-      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-      else df.localCheckpoint(true)
-    var cur = snapshot(verifiedPairs(spark, sfDir, threshold)
+    // every round start from a leaf-level cached relation.
+    var cur = snapshot(spark, verifiedPairs(spark, sfDir, threshold)
       .select(col("id2").as("u"), col("id1").as("v")))
     // Zero near-dup pairs → every doc is its own singleton cluster (the
     // agg-on-empty path NPE'd in round 2).
@@ -268,7 +275,7 @@ object Dedup {
     var curSig = sig(cur)
     var converged = false
     while (!converged) {
-      val next = snapshot(smallStar(largeStar(cur)))
+      val next = snapshot(spark, smallStar(largeStar(cur)))
       val nextSig = sig(next)
       if (nextSig == curSig) converged = true
       else { cur = next; curSig = nextSig }
@@ -385,12 +392,19 @@ object Dedup {
       try spark.read.parquet(indexDir).select(col("fp").as("seen_fp"))
       catch { case _: org.apache.spark.sql.AnalysisException => // first run: no index yet
         spark.range(0).select(col("id").as("seen_fp")) }
-    val survivors = withFp
+    // Snapshot BEFORE appending to the index: the survivors plan anti-joins
+    // the index, so re-executing it after the append would see the batch's
+    // own just-written fingerprints and return nothing. checkpoint (not
+    // persist) on purpose: a plan-keyed cache entry here would be served to
+    // the NEXT call's identical-looking plan, whose correct result differs
+    // because the index grew — lineage truncation makes both hazards
+    // structurally impossible and computes the dedup exactly once.
+    val survivors = snapshot(spark, withFp
       .join(existing, col("fp") === col("seen_fp"), "left_anti")
       // one keeper per fingerprint *within* the batch too (min doc_id, x1's rule)
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
-      .where(col("rk") === 1).drop("rk")
+      .where(col("rk") === 1).drop("rk"))
     survivors.select(col("fp")).write.mode("append").parquet(indexDir)
     survivors
   }

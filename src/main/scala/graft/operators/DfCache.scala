@@ -5,8 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Session-scoped registry of memoized persisted DataFrames (the shared
   * shingle/prefix/pair indexes, ntile's pinned range partitioning). One
   * registry instead of a cache map per operator so (a) `putIfAbsent` makes
-  * concurrent first access race-safe — the losing build is unpersisted
-  * immediately, no leaked second copy — and (b) a single [[evict]] releases
+  * concurrent first access race-safe and (b) a single [[evict]] releases
   * everything a session pinned. Entries otherwise live for the session;
   * long-lived processes that cycle sessions call [[evict]] (exposed as
   * `Dedup.evictCaches`). */
@@ -20,7 +19,12 @@ private[graft] object DfCache {
       case None =>
         val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         cache.putIfAbsent((spark, key), df) match {
-          case Some(winner) => df.unpersist(); winner
+          // A concurrent first access builds the same deterministic plan, and
+          // CacheManager dedupes persist() by plan equality — both DataFrames
+          // share ONE cache entry. The loser must NOT unpersist: uncaching is
+          // also plan-keyed, so that would evict the winner's entry too and
+          // silently un-memoize the index for the rest of the session.
+          case Some(winner) => winner
           case None => df
         }
     }

@@ -111,15 +111,21 @@ object Bookkeeping {
                       rows: Seq[Detail], table: String = Table): Boolean = {
     val conn = DriverManager.getConnection(url)
     try {
-      // create-if-absent portably: attempt and swallow the vendor's
-      // already-exists error (metadata-catalog name casing differs per
-      // vendor — Derby upper-cases, Postgres lower-cases — so a getTables
-      // probe is not reliable across backends)
+      // create-if-absent portably: attempt, and on failure verify the table
+      // actually exists before swallowing (metadata-catalog name casing
+      // differs per vendor — Derby upper-cases, Postgres lower-cases — so a
+      // getTables probe is not reliable, but a SELECT against the table is).
+      // A real failure (permissions, connection) must surface, not be eaten.
       val st = conn.createStatement()
       try st.execute(
         """CREATE TABLE batch_commits (
             name VARCHAR(128), batchid BIGINT, PRIMARY KEY (name, batchid))""")
-      catch { case _: java.sql.SQLException => () }
+      catch { case e: java.sql.SQLException =>
+        val probe = conn.createStatement()
+        try probe.executeQuery("SELECT 1 FROM batch_commits WHERE 1=0").close()
+        catch { case _: java.sql.SQLException => throw e }
+        finally probe.close()
+      }
       finally st.close()
       conn.setAutoCommit(false)
       // replay probe inside the transaction: SELECT then INSERT is portable
@@ -138,7 +144,16 @@ object Bookkeeping {
       val ins = conn.prepareStatement("INSERT INTO batch_commits VALUES (?, ?)")
       val fresh =
         try { ins.setString(1, runName); ins.setLong(2, batchId); ins.executeUpdate(); true }
-        catch { case _: java.sql.SQLException => false } // lost a PK race
+        catch {
+          // only an integrity violation (SQLState class 23) means a racing
+          // inserter beat us to the PK = genuine replay. Anything else —
+          // lock timeout, deadlock victim, dropped connection — must
+          // propagate so the caller's batch retries instead of silently
+          // reporting "already committed" and losing the accumulation.
+          case e: java.sql.SQLException
+              if Option(e.getSQLState).exists(_.startsWith("23")) => false
+          case e: java.sql.SQLException => conn.rollback(); throw e
+        }
         finally ins.close()
       if (!fresh) { conn.rollback(); return false }
       upsertRows(conn, rows, table)

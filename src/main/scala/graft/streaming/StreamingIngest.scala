@@ -312,6 +312,13 @@ object StreamingIngest {
                  callbacks: LandingCallbacks = LandingCallbacks()): LandingReport = {
     callbacks.jdbcUrl.foreach(graft.sources.Bookkeeping.ensureTable(_))
     val hostname = "driver" // single coordinator; the reference's per-host fleet collapses
+    // batch_commits identity: batchIds restart at 0 for every fresh
+    // checkpoint, so the commit key must carry the RUN's identity — derived
+    // from the checkpoint path (stable across resume of the same run,
+    // distinct across runs sharing one bookkeeping DB). A constant here
+    // would make run B's batch 0 read as run A's replay and drop it.
+    val runName = "sink-" + java.security.MessageDigest.getInstance("SHA-1")
+      .digest(checkpoint.getBytes("UTF-8")).map("%02x".format(_)).mkString
     // The watermark feeds T6 completeness tracking (and the progress log);
     // with no stateful operator downstream it never drops rows — foreachBatch
     // still receives every event (T5: the batch path loses nothing).
@@ -325,18 +332,23 @@ object StreamingIngest {
         val hconf = batch.sparkSession.sessionState.newHadoopConf()
         val marker = new org.apache.hadoop.fs.Path(checkpoint, s"graft_commits/$batchId")
         val fs = marker.getFileSystem(hconf)
-        if (!fs.exists(marker)) {
-          batch.persist()
-          try {
+        batch.persist()
+        try {
+          // bounded: distinct 5-min partitions in this micro-batch
+          val parts = batch.groupBy(col("logdate"))
+            .agg(count(lit(1)).as("n"), max(Times.epochSeconds(col("ts"))).as("maxe"))
+            .collect()
+          // Driver-state bookkeeping runs on EVERY delivery, including a
+          // marker-short-circuited replay: after a crash between marker
+          // create and checkpoint commit, the restarted run's listener and
+          // report must still learn these logdates landed (the data is on
+          // disk). Both are idempotent set-inserts.
+          parts.foreach { r => seen += r.getString(0) }
+          callbacks.completeness.foreach { l =>
+            parts.foreach(r => l.registerLanded(r.getString(0)))
+          }
+          if (!fs.exists(marker)) {
             landBatchIdempotent(batch, batchId, outPath, checkpoint, fs)
-            // bounded: distinct 5-min partitions in this micro-batch
-            val parts = batch.groupBy(col("logdate"))
-              .agg(count(lit(1)).as("n"), max(Times.epochSeconds(col("ts"))).as("maxe"))
-              .collect()
-            parts.foreach { r => seen += r.getString(0) }
-            callbacks.completeness.foreach { l =>
-              parts.foreach(r => l.registerLanded(r.getString(0)))
-            }
             callbacks.catalogTable.foreach { t =>
               graft.sources.Landing.registerPartitions(spark, t,
                 parts.toSeq.map { r =>
@@ -344,7 +356,7 @@ object StreamingIngest {
                 })
             }
             callbacks.jdbcUrl.foreach { url =>
-              graft.sources.Bookkeeping.upsertCommitted(url, "sink", batchId,
+              graft.sources.Bookkeeping.upsertCommitted(url, runName, batchId,
                 parts.toSeq.map { r =>
                   graft.sources.Bookkeeping.Detail("sink", r.getString(0), hostname,
                     r.getLong(1), r.getLong(1), r.getLong(2), "NEW")
@@ -359,8 +371,8 @@ object StreamingIngest {
             }
             fs.mkdirs(marker.getParent)
             fs.create(marker, true).close()
-          } finally batch.unpersist()
-        }
+          }
+        } finally batch.unpersist()
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -207,5 +207,10 @@ class FunctionsSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT graft_shingle_hashes(split(text, ' '), doc_id) FROM ext_docs").collect()
     }
+    // wrong arity → clear error, not an index-out-of-bounds from the builder
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_dot(embedding) FROM ext_embs").collect()
+    }
+    assert(e.getMessage.contains("expects 2 argument"))
   }
 }
