@@ -162,7 +162,7 @@ object Dedup {
     * and |A∩B| ≤ min(n1,n2), so any qualifying pair has min ≥ t·max. Cheap
     * integer check on the carried sizes — prunes candidates before the
     * array_intersect verify. */
-  private def lengthCompatible(n1: Column, n2: Column, threshold: Double): Column =
+  private[graft] def lengthCompatible(n1: Column, n2: Column, threshold: Double): Column =
     least(n1, n2).cast("double") >= lit(threshold) * greatest(n1, n2)
 
   /** Exact-Jaccard verification of candidate (id1, id2) pairs against the

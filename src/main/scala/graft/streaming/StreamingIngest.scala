@@ -248,15 +248,103 @@ object StreamingIngest {
     } finally survivors.unpersist()
   }
 
-  /** Drive [[dedupIndexBatch]] over a streaming document source: each
+  /** The near-dup extension of [[dedupIndexBatch]]: each micro-batch drops
+    * docs whose n-gram Jaccard against ANY prior kept doc reaches
+    * `threshold`, probing a persisted shingle index instead of rescanning
+    * prior text. Three batch-partitioned parquet indexes under `indexDir`
+    * (all replay-idempotent the same way — probes exclude own batchId,
+    * writes are batch-scoped overwrites):
+    *  - `fp/`  one polyhash per kept doc (the exact-dup probe),
+    *  - `pfx/` exploded prefix postings (doc_id, s, n) — the candidate join,
+    *  - `sh/`  full shingle-hash arrays — fetched per candidate for verify.
+    *
+    * The prefix is the `n − ⌈t·n⌉ + 1` SMALLEST shingle hashes by value —
+    * not x4's rarest-by-document-frequency order. Prefix filtering is
+    * lossless under any one fixed total order shared by both sides; df
+    * order (the tightest) changes as the corpus grows, so an incremental
+    * index would need prefix rebuilds, while hash-value order is stable
+    * forever at the cost of more candidates. Within a batch only exact
+    * dups collapse (x1's keeper rule); near-dup pairs that arrive in the
+    * SAME micro-batch both enter the index, as in production crawls where
+    * the periodic full x4/x13 pass sweeps residue.
+    *
+    * Docs with fewer than n tokens have no shingles, are never near
+    * anything, and always survive the near probe. */
+  private[graft] def nearDedupIndexBatch(batch: DataFrame, batchId: Long,
+                                         indexDir: String, outDir: String,
+                                         threshold: Double = 0.8): Unit = {
+    import graft.functions.TextFns
+    val spark = batch.sparkSession
+    val withSh = batch
+      .withColumn("fp", TextFns.polyHash(col("text")))
+      .withColumn("sh", TextFns.shingleHashes(TextFns.tokens(col("text")), 3))
+      .withColumn("n", size(col("sh")))
+    def readIdx(sub: String)(empty: => DataFrame): DataFrame =
+      try spark.read.parquet(s"$indexDir/$sub").where(col("batch") =!= batchId)
+        .drop("batch")
+      catch { case _: org.apache.spark.sql.AnalysisException => empty }
+    val priorFp = readIdx("fp") {
+      spark.range(0).select(col("id").as("fp")) }
+    val priorPfx = readIdx("pfx") {
+      spark.range(0).select(col("id").as("doc_id"), col("id").as("s"),
+        col("id").cast("int").as("n")) }
+    val priorSh = readIdx("sh") {
+      spark.range(0).select(col("id").as("doc_id"),
+        array().cast("array<bigint>").as("sh"), col("id").cast("int").as("n")) }
+    // ceil FP guard may only lengthen the prefix — same as prefixIndex
+    def prefixPostings(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), col("n"), explode(slice(array_sort(col("sh")),
+        lit(1), (col("n") - ceil(lit(threshold) * col("n") - 1e-9) + 1).cast("int"))).as("s"))
+    val cand = prefixPostings(withSh).as("a")
+      .join(priorPfx.as("b"), col("a.s") === col("b.s") &&
+        graft.operators.Dedup.lengthCompatible(col("a.n"), col("b.n"), threshold))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("prior_id"))
+      .distinct()
+    val nearIds = cand
+      .join(withSh.select(col("doc_id").as("new_id"), col("sh").as("sh1")), "new_id")
+      .join(priorSh.select(col("doc_id").as("prior_id"), col("sh").as("sh2")), "prior_id")
+      .select(col("new_id"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double").as("i"),
+        size(col("sh1")).as("n1"), size(col("sh2")).as("n2"))
+      .where(col("i") / (col("n1") + col("n2") - col("i")) >= threshold)
+      .select(col("new_id").as("doc_id")).distinct()
+    val survivors = withSh
+      .join(priorFp.select(col("fp").as("seen_fp")),
+        col("fp") === col("seen_fp"), "left_anti")
+      .join(nearIds, Seq("doc_id"), "left_anti")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .where(col("rk") === 1).drop("rk")
+    survivors.persist()
+    try {
+      survivors.drop("fp", "sh", "n")
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      survivors.select(col("fp"))
+        .write.mode("overwrite").parquet(s"$indexDir/fp/batch=$batchId")
+      prefixPostings(survivors)
+        .select(col("doc_id"), col("s"), col("n"))
+        .write.mode("overwrite").parquet(s"$indexDir/pfx/batch=$batchId")
+      survivors.select(col("doc_id"), col("sh"), col("n"))
+        .write.mode("overwrite").parquet(s"$indexDir/sh/batch=$batchId")
+    } finally survivors.unpersist()
+  }
+
+  /** Drive [[dedupIndexBatch]] (or, with `nearThreshold`,
+    * [[nearDedupIndexBatch]]) over a streaming document source: each
     * micro-batch keeps only content never seen in any prior batch (or run —
     * the index directory outlives the query, so tomorrow's stream resumes
     * against everything kept today). `docs` needs `doc_id` and `text`
     * columns; survivors land under `outDir/batch=<id>/`. */
   def dedupStream(docs: DataFrame, indexDir: String, outDir: String,
-                  checkpoint: String): Unit = {
+                  checkpoint: String, nearThreshold: Option[Double] = None): Unit = {
     val q = docs.writeStream
-      .foreachBatch { (b: DataFrame, id: Long) => dedupIndexBatch(b, id, indexDir, outDir); () }
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        nearThreshold match {
+          case Some(t) => nearDedupIndexBatch(b, id, indexDir, outDir, t)
+          case None => dedupIndexBatch(b, id, indexDir, outDir)
+        }
+        ()
+      }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()

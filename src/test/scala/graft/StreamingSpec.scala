@@ -146,4 +146,42 @@ class StreamingSpec extends SparkSpec {
     StreamingIngest.dedupIndexBatch(replay, 1L, idxDir, outDir)
     assert(keptIds == Set(0L, 1L, 4L))
   }
+
+  test("nearDedupIndexBatch: streaming near-dup dedup against the persisted shingle index") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ndsrc").toString
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ndidx").toString + "/index"
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ndout").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ndck").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def writeDocs(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").repartition(1).write.mode("append").parquet(srcDir)
+    def stream = spark.readStream.schema(schema).parquet(srcDir)
+    def keptIds = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+
+    // 30 distinct tokens → 28 distinct 3-shingles; editing one middle token
+    // changes exactly 3 of them → J = 25/31 ≈ 0.806 ≥ 0.8
+    val toks = (1 to 30).map(i => f"tok$i%02d")
+    val base = toks.mkString(" ")
+    val near = toks.updated(14, "edited").mkString(" ")
+    val far = (1 to 30).map(i => f"other$i%02d").mkString(" ")
+
+    writeDocs(Seq(0L -> base))
+    StreamingIngest.dedupStream(stream, idxDir, outDir, ckpt, nearThreshold = Some(0.8))
+    assert(keptIds == Set(0L))
+
+    // run 2: near-dup of run 1's doc dropped via the shingle index, exact
+    // dup dropped via the fingerprint index, unrelated doc kept
+    writeDocs(Seq(1L -> near, 2L -> base, 3L -> far))
+    StreamingIngest.dedupStream(stream, idxDir, outDir, ckpt, nearThreshold = Some(0.8))
+    assert(keptIds == Set(0L, 3L))
+
+    // at-least-once replay of run 2's batch reproduces its survivors
+    val replay = Seq(1L -> near, 2L -> base, 3L -> far).toDF("doc_id", "text")
+    StreamingIngest.nearDedupIndexBatch(replay, 1L, idxDir, outDir, 0.8)
+    assert(keptIds == Set(0L, 3L))
+  }
 }
