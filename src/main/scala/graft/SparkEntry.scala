@@ -62,6 +62,7 @@ object SparkEntry {
     "s2_union" -> (Relational.unionSets _),
     "s3_intersect" -> (Relational.intersectSets _),
     "s4_except" -> (Relational.exceptSets _),
+    "s5_pivot" -> (Relational.pivotCounts _),
     "a8_rollup" -> (Relational.rollupAgg _),
     "a9_cube" -> (Relational.cubeAgg _),
     "a10_grouping_sets" -> (Relational.groupingSetsAgg _),
@@ -315,6 +316,12 @@ object SparkEntry {
          EXCEPT
          SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
          ORDER BY custkey""",
+    "s5_pivot" ->
+      """SELECT o_orderpriority,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F,
+         CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O,
+         CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_P
+         FROM orders GROUP BY 1 ORDER BY 1""",
     "a8_rollup" ->
       s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
           coalesce(l_linestatus, 'ALL') AS linestatus,

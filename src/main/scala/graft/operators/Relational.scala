@@ -345,6 +345,23 @@ object Relational {
   def exceptSets(spark: SparkSession, sfDir: String): DataFrame =
     highValueCust(spark, sfDir).except(urgentCust(spark, sfDir)).orderBy(col("custkey"))
 
+  /** S5 — pivot: long→wide reshaping with an explicit value list (order
+    * status per priority). The explicit list matters at scale: without it
+    * Spark runs a distinct-values job first AND the output schema becomes
+    * data-dependent — both wrong for a production pipeline. One hash
+    * aggregate; absent combinations surface as 0, not null, so the wide
+    * table is directly consumable. */
+  def pivotCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val statuses = Seq("F", "O", "P")
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", statuses)
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority") +: statuses.map(s =>
+        coalesce(col(s), lit(0L)).as(s"n_$s")): _*)
+      .orderBy(col("o_orderpriority"))
+  }
+
   private def highValueCust(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir).where(col("o_totalprice") > 150000.0)
       .select(col("o_custkey").as("custkey")).distinct()
