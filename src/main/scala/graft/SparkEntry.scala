@@ -63,6 +63,7 @@ object SparkEntry {
     "s3_intersect" -> (Relational.intersectSets _),
     "s4_except" -> (Relational.exceptSets _),
     "s5_pivot" -> (Relational.pivotCounts _),
+    "s6_unpivot" -> (Relational.unpivotCounts _),
     "a8_rollup" -> (Relational.rollupAgg _),
     "a9_cube" -> (Relational.cubeAgg _),
     "a10_grouping_sets" -> (Relational.groupingSetsAgg _),
@@ -102,6 +103,7 @@ object SparkEntry {
     "x20_bm25_topk" -> ((s, d) => Search.bm25TopK(s, d)),
     "x21_sequence_pack" -> ((s, d) => TextAnalysis.sequencePack(s, d)),
     "x22_length_quantiles" -> (TextAnalysis.lengthQuantiles _),
+    "x22b_length_quantiles_approx" -> ((s, d) => TextAnalysis.lengthQuantilesApprox(s, d)),
   )
 
   // ---- DuckDB oracle SQL ----------------------------------------------------
@@ -322,6 +324,16 @@ object SparkEntry {
          CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O,
          CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_P
          FROM orders GROUP BY 1 ORDER BY 1""",
+    "s6_unpivot" ->
+      """WITH p AS (SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_P
+           FROM orders GROUP BY 1)
+         SELECT o_orderpriority, s.status,
+           CASE s.status WHEN 'n_F' THEN n_F WHEN 'n_O' THEN n_O ELSE n_P END AS n
+         FROM p, (VALUES ('n_F'), ('n_O'), ('n_P')) s(status)
+         ORDER BY 1, 2""",
     "a8_rollup" ->
       s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
           coalesce(l_linestatus, 'ALL') AS linestatus,

@@ -362,6 +362,15 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** S6 — unpivot (melt): wide→long, the inverse of [[pivotCounts]] —
+    * composing the two round-trips the reshaping. Pure per-row expansion
+    * (a generator, no shuffle beyond the source aggregate). */
+  def unpivotCounts(spark: SparkSession, sfDir: String): DataFrame =
+    pivotCounts(spark, sfDir)
+      .unpivot(Array(col("o_orderpriority")),
+        Array(col("n_F"), col("n_O"), col("n_P")), "status", "n")
+      .orderBy(col("o_orderpriority"), col("status"))
+
   private def highValueCust(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir).where(col("o_totalprice") > 150000.0)
       .select(col("o_custkey").as("custkey")).distinct()

@@ -198,6 +198,27 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** X22b — the 100 TB path for [[lengthQuantiles]]: `percentile_approx`
+    * (t-digest-style sketch, bounded state per group regardless of corpus
+    * size) in place of the exact value-multiset aggregate. Returns actual
+    * data values, not interpolations, so no cross-engine oracle — a spec
+    * bounds its error against the exact form instead (the a7b pattern). */
+  def lengthQuantilesApprox(spark: SparkSession, sfDir: String,
+                            accuracy: Int = 10000): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("lang"), size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+    base.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        percentile_approx(col("n_tok"),
+          array(lit(0.25), lit(0.5), lit(0.9), lit(0.99)), lit(accuracy)).as("q"))
+      .select(col("lang"), col("n_docs"),
+        element_at(col("q"), 1).cast("double").as("p25"),
+        element_at(col("q"), 2).cast("double").as("p50"),
+        element_at(col("q"), 3).cast("double").as("p90"),
+        element_at(col("q"), 4).cast("double").as("p99"))
+      .orderBy(col("lang"))
+  }
+
   /** X15 — TF-IDF top terms per language: distinct-term document
     * frequencies (one shuffle on term), idf = ln(N/df) with N fetched as a
     * metadata scalar, per-(lang, term) total tf, rank by rounded score so

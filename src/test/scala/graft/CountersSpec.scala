@@ -34,4 +34,20 @@ class CountersSpec extends SparkSpec {
     val catTotal = Counters.categoryWindowCounts(spark, sf).agg(sum("cnt")).head.getLong(0)
     assert(catTotal == total)
   }
+
+  test("x22b sketch quantiles track the exact form (a7b pattern for percentiles)") {
+    val exact = operators.TextAnalysis.lengthQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val approx = operators.TextAnalysis.lengthQuantilesApprox(spark, sf).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (lang, es) =>
+      es.zip(approx(lang)).foreach { case (e, a) =>
+        // sketch returns an actual data value near the exact (interpolated)
+        // rank; on token-count data adjacent values differ by a few tokens
+        assert(math.abs(e - a) <= math.max(5.0, 0.1 * e),
+          s"$lang: approx $a too far from exact $e")
+      }
+    }
+  }
 }
