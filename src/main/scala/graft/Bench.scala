@@ -27,16 +27,31 @@ object Bench {
         .groupBy(org.apache.spark.sql.functions.col("event_type")).count()
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
+    // SPARK_GRAFT_ONLY=x13,x14 runs a subset — for isolating one query's
+    // cost from its neighbors (JIT, GC, cache residue are order-coupled).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    // SPARK_GRAFT_REPEAT=N times each query N times and reports the LAST
+    // run — separates steady-state cost from first-use codegen/JIT when
+    // investigating a regression. Default 1 (the honest cold number).
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    val results = selected.map { case (name, fn) =>
+      var last = -1.0
+      var ok = true
+      for (_ <- 1 to repeat if ok) {
+        val t0 = System.nanoTime()
+        ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        last = (System.nanoTime() - t0) / 1e9
+      }
       // failures are marked -1 so a broken query can't read as a fast pass
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+      (name, if (ok) last else -1.0, ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
