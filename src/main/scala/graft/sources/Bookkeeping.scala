@@ -162,6 +162,42 @@ object Bookkeeping {
     } finally conn.close()
   }
 
+  /** T6 — the durable completeness transition: mark every row of a
+    * notified (name, logdate) `CHECKED`, exactly the reference's
+    * post-notify state flip (`dao/HiveSinkDetailDao.scala:64-70`, invoked
+    * from `HiveBatchedSink.scala:205-227`) so a restarted coordinator
+    * never re-notifies a logdate it already reported. One parameterized
+    * UPDATE — atomic per statement, idempotent on replay. */
+  def markChecked(url: String, name: String, logdate: String,
+                  table: String = Table): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.prepareStatement(
+        s"UPDATE $table SET state = 'CHECKED' WHERE name = ? AND logdate = ?")
+      try { st.setString(1, name); st.setString(2, logdate); st.executeUpdate() }
+      finally st.close()
+    } finally conn.close()
+  }
+
+  /** The restart-side read of [[markChecked]]: logdates already notified in
+    * any prior run (`dao/HiveSinkDetailDao.scala:42-61` reads the same
+    * state column to skip finished work). */
+  def checkedLogdates(url: String, name: String,
+                      table: String = Table): Set[String] = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.prepareStatement(
+        s"SELECT logdate FROM $table WHERE name = ? AND state = 'CHECKED'")
+      try {
+        st.setString(1, name)
+        val rs = st.executeQuery()
+        val b = Set.newBuilder[String]
+        try { while (rs.next()) b += rs.getString(1) } finally rs.close()
+        b.result()
+      } finally st.close()
+    } finally conn.close()
+  }
+
   /** A5 over JDBC: the reference's completeness probe executed where the
     * bookkeeping lives (`HiveSinkDetailDao.scala:42-61`). */
   def completeness(spark: SparkSession, url: String, n: Int,

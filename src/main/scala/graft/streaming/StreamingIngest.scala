@@ -29,6 +29,39 @@ object StreamingIngest {
     * temp dir per call breaks restart with "Wrong basePath". This is the S2
     * exactly-once-on-resume contract the reference provably lacks
     * (`HiveBatchedSink.scala:335` ack-before-flush FIXME). */
+  // The fixture schema never changes within a process; re-reading the
+  // parquet footer per source() call cost ~0.2 s of fixed overhead on
+  // every streaming query (t1/t1b/t2b/t3 each pay it once otherwise).
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+
+  /** Stable identity of a streaming RUN, durable in its checkpoint dir: a
+    * `graft_run_id` marker file created once with a random id. Batch ids
+    * restart at 0 for every fresh checkpoint, and a checkpoint PATH can be
+    * wiped and recreated (the common start-from-scratch restart), so
+    * anything keyed across runs — batch_commits rows, cross-run dedup index
+    * partitions — must carry this marker, not the path: resuming the same
+    * checkpoint reuses the id; recreating the dir mints a new one. */
+  private[graft] def runId(checkpoint: String,
+                           hconf: org.apache.hadoop.conf.Configuration): String = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(checkpoint, "graft_run_id")
+    val fs = marker.getFileSystem(hconf)
+    if (!fs.exists(marker)) {
+      fs.mkdirs(marker.getParent)
+      val id = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      // create(overwrite=false) is atomic-exclusive: if two starters race,
+      // the loser falls through to the read and both agree on one id
+      try {
+        val out = fs.create(marker, false)
+        try out.write(id.getBytes("UTF-8")) finally out.close()
+      } catch { case _: java.io.IOException => () }
+    }
+    val in = fs.open(marker)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
   def source(spark: SparkSession, sfDir: String): DataFrame = {
     graft.Tables.ensureParquetConf(spark)
     // The file stream source wants a directory; expose the single fixture
@@ -40,7 +73,8 @@ object StreamingIngest {
       java.nio.file.Files.createSymbolicLink(
         dir.resolve("events.parquet"), java.nio.file.Paths.get(sfDir, "events.parquet"))
     }
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val schema = schemaCache.getOrElseUpdate(sfDir,
+      spark.read.parquet(s"$sfDir/events.parquet").schema)
     val raw = spark.readStream.schema(schema).parquet(dir.toString)
     if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -194,12 +228,19 @@ object StreamingIngest {
     partDirs.foreach { d =>
       val target = new Path(outPath, d.getPath.getName)
       fs.mkdirs(target)
+      // A replay must fully SUPERSEDE the prior attempt, not just overwrite
+      // name-collisions: staged file count depends on input-split packing
+      // (parallelism at write time), so a restart on a resized cluster can
+      // stage FEWER files than the crashed attempt already moved — the
+      // leftover higher-indexed batch files would duplicate rows. Bounded
+      // glob: one batch's files in one partition dir.
+      val stale = fs.globStatus(new Path(target, s"batch-$batchId-part-*"))
+      if (stale != null) stale.foreach(s => fs.delete(s.getPath, false))
       val files = fs.listStatus(d.getPath)
         .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
         .sortBy(_.getPath.getName)
       files.zipWithIndex.foreach { case (f, i) =>
         val dst = new Path(target, f"batch-$batchId-part-$i%05d.orc")
-        if (fs.exists(dst)) fs.delete(dst, false)
         // Hadoop FileSystem.rename reports most failures as `false`, not an
         // exception — failing the batch here (→ retry) beats the silent
         // data loss of deleting staging below with the file unmoved.
@@ -215,24 +256,30 @@ object StreamingIngest {
     * form of `Dedup.dedupAgainstIndex` — x16's operational mode fed by a
     * continuously-arriving crawl). Replay-idempotent under `foreachBatch`'s
     * at-least-once contract, by construction rather than by marker files:
-    *  - the fingerprint index is parquet partitioned by `batch=<id>`; the
-    *    probe EXCLUDES the current batchId, so a replayed batch is never
-    *    poisoned by its own earlier partial attempt (which would silently
-    *    drop every doc of the batch);
+    *  - the fingerprint index is parquet partitioned by `batch=<tag>` where
+    *    the tag is `<runId>-<batchId>` ([[runId]] — durable in the
+    *    checkpoint dir): the probe EXCLUDES the current tag, so a replayed
+    *    batch is never poisoned by its own earlier partial attempt (which
+    *    would silently drop every doc of the batch). Carrying the RUN
+    *    identity matters because batchIds restart at 0 for a fresh
+    *    checkpoint: a new run pointed at an existing indexDir (the
+    *    advertised cross-run mode) must treat the old run's batch 0 as
+    *    prior corpus, not as its own attempt — a bare batchId key would
+    *    both exclude it from the probe and overwrite it;
     *  - survivors and their index entries are written `overwrite` to
-    *    batchId-scoped paths, so a replay clobbers itself byte-for-byte
+    *    tag-scoped paths, so a replay clobbers itself byte-for-byte
     *    (batch content is deterministic from checkpointed offsets).
     * The index holds one 8-byte hash per kept doc — O(corpus) metadata, a
     * few GB at 100 TB — and the probe is one anti hash-join; prior text is
     * never rescanned. Within a batch, x1's min-doc_id keeper rule applies.
     * `batch` must not pre-exist as an input column: it is the index/output
-    * partition key (batchId-scoped paths are what make replays overwrite). */
-  private[graft] def dedupIndexBatch(batch: DataFrame, batchId: Long,
+    * partition key (tag-scoped paths are what make replays overwrite). */
+  private[graft] def dedupIndexBatch(batch: DataFrame, batchTag: String,
                                      indexDir: String, outDir: String): Unit = {
     val spark = batch.sparkSession
     val withFp = batch.withColumn("fp", graft.functions.TextFns.polyHash(col("text")))
     val existing =
-      try spark.read.parquet(indexDir).where(col("batch") =!= batchId)
+      try spark.read.parquet(indexDir).where(col("batch") =!= batchTag)
         .select(col("fp").as("seen_fp"))
       catch { case _: org.apache.spark.sql.AnalysisException => // first batch: no index yet
         spark.range(0).select(col("id").as("seen_fp")) }
@@ -243,8 +290,8 @@ object StreamingIngest {
       .where(col("rk") === 1).drop("rk")
     survivors.persist()
     try {
-      survivors.drop("fp").write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-      survivors.select(col("fp")).write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+      survivors.drop("fp").write.mode("overwrite").parquet(s"$outDir/batch=$batchTag")
+      survivors.select(col("fp")).write.mode("overwrite").parquet(s"$indexDir/batch=$batchTag")
     } finally survivors.unpersist()
   }
 
@@ -252,8 +299,9 @@ object StreamingIngest {
     * docs whose n-gram Jaccard against ANY prior kept doc reaches
     * `threshold`, probing a persisted shingle index instead of rescanning
     * prior text. Three batch-partitioned parquet indexes under `indexDir`
-    * (all replay-idempotent the same way — probes exclude own batchId,
-    * writes are batch-scoped overwrites):
+    * (all replay-idempotent and cross-run-safe the same way as
+    * [[dedupIndexBatch]] — probes exclude own `<runId>-<batchId>` tag,
+    * writes are tag-scoped overwrites):
     *  - `fp/`  one polyhash per kept doc (the exact-dup probe),
     *  - `pfx/` exploded prefix postings (doc_id, s, n) — the candidate join,
     *  - `sh/`  full shingle-hash arrays — fetched per candidate for verify.
@@ -270,7 +318,7 @@ object StreamingIngest {
     *
     * Docs with fewer than n tokens have no shingles, are never near
     * anything, and always survive the near probe. */
-  private[graft] def nearDedupIndexBatch(batch: DataFrame, batchId: Long,
+  private[graft] def nearDedupIndexBatch(batch: DataFrame, batchTag: String,
                                          indexDir: String, outDir: String,
                                          threshold: Double = 0.8): Unit = {
     import graft.functions.TextFns
@@ -280,7 +328,7 @@ object StreamingIngest {
       .withColumn("sh", TextFns.shingleHashes(TextFns.tokens(col("text")), 3))
       .withColumn("n", size(col("sh")))
     def readIdx(sub: String)(empty: => DataFrame): DataFrame =
-      try spark.read.parquet(s"$indexDir/$sub").where(col("batch") =!= batchId)
+      try spark.read.parquet(s"$indexDir/$sub").where(col("batch") =!= batchTag)
         .drop("batch")
       catch { case _: org.apache.spark.sql.AnalysisException => empty }
     val priorFp = readIdx("fp") {
@@ -318,14 +366,14 @@ object StreamingIngest {
     survivors.persist()
     try {
       survivors.drop("fp", "sh", "n")
-        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchTag")
       survivors.select(col("fp"))
-        .write.mode("overwrite").parquet(s"$indexDir/fp/batch=$batchId")
+        .write.mode("overwrite").parquet(s"$indexDir/fp/batch=$batchTag")
       prefixPostings(survivors)
         .select(col("doc_id"), col("s"), col("n"))
-        .write.mode("overwrite").parquet(s"$indexDir/pfx/batch=$batchId")
+        .write.mode("overwrite").parquet(s"$indexDir/pfx/batch=$batchTag")
       survivors.select(col("doc_id"), col("sh"), col("n"))
-        .write.mode("overwrite").parquet(s"$indexDir/sh/batch=$batchId")
+        .write.mode("overwrite").parquet(s"$indexDir/sh/batch=$batchTag")
     } finally survivors.unpersist()
   }
 
@@ -337,11 +385,14 @@ object StreamingIngest {
     * columns; survivors land under `outDir/batch=<id>/`. */
   def dedupStream(docs: DataFrame, indexDir: String, outDir: String,
                   checkpoint: String, nearThreshold: Option[Double] = None): Unit = {
+    val run = runId(checkpoint,
+      docs.sparkSession.sessionState.newHadoopConf())
     val q = docs.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
+        val tag = s"$run-$id"
         nearThreshold match {
-          case Some(t) => nearDedupIndexBatch(b, id, indexDir, outDir, t)
-          case None => dedupIndexBatch(b, id, indexDir, outDir)
+          case Some(t) => nearDedupIndexBatch(b, tag, indexDir, outDir, t)
+          case None => dedupIndexBatch(b, tag, indexDir, outDir)
         }
         ()
       }
@@ -401,12 +452,14 @@ object StreamingIngest {
     callbacks.jdbcUrl.foreach(graft.sources.Bookkeeping.ensureTable(_))
     val hostname = "driver" // single coordinator; the reference's per-host fleet collapses
     // batch_commits identity: batchIds restart at 0 for every fresh
-    // checkpoint, so the commit key must carry the RUN's identity — derived
-    // from the checkpoint path (stable across resume of the same run,
-    // distinct across runs sharing one bookkeeping DB). A constant here
-    // would make run B's batch 0 read as run A's replay and drop it.
-    val runName = "sink-" + java.security.MessageDigest.getInstance("SHA-1")
-      .digest(checkpoint.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // checkpoint, so the commit key must carry the RUN's identity — the
+    // durable marker in the checkpoint dir ([[runId]]: stable across resume
+    // of the same run, distinct across runs sharing one bookkeeping DB).
+    // A path hash is NOT enough: wiping and recreating the checkpoint at
+    // the same path (the normal start-from-scratch restart) would reuse the
+    // old identity, and the new run's batches 0..N would read as the old
+    // run's replays — their counter accumulations silently dropped.
+    val runName = "sink-" + runId(checkpoint, spark.sessionState.newHadoopConf())
     // The watermark feeds T6 completeness tracking (and the progress log);
     // with no stateful operator downstream it never drops rows — foreachBatch
     // still receives every event (T5: the batch path loses nothing).

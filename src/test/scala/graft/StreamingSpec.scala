@@ -101,6 +101,55 @@ class StreamingSpec extends SparkSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("T6 durable: a restarted coordinator never re-notifies CHECKED logdates") {
+    import graft.sources.Bookkeeping
+    import graft.streaming.{CompletenessListener, JdbcCompletenessStore}
+    val url = Bookkeeping.derbyUrl(
+      java.nio.file.Files.createTempDirectory("graft_t6d").toString + "/bk")
+    Bookkeeping.ensureTable(url)
+    // the logdates exist as bookkeeping rows (the landing epilogue upserts
+    // them before the watermark ever completes them)
+    Bookkeeping.upsert(url, Seq(
+      Bookkeeping.Detail("sink", "202001010000", "driver", 10, 10, 0, "NEW"),
+      Bookkeeping.Detail("sink", "202001010005", "driver", 10, 10, 0, "NEW")))
+    val store = new JdbcCompletenessStore(url, "sink")
+    val notified = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val l1 = new CompletenessListener(300L, Some(store))(ld => notified.add(ld))
+    l1.registerLanded("202001010000")
+    l1.registerLanded("202001010005")
+    // watermark passes only the first window end → one notify, one CHECKED
+    l1.advanceWatermark(
+      java.time.LocalDateTime.parse("202001010000",
+        java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmm"))
+        .toEpochSecond(java.time.ZoneOffset.UTC) + 300L)
+    assert(notified.size == 1)
+    assert(Bookkeeping.checkedLogdates(url, "sink") == Set("202001010000"))
+    // crash: l1's driver memory is gone. The restarted coordinator builds a
+    // fresh listener over the same store, re-registers everything it lands
+    // (replays do that), and the watermark passes BOTH window ends — only
+    // the un-notified logdate may fire.
+    val l2 = new CompletenessListener(300L, Some(store))(ld => notified.add(ld))
+    l2.registerLanded("202001010000")
+    l2.registerLanded("202001010005")
+    l2.advanceWatermark(Long.MaxValue)
+    assert(notified.size == 2) // 202001010000 NOT re-notified
+    assert(l2.completed.contains("202001010005"))
+    assert(Bookkeeping.checkedLogdates(url, "sink") ==
+      Set("202001010000", "202001010005"))
+  }
+
+  test("runId: resume reuses the marker; wiping the checkpoint mints a new identity") {
+    val hconf = spark.sessionState.newHadoopConf()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_runid").toString
+    val id1 = StreamingIngest.runId(ckpt, hconf)
+    assert(StreamingIngest.runId(ckpt, hconf) == id1) // resume: stable
+    // start-from-scratch restart: wipe + recreate the checkpoint path
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(ckpt))
+    val id2 = StreamingIngest.runId(ckpt, hconf)
+    assert(id2 != id1) // fresh identity → batch_commits rows don't collide
+  }
+
   test("landStream lands every event exactly once (checkpointed)") {
     val out = java.nio.file.Files.createTempDirectory("graft_stream_land").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
@@ -138,13 +187,26 @@ class StreamingSpec extends SparkSpec {
     StreamingIngest.dedupStream(stream, idxDir, outDir, ckpt)
     assert(keptIds == Set(0L, 1L, 4L))
 
-    // at-least-once replay of run 2's batch (same batchId, same content):
+    // at-least-once replay of run 2's batch (same batch tag, same content):
     // the probe excludes the batch's own index entries, so the replay
     // reproduces — not drops — its survivors, and overwrites its own output
+    val run = StreamingIngest.runId(ckpt, spark.sessionState.newHadoopConf())
     val replay = Seq(3L -> "alpha beta", 4L -> "epsilon zeta", 5L -> "epsilon zeta")
       .toDF("doc_id", "text")
-    StreamingIngest.dedupIndexBatch(replay, 1L, idxDir, outDir)
+    StreamingIngest.dedupIndexBatch(replay, s"$run-1", idxDir, outDir)
     assert(keptIds == Set(0L, 1L, 4L))
+
+    // a NEW query (fresh checkpoint → batchIds restart at 0) against the
+    // SAME index dir: its batch 0 must treat the old run's batch 0 as prior
+    // corpus — dropping its duplicates, preserving its index partition —
+    // not claim it as its own attempt and clobber it
+    val srcDir2 = java.nio.file.Files.createTempDirectory("graft_ddsrc2").toString
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_ddck2").toString
+    Seq(6L -> "alpha beta", 7L -> "eta theta").toDF("doc_id", "text")
+      .repartition(1).write.mode("append").parquet(srcDir2)
+    StreamingIngest.dedupStream(
+      spark.readStream.schema(schema).parquet(srcDir2), idxDir, outDir, ckpt2)
+    assert(keptIds == Set(0L, 1L, 4L, 7L)) // 6 dropped: dup of run 1's batch 0
   }
 
   test("nearDedupIndexBatch: streaming near-dup dedup against the persisted shingle index") {
@@ -180,8 +242,9 @@ class StreamingSpec extends SparkSpec {
     assert(keptIds == Set(0L, 3L))
 
     // at-least-once replay of run 2's batch reproduces its survivors
+    val run = StreamingIngest.runId(ckpt, spark.sessionState.newHadoopConf())
     val replay = Seq(1L -> near, 2L -> base, 3L -> far).toDF("doc_id", "text")
-    StreamingIngest.nearDedupIndexBatch(replay, 1L, idxDir, outDir, 0.8)
+    StreamingIngest.nearDedupIndexBatch(replay, s"$run-1", idxDir, outDir, 0.8)
     assert(keptIds == Set(0L, 3L))
   }
 }
