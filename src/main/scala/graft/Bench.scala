@@ -15,6 +15,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // reliable-checkpoint FILES (x13's per-round snapshots when a
+      // checkpoint dir is set) are not reclaimed by default; the cleaner
+      // deletes them once their RDD is unreachable. Must be set at context
+      // creation — the ContextCleaner reads it once at startup.
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.ensureParquetConf(spark)

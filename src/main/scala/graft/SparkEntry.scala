@@ -75,6 +75,7 @@ object SparkEntry {
     "t1_stream_counts" -> (StreamingIngest.streamCounts _),
     "t1b_stream_counts_append" -> (StreamingIngest.streamCountsAppend _),
     "t2_sessionize" -> ((s, d) => StreamingIngest.sessionize(s, d)),
+    "t2b_session_window_stream" -> ((s, d) => StreamingIngest.sessionWindowStream(s, d)),
     "t3_stream_dedup" -> (StreamingIngest.streamDedupFirstSeen _),
     // M5 — [EXT] LLM-pipeline operators
     "x1_dedup_exact" -> (Dedup.exactDedup _),
@@ -404,6 +405,21 @@ object SparkEntry {
                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
           SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
           FROM m GROUP BY 1 ORDER BY 1""",
+    // session_window merges windows that OVERLAP: event at prev_ts + gap
+    // exactly starts a NEW session (strict-overlap), so the gaps-and-islands
+    // form uses >= gap — unlike t2's batch rule (> gap). Comparison is in
+    // exact integer microseconds (epoch_us), matching Spark's native
+    // timestamp arithmetic; floored epoch seconds would misclassify gaps
+    // whose sub-second parts straddle the boundary.
+    "t2b_session_window_stream" ->
+      """WITH m AS (SELECT user_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                      THEN 1 ELSE 0 END AS new_session
+               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+                count(*) AS n_events
+         FROM m GROUP BY 1 ORDER BY 1""",
     "x1_dedup_exact" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies,
          CAST(length(text) AS BIGINT) AS text_len

@@ -40,6 +40,12 @@ object BinaryCodec {
     StructField("n_bytes", LongType),
     StructField("b0", LongType),
     StructField("b4", LongType)))
+
+  /** Reflectively instantiate a codec from a config-supplied class name —
+    * same contract and error surface as [[Serde.forName]] (objects,
+    * `(StructType)` ctor — fed its own `ProbeSchema` stand-in — or no-arg). */
+  def forName(className: String): BinaryCodec =
+    Reflect.instantiate[BinaryCodec](className, ProbeSchema, classOf[BinaryCodec])
 }
 
 /** Deterministic fake "feature extraction" from the raw bytes as pure
@@ -63,6 +69,8 @@ case object ByteProbeCodec extends BinaryCodec {
   * partition). Cost note: this path serializes rows out of Tungsten, so
   * only use it when the decode genuinely needs a library call. */
 final case class BatchedByteProbeCodec(batchSize: Int = 256) extends BinaryCodec {
+  /** Config-driven form ([[BinaryCodec.forName]]): default batch size. */
+  def this() = this(256)
   val featureSchema: StructType = BinaryCodec.ProbeSchema
   def decode(df: DataFrame, payloadCol: String, out: String): DataFrame = {
     val idx = df.schema.fieldIndex(payloadCol)

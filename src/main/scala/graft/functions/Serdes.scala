@@ -20,6 +20,62 @@ trait Serde extends Serializable {
   def schema: StructType
 }
 
+object Serde {
+  /** Reflectively instantiate a [[Serde]] from a config-supplied class name
+    * — the reference's wiring (`Config.scala:32` names the class,
+    * `HiveBatchedSink.scala:244,252-253` `Class.forName`s and constructs it
+    * against the metastore schema). Resolution order:
+    *   1. a Scala `object` (companion `MODULE$`),
+    *   2. a `(StructType)` constructor, fed `schema`,
+    *   3. a no-arg constructor.
+    * Every failure mode — unknown class, wrong type, no usable constructor —
+    * surfaces as `IllegalArgumentException` naming the class, so a config
+    * typo fails the job at wiring time with a readable error, not at first
+    * batch with a reflection stack. */
+  def forName(className: String, schema: StructType): Serde =
+    Reflect.instantiate[Serde](className, schema, classOf[Serde])
+}
+
+/** Shared reflective loader behind [[Serde.forName]] and
+  * `BinaryCodec.forName` (one error surface, one resolution order). */
+private[graft] object Reflect {
+  def instantiate[T](className: String, schema: StructType, want: Class[T]): T = {
+    val cls =
+      try Class.forName(className)
+      catch { case _: ClassNotFoundException =>
+        // Scala object class names end in $; accept the undecorated form
+        try Class.forName(className + "$")
+        catch { case _: ClassNotFoundException =>
+          throw new IllegalArgumentException(
+            s"serde/codec class not found: '$className'") }
+      }
+    // a Scala `object Foo` compiles to Foo$.MODULE$ plus a constructor-less
+    // Foo.class, so the singleton fallback must also run when the plain
+    // class resolved but offers no usable constructor
+    def module(c: Class[_]): Option[Any] =
+      if (c.getName.endsWith("$"))
+        Some(c.getField("MODULE$").get(null))
+      else
+        try Some(Class.forName(c.getName + "$").getField("MODULE$").get(null))
+        catch { case _: ReflectiveOperationException => None }
+    val inst: Any = {
+      val withSchema = cls.getConstructors.find(
+        _.getParameterTypes.toSeq == Seq(classOf[StructType]))
+      val noArg = cls.getConstructors.find(_.getParameterCount == 0)
+      withSchema.map(_.newInstance(schema))
+        .orElse(noArg.map(_.newInstance()))
+        .orElse(module(cls))
+        .getOrElse(throw new IllegalArgumentException(
+          s"'$className' is neither a Scala object nor constructible " +
+            "from a (StructType) or no-arg constructor"))
+    }
+    if (!want.isInstance(inst))
+      throw new IllegalArgumentException(
+        s"'$className' is not a ${want.getSimpleName}")
+    inst.asInstanceOf[T]
+  }
+}
+
 /** JSON bodies (the `events.props` fixture shape). */
 final case class JsonSerde(schema: StructType) extends Serde {
   def parse(body: Column): Column = from_json(body, schema)
@@ -41,6 +97,9 @@ final case class CsvSerde(schema: StructType, delimiter: String = ",") extends S
   * `serde/TextDeserializer.scala:68`). */
 final case class DelimitedSerde(fields: Seq[(String, DataType)], delimiter: String = "\t")
     extends Serde {
+  /** Config-driven form ([[Serde.forName]]): schema in, default tab delimiter. */
+  def this(schema: StructType) =
+    this(schema.fields.map(f => f.name -> f.dataType).toSeq)
   val schema: StructType = StructType(fields.map { case (n, t) =>
     org.apache.spark.sql.types.StructField(n, t)
   })

@@ -75,21 +75,30 @@ object Dedup {
     val sigs = shingled(spark, sfDir)
       .select(col("doc_id"), TextFns.minhashSig(col("sh"), k).as("sig"))
     val nBands = k / rowsPerBand
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    // Band rows carry ONLY (band, key, doc_id) — 3 fixed-width values. The
+    // previous form dragged the full k-long signature through the band
+    // self-join on BOTH sides (2 · nBands · k longs of shuffle per doc);
+    // est_jaccard needs the signatures only for the few pairs that SURVIVE
+    // banding, so they are fetched post-join by two narrow hash joins
+    // against the signature table instead (the pair set is deduped first —
+    // a pair agreeing on several bands is verified once, not per band).
+    val banded = sigs.select(col("doc_id"),
       explode(array((0 until nBands).map { b =>
         struct(lit(b).as("band"),
           xxhash64((0 until rowsPerBand).map(r =>
             element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("key"))
       }: _*)).as("bk"))
-      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
-    val l = banded.select(col("band"), col("key"), col("doc_id").as("id1"), col("sig").as("sig1"))
-    val r = banded.select(col("band"), col("key"), col("doc_id").as("id2"), col("sig").as("sig2"))
-    l.join(r, Seq("band", "key")).where(col("id1") < col("id2"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val l = banded.select(col("band"), col("key"), col("doc_id").as("id1"))
+    val r = banded.select(col("band"), col("key"), col("doc_id").as("id2"))
+    val cand = l.join(r, Seq("band", "key")).where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
+      .join(sigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
       .select(col("id1"), col("id2"),
         (size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b), x => x))
           .cast("double") / k).as("est_jaccard"))
-      .groupBy(col("id1"), col("id2"))
-      .agg(max(col("est_jaccard")).as("est_jaccard"))
       .where(col("est_jaccard") >= 0.5)
       .orderBy(col("id1"), col("id2"))
   }
@@ -280,10 +289,11 @@ object Dedup {
       if (nextSig == curSig) converged = true
       else { cur = next; curSig = nextSig }
       // superseded localCheckpoint blocks are reclaimed by the
-      // ContextCleaner; reliable checkpoint FILES are not cleaned by
-      // default — cluster deployments set
-      // spark.cleaner.referenceTracking.cleanCheckpoints=true (or prune
-      // the checkpoint dir) so O(log n) per-run snapshots can't accumulate
+      // ContextCleaner; reliable checkpoint FILES are cleaned only under
+      // spark.cleaner.referenceTracking.cleanCheckpoints=true — which the
+      // engine's session builders (Bench/Verify/test base) set, and a spec
+      // asserts the O(log n) per-run snapshots actually get reclaimed.
+      // Cluster deployments must set it too (context-creation-time conf).
     }
     // At the fixpoint every non-center node carries exactly one edge to its
     // component's min id; min() is a no-op guard, not a correctness lever.
@@ -386,26 +396,38 @@ object Dedup {
     * this is the disk-backed loop a pipeline actually schedules. Near-dup
     * probing persists the shingle prefix index the same way. */
   def dedupAgainstIndex(spark: SparkSession, docs: DataFrame,
-                        indexDir: String): DataFrame = {
+                        indexDir: String, batchTag: String): DataFrame = {
     val withFp = docs.withColumn("fp", TextFns.polyHash(col("text")))
+    // Probe excludes this invocation's own `batch=` partition: if the
+    // caller's downstream commit of the survivors fails AFTER the index
+    // write below, the retry re-probes everything EXCEPT its own earlier
+    // half-done entries — so it reproduces the same survivor set instead of
+    // returning zero rows (which a tag-less append-then-retry would: the
+    // batch's own fingerprints would already be "seen"). Same contract as
+    // the streaming form (`StreamingIngest.dedupIndexBatch`); callers give
+    // each scheduled batch a unique tag and each retry the SAME tag.
     val existing =
-      try spark.read.parquet(indexDir).select(col("fp").as("seen_fp"))
+      try spark.read.parquet(indexDir).where(col("batch") =!= batchTag)
+        .select(col("fp").as("seen_fp"))
       catch { case _: org.apache.spark.sql.AnalysisException => // first run: no index yet
         spark.range(0).select(col("id").as("seen_fp")) }
-    // Snapshot BEFORE appending to the index: the survivors plan anti-joins
-    // the index, so re-executing it after the append would see the batch's
-    // own just-written fingerprints and return nothing. checkpoint (not
-    // persist) on purpose: a plan-keyed cache entry here would be served to
-    // the NEXT call's identical-looking plan, whose correct result differs
-    // because the index grew — lineage truncation makes both hazards
-    // structurally impossible and computes the dedup exactly once.
+    // Snapshot BEFORE writing to the index: the survivors plan anti-joins
+    // the index, so re-executing it after the write could race the write's
+    // own output. checkpoint (not persist) on purpose: a plan-keyed cache
+    // entry here would be served to the NEXT call's identical-looking plan,
+    // whose correct result differs because the index grew — lineage
+    // truncation makes both hazards structurally impossible and computes
+    // the dedup exactly once.
     val survivors = snapshot(spark, withFp
       .join(existing, col("fp") === col("seen_fp"), "left_anti")
       // one keeper per fingerprint *within* the batch too (min doc_id, x1's rule)
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
       .where(col("rk") === 1).drop("rk"))
-    survivors.select(col("fp")).write.mode("append").parquet(indexDir)
+    // overwrite of the tag-scoped partition: a retry clobbers its own prior
+    // attempt byte-for-byte instead of appending a second copy
+    survivors.select(col("fp")).write.mode("overwrite")
+      .parquet(s"$indexDir/batch=$batchTag")
     survivors
   }
 

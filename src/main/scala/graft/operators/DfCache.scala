@@ -13,7 +13,18 @@ private[graft] object DfCache {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  def memoize(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+  /** Drop entries whose session's SparkContext has stopped — their blocks
+    * died with the executors, and the strong (session, DataFrame) refs
+    * would otherwise pin dead sessions for the JVM's life in long-lived
+    * processes that cycle sessions. Runs on every [[memoize]] (bounded:
+    * one isStopped flag read per entry), so leaks self-heal on the next
+    * access by any live session; unpersist is skipped — there is nothing
+    * left to unpersist on a stopped context, and calling it would throw. */
+  private def purgeStopped(): Unit =
+    cache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+
+  def memoize(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    purgeStopped()
     cache.get((spark, key)) match {
       case Some(df) => df
       case None =>
@@ -28,6 +39,7 @@ private[graft] object DfCache {
           case None => df
         }
     }
+  }
 
   def evict(spark: SparkSession): Unit =
     cache.filterInPlace { case ((s, _), df) =>

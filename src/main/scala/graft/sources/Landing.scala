@@ -16,6 +16,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Landing {
 
+  /** Validate + backtick-quote a catalog identifier (`table` or
+    * `db.table`). Values in partition specs are quote-escaped below, but
+    * identifiers cannot be value-quoted — they must be structurally
+    * constrained instead, or a crafted table/column name walks straight
+    * into the DDL string. */
+  private[graft] def quoteIdent(name: String): String = {
+    val parts = name.split("\\.", -1)
+    require(parts.nonEmpty && parts.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      s"malformed catalog identifier: '$name' " +
+        "(expected [A-Za-z_][A-Za-z0-9_]* parts joined by '.')")
+    parts.map(p => s"`$p`").mkString(".")
+  }
+
   /** Write `df` as a Hive-layout partitioned table. `format` ∈ orc|parquet. */
   def write(df: DataFrame, path: String, partitionCols: Seq[String],
             format: String = "orc"): Unit =
@@ -37,8 +50,10 @@ object Landing {
     * reference's existence probe (`util/HiveUtils.scala:58-66`). */
   def registerPartition(spark: SparkSession, table: String,
                         spec: Map[String, String], location: String): Unit = {
-    val specSql = spec.map { case (k, v) => s"$k='${v.replace("'", "''")}'" }.mkString(", ")
-    spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS PARTITION ($specSql) LOCATION '$location'")
+    val specSql = spec.map { case (k, v) =>
+      s"${quoteIdent(k)}='${v.replace("'", "''")}'" }.mkString(", ")
+    spark.sql(s"ALTER TABLE ${quoteIdent(table)} ADD IF NOT EXISTS " +
+      s"PARTITION ($specSql) LOCATION '${location.replace("'", "''")}'")
   }
 
   /** Batched form: one `ALTER TABLE … ADD IF NOT EXISTS PARTITION p1 … pN`
@@ -49,10 +64,11 @@ object Landing {
                          parts: Seq[(Map[String, String], String)]): Unit =
     if (parts.nonEmpty) {
       val specsSql = parts.map { case (spec, location) =>
-        val specSql = spec.map { case (k, v) => s"$k='${v.replace("'", "''")}'" }.mkString(", ")
-        s"PARTITION ($specSql) LOCATION '$location'"
+        val specSql = spec.map { case (k, v) =>
+          s"${quoteIdent(k)}='${v.replace("'", "''")}'" }.mkString(", ")
+        s"PARTITION ($specSql) LOCATION '${location.replace("'", "''")}'"
       }.mkString(" ")
-      spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS $specsSql")
+      spark.sql(s"ALTER TABLE ${quoteIdent(table)} ADD IF NOT EXISTS $specsSql")
     }
 
   /** S5 — create the external partitioned catalog table over a landing
@@ -65,10 +81,10 @@ object Landing {
                              partitionCols: Seq[String], location: String,
                              format: String = "orc"): Unit = {
     val dataCols = schema.fields.filterNot(f => partitionCols.contains(f.name))
-    val ddl = (dataCols.map(f => s"${f.name} ${f.dataType.sql}") ++
-      partitionCols.map(c => s"$c ${schema(c).dataType.sql}")).mkString(", ")
-    spark.sql(s"""CREATE TABLE IF NOT EXISTS $table ($ddl) USING $format
-                  PARTITIONED BY (${partitionCols.mkString(", ")})
-                  LOCATION '$location'""")
+    val ddl = (dataCols.map(f => s"${quoteIdent(f.name)} ${f.dataType.sql}") ++
+      partitionCols.map(c => s"${quoteIdent(c)} ${schema(c).dataType.sql}")).mkString(", ")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS ${quoteIdent(table)} ($ddl) USING $format
+                  PARTITIONED BY (${partitionCols.map(quoteIdent).mkString(", ")})
+                  LOCATION '${location.replace("'", "''")}'""")
   }
 }

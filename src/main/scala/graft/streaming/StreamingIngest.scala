@@ -189,7 +189,13 @@ object StreamingIngest {
       .orderBy(col("user_id"))
   }
 
-  /** Streaming session_window variant (used by tests; same gap contract). */
+  /** T2b — the streaming form of [[sessionize]]: native `session_window`
+    * state (merge-on-overlap) driven through a real streaming execution,
+    * then sessions-per-user. Declared + oracle-checked: session_window
+    * starts a NEW session at exactly `gap` (strict overlap), so the oracle
+    * is gaps-and-islands with `>= gap` in exact microseconds — one place
+    * the streaming operator's semantics differ from the batch `> gap`
+    * rule, pinned by the oracle rather than papered over. */
   def sessionWindowStream(spark: SparkSession, sfDir: String, gapSeconds: Long = 1800L): DataFrame = {
     val qn = "graft_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val agg = source(spark, sfDir)

@@ -94,17 +94,54 @@ class DedupSimilaritySpec extends SparkSpec {
     val prior = docs.where(bucket <= 7)
     val fresh = docs.where(bucket >= 8)
     // run 1: prior corpus seeds the index (all its distinct texts survive)
-    val kept1 = Dedup.dedupAgainstIndex(spark, prior, idxDir)
+    val kept1 = Dedup.dedupAgainstIndex(spark, prior, idxDir, "b0")
     assert(kept1.count() == prior.select($"text").distinct().count())
     // run 2: new batch — exact dups of prior (or within-batch) are dropped
-    val kept2 = Dedup.dedupAgainstIndex(spark, fresh, idxDir)
+    val kept2 = Dedup.dedupAgainstIndex(spark, fresh, idxDir, "b1")
     val priorTexts = prior.select($"text").as[String].collect().toSet
     val expected = fresh.select($"doc_id", $"text").as[(Long, String)].collect()
       .filterNot { case (_, t) => priorTexts.contains(t) }
       .groupBy(_._2).map(_._2.map(_._1).min).toSet
     assert(kept2.select($"doc_id").as[Long].collect().toSet == expected)
-    // run 3: replaying the same batch admits nothing — the cross-run property
-    assert(Dedup.dedupAgainstIndex(spark, fresh, idxDir).isEmpty)
+    // retry of run 2 (downstream commit failed → same tag): the probe
+    // excludes the tag's own earlier index entries, so the retry REPRODUCES
+    // its survivors instead of seeing them as already-seen and losing the
+    // whole batch
+    assert(Dedup.dedupAgainstIndex(spark, fresh, idxDir, "b1")
+      .select($"doc_id").as[Long].collect().toSet == expected)
+    // run 3 (new tag, same content — tomorrow's crawl re-sends everything):
+    // admits nothing — the cross-run property
+    assert(Dedup.dedupAgainstIndex(spark, fresh, idxDir, "b2").isEmpty)
+  }
+
+  test("X13: reliable-checkpoint files are reclaimed across dupClusters runs") {
+    // with a checkpoint dir set, every dupClusters round writes a reliable
+    // rdd-* snapshot; cleanCheckpoints=true (set at session build) lets the
+    // ContextCleaner delete them once unreachable, so repeated runs can't
+    // accumulate O(runs · log n) files
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck13").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    try {
+      Dedup.dupClusters(spark, sf).count()
+      Dedup.dupClusters(spark, sf).count()
+      def rddDirs: Int = {
+        val root = new java.io.File(ckDir)
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory)
+            (if (f.getName.startsWith("rdd-")) 1 else 0) +
+              Option(f.listFiles()).toSeq.flatten.map(walk).sum
+          else 0
+        walk(root)
+      }
+      assert(rddDirs > 0, "expected reliable checkpoints to have been written")
+      // drop the last references and let the cleaner reclaim the files
+      val deadline = System.currentTimeMillis() + 30000
+      var n = rddDirs
+      while (n > 0 && System.currentTimeMillis() < deadline) {
+        System.gc(); Thread.sleep(500); n = rddDirs
+      }
+      assert(n == 0, s"$n rdd-* checkpoint dirs never reclaimed")
+    } finally spark.sparkContext.setCheckpointDir(null)
   }
 
   test("evictCaches releases the memoized indexes and queries rebuild cleanly") {

@@ -118,6 +118,36 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("serde surface: config-driven forName loading (the reference's reflective wiring)") {
+    import graft.functions.{BinaryCodec, Serde}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("a", LongType), StructField("b", StringType)))
+    // class with a (StructType) constructor — the metastore-schema path
+    val json = Serde.forName("graft.functions.JsonSerde", schema)
+    assert(json.schema == schema)
+    // DelimitedSerde by name, then the p1b query shape run through it:
+    // serialize event fields → parse back → values recovered
+    val delim = Serde.forName("graft.functions.DelimitedSerde", schema)
+    assert(delim.schema == schema)
+    val roundTrip = Seq((7L, "x"), (9L, "y")).toDF("a", "b")
+      .select(concat_ws("\t", $"a", $"b").as("body"))
+      .select(delim.parse($"body").as("p"))
+      .select($"p.a", $"p.b").as[(Long, String)].collect().toSet
+    assert(roundTrip == Set(7L -> "x", 9L -> "y"))
+    // Scala objects and no-arg classes, via the codec twin
+    assert(BinaryCodec.forName("graft.functions.ByteProbeCodec")
+      .featureSchema == BinaryCodec.ProbeSchema)
+    assert(BinaryCodec.forName("graft.functions.BatchedByteProbeCodec")
+      .featureSchema == BinaryCodec.ProbeSchema)
+    // the error surface a config typo hits: clear message, not a reflection stack
+    val e1 = intercept[IllegalArgumentException](
+      Serde.forName("graft.functions.NoSuchSerde", schema))
+    assert(e1.getMessage.contains("NoSuchSerde"))
+    val e2 = intercept[IllegalArgumentException](
+      Serde.forName("graft.functions.ByteProbeCodec", schema)) // wrong kind
+    assert(e2.getMessage.contains("not a Serde"))
+  }
+
   test("serde surface: malformed bodies degrade to null fields, never fail the job") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("a", LongType), StructField("b", StringType)))

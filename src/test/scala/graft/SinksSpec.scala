@@ -15,6 +15,13 @@ class SinksSpec extends SparkSpec {
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  test("S6: catalog identifiers are quoted and malformed ones rejected") {
+    assert(Landing.quoteIdent("events_landed") == "`events_landed`")
+    assert(Landing.quoteIdent("db1.events") == "`db1`.`events`")
+    for (bad <- Seq("x; DROP TABLE y", "a-b", "", "db..t", "t`", "1abc"))
+      intercept[IllegalArgumentException](Landing.quoteIdent(bad))
+  }
+
   test("S7: JDBC round trip — detail written, read back, completeness equals in-engine") {
     val url = Bookkeeping.derbyUrl(s"${tmp("graft_derby_rt")}/bk")
     Bookkeeping.write(Counters.sinkDetail(spark, sf), url)
