@@ -58,6 +58,7 @@ object SparkEntry {
     "w3_running_sum" -> (Relational.runningSum _),
     "w4_ntile_rank" -> (Relational.ntileRank _),
     "w4b_ntile_scalable" -> ((s, d) => Relational.ntileScalable(s, d)),
+    "w5_percent_rank" -> (Relational.percentRankDist _),
     "s1_topk" -> (Relational.topK _),
     "s2_union" -> (Relational.unionSets _),
     "s3_intersect" -> (Relational.intersectSets _),
@@ -103,6 +104,9 @@ object SparkEntry {
     "x15_tfidf_top_terms" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "x20_bm25_topk" -> ((s, d) => Search.bm25TopK(s, d)),
     "x21_sequence_pack" -> ((s, d) => TextAnalysis.sequencePack(s, d)),
+    "x21b_global_pack" -> ((s, d) => TextAnalysis.globalSequencePack(s, d)),
+    "x23_pii_redact" -> (TextAnalysis.piiRedact _),
+    "x24_repetition" -> ((s, d) => TextAnalysis.repetitionStats(s, d)),
     "x22_length_quantiles" -> (TextAnalysis.lengthQuantiles _),
     "x22b_length_quantiles_approx" -> ((s, d) => TextAnalysis.lengthQuantilesApprox(s, d)),
   )
@@ -665,6 +669,57 @@ object SparkEntry {
           SELECT source, CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS chunk_id,
             count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
           FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
+    "x21b_global_pack" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tok
+            FROM documents),
+          c AS (SELECT n_tok,
+            SUM(n_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM d)
+          SELECT CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS chunk_id,
+            count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+          FROM c GROUP BY 1 ORDER BY 1""",
+    // regex patterns stay in the Java∩RE2 common dialect; DuckDB's
+    // regexp_replace needs the explicit 'g' flag Spark applies by default
+    "x23_pii_redact" ->
+      """WITH s AS (SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+             '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+             '.7 ref ' || CAST(100000000 + doc_id AS VARCHAR) AS synth
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(synth, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(synth, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(synth, '\b\d{9,}\b')) AS BIGINT) AS n_ids,
+           regexp_replace(regexp_replace(regexp_replace(synth,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{9,}\b', '<ID>', 'g') AS redacted_text
+         FROM s ORDER BY doc_id""",
+    "x24_repetition" ->
+      s"""WITH docs AS (SELECT doc_id, $toks AS toks FROM documents),
+          sh AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+                 FROM docs, unnest(generate_series(1, len(toks) - 2)) AS t(i)
+                 WHERE len(toks) >= 3),
+          agg AS (SELECT doc_id, count(*) AS total, count(DISTINCT s) AS dis
+                  FROM sh GROUP BY 1)
+          SELECT d.doc_id,
+            CAST(coalesce(a.total, 0) AS BIGINT) AS n_3grams,
+            CAST(coalesce(a.dis, 0) AS BIGINT) AS n_distinct,
+            round(CASE WHEN a.total IS NULL THEN 0.0
+              ELSE CAST(a.total - a.dis AS DOUBLE) / a.total END, 6) AS dup_frac,
+            (CASE WHEN a.total IS NULL THEN 0.0
+              ELSE CAST(a.total - a.dis AS DOUBLE) / a.total END) <= 0.2 AS keep
+          FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
+          ORDER BY doc_id""",
+    "w5_percent_rank" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey)
+         ORDER BY o_orderkey""",
     "x22_length_quantiles" ->
       s"""SELECT lang, count(*) AS n_docs,
             round(quantile_cont(n_tok, 0.25), 6) AS p25,

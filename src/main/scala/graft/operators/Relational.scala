@@ -251,6 +251,21 @@ object Relational {
       .orderBy(col("l_suppkey"), col("ship_epoch"), col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** W5 — the distribution analytics: percent_rank + cume_dist of each
+    * order's price within its priority class. Partitioned window (one
+    * shuffle on the partition key, no global stage); ties broken by
+    * o_orderkey so both engines rank identically; rounded so the float
+    * division is hash-comparable cross-engine. */
+  def percentRankDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** W4 — ntile + dense_rank over customer balances. */
   def ntileRank(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))

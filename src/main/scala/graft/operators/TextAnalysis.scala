@@ -179,6 +179,105 @@ object TextAnalysis {
       .orderBy(col("source"), col("chunk_id"))
   }
 
+  /** X21b — GLOBAL token-budget sequence packing: one corpus-wide
+    * concatenation stream (ordered by doc_id), not per-source. The naive
+    * form is a no-partition window — a single-task global sort, the
+    * anti-pattern w4 documents — so this uses the same two-phase technique
+    * as w4b: range-partition on doc_id, local running sums per partition,
+    * then global cumsum = local + broadcast per-partition offsets (a
+    * `parts`-sized metadata array on the driver, never row data). No
+    * single-partition stage anywhere; survives any scale-up.
+    *
+    * Memoized persist for the same reason as w4b: range-partition
+    * boundaries come from seeded sampling keyed to the RDD id, so the
+    * offsets job and the final projection must see ONE materialized
+    * partitioning, not two independent executions of the plan. */
+  def globalSequencePack(spark: SparkSession, sfDir: String, seqLen: Int = 512,
+                         parts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val local = DfCache.memoize(spark, s"gpack:$sfDir:$parts") {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+        .repartitionByRange(parts, col("doc_id").asc)
+        .withColumn("pid", spark_partition_id())
+        .withColumn("lcum", sum(col("n_tok")).over(
+          Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }
+    // per-partition token totals: bounded by `parts` — metadata, not data
+    val counts = local.groupBy(col("pid")).agg(sum(col("n_tok")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = { var acc = 0L
+      counts.map { case (pid, t) => val o = (pid, acc); acc += t; o }.toSeq }
+    val offDf = spark.createDataFrame(offsets).toDF("pid", "off")
+    local.join(broadcast(offDf), "pid")
+      .select(
+        floor((col("off") + col("lcum") - col("n_tok")) / lit(seqLen.toDouble))
+          .cast("long").as("chunk_id"),
+        col("n_tok"))
+      .groupBy(col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("chunk_id"))
+  }
+
+  /** X23 — PII detection + redaction: the scrub step every released
+    * training corpus runs (emails, IPv4s, long digit runs → typed
+    * placeholder tokens, plus per-doc match counts for the audit trail).
+    * Pure regexp column expressions — fused with the scan, trivially
+    * 100 TB-safe. The fixture corpus contains no organic PII, so the query
+    * first synthesizes a deterministic contact line from doc fields and
+    * then provably strips it: counts and redacted text are both
+    * oracle-checked, which pins the regex semantics cross-engine (patterns
+    * are kept in the Java∩RE2 common dialect). */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val longId = "\\b\\d{9,}\\b"
+    val synth = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or 10.0."),
+      pmod(col("doc_id"), lit(256L)).cast("string"), lit(".7 ref "),
+      (lit(100000000L) + col("doc_id")).cast("string"))
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(synth, email, "<EMAIL>"),
+          ip, "<IP>"),
+        longId, "<ID>")
+    Tables.documents(spark, sfDir).select(
+        col("doc_id"),
+        regexp_count(synth, lit(email)).cast("long").as("n_emails"),
+        regexp_count(synth, lit(ip)).cast("long").as("n_ips"),
+        regexp_count(synth, lit(longId)).cast("long").as("n_ids"),
+        redacted.as("redacted_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X24 — within-document repetition stats (the Gopher/MassiveText
+    * duplicate-n-gram filter): fraction of 3-token shingles that are
+    * repeats of an earlier shingle in the same doc. Distinct shingles come
+    * from the shared [[graft.functions.TextFns.shingleHashes]] (hash
+    * collisions vs the oracle's string-distinct: ~2⁻⁶⁴ per doc,
+    * immaterial); everything stays per-row column expressions fused with
+    * the scan. Docs under 3 tokens have no shingles → 0/0 → fraction 0,
+    * kept (nothing to repeat). */
+  def repetitionStats(spark: SparkSession, sfDir: String,
+                      maxDupFrac: Double = 0.2): DataFrame = {
+    val toksC = TextFns.tokens(col("text"))
+    val total = greatest(size(toksC) - 2, lit(0)).cast("long")
+    val distinctSh = size(TextFns.shingleHashes(toksC, 3)).cast("long")
+    val dupFrac = when(total === 0, lit(0.0))
+      .otherwise((total - distinctSh).cast("double") / total.cast("double"))
+    Tables.documents(spark, sfDir).select(
+        col("doc_id"),
+        total.as("n_3grams"),
+        when(total === 0, lit(0L)).otherwise(distinctSh).as("n_distinct"),
+        round(dupFrac, 6).as("dup_frac"),
+        (dupFrac <= maxDupFrac).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** X22 — exact length quantiles per language: the corpus-shape audit
     * (p25/p50/p90/p99 of per-doc token counts) run before choosing context
     * lengths and packing budgets. Spark's `percentile` is the exact
