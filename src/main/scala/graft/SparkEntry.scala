@@ -59,6 +59,7 @@ object SparkEntry {
     "w4_ntile_rank" -> (Relational.ntileRank _),
     "w4b_ntile_scalable" -> ((s, d) => Relational.ntileScalable(s, d)),
     "w5_percent_rank" -> (Relational.percentRankDist _),
+    "w6_range_window" -> (Relational.rangeWindowAgg _),
     "s1_topk" -> (Relational.topK _),
     "s2_union" -> (Relational.unionSets _),
     "s3_intersect" -> (Relational.intersectSets _),
@@ -78,6 +79,7 @@ object SparkEntry {
     "t2_sessionize" -> ((s, d) => StreamingIngest.sessionize(s, d)),
     "t2b_session_window_stream" -> ((s, d) => StreamingIngest.sessionWindowStream(s, d)),
     "t3_stream_dedup" -> (StreamingIngest.streamDedupFirstSeen _),
+    "t4_stream_stream_join" -> ((s, d) => StreamingIngest.streamStreamJoin(s, d)),
     // M5 — [EXT] LLM-pipeline operators
     "x1_dedup_exact" -> (Dedup.exactDedup _),
     "x2_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -107,6 +109,9 @@ object SparkEntry {
     "x21b_global_pack" -> ((s, d) => TextAnalysis.globalSequencePack(s, d)),
     "x23_pii_redact" -> (TextAnalysis.piiRedact _),
     "x24_repetition" -> ((s, d) => TextAnalysis.repetitionStats(s, d)),
+    "x25_stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
+    "x26_quality_filter" -> (TextAnalysis.qualityFilter _),
+    "x27_token_entropy" -> (TextAnalysis.tokenEntropy _),
     "x22_length_quantiles" -> (TextAnalysis.lengthQuantiles _),
     "x22b_length_quantiles_approx" -> ((s, d) => TextAnalysis.lengthQuantilesApprox(s, d)),
   )
@@ -424,6 +429,16 @@ object SparkEntry {
          SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
                 count(*) AS n_events
          FROM m GROUP BY 1 ORDER BY 1""",
+    // inner stream-stream join over a finite input = the batch interval
+    // join; boundary comparisons are exact microsecond timestamps on both
+    // engines, lag_sec is floor-epoch subtraction (Spark unix_timestamp)
+    "t4_stream_stream_join" ->
+      s"""SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
+            ${epochS("e.ts")} - ${epochS("c.ts")} AS lag_sec
+          FROM events c JOIN events e ON c.user_id = e.user_id
+          WHERE c.event_type = 'click' AND e.event_type = 'error'
+            AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 1800 SECOND
+          ORDER BY 1, 2, 3""",
     "x1_dedup_exact" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies,
          CAST(length(text) AS BIGINT) AS text_len
@@ -720,6 +735,60 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY o_orderpriority
                       ORDER BY o_totalprice DESC, o_orderkey)
          ORDER BY o_orderkey""",
+    // RANGE frame over the integer epoch-second order key: value-based
+    // frame, peers (tied seconds) share it on both engines
+    "w6_range_window" ->
+      s"""WITH e AS (SELECT event_id, user_id, ${epochS("ts")} AS epoch, value
+            FROM events)
+          SELECT event_id, user_id, epoch, value,
+            count(*) OVER w AS n_10min,
+            round(SUM(value) OVER w, 6) AS sum_10min
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch
+                       RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+          ORDER BY event_id""",
+    "x25_stratified_sample" ->
+      s"""WITH r AS (SELECT doc_id, lang,
+            ${polyHashSql("CAST(doc_id AS VARCHAR)")} AS rk FROM documents),
+          w AS (SELECT lang, doc_id, CAST(row_number() OVER
+                  (PARTITION BY lang ORDER BY rk, doc_id) AS BIGINT) AS pick
+                FROM r)
+          SELECT lang, pick, doc_id FROM w WHERE pick <= 30
+          ORDER BY lang, pick""",
+    "x26_quality_filter" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+          m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+            CASE WHEN len(toks) > 0 THEN
+              CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                / len(toks) ELSE 0.0 END AS mean_len,
+            coalesce(list_max(list_transform(toks,
+              t -> CAST(length(t) AS BIGINT))), 0) AS max_len,
+            list_has_any(toks, ['the','a','of','and','to','in']) AS has_stop
+          FROM d)
+          SELECT doc_id, n_tokens, round(mean_len, 6) AS mean_tok_len,
+            n_tokens >= 20 AS ok_min_tokens,
+            (mean_len >= 2.5 AND mean_len <= 10.0) AS ok_mean_len,
+            max_len <= 20 AS ok_max_len,
+            has_stop AS ok_stopword,
+            (n_tokens >= 20 AND mean_len >= 2.5 AND mean_len <= 10.0
+             AND max_len <= 20 AND has_stop) AS keep,
+            CASE WHEN NOT (n_tokens >= 20) THEN 'min_tokens'
+                 WHEN NOT (mean_len >= 2.5 AND mean_len <= 10.0) THEN 'mean_len'
+                 WHEN NOT (max_len <= 20) THEN 'max_len'
+                 WHEN NOT has_stop THEN 'stopword'
+                 ELSE 'ok' END AS reason
+          FROM m ORDER BY doc_id""",
+    "x27_token_entropy" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+          c AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY 1, 2),
+          a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+                  count(*) AS n_types,
+                  SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS clog
+                FROM c GROUP BY 1)
+          SELECT doc_id, n AS n_tokens, n_types,
+            round(log2(CAST(n AS DOUBLE)) - clog / n, 6) AS entropy_bits,
+            round(CAST(n_types AS DOUBLE) / n, 6) AS ttr
+          FROM a ORDER BY doc_id""",
     "x22_length_quantiles" ->
       s"""SELECT lang, count(*) AS n_docs,
             round(quantile_cont(n_tok, 0.25), 6) AS p25,

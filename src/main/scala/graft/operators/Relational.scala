@@ -266,6 +266,24 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** W6 — time-RANGE frame analytics: per user, events and value-sum in
+    * the trailing 10 minutes *of event time* (RANGE BETWEEN 600 PRECEDING
+    * AND CURRENT ROW over the epoch-second order key), the sliding-window
+    * form a rate limiter or anomaly scorer runs. Unlike the ROWS frame
+    * (w3), the RANGE frame is value-based: ties share a frame and sparse
+    * regions shrink it. Partitioned by user — one hash shuffle, no global
+    * stage; per-partition frames evaluate in one sorted pass. */
+  def rangeWindowAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("epoch"))
+      .rangeBetween(-600L, 0L)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        Times.epochSeconds(col("ts")).as("epoch"), col("value"))
+      .withColumn("n_10min", count(lit(1)).over(w))
+      .withColumn("sum_10min", round(sum(col("value")).over(w), 6))
+      .orderBy(col("event_id"))
+  }
+
   /** W4 — ntile + dense_rank over customer balances. */
   def ntileRank(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))

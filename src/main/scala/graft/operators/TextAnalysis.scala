@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.TextFns
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** M5 — text-analysis operators over `documents` (engine extension for
@@ -275,6 +276,82 @@ object TextAnalysis {
         when(total === 0, lit(0L)).otherwise(distinctSh).as("n_distinct"),
         round(dupFrac, 6).as("dup_frac"),
         (dupFrac <= maxDupFrac).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X25 — stratified sampling with exact per-stratum quotas: keep at most
+    * `quota` docs per language, chosen by content-stable hash order (never
+    * `rand()` — reruns and backfills select the identical sample). The
+    * per-stratum top-k is a partitioned window: one shuffle on the stratum
+    * key, rank state per stratum only, no global stage. Hot strata at
+    * 100 TB would pre-filter by a hash threshold (keep ≈ quota·fudge by
+    * `hash % N < t`) before ranking — noted, not needed at fixture scale. */
+  def stratifiedSample(spark: SparkSession, sfDir: String, quota: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("rk"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        TextFns.polyHash(col("doc_id").cast("string")).as("rk"))
+      .withColumn("pick", row_number().over(w).cast("long"))
+      .where(col("pick") <= quota)
+      .select(col("lang"), col("pick"), col("doc_id"))
+      .orderBy(col("lang"), col("pick"))
+  }
+
+  /** X26 — hard quality-filter rules (the C4-style reject stack, distinct
+    * from x8's soft score): minimum token count, mean token length in a
+    * sane band, a max-token-length cap (binary-garbage tell), and a
+    * stopword-presence check. Emits each rule verdict plus the first
+    * failing rule as the reject reason — the audit columns a corpus build
+    * keeps so filter rates per rule are monitorable. Pure column
+    * expressions fused with the scan. */
+  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val lens = transform(toks, t => length(t).cast("long"))
+    val meanLen = when(nTok > 0,
+      aggregate(lens, lit(0L), (a, x) => a + x).cast("double") / nTok.cast("double"))
+      .otherwise(lit(0.0))
+    val maxLen = coalesce(array_max(lens), lit(0L))
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+    val hasStop = arrays_overlap(toks, array(stop.map(lit(_)): _*))
+    val rMin = nTok >= 20L
+    val rMean = meanLen >= 2.5 && meanLen <= 10.0
+    val rMax = maxLen <= 20L
+    Tables.documents(spark, sfDir).select(
+        col("doc_id"), nTok.as("n_tokens"),
+        round(meanLen, 6).as("mean_tok_len"),
+        rMin.as("ok_min_tokens"), rMean.as("ok_mean_len"),
+        rMax.as("ok_max_len"), hasStop.as("ok_stopword"),
+        (rMin && rMean && rMax && hasStop).as("keep"),
+        when(!rMin, lit("min_tokens")).when(!rMean, lit("mean_len"))
+          .when(!rMax, lit("max_len")).when(!hasStop, lit("stopword"))
+          .otherwise(lit("ok")).as("reason"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X27 — per-doc unigram entropy + type-token ratio: the
+    * information-density screen (near-zero entropy = keyboard mash or
+    * boilerplate loops; the cheap proxy where a perplexity model is too
+    * expensive to run corpus-wide). Entropy in bits over the doc's token
+    * distribution: log2(n) − Σ c·log2(c) / n. One explode shuffle keyed
+    * (doc_id, term) then a per-doc rollup — both combine map-side; no
+    * driver work. The DuckDB oracle states the identical formula (DuckDB's
+    * own `entropy()` aggregate is the same quantity), pinning the
+    * definition cross-engine. */
+  def tokenEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+    terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_types"),
+        sum(col("c").cast("double") * log2(col("c").cast("double"))).as("clog"))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("n_types"),
+        round(log2(col("n").cast("double")) - col("clog") / col("n").cast("double"), 6)
+          .as("entropy_bits"),
+        round(col("n_types").cast("double") / col("n").cast("double"), 6)
+          .as("ttr"))
       .orderBy(col("doc_id"))
   }
 

@@ -214,6 +214,48 @@ object StreamingIngest {
       .orderBy(col("user_id"))
   }
 
+  /** T4 — stream-stream event-time interval join: every `click` joined to
+    * the `error`s of the same user within the next `windowSec` seconds.
+    * This is the streaming correlation primitive the reference's
+    * single-stream sink cannot express at all: two independently
+    * watermarked streams, matched on key + a two-sided event-time range.
+    * The range bound on BOTH join columns is what lets the state store
+    * evict — each side keeps only `windowSec + watermark` of history, so
+    * state is bounded regardless of stream length (the 100 TB property);
+    * without the time bound Spark would buffer both streams forever.
+    * Inner join: every match emits exactly once, so on a finite input the
+    * result equals the batch interval join — which is what the DuckDB
+    * oracle states. */
+  def streamStreamJoin(spark: SparkSession, sfDir: String,
+                       windowSec: Long = 1800L): DataFrame = {
+    val clicks = source(spark, sfDir)
+      .where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val errors = source(spark, sfDir)
+      .where(col("event_type") === "error")
+      .select(col("event_id").as("error_id"),
+        col("user_id").as("err_user_id"), col("ts").as("error_ts"))
+      .withWatermark("error_ts", "10 minutes")
+    val joined = clicks.join(errors,
+      col("user_id") === col("err_user_id") &&
+        col("error_ts") >= col("click_ts") &&
+        col("error_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec seconds"))
+      .select(col("user_id"), col("click_id"), col("error_id"),
+        (unix_timestamp(col("error_ts")) - unix_timestamp(col("click_ts")))
+          .as("lag_sec"))
+    val qn = "graft_ssj_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = joined.writeStream
+      .format("memory").queryName(qn)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+    spark.table(qn)
+      .orderBy(col("user_id"), col("click_id"), col("error_id"))
+  }
+
   /** Replay-idempotent per-batch ORC landing: write the batch to a
     * batchId-scoped staging dir (overwrite — a replay clobbers its own
     * partial attempt), then move each staged file into its logdate
