@@ -24,6 +24,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // M1 — ingestion pipeline (reference hot path)
     "q_ingest_partition_counts" -> (Ingest.partitionCounts _),
+    "q_compact_partition_counts" -> (Ingest.compactRoundtrip _),
     "p1_serde_parse" -> (RowTransforms.serdeParse _),
     "p1b_delimited_parse" -> (RowTransforms.delimitedParse _),
     "p2_path_render" -> (RowTransforms.pathRender _),
@@ -133,6 +134,12 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_ingest_partition_counts" ->
+      s"""SELECT ${logdateS("ts")} AS logdate, count(*) AS n_events,
+          count(DISTINCT coalesce(event_type, 'no_category')) AS n_categories,
+          CAST(floor(max(epoch(ts))) AS BIGINT) AS max_epoch
+          FROM events GROUP BY 1 ORDER BY 1""",
+    // identical accounting: compaction must preserve the data exactly
+    "q_compact_partition_counts" ->
       s"""SELECT ${logdateS("ts")} AS logdate, count(*) AS n_events,
           count(DISTINCT coalesce(event_type, 'no_category')) AS n_categories,
           CAST(floor(max(epoch(ts))) AS BIGINT) AS max_epoch

@@ -70,6 +70,31 @@ object Ingest {
       .orderBy(col("logdate"))
   }
 
+  /** Q — land fragmented (8 files per logdate partition, the many-small-
+    * files state a micro-batch sink accumulates), compact with
+    * [[graft.sources.Landing.compactPartitions]], then re-read and produce
+    * the same per-partition accounting as the flagship. The oracle checks
+    * the data survived the rewrite bit-for-bit; IngestSpec separately
+    * asserts the file counts actually collapsed and the staging/trash dirs
+    * are gone. */
+  def compactRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    enriched(spark, sfDir)
+      .repartition(8)
+      .write.mode("overwrite").partitionBy("logdate").orc(out)
+    graft.sources.Landing.compactPartitions(spark, out, "logdate")
+    spark.read.orc(out)
+      // partition-type inference reads the logdate path value as a long;
+      // the accounting (and its oracle) treat logdate as the string key
+      .withColumn("logdate", col("logdate").cast("string"))
+      .groupBy(col("logdate"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("category")).as("n_categories"),
+        max(Times.epochSeconds(col("ts"))).as("max_epoch"))
+      .orderBy(col("logdate"))
+  }
+
   /** The same per-partition accounting computed directly on the source —
     * what the DuckDB oracle can express (no file side effects). */
   def partitionCounts(spark: SparkSession, sfDir: String): DataFrame =

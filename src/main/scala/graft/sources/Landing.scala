@@ -71,6 +71,89 @@ object Landing {
       spark.sql(s"ALTER TABLE ${quoteIdent(table)} ADD IF NOT EXISTS $specsSql")
     }
 
+  /** Per-partition file census of a landed table: (partition dir name,
+    * file count, total bytes). Bounded driver metadata — one entry per
+    * partition, never row data. */
+  def partitionFileStats(spark: SparkSession, path: String):
+      Seq[(String, Int, Long)] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map { d =>
+        val files = fs.listStatus(d.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+            && !f.getPath.getName.startsWith("."))
+        (d.getPath.getName, files.length, files.map(_.getLen).sum)
+      }.sortBy(_._1)
+  }
+
+  /** Small-file compaction of a partitioned landing table — the
+    * maintenance pass every streaming sink needs (each micro-batch lands
+    * `batch-<id>-part-*` files; a day of 1-minute batches is 1440 files
+    * per partition, and at 100 TB the NameNode/scan-planning cost of tiny
+    * files dwarfs the data). Partitions with more than `maxFiles` files
+    * are rewritten: one job reads only those partitions, `repartition`
+    * on the partition column packs each one into a single task writer
+    * (AQE splits a skewed partition across tasks rather than OOMing it),
+    * and the rewrite lands in a staging dir via the normal atomic commit
+    * protocol. The swap is then two directory renames per partition
+    * (old → trash, staged → live) — metadata ops on HDFS-likes. Crash
+    * safety: before the first rename the live tree is untouched; between
+    * the renames the old data is intact in the trash dir and the staged
+    * dir is complete, so recovery is re-running the compaction (staged
+    * output is rebuilt; renames are idempotent toward the same end
+    * state). On object stores the renames become a manifest commit, same
+    * contract. Returns (partition, filesBefore, filesAfter). */
+  def compactPartitions(spark: SparkSession, path: String,
+                        partitionCol: String, format: String = "orc",
+                        maxFiles: Int = 1): Seq[(String, Int, Int)] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = partitionFileStats(spark, path)
+    val targets = before.filter(_._2 > maxFiles)
+    if (targets.isEmpty) return Seq.empty
+    val values = targets.map(_._1.split("=", 2)(1))
+      .map(v => java.net.URLDecoder.decode(v, "UTF-8"))
+    val staging = new Path(root.getParent,
+      "." + root.getName + s"_compact_staging")
+    val trash = new Path(root.getParent, "." + root.getName + s"_compact_trash")
+    fs.delete(staging, true); fs.delete(trash, true)
+    import org.apache.spark.sql.functions.col
+    // Keep partition values as the literal path strings: type inference
+    // would read logdate=0005 back as long 5 and re-render the dir name
+    // differently — a silent partition rename on rewrite.
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val inferWas = spark.conf.get(inferKey, "true")
+    spark.conf.set(inferKey, "false")
+    try {
+      spark.read.format(format).load(path)
+        .where(col(partitionCol).isin(values: _*))
+        .repartition(col(partitionCol))
+        .write.mode("overwrite").partitionBy(partitionCol)
+        .format(format).save(staging.toString)
+    } finally spark.conf.set(inferKey, inferWas)
+    fs.mkdirs(trash)
+    val after = targets.map { case (dirName, nBefore, _) =>
+      val live = new Path(root, dirName)
+      val staged = new Path(staging, dirName)
+      require(fs.exists(staged), s"compaction staged no output for $dirName")
+      require(fs.rename(live, new Path(trash, dirName)),
+        s"compaction could not retire $dirName")
+      require(fs.rename(staged, live),
+        s"compaction could not publish $dirName (old data in $trash)")
+      val nAfter = fs.listStatus(live)
+        .count(f => f.isFile && !f.getPath.getName.startsWith("_")
+          && !f.getPath.getName.startsWith("."))
+      (dirName, nBefore, nAfter)
+    }
+    fs.delete(staging, true); fs.delete(trash, true)
+    after
+  }
+
   /** S5 — create the external partitioned catalog table over a landing
     * path (the metastore table the reference resolves its schema from,
     * `util/HiveUtils.scala:79-88`; here the engine owns the DDL). Data

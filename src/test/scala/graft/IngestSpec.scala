@@ -25,6 +25,33 @@ class IngestSpec extends SparkSpec {
     assert(first == second)
   }
 
+  test("compaction collapses small files, preserves rows, cleans up") {
+    import graft.sources.Landing
+    val out = java.nio.file.Files.createTempDirectory("graft_compact_spec").toString
+    Ingest.enriched(spark, sf).repartition(8)
+      .write.mode("overwrite").partitionBy("logdate").orc(out)
+    val before = Landing.partitionFileStats(spark, out)
+    val fragmented = before.count(_._2 > 1)
+    assert(fragmented > 0, s"fixture should land some fragmentation, got $before")
+    val rowsBefore = spark.read.orc(out).count()
+    val report = Landing.compactPartitions(spark, out, "logdate")
+    assert(report.size == fragmented)
+    assert(report.forall(_._3 == 1),
+      s"every compacted partition should hold one file: $report")
+    val after = Landing.partitionFileStats(spark, out)
+    assert(after.forall(_._2 == 1))
+    assert(spark.read.orc(out).count() == rowsBefore)
+    // staging/trash must be gone — the swap completed and cleaned up
+    val root = new org.apache.hadoop.fs.Path(out)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root.getParent,
+      "." + root.getName + "_compact_staging")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root.getParent,
+      "." + root.getName + "_compact_trash")))
+    // idempotent: nothing left to compact
+    assert(Landing.compactPartitions(spark, out, "logdate").isEmpty)
+  }
+
   test("landing layout is partition-pruned on read") {
     val out = java.nio.file.Files.createTempDirectory("graft_prune").toString
     Ingest.land(spark, sf, out)
