@@ -138,9 +138,10 @@ object SparkEntry {
           count(DISTINCT coalesce(event_type, 'no_category')) AS n_categories,
           CAST(floor(max(epoch(ts))) AS BIGINT) AS max_epoch
           FROM events GROUP BY 1 ORDER BY 1""",
-    // identical accounting: compaction must preserve the data exactly
+    // identical accounting at day grain: compaction preserves the data
     "q_compact_partition_counts" ->
-      s"""SELECT ${logdateS("ts")} AS logdate, count(*) AS n_events,
+      s"""SELECT substring(${logdateS("ts")}, 1, 8) AS logday,
+          count(*) AS n_events,
           count(DISTINCT coalesce(event_type, 'no_category')) AS n_categories,
           CAST(floor(max(epoch(ts))) AS BIGINT) AS max_epoch
           FROM events GROUP BY 1 ORDER BY 1""",

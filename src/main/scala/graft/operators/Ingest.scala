@@ -70,29 +70,35 @@ object Ingest {
       .orderBy(col("logdate"))
   }
 
-  /** Q — land fragmented (8 files per logdate partition, the many-small-
-    * files state a micro-batch sink accumulates), compact with
+  /** Q — land fragmented (8 files per partition, the many-small-files
+    * state a micro-batch sink accumulates), compact with
     * [[graft.sources.Landing.compactPartitions]], then re-read and produce
-    * the same per-partition accounting as the flagship. The oracle checks
-    * the data survived the rewrite bit-for-bit; IngestSpec separately
-    * asserts the file counts actually collapsed and the staging/trash dirs
-    * are gone. */
+    * per-partition accounting. Partitioned by DAY (`logday`), not the
+    * 5-minute logdate: file maintenance is a partition-count game — at
+    * sf0.1 the 5-min key already means ~60k partitions whose per-partition
+    * swap renames alone take minutes, exactly the over-partitioning a
+    * real deployment's compaction policy exists to avoid (days ~O(100s)
+    * of partitions; the 5-min template stays a column, pruned fine). The
+    * oracle checks the data survived the rewrite; IngestSpec separately
+    * asserts the file counts collapsed and the staging/trash dirs are
+    * gone. */
   def compactRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_compact_").toString
     enriched(spark, sfDir)
+      .withColumn("logday", substring(col("logdate"), 1, 8))
       .repartition(8)
-      .write.mode("overwrite").partitionBy("logdate").orc(out)
-    graft.sources.Landing.compactPartitions(spark, out, "logdate")
+      .write.mode("overwrite").partitionBy("logday").orc(out)
+    graft.sources.Landing.compactPartitions(spark, out, "logday")
     spark.read.orc(out)
-      // partition-type inference reads the logdate path value as a long;
-      // the accounting (and its oracle) treat logdate as the string key
-      .withColumn("logdate", col("logdate").cast("string"))
-      .groupBy(col("logdate"))
+      // partition-type inference reads the logday path value as a long;
+      // the accounting (and its oracle) treat it as the string key
+      .withColumn("logday", col("logday").cast("string"))
+      .groupBy(col("logday"))
       .agg(
         count(lit(1)).as("n_events"),
         countDistinct(col("category")).as("n_categories"),
         max(Times.epochSeconds(col("ts"))).as("max_epoch"))
-      .orderBy(col("logdate"))
+      .orderBy(col("logday"))
   }
 
   /** The same per-partition accounting computed directly on the source —
