@@ -102,6 +102,7 @@ object SparkEntry {
     "x14_split_stats" -> (TextAnalysis.splitStats _),
     "x16_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "x17_contamination" -> ((s, d) => Dedup.contamination(s, d)),
+    "x17b_contamination_bloom" -> ((s, d) => Dedup.contaminationBloom(s, d)),
     "x18_mixture_sample" -> (TextAnalysis.mixtureSample _),
     "x19_curated_stats" -> ((s, d) => TextAnalysis.curatedCorpusStats(s, d)),
     "x15_tfidf_top_terms" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
@@ -129,6 +130,32 @@ object SparkEntry {
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length($e)), i -> CAST(ascii(substring($e, i, 1)) AS BIGINT))), (acc, x) -> (acc * 31 + x) % 1000000007)"
   private def dotD(a: String, b: String) =
     s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+  // Shared by x17 and x17b: the Bloom pre-filter variant must reproduce
+  // the exact rows (no false negatives), so both check against one SQL.
+  private lazy val x17Oracle =
+    s"""WITH b AS (SELECT doc_id,
+          ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 10 AS h FROM documents),
+        docs AS (SELECT doc_id, $toks AS tk FROM documents),
+        sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+               FROM docs, unnest(generate_series(1, len(tk) - 2)) AS t(i)
+               WHERE len(tk) >= 3),
+        rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY 1)
+                 WHERE df <= 50),
+        f AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+        bench AS (SELECT doc_id FROM b WHERE h = 9),
+        train AS (SELECT doc_id FROM b WHERE h <= 7),
+        shared AS (
+          SELECT fb.doc_id AS bench_id, ft.doc_id AS train_id, count(*) AS n_shared
+          FROM f fb JOIN bench bn ON fb.doc_id = bn.doc_id
+          JOIN f ft ON fb.s = ft.s
+          JOIN train tr ON ft.doc_id = tr.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 5),
+        per AS (SELECT bench_id, count(*) AS n_hits, max(n_shared) AS max_shared
+                FROM shared GROUP BY 1)
+        SELECT bench.doc_id, coalesce(n_hits, 0) AS n_contaminating,
+               coalesce(max_shared, 0) AS max_shared
+        FROM bench LEFT JOIN per ON bench.doc_id = per.bench_id
+        ORDER BY doc_id"""
   private def cosineD(a: String, b: String) =
     s"${dotD(a, b)} / (sqrt(${dotD(a, a)}) * sqrt(${dotD(b, b)}))"
 
@@ -587,30 +614,10 @@ object SparkEntry {
           WHERE ${polyHashSql("text")} NOT IN (SELECT ${polyHashSql("text")} FROM prior)
             AND doc_id NOT IN (SELECT idn FROM neardup)
           ORDER BY doc_id""",
-    "x17_contamination" ->
-      s"""WITH b AS (SELECT doc_id,
-            ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 10 AS h FROM documents),
-          docs AS (SELECT doc_id, $toks AS tk FROM documents),
-          sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
-                 FROM docs, unnest(generate_series(1, len(tk) - 2)) AS t(i)
-                 WHERE len(tk) >= 3),
-          rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY 1)
-                   WHERE df <= 50),
-          f AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
-          bench AS (SELECT doc_id FROM b WHERE h = 9),
-          train AS (SELECT doc_id FROM b WHERE h <= 7),
-          shared AS (
-            SELECT fb.doc_id AS bench_id, ft.doc_id AS train_id, count(*) AS n_shared
-            FROM f fb JOIN bench bn ON fb.doc_id = bn.doc_id
-            JOIN f ft ON fb.s = ft.s
-            JOIN train tr ON ft.doc_id = tr.doc_id
-            GROUP BY 1, 2 HAVING count(*) >= 5),
-          per AS (SELECT bench_id, count(*) AS n_hits, max(n_shared) AS max_shared
-                  FROM shared GROUP BY 1)
-          SELECT bench.doc_id, coalesce(n_hits, 0) AS n_contaminating,
-                 coalesce(max_shared, 0) AS max_shared
-          FROM bench LEFT JOIN per ON bench.doc_id = per.bench_id
-          ORDER BY doc_id""",
+    "x17_contamination" -> x17Oracle,
+    // identical by construction: the Bloom pre-filter has no false
+    // negatives, so x17b must reproduce x17's rows exactly
+    "x17b_contamination_bloom" -> x17Oracle,
     "x18_mixture_sample" ->
       s"""SELECT source,
           COALESCE(30 + (TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 4) * 20, 100) AS target_pct,

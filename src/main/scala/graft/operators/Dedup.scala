@@ -386,6 +386,60 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** X17b — [[contamination]] with a Bloom pre-filter on the train side:
+    * the bench split's (df-capped) shingle hashes fold into one Bloom
+    * filter (Spark's native `BloomFilterAggregate`, the engine's own
+    * runtime-filter machinery driven explicitly), which then prunes train
+    * postings BEFORE they reach the shuffle join. Blooms have no false
+    * negatives, so the result is bit-identical to x17 (same oracle); false
+    * positives only cost a few extra join probes. The 100 TB shape: the
+    * bench set is tiny next to training data, so its ~MB filter rides
+    * along as a literal/broadcast while the petabyte side drops
+    * non-candidate postings at the scan — the semi-join reduction that
+    * spares the whole train-posting shuffle. The one collected row is the
+    * serialized filter itself — bounded metadata, never row data. */
+  def contaminationBloom(spark: SparkSession, sfDir: String, minShared: Int = 5,
+                         maxDf: Int = 50): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.bridge
+    val bucket = pmod(TextFns.polyHash(col("doc_id").cast("string")), lit(10L))
+    val docs = Tables.documents(spark, sfDir)
+    val benchIds = docs.where(bucket === 9).select(col("doc_id"))
+    val trainIds = docs.where(bucket <= 7).select(col("doc_id"))
+    val posting = shingled(spark, sfDir)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val rare = posting.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select(col("s"))
+    val filtered = posting.join(rare, "s")
+    val benchPost = filtered.join(benchIds, "doc_id")
+      .select(col("doc_id").as("bench_id"), col("s"))
+    val bloomBytes = benchPost
+      .select(bridge.column(
+        new BloomFilterAggregate(bridge.expression(xxhash64(col("s"))))
+          .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = bridge.column(BloomFilterMightContain(
+      Literal.create(bloomBytes,
+        org.apache.spark.sql.types.BinaryType),
+      bridge.expression(xxhash64(col("s")))))
+    val trainPost = filtered.join(trainIds, "doc_id")
+      .select(col("doc_id").as("train_id"), col("s"))
+      .where(mightContain)
+    val shared = benchPost.join(trainPost, "s")
+      .groupBy(col("bench_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    val perBench = shared.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_hits"), max(col("n_shared")).as("max_shared"))
+    benchIds.select(col("doc_id"))
+      .join(perBench.withColumnRenamed("bench_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_contaminating"),
+        coalesce(col("max_shared"), lit(0L)).as("max_shared"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The operational cross-run form of x16's exact leg: dedup `docs`
     * against a *persisted* fingerprint index directory, then append the
     * survivors' fingerprints back — so the next run (tomorrow's crawl)
