@@ -112,6 +112,7 @@ object SparkEntry {
     "x23_pii_redact" -> (TextAnalysis.piiRedact _),
     "x24_repetition" -> ((s, d) => TextAnalysis.repetitionStats(s, d)),
     "x25_stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
+    "x28_temperature_mixture" -> ((s, d) => TextAnalysis.temperatureMixture(s, d)),
     "x26_quality_filter" -> (TextAnalysis.qualityFilter _),
     "x27_token_entropy" -> (TextAnalysis.tokenEntropy _),
     "x22_length_quantiles" -> (TextAnalysis.lengthQuantiles _),
@@ -793,6 +794,20 @@ object SparkEntry {
                  WHEN NOT has_stop THEN 'stopword'
                  ELSE 'ok' END AS reason
           FROM m ORDER BY doc_id""",
+    // sqrt-temperature: IEEE sqrt is correctly rounded so both engines
+    // derive identical ppm thresholds; output is all-integer
+    "x28_temperature_mixture" ->
+      s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+          s AS (SELECT SUM(sqrt(CAST(n AS DOUBLE))) AS sp,
+                       SUM(n) AS tot FROM c),
+          r AS (SELECT source, n, CAST(round(least(1.0,
+                  (0.5 * tot) * sqrt(CAST(n AS DOUBLE)) / sp / n)
+                  * 1000000, 0) AS BIGINT) AS sample_ppm FROM c, s)
+          SELECT r.source, CAST(r.n AS BIGINT) AS n_docs, r.sample_ppm,
+            CAST(SUM(CASE WHEN ${polyHashSql("CAST(d.doc_id AS VARCHAR)")}
+              % 1000000 < r.sample_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+          FROM documents d JOIN r ON d.source = r.source
+          GROUP BY 1, 2, 3 ORDER BY 1""",
     "x27_token_entropy" ->
       s"""WITH t AS (SELECT doc_id, unnest($toks) AS term FROM documents),
           c AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY 1, 2),

@@ -355,6 +355,39 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** X28 — temperature-based mixture re-weighting (the size^α sampling
+    * that flattens a corpus's source distribution; α=0.5 here —
+    * `sqrt`-temperature, chosen over an arbitrary power because IEEE
+    * sqrt is correctly rounded, so both engines compute bit-identical
+    * weights). Per-source sampling rates are derived from per-source doc
+    * counts — bounded driver metadata (one row per source), the x6/x20
+    * inline-the-stats pattern — quantized to integer parts-per-million,
+    * then applied with the content-stable hash (never `rand()`). The
+    * output is all-integer: rates travel as ppm, so the oracle comparison
+    * has no float column at all. One broadcast join + one hash aggregate
+    * over the corpus. */
+  def temperatureMixture(spark: SparkSession, sfDir: String,
+                         frac: Double = 0.5): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val sumPow = counts.map { case (_, n) => math.sqrt(n.toDouble) }.sum
+    val total = counts.map(_._2).sum
+    val rates = counts.map { case (src, n) =>
+      val rate = math.min(1.0, frac * total * math.sqrt(n.toDouble) / sumPow / n)
+      (src, math.round(rate * 1000000.0))
+    }
+    val rateDf = spark.createDataFrame(rates.toSeq).toDF("source", "sample_ppm")
+    Tables.documents(spark, sfDir)
+      .join(broadcast(rateDf), "source")
+      .groupBy(col("source"), col("sample_ppm"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(pmod(TextFns.polyHash(col("doc_id").cast("string")),
+          lit(1000000L)) < col("sample_ppm"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("source"), col("n_docs"), col("sample_ppm"), col("n_kept"))
+      .orderBy(col("source"))
+  }
+
   /** X22 — exact length quantiles per language: the corpus-shape audit
     * (p25/p50/p90/p99 of per-doc token counts) run before choosing context
     * lengths and packing budgets. Spark's `percentile` is the exact
