@@ -91,6 +91,7 @@ object SparkEntry {
     "x6_ann_cosine_topk" -> ((s, d) => Similarity.bruteTopK(s, d)),
     "x6b_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "x6c_centroid_matrix" -> (Similarity.centroidMatrix _),
+    "x6d_batch_topk" -> ((s, d) => Similarity.batchTopK(s, d)),
     "x7_lang_id" -> (TextAnalysis.langId _),
     "x8_quality_score" -> (TextAnalysis.qualityScore _),
     "x9_token_counts" -> (TextAnalysis.tokenCounts _),
@@ -504,6 +505,18 @@ object SparkEntry {
           round(${cosineD("embedding", "qe")}, 6) AS cosine
           FROM embeddings, q WHERE vec_id <> 0
           ORDER BY cosine DESC, vec_id LIMIT 10""",
+    "x6d_batch_topk" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
+            FROM embeddings WHERE vec_id < 10),
+          s AS (SELECT p.probe_id, c.vec_id,
+                  round(${cosineD("c.embedding", "p.pe")}, 6) AS cosine
+                FROM embeddings c, p WHERE c.vec_id >= 10),
+          r AS (SELECT probe_id, vec_id, cosine,
+                  CAST(row_number() OVER (PARTITION BY probe_id
+                    ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+                FROM s)
+          SELECT probe_id, rnk, vec_id, cosine FROM r WHERE rnk <= 5
+          ORDER BY probe_id, rnk""",
     "x7_lang_id" ->
       s"""WITH scored AS (SELECT doc_id, lang AS labeled_lang,
             CAST(len(list_filter($toks, w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS s_en,

@@ -62,6 +62,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** X6d — batched exact top-k: score the corpus against N probe vectors
+    * in ONE scan (the eval-harness shape — a query batch, not a single
+    * vector). The probe batch is bounded metadata (N rows), inlined as a
+    * literal array and `explode`d against each corpus row — so the plan
+    * is Scan → Generate → Window(per-probe heap-rank), with no join
+    * operator at all: the same ship-the-queries-to-the-data shape as x6,
+    * amortizing the corpus scan across the whole batch. Per-probe rank
+    * partitions on probe_id — N-way parallel, never single-partition. */
+  def batchTopK(spark: SparkSession, sfDir: String, nProbes: Int = 10,
+                k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes: Seq[(Long, Seq[Float])] = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") < nProbes)
+      .select(col("vec_id"), col("embedding"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") >= nProbes)
+      .select(col("vec_id"), col("embedding"),
+        explode(typedLit(probes)).as("p"))
+      .select(col("p._1").as("probe_id"), col("vec_id"),
+        round(VectorFns.cosine(col("embedding"), col("p._2")), 6).as("cosine"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("vec_id"), col("cosine"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   /** Pairwise label-centroid similarity matrix — a tiny all-pairs on an
     * already-reduced aggregate (10×10), the legitimate use of cross join. */
   def centroidMatrix(spark: SparkSession, sfDir: String): DataFrame = {

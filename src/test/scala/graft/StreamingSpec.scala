@@ -56,6 +56,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T4: stream-stream interval join matches boundaries exactly and bounds state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicksMs = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val errsMs = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val clicks = clicksMs.toDF().toDF("click_id", "user_id", "click_ts")
+      .withWatermark("click_ts", "1 minute")
+    val errs = errsMs.toDF().toDF("error_id", "err_user_id", "error_ts")
+      .withWatermark("error_ts", "1 minute")
+    val joined = clicks.join(errs,
+      col("user_id") === col("err_user_id") &&
+        col("error_ts") >= col("click_ts") &&
+        col("error_ts") <= col("click_ts") + expr("INTERVAL 120 seconds"))
+      .select(col("click_id"), col("error_id"))
+    val qn = "t4_boundary_sink"
+    val q = joined.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    try {
+      // errors at +0s, +120s (inclusive edge), +121s (just outside)
+      clicksMs.addData((1L, 7L, t(100)))
+      errsMs.addData((10L, 7L, t(100)), (11L, 7L, t(220)), (12L, 7L, t(221)))
+      q.processAllAvailable()
+      // advance both watermarks far past the interval so old state evicts
+      clicksMs.addData((2L, 7L, t(10000)))
+      errsMs.addData((20L, 7L, t(10000)))
+      q.processAllAvailable()
+      val pairs = spark.table(qn).as[(Long, Long)].collect().toSet
+      // [click_ts, click_ts+120s] is closed on both ends; 221s is out
+      assert(pairs == Set((1L, 10L), (1L, 11L), (2L, 20L)), s"got $pairs")
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      // only the rows the final watermark cannot yet prove unmatchable
+      // survive - the bounded-state property that makes the join 100TB-safe
+      assert(stateRows <= 4, s"join state not bounded: $stateRows rows")
+    } finally q.stop()
+  }
+
   test("T6/T5: completeness listener fires per logdate once the watermark passes it") {
     import graft.streaming.CompletenessListener
     // private copy of the fixture so the shared per-sfDir stream source
