@@ -108,6 +108,7 @@ object SparkEntry {
     "x19_curated_stats" -> ((s, d) => TextAnalysis.curatedCorpusStats(s, d)),
     "x15_tfidf_top_terms" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "x20_bm25_topk" -> ((s, d) => Search.bm25TopK(s, d)),
+    "x29_hybrid_rrf" -> ((s, d) => Search.hybridTopK(s, d)),
     "x21_sequence_pack" -> ((s, d) => TextAnalysis.sequencePack(s, d)),
     "x21b_global_pack" -> ((s, d) => TextAnalysis.globalSequencePack(s, d)),
     "x23_pii_redact" -> (TextAnalysis.piiRedact _),
@@ -703,6 +704,45 @@ object SparkEntry {
             FROM d, s)
           SELECT * FROM scored WHERE bm25 > 0
           ORDER BY bm25 DESC, doc_id LIMIT 10""",
+    // both legs rank by ROUNDED score with id tie-break, so candidate
+    // cutoffs and ranks agree cross-engine; RRF = sum of 1/(60+rank)
+    "x29_hybrid_rrf" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($toks) AS DOUBLE) AS dl,
+            CAST(len(list_filter($toks, w -> w = 'spark')) AS DOUBLE) AS tf0,
+            CAST(len(list_filter($toks, w -> w = 'join')) AS DOUBLE) AS tf1,
+            CAST(len(list_filter($toks, w -> w = 'window')) AS DOUBLE) AS tf2
+            FROM documents),
+          s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+            SUM(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+            SUM(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+            SUM(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+            FROM d),
+          scored AS (SELECT doc_id,
+            round(ln(1 + (n_docs - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2)
+                    / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                + ln(1 + (n_docs - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2)
+                    / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                + ln(1 + (n_docs - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2)
+                    / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
+            FROM d, s),
+          kwc AS (SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+                  ORDER BY bm25 DESC, doc_id LIMIT 50),
+          kw AS (SELECT doc_id, CAST(row_number() OVER
+                   (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r1 FROM kwc),
+          q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+          vc AS (SELECT vec_id AS doc_id,
+                   round(${cosineD("embedding", "qe")}, 6) AS cos
+                 FROM embeddings, q WHERE vec_id <> 0
+                 ORDER BY cos DESC, doc_id LIMIT 50),
+          v AS (SELECT doc_id, CAST(row_number() OVER
+                  (ORDER BY cos DESC, doc_id) AS BIGINT) AS r2 FROM vc),
+          f AS (SELECT coalesce(kw.doc_id, v.doc_id) AS doc_id,
+                  kw.r1 AS kw_rank, v.r2 AS vec_rank,
+                  round(coalesce(1.0 / (60 + kw.r1), 0)
+                      + coalesce(1.0 / (60 + v.r2), 0), 6) AS rrf
+                FROM kw FULL JOIN v ON kw.doc_id = v.doc_id)
+          SELECT doc_id, kw_rank, vec_rank, rrf FROM f
+          ORDER BY rrf DESC, doc_id LIMIT 10""",
     "x21_sequence_pack" ->
       s"""WITH d AS (SELECT source, doc_id, CAST(len($toks) AS BIGINT) AS n_tok
             FROM documents),

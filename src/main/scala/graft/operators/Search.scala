@@ -27,7 +27,16 @@ object Search {
     * global sort, two scans total, zero joins. */
   def bm25TopK(spark: SparkSession, sfDir: String,
                terms: Seq[String] = Seq("spark", "join", "window"),
-               k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Scored(spark, sfDir, terms, k1, b)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+
+  /** The full scored set behind [[bm25TopK]] (every doc with bm25 > 0) —
+    * the candidate-generation leg reused by [[hybridTopK]]. */
+  private[graft] def bm25Scored(spark: SparkSession, sfDir: String,
+                                terms: Seq[String] = Seq("spark", "join", "window"),
+                                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val tf = Tables.documents(spark, sfDir)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
       .select(col("doc_id") +: size(col("tk")).cast("double").as("dl") +:
@@ -68,7 +77,49 @@ object Search {
             col(s"tf$i").cast("long").as(s"tf_$t") } :+
           round(terms.indices.map(contrib).reduce(_ + _), 6).as("bm25"): _*)
       .where(col("bm25") > 0)
+  }
+
+  /** X29 — hybrid retrieval: BM25 keyword leg + embedding-cosine leg,
+    * fused by reciprocal-rank fusion (RRF, Cormack et al. '09 —
+    * Σ 1/(rrfK + rank), the standard score-free fusion every
+    * retrieve-then-rerank stack runs). Each leg is a full corpus-scale
+    * scoring scan ending in TakeOrderedAndProject(candidates); the two
+    * candidate lists are bounded metadata (2 × `cand` rows — the j11/x6
+    * collect pattern), so the fusion itself is driver arithmetic, which
+    * is exactly how serving-time fusion works: the heavy lifting is the
+    * scans, the fusion is on the short lists. Ranks use the ROUNDED
+    * scores (ties broken by id) so both engines order identically. */
+  def hybridTopK(spark: SparkSession, sfDir: String,
+                 terms: Seq[String] = Seq("spark", "join", "window"),
+                 probeId: Long = 0L, cand: Int = 50, k: Int = 10,
+                 rrfK: Int = 60): DataFrame = {
+    import graft.functions.VectorFns
+    val kwLeg = bm25Scored(spark, sfDir, terms)
+      .select(col("doc_id"), col("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(cand)
+      .collect().map(_.getLong(0))
+    val probe = typedLit(Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") === probeId)
+      .select(col("embedding")).head().getSeq[Float](0))
+    val vecLeg = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") =!= probeId)
+      .select(col("vec_id"),
+        round(VectorFns.cosine(col("embedding"), probe), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(cand)
+      .collect().map(_.getLong(0))
+    val kwRank = kwLeg.zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    val vecRank = vecLeg.zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    val fused = (kwRank.keySet ++ vecRank.keySet).toSeq.sorted.map { id =>
+      val rrf = kwRank.get(id).map(r => 1.0 / (rrfK + r)).getOrElse(0.0) +
+        vecRank.get(id).map(r => 1.0 / (rrfK + r)).getOrElse(0.0)
+      (id, kwRank.get(id), vecRank.get(id),
+        BigDecimal(rrf).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    import spark.implicits._
+    fused.toDF("doc_id", "kw_rank", "vec_rank", "rrf")
+      .orderBy(col("rrf").desc, col("doc_id"))
       .limit(k)
   }
 }
