@@ -55,6 +55,12 @@ object Bench {
           }
         last = (System.nanoTime() - t0) / 1e9
       }
+      // Untimed inter-query housekeeping (the JMH between-iterations
+      // discipline): collect the garbage the query just created so the
+      // NEXT query's number is its own cost, not this one's GC debt —
+      // without it, whichever query happens to trip the full collection
+      // ~70 queries in reads 5× slower run-to-run.
+      System.gc()
       // failures are marked -1 so a broken query can't read as a fast pass
       (name, if (ok) last else -1.0, ok)
     }

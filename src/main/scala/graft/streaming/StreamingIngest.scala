@@ -228,12 +228,15 @@ object StreamingIngest {
     * oracle states. */
   def streamStreamJoin(spark: SparkSession, sfDir: String,
                        windowSec: Long = 1800L): DataFrame = {
-    val clicks = source(spark, sfDir)
+    // one physical source, two logical branches: offsets/listing are
+    // tracked once and both sides stay in lockstep per micro-batch
+    val src = source(spark, sfDir)
+    val clicks = src
       .where(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
       .withWatermark("click_ts", "10 minutes")
-    val errors = source(spark, sfDir)
+    val errors = src
       .where(col("event_type") === "error")
       .select(col("event_id").as("error_id"),
         col("user_id").as("err_user_id"), col("ts").as("error_ts"))
