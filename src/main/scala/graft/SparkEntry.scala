@@ -81,6 +81,7 @@ object SparkEntry {
     "t2b_session_window_stream" -> ((s, d) => StreamingIngest.sessionWindowStream(s, d)),
     "t3_stream_dedup" -> (StreamingIngest.streamDedupFirstSeen _),
     "t4_stream_stream_join" -> ((s, d) => StreamingIngest.streamStreamJoin(s, d)),
+    "t5_stream_dedup_watermark" -> (StreamingIngest.streamDedupWithinWatermark _),
     // M5 — [EXT] LLM-pipeline operators
     "x1_dedup_exact" -> (Dedup.exactDedup _),
     "x2_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -442,6 +443,11 @@ object SparkEntry {
             (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 600 FROM events)
           ORDER BY 1, 2""",
     "t3_stream_dedup" ->
+      """SELECT DISTINCT user_id, coalesce(event_type, 'no_category') AS category
+         FROM events ORDER BY user_id, category""",
+    // native dropDuplicatesWithinWatermark over a finite input = DISTINCT
+    // (every duplicate falls inside the watermark horizon here)
+    "t5_stream_dedup_watermark" ->
       """SELECT DISTINCT user_id, coalesce(event_type, 'no_category') AS category
          FROM events ORDER BY user_id, category""",
     "t2_sessionize" ->

@@ -169,6 +169,36 @@ object StreamingIngest {
     spark.table(qn).orderBy(col("user_id"), col("category"))
   }
 
+  /** T5b — native streaming dedup with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` keeps a key's state only until the
+    * watermark passes its event time + delay, then evicts — the built-in
+    * operator form of the first-seen guarantee [[streamDedupFirstSeen]]
+    * implements with explicit keyed state (whose seen-sets never shrink).
+    * Dedup key is the (user, category) pair; on the fixture input every
+    * duplicate arrives within the watermark delay of its first
+    * occurrence's watermark-expiry, so the emitted set equals the batch
+    * DISTINCT and the DuckDB oracle can check a real native-operator
+    * streaming execution. At scale this is the dedup you run on
+    * unbounded streams: state is O(keys within the watermark horizon),
+    * not O(all keys ever). */
+  def streamDedupWithinWatermark(spark: SparkSession, sfDir: String): DataFrame = {
+    val qn = "graft_ddww_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val dedup = source(spark, sfDir)
+      .select(col("user_id"),
+        Headers.categoryOrDefault(col("event_type")).as("category"),
+        col("ts"))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "category")
+      .select(col("user_id"), col("category"))
+    val q = dedup.writeStream
+      .format("memory").queryName(qn)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+    spark.table(qn).orderBy(col("user_id"), col("category"))
+  }
+
   /** T2 — sessionization: the idle-close semantics (a writer closes after
     * `idleTimeout` with no writes, HiveBatchedWriter.scala:60-63) as
     * session windows per user. Batch form here (same gap semantics the

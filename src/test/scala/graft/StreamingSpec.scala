@@ -93,6 +93,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T5b: dropDuplicatesWithinWatermark dedups in-horizon, evicts, re-admits after") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp)]
+    val dedup = ms.toDF().toDF("k", "ts")
+      .withWatermark("ts", "1 minute")
+      .dropDuplicatesWithinWatermark("k")
+      .select(col("k"))
+    val qn = "t5b_sink"
+    val q = dedup.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    try {
+      ms.addData((1L, t(0)), (1L, t(10)))   // duplicate within horizon
+      q.processAllAvailable()
+      ms.addData((2L, t(1000)))             // watermark → 940s; k=1 evicted
+      q.processAllAvailable()
+      val stateAfterEvict = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      ms.addData((1L, t(1050)))             // k=1 again, AFTER eviction
+      q.processAllAvailable()
+      val emitted = spark.table(qn).as[Long].collect().toSeq.sorted
+      // in-horizon duplicate suppressed; post-eviction duplicate re-emitted
+      // (the documented bounded-state trade-off: state is O(horizon keys),
+      // exactly-once dedup only within the watermark delay)
+      assert(emitted == Seq(1L, 1L, 2L), s"got $emitted")
+      assert(stateAfterEvict <= 1, s"evicted state not bounded: $stateAfterEvict")
+    } finally q.stop()
+  }
+
   test("T6/T5: completeness listener fires per logdate once the watermark passes it") {
     import graft.streaming.CompletenessListener
     // private copy of the fixture so the shared per-sfDir stream source
