@@ -41,7 +41,9 @@ object Bench {
     // SPARK_GRAFT_REPEAT=N times each query N times and reports the LAST
     // run — separates steady-state cost from first-use codegen/JIT when
     // investigating a regression. Default 1 (the honest cold number).
-    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    // floor at 1: REPEAT=0 would skip execution yet report the -1 failure
+    // sentinel as a passing query's time
+    val repeat = math.max(1, sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1))
     val results = selected.map { case (name, fn) =>
       var last = -1.0
       var ok = true

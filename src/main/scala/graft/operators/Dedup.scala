@@ -449,22 +449,45 @@ object Dedup {
     * text. The in-session x16 shows the same semantics oracle-checked;
     * this is the disk-backed loop a pipeline actually schedules. Near-dup
     * probing persists the shingle prefix index the same way. */
+  /** Read a `batch=`-partitioned index dir with this invocation's own tag
+    * excluded, or `empty` when the index GENUINELY does not exist yet
+    * (path missing / no files). Deliberately an existence probe, not an
+    * exception catch: a structurally broken index (legacy flat layout
+    * without the `batch` column, mixed directory schemes, corrupt footers)
+    * must PROPAGATE — swallowing it as "first run" would silently drop
+    * the entire prior corpus from the probe and re-admit every duplicate. */
+  private[graft] def readBatchIndex(spark: SparkSession, dir: String,
+                                    batchTag: String)
+                                   (empty: => DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) || fs.listStatus(p).isEmpty) empty
+    else spark.read.parquet(dir).where(col("batch") =!= batchTag).drop("batch")
+  }
+
+  /** The shared probe-and-keep-first step behind both disk-backed dedup
+    * forms ([[dedupAgainstIndex]] and the streaming
+    * `StreamingIngest.dedupIndexBatch`): anti-join `withFp` against every
+    * OTHER batch's fingerprints (own tag excluded — a retry re-probes
+    * everything except its half-done self), then keep one doc per
+    * fingerprint within the batch (min doc_id, x1's rule). One copy of the
+    * replay-idempotence contract, one place to fix it. */
+  private[graft] def probeIndexKeepFirst(withFp: DataFrame, indexDir: String,
+                                         batchTag: String): DataFrame = {
+    val spark = withFp.sparkSession
+    val existing = readBatchIndex(spark, indexDir, batchTag)(
+        spark.range(0).select(col("id").as("fp")))
+      .select(col("fp").as("seen_fp"))
+    withFp
+      .join(existing, col("fp") === col("seen_fp"), "left_anti")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .where(col("rk") === 1).drop("rk")
+  }
+
   def dedupAgainstIndex(spark: SparkSession, docs: DataFrame,
                         indexDir: String, batchTag: String): DataFrame = {
     val withFp = docs.withColumn("fp", TextFns.polyHash(col("text")))
-    // Probe excludes this invocation's own `batch=` partition: if the
-    // caller's downstream commit of the survivors fails AFTER the index
-    // write below, the retry re-probes everything EXCEPT its own earlier
-    // half-done entries — so it reproduces the same survivor set instead of
-    // returning zero rows (which a tag-less append-then-retry would: the
-    // batch's own fingerprints would already be "seen"). Same contract as
-    // the streaming form (`StreamingIngest.dedupIndexBatch`); callers give
-    // each scheduled batch a unique tag and each retry the SAME tag.
-    val existing =
-      try spark.read.parquet(indexDir).where(col("batch") =!= batchTag)
-        .select(col("fp").as("seen_fp"))
-      catch { case _: org.apache.spark.sql.AnalysisException => // first run: no index yet
-        spark.range(0).select(col("id").as("seen_fp")) }
     // Snapshot BEFORE writing to the index: the survivors plan anti-joins
     // the index, so re-executing it after the write could race the write's
     // own output. checkpoint (not persist) on purpose: a plan-keyed cache
@@ -472,12 +495,7 @@ object Dedup {
     // whose correct result differs because the index grew — lineage
     // truncation makes both hazards structurally impossible and computes
     // the dedup exactly once.
-    val survivors = snapshot(spark, withFp
-      .join(existing, col("fp") === col("seen_fp"), "left_anti")
-      // one keeper per fingerprint *within* the batch too (min doc_id, x1's rule)
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
-      .where(col("rk") === 1).drop("rk"))
+    val survivors = snapshot(spark, probeIndexKeepFirst(withFp, indexDir, batchTag))
     // overwrite of the tag-scoped partition: a retry clobbers its own prior
     // attempt byte-for-byte instead of appending a second copy
     survivors.select(col("fp")).write.mode("overwrite")

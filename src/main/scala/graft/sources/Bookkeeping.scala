@@ -82,9 +82,15 @@ object Bookkeeping {
     * transactional upsert — one copy, one place to change the SQL). */
   private def upsertRows(conn: java.sql.Connection, rows: Seq[Detail],
                          table: String): Unit = {
+    // state CASE: a late micro-batch for an already-notified logdate must
+    // not clobber the durable 'CHECKED' transition back to 'NEW' — that
+    // would make a restarted coordinator re-notify (the exact failure the
+    // durable state exists to prevent)
     val upd = conn.prepareStatement(
       s"""UPDATE $table SET receivecount = receivecount + ?, sinkcount = sinkcount + ?,
-          updatetime = ?, state = ? WHERE name = ? AND logdate = ? AND hostname = ?""")
+          updatetime = ?,
+          state = CASE WHEN state = 'CHECKED' THEN state ELSE ? END
+          WHERE name = ? AND logdate = ? AND hostname = ?""")
     val ins = conn.prepareStatement(
       s"INSERT INTO $table VALUES (?, ?, ?, ?, ?, ?, ?)")
     try rows.foreach { r =>
@@ -174,8 +180,23 @@ object Bookkeeping {
     try {
       val st = conn.prepareStatement(
         s"UPDATE $table SET state = 'CHECKED' WHERE name = ? AND logdate = ?")
-      try { st.setString(1, name); st.setString(2, logdate); st.executeUpdate() }
-      finally st.close()
+      val n = try {
+        st.setString(1, name); st.setString(2, logdate); st.executeUpdate()
+      } finally st.close()
+      if (n == 0) {
+        // no detail row yet (coordinator can fire before any host row on a
+        // replay) — record the transition on a coordinator marker row so
+        // durability never silently no-ops
+        val ins = conn.prepareStatement(s"INSERT INTO $table VALUES (?, ?, ?, ?, ?, ?, ?)")
+        try {
+          ins.setString(1, name); ins.setString(2, logdate)
+          ins.setString(3, "_coordinator")
+          ins.setLong(4, 0L); ins.setLong(5, 0L)
+          ins.setLong(6, System.currentTimeMillis())
+          ins.setString(7, "CHECKED")
+          ins.executeUpdate()
+        } finally ins.close()
+      }
     } finally conn.close()
   }
 

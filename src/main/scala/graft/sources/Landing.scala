@@ -113,15 +113,24 @@ object Landing {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val before = partitionFileStats(spark, path)
-    val targets = before.filter(_._2 > maxFiles)
-    if (targets.isEmpty) return Seq.empty
-    val values = targets.map(_._1.split("=", 2)(1))
-      .map(v => java.net.URLDecoder.decode(v, "UTF-8"))
     val staging = new Path(root.getParent,
       "." + root.getName + s"_compact_staging")
     val trash = new Path(root.getParent, "." + root.getName + s"_compact_trash")
+    // Crash recovery FIRST: a prior run that died between its two renames
+    // left that partition's only copy in the trash dir. Restore any trash
+    // partition missing from the live tree before deleting anything —
+    // deleting trash up-front would destroy the surviving copy.
+    if (fs.exists(trash)) fs.listStatus(trash).foreach { d =>
+      val live = new Path(root, d.getPath.getName)
+      if (d.isDirectory && !fs.exists(live))
+        require(fs.rename(d.getPath, live),
+          s"could not restore ${d.getPath.getName} from interrupted compaction")
+    }
     fs.delete(staging, true); fs.delete(trash, true)
+    val before = partitionFileStats(spark, path)
+    val targets = before.filter(_._2 > maxFiles)
+    if (targets.isEmpty) return Seq.empty
+    val values = targets.map(_._1.split("=", 2)(1)).map(unescapePathValue)
     import org.apache.spark.sql.functions.col
     // Keep partition values as the literal path strings: type inference
     // would read logdate=0005 back as long 5 and re-render the dir name
@@ -137,10 +146,21 @@ object Landing {
         .format(format).save(staging.toString)
     } finally spark.conf.set(inferKey, inferWas)
     fs.mkdirs(trash)
-    val after = targets.map { case (dirName, nBefore, _) =>
+    val after = targets.map { case (dirName, nBefore, bytesBefore) =>
       val live = new Path(root, dirName)
       val staged = new Path(staging, dirName)
       require(fs.exists(staged), s"compaction staged no output for $dirName")
+      // Single-writer guard: compaction is a maintenance pass for COLD
+      // partitions — if a concurrent ingest landed files here since the
+      // census, swapping would silently trash them. Refuse instead; the
+      // already-swapped partitions stay consistent and the next run's
+      // restore path cleans up trash/staging.
+      val nowFiles = fs.listStatus(live)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+          && !f.getPath.getName.startsWith("."))
+      require(nowFiles.length == nBefore && nowFiles.map(_.getLen).sum == bytesBefore,
+        s"$dirName changed during compaction (concurrent writer?) — " +
+          "compact only partitions no sink is landing into")
       require(fs.rename(live, new Path(trash, dirName)),
         s"compaction could not retire $dirName")
       require(fs.rename(staged, live),
@@ -152,6 +172,28 @@ object Landing {
     }
     fs.delete(staging, true); fs.delete(trash, true)
     after
+  }
+
+  /** Inverse of Hive-style partition-path escaping: decode `%hh` escapes
+    * ONLY. This is not URL decoding — '+' is a literal character in
+    * partition dir names, and `URLDecoder` would corrupt it to a space
+    * (breaking the rewrite filter for any value containing '+'). */
+  private[graft] def unescapePathValue(v: String): String = {
+    val sb = new StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '%' && i + 3 <= v.length) {
+        val hex = v.substring(i + 1, i + 3)
+        val dec = try Some(Integer.parseInt(hex, 16)) catch {
+          case _: NumberFormatException => None }
+        dec match {
+          case Some(d) => sb.append(d.toChar); i += 3
+          case None => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** S5 — create the external partitioned catalog table over a landing

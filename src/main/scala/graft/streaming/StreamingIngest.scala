@@ -50,16 +50,29 @@ object StreamingIngest {
     if (!fs.exists(marker)) {
       fs.mkdirs(marker.getParent)
       val id = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-      // create(overwrite=false) is atomic-exclusive: if two starters race,
-      // the loser falls through to the read and both agree on one id
-      try {
-        val out = fs.create(marker, false)
-        try out.write(id.getBytes("UTF-8")) finally out.close()
-      } catch { case _: java.io.IOException => () }
+      // Publish via write-tmp-then-rename, NOT create(marker): a racing
+      // reader of a half-written marker would read an empty/truncated id
+      // (content is only visible after close on HDFS-likes) and tag its
+      // batches with a colliding identity. The rename is atomic and
+      // non-overwriting — the losing starter's rename fails, both read
+      // the winner's complete file.
+      val tmp = new Path(checkpoint, s"graft_run_id.tmp.$id")
+      val out = fs.create(tmp, true)
+      try out.write(id.getBytes("UTF-8")) finally out.close()
+      // HDFS rename refuses an existing destination; POSIX rename would
+      // overwrite, so re-check existence to keep the first writer's id
+      try { if (fs.exists(marker) || !fs.rename(tmp, marker)) fs.delete(tmp, false) }
+      catch { case _: java.io.IOException => fs.delete(tmp, false) }
     }
-    val in = fs.open(marker)
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-    finally in.close()
+    def readId(): String = {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    val id = readId()
+    // belt-and-braces: never hand out an empty identity
+    require(id.nonEmpty, s"empty run-id marker at $marker — delete it and restart")
+    id
   }
 
   def source(spark: SparkSession, sfDir: String): DataFrame = {
@@ -357,18 +370,10 @@ object StreamingIngest {
     * partition key (tag-scoped paths are what make replays overwrite). */
   private[graft] def dedupIndexBatch(batch: DataFrame, batchTag: String,
                                      indexDir: String, outDir: String): Unit = {
-    val spark = batch.sparkSession
     val withFp = batch.withColumn("fp", graft.functions.TextFns.polyHash(col("text")))
-    val existing =
-      try spark.read.parquet(indexDir).where(col("batch") =!= batchTag)
-        .select(col("fp").as("seen_fp"))
-      catch { case _: org.apache.spark.sql.AnalysisException => // first batch: no index yet
-        spark.range(0).select(col("id").as("seen_fp")) }
-    val survivors = withFp
-      .join(existing, col("fp") === col("seen_fp"), "left_anti")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
-      .where(col("rk") === 1).drop("rk")
+    // shared probe/keeper contract (and its missing-vs-malformed index
+    // distinction) lives in Dedup.probeIndexKeepFirst
+    val survivors = graft.operators.Dedup.probeIndexKeepFirst(withFp, indexDir, batchTag)
     survivors.persist()
     try {
       survivors.drop("fp").write.mode("overwrite").parquet(s"$outDir/batch=$batchTag")
@@ -408,10 +413,10 @@ object StreamingIngest {
       .withColumn("fp", TextFns.polyHash(col("text")))
       .withColumn("sh", TextFns.shingleHashes(TextFns.tokens(col("text")), 3))
       .withColumn("n", size(col("sh")))
+    // existence probe, not exception catch: a malformed index propagates
+    // instead of silently reading as "first batch" (Dedup.readBatchIndex)
     def readIdx(sub: String)(empty: => DataFrame): DataFrame =
-      try spark.read.parquet(s"$indexDir/$sub").where(col("batch") =!= batchTag)
-        .drop("batch")
-      catch { case _: org.apache.spark.sql.AnalysisException => empty }
+      graft.operators.Dedup.readBatchIndex(spark, s"$indexDir/$sub", batchTag)(empty)
     val priorFp = readIdx("fp") {
       spark.range(0).select(col("id").as("fp")) }
     val priorPfx = readIdx("pfx") {

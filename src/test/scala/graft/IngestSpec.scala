@@ -52,6 +52,29 @@ class IngestSpec extends SparkSpec {
     assert(Landing.compactPartitions(spark, out, "logdate").isEmpty)
   }
 
+  test("compaction restores a partition stranded in trash by a crashed swap") {
+    import graft.sources.Landing
+    import org.apache.hadoop.fs.Path
+    val out = java.nio.file.Files.createTempDirectory("graft_crash_spec").toString
+    Ingest.enriched(spark, sf).repartition(4)
+      .write.mode("overwrite").partitionBy("logdate").orc(out)
+    val rowsBefore = spark.read.orc(out).count()
+    val root = new Path(out)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a crash between the two swap renames: one partition's only
+    // copy sits in the trash dir, gone from the live tree
+    val victim = Landing.partitionFileStats(spark, out).head._1
+    val trash = new Path(root.getParent, "." + root.getName + "_compact_trash")
+    fs.mkdirs(trash)
+    require(fs.rename(new Path(root, victim), new Path(trash, victim)))
+    assert(spark.read.orc(out).count() < rowsBefore) // partition really gone
+    // re-running compaction must restore the stranded copy BEFORE cleaning,
+    // then proceed; no rows may be lost
+    Landing.compactPartitions(spark, out, "logdate")
+    assert(spark.read.orc(out).count() == rowsBefore)
+    assert(!fs.exists(trash))
+  }
+
   test("landing layout is partition-pruned on read") {
     val out = java.nio.file.Files.createTempDirectory("graft_prune").toString
     Ingest.land(spark, sf, out)

@@ -204,6 +204,26 @@ class StreamingSpec extends SparkSpec {
       Set("202001010000", "202001010005"))
   }
 
+  test("T6 durable: a late batch's upsert cannot clobber CHECKED back to NEW") {
+    import graft.sources.Bookkeeping
+    val url = Bookkeeping.derbyUrl(
+      java.nio.file.Files.createTempDirectory("graft_t6c").toString + "/bk")
+    Bookkeeping.ensureTable(url)
+    Bookkeeping.upsert(url, Seq(
+      Bookkeeping.Detail("sink", "202001010000", "host0", 10, 10, 0, "NEW")))
+    Bookkeeping.markChecked(url, "sink", "202001010000")
+    assert(Bookkeeping.checkedLogdates(url, "sink") == Set("202001010000"))
+    // a straggler micro-batch lands more rows for the already-notified
+    // logdate: counters must accumulate but the CHECKED transition must
+    // survive, or a restarted coordinator re-notifies
+    Bookkeeping.upsert(url, Seq(
+      Bookkeeping.Detail("sink", "202001010000", "host0", 3, 3, 1, "NEW")))
+    assert(Bookkeeping.checkedLogdates(url, "sink") == Set("202001010000"))
+    // and marking a logdate with no detail rows still records durably
+    Bookkeeping.markChecked(url, "sink", "209912312355")
+    assert(Bookkeeping.checkedLogdates(url, "sink").contains("209912312355"))
+  }
+
   test("runId: resume reuses the marker; wiping the checkpoint mints a new identity") {
     val hconf = spark.sessionState.newHadoopConf()
     val ckpt = java.nio.file.Files.createTempDirectory("graft_runid").toString
