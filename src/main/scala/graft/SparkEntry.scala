@@ -36,6 +36,7 @@ object SparkEntry {
     "p8_filter_project" -> (RowTransforms.filterProject _),
     // M2 — counter / bookkeeping analytics
     "a2_window_counts" -> (Counters.windowCounts _),
+    "a2b_dense_timeline" -> (Counters.denseTimeline _),
     "a3_category_window_counts" -> (Counters.categoryWindowCounts _),
     "a5_completeness" -> ((s, d) => Counters.completeness(s, d)),
     "a6_max_ts_per_category" -> (Counters.maxTsPerCategory _),
@@ -230,6 +231,15 @@ object SparkEntry {
       s"""SELECT ${bucketE("ts")} AS bucket_epoch, count(*) AS cnt,
           max(${epochS("ts")}) AS last_update_epoch
           FROM events GROUP BY 1 ORDER BY 1""",
+    "a2b_dense_timeline" ->
+      s"""WITH c AS (SELECT ${bucketE("ts")} AS b, count(*) AS n
+            FROM events GROUP BY 1),
+          r AS (SELECT min(b) AS lo, max(b) AS hi FROM c),
+          g AS (SELECT unnest(generate_series(lo, hi, 300)) AS bucket_epoch
+                FROM r)
+          SELECT g.bucket_epoch, CAST(coalesce(c.n, 0) AS BIGINT) AS cnt,
+            c.n IS NULL AS filled
+          FROM g LEFT JOIN c ON g.bucket_epoch = c.b ORDER BY 1""",
     "a3_category_window_counts" ->
       s"""SELECT ${bucketE("ts")} AS bucket_epoch,
           coalesce(event_type, 'no_category') AS category,
