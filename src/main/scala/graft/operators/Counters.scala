@@ -38,9 +38,13 @@ object Counters {
     * left join marks the holes. `filled` flags synthesized zeros so
     * downstream alerting can distinguish "no events" from "bucket seen". */
   def denseTimeline(spark: SparkSession, sfDir: String): DataFrame = {
-    val counts = Tables.events(spark, sfDir)
+    // snapshot: the stats head() below and the final join both consume the
+    // aggregation — lineage truncation computes the scan+shuffle ONCE
+    // instead of twice (at the design scale the second full pass would be
+    // the dominant cost of the query)
+    val counts = Dedup.snapshot(spark, Tables.events(spark, sfDir)
       .groupBy(Times.bucketEpoch(col("ts"), 300L).as("bucket_epoch"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
     // bucket range as ONE collected stats row (the x6/x20 inline-the-stats
     // idiom) — keeping the global min/max inside the query plan would put
     // a single-partition exchange in the declared plan, which the

@@ -459,9 +459,21 @@ object Dedup {
   private[graft] def readBatchIndex(spark: SparkSession, dir: String,
                                     batchTag: String)
                                    (empty: => DataFrame): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(dir)
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    // "exists" must mean VISIBLE DATA, not just a directory entry: a
+    // crashed first write leaves _temporary/.staging debris (or an empty
+    // batch= dir after overwrite cleared it), and treating that as a real
+    // index would make every retry fail on schema inference instead of
+    // self-healing — the readers skip hidden files, so should this probe.
+    def hasVisibleFile(fs: FileSystem, p: Path): Boolean =
+      fs.exists(p) && fs.listStatus(p).exists { s =>
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") &&
+          (s.isFile || hasVisibleFile(fs, s.getPath))
+      }
+    val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p) || fs.listStatus(p).isEmpty) empty
+    if (!hasVisibleFile(fs, p)) empty
     else spark.read.parquet(dir).where(col("batch") =!= batchTag).drop("batch")
   }
 

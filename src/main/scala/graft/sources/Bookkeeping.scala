@@ -186,16 +186,11 @@ object Bookkeeping {
       if (n == 0) {
         // no detail row yet (coordinator can fire before any host row on a
         // replay) — record the transition on a coordinator marker row so
-        // durability never silently no-ops
-        val ins = conn.prepareStatement(s"INSERT INTO $table VALUES (?, ?, ?, ?, ?, ?, ?)")
-        try {
-          ins.setString(1, name); ins.setString(2, logdate)
-          ins.setString(3, "_coordinator")
-          ins.setLong(4, 0L); ins.setLong(5, 0L)
-          ins.setLong(6, System.currentTimeMillis())
-          ins.setString(7, "CHECKED")
-          ins.executeUpdate()
-        } finally ins.close()
+        // durability never silently no-ops; reuse upsertRows so the INSERT
+        // SQL keeps its single owner (idempotent: a replayed mark matches
+        // the marker row's UPDATE and the CASE keeps it CHECKED)
+        upsertRows(conn, Seq(Detail(name, logdate, "_coordinator",
+          0L, 0L, System.currentTimeMillis(), "CHECKED")), table)
       }
     } finally conn.close()
   }

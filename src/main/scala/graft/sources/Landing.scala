@@ -130,7 +130,10 @@ object Landing {
     val before = partitionFileStats(spark, path)
     val targets = before.filter(_._2 > maxFiles)
     if (targets.isEmpty) return Seq.empty
-    val values = targets.map(_._1.split("=", 2)(1)).map(unescapePathValue)
+    // the exact inverse of the escaping Spark's writer applied to these
+    // dir names ('%hh' decoded, '+' literal — NOT URL decoding)
+    val values = targets.map(_._1.split("=", 2)(1))
+      .map(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName)
     import org.apache.spark.sql.functions.col
     // Keep partition values as the literal path strings: type inference
     // would read logdate=0005 back as long 5 and re-render the dir name
@@ -174,27 +177,6 @@ object Landing {
     after
   }
 
-  /** Inverse of Hive-style partition-path escaping: decode `%hh` escapes
-    * ONLY. This is not URL decoding — '+' is a literal character in
-    * partition dir names, and `URLDecoder` would corrupt it to a space
-    * (breaking the rewrite filter for any value containing '+'). */
-  private[graft] def unescapePathValue(v: String): String = {
-    val sb = new StringBuilder(v.length)
-    var i = 0
-    while (i < v.length) {
-      val c = v.charAt(i)
-      if (c == '%' && i + 3 <= v.length) {
-        val hex = v.substring(i + 1, i + 3)
-        val dec = try Some(Integer.parseInt(hex, 16)) catch {
-          case _: NumberFormatException => None }
-        dec match {
-          case Some(d) => sb.append(d.toChar); i += 3
-          case None => sb.append(c); i += 1
-        }
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
 
   /** S5 — create the external partitioned catalog table over a landing
     * path (the metastore table the reference resolves its schema from,

@@ -45,33 +45,49 @@ object StreamingIngest {
   private[graft] def runId(checkpoint: String,
                            hconf: org.apache.hadoop.conf.Configuration): String = {
     import org.apache.hadoop.fs.Path
-    val marker = new Path(checkpoint, "graft_run_id")
-    val fs = marker.getFileSystem(hconf)
-    if (!fs.exists(marker)) {
-      fs.mkdirs(marker.getParent)
-      val id = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-      // Publish via write-tmp-then-rename, NOT create(marker): a racing
-      // reader of a half-written marker would read an empty/truncated id
-      // (content is only visible after close on HDFS-likes) and tag its
-      // batches with a colliding identity. The rename is atomic and
-      // non-overwriting — the losing starter's rename fails, both read
-      // the winner's complete file.
-      val tmp = new Path(checkpoint, s"graft_run_id.tmp.$id")
-      val out = fs.create(tmp, true)
-      try out.write(id.getBytes("UTF-8")) finally out.close()
-      // HDFS rename refuses an existing destination; POSIX rename would
-      // overwrite, so re-check existence to keep the first writer's id
-      try { if (fs.exists(marker) || !fs.rename(tmp, marker)) fs.delete(tmp, false) }
-      catch { case _: java.io.IOException => fs.delete(tmp, false) }
-    }
-    def readId(): String = {
-      val in = fs.open(marker)
+    val legacyMarker = new Path(checkpoint, "graft_run_id")
+    val markerDir = new Path(checkpoint, "graft_run_id.d")
+    val content = new Path(markerDir, "id")
+    val fs = markerDir.getFileSystem(hconf)
+    def readFile(p: Path): String = {
+      val in = fs.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
     }
-    val id = readId()
+    // checkpoints from before the directory protocol carry a plain file
+    if (fs.exists(legacyMarker)) {
+      val id = readFile(legacyMarker)
+      require(id.nonEmpty, s"empty run-id marker at $legacyMarker — delete it and restart")
+      return id
+    }
+    if (!fs.exists(content)) {
+      fs.mkdirs(markerDir.getParent)
+      val id = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      // Publish by renaming a fully-written DIRECTORY into place. A bare
+      // file can't be both atomic and complete everywhere: content is
+      // only visible after close on HDFS-likes (a racing reader of a
+      // half-written marker gets a truncated id), and POSIX rename onto
+      // an existing file silently overwrites (a losing starter would
+      // replace the winner's id after the winner already used it). A
+      // directory rename has neither failure: the content file is closed
+      // before publication, and renaming onto an existing non-empty dir
+      // either fails (POSIX) or moves the source INSIDE it as ignored
+      // debris (HDFS semantics) — the first `id` file wins on every
+      // filesystem.
+      val tmpDir = new Path(checkpoint, s"graft_run_id.tmp.$id")
+      fs.mkdirs(tmpDir)
+      val out = fs.create(new Path(tmpDir, "id"), true)
+      try out.write(id.getBytes("UTF-8")) finally out.close()
+      try { if (!fs.rename(tmpDir, markerDir)) fs.delete(tmpDir, true) }
+      catch { case _: java.io.IOException => fs.delete(tmpDir, true) }
+      // HDFS moved-inside case: the loser's tmp dir is debris under the
+      // marker dir; remove it so the layout stays clean
+      val strayTmp = new Path(markerDir, tmpDir.getName)
+      if (fs.exists(strayTmp) && fs.exists(content)) fs.delete(strayTmp, true)
+    }
+    val id = readFile(content)
     // belt-and-braces: never hand out an empty identity
-    require(id.nonEmpty, s"empty run-id marker at $marker — delete it and restart")
+    require(id.nonEmpty, s"empty run-id marker at $content — delete it and restart")
     id
   }
 

@@ -152,6 +152,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(before == after)
   }
 
+  test("readBatchIndex: write debris reads as empty; a malformed index propagates") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_probe").toString
+    def empty = spark.range(0).select(col("id").as("fp"))
+    // missing dir -> empty (first run)
+    assert(Dedup.readBatchIndex(spark, s"$dir/missing", "t0")(empty).count() == 0)
+    // crashed first write: only hidden debris -> still "no index yet", so
+    // the retry self-heals instead of failing schema inference forever
+    val debris = java.nio.file.Paths.get(dir, "idx", "batch=t0", "_temporary")
+    java.nio.file.Files.createDirectories(debris)
+    java.nio.file.Files.write(debris.resolve("part-stub"), "x".getBytes)
+    assert(Dedup.readBatchIndex(spark, s"$dir/idx", "t0")(empty).count() == 0)
+    // legacy flat layout (no batch= partitions): structurally incompatible
+    // and must THROW, not silently read as first-run (that would re-admit
+    // the whole prior corpus)
+    spark.range(3).select(col("id").as("fp")).write.parquet(s"$dir/flat")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Dedup.readBatchIndex(spark, s"$dir/flat", "t0")(empty).count()
+    }
+    // real batch-partitioned index: other batches visible, own tag excluded
+    spark.range(5).select(col("id").as("fp")).write.parquet(s"$dir/idx/batch=t1")
+    assert(Dedup.readBatchIndex(spark, s"$dir/idx", "t1")(empty).count() == 0)
+    assert(Dedup.readBatchIndex(spark, s"$dir/idx", "t0")(empty).count() == 5)
+  }
+
   test("ANN: brute-force top-1 is the global max; IVF hits are ranked correctly") {
     val brute = Similarity.bruteTopK(spark, sf, 0L, 10).collect()
     assert(brute.length == 10)
