@@ -178,6 +178,49 @@ object Landing {
   }
 
 
+  /** Retention enforcement — the other maintenance pass next to
+    * [[compactPartitions]]: drop every partition whose value sorts before
+    * `cutoff` (time-shaped keys like `yyyyMMdd` sort lexicographically =
+    * chronologically). Two-phase for crash safety: retire each expired
+    * dir into a trash dir (a metadata rename), then purge the trash as
+    * the commit point — a crash mid-run leaves retired partitions in
+    * trash, and the next invocation's purge-first completes the deletion
+    * (retention, unlike compaction, never restores). Optionally issues
+    * the batched catalog `DROP PARTITION` DDL. Driver work is one entry
+    * per expired partition — bounded metadata. Returns the dropped
+    * partition dir names. */
+  def dropPartitionsBefore(spark: SparkSession, path: String,
+                           partitionCol: String, cutoff: String,
+                           catalogTable: Option[String] = None): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val trash = new Path(root.getParent, "." + root.getName + "_retention_trash")
+    // complete any prior crashed run: trash holds already-retired data
+    fs.delete(trash, true)
+    if (!fs.exists(root)) return Seq.empty
+    val unescape =
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName _
+    val expired = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
+      .filter(s => unescape(s.getPath.getName.split("=", 2)(1)) < cutoff)
+      .map(_.getPath).sortBy(_.getName)
+    if (expired.isEmpty) return Seq.empty
+    fs.mkdirs(trash)
+    expired.foreach { p =>
+      require(fs.rename(p, new Path(trash, p.getName)),
+        s"retention could not retire ${p.getName}")
+    }
+    catalogTable.foreach { t =>
+      val specs = expired.map(p =>
+        s"PARTITION (${quoteIdent(partitionCol)}=" +
+          s"'${unescape(p.getName.split("=", 2)(1)).replace("'", "''")}')")
+      spark.sql(s"ALTER TABLE ${quoteIdent(t)} DROP IF EXISTS ${specs.mkString(", ")}")
+    }
+    fs.delete(trash, true)
+    expired.map(_.getName)
+  }
+
   /** S5 — create the external partitioned catalog table over a landing
     * path (the metastore table the reference resolves its schema from,
     * `util/HiveUtils.scala:79-88`; here the engine owns the DDL). Data

@@ -75,6 +75,35 @@ class IngestSpec extends SparkSpec {
     assert(!fs.exists(trash))
   }
 
+  test("retention drops expired partitions transactionally and is idempotent") {
+    import graft.sources.Landing
+    import org.apache.hadoop.fs.Path
+    val out = java.nio.file.Files.createTempDirectory("graft_retain_spec").toString
+    Ingest.enriched(spark, sf)
+      .withColumn("logday", substring(col("logdate"), 1, 8))
+      .write.mode("overwrite").partitionBy("logday").orc(out)
+    val days = Landing.partitionFileStats(spark, out).map(_._1.split("=")(1)).sorted
+    assert(days.size >= 3, s"fixture spans $days")
+    val cutoff = days(1) // keep from the second day on
+    val expectKept = spark.read.orc(out)
+      .where(col("logday").cast("string") >= cutoff).count()
+    val dropped = Landing.dropPartitionsBefore(spark, out, "logday", cutoff)
+    assert(dropped == Seq(s"logday=${days.head}"))
+    assert(spark.read.orc(out).count() == expectKept)
+    // idempotent: nothing else expires
+    assert(Landing.dropPartitionsBefore(spark, out, "logday", cutoff).isEmpty)
+    // crash recovery: a partition stranded in retention trash by a crash
+    // is purged (NOT restored) by the next run
+    val root = new Path(out)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val trash = new Path(root.getParent, "." + root.getName + "_retention_trash")
+    fs.mkdirs(trash)
+    require(fs.rename(new Path(root, s"logday=${days(1)}"), new Path(trash, s"logday=${days(1)}")))
+    Landing.dropPartitionsBefore(spark, out, "logday", cutoff)
+    assert(!fs.exists(trash))
+    assert(spark.read.orc(out).select("logday").distinct().count() == days.size - 2)
+  }
+
   test("landing layout is partition-pruned on read") {
     val out = java.nio.file.Files.createTempDirectory("graft_prune").toString
     Ingest.land(spark, sf, out)

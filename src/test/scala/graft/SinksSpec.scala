@@ -107,6 +107,14 @@ class SinksSpec extends SparkSpec {
       assert(bk.count() == report.logdates.size)               // T7 one row per (logdate, host)
       assert(bk.agg(sum(col("sinkcount"))).collect()(0).getLong(0) == nEvents)
       assert(received.get() == report.logdates.size)           // S8 one POST per partition
+      // retention with the catalog leg: expired partitions leave BOTH the
+      // filesystem and the metastore in one pass
+      val cutoff = report.logdates.toSeq.sorted.apply(1)
+      val dropped = Landing.dropPartitionsBefore(spark, out, "logdate", cutoff,
+        catalogTable = Some(tbl))
+      assert(dropped.size == 1)
+      assert(spark.sql(s"SHOW PARTITIONS $tbl").count() == report.logdates.size - 1)
+      assert(spark.table(tbl).where(col("logdate") < cutoff).count() == 0)
     } finally {
       server.stop(0)
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
