@@ -91,6 +91,31 @@ object StreamingIngest {
     id
   }
 
+  /** Run `body` (a synchronous streaming execution) with a reduced shuffle
+    * partition count, restoring the session's setting after. Stateful
+    * streaming cost has a per-partition floor independent of data volume:
+    * every micro-batch opens, commits, and snapshots one state store PER
+    * shuffle partition (×4 stores for a stream-stream join), so a
+    * 32-partition local session pays 32× that machinery even when a
+    * partition holds a few thousand rows. The partition count is fixed at
+    * the FIRST micro-batch and recorded in the checkpoint
+    * (`offsets/.../conf`), so it must be chosen before `start()` — and on a
+    * real cluster it is sized so each partition's state fits an executor
+    * (the same knob, bigger value). The declared queries here are
+    * single-box demos over ~1M events; 8 partitions keeps 8-way compute
+    * parallelism while quartering the state-store floor. Resuming a
+    * checkpoint overrides this with the recorded value, so restarts are
+    * unaffected. */
+  private[graft] def withStatePartitions[A](spark: SparkSession, n: Int = 8)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, n.toString)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   def source(spark: SparkSession, sfDir: String): DataFrame = {
     graft.Tables.ensureParquetConf(spark)
     // The file stream source wants a directory; expose the single fixture
@@ -120,12 +145,14 @@ object StreamingIngest {
       .groupBy(window(col("ts"), "5 minutes"),
         Headers.categoryOrDefault(col("event_type")).as("category"))
       .count()
-    val q = agg.writeStream
-      .format("memory").queryName(qn)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+    withStatePartitions(spark) {
+      val q = agg.writeStream
+        .format("memory").queryName(qn)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+    }
     spark.table(qn)
       .select(unix_timestamp(col("window.start")).as("bucket_epoch"),
         col("category"), col("count").as("cnt"))
@@ -149,12 +176,14 @@ object StreamingIngest {
       .groupBy(window(col("ts"), "5 minutes"),
         Headers.categoryOrDefault(col("event_type")).as("category"))
       .count()
-    val q = agg.writeStream
-      .format("memory").queryName(qn)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+    withStatePartitions(spark) {
+      val q = agg.writeStream
+        .format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+    }
     spark.table(qn)
       .select(unix_timestamp(col("window.start")).as("bucket_epoch"),
         col("category"), col("count").as("cnt"))
@@ -189,12 +218,14 @@ object StreamingIngest {
         if (fresh.nonEmpty) state.update(seen ++ fresh)
         fresh.iterator.map(c => (user, c))
     }.toDF("user_id", "category")
-    val q = firstSeen.writeStream
-      .format("memory").queryName(qn)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+    withStatePartitions(spark) {
+      val q = firstSeen.writeStream
+        .format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+    }
     spark.table(qn).orderBy(col("user_id"), col("category"))
   }
 
@@ -219,12 +250,14 @@ object StreamingIngest {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("user_id", "category")
       .select(col("user_id"), col("category"))
-    val q = dedup.writeStream
-      .format("memory").queryName(qn)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+    withStatePartitions(spark) {
+      val q = dedup.writeStream
+        .format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+    }
     spark.table(qn).orderBy(col("user_id"), col("category"))
   }
 
@@ -261,12 +294,14 @@ object StreamingIngest {
       .withWatermark("ts", "10 minutes")
       .groupBy(session_window(col("ts"), s"$gapSeconds seconds"), col("user_id"))
       .count()
-    val q = agg.writeStream
-      .format("memory").queryName(qn)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+    withStatePartitions(spark) {
+      val q = agg.writeStream
+        .format("memory").queryName(qn)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+    }
     spark.table(qn)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"), sum(col("count")).as("n_events"))
@@ -308,12 +343,14 @@ object StreamingIngest {
         (unix_timestamp(col("error_ts")) - unix_timestamp(col("click_ts")))
           .as("lag_sec"))
     val qn = "graft_ssj_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = joined.writeStream
-      .format("memory").queryName(qn)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+    withStatePartitions(spark) {
+      val q = joined.writeStream
+        .format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+    }
     spark.table(qn)
       .orderBy(col("user_id"), col("click_id"), col("error_id"))
   }
