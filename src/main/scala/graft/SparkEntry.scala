@@ -75,6 +75,7 @@ object SparkEntry {
     "f2_datetime_funcs" -> (Relational.datetimeFuncs _),
     "f3_math_funcs" -> (Relational.mathFuncs _),
     "f4_array_funcs" -> (Relational.arrayFuncs _),
+    "f5_json_funcs" -> (Relational.jsonFuncs _),
     // M4 — streaming / stateful
     "t1_stream_counts" -> (StreamingIngest.streamCounts _),
     "t1b_stream_counts_append" -> (StreamingIngest.streamCountsAppend _),
@@ -121,6 +122,7 @@ object SparkEntry {
     "x27_token_entropy" -> (TextAnalysis.tokenEntropy _),
     "x22_length_quantiles" -> (TextAnalysis.lengthQuantiles _),
     "x22b_length_quantiles_approx" -> ((s, d) => TextAnalysis.lengthQuantilesApprox(s, d)),
+    "x30_chunk_windows" -> ((s, d) => TextAnalysis.chunkWindows(s, d)),
   )
 
   // ---- DuckDB oracle SQL ----------------------------------------------------
@@ -441,6 +443,14 @@ object SparkEntry {
          round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE))), (a, b) -> a + b) / len(embedding), 6) AS mean_val,
          CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive
          FROM embeddings ORDER BY vec_id""",
+    "f5_json_funcs" ->
+      """SELECT event_id,
+         json_extract_string(props, '$.k') AS k_str,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+         CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+         coalesce(event_type, 'no_category') AS rt_cat,
+         json_extract_string(props, '$.k') AS jt_k
+         FROM events ORDER BY event_id""",
     "t1_stream_counts" ->
       s"""SELECT ${bucketE("ts")} AS bucket_epoch,
           coalesce(event_type, 'no_category') AS category, count(*) AS cnt
@@ -571,6 +581,17 @@ object SparkEntry {
           CAST(SUM(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS total_bpeish_tokens,
           CAST(SUM(n_chars) AS BIGINT) AS total_chars
           FROM documents GROUP BY 1 ORDER BY 1""",
+    "x30_chunk_windows" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents),
+          s AS (SELECT doc_id, tk,
+                  unnest(generate_series(1, greatest(len(tk), 1), 32)) AS start
+                FROM d)
+          SELECT doc_id,
+            CAST((start - 1) // 32 AS BIGINT) AS chunk_idx,
+            CAST(start AS BIGINT) AS start_tok,
+            CAST(len(list_slice(tk, start, start + 63)) AS BIGINT) AS n_tok,
+            md5(array_to_string(list_slice(tk, start, start + 63), ' ')) AS chunk_md5
+          FROM s ORDER BY doc_id, chunk_idx""",
     "x10_fingerprint" ->
       s"""SELECT doc_id,
           ${polyHashSql("text")} AS fp,

@@ -500,4 +500,29 @@ object Relational {
         size(filter(v, x => x > 0.0)).cast("long").as("n_positive"))
       .orderBy(col("vec_id"))
   }
+
+  /** F5 — JSON function surface over the events `props` column (P6's
+    * inverse direction — the reference only ENCODES JSON,
+    * `util/TimedUtils.scala:51-53`; a query engine must also parse it):
+    * path extraction (`get_json_object`), schema-projected struct
+    * extraction (`from_json` — the vectorizable form a 100 TB scan should
+    * prefer: one parse to typed columns, not one parse per path), key
+    * enumeration (`json_object_keys`), the `json_tuple` generator, and a
+    * construct-then-extract round trip (`to_json(struct(...))`) proving
+    * encode/decode agree. All built-ins fused with the scan; final columns
+    * are plain values so the oracle states results, not engine-specific
+    * JSON byte layout. */
+  def jsonFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        from_json(col("props"), "k BIGINT", Map.empty[String, String])
+          .getField("k").as("k_num"),
+        size(json_object_keys(col("props"))).cast("long").as("n_keys"),
+        get_json_object(
+          to_json(struct(col("event_id").as("id"),
+            coalesce(col("event_type"), lit("no_category")).as("cat"))),
+          "$.cat").as("rt_cat"),
+        json_tuple(col("props"), "k").as(Seq("jt_k")))
+      .orderBy(col("event_id"))
 }

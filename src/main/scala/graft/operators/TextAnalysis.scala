@@ -452,4 +452,30 @@ object TextAnalysis {
       .select(col("lang"), col("rnk"), col("term"), col("tfidf"))
       .orderBy(col("lang"), col("rnk"))
   }
+
+  /** X30 — overlapping token-window chunking: slice each document into
+    * fixed-size token windows with a stride (the context-window prep that
+    * feeds a tokenizer/encoder — overlap preserves cross-boundary context,
+    * the standard RAG/pretraining chunking move, vs x21's no-split
+    * bin-packing). Chunk starts are `1, 1+stride, …` while ≤ n_tokens, so
+    * the final window may be short (kept: a truncated tail still trains).
+    * One generator per row (`posexplode(sequence(...))` — fan-out is
+    * n/stride per doc, data-proportional, no shuffle at all: the whole
+    * query is scan → generate → project, embarrassingly parallel at any
+    * scale). Chunk content is pinned cross-engine by md5 of the re-joined
+    * window, not by shipping the text twice. */
+  def chunkWindows(spark: SparkSession, sfDir: String,
+                   chunkTokens: Int = 64, stride: Int = 32): DataFrame = {
+    val starts = sequence(lit(1), greatest(size(col("tk")), lit(1)), lit(stride))
+    val chunk = slice(col("tk"), col("start"), lit(chunkTokens))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"), posexplode(starts).as(Seq("idx", "start")))
+      .select(col("doc_id"),
+        col("idx").cast("long").as("chunk_idx"),
+        col("start").cast("long").as("start_tok"),
+        size(chunk).cast("long").as("n_tok"),
+        md5(concat_ws(" ", chunk)).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
 }
