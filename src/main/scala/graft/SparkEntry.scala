@@ -55,6 +55,7 @@ object SparkEntry {
     "j9_right_join" -> (Relational.rightJoin _),
     "j10_full_join" -> (Relational.fullJoin _),
     "j11_salted_skew_join" -> ((s, d) => Relational.saltedSkewJoin(s, d)),
+    "j12_bucket_join" -> ((s, d) => Relational.bucketJoin(s, d)),
     "w1_rank_per_group" -> (Relational.rankPerGroup _),
     "w2_lag_lead" -> (Relational.lagLead _),
     "w3_running_sum" -> (Relational.runningSum _),
@@ -280,6 +281,12 @@ object SparkEntry {
     "j2_broadcast_join" ->
       s"""SELECT p_brand, count(*) AS n_items, ${dsum("l_quantity")} AS sum_qty
           FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1 ORDER BY 1""",
+    // bucketing changes the physical plan, never the result: same join, by SQL
+    "j12_bucket_join" ->
+      s"""SELECT o_orderpriority, count(*) AS n_items,
+          ${dsum("l_quantity")} AS sum_qty
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           GROUP BY 1 ORDER BY 1""",
     "j3_left_join" ->
       """SELECT c_mktsegment, count(o_orderkey) AS n_orders,

@@ -208,6 +208,48 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** J12 — bucket-co-located join: both fact tables are WRITTEN bucketed on
+    * the join key (8 buckets, one file per bucket, sorted within), so the
+    * join consumes bucket-aligned scans directly — ZERO Exchange on either
+    * side, the pre-shuffle trade a warehouse makes for its hottest join key
+    * at 100 TB: pay the partitioning once at ingest, never again for any
+    * join/agg on that key. The bucketed write runs once per (session,
+    * sfDir) — the amortized ingest step, kept inside the query so the
+    * declared entry is self-contained. `repartition(n, key)` before
+    * `bucketBy(n, key)` uses the same murmur3 `HashPartitioning`, so each
+    * task holds exactly one bucket → one file per bucket, which is what
+    * lets the scan's per-bucket sort order feed the merge join without a
+    * Sort either. MERGE hint pins sort-merge (at fixture scale Catalyst
+    * would otherwise broadcast and the co-location would demo nothing);
+    * PlanSpec asserts the join subtree is Exchange-free. */
+  def bucketJoin(spark: SparkSession, sfDir: String, buckets: Int = 8): DataFrame = {
+    val tag = sfDir.replaceAll("[^0-9a-zA-Z]", "_")
+    def ensureBucketed(name: String, df: DataFrame, key: String): String = {
+      val table = s"graft_b${buckets}_${name}_$tag"
+      if (!spark.catalog.tableExists(table)) {
+        // the catalog is per-session but the warehouse directory is not: a
+        // prior session's managed-table dir is debris that fails CTAS with
+        // LOCATION_ALREADY_EXISTS — remove it (content is derivable from
+        // the immutable source parquet, so this loses nothing)
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), table)
+        val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(loc)) fs.delete(loc, true)
+        df.repartition(buckets, col(key))
+          .write.bucketBy(buckets, key).sortBy(key)
+          .format("parquet").mode("overwrite").saveAsTable(table)
+      }
+      table
+    }
+    val ot = ensureBucketed("orders", Tables.orders(spark, sfDir), "o_orderkey")
+    val lt = ensureBucketed("lineitem", Tables.lineitem(spark, sfDir), "l_orderkey")
+    spark.table(lt).hint("merge")
+      .join(spark.table(ot), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"), Num.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   // ---- Window functions ----------------------------------------------------
 
   /** W1 — ranking: top-3 customers by revenue within each market segment.

@@ -57,6 +57,31 @@ class PlanSpec extends SparkSpec {
     assert(nBroadcasts >= 3, s"expected >=3 broadcast dims, saw $nBroadcasts")
   }
 
+  test("j12: bucketed join runs with no shuffle below the join") {
+    val df = SparkEntry.queries("j12_bucket_join")(spark, sf)
+    // AQE wraps the plan in AdaptiveSparkPlanExec, whose collect() does not
+    // descend into the wrapped plan — unwrap to the pre-adaptive physical
+    // plan (bucketed-scan co-location is decided there; AQE never adds an
+    // exchange where none was planned)
+    val executed = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    // find the sort-merge join node; nothing under it may be an Exchange —
+    // the bucketed scans feed it co-located (the whole point of j12)
+    val smj = executed.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.nonEmpty, "j12 did not plan a SortMergeJoin")
+    smj.foreach { j =>
+      val shuffles = j.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(shuffles.isEmpty,
+        s"bucket join shuffles below the join:\n${j.toString.take(2000)}")
+    }
+  }
+
   test("no single-partition exchange outside the documented exact form") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
