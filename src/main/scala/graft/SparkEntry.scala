@@ -85,6 +85,7 @@ object SparkEntry {
     "t3_stream_dedup" -> (StreamingIngest.streamDedupFirstSeen _),
     "t4_stream_stream_join" -> ((s, d) => StreamingIngest.streamStreamJoin(s, d)),
     "t5_stream_dedup_watermark" -> (StreamingIngest.streamDedupWithinWatermark _),
+    "t10_transform_with_state" -> (StreamingIngest.transformWithStateCounts _),
     // M5 — [EXT] LLM-pipeline operators
     "x1_dedup_exact" -> (Dedup.exactDedup _),
     "x2_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -477,6 +478,10 @@ object SparkEntry {
     "t5_stream_dedup_watermark" ->
       """SELECT DISTINCT user_id, coalesce(event_type, 'no_category') AS category
          FROM events ORDER BY user_id, category""",
+    // running per-key state rolled up to totals = the batch GROUP BY
+    "t10_transform_with_state" ->
+      s"""SELECT user_id, count(*) AS n_events, max(${epochS("ts")}) AS max_epoch
+          FROM events GROUP BY 1 ORDER BY 1""",
     "t2_sessionize" ->
       s"""WITH e AS (SELECT user_id, event_id, ${epochS("ts")} AS epoch, ts FROM events),
           m AS (SELECT user_id, epoch,

@@ -261,6 +261,74 @@ object StreamingIngest {
     spark.table(qn).orderBy(col("user_id"), col("category"))
   }
 
+  /** The per-key state of [[transformWithStateCounts]]: the reference's
+    * `TimestampCount` pair (`util/TimedUtils.scala:126-133` — `count += n`,
+    * `timestamp = max`) held in a typed `ValueState`. A named top-level
+    * class (not a lambda capture) so the serialized processor carries no
+    * enclosing references. */
+  private[graft] class CountMaxProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Long)]("countMax",
+        org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                                 timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      var (n, mx) = if (state.exists()) state.get() else (0L, 0L)
+      rows.foreach { case (_, epoch) => n += 1; mx = math.max(mx, epoch) }
+      state.update((n, mx))
+      // one row per key per micro-batch: the RUNNING totals (monotone, so
+      // the caller's max-rollup is micro-batch-partitioning invariant)
+      Iterator.single((key, n, mx))
+    }
+  }
+
+  /** T10 — the Spark 4 arbitrary-state operator (`transformWithState`):
+    * [[CountMaxProcessor]] driven through a real streaming execution. This
+    * is the engine's custom-UDAF-shaped state showcase — where
+    * `flatMapGroupsWithState` (t3) threads one opaque state value through a
+    * function, the StatefulProcessor API composes named typed state
+    * (Value/List/Map) with per-state TTL and timers, and requires the
+    * RocksDB state store (scoped conf here): changelog-checkpointed,
+    * spillable state — the form that holds 100 M keys per executor where
+    * the default HDFS-backed map store would OOM. Emissions are running
+    * per-key totals once per micro-batch; the final `max` rollup keeps the
+    * declared result invariant to micro-batch packing, which is what lets
+    * one batch GROUP BY oracle-check a genuinely incremental execution. */
+  def transformWithStateCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val qn = "graft_tws_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val pairs = source(spark, sfDir)
+      .select(col("user_id").cast("long").as("user_id"),
+        Times.epochSeconds(col("ts")).as("epoch"))
+      .as[(Long, Long)]
+    val counted = pairs.groupByKey(_._1)
+      .transformWithState(new CountMaxProcessor, TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "n_events", "max_epoch")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try withStatePartitions(spark) {
+      val q = counted.writeStream
+        .format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    spark.table(qn)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"), max(col("max_epoch")).as("max_epoch"))
+      .orderBy(col("user_id"))
+  }
+
   /** T2 — sessionization: the idle-close semantics (a writer closes after
     * `idleTimeout` with no writes, HiveBatchedWriter.scala:60-63) as
     * session windows per user. Batch form here (same gap semantics the

@@ -56,6 +56,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T10: transformWithState keeps running per-key totals across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val counted = ms.toDS().groupByKey(_._1)
+      .transformWithState(new graft.streaming.StreamingIngest.CountMaxProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF("user_id", "n_events", "max_epoch")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val qn = "t10_tws_sink"
+    val q = counted.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      ms.addData((7L, 100L), (7L, 50L), (9L, 10L))
+      q.processAllAvailable()
+      ms.addData((7L, 200L))
+      q.processAllAvailable()
+      val rows = spark.table(qn).as[(Long, Long, Long)].collect().toSet
+      // batch 1 emits running (2, 100) for key 7; batch 2 emits (3, 200) —
+      // the RUNNING-state contract (state survived the batch boundary);
+      // key 9 is untouched in batch 2 and must NOT re-emit
+      assert(rows == Set((7L, 2L, 100L), (7L, 3L, 200L), (9L, 1L, 10L)), s"got $rows")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("T4: stream-stream interval join matches boundaries exactly and bounds state") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
