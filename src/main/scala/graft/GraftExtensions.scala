@@ -17,8 +17,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *    session (tests, notebooks).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // the custom-operator ladder (plans.AsOfJoin): optimizer rule joins the
+    // operator-optimization fixed point (cooperates with builtin pushdown),
+    // strategy maps the logical node to the merge operator
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -61,11 +67,22 @@ object GraftExtensions {
       arity("graft_dot", 2)(args => expressions.DotProduct(args.head, args(1)))))
 
   /** Register on an already-built session (the extensions hook only runs at
-    * session construction). Idempotent: re-registration replaces. */
+    * session construction). Idempotent: re-registration replaces / skips.
+    * Note the live-session seam: `spark.experimental.extraOptimizations`
+    * runs as its own batch AFTER the main operator-optimization fixed
+    * point, so a filter moved through the as-of node here stops below the
+    * node instead of continuing into the scan — still a win, but sessions
+    * built with `spark.sql.extensions=graft.GraftExtensions` get the full
+    * fixed-point cooperation. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     functions.foreach { case (id, inf, builder) =>
       reg.registerFunction(id, inf, builder)
     }
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    if (!exp.extraOptimizations.contains(graft.plans.PushFilterThroughAsOf))
+      exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.PushFilterThroughAsOf
   }
 }

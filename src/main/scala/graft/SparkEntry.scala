@@ -52,6 +52,7 @@ object SparkEntry {
     "j6_star_join" -> (Relational.starJoin _),
     "j7_range_join" -> (Relational.rangeJoin _),
     "j8_asof_join" -> (Relational.asofJoin _),
+    "j8b_asof_native" -> (Relational.asofJoinNative _),
     "j9_right_join" -> (Relational.rightJoin _),
     "j10_full_join" -> (Relational.fullJoin _),
     "j11_salted_skew_join" -> ((s, d) => Relational.saltedSkewJoin(s, d)),
@@ -332,6 +333,12 @@ object SparkEntry {
           SELECT ${epochS("coalesce(d, d2)")} AS day_epoch, n_orders, day_qty
           FROM a FULL JOIN b ON d = d2 ORDER BY day_epoch""",
     "j8_asof_join" ->
+      s"""SELECT p.event_id, p.user_id,
+          (SELECT CAST(floor(epoch(max(e.ts))) AS BIGINT) FROM events e
+           WHERE e.user_id = p.user_id AND e.event_type = 'error' AND e.ts <= p.ts) AS last_error_epoch
+          FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""",
+    // the native operator computes the same relation as j8 — one oracle, two plans
+    "j8b_asof_native" ->
       s"""SELECT p.event_id, p.user_id,
           (SELECT CAST(floor(epoch(max(e.ts))) AS BIGINT) FROM events e
            WHERE e.user_id = p.user_id AND e.event_type = 'error' AND e.ts <= p.ts) AS last_error_epoch

@@ -208,6 +208,32 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** J8b — the same as-of semantics as [[asofJoin]], planned through the
+    * engine's NATIVE operator (`plans.AsOfJoinPlan` → `AsOfJoinExec`): one
+    * co-partitioning exchange per side, then a per-partition streaming
+    * merge with O(1) carried state — no union, no window machinery. The
+    * declared form applies the purchase filter ABOVE the join on purpose:
+    * the injected `PushFilterThroughAsOf` rule is what moves it below
+    * (custom operators are opaque to the builtin pushdown), and PlanSpec
+    * asserts it arrived. Shares j8's oracle — same rows, two plans. */
+  def asofJoinNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    // fresh aliases on both sides: the two subtrees come from one scan, and
+    // distinct exprIds keep the custom binary node's sides unambiguous
+    val lefts = ev.select(col("event_id").as("event_id"),
+      col("user_id").as("user_id"), col("ts").as("l_ts"),
+      col("event_type").as("l_type"))
+    val rights = ev.where(col("event_type") === "error")
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        Times.epochSeconds(col("ts")).as("err_epoch"))
+    graft.plans.AsOfJoin(lefts, rights,
+        lefts("user_id"), rights("r_user"), lefts("l_ts"), rights("r_ts"),
+        rights("err_epoch"), as = "last_error_epoch")
+      .where(col("l_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("last_error_epoch"))
+      .orderBy(col("event_id"))
+  }
+
   /** J12 — bucket-co-located join: both fact tables are WRITTEN bucketed on
     * the join key (8 buckets, one file per bucket, sorted within), so the
     * join consumes bucket-aligned scans directly — ZERO Exchange on either

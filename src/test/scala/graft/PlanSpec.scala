@@ -57,6 +57,16 @@ class PlanSpec extends SparkSpec {
     assert(nBroadcasts >= 3, s"expected >=3 broadcast dims, saw $nBroadcasts")
   }
 
+  test("j8b: purchase filter is pushed through the custom as-of node into the scan") {
+    val plan = SparkEntry.queries("j8b_asof_native")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), "native as-of operator not planned")
+    // the injected PushFilterThroughAsOf rule + builtin pushdown must land
+    // the left predicate in the parquet scan, not above the join
+    assert(plan.contains("EqualTo(event_type,purchase)"),
+      "purchase filter did not reach the left scan through the custom node")
+  }
+
   test("j12: bucketed join runs with no shuffle below the join") {
     val df = SparkEntry.queries("j12_bucket_join")(spark, sf)
     // AQE wraps the plan in AdaptiveSparkPlanExec, whose collect() does not
