@@ -78,6 +78,7 @@ object SparkEntry {
     "f3_math_funcs" -> (Relational.mathFuncs _),
     "f4_array_funcs" -> (Relational.arrayFuncs _),
     "f5_json_funcs" -> (Relational.jsonFuncs _),
+    "p1c_malformed_classify" -> (RowTransforms.malformedClassify _),
     // M4 — streaming / stateful
     "t1_stream_counts" -> (StreamingIngest.streamCounts _),
     "t1b_stream_counts_append" -> (StreamingIngest.streamCountsAppend _),
@@ -192,6 +193,14 @@ object SparkEntry {
          SELECT event_id, string_split(body, '|')[1] AS category,
                 CAST(string_split(body, '|')[2] AS DOUBLE) AS val
          FROM b ORDER BY event_id""",
+    "p1c_malformed_classify" ->
+      """WITH r AS (SELECT event_id,
+           CASE WHEN event_id % 10 = 0 THEN 'x' || props ELSE props END AS raw
+           FROM events)
+         SELECT event_id, json_valid(raw) AS is_valid,
+           CASE WHEN json_valid(raw)
+                THEN CAST(json_extract_string(raw, '$.k') AS BIGINT) END AS k_num
+         FROM r ORDER BY event_id""",
     "p2_path_render" ->
       s"""SELECT event_id,
           'logs/logdate=' || ${logdateS("ts")} || '/category=' || coalesce(event_type, 'no_category') AS path

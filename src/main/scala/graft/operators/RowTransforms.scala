@@ -36,6 +36,29 @@ object RowTransforms {
       .orderBy(col("event_id"))
   }
 
+  /** P1c — the serde ERROR path: a production deserializer must classify
+    * malformed input, not throw on it (the reference's P7 does exactly
+    * this for timestamps — `util/TimedUtils.scala:82-93` maps unparsable
+    * to `"invalid_timestamp"`; its JSON serde surface has no equivalent,
+    * a gap a real pipeline hits on the first corrupt message). Corruption
+    * is synthesized deterministically (every 10th event gets a leading
+    * byte prepended — PREpended on purpose: Spark's Jackson tolerates
+    * trailing garbage after a complete value while DuckDB's `json_valid`
+    * does not, so only leading corruption classifies identically in both
+    * engines). Malformed rows classify `is_valid=false` with null fields
+    * and flow on — the engine-side analogue of PERMISSIVE mode, selectable
+    * back out with one filter instead of killing the batch. */
+  def malformedClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = when(col("event_id") % 10 === 0, concat(lit("x"), col("props")))
+      .otherwise(col("props"))
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), raw.as("raw"))
+      .select(col("event_id"),
+        get_json_object(col("raw"), "$").isNotNull.as("is_valid"),
+        get_json_object(col("raw"), "$.k").cast("long").as("k_num"))
+      .orderBy(col("event_id"))
+  }
+
   /** P2 — path/partition template render (BucketPath.escapeString analogue,
     * `HiveBatchedSink.scala:311-315`). */
   def pathRender(spark: SparkSession, sfDir: String): DataFrame =
