@@ -64,7 +64,12 @@ object GraftExtensions {
       arity("graft_simhash32", 1)(args => expressions.SimHash32(args.head))),
     (FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - dot product of two float arrays (null on length mismatch)"),
-      arity("graft_dot", 2)(args => expressions.DotProduct(args.head, args(1)))))
+      arity("graft_dot", 2)(args => expressions.DotProduct(args.head, args(1)))),
+    // aggregate builders return the bare AggregateFunction — the analyzer
+    // wraps it in AggregateExpression, exactly as for builtin max/count
+    (FunctionIdentifier("graft_count_max"),
+      info("graft_count_max", "graft_count_max(x) - struct(cnt, max_ts): count + max in one fused buffer"),
+      arity("graft_count_max", 1)(args => expressions.CountMax(args.head))))
 
   /** Register on an already-built session (the extensions hook only runs at
     * session construction). Idempotent: re-registration replaces / skips.

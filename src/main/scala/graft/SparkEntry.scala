@@ -127,6 +127,12 @@ object SparkEntry {
     "x22_length_quantiles" -> (TextAnalysis.lengthQuantiles _),
     "x22b_length_quantiles_approx" -> ((s, d) => TextAnalysis.lengthQuantilesApprox(s, d)),
     "x30_chunk_windows" -> ((s, d) => TextAnalysis.chunkWindows(s, d)),
+    // round 5: native UDAF, SCD2, iterative graph, profiling, layout
+    "a11_count_max" -> (Counters.countMaxPerCategory _),
+    "j13_scd2" -> (Relational.scd2Priority _),
+    "x31_pagerank" -> ((s, d) => Graphs.pagerank(s, d)),
+    "x32_column_profile" -> (Profile.columnProfile _),
+    "x33_zorder_layout" -> (Layout.zorderLayout _),
   )
 
   // ---- DuckDB oracle SQL ----------------------------------------------------
@@ -945,5 +951,36 @@ object SparkEntry {
             round(quantile_cont(n_tok, 0.99), 6) AS p99
           FROM (SELECT lang, CAST(len($toks) AS BIGINT) AS n_tok FROM documents)
           GROUP BY 1 ORDER BY 1""",
+    // max(epoch(ts)) = epoch(max(ts)): monotone transform, matches the
+    // engine's epochSeconds(cm.max_ts) projection of the fused aggregate
+    "a11_count_max" ->
+      s"""SELECT coalesce(event_type, 'no_category') AS category,
+          count(ts) AS n_events, max(${epochS("ts")}) AS max_epoch
+          FROM events GROUP BY 1 ORDER BY 1""",
+    "j13_scd2" ->
+      s"""WITH m AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+            CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                   OR lag(o_orderpriority) OVER w <> o_orderpriority
+                 THEN 1 ELSE 0 END AS chg
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+          i AS (SELECT o_custkey, o_orderpriority,
+                  CAST(SUM(chg) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    AS version,
+                  o_orderdate
+                FROM m),
+          g AS (SELECT o_custkey, version, min(o_orderpriority) AS priority,
+                  min(${epochS("o_orderdate")}) AS valid_from
+                FROM i GROUP BY 1, 2)
+          SELECT o_custkey, version, priority, valid_from,
+            lead(valid_from) OVER w2 AS valid_to,
+            (lead(valid_from) OVER w2 IS NULL) AS is_current
+          FROM g WINDOW w2 AS (PARTITION BY o_custkey ORDER BY version)
+          ORDER BY o_custkey, version""",
+    "x31_pagerank" -> Graphs.pagerankOracleSql(),
+    "x32_column_profile" -> Profile.columnProfileOracleSql,
+    "x33_zorder_layout" -> Layout.zorderOracleSql,
   )
 }

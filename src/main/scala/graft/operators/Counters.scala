@@ -149,4 +149,23 @@ object Counters {
       .groupBy(col("event_type").as("category"))
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
       .orderBy(col("category"))
+
+  /** A11 — the reference's `TimestampCount` accumulator (count + latest
+    * event ts per category, `util/TimedUtils.scala:40-56`) as ONE native
+    * Catalyst aggregate ([[graft.expressions.CountMax]]): the fused-buffer
+    * UDAF shape, codegen'd, with map-side partial merge standing in for the
+    * reference's lock-guarded pairwise map merging. Also SQL-registered as
+    * `graft_count_max` via [[graft.GraftExtensions]]. */
+  def countMaxPerCategory(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    val cm = bridge.column(
+      graft.expressions.CountMax(bridge.expression(col("ts")))
+        .toAggregateExpression()).as("cm")
+    Tables.events(spark, sfDir)
+      .groupBy(Headers.categoryOrDefault(col("event_type")).as("category"))
+      .agg(cm)
+      .select(col("category"), col("cm.cnt").as("n_events"),
+        Times.epochSeconds(col("cm.max_ts")).as("max_epoch"))
+      .orderBy(col("category"))
+  }
 }

@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] Iterative graph analytics over the event stream. x13's connected
+  * components covers the *structural* fixpoint (set-stable labels); this adds
+  * the *numeric* fixpoint family — power iteration — whose per-round shape
+  * (join ranks to edges, re-aggregate by destination, iterate with truncated
+  * lineage) is the Spark-native form of every PageRank/HITS/label-score
+  * pipeline. The reference has no graph surface (its topology is a fixed
+  * Flume channel fan-in, `/root/reference/src/main/scala/org/apache/flume/sink/hive/batch/HiveBatchedSink.scala`);
+  * this is engine-extension territory for curation pipelines (e.g. ranking
+  * crawl sources by link authority before sampling).
+  *
+  * Scale design: the *graph build* is the heavy part (one window shuffle over
+  * the raw events, one groupBy to collapse multiplicity into integer edge
+  * weights) and runs exactly once; the *iteration* runs on the aggregated
+  * edge list — |event types|² at most here, |unique links| in a web graph —
+  * which is orders of magnitude smaller than the input. Every round is one
+  * shuffle on the edge key plus one bounded 1-row driver read (the dangling
+  * mass), and each round's result is lineage-truncated ([[Dedup.snapshot]])
+  * so the plan never grows with the iteration count.
+  *
+  * Determinism: ranks are **fixed-point integers** (units of 1e-12), all
+  * arithmetic is 64-bit integer multiply/floor-divide — bit-identical across
+  * engines by construction, where a floating-point power iteration would
+  * diverge from the oracle in the low bits (summation order).
+  */
+object Graphs {
+
+  /** 1e12 fixed-point scale: rank 1.0 ≡ 1e12. Chosen so rank·weight products
+    * stay far under 2^63 (rank ≤ 1e12, Σweights ≤ |events|). */
+  val Scale: Long = 1000000000000L
+
+  /** The event-type transition multigraph: edge (src→dst, w) = number of
+    * times a user's event of type `src` was immediately followed by one of
+    * type `dst` (per-user order by ts, event_id tiebreak). */
+  private[graft] def transitionEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** X31 — weighted PageRank over the event-type transition graph, `iters`
+    * fixed power-iteration rounds, damping 0.85, uniform teleport, dangling
+    * mass redistributed uniformly. Output `(node, rank_e12)` with ranks in
+    * 1e-12 units (BIGINT — exact oracle match).
+    *
+    * Update rule (all integer ops, `div` = floor division):
+    * {{{
+    *   base      = (15 * Scale) div (100 * N)
+    *   contrib_e = (rank(src) * w_e) div outw(src)         // per edge
+    *   rank'(v)  = base + (85 * (Σ contrib(v) + dm div N)) div 100
+    * }}}
+    * where `dm` is the summed rank of dangling nodes (no out-edges). The
+    * per-round `dm` read is a 1-row aggregate over the *snapshotted* rank
+    * table — bounded metadata, never row data, the x6/x20 pattern. */
+  def pagerank(spark: SparkSession, sfDir: String, iters: Int = 10): DataFrame = {
+    val edges = Dedup.snapshot(spark, transitionEdges(spark, sfDir))
+    val outw = Dedup.snapshot(spark,
+      edges.groupBy(col("src").as("node")).agg(sum(col("w")).as("ow")))
+    val nodes = Dedup.snapshot(spark,
+      Tables.events(spark, sfDir).select(col("event_type").as("node")).distinct())
+    // N = |event types|: bounded metadata (a handful of categories here, and
+    // in any real deployment a dimension cardinality, not row data).
+    val n = nodes.count()
+    val base = (15L * Scale) / (100L * n)
+    var ranks = Dedup.snapshot(spark,
+      nodes.select(col("node"), lit(Scale / n).as("rank")))
+    for (_ <- 1 to iters) {
+      val dm = ranks.join(outw, Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0L))).head().getLong(0)
+      val contrib = ranks
+        .join(edges, ranks("node") === edges("src"))
+        .join(outw.withColumnRenamed("node", "onode"), col("src") === col("onode"))
+        .select(col("dst"), expr("rank * w div ow").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("c"))
+      ranks = Dedup.snapshot(spark,
+        nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+          .select(nodes("node"),
+            (lit(base) +
+              expr(s"(85 * (coalesce(c, 0L) + ${dm / n}L)) div 100")).as("rank")))
+    }
+    ranks.select(col("node"), col("rank").as("rank_e12")).orderBy(col("node"))
+  }
+
+  /** The matching DuckDB oracle — the same integer update rule unrolled
+    * `iters` times (generated, not hand-maintained). Every per-round CTE is
+    * `AS MATERIALIZED`: DuckDB inlines plain CTEs, and each round references
+    * its predecessor twice (dangling mass + contributions), so the inlined
+    * expression tree would grow 2^iters — materialization keeps the oracle
+    * linear in the iteration count, exactly like the engine's per-round
+    * snapshots. */
+  def pagerankOracleSql(iters: Int = 10): String = {
+    val head =
+      s"""WITH nodes AS MATERIALIZED (SELECT DISTINCT event_type AS node FROM events),
+         ncnt AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+         seq AS (SELECT event_type,
+                 lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+                 FROM events),
+         edges AS MATERIALIZED (SELECT event_type AS src, nxt AS dst, count(*) AS w
+                   FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         outw AS MATERIALIZED (SELECT src AS node, sum(w) AS ow FROM edges GROUP BY 1),
+         r0 AS MATERIALIZED (SELECT node, ($Scale // n) AS rank FROM nodes, ncnt)"""
+    val steps = (1 to iters).map { k =>
+      val p = k - 1
+      s""",
+         d$k AS MATERIALIZED (SELECT COALESCE(sum(rank), 0) AS dm
+                 FROM r$p LEFT JOIN outw USING (node) WHERE ow IS NULL),
+         c$k AS MATERIALIZED (SELECT e.dst AS node, sum((r.rank * e.w) // o.ow) AS c
+                 FROM r$p r JOIN edges e ON r.node = e.src
+                 JOIN outw o ON o.node = e.src GROUP BY 1),
+         r$k AS MATERIALIZED (SELECT n.node,
+                 ((15 * $Scale) // (100 * nc.n))
+                   + (85 * (COALESCE(c.c, 0) + d.dm // nc.n)) // 100 AS rank
+                 FROM nodes n CROSS JOIN ncnt nc CROSS JOIN d$k d
+                 LEFT JOIN c$k c ON n.node = c.node)"""
+    }.mkString
+    head + steps + s"\nSELECT node, rank AS rank_e12 FROM r$iters ORDER BY node"
+  }
+}

@@ -593,4 +593,48 @@ object Relational {
           "$.cat").as("rt_cat"),
         json_tuple(col("props"), "k").as(Seq("jt_k")))
       .orderBy(col("event_id"))
+
+  /** J13 — SCD-2 dimension build (slowly-changing dimension, type 2): turn
+    * a change *log* (orders, ordered per customer by date) into validity
+    * *intervals* — one row per consecutive run of the tracked attribute
+    * (`o_orderpriority`), with `[valid_from, valid_to)` bounds and a
+    * current-row flag. The warehouse-standard gaps-and-islands build every
+    * dimension pipeline runs; the reference's bookkeeping table keeps only
+    * the latest state per key (`dao/HiveSinkDetailDao.scala:73-98` upsert)
+    * — this is its full-history generalization.
+    *
+    * Shape: two window passes over one `(custkey, date, key)` sort — a lag
+    * to mark change points, a running sum to number islands — then one
+    * groupBy and a final lead to close each interval with its successor's
+    * start. All shuffles hash on `o_custkey`, so the sort is per-customer
+    * (never global) and the plan reuses one partitioning end-to-end; at
+    * 100 TB this is a single-key-shuffle pipeline with no skew hazard
+    * beyond the key's own fan-in. Island numbering is deterministic: the
+    * sort is tiebroken by the unique `o_orderkey`. Two attribute changes on
+    * one date produce a zero-length version (`valid_from == valid_to`) —
+    * the standard SCD2 artifact at day-grain change logs, kept rather than
+    * merged so the version count equals the change count. */
+  def scd2Priority(spark: SparkSession, sfDir: String): DataFrame = {
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val runSum = byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .withColumn("chg",
+        when(lag(col("o_orderpriority"), 1).over(byCust).isNull ||
+          lag(col("o_orderpriority"), 1).over(byCust) =!= col("o_orderpriority"),
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("version", sum(col("chg")).over(runSum))
+      .groupBy(col("o_custkey"), col("version"))
+      .agg(min(col("o_orderpriority")).as("priority"), // constant within island
+        Times.epochSeconds(min(col("o_orderdate"))).as("valid_from"))
+    val byVersion = Window.partitionBy(col("o_custkey")).orderBy(col("version"))
+    islands
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byVersion))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("o_custkey"), col("version"), col("priority"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy(col("o_custkey"), col("version"))
+  }
 }

@@ -1,0 +1,126 @@
+package graft
+
+import graft.operators.{Counters, Graphs, Layout, Profile, Relational}
+import org.apache.spark.sql.functions._
+
+/** Round-5 operators: iterative PageRank (x31), native CountMax UDAF (a11),
+  * SCD-2 intervals (j13), column profiling (x32), Z-order layout (x33). */
+class GraphLayoutSpec extends SparkSpec {
+
+  test("x31: pagerank conserves mass and is deterministic across runs") {
+    val r = Graphs.pagerank(spark, sf, iters = 5).collect()
+    val nodes = Tables.events(spark, sf).select(col("event_type")).distinct().count()
+    assert(r.length == nodes, "one rank row per node")
+    // fixed-point floor divisions only LOSE mass, bounded by a few units of
+    // 1e-12 per node per round; total must stay within that of 1.0
+    val total = r.map(_.getLong(1)).sum
+    assert(total <= Graphs.Scale && total > Graphs.Scale - 1000L * nodes,
+      s"rank mass $total strayed from ${Graphs.Scale}")
+    val again = Graphs.pagerank(spark, sf, iters = 5).collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      again.map(x => (x.getString(0), x.getLong(1))).toSeq, "non-deterministic ranks")
+  }
+
+  test("x31: more iterations move ranks toward the fixpoint (deltas shrink)") {
+    def ranks(n: Int) = Graphs.pagerank(spark, sf, iters = n).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toMap
+    val (r4, r8, r12) = (ranks(4), ranks(8), ranks(12))
+    def delta(a: Map[String, Long], b: Map[String, Long]) =
+      a.map { case (k, v) => math.abs(v - b(k)) }.sum
+    assert(delta(r8, r12) <= delta(r4, r8),
+      "power iteration diverging: later rounds changed ranks more than earlier ones")
+  }
+
+  test("a11: fused CountMax equals separate count/max under partial merge (TimedUtils.scala:40-56)") {
+    import org.apache.spark.sql.graft.bridge
+    val e = Tables.events(spark, sf).repartition(7, col("event_id")) // force multi-partition merge
+    val cm = bridge.column(
+      expressions.CountMax(bridge.expression(col("ts"))).toAggregateExpression()).as("cm")
+    val fused = e.groupBy(col("event_type")).agg(cm)
+      .select(col("event_type"), col("cm.cnt"), col("cm.max_ts")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2))).toSet
+    val sep = e.groupBy(col("event_type"))
+      .agg(count(col("ts")).as("c"), max(col("ts")).as("m")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2))).toSet
+    assert(fused == sep)
+  }
+
+  test("a11: graft_count_max is callable from SQL via GraftExtensions") {
+    Tables.events(spark, sf).createOrReplaceTempView("ev_cm")
+    val r = spark.sql(
+      "SELECT graft_count_max(user_id) AS cm FROM ev_cm").select(col("cm.cnt"), col("cm.max_ts"))
+      .collect().head
+    assert(r.getLong(0) == Tables.events(spark, sf).where(col("user_id").isNotNull).count())
+  }
+
+  test("a11: empty group evaluates to (0, null)") {
+    import org.apache.spark.sql.graft.bridge
+    val cm = bridge.column(
+      expressions.CountMax(bridge.expression(col("x"))).toAggregateExpression()).as("cm")
+    val r = spark.range(0).selectExpr("id AS x").agg(cm)
+      .select(col("cm.cnt"), col("cm.max_ts")).collect().head
+    assert(r.getLong(0) == 0L && r.isNullAt(1))
+  }
+
+  test("j13: SCD2 intervals tile each customer's history exactly once") {
+    val iv = Relational.scd2Priority(spark, sf).collect()
+    val byCust = iv.groupBy(_.getLong(0))
+    byCust.foreach { case (cust, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      // versions are 1..k dense
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq, s"cust $cust versions not dense")
+      // exactly one open (current) interval, and it is the last
+      assert(sorted.count(_.isNullAt(4)) == 1 && sorted.last.isNullAt(4), s"cust $cust current-row violation")
+      // each interval closes exactly where the next opens; starts are
+      // non-decreasing (two changes on ONE date yield a zero-length
+      // version — the standard SCD2 artifact at day-grain change logs)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(4) == b.getLong(3), s"cust $cust gap/overlap between versions")
+          assert(a.getLong(3) <= b.getLong(3), s"cust $cust starts decreasing")
+        case _ => ()
+      }
+      // consecutive intervals carry different priorities (runs were collapsed)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getString(2) != b.getString(2), s"cust $cust uncollapsed run")
+        case _ => ()
+      }
+    }
+  }
+
+  test("x32: profile metrics agree with direct queries") {
+    val p = Profile.columnProfile(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val n = Tables.documents(spark, sf).count()
+    assert(p("doc_id").getLong(1) == n && p("doc_id").getLong(3) == n,
+      "doc_id: n_rows / n_distinct must equal table count")
+    val langs = Tables.documents(spark, sf).select(col("lang")).distinct().count()
+    assert(p("lang").getLong(3) == langs)
+    assert(p("n_chars").getString(4).toLong <= p("n_chars").getString(5).toLong)
+  }
+
+  test("x33: every z-file confines both dimensions to a 16-bucket range") {
+    Layout.zorderLayout(spark, sf).collect().foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) <= 15, s"zfile ${r.getLong(0)} bx span too wide")
+      assert(r.getLong(5) - r.getLong(4) <= 15, s"zfile ${r.getLong(0)} by span too wide")
+    }
+  }
+
+  test("x33: physical z-order write clusters both dimensions (data skipping)") {
+    // the write-side form: range-partition by the Morton code, sort within
+    // partitions; then each output file's min/max footer stats are narrow
+    // on BOTH dimensions. Partition spans can straddle one range boundary,
+    // so allow 2x the per-file ideal; insertion order gives ~256-wide spans.
+    val z = Layout.withZ(spark, sf)
+      .repartitionByRange(16, col("z")).sortWithinPartitions(col("z"))
+    val spans = z.groupBy(spark_partition_id().as("pid"))
+      .agg((max(col("bx")) - min(col("bx"))).as("sx"),
+        (max(col("by")) - min(col("by"))).as("sy"))
+      .collect()
+    assert(spans.nonEmpty)
+    val avgSx = spans.map(_.getLong(1)).sum.toDouble / spans.length
+    val avgSy = spans.map(_.getLong(2)).sum.toDouble / spans.length
+    assert(avgSx <= 128 && avgSy <= 128,
+      s"z-order write did not cluster: avg spans $avgSx × $avgSy (insertion order ≈ 255)")
+  }
+}

@@ -16,7 +16,11 @@ class PlanSpec extends SparkSpec {
 
   // streaming queries execute on construction; exercise them anyway at sf0.001
   private val allowNestedLoop = Set("x6c_centroid_matrix")
-  private val allowSinglePartition = Set("w4_ntile_rank")
+  // w4: global-order Window kept as the exact oracle form.
+  // x32: ungrouped global aggregate — the exchange carries ONE partial-agg
+  // row per map partition (bounded metadata), never row data; the row
+  // expansion happens before the partial agg, map-side.
+  private val allowSinglePartition = Set("w4_ntile_rank", "x32_column_profile")
 
   test("no Cartesian product in any declared query") {
     SparkEntry.queries.foreach { case (name, fn) =>
