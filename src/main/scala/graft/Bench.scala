@@ -28,7 +28,10 @@ object Bench {
     // on whichever query sorts first (~5 s of pure infrastructure). The
     // second pass warms the shuffle/aggregate machinery too, not just scan.
     try {
-      Tables.events(spark, sfDir).write.format("noop").mode("overwrite").save()
+      // every fixture table a timed query scans first: footer decode, page
+      // cache, and scan codegen should not land on one unlucky query
+      Seq("events", "documents", "embeddings", "lineitem", "orders").foreach(t =>
+        Tables.load(spark, sfDir, t).write.format("noop").mode("overwrite").save())
       Tables.events(spark, sfDir)
         .groupBy(org.apache.spark.sql.functions.col("event_type")).count()
         .write.format("noop").mode("overwrite").save()

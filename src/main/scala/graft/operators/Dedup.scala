@@ -248,12 +248,6 @@ object Dedup {
     // every round start from a leaf-level cached relation.
     var cur = snapshot(spark, verifiedPairs(spark, sfDir, threshold)
       .select(col("id2").as("u"), col("id1").as("v")))
-    // Zero near-dup pairs → every doc is its own singleton cluster (the
-    // agg-on-empty path NPE'd in round 2).
-    if (cur.isEmpty) {
-      return docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
-        .orderBy(col("doc_id"))
-    }
     // Large-star: every node links its larger neighbors to the minimum of
     // its closed neighborhood. Small-star: every node links its smaller
     // neighbors (and itself) to that minimum. Both preserve connectivity;
@@ -282,6 +276,14 @@ object Dedup {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var curSig = sig(cur)
+    // Zero near-dup pairs → every doc is its own singleton cluster (the
+    // agg-on-empty path NPE'd in round 2). The count is free — it is the
+    // first component of the signature just computed (no separate isEmpty
+    // action).
+    if (curSig._1 == 0L) {
+      return docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }
     var converged = false
     while (!converged) {
       val next = snapshot(spark, smallStar(largeStar(cur)))
