@@ -69,7 +69,13 @@ object GraftExtensions {
     // wraps it in AggregateExpression, exactly as for builtin max/count
     (FunctionIdentifier("graft_count_max"),
       info("graft_count_max", "graft_count_max(x) - struct(cnt, max_ts): count + max in one fused buffer"),
-      arity("graft_count_max", 1)(args => expressions.CountMax(args.head))))
+      arity("graft_count_max", 1)(args => expressions.CountMax(args.head))),
+    // generator builders likewise return the bare Generator — the analyzer
+    // extracts it into a Generate node (LATERAL VIEW / select position)
+    (FunctionIdentifier("graft_shingle_terms"),
+      info("graft_shingle_terms", "graft_shingle_terms(tokens, n) - one row (pos, shingle) per n-token window"),
+      arity("graft_shingle_terms", 2)(args => expressions.ShingleTerms(
+        args.head, intLit(args(1), "graft_shingle_terms", "n")))))
 
   /** Register on an already-built session (the extensions hook only runs at
     * session construction). Idempotent: re-registration replaces / skips.

@@ -133,6 +133,7 @@ object SparkEntry {
     "x31_pagerank" -> ((s, d) => Graphs.pagerank(s, d)),
     "x32_column_profile" -> (Profile.columnProfile _),
     "x33_zorder_layout" -> (Layout.zorderLayout _),
+    "x34_shingle_explode" -> (TextAnalysis.shingleExplode _),
   )
 
   // ---- DuckDB oracle SQL ----------------------------------------------------
@@ -982,5 +983,12 @@ object SparkEntry {
     "x31_pagerank" -> Graphs.pagerankOracleSql(),
     "x32_column_profile" -> Profile.columnProfileOracleSql,
     "x33_zorder_layout" -> Layout.zorderOracleSql,
+    "x34_shingle_explode" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents)
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+            tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+          FROM d, unnest(generate_series(1, len(tk) - 2)) AS t(i)
+          WHERE len(tk) >= 3
+          ORDER BY doc_id, pos""",
   )
 }

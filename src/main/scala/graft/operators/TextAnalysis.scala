@@ -478,4 +478,21 @@ object TextAnalysis {
         md5(concat_ws(" ", chunk)).as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
+
+  /** X34 — positional shingle rows via the NATIVE table-generating function
+    * ([[graft.expressions.ShingleTerms]], the custom-UDTF extension point):
+    * one output row per 3-token shingle with its position. Same lateral
+    * fan-out shape as x30 (scan → generate → project, zero shuffles), but
+    * the generator is a custom Catalyst `Generator` planned through
+    * `GenerateExec` instead of a composed builtin chain — it streams
+    * shingles without materializing the per-doc array-of-structs first.
+    * Also SQL-surfaced: `LATERAL VIEW graft_shingle_terms(tokens, 3)`. */
+  def shingleExplode(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    val gen = bridge.column(graft.expressions.ShingleTerms(
+      bridge.expression(TextFns.tokens(col("text"))), 3))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), gen)
+      .orderBy(col("doc_id"), col("pos"))
+  }
 }

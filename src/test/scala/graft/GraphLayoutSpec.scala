@@ -106,6 +106,35 @@ class GraphLayoutSpec extends SparkSpec {
     }
   }
 
+  test("x34: native generator matches the builtin posexplode chain bit-for-bit") {
+    import graft.operators.TextAnalysis
+    import graft.functions.TextFns
+    val native = TextAnalysis.shingleExplode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // reference form: materialize all windows with builtins, then explode
+    val tk = TextFns.tokens(col("text"))
+    val builtin = Tables.documents(spark, sf)
+      .select(col("doc_id"), tk.as("tk"))
+      .where(size(col("tk")) >= 3)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("tk")) - 3),
+        i => concat_ws(" ", element_at(col("tk"), i + 1),
+          element_at(col("tk"), i + 2), element_at(col("tk"), i + 3)))))
+      .select(col("doc_id"), col("pos").cast("long"), col("col"))
+      .orderBy(col("doc_id"), col("pos")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(native.length == builtin.length && native.sameElements(builtin))
+  }
+
+  test("x34: graft_shingle_terms works as a SQL LATERAL VIEW generator") {
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_gen")
+    val n = spark.sql(
+      """SELECT doc_id, pos, shingle
+         FROM (SELECT doc_id, split(trim(lower(text)), '\\s+') AS tk FROM docs_gen)
+         LATERAL VIEW graft_shingle_terms(tk, 3) g AS pos, shingle""").count()
+    assert(n == graft.operators.TextAnalysis.shingleExplode(spark, sf).count())
+  }
+
   test("x33: physical z-order write clusters both dimensions (data skipping)") {
     // the write-side form: range-partition by the Morton code, sort within
     // partitions; then each output file's min/max footer stats are narrow
