@@ -134,6 +134,9 @@ object SparkEntry {
     "x32_column_profile" -> (Profile.columnProfile _),
     "x33_zorder_layout" -> (Layout.zorderLayout _),
     "x34_shingle_explode" -> (TextAnalysis.shingleExplode _),
+    // no-oracle by design (library-specific estimator); union-associativity
+    // and error envelope are spec-pinned in GraphLayoutSpec
+    "a12_hll_sketch_union" -> (Counters.hllSketchUsers _),
   )
 
   // ---- DuckDB oracle SQL ----------------------------------------------------

@@ -150,6 +150,30 @@ object Counters {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
       .orderBy(col("category"))
 
+  /** A12 — mergeable distinct-count sketches (Apache DataSketches HLL via
+    * Spark's native `hll_sketch_agg`/`hll_union_agg`): per-category user
+    * sketches plus an ALL row built by UNIONING the category sketches —
+    * never re-scanning the input. This is the incremental/cross-run form
+    * a7b's one-shot `approx_count_distinct` cannot give: at 100 TB a
+    * pipeline persists the per-partition/per-run sketch *binaries* (a few
+    * KB each) and answers corpus-wide cardinality by sketch union alone —
+    * the same only-new-work pattern as x16's fingerprint index. A spec
+    * pins union-associativity (unioned ALL == direct whole-table sketch)
+    * and the estimate's error envelope; no DuckDB oracle by design (the
+    * estimator is library-specific). */
+  def hllSketchUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val perCat = Tables.events(spark, sfDir)
+      .groupBy(Headers.categoryOrDefault(col("event_type")).as("category"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val per = perCat.select(col("category"),
+      hll_sketch_estimate(col("sk")).as("est_users"))
+    val all = perCat
+      .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+      .select(lit("ALL").as("category"),
+        hll_sketch_estimate(col("sk")).as("est_users"))
+    per.unionByName(all).orderBy(col("category"))
+  }
+
   /** A11 — the reference's `TimestampCount` accumulator (count + latest
     * event ts per category, `util/TimedUtils.scala:40-56`) as ONE native
     * Catalyst aggregate ([[graft.expressions.CountMax]]): the fused-buffer

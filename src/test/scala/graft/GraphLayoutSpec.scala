@@ -106,6 +106,21 @@ class GraphLayoutSpec extends SparkSpec {
     }
   }
 
+  test("a12: sketch union equals the direct whole-table sketch, within HLL error of exact") {
+    val r = Counters.hllSketchUsers(spark, sf).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toMap
+    // union-associativity: merging per-category sketches must give the SAME
+    // estimate as sketching the whole table directly (bit-equal sketches)
+    val direct = Tables.events(spark, sf)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("e"))
+      .collect().head.getLong(0)
+    assert(r("ALL") == direct, "sketch union diverged from the direct sketch")
+    // error envelope: lgK=12 → ~1.6% rse; allow 5%
+    val exact = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(math.abs(r("ALL") - exact).toDouble / exact < 0.05,
+      s"HLL estimate ${r("ALL")} too far from exact $exact")
+  }
+
   test("x34: native generator matches the builtin posexplode chain bit-for-bit") {
     import graft.operators.TextAnalysis
     import graft.functions.TextFns

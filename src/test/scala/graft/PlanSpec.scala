@@ -20,7 +20,10 @@ class PlanSpec extends SparkSpec {
   // x32: ungrouped global aggregate — the exchange carries ONE partial-agg
   // row per map partition (bounded metadata), never row data; the row
   // expansion happens before the partial agg, map-side.
-  private val allowSinglePartition = Set("w4_ntile_rank", "x32_column_profile")
+  // a12: the ALL row unions per-category sketches — the exchange moves a
+  // handful of KB-sized partial HLL sketches, the whole point of the op.
+  private val allowSinglePartition =
+    Set("w4_ntile_rank", "x32_column_profile", "a12_hll_sketch_union")
 
   test("no Cartesian product in any declared query") {
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -94,6 +97,30 @@ class PlanSpec extends SparkSpec {
       assert(shuffles.isEmpty,
         s"bucket join shuffles below the join:\n${j.toString.take(2000)}")
     }
+  }
+
+  test("landed partitioned table joined to a filtered dim plans dynamic partition pruning") {
+    import org.apache.spark.sql.functions._
+    // land at day grain (the compaction-policy grain — bounded partition
+    // count), then join on the partition column with a selective dim:
+    // Spark must inject a dynamicpruning subquery into the fact scan so
+    // only the dim's surviving days are read — THE mechanism that turns a
+    // 100 TB partitioned landing zone into a 3-partition read.
+    val out = java.nio.file.Files.createTempDirectory("graft_dpp_").toString
+    graft.operators.Ingest.enriched(spark, sf)
+      .withColumn("logday", substring(col("logdate"), 1, 8))
+      .write.mode("overwrite").partitionBy("logday").orc(out)
+    val fact = spark.read.orc(out)
+    val dimPath = java.nio.file.Files.createTempDirectory("graft_dpp_dim_").toString
+    fact.select(col("logday")).distinct().orderBy(col("logday")).limit(3)
+      .withColumn("keep", lit(1)).write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val q = fact.join(dim.where(col("keep") === 1), "logday")
+      .groupBy(col("logday")).agg(count(lit(1)).as("n"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n${plan.take(1500)}")
   }
 
   test("no single-partition exchange outside the documented exact form") {
