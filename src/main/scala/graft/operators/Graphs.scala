@@ -69,25 +69,54 @@ object Graphs {
       edges.groupBy(col("src").as("node")).agg(sum(col("w")).as("ow")))
     val nodes = Dedup.snapshot(spark,
       Tables.events(spark, sfDir).select(col("event_type").as("node")).distinct())
-    // N = |event types|: bounded metadata (a handful of categories here, and
-    // in any real deployment a dimension cardinality, not row data).
-    val n = nodes.count()
+    // N = |event types| and the dangling-node check in ONE bounded 1-row
+    // read (a handful of categories here; a dimension cardinality, not row
+    // data, in any real deployment). Dangling topology is a property of
+    // the GRAPH, not of the round: a dangling-free graph (every node has
+    // out-edges — the common case for transition graphs) needs NO
+    // per-round driver action, so the iteration composes into a few jobs;
+    // with dangling nodes the per-round 1-row mass read forces evaluation,
+    // so each round snapshots (the general form).
+    val stats = nodes.join(outw, Seq("node"), "left")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("ow").isNull, lit(1))).as("nd")).head()
+    val n = stats.getLong(0)
+    val hasDangling = stats.getLong(1) > 0
     val base = (15L * Scale) / (100L * n)
-    var ranks = Dedup.snapshot(spark,
-      nodes.select(col("node"), lit(Scale / n).as("rank")))
-    for (_ <- 1 to iters) {
-      val dm = ranks.join(outw, Seq("node"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0L))).head().getLong(0)
-      val contrib = ranks
-        .join(edges, ranks("node") === edges("src"))
-        .join(outw.withColumnRenamed("node", "onode"), col("src") === col("onode"))
-        .select(col("dst"), expr("rank * w div ow").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("c"))
-      ranks = Dedup.snapshot(spark,
-        nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+    // The ITERATION runs on the aggregated edge list (|V|²-bounded, tiny
+    // next to the corpus), so the corpus-sized shuffle width is pure
+    // scheduling overhead here — scope it down for the loop, the same
+    // size-to-the-data knob the streaming demos use for state stores. On a
+    // cluster this is "size the iteration's parallelism to the graph".
+    val key = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.getOption(key)
+    spark.conf.set(key, "8")
+    var ranks = nodes.select(col("node"), lit(Scale / n).as("rank"))
+    try {
+      for (k <- 1 to iters) {
+        val dm =
+          if (hasDangling) ranks.join(outw, Seq("node"), "left_anti")
+            .agg(coalesce(sum(col("rank")), lit(0L))).head().getLong(0)
+          else 0L
+        val contrib = ranks
+          .join(edges, ranks("node") === edges("src"))
+          .join(outw.withColumnRenamed("node", "onode"), col("src") === col("onode"))
+          .select(col("dst"), expr("rank * w div ow").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("c"))
+        ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
           .select(nodes("node"),
             (lit(base) +
-              expr(s"(85 * (coalesce(c, 0L) + ${dm / n}L)) div 100")).as("rank")))
+              expr(s"(85 * (coalesce(c, 0L) + ${dm / n}L)) div 100")).as("rank"))
+        // truncate lineage: every round when an action already forces
+        // evaluation (dangling case), every 2nd round otherwise — AQE
+        // re-plans each composed round at every stage boundary, so deeper
+        // unsnapshotted chains cost more optimizer time than they save
+        if (hasDangling || k % 2 == 0 || k == iters)
+          ranks = Dedup.snapshot(spark, ranks)
+      }
+    } finally prevParts match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
     }
     ranks.select(col("node"), col("rank").as("rank_e12")).orderBy(col("node"))
   }
