@@ -70,6 +70,7 @@ object SparkEntry {
     "s4_except" -> (Relational.exceptSets _),
     "s5_pivot" -> (Relational.pivotCounts _),
     "s6_unpivot" -> (Relational.unpivotCounts _),
+    "s7_multiset_ops" -> (Relational.multisetOps _),
     "a8_rollup" -> (Relational.rollupAgg _),
     "a9_cube" -> (Relational.cubeAgg _),
     "a10_grouping_sets" -> (Relational.groupingSetsAgg _),
@@ -986,6 +987,17 @@ object SparkEntry {
     "x31_pagerank" -> Graphs.pagerankOracleSql(),
     "x32_column_profile" -> Profile.columnProfileOracleSql,
     "x33_zorder_layout" -> Layout.zorderOracleSql,
+    "s7_multiset_ops" ->
+      """SELECT 'intersect_all' AS op, custkey FROM (
+           SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+           INTERSECT ALL
+           SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         UNION ALL
+         SELECT 'except_all' AS op, custkey FROM (
+           SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+           EXCEPT ALL
+           SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         ORDER BY op, custkey""",
     "x34_shingle_explode" ->
       s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents)
           SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,

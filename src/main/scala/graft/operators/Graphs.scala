@@ -81,6 +81,10 @@ object Graphs {
       .agg(count(lit(1)).as("n"),
         count(when(col("ow").isNull, lit(1))).as("nd")).head()
     val n = stats.getLong(0)
+    // empty graph (no events at all): empty rank table, not a div-by-zero
+    if (n == 0L) {
+      return nodes.select(col("node"), lit(0L).as("rank_e12"))
+    }
     val hasDangling = stats.getLong(1) > 0
     val base = (15L * Scale) / (100L * n)
     // The ITERATION runs on the aggregated edge list (|V|²-bounded, tiny

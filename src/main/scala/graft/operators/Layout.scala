@@ -45,6 +45,11 @@ object Layout {
         col("l_suppkey").cast("long").as("sk"))
     // dimension ranges: 1-row aggregate → driver literals (bounded metadata)
     val s = li.agg(min(col("pk")), max(col("pk")), min(col("sk")), max(col("sk"))).head()
+    // empty input: mins/maxes are null — emit the empty layout, not an NPE
+    if (s.isNullAt(0)) {
+      return li.select(col("pk"), col("sk"), lit(0L).as("bx"),
+        lit(0L).as("by"), lit(0L).as("z"))
+    }
     val (pmin, pmax, smin, smax) = (s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3))
     li.withColumn("bx", bucket("pk", pmin, pmax))
       .withColumn("by", bucket("sk", smin, smax))

@@ -446,6 +446,23 @@ object Relational {
   def exceptSets(spark: SparkSession, sfDir: String): DataFrame =
     highValueCust(spark, sfDir).except(urgentCust(spark, sfDir)).orderBy(col("custkey"))
 
+  /** S7 — multiset (bag) algebra: `INTERSECT ALL` / `EXCEPT ALL` over the
+    * NON-distinct custkey multisets (multiplicity = qualifying orders per
+    * customer), tagged and unioned into one result. ANSI ALL semantics:
+    * intersect keeps min(m_a, m_b) copies, except keeps max(m_a − m_b, 0) —
+    * the multiplicity-aware forms s3/s4's set versions collapse. Spark
+    * plans both as a single aggregate-join (count per key on each side,
+    * then replicate) — no row-by-row matching, scale-safe. */
+  def multisetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = Tables.orders(spark, sfDir).where(col("o_totalprice") > 150000.0)
+      .select(col("o_custkey").as("custkey"))
+    val b = Tables.orders(spark, sfDir).where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey"))
+    a.intersectAll(b).withColumn("op", lit("intersect_all"))
+      .unionByName(a.exceptAll(b).withColumn("op", lit("except_all")))
+      .orderBy(col("op"), col("custkey"))
+  }
+
   /** S5 — pivot: long→wide reshaping with an explicit value list (order
     * status per priority). The explicit list matters at scale: without it
     * Spark runs a distinct-values job first AND the output schema becomes

@@ -106,6 +106,14 @@ class GraphLayoutSpec extends SparkSpec {
     }
   }
 
+  test("x31/x33: empty inputs yield empty results, not failures") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_").toString
+    Tables.events(spark, sf).limit(0).write.parquet(s"$dir/events.parquet")
+    Tables.lineitem(spark, sf).limit(0).write.parquet(s"$dir/lineitem.parquet")
+    assert(Graphs.pagerank(spark, dir, 3).count() == 0)
+    assert(Layout.zorderLayout(spark, dir).count() == 0)
+  }
+
   test("a12: sketch union equals the direct whole-table sketch, within HLL error of exact") {
     val r = Counters.hllSketchUsers(spark, sf).collect()
       .map(x => (x.getString(0), x.getLong(1))).toMap
