@@ -79,6 +79,7 @@ object SparkEntry {
     "f3_math_funcs" -> (Relational.mathFuncs _),
     "f4_array_funcs" -> (Relational.arrayFuncs _),
     "f5_json_funcs" -> (Relational.jsonFuncs _),
+    "f6_map_funcs" -> (Relational.mapFuncs _),
     "p1c_malformed_classify" -> (RowTransforms.malformedClassify _),
     // M4 — streaming / stateful
     "t1_stream_counts" -> (StreamingIngest.streamCounts _),
@@ -131,6 +132,7 @@ object SparkEntry {
     // round 5: native UDAF, SCD2, iterative graph, profiling, layout
     "a11_count_max" -> (Counters.countMaxPerCategory _),
     "j13_scd2" -> (Relational.scd2Priority _),
+    "j14_temporal_dim_join" -> (Relational.temporalDimJoin _),
     "x31_pagerank" -> ((s, d) => Graphs.pagerank(s, d)),
     "x32_column_profile" -> (Profile.columnProfile _),
     "x33_zorder_layout" -> (Layout.zorderLayout _),
@@ -152,6 +154,30 @@ object SparkEntry {
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length($e)), i -> CAST(ascii(substring($e, i, 1)) AS BIGINT))), (acc, x) -> (acc * 31 + x) % 1000000007)"
   private def dotD(a: String, b: String) =
     s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+  // Shared by j13 and j14: the SCD-2 dimension build (gaps-and-islands →
+  // validity intervals) as a reusable CTE chain ending in `dim`.
+  private lazy val scd2Cte =
+    s"""m AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+            CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                   OR lag(o_orderpriority) OVER w <> o_orderpriority
+                 THEN 1 ELSE 0 END AS chg
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+          i AS (SELECT o_custkey, o_orderpriority,
+                  CAST(SUM(chg) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    AS version,
+                  o_orderdate
+                FROM m),
+          g AS (SELECT o_custkey, version, min(o_orderpriority) AS priority,
+                  min(${epochS("o_orderdate")}) AS valid_from
+                FROM i GROUP BY 1, 2),
+          dim AS (SELECT o_custkey, version, priority, valid_from,
+                  lead(valid_from) OVER w2 AS valid_to,
+                  (lead(valid_from) OVER w2 IS NULL) AS is_current
+                  FROM g WINDOW w2 AS (PARTITION BY o_custkey ORDER BY version))"""
+
   // Shared by x17 and x17b: the Bloom pre-filter variant must reproduce
   // the exact rows (no false negatives), so both check against one SQL.
   private lazy val x17Oracle =
@@ -963,30 +989,37 @@ object SparkEntry {
           count(ts) AS n_events, max(${epochS("ts")}) AS max_epoch
           FROM events GROUP BY 1 ORDER BY 1""",
     "j13_scd2" ->
-      s"""WITH m AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
-            CASE WHEN lag(o_orderpriority) OVER w IS NULL
-                   OR lag(o_orderpriority) OVER w <> o_orderpriority
-                 THEN 1 ELSE 0 END AS chg
-            FROM orders
-            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
-          i AS (SELECT o_custkey, o_orderpriority,
-                  CAST(SUM(chg) OVER (PARTITION BY o_custkey
-                    ORDER BY o_orderdate, o_orderkey
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-                    AS version,
-                  o_orderdate
-                FROM m),
-          g AS (SELECT o_custkey, version, min(o_orderpriority) AS priority,
-                  min(${epochS("o_orderdate")}) AS valid_from
-                FROM i GROUP BY 1, 2)
-          SELECT o_custkey, version, priority, valid_from,
-            lead(valid_from) OVER w2 AS valid_to,
-            (lead(valid_from) OVER w2 IS NULL) AS is_current
-          FROM g WINDOW w2 AS (PARTITION BY o_custkey ORDER BY version)
-          ORDER BY o_custkey, version""",
+      s"""WITH $scd2Cte
+          SELECT o_custkey, version, priority, valid_from, valid_to, is_current
+          FROM dim ORDER BY o_custkey, version""",
+    // shares the j13 dim CTE: the engine-side composition (scd2Priority →
+    // temporalDimJoin) mirrored in the oracle
+    "j14_temporal_dim_join" ->
+      s"""WITH $scd2Cte,
+          f AS (SELECT DISTINCT l_orderkey, CAST(l_linenumber AS BIGINT) AS linenumber,
+                  o_custkey AS custkey, ${epochS("l_shipdate")} AS ship_epoch
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          j AS (SELECT f.*, d.priority, d.version,
+                  row_number() OVER (PARTITION BY f.l_orderkey, f.linenumber, f.ship_epoch
+                    ORDER BY d.valid_from DESC, d.version DESC) AS rk
+                FROM f JOIN dim d ON f.custkey = d.o_custkey
+                  AND d.valid_from <= f.ship_epoch)
+          SELECT l_orderkey, linenumber, custkey, ship_epoch,
+            priority AS priority_at_ship, version
+          FROM j WHERE rk = 1 ORDER BY l_orderkey, linenumber""",
     "x31_pagerank" -> Graphs.pagerankOracleSql(),
     "x32_column_profile" -> Profile.columnProfileOracleSql,
     "x33_zorder_layout" -> Layout.zorderOracleSql,
+    // outputs restated value-wise: k lookup = json path, built-map values
+    // = the source columns, doubled_sum = 2·(id + uid)
+    "f6_map_funcs" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+         json_extract_string(props, '$.k') IS NOT NULL AS has_k,
+         CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+         user_id AS uid_val,
+         2 * event_id + 2 * user_id AS doubled_sum
+         FROM events ORDER BY event_id""",
     "s7_multiset_ops" ->
       """SELECT 'intersect_all' AS op, custkey FROM (
            SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000

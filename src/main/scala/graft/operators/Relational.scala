@@ -446,6 +446,48 @@ object Relational {
   def exceptSets(spark: SparkSession, sfDir: String): DataFrame =
     highValueCust(spark, sfDir).except(urgentCust(spark, sfDir)).orderBy(col("custkey"))
 
+  /** J14 — temporal dimension lookup: join facts to the [[scd2Priority]]
+    * SCD-2 dimension AT EVENT TIME — each lineitem resolves the priority
+    * its customer had when the item SHIPPED (which may differ from the
+    * order-time priority if it changed in between). The standard
+    * "dimension as of the fact's timestamp" pattern every warehouse runs
+    * against SCD-2 tables, composed entirely from the engine's own
+    * operators (j13 builds the dim, this resolves against it).
+    *
+    * Shape: equi hash join on `custkey` (never a range/theta join — the
+    * interval predicate is a post-join filter), then one windowed
+    * keep-latest per fact. Fan-out is bounded by the customer's version
+    * count (its change history), so the join stays O(facts · versions/key)
+    * with no skew cliff; ties from zero-length same-day versions are
+    * broken by the version number (latest change wins). */
+  def temporalDimJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = scd2Priority(spark, sfDir)
+      .select(col("o_custkey").as("d_custkey"), col("version"),
+        col("priority"), col("valid_from"))
+    // the synthetic lineitem repeats (orderkey, linenumber) with different
+    // shipdates, so the fact identity is the full (okey, line, ship) triple
+    // — distinct'd, or the keep-latest window would mix different facts
+    val facts = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Times.epochSeconds(col("l_shipdate")).as("ship_epoch"))
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey").as("custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .drop("o_orderkey")
+      .distinct()
+    val byFact = Window
+      .partitionBy(col("l_orderkey"), col("l_linenumber"), col("ship_epoch"))
+      .orderBy(col("valid_from").desc, col("version").desc)
+    facts.join(dim,
+        col("custkey") === col("d_custkey") && col("valid_from") <= col("ship_epoch"))
+      .withColumn("rk", row_number().over(byFact))
+      .where(col("rk") === 1)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("linenumber"),
+        col("custkey"), col("ship_epoch"),
+        col("priority").as("priority_at_ship"), col("version"))
+      .orderBy(col("l_orderkey"), col("linenumber"))
+  }
+
   /** S7 — multiset (bag) algebra: `INTERSECT ALL` / `EXCEPT ALL` over the
     * NON-distinct custkey multisets (multiplicity = qualifying orders per
     * customer), tagged and unioned into one result. ANSI ALL semantics:
@@ -610,6 +652,31 @@ object Relational {
           "$.cat").as("rt_cat"),
         json_tuple(col("props"), "k").as(Seq("jt_k")))
       .orderBy(col("event_id"))
+
+  /** F6 — map function surface (the engine side of §2.7's "array/map
+    * functions absent in reference"): `from_json` to a typed map (the
+    * schema-free sibling of f5's struct projection — right when keys are
+    * dynamic), `map_from_arrays` construction, `map_concat` merge, key
+    * lookup via `element_at`, `map_contains_key`, `map_keys`/`map_values`,
+    * and a `transform_values` higher-order rewrite. All fused with the
+    * scan (pure column expressions); outputs are plain values so the
+    * oracle states results, not map layout. */
+  def mapFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val propsMap = from_json(col("props"), "map<string,bigint>",
+      Map.empty[String, String])
+    val builtMap = map_concat(
+      map_from_arrays(array(lit("id")), array(col("event_id"))),
+      map_from_arrays(array(lit("uid")), array(col("user_id"))))
+    Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        element_at(propsMap, "k").as("k_val"),
+        map_contains_key(propsMap, "k").as("has_k"),
+        size(map_keys(propsMap)).cast("long").as("n_keys"),
+        element_at(builtMap, "uid").as("uid_val"),
+        aggregate(map_values(transform_values(builtMap, (_, v) => v * 2L)),
+          lit(0L), (acc, x) => acc + x).as("doubled_sum"))
+      .orderBy(col("event_id"))
+  }
 
   /** J13 — SCD-2 dimension build (slowly-changing dimension, type 2): turn
     * a change *log* (orders, ordered per customer by date) into validity

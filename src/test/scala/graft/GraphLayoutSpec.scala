@@ -88,6 +88,24 @@ class GraphLayoutSpec extends SparkSpec {
     }
   }
 
+  test("j14: every fact resolves to the dim version whose interval contains its ship time") {
+    val dim = Relational.scd2Priority(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(3), if (r.isNullAt(4)) Long.MaxValue else r.getLong(4)))).toMap
+    val rows = Relational.temporalDimJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cust, ship, ver) = (r.getLong(2), r.getLong(3), r.getLong(5))
+      val (from, to) = dim((cust, ver))
+      // zero-length versions (same-day changes) can never contain a ship
+      // time; the join picks the LATEST version starting at that instant,
+      // so from <= ship always, and ship < to except when a later
+      // same-instant version supersedes (then to == from <= ship).
+      assert(from <= ship, s"cust $cust v$ver: interval starts after ship")
+      assert(ship < to || to == from, s"cust $cust v$ver: ship past interval end")
+    }
+  }
+
   test("x32: profile metrics agree with direct queries") {
     val p = Profile.columnProfile(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
