@@ -28,20 +28,18 @@ object Bench {
     // on whichever query sorts first (~5 s of pure infrastructure). The
     // second pass warms the shuffle/aggregate machinery too, not just scan.
     try {
-      // every fixture table a timed query scans first: footer decode, page
-      // cache, and scan codegen should not land on one unlucky query
-      Seq("events", "documents", "embeddings", "lineitem", "orders").foreach(t =>
+      // every fixture table: footer decode, page cache, and scan codegen
+      // should not land on whichever timed query reaches a table first
+      Tables.all.foreach(t =>
         Tables.load(spark, sfDir, t).write.format("noop").mode("overwrite").save())
       Tables.events(spark, sfDir)
         .groupBy(org.apache.spark.sql.functions.col("event_type")).count()
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
-    // SPARK_GRAFT_ONLY=x13,x14 runs a subset — for isolating one query's
-    // cost from its neighbors (JIT, GC, cache residue are order-coupled).
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+    // SPARK_GRAFT_ONLY subset (shared semantics with Verify) — for
+    // isolating one query's cost from its neighbors (JIT, GC, cache
+    // residue are order-coupled).
+    val selected = SparkEntry.selectedQueries.toSeq.sortBy(_._1)
     // SPARK_GRAFT_REPEAT=N times each query N times and reports the LAST
     // run — separates steady-state cost from first-use codegen/JIT when
     // investigating a regression. Default 1 (the honest cold number).

@@ -142,6 +142,16 @@ object SparkEntry {
     "a12_hll_sketch_union" -> (Counters.hllSketchUsers _),
   )
 
+  /** [[queries]] restricted by `SPARK_GRAFT_ONLY=name,name` — the ONE
+    * definition of the subset semantics, shared by Bench and Verify so the
+    * two entry points can never drift. Unset or empty → everything. */
+  def selectedQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    queries.filter { case (name, _) => only.forall(_.contains(name)) }
+  }
+
   // ---- DuckDB oracle SQL ----------------------------------------------------
   // Shared snippets, kept byte-equivalent to the Spark expressions:
   private def epochS(c: String) = s"CAST(floor(epoch($c)) AS BIGINT)"

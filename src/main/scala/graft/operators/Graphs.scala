@@ -31,8 +31,14 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
-  /** 1e12 fixed-point scale: rank 1.0 ≡ 1e12. Chosen so rank·weight products
-    * stay far under 2^63 (rank ≤ 1e12, Σweights ≤ |events|). */
+  /** 1e12 fixed-point scale: rank 1.0 ≡ 1e12. The contribution term
+    * multiplies a rank (≤ Scale, since total mass is Scale) by an edge
+    * weight, so exactness requires `max(w) < 2^63 / Scale ≈ 9.2e6`
+    * transitions on any single aggregated edge — enforced loudly in
+    * [[pagerank]] (silent 64-bit wrap-around would diverge from the
+    * oracle's checked arithmetic). Corpora beyond that bound should
+    * pre-scale edge weights (divide every w AND outw by a common
+    * per-source factor) or lower Scale. */
   val Scale: Long = 1000000000000L
 
   /** The event-type transition multigraph: edge (src→dst, w) = number of
@@ -65,6 +71,13 @@ object Graphs {
     * table — bounded metadata, never row data, the x6/x20 pattern. */
   def pagerank(spark: SparkSession, sfDir: String, iters: Int = 10): DataFrame = {
     val edges = Dedup.snapshot(spark, transitionEdges(spark, sfDir))
+    // fixed-point range guard (see [[Scale]]): fail loudly instead of
+    // silently wrapping rank·w past 2^63 — one bounded 1-row read on the
+    // already-materialized edge snapshot
+    val maxW = edges.agg(coalesce(max(col("w")), lit(0L))).head().getLong(0)
+    require(maxW <= Long.MaxValue / Scale,
+      s"pagerank fixed-point range exceeded: max edge weight $maxW > ${Long.MaxValue / Scale}; " +
+        "pre-scale edge weights or lower Graphs.Scale")
     val outw = Dedup.snapshot(spark,
       edges.groupBy(col("src").as("node")).agg(sum(col("w")).as("ow")))
     val nodes = Dedup.snapshot(spark,
