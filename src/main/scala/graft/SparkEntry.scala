@@ -140,6 +140,7 @@ object SparkEntry {
     // no-oracle by design (library-specific estimator); union-associativity
     // and error envelope are spec-pinned in GraphLayoutSpec
     "a12_hll_sketch_union" -> (Counters.hllSketchUsers _),
+    "x35_embed_quantize" -> (Similarity.embedQuantize _),
   )
 
   /** [[queries]] restricted by `SPARK_GRAFT_ONLY=name,name` — the ONE
@@ -1041,6 +1042,24 @@ object SparkEntry {
            EXCEPT ALL
            SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT')
          ORDER BY op, custkey""",
+    // same explicit floor(t*255 + 0.5) half-up code as the engine — round()
+    // tie-breaking is dialect-specific, floor in double arithmetic is not
+    "x35_embed_quantize" ->
+      """WITH p AS (SELECT vec_id, embedding,
+            CAST(list_min(embedding) AS DOUBLE) AS mn,
+            CAST(list_max(embedding) AS DOUBLE) AS mx FROM embeddings),
+          s AS (SELECT vec_id, embedding, mn, mx,
+            CASE WHEN mx = mn THEN 1.0 ELSE mx - mn END AS sc FROM p)
+          SELECT vec_id, round(mn, 6) AS qmin, round(mx, 6) AS qmax,
+            CAST(list_sum(list_transform(embedding, x ->
+              CAST(floor((CAST(x AS DOUBLE) - mn) / sc * 255 + 0.5) AS BIGINT)))
+              AS BIGINT) AS code_sum,
+            round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(embedding, x ->
+                abs(CAST(x AS DOUBLE) - (mn +
+                  floor((CAST(x AS DOUBLE) - mn) / sc * 255 + 0.5) / 255.0 * sc)))),
+              (a, b) -> a + b) / len(embedding), 6) AS mean_abs_err
+          FROM s ORDER BY vec_id""",
     "x34_shingle_explode" ->
       s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents)
           SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,

@@ -92,6 +92,44 @@ object Similarity {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** X35 — int8 scalar quantization of the embedding column: per-vector
+    * min/max affine mapping to 0..255, the storage/shuffle-width lever for
+    * vector search at scale (4× narrower than float32 — the difference
+    * between shipping 256 B and 64 B per vector through every ANN
+    * shuffle/broadcast; FAISS's `SQ8`). Emits the codebook params, an
+    * integer checksum of the codes (exact oracle anchor), and the mean
+    * absolute reconstruction error, which is bounded by
+    * `(max−min)/255/2` per component — asserted by spec.
+    *
+    * Determinism: the code is `floor(t·255 + 0.5)` — explicit half-up in
+    * exact double arithmetic, bit-identical across engines, instead of
+    * `round()` whose tie-breaking is dialect-specific. Constant vectors
+    * (max == min) map to code 0 with scale 1 (no div-by-zero). */
+  def embedQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = VectorFns.asDouble(col("embedding"))
+    val mn = array_min(v)
+    val mx = array_max(v)
+    val scale = when(col("mx") === col("mn"), lit(1.0))
+      .otherwise(col("mx") - col("mn"))
+    val code = transform(v, x =>
+      floor((x - col("mn")) / col("sc") * 255.0 + 0.5).cast("long"))
+    val dequant = (c: org.apache.spark.sql.Column) =>
+      col("mn") + c.cast("double") / 255.0 * col("sc")
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), mn.as("mn"), mx.as("mx"))
+      .withColumn("sc", scale)
+      .withColumn("q", code)
+      .select(col("vec_id"),
+        round(col("mn"), 6).as("qmin"),
+        round(col("mx"), 6).as("qmax"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("code_sum"),
+        round(
+          aggregate(zip_with(VectorFns.asDouble(col("embedding")), col("q"),
+            (x, c) => abs(x - dequant(c))), lit(0.0), (a, e) => a + e)
+            / size(col("q")), 6).as("mean_abs_err"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Pairwise label-centroid similarity matrix — a tiny all-pairs on an
     * already-reduced aggregate (10×10), the legitimate use of cross join. */
   def centroidMatrix(spark: SparkSession, sfDir: String): DataFrame = {

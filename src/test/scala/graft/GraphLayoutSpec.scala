@@ -117,6 +117,19 @@ class GraphLayoutSpec extends SparkSpec {
     assert(p("n_chars").getString(4).toLong <= p("n_chars").getString(5).toLong)
   }
 
+  test("x35: quantization error is bounded by half a code step per component") {
+    import graft.operators.Similarity
+    val rows = Similarity.embedQuantize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mn, mx, err) = (r.getDouble(1), r.getDouble(2), r.getDouble(4))
+      val step = (if (mx == mn) 1.0 else mx - mn) / 255.0
+      // mean |x - dequant(x)| can never exceed the worst per-component
+      // bound of half a step (+ rounding slack from the 6dp projections)
+      assert(err <= step / 2 + 1e-5, s"vec ${r.getLong(0)}: err $err > ${step / 2}")
+    }
+  }
+
   test("x33: every z-file confines both dimensions to a 16-bucket range") {
     Layout.zorderLayout(spark, sf).collect().foreach { r =>
       assert(r.getLong(3) - r.getLong(2) <= 15, s"zfile ${r.getLong(0)} bx span too wide")
