@@ -90,6 +90,7 @@ object SparkEntry {
     "t4_stream_stream_join" -> ((s, d) => StreamingIngest.streamStreamJoin(s, d)),
     "t5_stream_dedup_watermark" -> (StreamingIngest.streamDedupWithinWatermark _),
     "t10_transform_with_state" -> (StreamingIngest.transformWithStateCounts _),
+    "t11_stream_count_max" -> (StreamingIngest.streamCountMax _),
     // M5 — [EXT] LLM-pipeline operators
     "x1_dedup_exact" -> (Dedup.exactDedup _),
     "x2_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -996,6 +997,12 @@ object SparkEntry {
     // max(epoch(ts)) = epoch(max(ts)): monotone transform, matches the
     // engine's epochSeconds(cm.max_ts) projection of the fused aggregate
     "a11_count_max" ->
+      s"""SELECT coalesce(event_type, 'no_category') AS category,
+          count(ts) AS n_events, max(${epochS("ts")}) AS max_epoch
+          FROM events GROUP BY 1 ORDER BY 1""",
+    // t11 = a11 executed as a complete-mode streaming aggregation: same
+    // oracle (finite source => batch-equivalent)
+    "t11_stream_count_max" ->
       s"""SELECT coalesce(event_type, 'no_category') AS category,
           count(ts) AS n_events, max(${epochS("ts")}) AS max_epoch
           FROM events GROUP BY 1 ORDER BY 1""",

@@ -190,6 +190,38 @@ object StreamingIngest {
       .orderBy(col("bucket_epoch"), col("category"))
   }
 
+  /** T11 — the NATIVE custom aggregate ([[graft.expressions.CountMax]],
+    * a11's fused (count, max) `DeclarativeAggregate`) running INSIDE a
+    * streaming aggregation: the state store holds the two-expression
+    * buffer and the partial/merge path runs across micro-batch boundaries
+    * — proving the custom-UDAF extension point composes with Structured
+    * Streaming exactly like builtin `count`/`max` (the reference's
+    * lock-guarded cross-batch map merge, `util/TimedUtils.scala:126-133`,
+    * done by the engine's state machinery). Complete mode on a finite
+    * source ⇒ batch-equivalent, so a11's oracle shape applies. */
+  def streamCountMax(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    val qn = "graft_stream_cm_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val cm = bridge.column(
+      graft.expressions.CountMax(bridge.expression(col("ts")))
+        .toAggregateExpression()).as("cm")
+    val agg = source(spark, sfDir)
+      .groupBy(Headers.categoryOrDefault(col("event_type")).as("category"))
+      .agg(cm)
+    withStatePartitions(spark) {
+      val q = agg.writeStream
+        .format("memory").queryName(qn)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+    }
+    spark.table(qn)
+      .select(col("category"), col("cm.cnt").as("n_events"),
+        unix_timestamp(col("cm.max_ts")).as("max_epoch"))
+      .orderBy(col("category"))
+  }
+
   /** T3b/U — streaming first-seen dedup with explicit keyed state
     * (`flatMapGroupsWithState`): per user, emit each category the first
     * time it is ever seen and keep the seen-set in managed state — the
