@@ -142,6 +142,7 @@ object SparkEntry {
     // and error envelope are spec-pinned in GraphLayoutSpec
     "a12_hll_sketch_union" -> (Counters.hllSketchUsers _),
     "x35_embed_quantize" -> (Similarity.embedQuantize _),
+    "x36_split_leakage" -> ((s, d) => Dedup.splitLeakage(s, d)),
   )
 
   /** [[queries]] restricted by `SPARK_GRAFT_ONLY=name,name` — the ONE
@@ -189,6 +190,23 @@ object SparkEntry {
                   lead(valid_from) OVER w2 AS valid_to,
                   (lead(valid_from) OVER w2 IS NULL) AS is_current
                   FROM g WINDOW w2 AS (PARTITION BY o_custkey ORDER BY version))"""
+
+  // Shared by x4 and x36: the exact n-gram Jaccard pair set (J >= 0.8) as
+  // a CTE chain ending in `pairs(id1, id2, jaccard)` — the oracle states
+  // the brute-force form; the engine's ppjoin prefix filter must be
+  // lossless against it.
+  private lazy val jaccardPairsCte =
+    s"""docs AS (SELECT doc_id, $toks AS toks FROM documents),
+          sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+                 FROM docs, unnest(generate_series(1, len(toks) - 2)) AS t(i)
+                 WHERE len(toks) >= 3),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          pairs AS (
+            SELECT id1, id2, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+            FROM inter JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+            WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.8)"""
 
   // Shared by x17 and x17b: the Bloom pre-filter variant must reproduce
   // the exact rows (no false negatives), so both check against one SQL.
@@ -585,17 +603,21 @@ object SparkEntry {
          CAST(length(text) AS BIGINT) AS text_len
          FROM documents GROUP BY text ORDER BY keeper_id""",
     "x4_ngram_jaccard" ->
-      s"""WITH docs AS (SELECT doc_id, $toks AS toks FROM documents),
-          sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
-                 FROM docs, unnest(generate_series(1, len(toks) - 2)) AS t(i)
-                 WHERE len(toks) >= 3),
-          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-          inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
-                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-          SELECT id1, id2, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
-          FROM inter JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
-          WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.8
-          ORDER BY id1, id2""",
+      s"""WITH $jaccardPairsCte
+          SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2""",
+    // shares x4's pair CTE: leakage = the near-dup pairs whose docs landed
+    // in different x14 splits
+    "x36_split_leakage" ->
+      s"""WITH $jaccardPairsCte,
+          spl AS (SELECT doc_id,
+            CASE WHEN ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 10 <= 7 THEN 'train'
+                 WHEN ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 10 = 8 THEN 'val'
+                 ELSE 'test' END AS split FROM documents)
+          SELECT p.id1, p.id2, s1.split AS split1, s2.split AS split2, p.jaccard
+          FROM pairs p JOIN spl s1 ON p.id1 = s1.doc_id
+          JOIN spl s2 ON p.id2 = s2.doc_id
+          WHERE s1.split <> s2.split
+          ORDER BY p.id1, p.id2""",
     "x5_embed_neardup" ->
       s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
           round(${cosineD("a.embedding", "b.embedding")}, 6) AS cosine

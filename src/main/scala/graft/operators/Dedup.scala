@@ -232,6 +232,29 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** X36 — cross-split leakage audit: the near-dup pairs (x4's verified
+    * J ≥ t set, memoized — zero recompute) whose two documents landed in
+    * DIFFERENT x14 train/val/test splits. Exact-dup leakage is impossible
+    * by construction (x14 splits on a content-stable doc_id hash, and
+    * identical texts still differ in doc_id — so near-dups DO cross
+    * splits), which is why real pipelines run precisely this audit before
+    * trusting a validation number: a val doc with a J≥0.8 twin in train
+    * inflates eval. Two narrow hash joins against the split labels; the
+    * heavy lifting was already paid by the shared pair index. */
+  def splitLeakage(spark: SparkSession, sfDir: String,
+                   threshold: Double = 0.8): DataFrame = {
+    val bucket = pmod(TextFns.polyHash(col("doc_id").cast("string")), lit(10L))
+    val splits = Tables.documents(spark, sfDir).select(col("doc_id"),
+      when(bucket <= 7, lit("train")).when(bucket === 8, lit("val"))
+        .otherwise(lit("test")).as("split"))
+    verifiedPairs(spark, sfDir, threshold)
+      .join(splits.select(col("doc_id").as("id1"), col("split").as("split1")), "id1")
+      .join(splits.select(col("doc_id").as("id2"), col("split").as("split2")), "id2")
+      .where(col("split1") =!= col("split2"))
+      .select(col("id1"), col("id2"), col("split1"), col("split2"), col("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** X13 — duplicate clusters: connected components over the near-dup
     * graph (x4's J ≥ 0.8 pairs), so a curation pipeline can keep one doc
     * per cluster instead of dropping only pairwise losers. The edge set is
