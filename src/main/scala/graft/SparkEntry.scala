@@ -64,6 +64,7 @@ object SparkEntry {
     "w4b_ntile_scalable" -> ((s, d) => Relational.ntileScalable(s, d)),
     "w5_percent_rank" -> (Relational.percentRankDist _),
     "w6_range_window" -> (Relational.rangeWindowAgg _),
+    "w7_nth_value" -> (Relational.nthValueFrame _),
     "s1_topk" -> (Relational.topK _),
     "s2_union" -> (Relational.unionSets _),
     "s3_intersect" -> (Relational.intersectSets _),
@@ -952,6 +953,16 @@ object SparkEntry {
           WINDOW w AS (PARTITION BY user_id ORDER BY epoch
                        RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
           ORDER BY event_id""",
+    "w7_nth_value" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+         first_value(o_totalprice) OVER w AS best_price,
+         nth_value(o_totalprice, 2) OVER w AS second_price,
+         round(first_value(o_totalprice) OVER w - o_totalprice, 2) AS gap_to_best
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_orderkey""",
     "x25_stratified_sample" ->
       s"""WITH r AS (SELECT doc_id, lang,
             ${polyHashSql("CAST(doc_id AS VARCHAR)")} AS rk FROM documents),

@@ -334,6 +334,25 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** W7 — full-frame positional analytics: every order annotated with its
+    * priority group's best and second-best price (`first_value` /
+    * `nth_value(·, 2)` over an explicit UNBOUNDED..UNBOUNDED ROWS frame)
+    * and its gap to the best — the leaderboard-context projection
+    * (how far is this row from its group's top) that rank() alone cannot
+    * give. Selected values, not aggregates: exact doubles on both
+    * engines, ties broken by o_orderkey. */
+  def nthValueFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("best_price", first_value(col("o_totalprice")).over(w))
+      .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(w))
+      .withColumn("gap_to_best", round(col("best_price") - col("o_totalprice"), 2))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** W6 — time-RANGE frame analytics: per user, events and value-sum in
     * the trailing 10 minutes *of event time* (RANGE BETWEEN 600 PRECEDING
     * AND CURRENT ROW over the epoch-second order key), the sliding-window
