@@ -538,7 +538,7 @@ object SparkEntry {
     "f5_json_funcs" ->
       """SELECT event_id,
          json_extract_string(props, '$.k') AS k_str,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
          CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
          coalesce(event_type, 'no_category') AS rt_cat,
          json_extract_string(props, '$.k') AS jt_k
@@ -1065,8 +1065,8 @@ object SparkEntry {
     // = the source columns, doubled_sum = 2·(id + uid)
     "f6_map_funcs" ->
       """SELECT event_id,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
-         json_extract_string(props, '$.k') IS NOT NULL AS has_k,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+         list_contains(json_keys(props), 'k') AS has_k,
          CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
          user_id AS uid_val,
          2 * event_id + 2 * user_id AS doubled_sum

@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
   * weights) and runs exactly once; the *iteration* runs on the aggregated
   * edge list — |event types|² at most here, |unique links| in a web graph —
   * which is orders of magnitude smaller than the input. Every round is one
-  * shuffle on the edge key plus one bounded 1-row driver read (the dangling
-  * mass), and each round's result is lineage-truncated ([[Dedup.snapshot]])
-  * so the plan never grows with the iteration count.
+  * shuffle on the edge key (the dangling mass, when present, rides along as
+  * a broadcast 1-row DataFrame — no per-round driver action), and every 2nd
+  * round is lineage-truncated ([[Dedup.snapshot]]) so the plan never grows
+  * with the iteration count.
   *
   * Determinism: ranks are **fixed-point integers** (units of 1e-12), all
   * arithmetic is 64-bit integer multiply/floor-divide — bit-identical across
@@ -47,7 +48,12 @@ object Graphs {
   private[graft] def transitionEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
+    // event_type IS NOT NULL is pinned on BOTH sides (engine + oracle):
+    // a NULL node would never match the rank equi-joins and the final
+    // ORDER BY would diverge (Spark NULLS FIRST vs DuckDB NULLS LAST) —
+    // fixture-independent rather than fixture-lucky
     Tables.events(spark, sfDir)
+      .where(col("event_type").isNotNull)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
       .where(col("next_type").isNotNull)
@@ -66,9 +72,9 @@ object Graphs {
     *   contrib_e = (rank(src) * w_e) div outw(src)         // per edge
     *   rank'(v)  = base + (85 * (Σ contrib(v) + dm div N)) div 100
     * }}}
-    * where `dm` is the summed rank of dangling nodes (no out-edges). The
-    * per-round `dm` read is a 1-row aggregate over the *snapshotted* rank
-    * table — bounded metadata, never row data, the x6/x20 pattern. */
+    * where `dm` is the summed rank of dangling nodes (no out-edges),
+    * computed as a 1-row aggregate DataFrame and broadcast-joined into the
+    * update on a constant key — the round stays fully lazy either way. */
   def pagerank(spark: SparkSession, sfDir: String, iters: Int = 10): DataFrame = {
     val edges = Dedup.snapshot(spark, transitionEdges(spark, sfDir))
     // fixed-point range guard (see [[Scale]]): fail loudly instead of
@@ -81,7 +87,8 @@ object Graphs {
     val outw = Dedup.snapshot(spark,
       edges.groupBy(col("src").as("node")).agg(sum(col("w")).as("ow")))
     val nodes = Dedup.snapshot(spark,
-      Tables.events(spark, sfDir).select(col("event_type").as("node")).distinct())
+      Tables.events(spark, sfDir).where(col("event_type").isNotNull)
+        .select(col("event_type").as("node")).distinct())
     // N = |event types| and the dangling-node check in ONE bounded 1-row
     // read (a handful of categories here; a dimension cardinality, not row
     // data, in any real deployment). Dangling topology is a property of
@@ -100,6 +107,14 @@ object Graphs {
     }
     val hasDangling = stats.getLong(1) > 0
     val base = (15L * Scale) / (100L * n)
+    // dangling mass carried as a 1-row DataFrame broadcast-joined on a
+    // constant key: the round composes lazily (no per-round driver read,
+    // no per-round job launch), dangling or not — the only actions inside
+    // the loop are the every-2nd-round lineage snapshots
+    val danglingMass: DataFrame => DataFrame = ranks =>
+      ranks.join(outw, Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
+        .select(lit(1).as("jk"), col("dm"))
     // The ITERATION runs on the aggregated edge list (|V|²-bounded, tiny
     // next to the corpus), so the corpus-sized shuffle width is pure
     // scheduling overhead here — scope it down for the loop, the same
@@ -111,24 +126,26 @@ object Graphs {
     var ranks = nodes.select(col("node"), lit(Scale / n).as("rank"))
     try {
       for (k <- 1 to iters) {
-        val dm =
-          if (hasDangling) ranks.join(outw, Seq("node"), "left_anti")
-            .agg(coalesce(sum(col("rank")), lit(0L))).head().getLong(0)
-          else 0L
         val contrib = ranks
           .join(edges, ranks("node") === edges("src"))
           .join(outw.withColumnRenamed("node", "onode"), col("src") === col("onode"))
           .select(col("dst"), expr("rank * w div ow").as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as("c"))
-        ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
-          .select(nodes("node"),
-            (lit(base) +
-              expr(s"(85 * (coalesce(c, 0L) + ${dm / n}L)) div 100")).as("rank"))
-        // truncate lineage: every round when an action already forces
-        // evaluation (dangling case), every 2nd round otherwise — AQE
-        // re-plans each composed round at every stage boundary, so deeper
-        // unsnapshotted chains cost more optimizer time than they save
-        if (hasDangling || k % 2 == 0 || k == iters)
+        val joined = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        ranks =
+          if (hasDangling)
+            joined.withColumn("jk", lit(1))
+              .join(broadcast(danglingMass(ranks)), Seq("jk"))
+              .select(nodes("node"),
+                (lit(base) +
+                  expr(s"(85 * (coalesce(c, 0L) + dm div ${n}L)) div 100")).as("rank"))
+          else
+            joined.select(nodes("node"),
+              (lit(base) + expr("(85 * coalesce(c, 0L)) div 100")).as("rank"))
+        // truncate lineage every 2nd round — AQE re-plans each composed
+        // round at every stage boundary, so deeper unsnapshotted chains
+        // cost more optimizer time than they save
+        if (k % 2 == 0 || k == iters)
           ranks = Dedup.snapshot(spark, ranks)
       }
     } finally prevParts match {
@@ -147,11 +164,12 @@ object Graphs {
     * snapshots. */
   def pagerankOracleSql(iters: Int = 10): String = {
     val head =
-      s"""WITH nodes AS MATERIALIZED (SELECT DISTINCT event_type AS node FROM events),
+      s"""WITH nodes AS MATERIALIZED (SELECT DISTINCT event_type AS node FROM events
+                   WHERE event_type IS NOT NULL),
          ncnt AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
          seq AS (SELECT event_type,
                  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
-                 FROM events),
+                 FROM events WHERE event_type IS NOT NULL),
          edges AS MATERIALIZED (SELECT event_type AS src, nxt AS dst, count(*) AS w
                    FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
          outw AS MATERIALIZED (SELECT src AS node, sum(w) AS ow FROM edges GROUP BY 1),
@@ -170,6 +188,10 @@ object Graphs {
                  FROM nodes n CROSS JOIN ncnt nc CROSS JOIN d$k d
                  LEFT JOIN c$k c ON n.node = c.node)"""
     }.mkString
-    head + steps + s"\nSELECT node, rank AS rank_e12 FROM r$iters ORDER BY node"
+    // CAST: DuckDB SUM(BIGINT) yields HUGEINT, so the uncast rank would
+    // arrive as decimal128(38,0) while the engine emits int64 — the typed
+    // hash would mismatch on identical values (round-5 red row)
+    head + steps +
+      s"\nSELECT node, CAST(rank AS BIGINT) AS rank_e12 FROM r$iters ORDER BY node"
   }
 }

@@ -649,46 +649,61 @@ object Relational {
 
   /** F5 — JSON function surface over the events `props` column (P6's
     * inverse direction — the reference only ENCODES JSON,
-    * `util/TimedUtils.scala:51-53`; a query engine must also parse it):
-    * path extraction (`get_json_object`), schema-projected struct
-    * extraction (`from_json` — the vectorizable form a 100 TB scan should
-    * prefer: one parse to typed columns, not one parse per path), key
-    * enumeration (`json_object_keys`), the `json_tuple` generator, and a
-    * construct-then-extract round trip (`to_json(struct(...))`) proving
-    * encode/decode agree. All built-ins fused with the scan; final columns
-    * are plain values so the oracle states results, not engine-specific
-    * JSON byte layout. */
-  def jsonFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    * `util/TimedUtils.scala:51-53`; a query engine must also parse it).
+    * The 100 TB shape: **parse `props` ONCE** (`from_json` to a string map)
+    * and derive every per-key column from the parsed value — `k_num` by
+    * cast, `n_keys` from `map_keys`, the `json_tuple`-equivalent `jt_k` by
+    * lookup. One `get_json_object` path extraction stays as the
+    * path-API demo, and the `to_json(struct(...))` → extract round trip
+    * proves encode/decode agree (it parses the *constructed* JSON, not
+    * `props`). Round 5 parsed `props` five times — one per API — which is
+    * a function-surface demo but the wrong pattern to teach at scale;
+    * Catalyst's subexpression elimination keeps the shared map parse
+    * single-execution inside whole-stage codegen. */
+  def jsonFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    // one parse: JSON scalars arrive as their string form (numbers
+    // unquoted), matching get_json_object/json_tuple output exactly
+    val m = from_json(col("props"), "map<string,string>",
+      Map.empty[String, String])
     Tables.events(spark, sfDir)
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").as("k_str"),
-        from_json(col("props"), "k BIGINT", Map.empty[String, String])
-          .getField("k").as("k_num"),
-        size(json_object_keys(col("props"))).cast("long").as("n_keys"),
+        element_at(m, "k").try_cast("long").as("k_num"),
+        size(map_keys(m)).cast("long").as("n_keys"),
         get_json_object(
           to_json(struct(col("event_id").as("id"),
             coalesce(col("event_type"), lit("no_category")).as("cat"))),
           "$.cat").as("rt_cat"),
-        json_tuple(col("props"), "k").as(Seq("jt_k")))
+        element_at(m, "k").as("jt_k"))
       .orderBy(col("event_id"))
+  }
 
   /** F6 — map function surface (the engine side of §2.7's "array/map
-    * functions absent in reference"): `from_json` to a typed map (the
+    * functions absent in reference"): `from_json` to a map (the
     * schema-free sibling of f5's struct projection — right when keys are
     * dynamic), `map_from_arrays` construction, `map_concat` merge, key
     * lookup via `element_at`, `map_contains_key`, `map_keys`/`map_values`,
     * and a `transform_values` higher-order rewrite. All fused with the
     * scan (pure column expressions); outputs are plain values so the
-    * oracle states results, not map layout. */
+    * oracle states results, not map layout.
+    *
+    * Parse semantics are pinned per-KEY, not per-row: the map parses to
+    * STRING values and `k` is try_cast afterwards (nulls the one bad
+    * value, mirrored by the oracle's TRY_CAST), where a
+    * direct `map<string,bigint>` parse would null the ENTIRE map on any
+    * uncoercible value (PERMISSIVE mode) with no DuckDB equivalent; and
+    * `has_k` means key-exists (true for a JSON null value), matching
+    * `list_contains(json_keys(...))` on the oracle side — both previously
+    * held only because the fixture never exercised them. */
   def mapFuncs(spark: SparkSession, sfDir: String): DataFrame = {
-    val propsMap = from_json(col("props"), "map<string,bigint>",
+    val propsMap = from_json(col("props"), "map<string,string>",
       Map.empty[String, String])
     val builtMap = map_concat(
       map_from_arrays(array(lit("id")), array(col("event_id"))),
       map_from_arrays(array(lit("uid")), array(col("user_id"))))
     Tables.events(spark, sfDir)
       .select(col("event_id"),
-        element_at(propsMap, "k").as("k_val"),
+        element_at(propsMap, "k").try_cast("long").as("k_val"),
         map_contains_key(propsMap, "k").as("has_k"),
         size(map_keys(propsMap)).cast("long").as("n_keys"),
         element_at(builtMap, "uid").as("uid_val"),

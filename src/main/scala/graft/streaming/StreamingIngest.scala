@@ -116,6 +116,20 @@ object StreamingIngest {
     }
   }
 
+  /** Project the finished memory-sink table, pin its rows locally, and DROP
+    * the temp view: the sink's rows already live on the driver (that is
+    * what a memory sink is), so the LocalRelation changes nothing at scale,
+    * while repeated runs (SPARK_GRAFT_REPEAT, spec suites) stop
+    * accumulating UUID-named views and their retained complete-mode rows
+    * in the driver catalog. */
+  private def drainMemorySink(spark: SparkSession, qn: String)
+                             (project: DataFrame => DataFrame): DataFrame = {
+    val out = project(spark.table(qn))
+    val rows = out.collect()
+    spark.catalog.dropTempView(qn)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   def source(spark: SparkSession, sfDir: String): DataFrame = {
     graft.Tables.ensureParquetConf(spark)
     // The file stream source wants a directory; expose the single fixture
@@ -153,10 +167,10 @@ object StreamingIngest {
         .start()
       try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
     }
-    spark.table(qn)
-      .select(unix_timestamp(col("window.start")).as("bucket_epoch"),
+    drainMemorySink(spark, qn)(
+      _.select(unix_timestamp(col("window.start")).as("bucket_epoch"),
         col("category"), col("count").as("cnt"))
-      .orderBy(col("bucket_epoch"), col("category"))
+        .orderBy(col("bucket_epoch"), col("category")))
   }
 
   /** T1b/A4 — the scale-correct streaming counter: watermarked, APPEND
@@ -184,10 +198,10 @@ object StreamingIngest {
         .start()
       try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
     }
-    spark.table(qn)
-      .select(unix_timestamp(col("window.start")).as("bucket_epoch"),
+    drainMemorySink(spark, qn)(
+      _.select(unix_timestamp(col("window.start")).as("bucket_epoch"),
         col("category"), col("count").as("cnt"))
-      .orderBy(col("bucket_epoch"), col("category"))
+        .orderBy(col("bucket_epoch"), col("category")))
   }
 
   /** T11 — the NATIVE custom aggregate ([[graft.expressions.CountMax]],
@@ -216,10 +230,10 @@ object StreamingIngest {
         .start()
       try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
     }
-    spark.table(qn)
-      .select(col("category"), col("cm.cnt").as("n_events"),
+    drainMemorySink(spark, qn)(
+      _.select(col("category"), col("cm.cnt").as("n_events"),
         unix_timestamp(col("cm.max_ts")).as("max_epoch"))
-      .orderBy(col("category"))
+        .orderBy(col("category")))
   }
 
   /** T3b/U — streaming first-seen dedup with explicit keyed state
@@ -258,7 +272,7 @@ object StreamingIngest {
         .start()
       try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
     }
-    spark.table(qn).orderBy(col("user_id"), col("category"))
+    drainMemorySink(spark, qn)(_.orderBy(col("user_id"), col("category")))
   }
 
   /** T5b — native streaming dedup with BOUNDED state:
@@ -290,7 +304,7 @@ object StreamingIngest {
         .start()
       try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
     }
-    spark.table(qn).orderBy(col("user_id"), col("category"))
+    drainMemorySink(spark, qn)(_.orderBy(col("user_id"), col("category")))
   }
 
   /** The per-key state of [[transformWithStateCounts]]: the reference's
@@ -355,10 +369,10 @@ object StreamingIngest {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
-    spark.table(qn)
-      .groupBy(col("user_id"))
-      .agg(max(col("n_events")).as("n_events"), max(col("max_epoch")).as("max_epoch"))
-      .orderBy(col("user_id"))
+    drainMemorySink(spark, qn)(
+      _.groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"), max(col("max_epoch")).as("max_epoch"))
+        .orderBy(col("user_id")))
   }
 
   /** T2 — sessionization: the idle-close semantics (a writer closes after
@@ -402,10 +416,10 @@ object StreamingIngest {
         .start()
       try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
     }
-    spark.table(qn)
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_sessions"), sum(col("count")).as("n_events"))
-      .orderBy(col("user_id"))
+    drainMemorySink(spark, qn)(
+      _.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("count")).as("n_events"))
+        .orderBy(col("user_id")))
   }
 
   /** T4 — stream-stream event-time interval join: every `click` joined to
@@ -451,8 +465,8 @@ object StreamingIngest {
         .start()
       try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
     }
-    spark.table(qn)
-      .orderBy(col("user_id"), col("click_id"), col("error_id"))
+    drainMemorySink(spark, qn)(
+      _.orderBy(col("user_id"), col("click_id"), col("error_id")))
   }
 
   /** Replay-idempotent per-batch ORC landing: write the batch to a

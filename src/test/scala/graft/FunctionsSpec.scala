@@ -243,4 +243,37 @@ class FunctionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("expects 2 argument"))
   }
+
+  test("f5/f6: per-key JSON semantics are pinned on missing/null/non-numeric k (DuckDB-verified)") {
+    import java.sql.Timestamp
+    import graft.operators.Relational
+    // the sf fixtures only ever carry {"k": <int>} — pin the divergence
+    // cases on a constructed events dir; expectations below are the exact
+    // tuples DuckDB returns for the f5/f6 oracle SQL over the same props
+    val props = Seq("""{"k": 5}""", """{"k": null}""", "{}", """{"k": "abc"}""", """{"k": "7"}""")
+    val dir = java.nio.file.Files.createTempDirectory("graft_json_edge_").toString
+    props.zipWithIndex.map { case (p, i) =>
+      (i + 1L, new Timestamp(1700000000000L + i * 1000L), 10L + i, "click", 1.0, p)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+
+    val f6 = Relational.mapFuncs(spark, dir).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        r.getBoolean(2), r.getLong(3)))
+    assert(f6.toSeq == Seq(
+      (1L, 5L, true, 1L), (2L, null, true, 1L), (3L, null, false, 0L),
+      (4L, null, true, 1L), (5L, 7L, true, 1L)),
+      s"f6 per-key semantics diverged from the DuckDB oracle: ${f6.toSeq}")
+
+    val f5 = Relational.jsonFuncs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        r.getLong(3), r.getString(5)))
+    assert(f5.toSeq == Seq(
+      (1L, "5", 5L, 1L, "5"), (2L, null, null, 1L, null),
+      (3L, null, null, 0L, null), (4L, "abc", null, 1L, "abc"),
+      (5L, "7", 7L, 1L, "7")),
+      s"f5 per-key semantics diverged from the DuckDB oracle: ${f5.toSeq}")
+  }
 }

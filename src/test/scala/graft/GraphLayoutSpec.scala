@@ -137,6 +137,67 @@ class GraphLayoutSpec extends SparkSpec {
     }
   }
 
+  test("x31: dangling graph matches the integer update rule with no per-round driver action") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    // u1: A,B,C; u2: B,A,C; u3: A,<null>,D — C and D never appear as a
+    // source (dangling), and the NULL event is skipped on both engine and
+    // oracle (pinned isNotNull), so u3 contributes the single edge A→D
+    val rows = Seq(
+      (1L, 1L, "A"), (2L, 1L, "B"), (3L, 1L, "C"),
+      (4L, 2L, "B"), (5L, 2L, "A"), (6L, 2L, "C"),
+      (7L, 3L, "A"), (8L, 3L, null), (9L, 3L, "D"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dangling_").toString
+    rows.map { case (id, u, t) =>
+      (id, new Timestamp(1700000000000L + id * 1000L), u, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+
+    // independent simulation of the fixed-point update (Scaladoc rule);
+    // Scala Long division == floor for the nonnegative values involved
+    val edges = Map(("A", "B") -> 1L, ("B", "C") -> 1L, ("B", "A") -> 1L,
+      ("A", "C") -> 1L, ("A", "D") -> 1L)
+    val nodes = Seq("A", "B", "C", "D")
+    def simulate(iters: Int): Map[String, Long] = {
+      val outw = edges.groupBy(_._1._1).map { case (s, es) => s -> es.values.sum }
+      val n = nodes.length
+      val base = (15L * Graphs.Scale) / (100L * n)
+      var rank = nodes.map(_ -> Graphs.Scale / n).toMap
+      for (_ <- 1 to iters) {
+        val dm = nodes.filterNot(outw.contains).map(rank).sum
+        val contrib = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+        for (((s, d), w) <- edges) contrib(d) += rank(s) * w / outw(s)
+        rank = nodes.map(v => v -> (base + (85L * (contrib(v) + dm / n)) / 100L)).toMap
+      }
+      rank
+    }
+    // sanity: the fixture IS dangling
+    val danglingNodes = nodes.filterNot(n => edges.keys.exists(_._1 == n))
+    assert(danglingNodes == Seq("C", "D"), "fixture must contain dangling nodes")
+
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val got =
+      try {
+        val r = Graphs.pagerank(spark, dir, iters = 6).collect()
+          .map(x => (x.getString(0), x.getLong(1))).toMap
+        Thread.sleep(500) // let the async listener bus drain
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(got == simulate(6), s"dangling ranks diverged: $got vs ${simulate(6)}")
+    // no per-round driver action: jobs are the fixed setup reads plus the
+    // every-2nd-round snapshots (each a multi-job AQE cascade of stage +
+    // broadcast materializations — ~57 observed for 6 rounds). The old
+    // per-round dm.head() forced one snapshot per round, roughly doubling
+    // that; 80 trips on eager-evaluation regressions while absorbing AQE
+    // job-count wobble
+    assert(jobs <= 80, s"pagerank launched $jobs jobs for 6 rounds")
+  }
+
   test("x31/x33: empty inputs yield empty results, not failures") {
     val dir = java.nio.file.Files.createTempDirectory("graft_empty_").toString
     Tables.events(spark, sf).limit(0).write.parquet(s"$dir/events.parquet")
