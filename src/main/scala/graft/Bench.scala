@@ -35,6 +35,49 @@ object Bench {
       Tables.events(spark, sfDir)
         .groupBy(org.apache.spark.sql.functions.col("event_type")).count()
         .write.format("noop").mode("overwrite").save()
+      // Custom-expression codegen warm-up over 32 rows: the shingle/hash
+      // chain, posting explode→join→sort_array shape, and the vector ops
+      // compile seconds of generated code on FIRST use — profiled at ~7 s
+      // landing entirely on whichever index-family query sorts first
+      // (x13). Compile it against 32 rows instead, so timed numbers
+      // measure data flow, not javac. The memoized indexes are NOT
+      // pre-built: DfCache is untouched and x13 still pays its real
+      // index build in-band.
+      locally {
+        import org.apache.spark.sql.functions._
+        import graft.functions.{TextFns, VectorFns}
+        val d32 = Tables.documents(spark, sfDir).limit(32)
+          .select(col("doc_id"),
+            TextFns.shingleHashes(TextFns.tokens(col("text")), 3).as("sh"))
+          .where(size(col("sh")) > 0)
+        val p = d32.select(col("doc_id"), explode(col("sh")).as("s"))
+        val dfq = p.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        val pre = p.join(dfq, "s").groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("arr"))
+          .select(col("doc_id"), size(col("arr")).as("n"),
+            explode(slice(col("arr"), lit(1),
+              (size(col("arr")) - ceil(lit(0.8) * size(col("arr")) - 1e-9) + 1)
+                .cast("int"))).as("e"))
+          .select(col("doc_id"), col("e.s").as("s"), col("n"))
+        pre.as("a")
+          .join(pre.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+          .distinct()
+          .join(d32.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+          .join(d32.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+          .select(size(array_intersect(col("sh1"), col("sh2"))).as("i"))
+          .write.format("noop").mode("overwrite").save()
+        d32.select(TextFns.minhashSig(col("sh"), 16).as("sig"),
+            TextFns.simhash32(col("sh")).as("sh32"),
+            TextFns.polyHash(col("doc_id").cast("string")).as("fp"))
+          .write.format("noop").mode("overwrite").save()
+        Tables.embeddings(spark, sfDir).limit(32)
+          .select(VectorFns.dot(col("embedding"), col("embedding")).as("d"),
+            VectorFns.norm(col("embedding")).as("nr"),
+            VectorFns.signBucket(col("embedding"), 64, 12).as("b"))
+          .write.format("noop").mode("overwrite").save()
+      }
     } catch { case _: Throwable => () }
     // SPARK_GRAFT_ONLY subset (shared semantics with Verify) — for
     // isolating one query's cost from its neighbors (JIT, GC, cache

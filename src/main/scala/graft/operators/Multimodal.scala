@@ -12,12 +12,14 @@ import org.apache.spark.sql.types._
   * event bodies (`Event.body: Array[Byte]`,
   * `/root/reference/.../HiveBatchedSink.scala:308` + pluggable serde).
   * The Spark-side plumbing here — schema, batching, partition-friendly
-  * derived keys — is real; the actual media decode is STUBBED (this
-  * container has no image/audio libs) behind the pluggable
-  * [[graft.functions.BinaryCodec]] surface: the default column-expression
-  * probe codec stands in for the real thing, and the batched
-  * `mapPartitions` adapter ([[graft.functions.BatchedByteProbeCodec]])
-  * demonstrates exactly where a native vectorized decode drops in.
+  * derived keys — is real, and so is one decode: the from-scratch 24-bit
+  * BMP pixel parser ([[graft.functions.BmpPixelCodec]], x11c) runs behind
+  * the same pluggable [[graft.functions.BinaryCodec]] seam a native
+  * JNI/ffmpeg codec would use. Formats needing external libraries (PNG
+  * beyond chunk structure, JPEG, audio) remain represented by the
+  * column-expression probe codec and the batched `mapPartitions` adapter
+  * ([[graft.functions.BatchedByteProbeCodec]]), which demonstrate the
+  * identical drop-in shape.
   */
 object Multimodal {
 
@@ -75,5 +77,45 @@ object Multimodal {
       .select(col("media_id"),
         explode(sequence(lit(0L), (octet_length(col("payload")) / 32).cast("long"))).as("frame_no"))
       .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
+      .orderBy(col("media_id"))
+
+  /** Synthesize a REAL image table: one valid 24-bit BMP per document, with
+    * dimensions and pixel values closed-form in `doc_id`
+    * ([[graft.functions.BmpSynth]]) so the decoded statistics are
+    * SQL-oracle-checkable. Generated in the batched `mapPartitions` shape —
+    * payload synthesis is the fixture side of the codec adapter, not an
+    * operator. */
+  def bmpMediaTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val base = Tables.documents(spark, sfDir).select(col("doc_id").as("media_id"))
+    val enc = Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType))))
+    base.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, graft.functions.BmpSynth.render(id))
+      }
+    }(enc)
+  }
+
+  /** X11c — REAL image decode end-to-end: synthesize a BMP per document,
+    * parse it back with the from-scratch pixel decoder
+    * ([[graft.functions.BmpPixelCodec]] — header validation, stride
+    * padding, bottom-up row flip), and emit pixel-derived statistics. The
+    * oracle recomputes every value from the closed-form pixel function
+    * with a lateral `range(w·h)` join — a wrong stride, a missed row
+    * flip, or a mis-read header diverges immediately (`wsum_r` and
+    * `first_r` are position-sensitive on purpose). This replaces the
+    * byte-probe stub as the [EXT] multimodal capability: the plumbing AND
+    * the decode are real; only the *format* is chosen for a
+    * zero-dependency container. */
+  def imageDecode(spark: SparkSession, sfDir: String): DataFrame =
+    graft.functions.BmpPixelCodec().decode(bmpMediaTable(spark, sfDir), "payload", "f")
+      .select(col("media_id"), col("f.width").as("width"),
+        col("f.height").as("height"), col("f.n_pixels").as("n_pixels"),
+        col("f.sum_r").as("sum_r"), col("f.sum_g").as("sum_g"),
+        col("f.sum_b").as("sum_b"), col("f.wsum_r").as("wsum_r"),
+        col("f.first_r").as("first_r"))
       .orderBy(col("media_id"))
 }

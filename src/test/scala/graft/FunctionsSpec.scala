@@ -244,6 +244,82 @@ class FunctionsSpec extends SparkSpec {
     assert(e.getMessage.contains("expects 2 argument"))
   }
 
+  test("Bmp: real 24-bit decode — hand-built fixture, padding, row flip, malformed") {
+    import graft.functions.{Bmp, BmpSynth}
+    // hand-built 3×2 BMP (stride 12 → 3 pad bytes/row); logical top-down
+    // pixels (R,G,B): row0 (10,20,30),(11,21,31),(12,22,32)
+    //                 row1 (40,50,60),(41,51,61),(42,52,62)
+    val w = 3; val h = 2; val st = Bmp.stride(w)
+    assert(st == 12)
+    val bytes = new Array[Byte](54 + st * h)
+    def put32(o: Int, v: Int): Unit = {
+      bytes(o) = (v & 0xFF).toByte; bytes(o + 1) = ((v >> 8) & 0xFF).toByte
+      bytes(o + 2) = ((v >> 16) & 0xFF).toByte; bytes(o + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def put16(o: Int, v: Int): Unit = {
+      bytes(o) = (v & 0xFF).toByte; bytes(o + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    bytes(0) = 'B'; bytes(1) = 'M'
+    put32(2, bytes.length); put32(10, 54); put32(14, 40)
+    put32(18, w); put32(22, h); put16(26, 1); put16(28, 24)
+    put32(30, 0); put32(34, st * h)
+    val px = Seq(Seq((10, 20, 30), (11, 21, 31), (12, 22, 32)),
+      Seq((40, 50, 60), (41, 51, 61), (42, 52, 62)))
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(y)(x); val o = 54 + (h - 1 - y) * st + x * 3
+      bytes(o) = b.toByte; bytes(o + 1) = g.toByte; bytes(o + 2) = r.toByte
+    }
+    val f = Bmp.decode(bytes).get
+    assert(f.getLong(0) == 3 && f.getLong(1) == 2 && f.getLong(2) == 6)
+    assert(f.getLong(3) == 10 + 11 + 12 + 40 + 41 + 42, "sum_r")
+    assert(f.getLong(4) == 20 + 21 + 22 + 50 + 51 + 52, "sum_g")
+    assert(f.getLong(5) == 30 + 31 + 32 + 60 + 61 + 62, "sum_b")
+    // top-down weighting — a missed bottom-up flip scores 0*40+...+5*12
+    assert(f.getLong(6) == 0 * 10 + 1 * 11 + 2 * 12 + 3 * 40 + 4 * 41 + 5 * 42, "wsum_r")
+    assert(f.getLong(7) == 10, "first_r is the TOP-left pixel")
+    // synth round trip over ids covering every stride-padding residue
+    for (id <- 0L to 7L) {
+      val g = Bmp.decode(BmpSynth.render(id)).get
+      val wd = BmpSynth.width(id); val ht = BmpSynth.height(id)
+      val n = wd.toLong * ht
+      def s(a: Long, c: Long) = (0L until n).map(i => (a * id + c * i) % 256).sum
+      assert(g.getLong(0) == wd && g.getLong(1) == ht && g.getLong(2) == n)
+      assert(g.getLong(3) == s(7, 3) && g.getLong(4) == s(11, 5) && g.getLong(5) == s(13, 7))
+      assert(g.getLong(6) == (0L until n).map(i => i * ((7 * id + 3 * i) % 256)).sum)
+      assert(g.getLong(7) == (7 * id) % 256)
+    }
+    // malformed inputs → None (the codec maps these to a null struct)
+    assert(Bmp.decode(null).isEmpty)
+    assert(Bmp.decode(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Bmp.decode("XX".getBytes ++ new Array[Byte](60)).isEmpty)
+    assert(Bmp.decode(BmpSynth.render(1L).take(60)).isEmpty, "truncated pixel data")
+  }
+
+  test("x11c: distributed BMP decode matches the closed-form pixel oracle per row") {
+    import graft.functions.{BmpPixelCodec, BmpSynth}
+    val rows = graft.operators.Multimodal.imageDecode(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val wd = BmpSynth.width(id); val ht = BmpSynth.height(id)
+      val n = wd.toLong * ht
+      assert(r.getLong(1) == wd && r.getLong(2) == ht && r.getLong(3) == n)
+      assert(r.getLong(4) == (0L until n).map(i => (7 * id + 3 * i) % 256).sum, s"sum_r for $id")
+      assert(r.getLong(8) == (7 * id) % 256, s"first_r for $id")
+    }
+    // null payload → null feature struct fields, not a crash
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(1L, null)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType))))
+    val d = BmpPixelCodec(batchSize = 2).decode(df, "payload", "f")
+      .select(col("f.width")).collect().head
+    assert(d.isNullAt(0))
+  }
+
   test("f5/f6: per-key JSON semantics are pinned on missing/null/non-numeric k (DuckDB-verified)") {
     import java.sql.Timestamp
     import graft.operators.Relational
