@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.{Counters, Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Quality evidence for the approximate-operator family — the 8 rows the
+  * correctness gate records as `no_oracle` by design (a7b, a12, x2, x3,
+  * x5b, x6b, x6c, x22b): each is measured here against its EXACT in-engine
+  * baseline and the numbers are emitted as `APPROX_QUALITY.json` by
+  * [[Verify]], so the no-oracle rows carry regenerated-per-round evidence
+  * instead of only in-suite assertions. A spec pins floors on the same
+  * numbers so a quality regression fails the build, not just the report.
+  *
+  * Every metric is driver-bounded at the verify scale factor: near-dup
+  * pair sets (tens of rows), top-k lists, per-category scalars. The one
+  * quadratic baseline (`embedCosineAllPairs`) is the reason this runs at
+  * the VERIFY sf, never the bench sf.
+  */
+object ApproxQuality {
+
+  /** (metric → value) rows; deterministic order for stable JSON diffs. */
+  def metrics(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    def pairSet(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("id1"), col("id2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // x2/x3 — recall of the exact J≥0.8 near-dup pairs (x4's verified set)
+    // through minhash banding / simhash hamming≤3 chunk banding
+    val exactJ = pairSet(Dedup.ngramJaccard(spark, sfDir, 0.8))
+    val mh = pairSet(Dedup.minhashLsh(spark, sfDir))
+    val sh = pairSet(Dedup.simhashDedup(spark, sfDir))
+    def recall(found: Set[(Long, Long)], truth: Set[(Long, Long)]): Double =
+      if (truth.isEmpty) 1.0 else truth.intersect(found).size.toDouble / truth.size
+
+    // x5b — recall AND precision vs the exact all-pairs cosine baseline
+    // (precision is 1.0 by construction: cosine is exact within buckets)
+    val exactCos = pairSet(Dedup.embedCosineAllPairs(spark, sfDir, 0.4))
+    val lshCos = pairSet(Dedup.embedCosineLsh(spark, sfDir, 0.4))
+    val x5bPrecision =
+      if (lshCos.isEmpty) 1.0 else lshCos.intersect(exactCos).size.toDouble / lshCos.size
+
+    // x6b — overlap@10 with the exact brute-force top-10
+    def ids(df: DataFrame): Set[Long] =
+      df.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val brute = ids(Similarity.bruteTopK(spark, sfDir, 0L, 10))
+    val ivf = ids(Similarity.ivfTopK(spark, sfDir, 0L, 10, 3))
+    val x6bOverlap = brute.intersect(ivf).size.toDouble / brute.size
+
+    // a7b — HLL++ max relative error vs exact per-category distinct users
+    val exactUsers = Counters.distinctCounts(spark, sfDir).collect()
+      .map(r => Option(r.getString(0)).getOrElse("") -> r.getLong(1)).toMap
+    val approxUsers = Counters.approxDistinct(spark, sfDir).collect()
+      .map(r => Option(r.getString(0)).getOrElse("") -> r.getLong(1)).toMap
+    val a7bErr = exactUsers.map { case (c, e) =>
+      math.abs(approxUsers(c) - e).toDouble / math.max(e, 1L) }.max
+
+    // a12 — DataSketches HLL union estimate vs exact (per category + ALL,
+    // on the category-defaulted key the sketch query groups by)
+    val catOrDefault = graft.functions.Headers.categoryOrDefault(col("event_type"))
+    val exactByCat = Tables.events(spark, sfDir)
+      .groupBy(catOrDefault.as("category"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct().count()
+    val a12Err = Counters.hllSketchUsers(spark, sfDir).collect().map { r =>
+      val e = if (r.getString(0) == "ALL") exactAll else exactByCat(r.getString(0))
+      math.abs(r.getLong(1) - e).toDouble / math.max(e, 1L)
+    }.max
+
+    // x22b — sketch percentile max relative deviation from the exact form
+    def quants(df: DataFrame): Map[String, Seq[Double]] = df.collect()
+      .map(r => r.getString(0) ->
+        Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val eq = quants(TextAnalysis.lengthQuantiles(spark, sfDir))
+    val aq = quants(TextAnalysis.lengthQuantilesApprox(spark, sfDir))
+    val x22bErr = eq.map { case (lang, es) =>
+      es.zip(aq(lang)).map { case (e, a) => math.abs(e - a) / math.max(e, 1.0) }.max
+    }.max
+
+    Seq(
+      "x2_minhash_recall_at_j08" -> recall(mh, exactJ),
+      "x3_simhash_recall_at_j08" -> recall(sh, exactJ),
+      "x4_exact_pairs" -> exactJ.size.toDouble,
+      "x5b_embed_lsh_recall" -> recall(lshCos, exactCos),
+      "x5b_embed_lsh_precision" -> x5bPrecision,
+      "x5b_exact_pairs" -> exactCos.size.toDouble,
+      "x6b_ivf_overlap_at_10" -> x6bOverlap,
+      "a7b_hllpp_max_rel_err" -> a7bErr,
+      "a12_hll_sketch_max_rel_err" -> a12Err,
+      "x22b_quantile_max_rel_dev" -> x22bErr)
+  }
+
+  def json(spark: SparkSession, sfDir: String): String =
+    metrics(spark, sfDir)
+      .map { case (k, v) => s""""$k": ${BigDecimal(v).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP)}""" }
+      .mkString("{\n  ", ",\n  ", s""",\n  "sf": "$sfDir"\n}\n""")
+}

@@ -21,6 +21,7 @@ object Bench {
       // deletes them once their RDD is unreachable. Must be set at context
       // creation — the ContextCleaner reads it once at startup.
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      .config("spark.local.dir", Tables.scratchLocalDir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.ensureParquetConf(spark)

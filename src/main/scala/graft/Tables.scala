@@ -20,6 +20,21 @@ object Tables {
   def ensureParquetConf(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  /** Scratch root for `spark.local.dir` (shuffle/spill/state-store working
+    * files): tmpfs when the machine has one (`/dev/shm`), the JVM tmpdir
+    * otherwise. Context-creation-time conf, so the entry points pass it to
+    * their builders; cluster deployments set their own fast local dirs
+    * (NVMe) the same way. */
+  def scratchLocalDir(): String = {
+    val shm = new java.io.File("/dev/shm")
+    val base =
+      if (shm.isDirectory && shm.canWrite) shm.toPath
+      else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    val dir = java.nio.file.Files.createTempDirectory(base, "graft_local_")
+    dir.toFile.deleteOnExit()
+    dir.toString
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Nanos arrive as long (see ensureParquetConf); truncate to a microsecond
     // TIMESTAMP — exactly what engines with µs timestamps (DuckDB included)

@@ -14,6 +14,7 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      .config("spark.local.dir", Tables.scratchLocalDir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.ensureParquetConf(spark)
@@ -43,6 +44,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Quality evidence for the no-oracle approximate operators — skipped
+    // under a SPARK_GRAFT_ONLY subset run (local iteration) so the subset
+    // path stays fast; the driver's full run always regenerates it, into
+    // the dump dir AND the repo root (committed as a round artifact).
+    if (sys.env.get("SPARK_GRAFT_ONLY").forall(_.trim.isEmpty)) {
+      try {
+        val aq = ApproxQuality.json(spark, sfDir)
+        Files.writeString(Paths.get(s"$outDir/APPROX_QUALITY.json"), aq)
+        Files.writeString(Paths.get("APPROX_QUALITY.json"), aq)
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] approx-quality report failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

@@ -35,12 +35,15 @@ object VectorFns {
 
   /** Random-hyperplane LSH bucket: sign bits of `nBits` fixed pseudo-random
     * projections, packed into a long. Deterministic (projection vectors from
-    * a fixed xorshift over (bit, dim)), so bucketing is stable across runs —
-    * the scale path for cosine near-dup / ANN (bucket-join instead of
-    * all-pairs). */
-  def signBucket(v: Column, dim: Int, nBits: Int): Column = {
+    * a fixed xorshift over (bit, dim, seed)), so bucketing is stable across
+    * runs — the scale path for cosine near-dup / ANN (bucket-join instead
+    * of all-pairs). Distinct `seed`s give independent hyperplane tables for
+    * multi-table LSH (OR-amplification: K tables of B bits each catch a
+    * pair colliding in ANY table, trading K× join legs for recall on
+    * mid-similarity pairs a single table misses). */
+  def signBucket(v: Column, dim: Int, nBits: Int, seed: Int = 0): Column = {
     def proj(bit: Int, d: Int): Double = {
-      var x = bit.toLong * 2654435761L + d.toLong * 40503L + 12345L
+      var x = (bit + seed * 10007).toLong * 2654435761L + d.toLong * 40503L + 12345L
       x ^= x << 13; x ^= x >>> 7; x ^= x << 17
       // map to (-1, 1)
       (x % 1000003L).toDouble / 1000003.0

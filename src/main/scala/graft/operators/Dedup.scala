@@ -561,19 +561,43 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
-  /** X5b — the scale path: random-hyperplane sign buckets (12 bits) shard
-    * the space; only same-bucket pairs are compared. Recall < 1 by design;
-    * precision 1 (exact cosine verified within bucket). */
-  def embedCosineLsh(spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {
+  /** X5b — the scale path: MULTI-TABLE random-hyperplane LSH
+    * (OR-amplification). Each of `nTables` independent hyperplane sets
+    * buckets the space into `2^bits` cells; a pair is a candidate if it
+    * collides in ANY table, and candidates are deduped once, then verified
+    * with the exact cosine (precision 1 by construction; recall < 1 by
+    * design). One table of many bits only catches near-identical vectors
+    * (collision prob `(1-θ/π)^bits` collapses for mid-similarity pairs);
+    * K×B tuning is the standard recall/cost dial — K join legs over narrow
+    * `(table, bucket, id)` rows. At larger corpora `bits` must grow with
+    * log(n) to keep per-bucket candidate counts bounded (the quadratic
+    * guard), and recall is bought back with more tables — the
+    * APPROX_QUALITY.json artifact regenerates the achieved recall every
+    * verify run, so the dial's effect is visible, not assumed. */
+  def embedCosineLsh(spark: SparkSession, sfDir: String, threshold: Double = 0.4,
+                     nTables: Int = 16, bits: Int = 6): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
-        VectorFns.norm(col("embedding")).as("nrm"),
-        VectorFns.signBucket(col("embedding"), 64, 12).as("bucket"))
-    e.as("a").join(e.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        round(VectorFns.dot(col("a.embedding"), col("b.embedding"))
-          / (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
+        VectorFns.norm(col("embedding")).as("nrm"))
+    val bucketed = e.select(col("vec_id"),
+      explode(array((0 until nTables).map { t =>
+        struct(lit(t).as("tbl"),
+          VectorFns.signBucket(col("embedding"), 64, bits, t).as("bkt"))
+      }: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val cand = bucketed.as("a").join(bucketed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("id1"), col("embedding").as("e1"),
+        col("nrm").as("n1")), "id1")
+      .join(e.select(col("vec_id").as("id2"), col("embedding").as("e2"),
+        col("nrm").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        round(VectorFns.dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6)
+          .as("cosine"))
       .where(col("cosine") >= threshold)
       .orderBy(col("id1"), col("id2"))
   }

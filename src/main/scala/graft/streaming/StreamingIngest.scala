@@ -116,6 +116,29 @@ object StreamingIngest {
     }
   }
 
+  /** Run `body` with a FRESH scratch checkpoint dir on the fastest local
+    * medium — tmpfs (`/dev/shm`) when present, `java.io.tmpdir` otherwise —
+    * deleted afterwards. For the self-contained AvailableNow memory-sink
+    * demos ONLY: their checkpoint + state-store files are pure scratch,
+    * and profiling showed fsync-to-disk of offset logs / state commits
+    * dominating each demo's ~2-3 s fixed floor. Durable pipelines
+    * (landStream, dedupIndexStream) take an explicit checkpointLocation
+    * from the caller and never come through here. */
+  private def withScratchCheckpoint[A](body: String => A): A = {
+    val shm = new java.io.File("/dev/shm")
+    val base =
+      if (shm.isDirectory && shm.canWrite) shm.toPath
+      else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    val dir = java.nio.file.Files.createTempDirectory(base, "graft_ck_")
+    try body(dir.toString)
+    finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+  }
+
   /** Project the finished memory-sink table, pin its rows locally, and DROP
     * the temp view: the sink's rows already live on the driver (that is
     * what a memory sink is), so the LocalRelation changes nothing at scale,
@@ -160,12 +183,15 @@ object StreamingIngest {
         Headers.categoryOrDefault(col("event_type")).as("category"))
       .count()
     withStatePartitions(spark) {
-      val q = agg.writeStream
-        .format("memory").queryName(qn)
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+      withScratchCheckpoint { ck =>
+        val q = agg.writeStream
+          .format("memory").queryName(qn)
+          .outputMode("complete")
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+      }
     }
     drainMemorySink(spark, qn)(
       _.select(unix_timestamp(col("window.start")).as("bucket_epoch"),
@@ -191,12 +217,15 @@ object StreamingIngest {
         Headers.categoryOrDefault(col("event_type")).as("category"))
       .count()
     withStatePartitions(spark) {
-      val q = agg.writeStream
-        .format("memory").queryName(qn)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+      withScratchCheckpoint { ck =>
+        val q = agg.writeStream
+          .format("memory").queryName(qn)
+          .outputMode("append")
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+      }
     }
     drainMemorySink(spark, qn)(
       _.select(unix_timestamp(col("window.start")).as("bucket_epoch"),
@@ -223,12 +252,15 @@ object StreamingIngest {
       .groupBy(Headers.categoryOrDefault(col("event_type")).as("category"))
       .agg(cm)
     withStatePartitions(spark) {
-      val q = agg.writeStream
-        .format("memory").queryName(qn)
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+      withScratchCheckpoint { ck =>
+        val q = agg.writeStream
+          .format("memory").queryName(qn)
+          .outputMode("complete")
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+      }
     }
     drainMemorySink(spark, qn)(
       _.select(col("category"), col("cm.cnt").as("n_events"),
@@ -265,12 +297,15 @@ object StreamingIngest {
         fresh.iterator.map(c => (user, c))
     }.toDF("user_id", "category")
     withStatePartitions(spark) {
-      val q = firstSeen.writeStream
-        .format("memory").queryName(qn)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+      withScratchCheckpoint { ck =>
+        val q = firstSeen.writeStream
+          .format("memory").queryName(qn)
+          .outputMode("append")
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+      }
     }
     drainMemorySink(spark, qn)(_.orderBy(col("user_id"), col("category")))
   }
@@ -297,12 +332,15 @@ object StreamingIngest {
       .dropDuplicatesWithinWatermark("user_id", "category")
       .select(col("user_id"), col("category"))
     withStatePartitions(spark) {
-      val q = dedup.writeStream
-        .format("memory").queryName(qn)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+      withScratchCheckpoint { ck =>
+        val q = dedup.writeStream
+          .format("memory").queryName(qn)
+          .outputMode("append")
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+      }
     }
     drainMemorySink(spark, qn)(_.orderBy(col("user_id"), col("category")))
   }
@@ -359,12 +397,15 @@ object StreamingIngest {
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try withStatePartitions(spark) {
-      val q = counted.writeStream
-        .format("memory").queryName(qn)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+      withScratchCheckpoint { ck =>
+        val q = counted.writeStream
+          .format("memory").queryName(qn)
+          .outputMode("append")
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+      }
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
@@ -409,12 +450,15 @@ object StreamingIngest {
       .groupBy(session_window(col("ts"), s"$gapSeconds seconds"), col("user_id"))
       .count()
     withStatePartitions(spark) {
-      val q = agg.writeStream
-        .format("memory").queryName(qn)
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+      withScratchCheckpoint { ck =>
+        val q = agg.writeStream
+          .format("memory").queryName(qn)
+          .outputMode("complete")
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+      }
     }
     drainMemorySink(spark, qn)(
       _.groupBy(col("user_id"))
@@ -458,12 +502,15 @@ object StreamingIngest {
           .as("lag_sec"))
     val qn = "graft_ssj_" + java.util.UUID.randomUUID().toString.replace("-", "")
     withStatePartitions(spark) {
-      val q = joined.writeStream
-        .format("memory").queryName(qn)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+      withScratchCheckpoint { ck =>
+        val q = joined.writeStream
+          .format("memory").queryName(qn)
+          .outputMode("append")
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+      }
     }
     drainMemorySink(spark, qn)(
       _.orderBy(col("user_id"), col("click_id"), col("error_id")))

@@ -177,6 +177,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.readBatchIndex(spark, s"$dir/idx", "t0")(empty).count() == 5)
   }
 
+  test("APPROX_QUALITY: every reported metric meets its floor (regression gate for the artifact)") {
+    // the same numbers Verify writes to APPROX_QUALITY.json; floors sit
+    // under the observed values (x2 1.0, x3 0.93, x5b 0.70/1.0, x6b 0.5,
+    // a7b 0.0, a12 0.0, x22b 0.024 at sf0.001) with head-room, so quality
+    // regressions in the approximate family fail the build, not just dent
+    // a report nobody diffs
+    val m = ApproxQuality.metrics(spark, sf).toMap
+    assert(m("x4_exact_pairs") > 0, "fixture must contain planted near-dups")
+    assert(m("x2_minhash_recall_at_j08") >= 0.9, s"x2 recall ${m("x2_minhash_recall_at_j08")}")
+    assert(m("x3_simhash_recall_at_j08") >= 0.8, s"x3 recall ${m("x3_simhash_recall_at_j08")}")
+    assert(m("x5b_embed_lsh_recall") >= 0.5, s"x5b recall ${m("x5b_embed_lsh_recall")}")
+    assert(m("x5b_embed_lsh_precision") == 1.0, "x5b in-bucket cosine is exact — precision must be 1")
+    assert(m("x6b_ivf_overlap_at_10") >= 0.3, s"x6b overlap ${m("x6b_ivf_overlap_at_10")}")
+    assert(m("a7b_hllpp_max_rel_err") <= 0.05, s"a7b err ${m("a7b_hllpp_max_rel_err")}")
+    assert(m("a12_hll_sketch_max_rel_err") <= 0.05, s"a12 err ${m("a12_hll_sketch_max_rel_err")}")
+    assert(m("x22b_quantile_max_rel_dev") <= 0.1, s"x22b dev ${m("x22b_quantile_max_rel_dev")}")
+  }
+
   test("ANN: brute-force top-1 is the global max; IVF hits are ranked correctly") {
     val brute = Similarity.bruteTopK(spark, sf, 0L, 10).collect()
     assert(brute.length == 10)

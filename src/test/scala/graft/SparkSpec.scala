@@ -14,6 +14,7 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      .config("spark.local.dir", Tables.scratchLocalDir())
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     Tables.ensureParquetConf(s)
