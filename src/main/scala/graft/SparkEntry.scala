@@ -132,6 +132,8 @@ object SparkEntry {
     "x22_length_quantiles" -> (TextAnalysis.lengthQuantiles _),
     "x22b_length_quantiles_approx" -> ((s, d) => TextAnalysis.lengthQuantilesApprox(s, d)),
     "x30_chunk_windows" -> ((s, d) => TextAnalysis.chunkWindows(s, d)),
+    "x37_ngram_novelty" -> (TextAnalysis.ngramNovelty _),
+    "x38_source_vocab_overlap" -> (TextAnalysis.sourceVocabOverlap _),
     // round 5: native UDAF, SCD2, iterative graph, profiling, layout
     "a11_count_max" -> (Counters.countMaxPerCategory _),
     "j13_scd2" -> (Relational.scd2Priority _),
@@ -693,6 +695,34 @@ object SparkEntry {
             CAST(len(list_slice(tk, start, start + 63)) AS BIGINT) AS n_tok,
             md5(array_to_string(list_slice(tk, start, start + 63), ' ')) AS chunk_md5
           FROM s ORDER BY doc_id, chunk_idx""",
+    "x37_ngram_novelty" ->
+      s"""WITH docs AS (SELECT doc_id, $toks AS tk FROM documents),
+          sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+                 FROM docs, unnest(generate_series(1, len(tk) - 2)) AS t(i)
+                 WHERE len(tk) >= 3),
+          fst AS (SELECT s, min(doc_id) AS m FROM sh GROUP BY 1),
+          per AS (SELECT doc_id, count(*) AS n_shingles,
+                         count(CASE WHEN m = doc_id THEN 1 END) AS n_novel
+                  FROM sh JOIN fst USING (s) GROUP BY 1)
+          SELECT d.doc_id,
+            CAST(coalesce(n_shingles, 0) AS BIGINT) AS n_shingles,
+            CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+            CAST(CASE WHEN coalesce(n_shingles, 0) = 0 THEN 0
+                 ELSE coalesce(n_novel, 0) * 1000000 // n_shingles END AS BIGINT)
+              AS novelty_ppm
+          FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""",
+    "x38_source_vocab_overlap" ->
+      s"""WITH st AS (SELECT DISTINCT source, t
+                      FROM documents, unnest($toks) AS u(t)),
+          spread AS (SELECT t, count(*) AS n_sources FROM st GROUP BY 1),
+          agg AS (SELECT source, count(*) AS vocab,
+                         count(CASE WHEN n_sources >= 2 THEN 1 END) AS shared_vocab
+                  FROM st JOIN spread USING (t) GROUP BY 1)
+          SELECT source, CAST(vocab AS BIGINT) AS vocab,
+            CAST(shared_vocab AS BIGINT) AS shared_vocab,
+            CAST(vocab - shared_vocab AS BIGINT) AS exclusive_vocab,
+            CAST(shared_vocab * 1000000 // vocab AS BIGINT) AS shared_ppm
+          FROM agg ORDER BY source""",
     "x10_fingerprint" ->
       s"""SELECT doc_id,
           ${polyHashSql("text")} AS fp,

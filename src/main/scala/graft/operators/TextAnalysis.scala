@@ -479,6 +479,61 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** X37 — n-gram novelty curve: for each document (doc_id = crawl order),
+    * the fraction of its DISTINCT 3-token shingles whose first corpus
+    * occurrence is this document — the is-new-data-still-adding-information
+    * curve a growing training corpus is judged by (novelty collapsing
+    * toward 0 over time = the crawl is saturating; cf. the dedup-rate
+    * plots in C4/RefinedWeb-style corpus reports). Shape: one explode to
+    * distinct (doc, shingle) rows, one groupBy shingle for the first-seen
+    * doc (min over the natural order key), one join back, one per-doc
+    * aggregate — every shuffle keyed on the shingle or the doc id, no
+    * skew beyond shingle hotness (bounded here by DISTINCT-per-doc).
+    * Novelty is exact integer ppm (floor), so the oracle states it with
+    * integer division, no float parity risk. Shingles join as STRINGS for
+    * oracle parity; at 100 TB the same plan runs on the 8-byte shingle
+    * hashes (x4's index) — the join narrows, the shape is identical. */
+  def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val segs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.shingles(TextFns.tokens(col("text")), 3))).as("s"))
+    val first = segs.groupBy(col("s")).agg(min(col("doc_id")).as("m"))
+    val per = segs.join(first, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("m") === col("doc_id"), lit(1))).as("n_novel"))
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_shingles"), lit(0L)) === 0, lit(0L))
+          .otherwise(expr("n_novel * 1000000L div n_shingles")).as("novelty_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X38 — per-source vocabulary overlap: how much of each source's token
+    * vocabulary is shared with at least one OTHER source vs exclusive to
+    * it — the mixture-design diagnostic behind x18/x28 (a source whose
+    * vocabulary is mostly exclusive shifts the mixture's distribution; one
+    * that is fully shared adds volume, not coverage). Same narrow-key
+    * shape as x37: distinct (source, token), per-token source count,
+    * per-source aggregate; shared fraction in exact integer ppm. */
+  def sourceVocabOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(array_distinct(TextFns.tokens(col("text")))).as("t"))
+      .distinct()
+    val spread = st.groupBy(col("t")).agg(count(lit(1)).as("n_sources"))
+    st.join(spread, "t")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        count(when(col("n_sources") >= 2, lit(1))).as("shared_vocab"))
+      .select(col("source"), col("vocab"), col("shared_vocab"),
+        (col("vocab") - col("shared_vocab")).as("exclusive_vocab"),
+        expr("shared_vocab * 1000000L div vocab").as("shared_ppm"))
+      .orderBy(col("source"))
+  }
+
   /** X34 — positional shingle rows via the NATIVE table-generating function
     * ([[graft.expressions.ShingleTerms]], the custom-UDTF extension point):
     * one output row per 3-token shingle with its position. Same lateral

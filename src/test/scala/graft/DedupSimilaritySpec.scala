@@ -177,6 +177,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.readBatchIndex(spark, s"$dir/idx", "t0")(empty).count() == 5)
   }
 
+  test("x37: novelty is 100% for the first doc and the novel counts tile the corpus vocab") {
+    import graft.operators.TextAnalysis
+    import graft.functions.TextFns
+    val rows = TextAnalysis.ngramNovelty(spark, sf).collect()
+    assert(rows.nonEmpty && rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).toSeq.sorted)
+    val first = rows.find(_.getLong(1) > 0).get
+    // the earliest doc with any shingles: every one of them is first-seen
+    assert(first.getLong(2) == first.getLong(1) && first.getLong(3) == 1000000L,
+      s"first doc ${first.getLong(0)} not fully novel")
+    // each distinct corpus shingle is novel in exactly one doc
+    val totalNovel = rows.map(_.getLong(2)).sum
+    val distinctShingles = Tables.documents(spark, sf)
+      .select(explode(array_distinct(
+        TextFns.shingles(TextFns.tokens(col("text")), 3))).as("s"))
+      .select(col("s")).distinct().count()
+    assert(totalNovel == distinctShingles,
+      s"novel counts $totalNovel do not tile the $distinctShingles distinct shingles")
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1) && r.getLong(3) <= 1000000L))
+  }
+
+  test("x38: shared+exclusive tile each source vocab, and exclusives tile the global vocab") {
+    import graft.operators.TextAnalysis
+    import graft.functions.TextFns
+    val rows = TextAnalysis.sourceVocabOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+        s"source ${r.getString(0)}: vocab != shared + exclusive")
+    }
+    val tokensBySource = Tables.documents(spark, sf)
+      .select(col("source"), explode(array_distinct(TextFns.tokens(col("text")))).as("t"))
+      .distinct()
+    val global = tokensBySource.select(col("t")).distinct().count()
+    val sharedGlobal = tokensBySource.groupBy(col("t"))
+      .agg(countDistinct(col("source")).as("n")).where(col("n") >= 2).count()
+    assert(rows.map(_.getLong(3)).sum + sharedGlobal == global,
+      "per-source exclusives + globally-shared tokens must tile the global vocab")
+  }
+
   test("APPROX_QUALITY: every reported metric meets its floor (regression gate for the artifact)") {
     // the same numbers Verify writes to APPROX_QUALITY.json; floors sit
     // under the observed values (x2 1.0, x3 0.93, x5b 0.70/1.0, x6b 0.5,
