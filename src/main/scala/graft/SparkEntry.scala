@@ -142,6 +142,7 @@ object SparkEntry {
     "x32_column_profile" -> (Profile.columnProfile _),
     "x33_zorder_layout" -> (Layout.zorderLayout _),
     "x34_shingle_explode" -> (TextAnalysis.shingleExplode _),
+    "x40_repetition_trim" -> (TextAnalysis.repetitionTrim _),
     // no-oracle by design (library-specific estimator); union-associativity
     // and error envelope are spec-pinned in GraphLayoutSpec
     "a12_hll_sketch_union" -> (Counters.hllSketchUsers _),
@@ -1157,5 +1158,27 @@ object SparkEntry {
           FROM d, unnest(generate_series(1, len(tk) - 2)) AS t(i)
           WHERE len(tk) >= 3
           ORDER BY doc_id, pos""",
+    "x40_repetition_trim" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents),
+          p AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                  tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+                FROM d, unnest(generate_series(1, len(tk) - 2)) AS t(i)
+                WHERE len(tk) >= 3),
+          firsts AS (SELECT doc_id, shingle, min(pos) AS fp, count(*) AS mult
+                     FROM p GROUP BY 1, 2),
+          per AS (SELECT doc_id, CAST(sum(mult) AS BIGINT) AS n_3grams,
+                         CAST(max(mult) AS BIGINT) AS max_mult
+                  FROM firsts GROUP BY 1),
+          rep AS (SELECT p.doc_id, min(p.pos) AS frp
+                  FROM p JOIN firsts USING (doc_id, shingle)
+                  WHERE p.pos > firsts.fp GROUP BY 1)
+          SELECT d.doc_id,
+            CAST(coalesce(n_3grams, 0) AS BIGINT) AS n_3grams,
+            CAST(coalesce(max_mult, 0) AS BIGINT) AS max_mult,
+            CAST(coalesce(frp, coalesce(n_3grams, 0)) AS BIGINT) AS first_repeat_pos,
+            CAST(CASE WHEN frp IS NOT NULL THEN frp + 2 ELSE len(tk) END AS BIGINT)
+              AS keep_tokens
+          FROM d LEFT JOIN per USING (doc_id) LEFT JOIN rep USING (doc_id)
+          ORDER BY d.doc_id""",
   )
 }

@@ -64,6 +64,11 @@ object Dedup {
         .where(size(col("sh")) > 0)
     }
 
+  /** The shared index for sibling operator families (x37 novelty):
+    * (doc_id, distinct shingle-hash array). */
+  private[operators] def shingledIndex(spark: SparkSession, sfDir: String): DataFrame =
+    shingled(spark, sfDir)
+
   /** X2 — MinHash+LSH near-dup candidate pairs (shingle→minhash→band→
     * bucket-join). k=16 hashes, 8 bands × 2 rows: catches J≳0.5 pairs with
     * high probability. Output: candidate pairs + estimated Jaccard
@@ -579,12 +584,16 @@ object Dedup {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
         VectorFns.norm(col("embedding")).as("nrm"))
-    val bucketed = e.select(col("vec_id"),
+    // snapshot: the K×B hyperplane projections are large literal
+    // expressions (K·B dot products per row); materializing the narrow
+    // bucketed rows once means ONE codegen compile and ONE evaluation,
+    // instead of once per self-join leg
+    val bucketed = snapshot(spark, e.select(col("vec_id"),
       explode(array((0 until nTables).map { t =>
         struct(lit(t).as("tbl"),
           VectorFns.signBucket(col("embedding"), 64, bits, t).as("bkt"))
       }: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt")))
     val cand = bucketed.as("a").join(bucketed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
           col("a.vec_id") < col("b.vec_id"))

@@ -479,6 +479,49 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** X40 — repetition TRIM POINT: where x24 scores repetition globally per
+    * doc (keep/drop), this LOCALIZES it — the position of the first
+    * 3-gram whose shingle already occurred earlier in the same document,
+    * i.e. the point a tail-trimming cleaner would cut at (degenerate
+    * generations and boilerplate loops repeat from some position onward;
+    * trimming beats dropping when the prefix is good). Positional
+    * shingles come from the NATIVE generator ([[shingleExplode]]'s
+    * `ShingleTerms`) — the custom-UDTF extension point feeding a real
+    * downstream operator, not just a demo projection. Per doc:
+    * `n_3grams`, `max_mult` (hottest shingle's in-doc multiplicity),
+    * `first_repeat_pos` (0-based; = n_3grams when nothing repeats — the
+    * no-trim sentinel), `keep_tokens` (= first_repeat_pos + 2 when a
+    * repeat exists: every token before the repeated shingle's start,
+    * else the full token count). Shapes: generate → (doc, shingle)
+    * groupBy → join back → per-doc aggregate; shuffles keyed on
+    * (doc_id, shingle) then doc_id — skew-free (keys are per-doc). */
+  def repetitionTrim(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    val gen = bridge.column(graft.expressions.ShingleTerms(
+      bridge.expression(TextFns.tokens(col("text"))), 3))
+    val pos = Tables.documents(spark, sfDir).select(col("doc_id"), gen)
+    val firsts = pos.groupBy(col("doc_id"), col("shingle"))
+      .agg(min(col("pos")).as("fp"), count(lit(1)).as("mult"))
+    val perDoc = firsts.groupBy(col("doc_id"))
+      .agg(sum(col("mult")).as("n_3grams"),
+        max(col("mult")).as("max_mult"))
+    val firstRepeat = pos.join(firsts, Seq("doc_id", "shingle"))
+      .where(col("pos") > col("fp"))
+      .groupBy(col("doc_id")).agg(min(col("pos")).as("frp"))
+    val toksLen = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+    toksLen
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(firstRepeat, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_3grams"), lit(0L)).as("n_3grams"),
+        coalesce(col("max_mult"), lit(0L)).as("max_mult"),
+        coalesce(col("frp"), coalesce(col("n_3grams"), lit(0L))).as("first_repeat_pos"),
+        when(col("frp").isNotNull, col("frp") + 2)
+          .otherwise(col("n_tokens")).as("keep_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** X37 — n-gram novelty curve: for each document (doc_id = crawl order),
     * the fraction of its DISTINCT 3-token shingles whose first corpus
     * occurrence is this document — the is-new-data-still-adding-information
@@ -490,13 +533,16 @@ object TextAnalysis {
     * aggregate — every shuffle keyed on the shingle or the doc id, no
     * skew beyond shingle hotness (bounded here by DISTINCT-per-doc).
     * Novelty is exact integer ppm (floor), so the oracle states it with
-    * integer division, no float parity risk. Shingles join as STRINGS for
-    * oracle parity; at 100 TB the same plan runs on the 8-byte shingle
-    * hashes (x4's index) — the join narrows, the shape is identical. */
+    * integer division, no float parity risk. The engine runs on the
+    * SHARED memoized 8-byte shingle-hash index (x4/x16/x17's
+    * [[Dedup.shingledIndex]]) — grouping by hash and by string give
+    * identical first-seen sets absent 64-bit collisions (the same
+    * equivalence x4's hash-side verify vs string oracle already relies
+    * on), the shuffles carry 8-byte keys instead of shingle strings, and
+    * the explode costs nothing when the index is warm. */
   def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
-    val segs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        explode(array_distinct(TextFns.shingles(TextFns.tokens(col("text")), 3))).as("s"))
+    val segs = Dedup.shingledIndex(spark, sfDir)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
     val first = segs.groupBy(col("s")).agg(min(col("doc_id")).as("m"))
     val per = segs.join(first, "s")
       .groupBy(col("doc_id"))

@@ -216,6 +216,34 @@ class DedupSimilaritySpec extends SparkSpec {
       "per-source exclusives + globally-shared tokens must tile the global vocab")
   }
 
+  test("x40: trim point is the first in-doc shingle repeat; the kept prefix is repeat-free") {
+    import graft.operators.TextAnalysis
+    import graft.functions.TextFns
+    val rows = TextAnalysis.repetitionTrim(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docsById = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextFns.shingles(TextFns.tokens(col("text")), 3).as("sh"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[String](1), r.getLong(2)))).toMap
+    rows.foreach { r =>
+      val (id, n3, mult, frp, keep) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val (sh, nTok) = docsById(id)
+      assert(n3 == sh.length, s"doc $id n_3grams")
+      // independent recomputation of the first repeat position
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expectedFrp = sh.indexWhere(s => !seen.add(s)) match {
+        case -1 => n3
+        case i  => i.toLong
+      }
+      assert(frp == expectedFrp, s"doc $id first_repeat_pos $frp != $expectedFrp")
+      assert(mult == (if (sh.isEmpty) 0L else sh.groupBy(identity).values.map(_.size).max.toLong))
+      // repeat found → cut just before it; none → keep the whole doc
+      assert(keep == (if (expectedFrp < n3) expectedFrp + 2 else nTok), s"doc $id keep_tokens")
+      assert((mult >= 2) == (frp < n3), s"doc $id repeat flag consistency")
+    }
+  }
+
   test("APPROX_QUALITY: every reported metric meets its floor (regression gate for the artifact)") {
     // the same numbers Verify writes to APPROX_QUALITY.json; floors sit
     // under the observed values (x2 1.0, x3 0.93, x5b 0.70/1.0, x6b 0.5,
