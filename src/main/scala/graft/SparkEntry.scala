@@ -143,6 +143,9 @@ object SparkEntry {
     "x33_zorder_layout" -> (Layout.zorderLayout _),
     "x34_shingle_explode" -> (TextAnalysis.shingleExplode _),
     "x40_repetition_trim" -> (TextAnalysis.repetitionTrim _),
+    // no-oracle by design (no SQL deflate); determinism + separation
+    // invariants are spec-pinned in DedupSimilaritySpec
+    "x41_compression_ratio" -> ((s, d) => TextAnalysis.compressionRatio(s, d)),
     // no-oracle by design (library-specific estimator); union-associativity
     // and error envelope are spec-pinned in GraphLayoutSpec
     "a12_hll_sketch_union" -> (Counters.hllSketchUsers _),

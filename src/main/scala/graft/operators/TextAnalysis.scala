@@ -479,6 +479,50 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** X41 — deflate compression ratio per document: `compressed_bytes /
+    * raw_bytes` in exact integer ppm, the compressibility quality signal
+    * production pipelines filter on (highly compressible text is
+    * repetitive boilerplate or degenerate generation; near-incompressible
+    * text is often binary junk or hash dumps — both tails get cut; cf.
+    * the compression-based filters in RefinedWeb/Dolma-style curation).
+    * Complements x24/x40: those count *exact* 3-gram repeats, deflate's
+    * LZ77 window catches approximate and sub-token repetition too.
+    *
+    * Runs in the batched `mapPartitions` adapter shape (the
+    * [[graft.functions.BinaryCodec]] pattern): one `java.util.zip.Deflater`
+    * per partition, reset per row — a library call per document, never a
+    * per-row allocation storm, and trivially the same shape a native
+    * compressor would use. No DuckDB oracle (no SQL deflate) — the driver
+    * records rows-only; a spec pins determinism, bounds, and the
+    * repetitive≪distinct separation the signal exists for. */
+  def compressionRatio(spark: SparkSession, sfDir: String,
+                       level: Int = 6): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val out = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_bytes", LongType),
+      StructField("n_compressed", LongType),
+      StructField("ratio_ppm", LongType)))
+    val enc = Encoders.row(out)
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(level)
+        val buf = new Array[Byte](1 << 16)
+        it.map { r =>
+          val raw = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          Row(r.getLong(0), raw.length.toLong, n,
+            n * 1000000L / math.max(raw.length.toLong, 1L))
+        }
+      }(enc)
+      .orderBy(col("doc_id"))
+  }
+
   /** X40 — repetition TRIM POINT: where x24 scores repetition globally per
     * doc (keep/drop), this LOCALIZES it — the position of the first
     * 3-gram whose shingle already occurred earlier in the same document,

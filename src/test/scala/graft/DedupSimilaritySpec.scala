@@ -244,6 +244,33 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("x41: deflate ratio is deterministic, bounded, and separates repetitive from distinct text") {
+    import graft.operators.TextAnalysis
+    val a = TextAnalysis.compressionRatio(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    val b = TextAnalysis.compressionRatio(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(a.nonEmpty && a.sameElements(b), "deflate output must be deterministic across runs")
+    assert(a.length == Tables.documents(spark, sf).count())
+    // sane bounds: compressed output is never empty, tiny docs may
+    // inflate slightly past 1.0 but never past ~2x on text
+    a.foreach { case (id, ppm) =>
+      assert(ppm > 0 && ppm < 2000000L, s"doc $id ratio $ppm out of range")
+    }
+    // the separation the filter exists for: one token repeated 200x
+    // compresses an order of magnitude better than 200 distinct tokens
+    import spark.implicits._
+    val synth = Seq(
+      (1L, Seq.fill(200)("spark").mkString(" ")),
+      (2L, (1 to 200).map(i => s"tok$i").mkString(" "))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zratio_").toString
+    synth.coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val m = TextAnalysis.compressionRatio(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(m(1L) * 5 < m(2L),
+      s"repetitive ${m(1L)} ppm should compress far below distinct ${m(2L)} ppm")
+  }
+
   test("APPROX_QUALITY: every reported metric meets its floor (regression gate for the artifact)") {
     // the same numbers Verify writes to APPROX_QUALITY.json; floors sit
     // under the observed values (x2 1.0, x3 0.93, x5b 0.70/1.0, x6b 0.5,
