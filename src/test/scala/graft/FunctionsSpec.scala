@@ -139,6 +139,8 @@ class FunctionsSpec extends SparkSpec {
       .featureSchema == BinaryCodec.ProbeSchema)
     assert(BinaryCodec.forName("graft.functions.BatchedByteProbeCodec")
       .featureSchema == BinaryCodec.ProbeSchema)
+    assert(BinaryCodec.forName("graft.functions.BmpPixelCodec")
+      .featureSchema == graft.functions.Bmp.FeatureSchema)
     // the error surface a config typo hits: clear message, not a reflection stack
     val e1 = intercept[IllegalArgumentException](
       Serde.forName("graft.functions.NoSuchSerde", schema))
