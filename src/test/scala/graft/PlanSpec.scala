@@ -123,6 +123,58 @@ class PlanSpec extends SparkSpec {
       s"no dynamic partition pruning on the fact scan:\n${plan.take(1500)}")
   }
 
+  test("AQE splits a genuinely skewed SMJ partition at runtime (skew=true); result unchanged") {
+    import org.apache.spark.sql.functions._
+    // The engine-managed complement to j11's manual salting: on a cluster
+    // the production default for skew is AQE's runtime skew-join split —
+    // it measures shuffled partition sizes after the map stage and reads
+    // an oversized partition as several parallel sub-joins (replicating
+    // the matching build partition). The fixtures are deliberately
+    // uniform, so this exhibit constructs real skew: one monster key
+    // carrying 100k rows against 2k uniform keys of 25.
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew_").toString
+    // xxhash64 values keep the shuffle bytes incompressible, so the
+    // monster partition's measured size reflects its row count
+    spark.range(100000).select(lit(7L).as("k"), xxhash64(col("id")).as("v"))
+      .union(spark.range(50000).select((col("id") % 2000 + 100L).as("k"), xxhash64(col("id")).as("v")))
+      .write.parquet(s"$dir/fact")
+    spark.range(2200).select(col("id").as("k"), (col("id") * 3).as("w"))
+      .write.parquet(s"$dir/dim")
+    val scoped = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.5",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "131072",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      // force the SMJ path: a broadcast dim would bypass the machinery
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = scoped.map { case (c, _) => c -> spark.conf.getOption(c) }
+    // the downstream aggregate deliberately keys on v (NOT the join key):
+    // grouping on k could reuse the join's hash partitioning, and AQE
+    // declines a skew split that would force an extra exchange — grouping
+    // on v needs its own shuffle either way, so the split is free
+    def agg() = spark.read.parquet(s"$dir/fact")
+      .join(spark.read.parquet(s"$dir/dim"), "k")
+      .groupBy(pmod(col("v"), lit(17L)).as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(pmod(col("v"), lit(1000003L)) + col("w")).as("s"))
+    try {
+      scoped.foreach { case (c, v) => spark.conf.set(c, v) }
+      val q = agg()
+      val withSkew = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not flag the skewed join:\n${plan.take(1500)}")
+      // the skew machinery must be invisible in the answer
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val baseline = agg().collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(withSkew == baseline, "skew-split join changed the result")
+    } finally prev.foreach {
+      case (c, Some(v)) => spark.conf.set(c, v)
+      case (c, None) => spark.conf.unset(c)
+    }
+  }
+
   test("no single-partition exchange outside the documented exact form") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
