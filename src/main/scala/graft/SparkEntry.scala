@@ -72,6 +72,7 @@ object SparkEntry {
     "s5_pivot" -> (Relational.pivotCounts _),
     "s6_unpivot" -> (Relational.unpivotCounts _),
     "s7_multiset_ops" -> (Relational.multisetOps _),
+    "s8_subquery_filter" -> (Relational.subqueryFilter _),
     "a8_rollup" -> (Relational.rollupAgg _),
     "a9_cube" -> (Relational.cubeAgg _),
     "a10_grouping_sets" -> (Relational.groupingSetsAgg _),
@@ -112,6 +113,7 @@ object SparkEntry {
     "x11c_image_decode" -> (Multimodal.imageDecode _),
     "x12_frame_sample" -> (Multimodal.frameSample _),
     "x13_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
+    "x44_cluster_canonical" -> (Dedup.clusterCanonical _),
     "x14_split_stats" -> (TextAnalysis.splitStats _),
     "x16_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "x17_contamination" -> ((s, d) => Dedup.contamination(s, d)),
@@ -143,6 +145,7 @@ object SparkEntry {
     "x33_zorder_layout" -> (Layout.zorderLayout _),
     "x34_shingle_explode" -> (TextAnalysis.shingleExplode _),
     "x40_repetition_trim" -> (TextAnalysis.repetitionTrim _),
+    "x42_token_histogram" -> (TextAnalysis.tokenHistogram _),
     // no-oracle by design (no SQL deflate); determinism + separation
     // invariants are spec-pinned in DedupSimilaritySpec
     "x41_compression_ratio" -> ((s, d) => TextAnalysis.compressionRatio(s, d)),
@@ -688,6 +691,12 @@ object SparkEntry {
           CAST(SUM(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS total_bpeish_tokens,
           CAST(SUM(n_chars) AS BIGINT) AS total_chars
           FROM documents GROUP BY 1 ORDER BY 1""",
+    "x42_token_histogram" ->
+      s"""WITH d AS (SELECT lang, CAST(len($toks) AS BIGINT) AS n_tok FROM documents)
+          SELECT lang, n_tok // 64 AS bucket, count(*) AS n_docs,
+          CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+          MIN(n_tok) AS min_tokens, MAX(n_tok) AS max_tokens
+          FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
     "x30_chunk_windows" ->
       s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents),
           s AS (SELECT doc_id, tk,
@@ -789,6 +798,32 @@ object SparkEntry {
             UNION
             SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
           SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id""",
+    "x44_cluster_canonical" ->
+      s"""WITH RECURSIVE
+          docs AS (SELECT doc_id, $toks AS tk FROM documents),
+          sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+                 FROM docs, unnest(generate_series(1, len(tk) - 2)) AS t(i)
+                 WHERE len(tk) >= 3),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          pairs AS (SELECT id1, id2
+                    FROM inter JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+                    WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.8),
+          edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                    UNION ALL SELECT id2, id1 FROM pairs),
+          reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+          labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+          m AS (SELECT l.doc_id, l.cluster_id, d.n_chars
+                FROM labels l JOIN documents d USING (doc_id))
+          SELECT doc_id, cluster_id,
+                 count(*) OVER (PARTITION BY cluster_id) AS n_members,
+                 (row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY n_chars DESC, doc_id) = 1) AS keep
+          FROM m ORDER BY doc_id""",
     "x14_split_stats" ->
       s"""WITH s AS (SELECT
             CASE WHEN h <= 7 THEN 'train' WHEN h = 8 THEN 'val' ELSE 'test' END AS split,
@@ -1136,6 +1171,20 @@ object SparkEntry {
            EXCEPT ALL
            SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT')
          ORDER BY op, custkey""",
+    "s8_subquery_filter" ->
+      """SELECT c.c_custkey, CAST(round(c.c_acctbal * 100) AS BIGINT) AS cents
+         FROM customer c
+         WHERE CAST(round(c.c_acctbal * 100) AS BIGINT)
+                 * (SELECT count(*) FROM customer c2
+                    WHERE c2.c_nationkey = c.c_nationkey)
+               > (SELECT CAST(sum(CAST(round(c3.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                  FROM customer c3 WHERE c3.c_nationkey = c.c_nationkey)
+           AND EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority = '1-URGENT')
+           AND c.c_custkey NOT IN (SELECT o_custkey FROM orders
+                                   WHERE o_totalprice > 350000.0)
+         ORDER BY c.c_custkey""",
     // same explicit floor(t*255 + 0.5) half-up code as the engine — round()
     // tie-breaking is dialect-specific, floor in double arithmetic is not
     "x35_embed_quantize" ->

@@ -273,8 +273,18 @@ object Dedup {
     * two groupBy+join passes over the *edge set only* (the dup graph is a
     * small fraction of the corpus); per-round persist keeps lineage flat;
     * the fixpoint is a disjoint union of stars centered at each component's
-    * minimum id. Docs outside any pair are their own singleton cluster. */
-  def dupClusters(spark: SparkSession, sfDir: String, threshold: Double = 0.8): DataFrame = {
+    * minimum id. Docs outside any pair are their own singleton cluster.
+    *
+    * The label table is memoized alongside the pair index: x44 consumes
+    * the same clusters, and the CC fixpoint is the one part of the x13
+    * chain [[verifiedPairs]] doesn't already cover. */
+  def dupClusters(spark: SparkSession, sfDir: String, threshold: Double = 0.8): DataFrame =
+    DfCache.memoize(spark, s"clusters:$sfDir:$threshold") {
+      computeClusters(spark, sfDir, threshold)
+    }
+
+  private def computeClusters(spark: SparkSession, sfDir: String,
+                              threshold: Double): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
     // Canonical directed edges u > v (pairs come as id1 < id2). Eager
     // [[snapshot]], and again each round: both star operators reference
@@ -338,6 +348,29 @@ object Dedup {
     val labels = cur.groupBy(col("u").as("doc_id")).agg(min(col("v")).as("lbl"))
     docs.join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X44 — canonical-doc selection: the keep/drop decision a dedup
+    * pipeline actually ships — one keeper per x13 cluster under the
+    * keep-longest policy (max `n_chars`, tie → min doc_id; the common
+    * crawl-curation default, since near-dup members differ mostly by
+    * truncation). Emits the full per-doc decision table rather than just
+    * keepers so the drop set is auditable downstream.
+    *
+    * Scale shape: one equi-join of the memoized x13 label table against
+    * doc metadata (never the text), then one window partitioned by
+    * `cluster_id` — per-partition state is bounded by the largest dup
+    * cluster, not the corpus, and the join/window share the hash on
+    * `cluster_id` after the join's shuffle. */
+  def clusterCanonical(spark: SparkSession, sfDir: String): DataFrame = {
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    val pick = byCluster.orderBy(col("n_chars").desc, col("doc_id"))
+    dupClusters(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars")), "doc_id")
+      .select(col("doc_id"), col("cluster_id"),
+        count(lit(1)).over(byCluster).as("n_members"),
+        (row_number().over(pick) === 1).as("keep"))
       .orderBy(col("doc_id"))
   }
 

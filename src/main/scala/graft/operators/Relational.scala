@@ -755,4 +755,50 @@ object Relational {
         col("valid_from"), col("valid_to"), col("is_current"))
       .orderBy(col("o_custkey"), col("version"))
   }
+
+  // ---- Subquery surface ---------------------------------------------------
+
+  /** S8 — correlated subqueries, written as SQL text so Catalyst's
+    * decorrelation does the work: a correlated scalar pair (per-nation
+    * balance mean via integer cents cross-multiply — `cents * n > sum` —
+    * so no float division exists anywhere and any ANSI engine agrees
+    * bit-exactly), an EXISTS, and a single-column NOT IN. The optimizer
+    * rewrites all three into joins (`RewriteCorrelatedScalarSubquery`,
+    * `RewritePredicateSubquery`): the scalar aggregates become one
+    * per-nation aggregate equi-joined on `c_nationkey`, EXISTS a left-semi
+    * join on `c_custkey`, NOT IN a null-aware anti join — never a per-row
+    * re-execution. The reference has no subquery surface; its nearest
+    * analog is the HAVING completeness probe
+    * (`/root/reference/src/main/scala/.../sql/HiveSinkSql.scala`), covered
+    * by a5.
+    *
+    * Scale shape: three hash joins keyed on real columns; the aggregate
+    * side collapses to |nations| rows before joining, and the NOT IN list
+    * is a filtered key set (broadcast-sized after aggregation). Temp views
+    * are tagged per-invocation and dropped eagerly — `spark.sql` analyzes
+    * eagerly, so the returned plan survives the drop. */
+  def subqueryFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag  = java.util.UUID.randomUUID().toString.replace("-", "")
+    val cust = s"cust_$tag"; val ords = s"ords_$tag"
+    Tables.customer(spark, sfDir).createOrReplaceTempView(cust)
+    Tables.orders(spark, sfDir).createOrReplaceTempView(ords)
+    try {
+      spark.sql(
+        s"""SELECT c.c_custkey, CAST(round(c.c_acctbal * 100) AS BIGINT) AS cents
+            FROM $cust c
+            WHERE CAST(round(c.c_acctbal * 100) AS BIGINT)
+                    * (SELECT count(*) FROM $cust c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+                  > (SELECT CAST(sum(CAST(round(c3.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                     FROM $cust c3 WHERE c3.c_nationkey = c.c_nationkey)
+              AND EXISTS (SELECT 1 FROM $ords o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+              AND c.c_custkey NOT IN (SELECT o_custkey FROM $ords
+                                      WHERE o_totalprice > 350000.0)
+            ORDER BY c.c_custkey""")
+    } finally {
+      spark.catalog.dropTempView(cust); spark.catalog.dropTempView(ords)
+    }
+  }
 }

@@ -624,6 +624,25 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** X42 — token-length histogram: fixed-width-bucket (64 whitespace
+    * tokens) profile of document lengths per language — the
+    * sequence-length distribution a packing/truncation policy (x21/x40) is
+    * tuned against. Uses the same tokenizer as x9 so the two profiles
+    * compose. One scan, one hash aggregate keyed (lang, bucket) with
+    * map-side partial combine; the key space is bounded by
+    * |langs| × max_len/64 regardless of corpus size, so the shuffle is
+    * O(buckets), not O(docs) — safe at 100 TB by construction. */
+  def tokenHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("lang"), floor(col("n_tok") / lit(64)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        min(col("n_tok")).as("min_tokens"),
+        max(col("n_tok")).as("max_tokens"))
+      .orderBy(col("lang"), col("bucket"))
+
   /** X34 — positional shingle rows via the NATIVE table-generating function
     * ([[graft.expressions.ShingleTerms]], the custom-UDTF extension point):
     * one output row per 3-token shingle with its position. Same lateral

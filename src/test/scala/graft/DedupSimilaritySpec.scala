@@ -59,6 +59,25 @@ class DedupSimilaritySpec extends SparkSpec {
     cl.foreach { case (doc, label) => assert(doc == label) }
   }
 
+  test("X44: exactly one keeper per cluster, and it is the longest member") {
+    val rows = Dedup.clusterCanonical(spark, sf)
+      .select($"doc_id", $"cluster_id", $"n_members", $"keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+    val lens = Tables.documents(spark, sf)
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect().toMap
+    assert(rows.length == lens.size) // full decision table, one row per doc
+    rows.groupBy(_._2).foreach { case (cl, members) =>
+      assert(members.forall(_._3 == members.length),
+        s"cluster $cl n_members inconsistent")
+      val keepers = members.filter(_._4)
+      assert(keepers.length == 1, s"cluster $cl has ${keepers.length} keepers")
+      // keep-longest policy, ties to the smallest id
+      val best = members.map(m => (m._1, lens(m._1)))
+        .minBy { case (id, n) => (-n, id) }._1
+      assert(keepers.head._1 == best, s"cluster $cl kept ${keepers.head._1}, not $best")
+    }
+  }
+
   test("X16: incremental dedup survivors are new-batch docs clean against prior") {
     val bucket = pmod(graft.functions.TextFns.polyHash($"doc_id".cast("string")), lit(10L))
     val docs = Tables.documents(spark, sf)
@@ -120,9 +139,13 @@ class DedupSimilaritySpec extends SparkSpec {
     // ContextCleaner delete them once unreachable, so repeated runs can't
     // accumulate O(runs · log n) files
     val ckDir = java.nio.file.Files.createTempDirectory("graft_ck13").toString
+    // the label table is memoized (x44 shares it) — evict so each run below
+    // actually recomputes and snapshots, instead of reading the cache
+    Dedup.evictCaches(spark)
     spark.sparkContext.setCheckpointDir(ckDir)
     try {
       Dedup.dupClusters(spark, sf).count()
+      Dedup.evictCaches(spark)
       Dedup.dupClusters(spark, sf).count()
       def rddDirs: Int = {
         val root = new java.io.File(ckDir)
@@ -134,7 +157,9 @@ class DedupSimilaritySpec extends SparkSpec {
         walk(root)
       }
       assert(rddDirs > 0, "expected reliable checkpoints to have been written")
-      // drop the last references and let the cleaner reclaim the files
+      // drop the last references (incl. the memoized label table, which
+      // pins the final round's snapshot) and let the cleaner reclaim
+      Dedup.evictCaches(spark)
       val deadline = System.currentTimeMillis() + 30000
       var n = rddDirs
       while (n > 0 && System.currentTimeMillis() < deadline) {
