@@ -146,6 +146,7 @@ object SparkEntry {
     "x34_shingle_explode" -> (TextAnalysis.shingleExplode _),
     "x40_repetition_trim" -> (TextAnalysis.repetitionTrim _),
     "x42_token_histogram" -> (TextAnalysis.tokenHistogram _),
+    "x43_cooccur_lift" -> ((s, d) => TextAnalysis.cooccurrenceLift(s, d)),
     // no-oracle by design (no SQL deflate); determinism + separation
     // invariants are spec-pinned in DedupSimilaritySpec
     "x41_compression_ratio" -> ((s, d) => TextAnalysis.compressionRatio(s, d)),
@@ -697,6 +698,21 @@ object SparkEntry {
           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
           MIN(n_tok) AS min_tokens, MAX(n_tok) AS max_tokens
           FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
+    "x43_cooccur_lift" ->
+      s"""WITH dt AS (SELECT DISTINCT doc_id, t
+                      FROM (SELECT doc_id, unnest($toks) AS t FROM documents)),
+          dfreq AS (SELECT t, count(*) AS df FROM dt GROUP BY 1),
+          vocab AS (SELECT t, df FROM dfreq ORDER BY df DESC, t LIMIT 200),
+          dv AS (SELECT dt.doc_id, dt.t FROM dt JOIN vocab USING (t)),
+          pairs AS (SELECT a.t AS t1, b.t AS t2, count(*) AS n_ab
+                    FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.t < b.t
+                    GROUP BY 1, 2),
+          n AS (SELECT count(*) AS nd FROM documents)
+          SELECT t1, t2, n_ab, va.df AS n_a, vb.df AS n_b,
+                 CAST(n_ab * nd * 1000000 // (va.df * vb.df) AS BIGINT) AS lift_ppm
+          FROM pairs JOIN vocab va ON va.t = t1 JOIN vocab vb ON vb.t = t2, n
+          WHERE n_ab >= 5
+          ORDER BY lift_ppm DESC, t1, t2 LIMIT 50""",
     "x30_chunk_windows" ->
       s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents),
           s AS (SELECT doc_id, tk,

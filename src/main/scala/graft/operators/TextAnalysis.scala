@@ -643,6 +643,46 @@ object TextAnalysis {
         max(col("n_tok")).as("max_tokens"))
       .orderBy(col("lang"), col("bucket"))
 
+  /** X43 — co-occurrence lift over the top-V document-frequency
+    * vocabulary: which token pairs appear in the same document far more
+    * often than independence predicts — the association diagnostic behind
+    * tokenizer-merge and stop-pair decisions. Lift in exact integer ppm,
+    * `n_ab · N · 1e6 div (n_a · n_b)`: no float division, so any ANSI
+    * engine agrees bit-exactly (BIGINT headroom runs out past ~10⁶ docs ×
+    * 10⁶ ppm — shard or drop to per-mille before that).
+    *
+    * Scale shape: the pair key space is bounded by the vocabulary
+    * (≤ V²/2), never the corpus. The V-row vocab is collected once
+    * (bounded metadata, the top-50-legs precedent) and re-enters the plan
+    * as a LocalRelation, so its three uses are free broadcasts instead of
+    * three corpus re-scans; the self-join is an equi-join on `doc_id`
+    * whose per-doc fan-out is capped at |vocab ∩ doc| tokens. */
+  def cooccurrenceLift(spark: SparkSession, sfDir: String, vocabSize: Int = 200,
+                       minPairs: Long = 5, k: Int = 50): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.count() // metadata scalar (the x15 shape)
+    val dt = docs.select(col("doc_id"),
+      explode(array_distinct(TextFns.tokens(col("text")))).as("t"))
+    import spark.implicits._
+    val vocab = dt.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("t")).limit(vocabSize)
+      .as[(String, Long)].collect().toSeq
+      .toDF("t", "df")
+    val dv = dt.join(broadcast(vocab.select(col("t"))), "t")
+      .select(col("doc_id"), col("t"))
+    dv.as("a").join(dv.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("t1"), col("b.t").as("t2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minPairs)
+      .join(broadcast(vocab.select(col("t").as("t1"), col("df").as("n_a"))), "t1")
+      .join(broadcast(vocab.select(col("t").as("t2"), col("df").as("n_b"))), "t2")
+      .select(col("t1"), col("t2"), col("n_ab"), col("n_a"), col("n_b"),
+        expr(s"n_ab * ${nDocs}L * 1000000L div (n_a * n_b)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("t1"), col("t2"))
+      .limit(k)
+  }
+
   /** X34 — positional shingle rows via the NATIVE table-generating function
     * ([[graft.expressions.ShingleTerms]], the custom-UDTF extension point):
     * one output row per 3-token shingle with its position. Same lateral
