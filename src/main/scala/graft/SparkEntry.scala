@@ -65,6 +65,7 @@ object SparkEntry {
     "w5_percent_rank" -> (Relational.percentRankDist _),
     "w6_range_window" -> (Relational.rangeWindowAgg _),
     "w7_nth_value" -> (Relational.nthValueFrame _),
+    "w8_ignore_nulls_fill" -> (Relational.ignoreNullsFill _),
     "s1_topk" -> (Relational.topK _),
     "s2_union" -> (Relational.unionSets _),
     "s3_intersect" -> (Relational.intersectSets _),
@@ -1068,6 +1069,16 @@ object SparkEntry {
                       ORDER BY o_totalprice DESC, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY o_orderkey""",
+    "w8_ignore_nulls_fill" ->
+      """SELECT event_id, user_id,
+         lag(v IGNORE NULLS) OVER w AS prev_good,
+         last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill_fwd
+         FROM (SELECT event_id, user_id, ts,
+                 CASE WHEN event_type = 'click' THEN NULL
+                      ELSE round(value, 6) END AS v FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY event_id""",
     "x25_stratified_sample" ->
       s"""WITH r AS (SELECT doc_id, lang,
             ${polyHashSql("CAST(doc_id AS VARCHAR)")} AS rk FROM documents),

@@ -756,6 +756,25 @@ object Relational {
       .orderBy(col("o_custkey"), col("version"))
   }
 
+  /** W8 — IGNORE NULLS analytics: previous-good (`lag ... IGNORE NULLS`)
+    * and forward-fill (`last ... IGNORE NULLS` over a running frame) per
+    * user — the gap-fill idiom for sensor/metric streams where some event
+    * kinds carry no reading. Same single-key shuffle shape as w2/w3: both
+    * windows hash on `user_id` and share one per-user sort, so the plan
+    * carries one Exchange + one Sort regardless of corpus size. */
+  def ignoreNullsFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val fill = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "click", lit(null))
+          .otherwise(round(col("value"), 6)).as("v"))
+      .select(col("event_id"), col("user_id"),
+        lag(col("v"), 1, null, ignoreNulls = true).over(w).as("prev_good"),
+        last(col("v"), ignoreNulls = true).over(fill).as("fill_fwd"))
+      .orderBy(col("event_id"))
+  }
+
   // ---- Subquery surface ---------------------------------------------------
 
   /** S8 — correlated subqueries, written as SQL text so Catalyst's
