@@ -148,6 +148,7 @@ object SparkEntry {
     "x40_repetition_trim" -> (TextAnalysis.repetitionTrim _),
     "x42_token_histogram" -> (TextAnalysis.tokenHistogram _),
     "x43_cooccur_lift" -> ((s, d) => TextAnalysis.cooccurrenceLift(s, d)),
+    "x45_quality_dup_calibration" -> (TextAnalysis.qualityDupCalibration _),
     // no-oracle by design (no SQL deflate); determinism + separation
     // invariants are spec-pinned in DedupSimilaritySpec
     "x41_compression_ratio" -> ((s, d) => TextAnalysis.compressionRatio(s, d)),
@@ -699,6 +700,41 @@ object SparkEntry {
           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
           MIN(n_tok) AS min_tokens, MAX(n_tok) AS max_tokens
           FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
+    "x45_quality_dup_calibration" ->
+      s"""WITH RECURSIVE
+          docs AS (SELECT doc_id, $toks AS tk FROM documents),
+          sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+                 FROM docs, unnest(generate_series(1, len(tk) - 2)) AS t(i)
+                 WHERE len(tk) >= 3),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          pairs AS (SELECT id1, id2
+                    FROM inter JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+                    WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.8),
+          edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                    UNION ALL SELECT id2, id1 FROM pairs),
+          reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+          labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+          csize AS (SELECT cluster_id, count(*) AS n_members FROM labels GROUP BY 1),
+          dup AS (SELECT l.doc_id, CAST(c.n_members > 1 AS BIGINT) AS is_dup
+                  FROM labels l JOIN csize c USING (cluster_id)),
+          q AS (SELECT doc_id,
+                  round((CASE WHEN n_tok >= 20 AND n_tok <= 1000 THEN 1.0
+                              WHEN n_tok >= 5 THEN 0.5 ELSE 0.0 END) * 0.4
+                        + (n_uniq / n_tok) * 0.4 + (n_stop / n_tok) * 0.2, 6) AS quality
+                FROM (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS n_tok,
+                        CAST(len(list_distinct(tk)) AS DOUBLE) AS n_uniq,
+                        CAST(len(list_filter(tk, w -> w IN ('the','a','of','and','to','el','la','de','y','que','der','die','das','und','ist','le','et','les','des'))) AS DOUBLE) AS n_stop
+                      FROM docs))
+          SELECT CAST(least(floor(quality * 10), 9) AS BIGINT) AS q_bucket,
+                 count(*) AS n_docs, CAST(sum(is_dup) AS BIGINT) AS n_dup,
+                 CAST(sum(is_dup) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+          FROM q JOIN dup USING (doc_id)
+          GROUP BY 1 ORDER BY 1""",
     "x43_cooccur_lift" ->
       s"""WITH dt AS (SELECT DISTINCT doc_id, t
                       FROM (SELECT doc_id, unnest($toks) AS t FROM documents)),

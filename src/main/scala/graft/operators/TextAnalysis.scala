@@ -643,6 +643,31 @@ object TextAnalysis {
         max(col("n_tok")).as("max_tokens"))
       .orderBy(col("lang"), col("bucket"))
 
+  /** X45 — quality × duplication calibration: per fixed-width quality
+    * bucket (x8's score, width 0.1), how much of the bucket sits inside a
+    * near-dup cluster — the cross-signal audit run before trusting either
+    * signal in a curation policy (a quality score that concentrates dups
+    * in its top buckets is mis-calibrated; boilerplate scores "fluent").
+    * Buckets are FIXED-WIDTH, not ntile: no global-order window exists, so
+    * the whole query is two hash aggregates and two equi-joins — the w4b
+    * lesson applied from the start. Dup membership reuses the memoized x13
+    * label table (cluster size > 1), so the marginal cost over x13 is one
+    * |V|-row aggregate. Rates in exact integer ppm. */
+  def qualityDupCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val members = Dedup.dupClusters(spark, sfDir)
+    val sizes = members.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+    val dup = members.join(sizes, "cluster_id")
+      .select(col("doc_id"), (col("n_members") > 1).cast("long").as("is_dup"))
+    qualityScore(spark, sfDir).select(col("doc_id"), col("quality"))
+      .join(dup, "doc_id")
+      .groupBy(least(floor(col("quality") * 10), lit(9)).cast("long").as("q_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dup"))
+      .select(col("q_bucket"), col("n_docs"), col("n_dup"),
+        expr("n_dup * 1000000L div n_docs").as("dup_ppm"))
+      .orderBy(col("q_bucket"))
+  }
+
   /** X43 — co-occurrence lift over the top-V document-frequency
     * vocabulary: which token pairs appear in the same document far more
     * often than independence predicts — the association diagnostic behind
