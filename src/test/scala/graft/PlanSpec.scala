@@ -50,6 +50,18 @@ class PlanSpec extends SparkSpec {
       "range predicates did not reach the scan")
   }
 
+  test("s8: correlated subqueries decorrelate into semi/anti/aggregate joins") {
+    val plan = SparkEntry.queries("s8_subquery_filter")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // EXISTS → left-semi, NOT IN → (null-aware) left-anti; the correlated
+    // scalar pair arrives as pre-aggregated per-nation legs joined back —
+    // no per-row subquery re-execution survives optimization
+    assert(plan.contains("LeftSemi"), "EXISTS did not become a semi join")
+    assert(plan.contains("LeftAnti"), "NOT IN did not become an anti join")
+    assert(plan.contains("HashAggregate"),
+      "scalar subqueries did not become aggregate join legs")
+  }
+
   test("top-k queries plan TakeOrderedAndProject, not a global sort") {
     Seq("s1_topk", "x6_ann_cosine_topk", "x20_bm25_topk").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
