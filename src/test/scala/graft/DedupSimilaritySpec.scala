@@ -241,6 +241,49 @@ class DedupSimilaritySpec extends SparkSpec {
       "per-source exclusives + globally-shared tokens must tile the global vocab")
   }
 
+  test("x42/x9 consistency: histogram tiles the corpus and agrees with token accounting") {
+    import graft.operators.TextAnalysis
+    val h = TextAnalysis.tokenHistogram(spark, sf).collect()
+    // buckets tile the corpus: doc counts sum to |documents|
+    assert(h.map(_.getLong(2)).sum == Tables.documents(spark, sf).count())
+    // per-lang token totals equal x9's whitespace accounting
+    val fromHist = h.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(3)).sum).toMap
+    val fromX9 = TextAnalysis.tokenCounts(spark, sf)
+      .select($"lang", $"total_ws_tokens").as[(String, Long)].collect().toMap
+    assert(fromHist == fromX9, "histogram token totals diverge from x9")
+    h.foreach { r =>
+      val (b, mn, mx) = (r.getLong(1), r.getLong(4), r.getLong(5))
+      assert(b * 64 <= mn && mn <= mx && mx < (b + 1) * 64, s"bucket $b bounds broken")
+    }
+  }
+
+  test("x43: pair counts are bounded by their marginals; lift is the exact integer ratio") {
+    import graft.operators.TextAnalysis
+    val n = Tables.documents(spark, sf).count()
+    val rows = TextAnalysis.cooccurrenceLift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nab, na, nb, lift) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nab <= math.min(na, nb) && na <= n && nb <= n,
+        s"(${r.getString(0)},${r.getString(1)}) counts exceed marginals")
+      assert(lift == nab * n * 1000000L / (na * nb), "lift not the exact integer ratio")
+      assert(r.getString(0) < r.getString(1), "pair not in canonical order")
+    }
+  }
+
+  test("x45: quality buckets tile the corpus; dup counts agree with the cluster table") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.qualityDupCalibration(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == Tables.documents(spark, sf).count())
+    val expectedDups = Dedup.clusterCanonical(spark, sf)
+      .where($"n_members" > 1).count()
+    assert(rows.map(_.getLong(2)).sum == expectedDups,
+      "per-bucket dup counts diverge from the cluster membership table")
+    rows.foreach { r =>
+      assert(r.getLong(2) * 1000000L / r.getLong(1) == r.getLong(3), "dup_ppm drifted")
+    }
+  }
+
   test("x40: trim point is the first in-doc shingle repeat; the kept prefix is repeat-free") {
     import graft.operators.TextAnalysis
     import graft.functions.TextFns
