@@ -112,6 +112,7 @@ object SparkEntry {
     "x11_multimodal_features" -> ((s, d) => Multimodal.mediaFeatures(s, d)),
     "x11b_resize_plan" -> ((s, d) => Multimodal.resizePlan(s, d)),
     "x11c_image_decode" -> (Multimodal.imageDecode _),
+    "x11d_png_decode" -> (Multimodal.imageDecodePng _),
     "x12_frame_sample" -> (Multimodal.frameSample _),
     "x13_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "x44_cluster_canonical" -> (Dedup.clusterCanonical _),
@@ -816,6 +817,20 @@ object SparkEntry {
     // cannot hash-match. CASTs: DuckDB SUM returns HUGEINT.
     "x11c_image_decode" ->
       """WITH d AS (SELECT doc_id, doc_id % 64 + 8 AS w, doc_id % 48 + 8 AS h
+                    FROM documents),
+         px AS (SELECT d.doc_id, d.w, d.h, t.i
+                FROM d, unnest(generate_series(0, d.w * d.h - 1)) AS t(i))
+         SELECT doc_id AS media_id,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(SUM((7 * doc_id + 3 * i) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((11 * doc_id + 5 * i) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((13 * doc_id + 7 * i) % 256) AS BIGINT) AS sum_b,
+           CAST(SUM(i * ((7 * doc_id + 3 * i) % 256)) AS BIGINT) AS wsum_r,
+           CAST((7 * doc_id) % 256 AS BIGINT) AS first_r
+         FROM px GROUP BY doc_id, w, h ORDER BY media_id""",
+    "x11d_png_decode" ->
+      """WITH d AS (SELECT doc_id, doc_id % 56 + 8 AS w, doc_id % 40 + 8 AS h
                     FROM documents),
          px AS (SELECT d.doc_id, d.w, d.h, t.i
                 FROM d, unnest(generate_series(0, d.w * d.h - 1)) AS t(i))

@@ -130,6 +130,229 @@ object BmpSynth {
   }
 }
 
+/** [EXT] — a REAL compressed-format decode, still zero-dependency: a
+  * from-scratch PNG reader for 8-bit truecolor (color type 2,
+  * non-interlaced) images. Exercises the full stack a native codec
+  * adapter owns — chunk framing with CRC-32 validation (`java.util.zip
+  * .CRC32`), zlib inflation of the IDAT stream (`java.util.zip.Inflater`
+  * — DEFLATE is the real compression, not a stand-in), and all five
+  * scanline filters (None/Sub/Up/Average/Paeth) reconstructed with the
+  * spec's byte arithmetic. Emits the same position-pinning feature struct
+  * as [[Bmp]] (PNG stores rows top-down, so a sign error in the filter
+  * reconstruction — not row order — is what `wsum_r` catches here).
+  * Format per the public PNG specification (RFC 2083 / ISO 15948). */
+object Png {
+  private val Sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xFF) << 24) | ((b(o + 1) & 0xFF) << 16) |
+      ((b(o + 2) & 0xFF) << 8) | (b(o + 3) & 0xFF)
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Parse an 8-bit truecolor non-interlaced PNG; None on anything else
+    * (bad signature, chunk CRC mismatch, other color type / depth,
+    * truncated or over-long inflated stream) — the p1c malformed-row
+    * contract. */
+  def decode(bytes: Array[Byte]): Option[Row] = {
+    if (bytes == null || bytes.length < 8 + 25 + 12) return None
+    var i = 0
+    while (i < 8) { if (bytes(i) != Sig(i)) return None; i += 1 }
+    var off = 8
+    var w = 0; var h = 0; var seenIhdr = false; var seenEnd = false
+    val idat = new java.io.ByteArrayOutputStream()
+    val crc = new java.util.zip.CRC32()
+    while (!seenEnd) {
+      if (off + 12 > bytes.length) return None
+      val len = be32(bytes, off)
+      if (len < 0 || off + 12 + len > bytes.length) return None
+      val typ = new String(bytes, off + 4, 4, "US-ASCII")
+      crc.reset(); crc.update(bytes, off + 4, 4 + len)
+      if (crc.getValue != (be32(bytes, off + 8 + len).toLong & 0xFFFFFFFFL))
+        return None // corrupt chunk
+      typ match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = be32(bytes, off + 8); h = be32(bytes, off + 12)
+          val depth = bytes(off + 16) & 0xFF; val color = bytes(off + 17) & 0xFF
+          val interlace = bytes(off + 20) & 0xFF
+          if (w <= 0 || h <= 0 || depth != 8 || color != 2 || interlace != 0)
+            return None
+          seenIhdr = true
+        case "IDAT" => if (!seenIhdr) return None else idat.write(bytes, off + 8, len)
+        case "IEND" => seenEnd = true
+        case _ => () // ancillary chunks skipped (CRC still validated)
+      }
+      off += 12 + len
+    }
+    if (!seenIhdr) return None
+    val rowBytes = 1 + 3 * w
+    val raw = new Array[Byte](rowBytes * h)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    try {
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        got += n
+      }
+      if (got != raw.length || inf.inflate(new Array[Byte](1)) != 0)
+        return None // short or over-long pixel stream
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    // reconstruct scanlines in place: cur[k] += f(left, up, upleft) mod 256
+    var sumR, sumG, sumB, wsumR, firstR = 0L
+    var y = 0
+    while (y < h) {
+      val ro = y * rowBytes
+      val filter = raw(ro) & 0xFF
+      if (filter > 4) return None
+      var k = 0
+      while (k < 3 * w) {
+        val x = raw(ro + 1 + k) & 0xFF
+        val a = if (k >= 3) raw(ro + 1 + k - 3) & 0xFF else 0
+        val b = if (y > 0) raw(ro + 1 + k - rowBytes) & 0xFF else 0
+        val c = if (y > 0 && k >= 3) raw(ro + 1 + k - rowBytes - 3) & 0xFF else 0
+        val v = filter match {
+          case 0 => x
+          case 1 => (x + a) & 0xFF
+          case 2 => (x + b) & 0xFF
+          case 3 => (x + (a + b) / 2) & 0xFF
+          case 4 => (x + paeth(a, b, c)) & 0xFF
+        }
+        raw(ro + 1 + k) = v.toByte
+        k += 1
+      }
+      var px = 0
+      while (px < w) {
+        val o = ro + 1 + px * 3
+        val r = raw(o) & 0xFF; val g = raw(o + 1) & 0xFF; val bb = raw(o + 2) & 0xFF
+        val idx = y.toLong * w + px
+        sumR += r; sumG += g; sumB += bb; wsumR += idx * r
+        if (idx == 0L) firstR = r
+        px += 1
+      }
+      y += 1
+    }
+    Some(Row(w.toLong, h.toLong, w.toLong * h, sumR, sumG, sumB, wsumR, firstR))
+  }
+}
+
+/** Deterministic PNG synthesis: same closed-form pixel functions as
+  * [[BmpSynth]] (`R(i) = (7·id + 3·i) mod 256` etc. over top-down
+  * row-major i) at `width = id mod 56 + 8`, `height = id mod 40 + 8`,
+  * but encoded for real — row `y` is written with filter type `y mod 5`,
+  * so every inverse filter in [[Png.decode]] is exercised on every image
+  * taller than 4 rows, and the scanline stream is DEFLATE-compressed with
+  * `java.util.zip.Deflater` (the decoder inflates real zlib output, not a
+  * fixture's). */
+object PngSynth {
+  def width(id: Long): Int = (id % 56 + 8).toInt
+  def height(id: Long): Int = (id % 40 + 8).toInt
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def chunk(out: java.io.ByteArrayOutputStream, typ: String,
+                    data: Array[Byte]): Unit = {
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    val t = typ.getBytes("US-ASCII")
+    out.write(be32(data.length), 0, 4)
+    out.write(t, 0, 4); out.write(data, 0, data.length)
+    val crc = new java.util.zip.CRC32()
+    crc.update(t); crc.update(data)
+    out.write(be32(crc.getValue), 0, 4)
+  }
+
+  def render(id: Long): Array[Byte] = {
+    val w = width(id); val h = height(id)
+    val rowBytes = 1 + 3 * w
+    val raw = new Array[Byte](rowBytes * h)     // reconstructed scanlines
+    val filt = new Array[Byte](rowBytes * h)    // filtered (encoded) form
+    var y = 0
+    while (y < h) {
+      val ro = y * rowBytes
+      var px = 0
+      while (px < w) {
+        val i = y.toLong * w + px
+        val o = ro + 1 + px * 3
+        raw(o) = ((7 * id + 3 * i) % 256).toByte
+        raw(o + 1) = ((11 * id + 5 * i) % 256).toByte
+        raw(o + 2) = ((13 * id + 7 * i) % 256).toByte
+        px += 1
+      }
+      val f = y % 5
+      filt(ro) = f.toByte
+      var k = 0
+      while (k < 3 * w) {
+        val x = raw(ro + 1 + k) & 0xFF
+        val a = if (k >= 3) raw(ro + 1 + k - 3) & 0xFF else 0
+        val b = if (y > 0) raw(ro + 1 + k - rowBytes) & 0xFF else 0
+        val c = if (y > 0 && k >= 3) raw(ro + 1 + k - rowBytes - 3) & 0xFF else 0
+        val v = f match {
+          case 0 => x
+          case 1 => (x - a) & 0xFF
+          case 2 => (x - b) & 0xFF
+          case 3 => (x - (a + b) / 2) & 0xFF
+          case 4 => (x - paeth(a, b, c)) & 0xFF
+        }
+        filt(ro + 1 + k) = v.toByte
+        k += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(filt); deflater.finish()
+    val zs = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) zs.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte), 0, 8)
+    val ihdr = new Array[Byte](13)
+    def put32(o: Int, v: Int): Unit = {
+      ihdr(o) = ((v >> 24) & 0xFF).toByte; ihdr(o + 1) = ((v >> 16) & 0xFF).toByte
+      ihdr(o + 2) = ((v >> 8) & 0xFF).toByte; ihdr(o + 3) = (v & 0xFF).toByte
+    }
+    put32(0, w); put32(4, h)
+    ihdr(8) = 8; ihdr(9) = 2; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    chunk(out, "IHDR", ihdr)
+    chunk(out, "IDAT", zs.toByteArray)
+    chunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+}
+
+/** Batched adapter around the real [[Png.decode]] — identical drop-in
+  * shape to [[BmpPixelCodec]]. */
+final case class PngPixelCodec(batchSize: Int = 256) extends BinaryCodec {
+  def this() = this(256)
+  val featureSchema: StructType = Bmp.FeatureSchema
+  private val nullRow = Row(null, null, null, null, null, null, null, null)
+  def decode(df: DataFrame, payloadCol: String, out: String): DataFrame = {
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = Encoders.row(df.schema.add(out, featureSchema))
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val feat = Png.decode(r.getAs[Array[Byte]](idx)).getOrElse(nullRow)
+          Row.fromSeq(r.toSeq :+ feat)
+        }
+      }
+    }(enc)
+  }
+}
+
 /** The batched `mapPartitions` adapter ([[BatchedByteProbeCodec]]'s shape)
   * around the real [[Bmp.decode]]: payloads are handed to the parser in
   * bounded batches, null/non-BMP payloads yield a null feature struct. */

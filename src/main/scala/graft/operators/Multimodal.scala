@@ -12,11 +12,14 @@ import org.apache.spark.sql.types._
   * event bodies (`Event.body: Array[Byte]`,
   * `/root/reference/.../HiveBatchedSink.scala:308` + pluggable serde).
   * The Spark-side plumbing here — schema, batching, partition-friendly
-  * derived keys — is real, and so is one decode: the from-scratch 24-bit
-  * BMP pixel parser ([[graft.functions.BmpPixelCodec]], x11c) runs behind
-  * the same pluggable [[graft.functions.BinaryCodec]] seam a native
-  * JNI/ffmpeg codec would use. Formats needing external libraries (PNG
-  * beyond chunk structure, JPEG, audio) remain represented by the
+  * derived keys — is real, and so are two decodes: the from-scratch
+  * 24-bit BMP pixel parser ([[graft.functions.BmpPixelCodec]], x11c —
+  * container/stride/row-flip) and the truecolor PNG reader
+  * ([[graft.functions.PngPixelCodec]], x11d — CRC-validated chunks, zlib
+  * inflation, scanline-filter reconstruction), both behind the same
+  * pluggable [[graft.functions.BinaryCodec]] seam a native JNI/ffmpeg
+  * codec would use. Formats genuinely needing external libraries (JPEG's
+  * DCT entropy coding, audio/video containers) remain represented by the
   * column-expression probe codec and the batched `mapPartitions` adapter
   * ([[graft.functions.BatchedByteProbeCodec]]), which demonstrate the
   * identical drop-in shape.
@@ -112,6 +115,42 @@ object Multimodal {
     * zero-dependency container. */
   def imageDecode(spark: SparkSession, sfDir: String): DataFrame =
     graft.functions.BmpPixelCodec().decode(bmpMediaTable(spark, sfDir), "payload", "f")
+      .select(col("media_id"), col("f.width").as("width"),
+        col("f.height").as("height"), col("f.n_pixels").as("n_pixels"),
+        col("f.sum_r").as("sum_r"), col("f.sum_g").as("sum_g"),
+        col("f.sum_b").as("sum_b"), col("f.wsum_r").as("wsum_r"),
+        col("f.first_r").as("first_r"))
+      .orderBy(col("media_id"))
+
+  /** One valid truecolor PNG per document — real DEFLATE compression and
+    * per-row filter rotation ([[graft.functions.PngSynth]]), pixels still
+    * closed-form in `doc_id` so the oracle stays SQL-stateable. */
+  def pngMediaTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val base = Tables.documents(spark, sfDir).select(col("doc_id").as("media_id"))
+    val enc = Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType))))
+    base.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, graft.functions.PngSynth.render(id))
+      }
+    }(enc)
+  }
+
+  /** X11d — REAL compressed-image decode end-to-end: encode a PNG per
+    * document (zlib DEFLATE, scanline filters rotating through all five
+    * types), decode it back with the from-scratch reader
+    * ([[graft.functions.PngPixelCodec]] — CRC-validated chunk framing,
+    * `Inflater` decompression, Sub/Up/Average/Paeth reconstruction) and
+    * emit the same position-pinning statistics as x11c. Where BMP proved
+    * the container/stride plumbing, this proves the *compression* path —
+    * the closest a zero-dependency container gets to a production codec:
+    * a wrong inverse filter or a mis-framed IDAT stream shifts `wsum_r`
+    * immediately while the closed-form oracle stands still. */
+  def imageDecodePng(spark: SparkSession, sfDir: String): DataFrame =
+    graft.functions.PngPixelCodec().decode(pngMediaTable(spark, sfDir), "payload", "f")
       .select(col("media_id"), col("f.width").as("width"),
         col("f.height").as("height"), col("f.n_pixels").as("n_pixels"),
         col("f.sum_r").as("sum_r"), col("f.sum_g").as("sum_g"),

@@ -297,6 +297,40 @@ class FunctionsSpec extends SparkSpec {
     assert(Bmp.decode(BmpSynth.render(1L).take(60)).isEmpty, "truncated pixel data")
   }
 
+  test("Png: real zlib decode — ImageIO differential, all-filter coverage, corruption") {
+    import graft.functions.{BinaryCodec, Bmp, Png, PngSynth}
+    for (id <- 0L to 9L) {
+      val bytes = PngSynth.render(id)
+      val f = Png.decode(bytes).get
+      val wd = PngSynth.width(id); val ht = PngSynth.height(id)
+      val n = wd.toLong * ht
+      def s(a: Long, c: Long) = (0L until n).map(i => (a * id + c * i) % 256).sum
+      assert(f.getLong(0) == wd && f.getLong(1) == ht && f.getLong(2) == n)
+      assert(f.getLong(3) == s(7, 3) && f.getLong(4) == s(11, 5) && f.getLong(5) == s(13, 7))
+      assert(f.getLong(6) == (0L until n).map(i => i * ((7 * id + 3 * i) % 256)).sum)
+      assert(f.getLong(7) == (7 * id) % 256)
+      // independent decoder: the JDK's own ImageIO must read identical
+      // pixels — proof the synthesized stream is a real PNG (valid CRCs,
+      // valid zlib, spec-correct filters), not a self-consistent dialect
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null && img.getWidth == wd && img.getHeight == ht)
+      var ioSumR = 0L
+      for (y <- 0 until ht; x <- 0 until wd) ioSumR += (img.getRGB(x, y) >> 16) & 0xFF
+      assert(ioSumR == f.getLong(3), s"ImageIO disagrees on sum_r for id=$id")
+    }
+    // every image is ≥ 8 rows, so filters 0..4 all occur (y mod 5)
+    assert((0L to 9L).forall(PngSynth.height(_) >= 8))
+    // corruption → None: truncation, single-bit chunk damage (CRC catch)
+    val good = PngSynth.render(3L)
+    assert(Png.decode(null).isEmpty)
+    assert(Png.decode(good.take(40)).isEmpty, "truncated stream")
+    val flipped = good.clone(); flipped(40) = (flipped(40) ^ 1).toByte
+    assert(Png.decode(flipped).isEmpty, "chunk corruption must fail the CRC")
+    // reflective codec loading (the config-driven seam) resolves PNG too
+    assert(BinaryCodec.forName("graft.functions.PngPixelCodec")
+      .featureSchema == Bmp.FeatureSchema)
+  }
+
   test("x11c: distributed BMP decode matches the closed-form pixel oracle per row") {
     import graft.functions.{BmpPixelCodec, BmpSynth}
     val rows = graft.operators.Multimodal.imageDecode(spark, sf).collect()
