@@ -113,6 +113,7 @@ object SparkEntry {
     "x11b_resize_plan" -> ((s, d) => Multimodal.resizePlan(s, d)),
     "x11c_image_decode" -> (Multimodal.imageDecode _),
     "x11d_png_decode" -> (Multimodal.imageDecodePng _),
+    "x11e_wav_decode" -> (Multimodal.audioDecode _),
     "x12_frame_sample" -> (Multimodal.frameSample _),
     "x13_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "x44_cluster_canonical" -> (Dedup.clusterCanonical _),
@@ -843,6 +844,19 @@ object SparkEntry {
            CAST(SUM(i * ((7 * doc_id + 3 * i) % 256)) AS BIGINT) AS wsum_r,
            CAST((7 * doc_id) % 256 AS BIGINT) AS first_r
          FROM px GROUP BY doc_id, w, h ORDER BY media_id""",
+    "x11e_wav_decode" ->
+      """WITH d AS (SELECT doc_id, doc_id % 2000 + 500 AS n,
+                           8000 + (doc_id % 8) * 1000 AS rate FROM documents),
+         smp AS (SELECT d.doc_id, d.n, d.rate, t.t,
+                        (31 * d.doc_id + 17 * t.t) % 65536 - 32768 AS s
+                 FROM d, unnest(generate_series(0, d.n - 1)) AS t(t))
+         SELECT doc_id AS media_id,
+           CAST(n AS BIGINT) AS n_samples, CAST(rate AS BIGINT) AS sample_rate,
+           CAST(SUM(s) AS BIGINT) AS sum_s,
+           CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+           CAST(SUM(t * s) AS BIGINT) AS wsum_s,
+           CAST((31 * doc_id) % 65536 - 32768 AS BIGINT) AS first_s
+         FROM smp GROUP BY doc_id, n, rate ORDER BY media_id""",
     "x12_frame_sample" ->
       """SELECT doc_id AS media_id,
          CAST(octet_length(encode(text)) // 32 + 1 AS BIGINT) AS n_frames

@@ -157,4 +157,36 @@ object Multimodal {
         col("f.sum_b").as("sum_b"), col("f.wsum_r").as("wsum_r"),
         col("f.first_r").as("first_r"))
       .orderBy(col("media_id"))
+
+  /** One valid mono 16-bit PCM WAV per document, waveform closed-form in
+    * `doc_id` ([[graft.functions.WavSynth]]). */
+  def wavMediaTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val base = Tables.documents(spark, sfDir).select(col("doc_id").as("media_id"))
+    val enc = Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType))))
+    base.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, graft.functions.WavSynth.render(id))
+      }
+    }(enc)
+  }
+
+  /** X11e — REAL audio decode end-to-end, completing the multimodal triad:
+    * synthesize a RIFF/WAVE PCM file per document, parse it back with the
+    * from-scratch reader ([[graft.functions.WavSampleCodec]] — chunk walk,
+    * format validation, little-endian signed-16 sample extraction) and
+    * emit sample statistics (sum, energy, position-weighted sum) that the
+    * closed-form oracle recomputes exactly. `wsum_s`/`first_s` pin sample
+    * order and endianness the way `wsum_r`/`first_r` pin row order for
+    * images. */
+  def audioDecode(spark: SparkSession, sfDir: String): DataFrame =
+    graft.functions.WavSampleCodec().decode(wavMediaTable(spark, sfDir), "payload", "f")
+      .select(col("media_id"), col("f.n_samples").as("n_samples"),
+        col("f.sample_rate").as("sample_rate"), col("f.sum_s").as("sum_s"),
+        col("f.sum_sq").as("sum_sq"), col("f.wsum_s").as("wsum_s"),
+        col("f.first_s").as("first_s"))
+      .orderBy(col("media_id"))
 }

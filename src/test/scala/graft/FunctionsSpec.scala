@@ -331,6 +331,49 @@ class FunctionsSpec extends SparkSpec {
       .featureSchema == Bmp.FeatureSchema)
   }
 
+  test("Wav: real PCM decode — javax.sound differential, chunk walk, corruption") {
+    import graft.functions.{BinaryCodec, Wav, WavSynth}
+    for (id <- 0L to 9L) {
+      val bytes = WavSynth.render(id)
+      val f = Wav.decode(bytes).get
+      val n = WavSynth.nSamples(id)
+      assert(f.getLong(0) == n && f.getLong(1) == WavSynth.sampleRate(id))
+      val samples = (0 until n).map(t => WavSynth.sample(id, t).toLong)
+      assert(f.getLong(2) == samples.sum, s"sum_s for $id")
+      assert(f.getLong(3) == samples.map(s => s * s).sum, s"sum_sq for $id")
+      assert(f.getLong(4) == samples.zipWithIndex.map { case (s, t) => t * s }.sum)
+      assert(f.getLong(5) == samples.head)
+      // independent decoder: the JDK's own javax.sound must read identical
+      // samples — proof the bytes are a real WAV, not a private dialect
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      assert(fmt.getSampleRate.toInt == WavSynth.sampleRate(id) &&
+        fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16)
+      val raw = ais.readAllBytes()
+      assert(raw.length == n * 2)
+      var jdkSum = 0L
+      var t = 0
+      while (t < n) {
+        jdkSum += ((raw(2 * t) & 0xFF) | (raw(2 * t + 1) << 8)).toShort.toLong
+        t += 1
+      }
+      assert(jdkSum == f.getLong(2), s"javax.sound disagrees on sum_s for id=$id")
+    }
+    // corruption → None: truncation, non-PCM format tag, stereo claim
+    val good = WavSynth.render(5L)
+    assert(Wav.decode(null).isEmpty)
+    assert(Wav.decode(good.take(40)).isEmpty, "truncated header")
+    assert(Wav.decode(good.take(200)).isEmpty, "data chunk overruns buffer")
+    val nonPcm = good.clone(); nonPcm(20) = 3 // IEEE-float format tag
+    assert(Wav.decode(nonPcm).isEmpty, "non-PCM must be rejected")
+    val stereo = good.clone(); stereo(22) = 2
+    assert(Wav.decode(stereo).isEmpty, "stereo must be rejected")
+    // reflective codec loading resolves the audio codec too
+    assert(BinaryCodec.forName("graft.functions.WavSampleCodec")
+      .featureSchema == Wav.FeatureSchema)
+  }
+
   test("x11c: distributed BMP decode matches the closed-form pixel oracle per row") {
     import graft.functions.{BmpPixelCodec, BmpSynth}
     val rows = graft.operators.Multimodal.imageDecode(spark, sf).collect()
