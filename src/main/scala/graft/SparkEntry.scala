@@ -114,6 +114,7 @@ object SparkEntry {
     "x11c_image_decode" -> (Multimodal.imageDecode _),
     "x11d_png_decode" -> (Multimodal.imageDecodePng _),
     "x11e_wav_decode" -> (Multimodal.audioDecode _),
+    "x12b_avi_frame_sample" -> (Multimodal.videoFrameSample _),
     "x12_frame_sample" -> (Multimodal.frameSample _),
     "x13_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "x44_cluster_canonical" -> (Dedup.clusterCanonical _),
@@ -857,6 +858,22 @@ object SparkEntry {
            CAST(SUM(t * s) AS BIGINT) AS wsum_s,
            CAST((31 * doc_id) % 65536 - 32768 AS BIGINT) AS first_s
          FROM smp GROUP BY doc_id, n, rate ORDER BY media_id""",
+    "x12b_avi_frame_sample" ->
+      """WITH d AS (SELECT doc_id, doc_id % 12 + 4 AS nf, doc_id % 24 + 8 AS w,
+                           doc_id % 16 + 8 AS h FROM documents),
+         fr AS (SELECT d.doc_id, d.nf, d.w, d.h, t.f
+                FROM d, unnest(generate_series(0, d.nf - 1)) AS t(f)
+                WHERE t.f % 2 = 0),
+         px AS (SELECT fr.doc_id, fr.nf, fr.w, fr.h, fr.f, t.i,
+                       (7 * fr.doc_id + 3 * t.i + 19 * fr.f) % 256 AS r
+                FROM fr, unnest(generate_series(0, fr.w * fr.h - 1)) AS t(i))
+         SELECT doc_id AS media_id, CAST(nf AS BIGINT) AS n_frames,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST((nf + 1) // 2 AS BIGINT) AS n_sampled,
+           CAST(SUM(r) AS BIGINT) AS sum_r_sampled,
+           CAST(SUM(f * r) AS BIGINT) AS wsum_r_sampled,
+           CAST((7 * doc_id) % 256 AS BIGINT) AS first_r
+         FROM px GROUP BY doc_id, nf, w, h ORDER BY media_id""",
     "x12_frame_sample" ->
       """SELECT doc_id AS media_id,
          CAST(octet_length(encode(text)) // 32 + 1 AS BIGINT) AS n_frames

@@ -189,4 +189,39 @@ object Multimodal {
         col("f.sum_sq").as("sum_sq"), col("f.wsum_s").as("wsum_s"),
         col("f.first_s").as("first_s"))
       .orderBy(col("media_id"))
+
+  /** One valid AVI (uncompressed DIB frames) per document, everything
+    * closed-form in `doc_id` ([[graft.functions.AviSynth]]). */
+  def aviMediaTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val base = Tables.documents(spark, sfDir).select(col("doc_id").as("media_id"))
+    val enc = Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType))))
+    base.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, graft.functions.AviSynth.render(id))
+      }
+    }(enc)
+  }
+
+  /** X12b — REAL video frame sampling: parse the AVI container's chunk
+    * tree ([[graft.functions.AviFrameCodec]] — `avih` header, `movi`
+    * frame list), sample every 2nd frame and decode ONLY the sampled DIB
+    * frames — the touch-a-subset shape production video ingestion uses,
+    * upgrading x12's byte-count stand-in to a container-aware sampler.
+    * `wsum_r_sampled` weights each frame's red sum by the FRAME index, so
+    * sampling the wrong frames diverges even when per-frame pixel math is
+    * right; a frame chunk whose size disagrees with the advertised
+    * dimensions rejects the whole payload (p1c contract). */
+  def videoFrameSample(spark: SparkSession, sfDir: String): DataFrame =
+    graft.functions.AviFrameCodec().decode(aviMediaTable(spark, sfDir), "payload", "f")
+      .select(col("media_id"), col("f.n_frames").as("n_frames"),
+        col("f.width").as("width"), col("f.height").as("height"),
+        col("f.n_sampled").as("n_sampled"),
+        col("f.sum_r_sampled").as("sum_r_sampled"),
+        col("f.wsum_r_sampled").as("wsum_r_sampled"),
+        col("f.first_r").as("first_r"))
+      .orderBy(col("media_id"))
 }

@@ -374,6 +374,36 @@ class FunctionsSpec extends SparkSpec {
       .featureSchema == Wav.FeatureSchema)
   }
 
+  test("Avi: real container frame sampling — chunk walk, even-frame subset, corruption") {
+    import graft.functions.{Avi, AviSynth, BinaryCodec}
+    for (id <- 0L to 9L) {
+      val f = Avi.decode(AviSynth.render(id)).get
+      val nf = AviSynth.nFrames(id)
+      val w = AviSynth.width(id); val h = AviSynth.height(id)
+      val n = w.toLong * h
+      assert(f.getLong(0) == nf && f.getLong(1) == w && f.getLong(2) == h)
+      assert(f.getLong(3) == (nf + 1) / 2, "every-2nd-frame count")
+      // recompute from the closed form over ONLY the even frames — an
+      // off-by-one sampler or a stride slip between chunks breaks these
+      val sampled = (0 until nf).filter(_ % 2 == 0)
+      def frameSum(fr: Int) = (0L until n).map(i => (7 * id + 3 * i + 19 * fr) % 256).sum
+      assert(f.getLong(4) == sampled.map(frameSum).sum, s"sum_r for $id")
+      assert(f.getLong(5) == sampled.map(fr => fr * frameSum(fr)).sum, s"wsum_r for $id")
+      assert(f.getLong(6) == (7 * id) % 256)
+    }
+    // corruption → None: truncation, frame/header size disagreement, form tag
+    val good = AviSynth.render(4L)
+    assert(Avi.decode(null).isEmpty)
+    assert(Avi.decode(good.take(100)).isEmpty, "truncated movi list")
+    val badForm = good.clone(); badForm(8) = 'W'
+    assert(Avi.decode(badForm).isEmpty, "non-AVI RIFF form")
+    val badW = good.clone()
+    badW(32 + 32) = (badW(32 + 32) + 1).toByte // avih dwWidth +1 → frame size mismatch
+    assert(Avi.decode(badW).isEmpty, "frame chunk disagreeing with header dims")
+    assert(BinaryCodec.forName("graft.functions.AviFrameCodec")
+      .featureSchema == Avi.FeatureSchema)
+  }
+
   test("x11c: distributed BMP decode matches the closed-form pixel oracle per row") {
     import graft.functions.{BmpPixelCodec, BmpSynth}
     val rows = graft.operators.Multimodal.imageDecode(spark, sf).collect()
