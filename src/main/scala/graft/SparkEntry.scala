@@ -115,6 +115,7 @@ object SparkEntry {
     "x11d_png_decode" -> (Multimodal.imageDecodePng _),
     "x11e_wav_decode" -> (Multimodal.audioDecode _),
     "x12b_avi_frame_sample" -> (Multimodal.videoFrameSample _),
+    "x46_multimodal_curation" -> (Multimodal.multimodalCuration _),
     "x12_frame_sample" -> (Multimodal.frameSample _),
     "x13_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "x44_cluster_canonical" -> (Dedup.clusterCanonical _),
@@ -874,6 +875,31 @@ object SparkEntry {
            CAST(SUM(f * r) AS BIGINT) AS wsum_r_sampled,
            CAST((7 * doc_id) % 256 AS BIGINT) AS first_r
          FROM px GROUP BY doc_id, nf, w, h ORDER BY media_id""",
+    "x46_multimodal_curation" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+          s AS (SELECT doc_id,
+            CAST(len(tk) AS DOUBLE) AS n_tok,
+            CAST(len(list_distinct(tk)) AS DOUBLE) AS n_uniq,
+            CAST(len(list_filter(tk, w -> w IN ('the','a','of','and','to','el','la','de','y','que','der','die','das','und','ist','le','et','les','des'))) AS DOUBLE) AS n_stop
+          FROM t),
+          q AS (SELECT doc_id,
+            round((CASE WHEN n_tok >= 20 AND n_tok <= 1000 THEN 1.0
+                        WHEN n_tok >= 5 THEN 0.5 ELSE 0.0 END) * 0.4
+                  + (n_uniq / n_tok) * 0.4 + (n_stop / n_tok) * 0.2, 6) AS quality
+          FROM s),
+          img AS (SELECT doc_id,
+            CAST((doc_id % 56 + 8) * (doc_id % 40 + 8) AS BIGINT) AS n_pixels
+          FROM documents),
+          aud AS (SELECT doc_id, CAST(SUM(smp * smp) // n AS BIGINT) AS energy_per_sample
+                  FROM (SELECT d.doc_id, d.n, (31 * d.doc_id + 17 * t.t) % 65536 - 32768 AS smp
+                        FROM (SELECT doc_id, doc_id % 2000 + 500 AS n FROM documents) d,
+                             unnest(generate_series(0, d.n - 1)) AS t(t))
+                  GROUP BY doc_id, n)
+          SELECT q.doc_id, q.quality, img.n_pixels, aud.energy_per_sample,
+            (q.quality >= 0.5 AND img.n_pixels >= 400
+             AND aud.energy_per_sample >= 358000000) AS keep
+          FROM q JOIN img USING (doc_id) JOIN aud USING (doc_id)
+          ORDER BY doc_id""",
     "x12_frame_sample" ->
       """SELECT doc_id AS media_id,
          CAST(octet_length(encode(text)) // 32 + 1 AS BIGINT) AS n_frames

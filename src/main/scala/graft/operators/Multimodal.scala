@@ -224,4 +224,29 @@ object Multimodal {
         col("f.wsum_r_sampled").as("wsum_r_sampled"),
         col("f.first_r").as("first_r"))
       .orderBy(col("media_id"))
+
+  /** X46 — joint multimodal curation: the keep/drop decision a
+    * text+image+audio training-pair pipeline actually ships, computed
+    * from DECODED features — x8's text quality, the PNG decoder's pixel
+    * count, the WAV decoder's per-sample energy (integer division, so the
+    * keep flag is bit-stable cross-engine) — joined on the document key.
+    * Three per-doc tables equi-join on `doc_id` and share its hash
+    * partitioning; nothing here is per-pair or quadratic, so the
+    * composition costs three decodes plus two co-partitioned joins at any
+    * corpus size. */
+  def multimodalCuration(spark: SparkSession, sfDir: String): DataFrame = {
+    val img = imageDecodePng(spark, sfDir)
+      .select(col("media_id").as("doc_id"), col("n_pixels"))
+    val aud = audioDecode(spark, sfDir)
+      .select(col("media_id").as("doc_id"),
+        expr("sum_sq div n_samples").as("energy_per_sample"))
+    val q = TextAnalysis.qualityScore(spark, sfDir)
+      .select(col("doc_id"), col("quality"))
+    q.join(img, "doc_id").join(aud, "doc_id")
+      .select(col("doc_id"), col("quality"), col("n_pixels"),
+        col("energy_per_sample"),
+        (col("quality") >= 0.5 && col("n_pixels") >= 400L &&
+          col("energy_per_sample") >= 358000000L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
 }
