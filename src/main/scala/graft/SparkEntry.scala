@@ -94,6 +94,7 @@ object SparkEntry {
     "t5_stream_dedup_watermark" -> (StreamingIngest.streamDedupWithinWatermark _),
     "t10_transform_with_state" -> (StreamingIngest.transformWithStateCounts _),
     "t11_stream_count_max" -> (StreamingIngest.streamCountMax _),
+    "t12_stream_media_decode" -> (StreamingIngest.streamMediaDecode _),
     // M5 — [EXT] LLM-pipeline operators
     "x1_dedup_exact" -> (Dedup.exactDedup _),
     "x2_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -875,6 +876,17 @@ object SparkEntry {
            CAST(SUM(f * r) AS BIGINT) AS wsum_r_sampled,
            CAST((7 * doc_id) % 256 AS BIGINT) AS first_r
          FROM px GROUP BY doc_id, nf, w, h ORDER BY media_id""",
+    "t12_stream_media_decode" ->
+      """WITH d AS (SELECT doc_id, lang,
+                           (doc_id % 56 + 8) * (doc_id % 40 + 8) AS np FROM documents),
+         px AS (SELECT d.doc_id, d.lang, d.np, t.i,
+                       (7 * d.doc_id + 3 * t.i) % 256 AS r
+                FROM d, unnest(generate_series(0, d.np - 1)) AS t(i)),
+         per AS (SELECT doc_id, lang, np, SUM(r) AS sr FROM px GROUP BY 1, 2, 3)
+         SELECT lang, count(*) AS n_imgs,
+           CAST(SUM(np) AS BIGINT) AS total_pixels,
+           CAST(SUM(sr) AS BIGINT) AS total_sum_r
+         FROM per GROUP BY 1 ORDER BY 1""",
     "x46_multimodal_curation" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
           s AS (SELECT doc_id,

@@ -381,6 +381,58 @@ object StreamingIngest {
     * per-key totals once per micro-batch; the final `max` rollup keeps the
     * declared result invariant to micro-batch packing, which is what lets
     * one batch GROUP BY oracle-check a genuinely incremental execution. */
+  /** T12 — media decode INSIDE a streaming micro-batch: documents stream
+    * in as a file source, each micro-batch synthesizes and decodes PNG
+    * payloads through the SAME pluggable codec the batch path uses
+    * ([[graft.functions.PngPixelCodec]] — `mapPartitions` is a stateless
+    * narrow transform, so the codec drops into Structured Streaming
+    * unchanged; this is the property that lets one codec implementation
+    * serve both the backfill and the live ingest), then a per-language
+    * aggregate lands in the memory sink. Batch-equivalent by
+    * construction, so the closed-form DuckDB oracle checks a real
+    * streaming decode execution end-to-end. */
+  def streamMediaDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    graft.Tables.ensureParquetConf(spark)
+    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_stream_doc_" + sfDir.replaceAll("[^0-9a-zA-Z]", "_"))
+    if (!java.nio.file.Files.exists(dir)) {
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve("documents.parquet"),
+        java.nio.file.Paths.get(sfDir, "documents.parquet"))
+    }
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema).parquet(dir.toString)
+      .select(col("doc_id").as("media_id"), col("lang"))
+    val payloadEnc = Encoders.row(StructType(Seq(
+      StructField("media_id", LongType), StructField("lang", StringType),
+      StructField("payload", BinaryType))))
+    val withPayload = docs.mapPartitions { it =>
+      it.map(r => Row(r.getLong(0), r.getString(1),
+        graft.functions.PngSynth.render(r.getLong(0))))
+    }(payloadEnc)
+    val agg = graft.functions.PngPixelCodec().decode(withPayload, "payload", "f")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_imgs"),
+        sum(col("f.n_pixels")).as("total_pixels"),
+        sum(col("f.sum_r")).as("total_sum_r"))
+    val qn = "graft_stream_png_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withStatePartitions(spark) {
+      withScratchCheckpoint { ck =>
+        val q = agg.writeStream
+          .format("memory").queryName(qn)
+          .outputMode("complete")
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+      }
+    }
+    drainMemorySink(spark, qn)(_.orderBy(col("lang")))
+  }
+
   def transformWithStateCounts(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
