@@ -154,6 +154,7 @@ object SparkEntry {
     "x42_token_histogram" -> (TextAnalysis.tokenHistogram _),
     "x43_cooccur_lift" -> ((s, d) => TextAnalysis.cooccurrenceLift(s, d)),
     "x45_quality_dup_calibration" -> (TextAnalysis.qualityDupCalibration _),
+    "x47_bpe_pair_counts" -> ((s, d) => TextAnalysis.bpePairCounts(s, d)),
     // no-oracle by design (no SQL deflate); determinism + separation
     // invariants are spec-pinned in DedupSimilaritySpec
     "x41_compression_ratio" -> ((s, d) => TextAnalysis.compressionRatio(s, d)),
@@ -740,6 +741,14 @@ object SparkEntry {
                  CAST(sum(is_dup) * 1000000 // count(*) AS BIGINT) AS dup_ppm
           FROM q JOIN dup USING (doc_id)
           GROUP BY 1 ORDER BY 1""",
+    "x47_bpe_pair_counts" ->
+      s"""WITH w AS (SELECT t AS w, count(*) AS freq
+                     FROM (SELECT unnest($toks) AS t FROM documents) GROUP BY 1),
+          p AS (SELECT substr(w.w, t.j, 2) AS pair, w.freq
+                FROM w, unnest(generate_series(1, length(w.w) - 1)) AS t(j)
+                WHERE length(w.w) >= 2)
+          SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+          FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 50""",
     "x43_cooccur_lift" ->
       s"""WITH dt AS (SELECT DISTINCT doc_id, t
                       FROM (SELECT doc_id, unnest($toks) AS t FROM documents)),

@@ -668,6 +668,29 @@ object TextAnalysis {
       .orderBy(col("q_bucket"))
   }
 
+  /** X47 — BPE merge-pair statistics: adjacent character-pair counts
+    * weighted by corpus word frequency — the exact quantity byte-pair-
+    * encoding training maximizes at every merge step (this is iteration
+    * 0; subsequent iterations re-run the same query over re-segmented
+    * words). Two bounded aggregations: word frequencies shuffle on the
+    * word (vocabulary-sized, not corpus-sized, after the map-side
+    * partial), then pair counts shuffle on the 2-char pair (alphabet²
+    * keys at most); the per-word explode fans out by word length, never
+    * by corpus size. Exact integers throughout. */
+  def bpePairCounts(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame = {
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(TextFns.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    words
+      .where(length(col("w")) >= 2)
+      .select(col("w"), col("freq"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("j"))
+      .select(expr("substr(w, j, 2)").as("pair"), col("freq"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+  }
+
   /** X43 — co-occurrence lift over the top-V document-frequency
     * vocabulary: which token pairs appear in the same document far more
     * often than independence predicts — the association diagnostic behind
