@@ -155,6 +155,7 @@ object SparkEntry {
     "x43_cooccur_lift" -> ((s, d) => TextAnalysis.cooccurrenceLift(s, d)),
     "x45_quality_dup_calibration" -> (TextAnalysis.qualityDupCalibration _),
     "x47_bpe_pair_counts" -> ((s, d) => TextAnalysis.bpePairCounts(s, d)),
+    "x48_triangle_counts" -> ((s, d) => TextAnalysis.triangleCounts(s, d)),
     // no-oracle by design (no SQL deflate); determinism + separation
     // invariants are spec-pinned in DedupSimilaritySpec
     "x41_compression_ratio" -> ((s, d) => TextAnalysis.compressionRatio(s, d)),
@@ -749,6 +750,21 @@ object SparkEntry {
                 WHERE length(w.w) >= 2)
           SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
           FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 50""",
+    "x48_triangle_counts" ->
+      s"""WITH dt AS (SELECT DISTINCT doc_id, t
+                      FROM (SELECT doc_id, unnest($toks) AS t FROM documents)),
+          dfreq AS (SELECT t, count(*) AS df FROM dt GROUP BY 1),
+          vocab AS (SELECT t, df FROM dfreq ORDER BY df DESC, t LIMIT 200),
+          dv AS (SELECT dt.doc_id, dt.t FROM dt JOIN vocab USING (t)),
+          e AS (SELECT a.t AS t1, b.t AS t2
+                FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.t < b.t
+                GROUP BY 1, 2 HAVING count(*) >= 5),
+          tri AS (SELECT e1.t1 AS x, e1.t2 AS y, e2.t2 AS z
+                  FROM e e1 JOIN e e2 ON e2.t1 = e1.t2
+                            JOIN e e3 ON e3.t1 = e1.t1 AND e3.t2 = e2.t2),
+          corners AS (SELECT x AS t FROM tri UNION ALL SELECT y FROM tri
+                      UNION ALL SELECT z FROM tri)
+          SELECT t, count(*) AS n_triangles FROM corners GROUP BY 1 ORDER BY 1""",
     "x43_cooccur_lift" ->
       s"""WITH dt AS (SELECT DISTINCT doc_id, t
                       FROM (SELECT doc_id, unnest($toks) AS t FROM documents)),

@@ -709,7 +709,22 @@ object TextAnalysis {
                        minPairs: Long = 5, k: Int = 50): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val nDocs = docs.count() // metadata scalar (the x15 shape)
-    val dt = docs.select(col("doc_id"),
+    val (pairs, vocab) = cooccurrencePairs(spark, sfDir, vocabSize, minPairs)
+    pairs
+      .join(broadcast(vocab.select(col("t").as("t1"), col("df").as("n_a"))), "t1")
+      .join(broadcast(vocab.select(col("t").as("t2"), col("df").as("n_b"))), "t2")
+      .select(col("t1"), col("t2"), col("n_ab"), col("n_a"), col("n_b"),
+        expr(s"n_ab * ${nDocs}L * 1000000L div (n_a * n_b)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("t1"), col("t2"))
+      .limit(k)
+  }
+
+  /** Shared x43/x48 core: the vocab-bounded co-occurrence edge set —
+    * `(t1 < t2, n_ab)` over the top-V document-frequency vocabulary —
+    * plus the collected vocab as a LocalRelation. */
+  private[graft] def cooccurrencePairs(spark: SparkSession, sfDir: String,
+                                       vocabSize: Int, minPairs: Long): (DataFrame, DataFrame) = {
+    val dt = Tables.documents(spark, sfDir).select(col("doc_id"),
       explode(array_distinct(TextFns.tokens(col("text")))).as("t"))
     import spark.implicits._
     val vocab = dt.groupBy(col("t")).agg(count(lit(1)).as("df"))
@@ -718,17 +733,58 @@ object TextAnalysis {
       .toDF("t", "df")
     val dv = dt.join(broadcast(vocab.select(col("t"))), "t")
       .select(col("doc_id"), col("t"))
-    dv.as("a").join(dv.as("b"),
+    val pairs = dv.as("a").join(dv.as("b"),
         col("a.doc_id") === col("b.doc_id") && col("a.t") < col("b.t"))
       .groupBy(col("a.t").as("t1"), col("b.t").as("t2"))
       .agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= minPairs)
-      .join(broadcast(vocab.select(col("t").as("t1"), col("df").as("n_a"))), "t1")
-      .join(broadcast(vocab.select(col("t").as("t2"), col("df").as("n_b"))), "t2")
-      .select(col("t1"), col("t2"), col("n_ab"), col("n_a"), col("n_b"),
-        expr(s"n_ab * ${nDocs}L * 1000000L div (n_a * n_b)").as("lift_ppm"))
-      .orderBy(col("lift_ppm").desc, col("t1"), col("t2"))
-      .limit(k)
+    (pairs, vocab)
+  }
+
+  /** X48 — triangle participation on the co-occurrence graph: per token,
+    * how many closed triads it sits in — the clustering-structure
+    * diagnostic next to PageRank's centrality (x31) and connected
+    * components (x13), and the classic distributed graph-analytics
+    * primitive. Algorithm is the degree-oriented wedge join (Suri &
+    * Vassilvitskii's MapReduce form): orient every edge from its
+    * lower-degree endpoint (ties by token), build wedges at the low
+    * vertex, and close them against the oriented edge set — each triangle
+    * is found EXACTLY once and the wedge fan-out is bounded by the
+    * oriented out-degree (≤ √(2|E|) on any graph), never the raw degree
+    * of a hub. Both joins are hash equi-joins; per-vertex counts come
+    * from exploding each triangle's three corners. */
+  def triangleCounts(spark: SparkSession, sfDir: String, vocabSize: Int = 200,
+                     minPairs: Long = 5): DataFrame = {
+    // memoized: the edge list feeds degree + orientation + closure legs,
+    // and Verify/Bench re-execute the returned plan — without the pin the
+    // whole document self-join would recompute once per leg per execution
+    val edges = DfCache.memoize(spark, s"cooc_edges:$sfDir:$vocabSize:$minPairs") {
+      cooccurrencePairs(spark, sfDir, vocabSize, minPairs)._1
+        .select(col("t1"), col("t2"))
+    }
+    val deg = edges.select(col("t1").as("t")).union(edges.select(col("t2").as("t")))
+      .groupBy(col("t")).agg(count(lit(1)).as("deg"))
+    // orient u→v iff (deg(u), u) < (deg(v), v): every edge leaves its
+    // lower-degree endpoint, so out-degree is O(√|E|) even at hubs
+    val withDeg = edges
+      .join(deg.select(col("t").as("t1"), col("deg").as("d1")), "t1")
+      .join(deg.select(col("t").as("t2"), col("deg").as("d2")), "t2")
+    val oriented = withDeg.select(
+      when(col("d1") < col("d2") || (col("d1") === col("d2") && col("t1") < col("t2")),
+        struct(col("t1").as("u"), col("t2").as("v")))
+        .otherwise(struct(col("t2").as("u"), col("t1").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val wedges = oriented.as("a").join(oriented.as("b"),
+        col("a.u") === col("b.u") && col("a.v") < col("b.v"))
+      .select(col("a.u").as("x"), col("a.v").as("y"), col("b.v").as("z"))
+    // close the wedge: (y,z) must be an oriented edge (either direction
+    // was canonicalized away — oriented keeps exactly one copy per edge)
+    val closing = oriented.select(col("u").as("y"), col("v").as("z"))
+      .union(oriented.select(col("v").as("y"), col("u").as("z")))
+    val triangles = wedges.join(closing, Seq("y", "z"))
+    triangles.select(explode(array(col("x"), col("y"), col("z"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("t"))
   }
 
   /** X34 — positional shingle rows via the NATIVE table-generating function
