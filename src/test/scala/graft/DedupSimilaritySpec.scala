@@ -284,6 +284,22 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("x48: triangle participation sums to 3x the triangle count, inside the edge set") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.triangleCounts(spark, sf)
+      .as[(String, Long)].collect()
+    assert(rows.nonEmpty, "fixture co-occurrence graph should contain triangles")
+    // every triangle contributes exactly one participation to each corner
+    assert(rows.map(_._2).sum % 3 == 0, "total participation not divisible by 3")
+    // participants must be endpoints of the x43/x48 edge set
+    val (pairs, _) = TextAnalysis.cooccurrencePairs(spark, sf, 200, 5)
+    val endpoints = pairs.select($"t1").union(pairs.select($"t2"))
+      .distinct().as[String].collect().toSet
+    rows.foreach { case (t, n) =>
+      assert(n > 0 && endpoints.contains(t), s"token $t outside the edge set")
+    }
+  }
+
   test("x40: trim point is the first in-doc shingle repeat; the kept prefix is repeat-free") {
     import graft.operators.TextAnalysis
     import graft.functions.TextFns
