@@ -198,7 +198,10 @@ object Png {
       var got = 0
       while (got < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, got, raw.length - got)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // n == 0 while unfinished means truncated input OR a preset-
+        // dictionary demand (FDICT) — PNG forbids the latter; treating
+        // both as malformed also keeps this loop provably terminating
+        if (n == 0) return None
         got += n
       }
       if (got != raw.length || inf.inflate(new Array[Byte](1)) != 0)

@@ -40,8 +40,11 @@ object Avi {
     if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "AVI ") return None
     var w = 0; var h = 0; var declaredFrames = -1
     var moviOff = -1; var moviEnd = -1
-    // one linear walk of the top-level and LIST chunks we care about
-    def walk(off0: Int, end: Int): Unit = {
+    // one linear walk of the top-level and LIST chunks we care about;
+    // depth-capped so a crafted LIST-in-LIST chain cannot overflow the
+    // stack (real AVIs nest hdrl/strl 2-3 deep)
+    def walk(off0: Int, end: Int, depth: Int): Unit = {
+      if (depth > 16) return
       var off = off0
       while (off + 8 <= end) {
         val ct = tag(bytes, off); val len = i32(bytes, off + 4)
@@ -49,7 +52,7 @@ object Avi {
         if (ct == "LIST" && len >= 4) {
           val listType = tag(bytes, off + 8)
           if (listType == "movi") { moviOff = off + 12; moviEnd = off + 8 + len }
-          else walk(off + 12, off + 8 + len) // descend into hdrl/strl
+          else walk(off + 12, off + 8 + len, depth + 1) // descend into hdrl/strl
         } else if (ct == "avih" && len >= 40) {
           declaredFrames = i32(bytes, off + 8 + 16)
           w = i32(bytes, off + 8 + 32); h = i32(bytes, off + 8 + 36)
@@ -57,7 +60,7 @@ object Avi {
         off += 8 + len + (len & 1) // RIFF chunks are word-aligned
       }
     }
-    walk(12, bytes.length)
+    walk(12, bytes.length, 0)
     if (w <= 0 || h <= 0 || declaredFrames < 0 || moviOff < 0) return None
     val st = Bmp.stride(w)
     val frameBytes = st * h
