@@ -74,6 +74,7 @@ object SparkEntry {
     "s6_unpivot" -> (Relational.unpivotCounts _),
     "s7_multiset_ops" -> (Relational.multisetOps _),
     "s8_subquery_filter" -> (Relational.subqueryFilter _),
+    "s9_lateral_topk" -> (Relational.lateralTopK _),
     "a8_rollup" -> (Relational.rollupAgg _),
     "a9_cube" -> (Relational.cubeAgg _),
     "a10_grouping_sets" -> (Relational.groupingSetsAgg _),
@@ -1357,6 +1358,14 @@ object SparkEntry {
            AND c.c_custkey NOT IN (SELECT o_custkey FROM orders
                                    WHERE o_totalprice > 350000.0)
          ORDER BY c.c_custkey""",
+    "s9_lateral_topk" ->
+      """SELECT n.c_nationkey, t.o_orderkey, t.o_totalprice
+         FROM (SELECT DISTINCT c_nationkey FROM customer) n,
+         LATERAL (SELECT o.o_orderkey, o.o_totalprice
+                  FROM orders o JOIN customer c2 ON o.o_custkey = c2.c_custkey
+                  WHERE c2.c_nationkey = n.c_nationkey
+                  ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2) t
+         ORDER BY n.c_nationkey, t.o_totalprice DESC, t.o_orderkey""",
     // same explicit floor(t*255 + 0.5) half-up code as the engine — round()
     // tie-breaking is dialect-specific, floor in double arithmetic is not
     "x35_embed_quantize" ->

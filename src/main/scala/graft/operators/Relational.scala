@@ -777,6 +777,36 @@ object Relational {
 
   // ---- Subquery surface ---------------------------------------------------
 
+  /** S9 — LATERAL correlated top-k: for every nation, its two
+    * highest-value orders, written as the SQL-standard
+    * `, LATERAL (SELECT ... WHERE correlated ORDER BY ... LIMIT 2)` form.
+    * Catalyst decorrelates the limit subquery into `WindowGroupLimit`
+    * (partial map-side + final per-group top-k pruning — rows beyond rank
+    * 2 never cross the shuffle) feeding a `row_number` window and one
+    * hash join — the per-key re-execution the lateral syntax *describes*
+    * never happens, and the plan is the same shape the hand-built w1/w4b
+    * ranking queries use. PlanSpec pins the `WindowGroupLimit` rewrite.
+    * Fully deterministic: ties broken by `o_orderkey` inside the lateral
+    * ORDER BY and in the outer sort. */
+  def lateralTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag  = java.util.UUID.randomUUID().toString.replace("-", "")
+    val cust = s"cust_$tag"; val ords = s"ords_$tag"
+    Tables.customer(spark, sfDir).createOrReplaceTempView(cust)
+    Tables.orders(spark, sfDir).createOrReplaceTempView(ords)
+    try {
+      spark.sql(
+        s"""SELECT n.c_nationkey, t.o_orderkey, t.o_totalprice
+            FROM (SELECT DISTINCT c_nationkey FROM $cust) n,
+            LATERAL (SELECT o.o_orderkey, o.o_totalprice
+                     FROM $ords o JOIN $cust c2 ON o.o_custkey = c2.c_custkey
+                     WHERE c2.c_nationkey = n.c_nationkey
+                     ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2) t
+            ORDER BY n.c_nationkey, t.o_totalprice DESC, t.o_orderkey""")
+    } finally {
+      spark.catalog.dropTempView(cust); spark.catalog.dropTempView(ords)
+    }
+  }
+
   /** S8 — correlated subqueries, written as SQL text so Catalyst's
     * decorrelation does the work: a correlated scalar pair (per-nation
     * balance mean via integer cents cross-multiply — `cents * n > sum` —

@@ -62,6 +62,13 @@ class PlanSpec extends SparkSpec {
       "scalar subqueries did not become aggregate join legs")
   }
 
+  test("s9: LATERAL LIMIT decorrelates to WindowGroupLimit, no per-group re-execution") {
+    val plan = SparkEntry.queries("s9_lateral_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "lateral top-k did not rewrite to the group-limit pushdown")
+  }
+
   test("top-k queries plan TakeOrderedAndProject, not a global sort") {
     Seq("s1_topk", "x6_ann_cosine_topk", "x20_bm25_topk").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
