@@ -48,7 +48,9 @@ object Wav {
     var dataOff = -1; var dataLen = 0
     while (off + 8 <= bytes.length && (!fmtOk || dataOff < 0)) {
       val ct = tag(bytes, off); val len = i32(bytes, off + 4)
-      if (len < 0 || off + 8 + len > bytes.length) return None
+      // bounds math in Long: len near 2^31 would wrap the Int sum negative,
+      // pass the check, and let `off += 8 + len` walk to a negative offset
+      if (len < 0 || off.toLong + 8 + len > bytes.length) return None
       ct match {
         case "fmt " =>
           if (len < 16) return None
@@ -129,7 +131,9 @@ final case class WavSampleCodec(batchSize: Int = 256) extends BinaryCodec {
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
-          val feat = Wav.decode(r.getAs[Array[Byte]](idx)).getOrElse(nullRow)
+          val feat =
+            try Wav.decode(r.getAs[Array[Byte]](idx)).getOrElse(nullRow)
+            catch { case scala.util.control.NonFatal(_) => nullRow }
           Row.fromSeq(r.toSeq :+ feat)
         }
       }

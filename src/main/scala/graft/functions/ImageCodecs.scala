@@ -38,8 +38,14 @@ object Bmp {
     (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
       ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
 
-  /** Row stride: pixel bytes padded up to a 4-byte boundary. */
+  /** Row stride: pixel bytes padded up to a 4-byte boundary. Callers must
+    * reject widths where `width*3+3` would overflow Int ([[strideOverflows]])
+    * before using this — a wrapped-negative stride turns downstream Long
+    * bounds checks into no-ops. */
   def stride(width: Int): Int = (width * 3 + 3) & ~3
+
+  /** True when [[stride]] would wrap negative (w ≥ 715,827,883). */
+  def strideOverflows(width: Int): Boolean = width.toLong * 3 + 3 > Int.MaxValue
 
   /** Parse a 24bpp uncompressed BMP; None on anything that is not one
     * (wrong magic, truncated, other bpp/compression) — the adapter maps
@@ -54,6 +60,9 @@ object Bmp {
     val bpp = u16(bytes, 28)
     val compression = i32(bytes, 30)
     if (w <= 0 || h <= 0 || bpp != 24 || compression != 0) return None
+    // a crafted header with w ≥ 715,827,883 would wrap stride negative and
+    // defeat the Long bounds check below — reject implausible widths first
+    if (strideOverflows(w)) return None
     val st = stride(w)
     if (dataOffset < 54 || dataOffset.toLong + st.toLong * h > bytes.length)
       return None
@@ -169,7 +178,9 @@ object Png {
     while (!seenEnd) {
       if (off + 12 > bytes.length) return None
       val len = be32(bytes, off)
-      if (len < 0 || off + 12 + len > bytes.length) return None
+      // bounds math in Long: len near 2^31 would wrap `off + 12 + len`
+      // negative in Int and pass, then crc.update throws out-of-bounds
+      if (len < 0 || off.toLong + 12 + len > bytes.length) return None
       val typ = new String(bytes, off + 4, 4, "US-ASCII")
       crc.reset(); crc.update(bytes, off + 4, 4 + len)
       if (crc.getValue != (be32(bytes, off + 8 + len).toLong & 0xFFFFFFFFL))
@@ -190,8 +201,16 @@ object Png {
       off += 12 + len
     }
     if (!seenIhdr) return None
+    // validate the decode buffer size in Long BEFORE allocating: a ~60-byte
+    // payload with a valid CRC can otherwise demand a multi-GB array (or
+    // overflow rowBytes*h into a NegativeArraySizeException). DEFLATE can
+    // expand at most ~1032:1, so the raw scanline stream cannot usefully
+    // exceed that ratio of the IDAT bytes actually present.
+    val rawLen = (1L + 3L * w) * h
+    val maxInflated = idat.size().toLong * 1032 + 64
+    if (rawLen > Int.MaxValue || rawLen > maxInflated) return None
     val rowBytes = 1 + 3 * w
-    val raw = new Array[Byte](rowBytes * h)
+    val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     try {
@@ -348,7 +367,11 @@ final case class PngPixelCodec(batchSize: Int = 256) extends BinaryCodec {
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
-          val feat = Png.decode(r.getAs[Array[Byte]](idx)).getOrElse(nullRow)
+          // defense-in-depth: decode validates its input, but one hostile
+          // payload must degrade to the null struct, never kill the task
+          val feat =
+            try Png.decode(r.getAs[Array[Byte]](idx)).getOrElse(nullRow)
+            catch { case scala.util.control.NonFatal(_) => nullRow }
           Row.fromSeq(r.toSeq :+ feat)
         }
       }
@@ -369,7 +392,9 @@ final case class BmpPixelCodec(batchSize: Int = 256) extends BinaryCodec {
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
-          val feat = Bmp.decode(r.getAs[Array[Byte]](idx)).getOrElse(nullRow)
+          val feat =
+            try Bmp.decode(r.getAs[Array[Byte]](idx)).getOrElse(nullRow)
+            catch { case scala.util.control.NonFatal(_) => nullRow }
           Row.fromSeq(r.toSeq :+ feat)
         }
       }

@@ -48,7 +48,8 @@ object Avi {
       var off = off0
       while (off + 8 <= end) {
         val ct = tag(bytes, off); val len = i32(bytes, off + 4)
-        if (len < 0 || off + 8 + len > end) return
+        // Long math: len near 2^31 would wrap the Int sum and pass
+        if (len < 0 || off.toLong + 8 + len > end) return
         if (ct == "LIST" && len >= 4) {
           val listType = tag(bytes, off + 8)
           if (listType == "movi") { moviOff = off + 12; moviEnd = off + 8 + len }
@@ -62,14 +63,18 @@ object Avi {
     }
     walk(12, bytes.length, 0)
     if (w <= 0 || h <= 0 || declaredFrames < 0 || moviOff < 0) return None
+    // reject header dims whose stride or frame size would wrap Int — a
+    // wrapped-negative frameBytes defeats every later `len != frameBytes`
+    if (Bmp.strideOverflows(w)) return None
     val st = Bmp.stride(w)
+    if (st.toLong * h > Int.MaxValue) return None
     val frameBytes = st * h
     var nFrames = 0L; var nSampled = 0L
     var sumR, wsumR, firstR = 0L
     var off = moviOff
     while (off + 8 <= moviEnd) {
       val ct = tag(bytes, off); val len = i32(bytes, off + 4)
-      if (len < 0 || off + 8 + len > moviEnd) return None
+      if (len < 0 || off.toLong + 8 + len > moviEnd) return None
       if (ct == "00db" || ct == "00dc") {
         if (len != frameBytes) return None // frame disagrees with header
         val f = nFrames
@@ -173,7 +178,9 @@ final case class AviFrameCodec(batchSize: Int = 256) extends BinaryCodec {
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
-          val feat = Avi.decode(r.getAs[Array[Byte]](idx)).getOrElse(nullRow)
+          val feat =
+            try Avi.decode(r.getAs[Array[Byte]](idx)).getOrElse(nullRow)
+            catch { case scala.util.control.NonFatal(_) => nullRow }
           Row.fromSeq(r.toSeq :+ feat)
         }
       }

@@ -395,14 +395,23 @@ object StreamingIngest {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     graft.Tables.ensureParquetConf(spark)
+    // keyed by a hash of the RAW sfDir (a sanitized name could collide
+    // across distinct fixture paths), and the symlink target is
+    // re-validated on every call so a moved/regenerated fixture can't be
+    // silently served from a stale link
+    val dirKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(sfDir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft_stream_doc_" + sfDir.replaceAll("[^0-9a-zA-Z]", "_"))
-    if (!java.nio.file.Files.exists(dir)) {
-      java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.createSymbolicLink(
-        dir.resolve("documents.parquet"),
-        java.nio.file.Paths.get(sfDir, "documents.parquet"))
-    }
+      "graft_stream_doc_" + dirKey)
+    val target = java.nio.file.Paths.get(sfDir, "documents.parquet")
+    val link = dir.resolve("documents.parquet")
+    java.nio.file.Files.createDirectories(dir)
+    val linkStale = java.nio.file.Files.isSymbolicLink(link) &&
+      (java.nio.file.Files.readSymbolicLink(link) != target ||
+        !java.nio.file.Files.exists(target))
+    if (linkStale) java.nio.file.Files.delete(link)
+    if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      java.nio.file.Files.createSymbolicLink(link, target)
     val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
     val docs = spark.readStream.schema(schema).parquet(dir.toString)
       .select(col("doc_id").as("media_id"), col("lang"))

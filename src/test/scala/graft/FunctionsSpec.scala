@@ -404,6 +404,75 @@ class FunctionsSpec extends SparkSpec {
       .featureSchema == Avi.FeatureSchema)
   }
 
+  test("codec hardening: Int-overflow lengths and allocation bombs degrade to None") {
+    import graft.functions.{Avi, AviSynth, Bmp, Png, PngSynth, Wav, WavSynth}
+    def findTag(b: Array[Byte], t: String): Int = {
+      val pat = t.getBytes("US-ASCII")
+      (0 until b.length - 4).find(i => pat.indices.forall(j => b(i + j) == pat(j))).get
+    }
+    def le32(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+      b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
+    }
+    // PNG chunk length near 2^31: the Int sum off+12+len wraps negative and
+    // would pass the bounds check, then the CRC read throws — the Long-math
+    // check must reject it instead
+    val png = PngSynth.render(3L)
+    val idatLenOff = findTag(png, "IDAT") - 4
+    val bomb = png.clone()
+    bomb(idatLenOff) = 0x7F.toByte; bomb(idatLenOff + 1) = 0xFF.toByte
+    bomb(idatLenOff + 2) = 0xFF.toByte; bomb(idatLenOff + 3) = 0x00.toByte
+    assert(Png.decode(bomb).isEmpty, "2^31-ish chunk length must reject, not throw")
+
+    // PNG allocation bomb: a ~60-byte payload with VALID CRCs demanding a
+    // multi-GB pixel buffer (or overflowing rowBytes*h) must be rejected by
+    // the inflate-ratio cap BEFORE any allocation happens
+    def pngChunk(out: java.io.ByteArrayOutputStream, typ: String, data: Array[Byte]): Unit = {
+      def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+      val tg = typ.getBytes("US-ASCII")
+      out.write(be32(data.length), 0, 4); out.write(tg, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32(); crc.update(tg); crc.update(data)
+      out.write(be32(crc.getValue), 0, 4)
+    }
+    def hugePng(w: Int, h: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte), 0, 8)
+      val ihdr = new Array[Byte](13)
+      def p32(o: Int, v: Int): Unit = {
+        ihdr(o) = (v >> 24).toByte; ihdr(o + 1) = (v >> 16).toByte
+        ihdr(o + 2) = (v >> 8).toByte; ihdr(o + 3) = v.toByte
+      }
+      p32(0, w); p32(4, h); ihdr(8) = 8; ihdr(9) = 2 // depth 8, truecolor
+      pngChunk(out, "IHDR", ihdr)
+      pngChunk(out, "IDAT", Array[Byte](0x78, 0x9C.toByte)) // bare zlib header
+      pngChunk(out, "IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+    assert(Png.decode(hugePng(20000, 20000)).isEmpty, "multi-GB alloc demand")
+    assert(Png.decode(hugePng(40000, 40000)).isEmpty, "rowBytes*h Int overflow")
+
+    // BMP width ≥ 715,827,883 wraps the stride negative, turning the Long
+    // bounds check into a no-op — must be rejected on width
+    assert(Bmp.strideOverflows(715827882) && !Bmp.strideOverflows(715827881))
+    val bmp = new Array[Byte](54)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    le32(bmp, 10, 54); le32(bmp, 18, 800000000); le32(bmp, 22, 1)
+    bmp(28) = 24; le32(bmp, 30, 0)
+    assert(Bmp.decode(bmp).isEmpty, "stride-overflow width must be rejected")
+
+    // WAV data-chunk length near 2^31 wraps the walker offset negative
+    val wav = WavSynth.render(5L).clone()
+    le32(wav, 40, 0x7FFFFFF0)
+    assert(Wav.decode(wav).isEmpty, "2^31-ish RIFF chunk length must reject")
+
+    // AVI: huge frame-chunk length inside the movi list
+    val avi = AviSynth.render(4L).clone()
+    le32(avi, findTag(avi, "00db") + 4, 0x7FFFFFF0)
+    assert(Avi.decode(avi).isEmpty, "2^31-ish movi chunk length must reject")
+  }
+
   test("x11c: distributed BMP decode matches the closed-form pixel oracle per row") {
     import graft.functions.{BmpPixelCodec, BmpSynth}
     val rows = graft.operators.Multimodal.imageDecode(spark, sf).collect()
