@@ -57,7 +57,8 @@ object Dedup {
     * this is exactly the materialized shingle index a curation pipeline
     * would build once and reuse; MEMORY_AND_DISK spills instead of OOMing. */
   private def shingled(spark: SparkSession, sfDir: String): DataFrame =
-    DfCache.memoize(spark, s"shingled:$sfDir") {
+    DfCache.memoizeDisk(spark, s"shingled:$sfDir",
+        Seq(s"$sfDir/documents.parquet")) {
       Tables.documents(spark, sfDir)
         .select(col("doc_id"),
           TextFns.shingleHashes(TextFns.tokens(col("text")), 3).as("sh"))
@@ -160,7 +161,8 @@ object Dedup {
     * candidates), never shorten it (missed pairs). */
   private def prefixIndex(spark: SparkSession, sfDir: String,
                           threshold: Double): DataFrame =
-    DfCache.memoize(spark, s"prefix:$sfDir:$threshold") {
+    DfCache.memoizeDisk(spark, s"prefix:$sfDir:$threshold",
+        Seq(s"$sfDir/documents.parquet")) {
       val posting = shingled(spark, sfDir)
         .select(col("doc_id"), explode(col("sh")).as("s"))
       val dfreq = posting.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -205,7 +207,8 @@ object Dedup {
 
   private[graft] def verifiedPairs(spark: SparkSession, sfDir: String,
                                    threshold: Double): DataFrame =
-    DfCache.memoize(spark, s"pairs:$sfDir:$threshold") {
+    DfCache.memoizeDisk(spark, s"pairs:$sfDir:$threshold",
+        Seq(s"$sfDir/documents.parquet")) {
       val prefix = prefixIndex(spark, sfDir, threshold)
       val cand = prefix.as("a").join(prefix.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
@@ -279,7 +282,8 @@ object Dedup {
     * the same clusters, and the CC fixpoint is the one part of the x13
     * chain [[verifiedPairs]] doesn't already cover. */
   def dupClusters(spark: SparkSession, sfDir: String, threshold: Double = 0.8): DataFrame =
-    DfCache.memoize(spark, s"clusters:$sfDir:$threshold") {
+    DfCache.memoizeDisk(spark, s"clusters:$sfDir:$threshold",
+        Seq(s"$sfDir/documents.parquet")) {
       computeClusters(spark, sfDir, threshold)
     }
 

@@ -710,8 +710,9 @@ object TextAnalysis {
     val docs = Tables.documents(spark, sfDir)
     val nDocs = docs.count() // metadata scalar (the x15 shape)
     val (pairsRaw, vocab) = cooccurrencePairs(spark, sfDir, vocabSize, minPairs)
-    val pairs = DfCache.memoize(spark,
-      s"cooc_pairs:$sfDir:$vocabSize:$minPairs")(pairsRaw)
+    val pairs = DfCache.memoizeDisk(spark,
+      s"cooc_pairs:$sfDir:$vocabSize:$minPairs",
+      Seq(s"$sfDir/documents.parquet"))(pairsRaw)
     pairs
       .join(broadcast(vocab.select(col("t").as("t1"), col("df").as("n_a"))), "t1")
       .join(broadcast(vocab.select(col("t").as("t2"), col("df").as("n_b"))), "t2")
@@ -761,7 +762,8 @@ object TextAnalysis {
     // projection and here the degree + orientation + closure legs, and
     // Verify/Bench re-execute the returned plan — without the pin the
     // whole document self-join would recompute once per leg per execution
-    val edges = DfCache.memoize(spark, s"cooc_pairs:$sfDir:$vocabSize:$minPairs") {
+    val edges = DfCache.memoizeDisk(spark, s"cooc_pairs:$sfDir:$vocabSize:$minPairs",
+      Seq(s"$sfDir/documents.parquet")) {
       cooccurrencePairs(spark, sfDir, vocabSize, minPairs)._1
     }.select(col("t1"), col("t2"))
     val deg = edges.select(col("t1").as("t")).union(edges.select(col("t2").as("t")))

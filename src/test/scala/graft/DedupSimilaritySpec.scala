@@ -140,8 +140,13 @@ class DedupSimilaritySpec extends SparkSpec {
     // accumulate O(runs · log n) files
     val ckDir = java.nio.file.Files.createTempDirectory("graft_ck13").toString
     // the label table is memoized (x44 shares it) — evict so each run below
-    // actually recomputes and snapshots, instead of reading the cache
+    // actually recomputes and snapshots, instead of reading the cache; the
+    // index is ALSO disk-backed now, so point the disk layer at a scratch
+    // root for the duration (otherwise the persisted parquet serves the
+    // clusters and no checkpoint is ever written)
     Dedup.evictCaches(spark)
+    val scratchIdx = java.nio.file.Files.createTempDirectory("graft_idx13").toString
+    sys.props("graft.index.cache") = scratchIdx
     spark.sparkContext.setCheckpointDir(ckDir)
     try {
       Dedup.dupClusters(spark, sf).count()
@@ -166,7 +171,45 @@ class DedupSimilaritySpec extends SparkSpec {
         System.gc(); Thread.sleep(500); n = rddDirs
       }
       assert(n == 0, s"$n rdd-* checkpoint dirs never reclaimed")
-    } finally spark.sparkContext.setCheckpointDir(null)
+    } finally {
+      spark.sparkContext.setCheckpointDir(null)
+      sys.props.remove("graft.index.cache")
+      Dedup.evictCaches(spark) // entries built against the scratch root
+    }
+  }
+
+  test("memoizeDisk: persisted index survives session eviction, invalidates on source change") {
+    import graft.operators.DfCache
+    val scratch = java.nio.file.Files.createTempDirectory("graft_idxspec").toString
+    sys.props("graft.index.cache") = scratch
+    val src = java.nio.file.Files.createTempFile("graft_idxsrc", ".bin")
+    java.nio.file.Files.write(src, Array[Byte](1, 2, 3))
+    try {
+      var builds = 0
+      def build: org.apache.spark.sql.DataFrame = { builds += 1; spark.range(5).toDF("v") }
+      val key = "spec:diskidx"
+      assert(DfCache.memoizeDisk(spark, key, Seq(src.toString))(build).count() == 5)
+      assert(builds == 1)
+      DfCache.memoizeDisk(spark, key, Seq(src.toString))(build).count()
+      assert(builds == 1, "in-session second access must be memoized")
+      // a fresh process = no session entry; the DISK copy must serve
+      DfCache.evict(spark)
+      assert(DfCache.memoizeDisk(spark, key, Seq(src.toString))(build).count() == 5)
+      assert(builds == 1, "fresh session must read the persisted index, not rebuild")
+      // source content change (mtime+len) → fingerprint miss → rebuild,
+      // and the stale sibling dir is deleted rather than accumulated
+      java.nio.file.Files.write(src, Array[Byte](1, 2, 3, 4))
+      java.nio.file.Files.setLastModifiedTime(src,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
+      DfCache.evict(spark)
+      DfCache.memoizeDisk(spark, key, Seq(src.toString))(build).count()
+      assert(builds == 2, "changed source must invalidate the disk entry")
+      val dirs = new java.io.File(scratch).listFiles().filterNot(_.getName.startsWith("."))
+      assert(dirs.length == 1, s"stale index dirs must be evicted, saw ${dirs.length}")
+    } finally {
+      sys.props.remove("graft.index.cache")
+      DfCache.evict(spark)
+    }
   }
 
   test("evictCaches releases the memoized indexes and queries rebuild cleanly") {
