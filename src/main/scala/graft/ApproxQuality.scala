@@ -44,7 +44,7 @@ object ApproxQuality {
     def ids(df: DataFrame): Set[Long] =
       df.select(col("vec_id")).collect().map(_.getLong(0)).toSet
     val brute = ids(Similarity.bruteTopK(spark, sfDir, 0L, 10))
-    val ivf = ids(Similarity.ivfTopK(spark, sfDir, 0L, 10, 3))
+    val ivf = ids(Similarity.ivfTopK(spark, sfDir, 0L, 10, 4))
     val x6bOverlap = brute.intersect(ivf).size.toDouble / brute.size
 
     // a7b — HLL++ max relative error vs exact per-category distinct users

@@ -60,9 +60,18 @@ private[graft] object DfCache {
     * concurrent builder that loses the rename race discards its copy and
     * reads the winner's, and a crashed build leaves only an invisible
     * temp dir, never a half-index. */
-  def memoizeDisk(spark: SparkSession, key: String, sources: Seq[String])
+  /** `sessionCache = false` skips the in-memory persist layer and always
+    * returns the plain parquet read — for partition-laid-out indexes (IVF
+    * cells) where the VALUE of the disk copy is that a partition-column
+    * filter prunes directories at the scan; a session-level
+    * InMemoryRelation would cache every cell and filter in memory
+    * instead. */
+  def memoizeDisk(spark: SparkSession, key: String, sources: Seq[String],
+                  partitionBy: Seq[String] = Nil, sessionCache: Boolean = true)
                  (build: => DataFrame): DataFrame =
-    memoize(spark, key) { loadOrBuild(spark, key, sources)(build) }
+    if (sessionCache)
+      memoize(spark, key) { loadOrBuild(spark, key, sources, partitionBy)(build) }
+    else loadOrBuild(spark, key, sources, partitionBy)(build)
 
   private def sha(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
@@ -86,7 +95,8 @@ private[graft] object DfCache {
     }.mkString("|"))
   }
 
-  private def loadOrBuild(spark: SparkSession, key: String, sources: Seq[String])
+  private def loadOrBuild(spark: SparkSession, key: String, sources: Seq[String],
+                          partitionBy: Seq[String])
                          (build: => DataFrame): DataFrame = {
     import org.apache.hadoop.fs.Path
     // resolution order: JVM property (test isolation) > env (deployment
@@ -106,7 +116,11 @@ private[graft] object DfCache {
           .filter(s => s.getPath.getName.startsWith(slug + "_"))
           .foreach(s => fs.delete(s.getPath, true)) // stale source version
       val tmp = new Path(root, s".tmp_${slug}_${java.util.UUID.randomUUID()}")
-      build.write.mode("overwrite").parquet(tmp.toString)
+      val w = build.write.mode("overwrite")
+      // hive-style layout so a partition-column filter prunes directories
+      // at the scan (the IVF cell index reads only the probed cells)
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(tmp.toString)
       if (!fs.rename(tmp, dir)) fs.delete(tmp, true) // lost the race: winner is published
       spark.read.parquet(dir.toString)
     }

@@ -410,7 +410,7 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(m("x3_simhash_recall_at_j08") >= 0.8, s"x3 recall ${m("x3_simhash_recall_at_j08")}")
     assert(m("x5b_embed_lsh_recall") >= 0.5, s"x5b recall ${m("x5b_embed_lsh_recall")}")
     assert(m("x5b_embed_lsh_precision") == 1.0, "x5b in-bucket cosine is exact — precision must be 1")
-    assert(m("x6b_ivf_overlap_at_10") >= 0.3, s"x6b overlap ${m("x6b_ivf_overlap_at_10")}")
+    assert(m("x6b_ivf_overlap_at_10") >= 0.7, s"x6b overlap ${m("x6b_ivf_overlap_at_10")}")
     assert(m("a7b_hllpp_max_rel_err") <= 0.05, s"a7b err ${m("a7b_hllpp_max_rel_err")}")
     assert(m("a12_hll_sketch_max_rel_err") <= 0.05, s"a12 err ${m("a12_hll_sketch_max_rel_err")}")
     assert(m("x22b_quantile_max_rel_dev") <= 0.1, s"x22b dev ${m("x22b_quantile_max_rel_dev")}")
@@ -421,7 +421,7 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(brute.length == 10)
     val cosines = brute.map(_.getDouble(2))
     assert(cosines.toSeq == cosines.sorted.reverse.toSeq)
-    val ivf = Similarity.ivfTopK(spark, sf, 0L, 10, 3).collect()
+    val ivf = Similarity.ivfTopK(spark, sf, 0L, 10, 4).collect()
     assert(ivf.length == 10)
     // IVF results must be a subset of the corpus ranked consistently
     val ivfCos = ivf.map(_.getDouble(2))

@@ -50,6 +50,18 @@ class PlanSpec extends SparkSpec {
       "range predicates did not reach the scan")
   }
 
+  test("x6b: probe reads only the probed cells — PartitionFilters on the IVF index scan") {
+    val plan = SparkEntry.queries("x6b_ann_ivf")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the cell-partitioned on-disk index is the point of IVF: the nprobe
+    // cell filter must prune directories at the scan, not post-filter a
+    // full read (or a session-cached InMemoryRelation of every cell)
+    assert(plan.contains("PartitionFilters: [cell#"),
+      s"cell probe did not reach the partition filters:\n$plan")
+    assert(!plan.contains("InMemoryTableScan"),
+      "IVF index must be read partition-pruned from disk, not via a full cached relation")
+  }
+
   test("s8: correlated subqueries decorrelate into semi/anti/aggregate joins") {
     val plan = SparkEntry.queries("s8_subquery_filter")(spark, sf)
       .queryExecution.executedPlan.toString
