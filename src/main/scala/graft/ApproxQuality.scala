@@ -92,9 +92,38 @@ object ApproxQuality {
       "x22b_quantile_max_rel_dev" -> x22bErr)
   }
 
-  def json(spark: SparkSession, sfDir: String): String =
-    metrics(spark, sfDir)
-      .map { case (k, v) => s""""$k": ${BigDecimal(v).setScale(6,
-        BigDecimal.RoundingMode.HALF_UP)}""" }
-      .mkString("{\n  ", ",\n  ", s""",\n  "sf": "$sfDir"\n}\n""")
+  /** The quality bars each metric must clear — the SINGLE source of truth:
+    * `DedupSimilaritySpec` asserts exactly these, and [[json]] writes them
+    * into `APPROX_QUALITY.json` next to the measurements, so the artifact
+    * is self-describing and the gate can never drift from the report.
+    * Floors are set to DEMAND quality (raised whenever an operator is
+    * improved), not to ratify the current measurement. */
+  val bounds: Seq[(String, String, Double)] = Seq(
+    ("x2_minhash_recall_at_j08", ">=", 0.95),
+    ("x3_simhash_recall_at_j08", ">=", 0.85),
+    ("x5b_embed_lsh_recall", ">=", 0.8),
+    ("x5b_embed_lsh_precision", ">=", 0.95),
+    ("x6b_ivf_overlap_at_10", ">=", 0.7),
+    ("a7b_hllpp_max_rel_err", "<=", 0.05),
+    ("a12_hll_sketch_max_rel_err", "<=", 0.05),
+    ("x22b_quantile_max_rel_dev", "<=", 0.1))
+
+  def boundHolds(name: String, value: Double): Boolean =
+    bounds.find(_._1 == name).forall {
+      case (_, ">=", b) => value >= b
+      case (_, "<=", b) => value <= b
+      case _ => true
+    }
+
+  def json(spark: SparkSession, sfDir: String): String = {
+    def fmt(v: Double): String =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
+    val ms = metrics(spark, sfDir)
+      .map { case (k, v) => s""""$k": ${fmt(v)}""" }
+      .mkString(",\n  ")
+    val bs = bounds
+      .map { case (k, op, b) => s""""$k": "$op $b"""" }
+      .mkString(",\n    ")
+    s"""{\n  $ms,\n  "bounds": {\n    $bs\n  },\n  "sf": "$sfDir"\n}\n"""
+  }
 }

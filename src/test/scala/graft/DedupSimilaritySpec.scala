@@ -399,21 +399,23 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("APPROX_QUALITY: every reported metric meets its floor (regression gate for the artifact)") {
-    // the same numbers Verify writes to APPROX_QUALITY.json; floors sit
-    // under the observed values (x2 1.0, x3 0.93, x5b 0.70/1.0, x6b 0.5,
-    // a7b 0.0, a12 0.0, x22b 0.024 at sf0.001) with head-room, so quality
-    // regressions in the approximate family fail the build, not just dent
-    // a report nobody diffs
+    // the same numbers Verify writes to APPROX_QUALITY.json; the bounds
+    // demand quality (x2 ≥0.95, x3 ≥0.85, x5b recall ≥0.8, x6b ≥0.7 —
+    // observed: 1.0, 0.92, 0.92, 0.9 at sf0.001), so quality regressions
+    // in the approximate family fail the build, not just dent a report
+    // nobody diffs
     val m = ApproxQuality.metrics(spark, sf).toMap
     assert(m("x4_exact_pairs") > 0, "fixture must contain planted near-dups")
-    assert(m("x2_minhash_recall_at_j08") >= 0.9, s"x2 recall ${m("x2_minhash_recall_at_j08")}")
-    assert(m("x3_simhash_recall_at_j08") >= 0.8, s"x3 recall ${m("x3_simhash_recall_at_j08")}")
-    assert(m("x5b_embed_lsh_recall") >= 0.5, s"x5b recall ${m("x5b_embed_lsh_recall")}")
-    assert(m("x5b_embed_lsh_precision") == 1.0, "x5b in-bucket cosine is exact — precision must be 1")
-    assert(m("x6b_ivf_overlap_at_10") >= 0.7, s"x6b overlap ${m("x6b_ivf_overlap_at_10")}")
-    assert(m("a7b_hllpp_max_rel_err") <= 0.05, s"a7b err ${m("a7b_hllpp_max_rel_err")}")
-    assert(m("a12_hll_sketch_max_rel_err") <= 0.05, s"a12 err ${m("a12_hll_sketch_max_rel_err")}")
-    assert(m("x22b_quantile_max_rel_dev") <= 0.1, s"x22b dev ${m("x22b_quantile_max_rel_dev")}")
+    // the bounds are defined ONCE, in ApproxQuality.bounds — the same
+    // values written into APPROX_QUALITY.json — so this gate and the
+    // artifact cannot drift apart
+    ApproxQuality.bounds.foreach { case (name, op, b) =>
+      assert(ApproxQuality.boundHolds(name, m(name)),
+        s"$name = ${m(name)} violates the spec bound $op $b")
+    }
+    // structural, stronger than the published 0.95 floor: the candidate
+    // verify recomputes the exact cosine, so no false positive can survive
+    assert(m("x5b_embed_lsh_precision") == 1.0, "x5b verify cosine is exact — precision must be 1")
   }
 
   test("ANN: brute-force top-1 is the global max; IVF hits are ranked correctly") {
