@@ -457,7 +457,11 @@ object StreamingIngest {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try withStatePartitions(spark) {
+    // 2 partitions, not 8: per-user counters are a few bytes each, and the
+    // RocksDB provider cost is per store INSTANCE (native column families,
+    // WAL, snapshot) — sizing the partition count to the state volume is
+    // the same knob a cluster run turns, in the other direction
+    try withStatePartitions(spark, 2) {
       withScratchCheckpoint { ck =>
         val q = counted.writeStream
           .format("memory").queryName(qn)
@@ -562,7 +566,11 @@ object StreamingIngest {
         (unix_timestamp(col("error_ts")) - unix_timestamp(col("click_ts")))
           .as("lag_sec"))
     val qn = "graft_ssj_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark) {
+    // a stream-stream join keeps FOUR state stores per partition (two
+    // sides x keyed/value buffers) and AvailableNow runs a second
+    // watermark-advance batch — 8 partitions would open/commit 64 store
+    // instances for ~200k tiny rows; 4 halves that floor
+    withStatePartitions(spark, 4) {
       withScratchCheckpoint { ck =>
         val q = joined.writeStream
           .format("memory").queryName(qn)
