@@ -4,9 +4,9 @@ import graft.operators.{Counters, Dedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Quality evidence for the approximate-operator family — the 8 rows the
+/** Quality evidence for the approximate-operator family — the rows the
   * correctness gate records as `no_oracle` by design (a7b, a12, x2, x3,
-  * x5b, x6b, x6c, x22b): each is measured here against its EXACT in-engine
+  * x5b, x6b, x22b — x6c graduated to a full fixed-point DuckDB oracle): each is measured here against its EXACT in-engine
   * baseline and the numbers are emitted as `APPROX_QUALITY.json` by
   * [[Verify]], so the no-oracle rows carry regenerated-per-round evidence
   * instead of only in-suite assertions. A spec pins floors on the same

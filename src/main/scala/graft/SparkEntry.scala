@@ -653,6 +653,29 @@ object SparkEntry {
           round(${cosineD("embedding", "qe")}, 6) AS cosine
           FROM embeddings, q WHERE vec_id <> 0
           ORDER BY cosine DESC, vec_id LIMIT 10""",
+    // x6c: the engine computes micro-scaled integer SUM vectors per label
+    // (the count divisor cancels in cosine), so every value up to the
+    // final IEEE double ops is exact integer math DuckDB reproduces
+    // bit-for-bit; the half-up rounding is the explicit floor form on
+    // both sides.
+    "x6c_centroid_matrix" ->
+      """WITH u AS (SELECT label, g.i AS i,
+              CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v
+            FROM embeddings, range(1, 65) g(i)),
+          s AS (SELECT label, i, CAST(sum(v) AS BIGINT) AS sv
+                FROM u GROUP BY label, i),
+          nrm AS (SELECT label, CAST(sum(sv * sv) AS BIGINT) AS sq
+                  FROM s GROUP BY label),
+          p AS (SELECT a.label AS l1, b.label AS l2,
+                  CAST(sum(a.sv * b.sv) AS BIGINT) AS dot
+                FROM s a JOIN s b ON a.i = b.i AND a.label < b.label
+                GROUP BY 1, 2)
+          SELECT CAST(p.l1 AS BIGINT) AS l1, CAST(p.l2 AS BIGINT) AS l2,
+            floor(CAST(p.dot AS DOUBLE)
+              / (sqrt(CAST(n1.sq AS DOUBLE)) * sqrt(CAST(n2.sq AS DOUBLE)))
+              * 1000000 + 0.5) / 1000000 AS cosine
+          FROM p JOIN nrm n1 ON p.l1 = n1.label JOIN nrm n2 ON p.l2 = n2.label
+          ORDER BY l1, l2""",
     "x6d_batch_topk" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
             FROM embeddings WHERE vec_id < 10),

@@ -199,16 +199,40 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
-  /** Pairwise label-centroid similarity matrix — a tiny all-pairs on an
-    * already-reduced aggregate (10×10), the legitimate use of cross join. */
+  /** X6c — pairwise label-centroid similarity matrix: a tiny all-pairs on
+    * an already-reduced aggregate (10×10), the legitimate use of cross
+    * join.
+    *
+    * Oracle-exact by construction (the x31/x35 fixed-point discipline):
+    * the float elements are micro-scaled to longs (`floor(x·1e6 + 0.5)` —
+    * exact, a float's 24-bit mantissa times 1e6 fits double) and summed as
+    * integers, which is order-independent where a float `avg` differs in
+    * its low bits per partitioning. The count divisor is NOT applied at
+    * all — cosine is scale-invariant, so the centroid (mean) cosine equals
+    * the SUM-vector cosine exactly, and skipping the division avoids the
+    * truncate-vs-floor integer-division dialect trap outright. The final
+    * double ops (cast, sqrt, divide, explicit half-up via floor) are
+    * IEEE-identical in any engine, so DuckDB reproduces the value
+    * bit-for-bit and x6c carries a full hash-checked oracle.
+    * Long-overflow headroom: |s_i| ≤ n·2^19-ish micros keeps Σs_i² under
+    * 2^63 up to ~10⁵ rows per label per unit-scale dim; beyond that,
+    * rescale the fixed point (the dial is the 1e6 literal). */
   def centroidMatrix(spark: SparkSession, sfDir: String): DataFrame = {
     val dim = 64
-    val c = Tables.embeddings(spark, sfDir).groupBy(col("label"))
+    val v = VectorFns.asDouble(col("embedding"))
+    val s = Tables.embeddings(spark, sfDir).groupBy(col("label"))
       .agg(array((0 until dim).map(i =>
-        avg(element_at(VectorFns.asDouble(col("embedding")), i + 1))): _*).as("centroid"))
-    c.as("a").join(c.as("b"), col("a.label") < col("b.label"))
-      .select(col("a.label").cast("long").as("l1"), col("b.label").cast("long").as("l2"),
-        round(VectorFns.cosine(col("a.centroid"), col("b.centroid")), 6).as("cosine"))
+        sum(floor(element_at(v, i + 1) * 1e6 + 0.5).cast("long"))): _*).as("s"))
+      .select(col("label"), col("s"),
+        aggregate(col("s"), lit(0L), (a, x) => a + x * x).as("sq"))
+    s.as("a").join(s.as("b"), col("a.label") < col("b.label"))
+      .select(col("a.label").cast("long").as("l1"),
+        col("b.label").cast("long").as("l2"),
+        (floor(
+          aggregate(zip_with(col("a.s"), col("b.s"), (x, y) => x * y),
+            lit(0L), (acc, p) => acc + p).cast("double")
+            / (sqrt(col("a.sq").cast("double")) * sqrt(col("b.sq").cast("double")))
+            * 1e6 + 0.5) / 1e6).as("cosine"))
       .orderBy(col("l1"), col("l2"))
   }
 }
