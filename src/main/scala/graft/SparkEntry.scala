@@ -116,6 +116,7 @@ object SparkEntry {
     "x11c_image_decode" -> (Multimodal.imageDecode _),
     "x11d_png_decode" -> (Multimodal.imageDecodePng _),
     "x11e_wav_decode" -> (Multimodal.audioDecode _),
+    "x11f_jpeg_decode" -> (Multimodal.imageDecodeJpeg _),
     "x12b_avi_frame_sample" -> (Multimodal.videoFrameSample _),
     "x46_multimodal_curation" -> (Multimodal.multimodalCuration _),
     "x12_frame_sample" -> (Multimodal.frameSample _),
@@ -925,6 +926,31 @@ object SparkEntry {
            CAST(SUM(f * r) AS BIGINT) AS wsum_r_sampled,
            CAST((7 * doc_id) % 256 AS BIGINT) AS first_r
          FROM px GROUP BY doc_id, nf, w, h ORDER BY media_id""",
+    // x11f: the per-block-constant synthesis makes the LOSSY JPEG round
+    // trip closed-form — a constant block quantizes to a lone DC
+    // coefficient and the Annex-K DC quantizer (16) divides the DC scale
+    // (8), so decoded = clamp(2*floor((p-128)/2 + 0.5) + 128, 0, 255)
+    // exactly (JpegSynth.decodedValue pins the same formula in-suite).
+    // Per-block Σi over top-down row-major i collapses to
+    // 8w(64·by+28) + 8(64·bx+28).
+    "x11f_jpeg_decode" ->
+      """WITH d AS (SELECT doc_id, 8 * (doc_id % 6 + 2) AS w,
+                           8 * (doc_id % 4 + 2) AS h FROM documents),
+         b AS (SELECT d.doc_id, d.w, d.h, t.b,
+                 t.b % (d.w // 8) AS bx, t.b // (d.w // 8) AS by,
+                 (37 * d.doc_id + 11 * t.b) % 256 AS p
+               FROM d, unnest(generate_series(0, (d.w // 8) * (d.h // 8) - 1)) AS t(b)),
+         v AS (SELECT doc_id, w, h, b, bx, by,
+                 least(greatest(2 * CAST(floor((CAST(p AS DOUBLE) - 128) / 2 + 0.5) AS BIGINT)
+                   + 128, 0), 255) AS pd
+               FROM b)
+         SELECT doc_id AS media_id,
+           CAST(MIN(w) AS BIGINT) AS width, CAST(MIN(h) AS BIGINT) AS height,
+           CAST(MIN(w) * MIN(h) AS BIGINT) AS n_pixels,
+           CAST(SUM(64 * pd) AS BIGINT) AS sum_g,
+           CAST(SUM((8 * w * (64 * by + 28) + 8 * (64 * bx + 28)) * pd) AS BIGINT) AS wsum_g,
+           CAST(MAX(CASE WHEN b = 0 THEN pd END) AS BIGINT) AS first_g
+         FROM v GROUP BY doc_id ORDER BY media_id""",
     "t12_stream_media_decode" ->
       """WITH d AS (SELECT doc_id, lang,
                            (doc_id % 56 + 8) * (doc_id % 40 + 8) AS np FROM documents),

@@ -158,6 +158,42 @@ object Multimodal {
         col("f.first_r").as("first_r"))
       .orderBy(col("media_id"))
 
+  /** One valid baseline JPEG per document — a REAL encode (FDCT, Annex-K
+    * quantization, canonical Huffman entropy coding), per-8×8-block
+    * constant pixels so the LOSSY round trip stays closed-form
+    * ([[graft.functions.JpegSynth]]). */
+  def jpegMediaTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val base = Tables.documents(spark, sfDir).select(col("doc_id").as("media_id"))
+    val enc = Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType))))
+    base.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, graft.functions.JpegSynth.render(id))
+      }
+    }(enc)
+  }
+
+  /** X11f — ENTROPY-CODED image decode end-to-end: encode a baseline JPEG
+    * per document and decode it back with the from-scratch reader
+    * ([[graft.functions.JpegGrayCodec]] — DHT-built canonical Huffman
+    * tables, bit-level entropy decode with byte-unstuffing, DC DPCM,
+    * zigzag dequantization, 2-D IDCT). The codec ladder's last rung: BMP
+    * proved container plumbing, PNG lossless compression, WAV/AVI chunk
+    * walks — JPEG is the *lossy, entropy-coded* format, and the
+    * per-block-constant synthesis makes even its loss closed-form (the
+    * Annex-K DC quantizer divides the DC scale), so a SQL oracle
+    * hash-checks a genuinely lossy decode. */
+  def imageDecodeJpeg(spark: SparkSession, sfDir: String): DataFrame =
+    graft.functions.JpegGrayCodec().decode(jpegMediaTable(spark, sfDir), "payload", "f")
+      .select(col("media_id"), col("f.width").as("width"),
+        col("f.height").as("height"), col("f.n_pixels").as("n_pixels"),
+        col("f.sum_g").as("sum_g"), col("f.wsum_g").as("wsum_g"),
+        col("f.first_g").as("first_g"))
+      .orderBy(col("media_id"))
+
   /** One valid mono 16-bit PCM WAV per document, waveform closed-form in
     * `doc_id` ([[graft.functions.WavSynth]]). */
   def wavMediaTable(spark: SparkSession, sfDir: String): DataFrame = {

@@ -404,6 +404,57 @@ class FunctionsSpec extends SparkSpec {
       .featureSchema == Avi.FeatureSchema)
   }
 
+  test("Jpeg: real baseline decode — ImageIO differential, closed-form loss, corruption") {
+    import graft.functions.{BinaryCodec, Jpeg, JpegSynth}
+    for (id <- 0L to 23L) {
+      // constant-block streams: the lossy round trip is CLOSED-FORM (the
+      // Annex-K DC quantizer divides the DC scale), pinned exactly
+      val f = Jpeg.decode(JpegSynth.render(id)).get
+      val w = JpegSynth.width(id); val h = JpegSynth.height(id)
+      val wb = w / 8; val hb = h / 8
+      var sum = 0L; var wsum = 0L
+      for (by <- 0 until hb; bx <- 0 until wb) {
+        val p = JpegSynth.decodedValue(JpegSynth.blockValue(id, by.toLong * wb + bx))
+        sum += 64L * p
+        wsum += (8L * w * (64L * by + 28) + 8L * (64L * bx + 28)) * p
+      }
+      assert(f.getLong(0) == w && f.getLong(1) == h && f.getLong(2) == w.toLong * h)
+      assert(f.getLong(3) == sum, s"sum_g for id=$id")
+      assert(f.getLong(4) == wsum, s"wsum_g for id=$id")
+      assert(f.getLong(5) == JpegSynth.decodedValue(JpegSynth.blockValue(id, 0)))
+      // patterned streams exercise AC runs, ZRL and the full IDCT; the
+      // JDK's own ImageIO must decode the same bytes to within the
+      // standard's decoder-accuracy latitude (±1 per pixel)
+      val pat = JpegSynth.renderPatterned(id)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(pat))
+      assert(img != null && img.getWidth == w && img.getHeight == h,
+        s"ImageIO rejected the synthesized stream for id=$id")
+      val fp = Jpeg.decode(pat).get
+      var ioSum = 0L
+      for (y <- 0 until h; x <- 0 until w) ioSum += img.getRaster.getSample(x, y, 0)
+      assert(math.abs(ioSum - fp.getLong(3)) <= w.toLong * h,
+        s"ImageIO disagrees beyond the ±1/pixel budget for id=$id")
+    }
+    // corruption → None: truncation, entropy-stream damage, non-baseline
+    val good = JpegSynth.render(5L)
+    assert(Jpeg.decode(null).isEmpty)
+    assert(Jpeg.decode(good.take(2)).isEmpty, "bare SOI")
+    assert(Jpeg.decode(good.take(good.length / 2)).isEmpty, "truncated entropy stream")
+    val sof = {
+      var i = 2
+      while (!((good(i) & 0xFF) == 0xFF && (good(i + 1) & 0xFF) == 0xC0)) i += 1
+      i
+    }
+    val progressive = good.clone(); progressive(sof + 1) = 0xC2.toByte
+    assert(Jpeg.decode(progressive).isEmpty, "progressive SOF must be rejected")
+    val huge = good.clone()
+    huge(sof + 5) = 0xFF.toByte; huge(sof + 6) = 0xFF.toByte // h = 65535
+    huge(sof + 7) = 0xFF.toByte; huge(sof + 8) = 0xFF.toByte // w = 65535
+    assert(Jpeg.decode(huge).isEmpty, "implausible dimensions must be rejected")
+    assert(BinaryCodec.forName("graft.functions.JpegGrayCodec")
+      .featureSchema == Jpeg.FeatureSchema)
+  }
+
   test("codec hardening: Int-overflow lengths and allocation bombs degrade to None") {
     import graft.functions.{Avi, AviSynth, Bmp, Png, PngSynth, Wav, WavSynth}
     def findTag(b: Array[Byte], t: String): Int = {
