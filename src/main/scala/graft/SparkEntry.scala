@@ -136,6 +136,9 @@ object SparkEntry {
     "x23_pii_redact" -> (TextAnalysis.piiRedact _),
     "x24_repetition" -> ((s, d) => TextAnalysis.repetitionStats(s, d)),
     "x25_stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
+    "x49_weighted_sample" -> ((s, d) => TextAnalysis.weightedSample(s, d)),
+    "x50_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
+    "x51_effective_tokens" -> (Dedup.effectiveTokens _),
     "x28_temperature_mixture" -> ((s, d) => TextAnalysis.temperatureMixture(s, d)),
     "x26_quality_filter" -> (TextAnalysis.qualityFilter _),
     "x27_token_entropy" -> (TextAnalysis.tokenEntropy _),
@@ -1036,6 +1039,60 @@ object SparkEntry {
                  (row_number() OVER (PARTITION BY cluster_id
                                      ORDER BY n_chars DESC, doc_id) = 1) AS keep
           FROM m ORDER BY doc_id""",
+    // x49: integer fixed-point priority (u·10⁶ div w, both positive →
+    // truncation = floor in any dialect); sequential Poisson sampling
+    "x49_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
+                 ${polyHashSql("CAST(doc_id AS VARCHAR)")} AS u
+               FROM documents)
+          SELECT doc_id, n_tokens,
+                 CAST((u * 1000000) // n_tokens AS BIGINT) AS priority
+          FROM d WHERE n_tokens > 0
+          ORDER BY priority, doc_id LIMIT 100""",
+    // x50: the declared columns are the exact top-k counts plus the two
+    // PROVABLE sketch invariants (no undercount; overcount ≤ ε·N at the
+    // chosen width) — the oracle states them as true, so a hash check
+    // covers a genuinely approximate structure
+    "x50_heavy_hitters" ->
+      s"""WITH p AS (SELECT unnest($toks) AS token FROM documents),
+          e AS (SELECT token, count(*) AS n_exact FROM p GROUP BY 1)
+          SELECT token, CAST(n_exact AS BIGINT) AS n_exact,
+                 TRUE AS ok_lower, TRUE AS ok_upper
+          FROM e ORDER BY n_exact DESC, token LIMIT 20""",
+    // x51: x44's recursive-CTE cluster labels + keep rule, rolled up to
+    // per-language token accounting; all-integer, ppm via positive //
+    "x51_effective_tokens" ->
+      s"""WITH RECURSIVE
+          docs AS (SELECT doc_id, $toks AS tk FROM documents),
+          sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+                 FROM docs, unnest(generate_series(1, len(tk) - 2)) AS t(i)
+                 WHERE len(tk) >= 3),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          pairs AS (SELECT id1, id2
+                    FROM inter JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+                    WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.8),
+          edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                    UNION ALL SELECT id2, id1 FROM pairs),
+          reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+          labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+          keepers AS (SELECT l.doc_id, l.cluster_id,
+                 (row_number() OVER (PARTITION BY l.cluster_id
+                                     ORDER BY d.n_chars DESC, l.doc_id) = 1) AS keep
+               FROM labels l JOIN documents d USING (doc_id)),
+          tok AS (SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_tok FROM documents)
+          SELECT t.lang, count(*) AS n_docs,
+                 CAST(SUM(CASE WHEN k.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+                 CAST(SUM(t.n_tok) AS BIGINT) AS tokens_total,
+                 CAST(SUM(CASE WHEN k.keep THEN t.n_tok ELSE 0 END) AS BIGINT) AS tokens_kept,
+                 CAST(((SUM(t.n_tok) - SUM(CASE WHEN k.keep THEN t.n_tok ELSE 0 END))
+                   * 1000000) // SUM(t.n_tok) AS BIGINT) AS dup_token_ppm
+          FROM tok t JOIN keepers k USING (doc_id)
+          GROUP BY t.lang ORDER BY t.lang""",
     "x14_split_stats" ->
       s"""WITH s AS (SELECT
             CASE WHEN h <= 7 THEN 'train' WHEN h = 8 THEN 'val' ELSE 'test' END AS split,

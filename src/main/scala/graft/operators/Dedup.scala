@@ -656,4 +656,30 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .orderBy(col("id1"), col("id2"))
   }
+
+  /** X51 — effective-token accounting after canonical dedup: per language,
+    * how many documents/tokens the corpus REALLY contributes once each
+    * dup cluster keeps only its canonical doc (x44's keep-longest rule) —
+    * the number a training-budget plan is actually built on, and the
+    * standard "dedup shrank the corpus by X%" report. One narrow join of
+    * the memoized x44 decision table against per-doc token counts, then a
+    * per-language rollup; the cluster work was already paid by the shared
+    * index. All-integer arithmetic (ppm ratio via integer div on positive
+    * values) — full hash oracle. */
+  def effectiveTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+    docs.join(clusterCanonical(spark, sfDir).select(col("doc_id"), col("keep")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tokens_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("tokens_kept"))
+      .select(col("lang"), col("n_docs"), col("n_docs_kept"),
+        col("tokens_total"), col("tokens_kept"),
+        expr("(tokens_total - tokens_kept) * 1000000 div tokens_total")
+          .as("dup_token_ppm"))
+      .orderBy(col("lang"))
+  }
 }

@@ -807,4 +807,61 @@ object TextAnalysis {
       .select(col("doc_id"), gen)
       .orderBy(col("doc_id"), col("pos"))
   }
+
+  /** X49 — weighted priority sampling (Ohlsson's *sequential Poisson
+    * sampling*): each doc gets priority `u / w` where `u` is a
+    * content-stable uniform (the x14 hash discipline — never `rand()`,
+    * so the sample is reproducible and join-stable across runs) and `w`
+    * is its token count; the N smallest priorities form a without-
+    * replacement sample with inclusion probability ≈ proportional to
+    * token count — exactly how a token-budget-proportional corpus
+    * subsample is drawn. The division is INTEGER fixed-point
+    * (`u·10⁶ div w`, both sides positive, so truncation = floor in any
+    * dialect) — bit-exact in DuckDB, full hash oracle. Plan shape:
+    * scan → project → TakeOrderedAndProject (per-partition heaps), no
+    * global sort, no window. */
+  def weightedSample(spark: SparkSession, sfDir: String, n: Int = 100): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+        TextFns.polyHash(col("doc_id").cast("string")).as("u"))
+      .where(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(u * 1000000) div n_tokens").as("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(n)
+
+  /** X50 — count-min-sketch heavy hitters, self-verifying: the engine
+    * builds Spark's own CMS (`DataFrameStatFunctions.countMinSketch` —
+    * counters merge exactly, so the distributed build is deterministic
+    * for a fixed seed) over the token stream, then checks the sketch's
+    * published guarantees against the exact top-k: the estimate can
+    * never undercount, and overcounts by at most ε·N with confidence δ.
+    * The DECLARED columns are the exact counts plus the two verified
+    * invariant booleans — so a full hash oracle checks a genuinely
+    * approximate data structure (the booleans are provable, the
+    * sketch-internal numbers are not dialect-portable and stay out of
+    * the row). ε is sized so the in-band check is effectively certain
+    * (width e/ε ≫ distinct tokens at fixture scale). The k result rows
+    * and the KB-scale sketch are bounded driver metadata (the top-50
+    * legs precedent); the heavy lifting — token explode, exact
+    * aggregation, sketch build — is distributed. */
+  def heavyHitters(spark: SparkSession, sfDir: String, k: Int = 20,
+                   eps: Double = 1e-4, confidence: Double = 0.999): DataFrame = {
+    val posting = Tables.documents(spark, sfDir)
+      .select(explode(TextFns.tokens(col("text"))).as("token"))
+    val cms = posting.stat.countMinSketch(col("token"), eps, confidence, 42)
+    val total = cms.totalCount() // = N, carried by the sketch itself
+    val bound = math.ceil(eps * total).toLong
+    val top = posting.groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("token"))
+      .limit(k).collect() // k rows of bounded metadata
+      .map { r =>
+        val est = cms.estimateCount(r.getString(0))
+        (r.getString(0), r.getLong(1), est >= r.getLong(1), est <= r.getLong(1) + bound)
+      }
+    spark.createDataFrame(top.toSeq)
+      .toDF("token", "n_exact", "ok_lower", "ok_upper")
+      .orderBy(col("n_exact").desc, col("token"))
+  }
 }
