@@ -45,7 +45,7 @@ object Similarity {
     * not the corpus). Norm of the row cancels in the argmax, so each score
     * is dot/‖centroid‖ with the centroid norm folded to a plain literal.
     * Tie-break: first maximum (`array_position`), deterministic. */
-  private def assignCell(cents: Seq[Seq[Double]]): Column = {
+  private[graft] def assignCell(cents: Seq[Seq[Double]]): Column = {
     val scores = array(cents.map { c =>
       val nrm = math.max(math.sqrt(c.map(x => x * x).sum), 1e-12)
       VectorFns.dot(col("embedding"), typedLit(c)) / lit(nrm)

@@ -28,6 +28,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming IVF assignment equals the batch cell index (one quantizer, backfill + live)") {
+    // the trained centroids are bounded driver metadata — a live vector
+    // ingest assigns cells with the SAME literal-scored argmax the batch
+    // index used, so streamed assignments must equal the persisted index
+    // bit-for-bit (the t12 one-codec-serves-both property, for vectors)
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Similarity
+    val batch = Similarity.ivfAssignment(spark, sf)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cents = Similarity.ivfCentroids(spark, sf)
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toSeq).toSeq
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ivf_stream_")
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("embeddings.parquet"),
+      java.nio.file.Paths.get(sf, "embeddings.parquet"))
+    val schema = spark.read.parquet(s"$sf/embeddings.parquet").schema
+    val qn = "graft_ivf_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ivf_ck_")
+    val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .select(col("vec_id"), Similarity.assignCell(cents).as("cell"))
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append")
+      .option("checkpointLocation", ckDir.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally { if (q.isActive) q.stop() }
+    val streamed = spark.table(qn).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    spark.catalog.dropTempView(qn)
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed cell assignment diverged from the batch index " +
+        s"(${streamed.size} streamed vs ${batch.size} batch rows)")
+  }
+
   test("A4: watermark evicts window state; finalized windows emit append-mode") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
