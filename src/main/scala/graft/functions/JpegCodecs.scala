@@ -103,6 +103,18 @@ object Jpeg {
       }
       v
     }
+    /** Byte-align and consume the expected RSTn marker (T.81 F.2.1.3.1:
+      * restart intervals reset the entropy coder and DC prediction).
+      * False on anything but the expected marker — malformed. */
+    def syncRestart(expected: Int): Boolean = {
+      nbits = 0 // discard pad bits to the byte boundary
+      if (pos + 2 > end) return false
+      if ((bytes(pos) & 0xFF) != 0xFF) return false
+      if ((bytes(pos + 1) & 0xFF) != 0xD0 + expected) return false
+      pos += 2
+      true
+    }
+
     def decode(h: Huff): Int = {
       var code = 0; var len = 0
       while (len < 16) {
@@ -123,10 +135,13 @@ object Jpeg {
   private def u16be(b: Array[Byte], o: Int): Int =
     ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
 
-  /** Parse a baseline (SOF0) 8-bit single-component JPEG; None on anything
-    * else — wrong magic, progressive/extended SOFs, subsampling, restart
-    * intervals, 16-bit quant tables, truncated segments, invalid Huffman
-    * codes, coefficient overruns — the p1c malformed-row contract. All
+  /** Parse a baseline (SOF0) 8-bit single-component JPEG, including DRI
+    * restart intervals (RSTn markers re-sync the entropy coder and reset
+    * the DC prediction — the structure real encoders emit for error
+    * resilience); None on anything else — wrong magic,
+    * progressive/extended SOFs, subsampling, 16-bit quant tables,
+    * truncated segments, invalid Huffman codes, out-of-sequence restart
+    * markers, coefficient overruns — the p1c malformed-row contract. All
     * offset math is in Long where a segment length participates (the
     * Int-overflow posture the chunk codecs hardened). */
   def decode(bytes: Array[Byte]): Option[Row] = {
@@ -137,6 +152,7 @@ object Jpeg {
     val dcTabs = new Array[Huff](4)
     val acTabs = new Array[Huff](4)
     var w = 0; var h = 0; var compQt = -1
+    var restartInterval = 0
     var sofSeen = false
     var dcId = -1; var acId = -1
     var scanStart = -1
@@ -199,7 +215,9 @@ object Jpeg {
             dcId = (bytes(seg + 2) >> 4) & 0x0F
             acId = bytes(seg + 2) & 0x0F
             scanStart = segEnd
-          case 0xDD => return None // DRI/restart markers unsupported
+          case 0xDD => // DRI: restart interval in MCUs (0 disables)
+            if (len != 4) return None
+            restartInterval = u16be(bytes, seg)
           case m if m >= 0xC1 && m <= 0xCF && m != 0xC4 && m != 0xC8 =>
             return None // progressive/extended/arithmetic SOFs
           case _ => () // APPn, COM, others: skipped
@@ -218,10 +236,16 @@ object Jpeg {
     val tmp = new Array[Double](64)
     var pred = 0
     var sumG = 0L; var wsumG = 0L; var firstG = 0L
+    var mcu = 0
     var by = 0
     while (by < hb) {
       var bx = 0
       while (bx < wb) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          if (!br.syncRestart((mcu / restartInterval - 1) % 8)) return None
+          pred = 0 // RSTn resets the DC prediction
+        }
+        mcu += 1
         java.util.Arrays.fill(coef, 0)
         // DC: category + offset bits, DPCM against the previous block
         val t = br.decode(dcTab)
@@ -432,7 +456,8 @@ object JpegSynth {
     * (half-up with an epsilon guard so exact-integer ratios — the
     * constant-block DC case — never round against the closed form),
     * DC DPCM, AC run-length with ZRL/EOB, canonical Huffman, stuffing. */
-  def encode(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+  def encode(w: Int, h: Int, pixel: (Int, Int) => Int,
+             restartInterval: Int = 0): Array[Byte] = {
     require(w % 8 == 0 && h % 8 == 0, "synth dims are multiples of 8")
     val out = new java.io.ByteArrayOutputStream()
     def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
@@ -445,16 +470,25 @@ object JpegSynth {
     seg(0xC0, Array(8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, 1, 1, 0x11, 0)) // SOF0
     seg(0xC4, Array(0x00) ++ DcBits ++ DcVals) // DHT DC
     seg(0xC4, Array(0x10) ++ AcBits ++ AcVals) // DHT AC
+    if (restartInterval > 0)
+      seg(0xDD, Array(restartInterval >> 8, restartInterval & 0xFF)) // DRI
     seg(0xDA, Array(1, 1, 0x00, 0, 63, 0)) // SOS
     val bw = new BitWriter(out)
     val block = new Array[Double](64)
     val tmpRow = new Array[Double](64)
     val fdct = new Array[Double](64)
     var pred = 0
+    var mcu = 0
     var by = 0
     while (by < h / 8) {
       var bx = 0
       while (bx < w / 8) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.flush() // pad to the byte boundary before the marker
+          marker(0xD0 + (mcu / restartInterval - 1) % 8)
+          pred = 0
+        }
+        mcu += 1
         var y = 0
         while (y < 8) {
           var x = 0

@@ -435,6 +435,26 @@ class FunctionsSpec extends SparkSpec {
       assert(math.abs(ioSum - fp.getLong(3)) <= w.toLong * h,
         s"ImageIO disagrees beyond the ±1/pixel budget for id=$id")
     }
+    // restart intervals: RSTn markers re-sync the coder and reset DC
+    // prediction — decoded pixels must be IDENTICAL to the marker-free
+    // stream, and ImageIO must accept the DRI stream too
+    for (id <- 0L to 5L) {
+      val w = JpegSynth.width(id); val h = JpegSynth.height(id)
+      def px(x: Int, y: Int): Int = ((7 * id + 3 * (y.toLong * w + x)) % 256).toInt
+      val plain = Jpeg.decode(JpegSynth.encode(w, h, px)).get
+      val withRst = JpegSynth.encode(w, h, px, restartInterval = 3)
+      val rst = Jpeg.decode(withRst).get
+      assert((0 until 6).forall(i => plain.getLong(i) == rst.getLong(i)),
+        s"restart-interval stream decoded differently for id=$id")
+      val io = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(withRst))
+      assert(io != null && io.getWidth == w, s"ImageIO rejected the DRI stream for id=$id")
+      // a stream whose RSTn sequence is out of order must be rejected
+      val broken = withRst.clone()
+      val rstPos = (0 until broken.length - 1).find(i =>
+        (broken(i) & 0xFF) == 0xFF && (broken(i + 1) & 0xFF) == 0xD0).get
+      broken(rstPos + 1) = 0xD5.toByte
+      assert(Jpeg.decode(broken).isEmpty, "out-of-sequence RSTn must reject")
+    }
     // corruption → None: truncation, entropy-stream damage, non-baseline
     val good = JpegSynth.render(5L)
     assert(Jpeg.decode(null).isEmpty)
