@@ -151,10 +151,14 @@ object Jpeg {
     val qts = new Array[Array[Int]](4)
     val dcTabs = new Array[Huff](4)
     val acTabs = new Array[Huff](4)
-    var w = 0; var h = 0; var compQt = -1
+    var w = 0; var h = 0
+    var nComp = 0
+    val compId = new Array[Int](3)
+    val compTq = new Array[Int](3)
+    val compTd = new Array[Int](3)
+    val compTa = new Array[Int](3)
     var restartInterval = 0
     var sofSeen = false
-    var dcId = -1; var acId = -1
     var scanStart = -1
     // marker segment walk up to SOS
     while (scanStart < 0) {
@@ -169,19 +173,26 @@ object Jpeg {
         val seg = off + 4
         val segEnd = off + 2 + len
         marker match {
-          case 0xC0 => // SOF0 baseline
+          case 0xC0 => // SOF0 baseline, 1 (grayscale) or 3 (4:4:4) components
             if (sofSeen || len < 2 + 6 + 3) return None
             val precision = bytes(seg) & 0xFF
             h = u16be(bytes, seg + 1); w = u16be(bytes, seg + 3)
-            val nf = bytes(seg + 5) & 0xFF
-            if (precision != 8 || nf != 1 || w <= 0 || h <= 0) return None
+            nComp = bytes(seg + 5) & 0xFF
+            if (precision != 8 || (nComp != 1 && nComp != 3) ||
+              w <= 0 || h <= 0) return None
+            if (len < 2 + 6 + 3 * nComp) return None
             // cap decode work against a sane bound; the per-block loop
             // below is additionally bounded by the entropy bytes present
             if (w.toLong * h > 16_000_000L) return None
-            val hv = bytes(seg + 7) & 0xFF
-            if (hv != 0x11) return None // no subsampling in single-comp
-            compQt = bytes(seg + 8) & 0xFF
-            if (compQt > 3) return None
+            var ci = 0
+            while (ci < nComp) {
+              compId(ci) = bytes(seg + 6 + 3 * ci) & 0xFF
+              val hv = bytes(seg + 7 + 3 * ci) & 0xFF
+              if (hv != 0x11) return None // 4:4:4 only — no subsampling
+              compTq(ci) = bytes(seg + 8 + 3 * ci) & 0xFF
+              if (compTq(ci) > 3) return None
+              ci += 1
+            }
             sofSeen = true
           case 0xC4 => // DHT (possibly several tables in one segment)
             var p = seg
@@ -208,12 +219,19 @@ object Jpeg {
               qts(tq) = Array.tabulate(64)(i => bytes(p + 1 + i) & 0xFF)
               p += 65
             }
-          case 0xDA => // SOS
-            if (!sofSeen || len < 2 + 1 + 2 + 3) return None
+          case 0xDA => // SOS: one interleaved scan of all components
+            if (!sofSeen || len < 2 + 1 + 2 * nComp + 3) return None
             val ns = bytes(seg) & 0xFF
-            if (ns != 1) return None
-            dcId = (bytes(seg + 2) >> 4) & 0x0F
-            acId = bytes(seg + 2) & 0x0F
+            if (ns != nComp) return None
+            var ci = 0
+            while (ci < nComp) {
+              // baseline interleaved scans list components in SOF order
+              if ((bytes(seg + 1 + 2 * ci) & 0xFF) != compId(ci)) return None
+              compTd(ci) = (bytes(seg + 2 + 2 * ci) >> 4) & 0x0F
+              compTa(ci) = bytes(seg + 2 + 2 * ci) & 0x0F
+              if (compTd(ci) > 3 || compTa(ci) > 3) return None
+              ci += 1
+            }
             scanStart = segEnd
           case 0xDD => // DRI: restart interval in MCUs (0 disables)
             if (len != 4) return None
@@ -225,16 +243,24 @@ object Jpeg {
         off = segEnd
       }
     }
-    val qt = if (compQt >= 0) qts(compQt) else null
-    if (qt == null || dcId > 3 || acId > 3) return None
-    val dcTab = dcTabs(dcId); val acTab = acTabs(acId)
-    if (dcTab == null || acTab == null) return None
+    val compQts = new Array[Array[Int]](nComp)
+    val compDc = new Array[Huff](nComp)
+    val compAc = new Array[Huff](nComp)
+    var ci = 0
+    while (ci < nComp) {
+      compQts(ci) = qts(compTq(ci))
+      compDc(ci) = dcTabs(compTd(ci))
+      compAc(ci) = acTabs(compTa(ci))
+      if (compQts(ci) == null || compDc(ci) == null || compAc(ci) == null)
+        return None
+      ci += 1
+    }
 
     val wb = (w + 7) / 8; val hb = (h + 7) / 8
     val br = new BitReader(bytes, scanStart, bytes.length)
     val coef = new Array[Int](64)
     val tmp = new Array[Double](64)
-    var pred = 0
+    val preds = new Array[Int](nComp)
     var sumG = 0L; var wsumG = 0L; var firstG = 0L
     var mcu = 0
     var by = 0
@@ -243,74 +269,84 @@ object Jpeg {
       while (bx < wb) {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
           if (!br.syncRestart((mcu / restartInterval - 1) % 8)) return None
-          pred = 0 // RSTn resets the DC prediction
+          java.util.Arrays.fill(preds, 0) // RSTn resets every DC prediction
         }
         mcu += 1
-        java.util.Arrays.fill(coef, 0)
-        // DC: category + offset bits, DPCM against the previous block
-        val t = br.decode(dcTab)
-        if (t < 0 || t > 11) return None
-        val diffBits = br.receive(t)
-        if (diffBits == Int.MinValue) return None
-        pred += extend(diffBits, t)
-        coef(0) = pred * qt(0)
-        // AC: (run, size) symbols to 63, EOB/ZRL per F.2.2.2
-        var k = 1
-        var eob = false
-        while (k < 64 && !eob) {
-          val rs = br.decode(acTab)
-          if (rs < 0) return None
-          val r = (rs >> 4) & 0x0F; val s = rs & 0x0F
-          if (s == 0) {
-            if (r == 15) k += 16 // ZRL
-            else eob = true
-          } else {
-            k += r
-            if (k > 63) return None
-            val vb = br.receive(s)
-            if (vb == Int.MinValue) return None
-            coef(Zigzag(k)) = extend(vb, s) * qt(k)
-            k += 1
-          }
-        }
-        // separable 2-D IDCT: rows then columns, then level shift + clamp
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            var acc = 0.0
-            var u = 0
-            while (u < 8) {
-              val cu = coef(y * 8 + u)
-              if (cu != 0) acc += Cos(x)(u) * cu
-              u += 1
+        // one interleaved MCU: a block per component (4:4:4 — 1×1 each);
+        // features accumulate from component 0 (gray, or luma for color)
+        var c = 0
+        while (c < nComp) {
+          val qt = compQts(c); val dcTab = compDc(c); val acTab = compAc(c)
+          java.util.Arrays.fill(coef, 0)
+          // DC: category + offset bits, DPCM against the previous block
+          val t = br.decode(dcTab)
+          if (t < 0 || t > 11) return None
+          val diffBits = br.receive(t)
+          if (diffBits == Int.MinValue) return None
+          preds(c) += extend(diffBits, t)
+          coef(0) = preds(c) * qt(0)
+          // AC: (run, size) symbols to 63, EOB/ZRL per F.2.2.2
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = br.decode(acTab)
+            if (rs < 0) return None
+            val r = (rs >> 4) & 0x0F; val s = rs & 0x0F
+            if (s == 0) {
+              if (r == 15) k += 16 // ZRL
+              else eob = true
+            } else {
+              k += r
+              if (k > 63) return None
+              val vb = br.receive(s)
+              if (vb == Int.MinValue) return None
+              coef(Zigzag(k)) = extend(vb, s) * qt(k)
+              k += 1
             }
-            tmp(y * 8 + x) = acc * 0.5
-            x += 1
           }
-          y += 1
-        }
-        var x = 0
-        while (x < 8) {
-          var yy = 0
-          while (yy < 8) {
-            var acc = 0.0
-            var v = 0
-            while (v < 8) { acc += Cos(yy)(v) * tmp(v * 8 + x); v += 1 }
-            // tiny guard past the epsilon of the double basis so values
-            // that are exact integers in real arithmetic (the DC-only
-            // case) round identically to the closed-form oracle
-            val p0 = math.floor(acc * 0.5 + 128.0 + 0.5 + 1e-9).toInt
-            val p = if (p0 < 0) 0 else if (p0 > 255) 255 else p0
-            val px = bx * 8 + x; val py = by * 8 + yy
-            if (px < w && py < h) {
-              val i = py.toLong * w + px
-              sumG += p; wsumG += i * p
-              if (i == 0L) firstG = p
+          if (c == 0) {
+            // separable 2-D IDCT: rows then columns, level shift + clamp
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                var acc = 0.0
+                var u = 0
+                while (u < 8) {
+                  val cu = coef(y * 8 + u)
+                  if (cu != 0) acc += Cos(x)(u) * cu
+                  u += 1
+                }
+                tmp(y * 8 + x) = acc * 0.5
+                x += 1
+              }
+              y += 1
             }
-            yy += 1
+            var x = 0
+            while (x < 8) {
+              var yy = 0
+              while (yy < 8) {
+                var acc = 0.0
+                var v = 0
+                while (v < 8) { acc += Cos(yy)(v) * tmp(v * 8 + x); v += 1 }
+                // tiny guard past the epsilon of the double basis so
+                // values that are exact integers in real arithmetic (the
+                // DC-only case) round identically to the closed-form
+                // oracle
+                val p0 = math.floor(acc * 0.5 + 128.0 + 0.5 + 1e-9).toInt
+                val p = if (p0 < 0) 0 else if (p0 > 255) 255 else p0
+                val px = bx * 8 + x; val py = by * 8 + yy
+                if (px < w && py < h) {
+                  val i = py.toLong * w + px
+                  sumG += p; wsumG += i * p
+                  if (i == 0L) firstG = p
+                }
+                yy += 1
+              }
+              x += 1
+            }
           }
-          x += 1
+          c += 1
         }
         bx += 1
       }
@@ -398,6 +434,46 @@ object JpegSynth {
   private val DcCodes = codeTable(DcBits, DcVals)
   private val AcCodes = codeTable(AcBits, AcVals)
 
+  /** T.81 Annex K.2 chrominance quantization table (natural order). */
+  private val QChroma: Array[Int] = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
+  /** Annex K.3.3 / K.3.4: chrominance DC and AC code counts + values. */
+  private val DcBitsC = Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcValsC: Array[Int] = (0 to 11).toArray
+  private val AcBitsC = Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val AcValsC: Array[Int] = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA)
+  private val DcCodesC = codeTable(DcBitsC, DcValsC)
+  private val AcCodesC = codeTable(AcBitsC, AcValsC)
+
   /** cos((2x+1)·u·π/16) basis (no C factor) and the C(u) normalizers —
     * precomputed once; the per-block FDCT is separable (rows then
     * columns, 2·8³ multiply-adds) instead of the direct 8⁴ form with
@@ -452,13 +528,40 @@ object JpegSynth {
     encode(width(id), height(id),
       (x, y) => ((7 * id + 3 * (y.toLong * width(id) + x)) % 256).toInt)
 
+  /** One encode plane: its pixel source, quant table (natural order) +
+    * DQT id, and Huffman code tables + DHT id. */
+  private final case class Plane(pixel: (Int, Int) => Int, qt: Array[Int],
+                                 qtId: Int, dc: Map[Int, (Int, Int)],
+                                 ac: Map[Int, (Int, Int)], tabId: Int)
+
   /** Real baseline encoder: FDCT per block (doubles), Annex-K quantization
     * (half-up with an epsilon guard so exact-integer ratios — the
     * constant-block DC case — never round against the closed form),
-    * DC DPCM, AC run-length with ZRL/EOB, canonical Huffman, stuffing. */
+    * DC DPCM, AC run-length with ZRL/EOB, canonical Huffman, stuffing.
+    * Grayscale (one luma plane). */
   def encode(w: Int, h: Int, pixel: (Int, Int) => Int,
-             restartInterval: Int = 0): Array[Byte] = {
+             restartInterval: Int = 0): Array[Byte] =
+    encodePlanes(w, h,
+      Seq(Plane(pixel, QLuma, 0, DcCodes, AcCodes, 0)), restartInterval)
+
+  /** 3-component 4:4:4 YCbCr: the planes are given DIRECTLY in YCbCr
+    * (synthesis picks closed-form planes, no RGB conversion exists in the
+    * encoder), luma with the K.1/K.3.1-2 tables, both chroma planes with
+    * the K.2/K.3.3-4 tables — the table layout every libjpeg-compatible
+    * encoder ships. JFIF APP0 is included so readers interpret component
+    * ids 1/2/3 as YCbCr. */
+  def encodeColor(w: Int, h: Int, yP: (Int, Int) => Int,
+                  cbP: (Int, Int) => Int, crP: (Int, Int) => Int,
+                  restartInterval: Int = 0): Array[Byte] =
+    encodePlanes(w, h, Seq(
+      Plane(yP, QLuma, 0, DcCodes, AcCodes, 0),
+      Plane(cbP, QChroma, 1, DcCodesC, AcCodesC, 1),
+      Plane(crP, QChroma, 1, DcCodesC, AcCodesC, 1)), restartInterval)
+
+  private def encodePlanes(w: Int, h: Int, planes: Seq[Plane],
+                           restartInterval: Int): Array[Byte] = {
     require(w % 8 == 0 && h % 8 == 0, "synth dims are multiples of 8")
+    val nc = planes.length
     val out = new java.io.ByteArrayOutputStream()
     def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
     def seg(m: Int, body: Array[Int]): Unit = {
@@ -466,18 +569,34 @@ object JpegSynth {
       body.foreach(out.write)
     }
     marker(0xD8) // SOI
-    seg(0xDB, Array(0x00) ++ (0 until 64).map(i => QLuma(Zigzag(i)))) // DQT, zigzag order
-    seg(0xC0, Array(8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, 1, 1, 0x11, 0)) // SOF0
-    seg(0xC4, Array(0x00) ++ DcBits ++ DcVals) // DHT DC
-    seg(0xC4, Array(0x10) ++ AcBits ++ AcVals) // DHT AC
+    if (nc == 3) // JFIF 1.1, no thumbnail: ids 1/2/3 are YCbCr by convention
+      seg(0xE0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    // one DQT per distinct table id, zigzag order
+    planes.map(p => (p.qtId, p.qt)).distinct.foreach { case (id, qt) =>
+      seg(0xDB, Array(id) ++ (0 until 64).map(i => qt(Zigzag(i))))
+    }
+    seg(0xC0, Array(8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, nc) ++
+      planes.zipWithIndex.flatMap { case (p, ci) => Seq(ci + 1, 0x11, p.qtId) })
+    // DHT per distinct table id: DC class then AC class
+    planes.map(_.tabId).distinct.foreach { id =>
+      if (id == 0) {
+        seg(0xC4, Array(0x00 | id) ++ DcBits ++ DcVals)
+        seg(0xC4, Array(0x10 | id) ++ AcBits ++ AcVals)
+      } else {
+        seg(0xC4, Array(0x00 | id) ++ DcBitsC ++ DcValsC)
+        seg(0xC4, Array(0x10 | id) ++ AcBitsC ++ AcValsC)
+      }
+    }
     if (restartInterval > 0)
       seg(0xDD, Array(restartInterval >> 8, restartInterval & 0xFF)) // DRI
-    seg(0xDA, Array(1, 1, 0x00, 0, 63, 0)) // SOS
+    seg(0xDA, Array(nc) ++
+      planes.zipWithIndex.flatMap { case (p, ci) =>
+        Seq(ci + 1, (p.tabId << 4) | p.tabId) } ++ Seq(0, 63, 0))
     val bw = new BitWriter(out)
     val block = new Array[Double](64)
     val tmpRow = new Array[Double](64)
     val fdct = new Array[Double](64)
-    var pred = 0
+    val preds = new Array[Int](nc)
     var mcu = 0
     var by = 0
     while (by < h / 8) {
@@ -486,72 +605,77 @@ object JpegSynth {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
           bw.flush() // pad to the byte boundary before the marker
           marker(0xD0 + (mcu / restartInterval - 1) % 8)
-          pred = 0
+          java.util.Arrays.fill(preds, 0)
         }
         mcu += 1
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            block(y * 8 + x) = pixel(bx * 8 + x, by * 8 + y) - 128.0
-            x += 1
+        var ci = 0
+        while (ci < nc) {
+          val pl = planes(ci)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              block(y * 8 + x) = pl.pixel(bx * 8 + x, by * 8 + y) - 128.0
+              x += 1
+            }
+            y += 1
           }
-          y += 1
-        }
-        // separable FDCT over the precomputed basis: rows then columns
-        var yy = 0
-        while (yy < 8) {
-          var u = 0
-          while (u < 8) {
-            var acc = 0.0
-            var xx = 0
-            while (xx < 8) { acc += block(yy * 8 + xx) * CosB(xx)(u); xx += 1 }
-            tmpRow(yy * 8 + u) = acc
-            u += 1
+          // separable FDCT over the precomputed basis: rows then columns
+          var yy = 0
+          while (yy < 8) {
+            var u = 0
+            while (u < 8) {
+              var acc = 0.0
+              var xx = 0
+              while (xx < 8) { acc += block(yy * 8 + xx) * CosB(xx)(u); xx += 1 }
+              tmpRow(yy * 8 + u) = acc
+              u += 1
+            }
+            yy += 1
           }
-          yy += 1
-        }
-        var v = 0
-        while (v < 8) {
-          var u = 0
-          while (u < 8) {
-            var acc = 0.0
-            var y2 = 0
-            while (y2 < 8) { acc += tmpRow(y2 * 8 + u) * CosB(y2)(v); y2 += 1 }
-            fdct(v * 8 + u) = 0.25 * CFac(u) * CFac(v) * acc
-            u += 1
+          var v = 0
+          while (v < 8) {
+            var u = 0
+            while (u < 8) {
+              var acc = 0.0
+              var y2 = 0
+              while (y2 < 8) { acc += tmpRow(y2 * 8 + u) * CosB(y2)(v); y2 += 1 }
+              fdct(v * 8 + u) = 0.25 * CFac(u) * CFac(v) * acc
+              u += 1
+            }
+            v += 1
           }
-          v += 1
-        }
-        val q = new Array[Int](64)
-        var i = 0
-        while (i < 64) {
-          val nat = Zigzag(i)
-          q(i) = math.floor(fdct(nat) / QLuma(nat) + 0.5 + 1e-9).toInt
-          i += 1
-        }
-        // DC
-        val diff = q(0) - pred; pred = q(0)
-        val t = category(diff)
-        val (dc, dl) = DcCodes(t)
-        bw.put(dc, dl)
-        if (t > 0) bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
-        // AC with ZRL + EOB
-        var run = 0
-        var k = 1
-        while (k < 64) {
-          if (q(k) == 0) run += 1
-          else {
-            while (run > 15) { val (z, zl) = AcCodes(0xF0); bw.put(z, zl); run -= 16 }
-            val s = category(q(k))
-            val (c, cl) = AcCodes((run << 4) | s)
-            bw.put(c, cl)
-            bw.put(if (q(k) < 0) q(k) + (1 << s) - 1 else q(k), s)
-            run = 0
+          val q = new Array[Int](64)
+          var i = 0
+          while (i < 64) {
+            val nat = Zigzag(i)
+            q(i) = math.floor(fdct(nat) / pl.qt(nat) + 0.5 + 1e-9).toInt
+            i += 1
           }
-          k += 1
+          // DC
+          val diff = q(0) - preds(ci); preds(ci) = q(0)
+          val t = category(diff)
+          val (dc, dl) = pl.dc(t)
+          bw.put(dc, dl)
+          if (t > 0) bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+          // AC with ZRL + EOB
+          var run = 0
+          var k = 1
+          while (k < 64) {
+            if (q(k) == 0) run += 1
+            else {
+              while (run > 15) { val (z, zl) = pl.ac(0xF0); bw.put(z, zl); run -= 16 }
+              val sct = category(q(k))
+              val (c, cl) = pl.ac((run << 4) | sct)
+              bw.put(c, cl)
+              bw.put(if (q(k) < 0) q(k) + (1 << sct) - 1 else q(k), sct)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) { val (e, el) = pl.ac(0x00); bw.put(e, el) }
+          ci += 1
         }
-        if (run > 0) { val (e, el) = AcCodes(0x00); bw.put(e, el) }
         bx += 1
       }
       by += 1

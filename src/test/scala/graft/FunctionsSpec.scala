@@ -455,6 +455,47 @@ class FunctionsSpec extends SparkSpec {
       broken(rstPos + 1) = 0xD5.toByte
       assert(Jpeg.decode(broken).isEmpty, "out-of-sequence RSTn must reject")
     }
+    // 3-component 4:4:4 YCbCr: interleaved multi-component entropy decode
+    // (per-component quant/Huffman tables and DC predictions); features
+    // report the LUMA plane, so for block-constant planes the Y stats
+    // must equal the grayscale closed form exactly — chroma loss cannot
+    // leak into Y — and ImageIO's RGB must invert to Y within the
+    // conversion-roundtrip budget
+    for (id <- 0L to 7L) {
+      val w = JpegSynth.width(id); val h = JpegSynth.height(id)
+      val wb = w / 8
+      def blk(x: Int, y: Int): Long = (y / 8).toLong * wb + (x / 8)
+      def yP(x: Int, y: Int): Int = JpegSynth.blockValue(id, blk(x, y))
+      // chroma near neutral: far-from-128 Cb/Cr clamp R/G/B out of gamut
+      // in the RGB conversion, which destroys Y-invertibility — gamut
+      // loss, not decoder error
+      def cbP(x: Int, y: Int): Int = (118 + (91 * id + 5 * blk(x, y)) % 20).toInt
+      def crP(x: Int, y: Int): Int = (118 + (53 * id + 3 * blk(x, y)) % 20).toInt
+      val color = JpegSynth.encodeColor(w, h, yP, cbP, crP)
+      val f = Jpeg.decode(color).get
+      var sum = 0L
+      for (by <- 0 until h / 8; bx <- 0 until wb)
+        sum += 64L * JpegSynth.decodedValue(JpegSynth.blockValue(id, by.toLong * wb + bx))
+      assert(f.getLong(0) == w && f.getLong(1) == h)
+      assert(f.getLong(3) == sum, s"color-stream luma sum for id=$id")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(color))
+      assert(img != null && img.getWidth == w && img.getHeight == h,
+        s"ImageIO rejected the 4:4:4 color stream for id=$id")
+      var ioY = 0.0
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        ioY += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+          0.114 * (rgb & 0xFF)
+      }
+      assert(math.abs(ioY - f.getLong(3)) <= 3.0 * w * h,
+        s"ImageIO RGB does not invert to the decoded luma for id=$id")
+      // restart intervals compose with multi-component MCUs (all three DC
+      // predictions reset at the marker)
+      val rst = Jpeg.decode(JpegSynth.encodeColor(w, h, yP, cbP, crP,
+        restartInterval = 2)).get
+      assert((0 until 6).forall(i => f.getLong(i) == rst.getLong(i)),
+        s"color restart stream decoded differently for id=$id")
+    }
     // corruption → None: truncation, entropy-stream damage, non-baseline
     val good = JpegSynth.render(5L)
     assert(Jpeg.decode(null).isEmpty)
