@@ -5,7 +5,8 @@ import org.apache.spark.sql.types._
 
 /** [EXT] — a REAL entropy-coded image decode behind the pluggable
   * [[BinaryCodec]] seam: a from-scratch BASELINE JPEG reader (ITU-T T.81
-  * sequential DCT, 8-bit, single-component grayscale, no subsampling) —
+  * sequential DCT, 8-bit; grayscale, 4:4:4 and 4:2:0 YCbCr layouts,
+  * DRI restart intervals) —
   * the one rung the codec ladder lacked: BMP proved container/stride
   * plumbing, PNG proved lossless compression (DEFLATE + filters), WAV/AVI
   * proved chunked media walks; JPEG adds *entropy coding* — canonical
@@ -135,13 +136,18 @@ object Jpeg {
   private def u16be(b: Array[Byte], o: Int): Int =
     ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
 
-  /** Parse a baseline (SOF0) 8-bit single-component JPEG, including DRI
-    * restart intervals (RSTn markers re-sync the entropy coder and reset
-    * the DC prediction — the structure real encoders emit for error
-    * resilience); None on anything else — wrong magic,
-    * progressive/extended SOFs, subsampling, 16-bit quant tables,
-    * truncated segments, invalid Huffman codes, out-of-sequence restart
-    * markers, coefficient overruns — the p1c malformed-row contract. All
+  /** Parse a baseline (SOF0) 8-bit JPEG: grayscale, 3-component 4:4:4,
+    * or 3-component 4:2:0 (the near-universal real-world layout — luma
+    * 2×2 blocks per 16×16 MCU, chroma subsampled 2× per axis), including
+    * DRI restart intervals (RSTn markers re-sync the entropy coder and
+    * reset every DC prediction — the structure real encoders emit for
+    * error resilience); None on anything else — wrong magic,
+    * progressive/extended SOFs, other sampling layouts, 16-bit quant
+    * tables, truncated segments, invalid Huffman codes, out-of-sequence
+    * restart markers, coefficient overruns — the p1c malformed-row
+    * contract. Features come from the full-resolution luma plane; chroma
+    * blocks are entropy-decoded (the interleaved bitstream demands it)
+    * but skip the IDCT — decode only what you need. All
     * offset math is in Long where a segment length participates (the
     * Int-overflow posture the chunk codecs hardened). */
   def decode(bytes: Array[Byte]): Option[Row] = {
@@ -154,6 +160,8 @@ object Jpeg {
     var w = 0; var h = 0
     var nComp = 0
     val compId = new Array[Int](3)
+    val compH = new Array[Int](3)
+    val compV = new Array[Int](3)
     val compTq = new Array[Int](3)
     val compTd = new Array[Int](3)
     val compTa = new Array[Int](3)
@@ -188,11 +196,17 @@ object Jpeg {
             while (ci < nComp) {
               compId(ci) = bytes(seg + 6 + 3 * ci) & 0xFF
               val hv = bytes(seg + 7 + 3 * ci) & 0xFF
-              if (hv != 0x11) return None // 4:4:4 only — no subsampling
+              compH(ci) = (hv >> 4) & 0x0F; compV(ci) = hv & 0x0F
               compTq(ci) = bytes(seg + 8 + 3 * ci) & 0xFF
               if (compTq(ci) > 3) return None
               ci += 1
             }
+            // the two real layouts: no subsampling (grayscale / 4:4:4),
+            // or 4:2:0 (luma 2x2, chroma 1x1) — anything else rejects
+            val s444 = (0 until nComp).forall(c => compH(c) == 1 && compV(c) == 1)
+            val s420 = nComp == 3 && compH(0) == 2 && compV(0) == 2 &&
+              (1 until 3).forall(c => compH(c) == 1 && compV(c) == 1)
+            if (!s444 && !s420) return None
             sofSeen = true
           case 0xC4 => // DHT (possibly several tables in one segment)
             var p = seg
@@ -256,101 +270,117 @@ object Jpeg {
       ci += 1
     }
 
-    val wb = (w + 7) / 8; val hb = (h + 7) / 8
+    // MCU grid from the sampling factors: 8 px per block times the max
+    // factor per axis (8x8 for 4:4:4/grayscale, 16x16 for 4:2:0)
+    val hMax = (0 until nComp).map(compH(_)).max
+    val vMax = (0 until nComp).map(compV(_)).max
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
     val br = new BitReader(bytes, scanStart, bytes.length)
     val coef = new Array[Int](64)
     val tmp = new Array[Double](64)
     val preds = new Array[Int](nComp)
     var sumG = 0L; var wsumG = 0L; var firstG = 0L
     var mcu = 0
-    var by = 0
-    while (by < hb) {
-      var bx = 0
-      while (bx < wb) {
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
           if (!br.syncRestart((mcu / restartInterval - 1) % 8)) return None
           java.util.Arrays.fill(preds, 0) // RSTn resets every DC prediction
         }
         mcu += 1
-        // one interleaved MCU: a block per component (4:4:4 — 1×1 each);
-        // features accumulate from component 0 (gray, or luma for color)
+        // one interleaved MCU: Hc x Vc blocks per component in raster
+        // order (T.81 A.2.3); features accumulate from component 0
+        // (gray, or luma — full resolution by construction)
         var c = 0
         while (c < nComp) {
           val qt = compQts(c); val dcTab = compDc(c); val acTab = compAc(c)
-          java.util.Arrays.fill(coef, 0)
-          // DC: category + offset bits, DPCM against the previous block
-          val t = br.decode(dcTab)
-          if (t < 0 || t > 11) return None
-          val diffBits = br.receive(t)
-          if (diffBits == Int.MinValue) return None
-          preds(c) += extend(diffBits, t)
-          coef(0) = preds(c) * qt(0)
-          // AC: (run, size) symbols to 63, EOB/ZRL per F.2.2.2
-          var k = 1
-          var eob = false
-          while (k < 64 && !eob) {
-            val rs = br.decode(acTab)
-            if (rs < 0) return None
-            val r = (rs >> 4) & 0x0F; val s = rs & 0x0F
-            if (s == 0) {
-              if (r == 15) k += 16 // ZRL
-              else eob = true
-            } else {
-              k += r
-              if (k > 63) return None
-              val vb = br.receive(s)
-              if (vb == Int.MinValue) return None
-              coef(Zigzag(k)) = extend(vb, s) * qt(k)
-              k += 1
-            }
-          }
-          if (c == 0) {
-            // separable 2-D IDCT: rows then columns, level shift + clamp
-            var y = 0
-            while (y < 8) {
-              var x = 0
-              while (x < 8) {
-                var acc = 0.0
-                var u = 0
-                while (u < 8) {
-                  val cu = coef(y * 8 + u)
-                  if (cu != 0) acc += Cos(x)(u) * cu
-                  u += 1
+          var bv = 0
+          while (bv < compV(c)) {
+            var bh = 0
+            while (bh < compH(c)) {
+              java.util.Arrays.fill(coef, 0)
+              // DC: category + offset bits, DPCM against the previous block
+              val t = br.decode(dcTab)
+              if (t < 0 || t > 11) return None
+              val diffBits = br.receive(t)
+              if (diffBits == Int.MinValue) return None
+              preds(c) += extend(diffBits, t)
+              coef(0) = preds(c) * qt(0)
+              // AC: (run, size) symbols to 63, EOB/ZRL per F.2.2.2
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = br.decode(acTab)
+                if (rs < 0) return None
+                val r = (rs >> 4) & 0x0F; val sz = rs & 0x0F
+                if (sz == 0) {
+                  if (r == 15) k += 16 // ZRL
+                  else eob = true
+                } else {
+                  k += r
+                  if (k > 63) return None
+                  val vb = br.receive(sz)
+                  if (vb == Int.MinValue) return None
+                  coef(Zigzag(k)) = extend(vb, sz) * qt(k)
+                  k += 1
                 }
-                tmp(y * 8 + x) = acc * 0.5
-                x += 1
               }
-              y += 1
-            }
-            var x = 0
-            while (x < 8) {
-              var yy = 0
-              while (yy < 8) {
-                var acc = 0.0
-                var v = 0
-                while (v < 8) { acc += Cos(yy)(v) * tmp(v * 8 + x); v += 1 }
-                // tiny guard past the epsilon of the double basis so
-                // values that are exact integers in real arithmetic (the
-                // DC-only case) round identically to the closed-form
-                // oracle
-                val p0 = math.floor(acc * 0.5 + 128.0 + 0.5 + 1e-9).toInt
-                val p = if (p0 < 0) 0 else if (p0 > 255) 255 else p0
-                val px = bx * 8 + x; val py = by * 8 + yy
-                if (px < w && py < h) {
-                  val i = py.toLong * w + px
-                  sumG += p; wsumG += i * p
-                  if (i == 0L) firstG = p
+              if (c == 0) {
+                // separable 2-D IDCT: rows then columns, level shift + clamp
+                var y = 0
+                while (y < 8) {
+                  var x = 0
+                  while (x < 8) {
+                    var acc = 0.0
+                    var u = 0
+                    while (u < 8) {
+                      val cu = coef(y * 8 + u)
+                      if (cu != 0) acc += Cos(x)(u) * cu
+                      u += 1
+                    }
+                    tmp(y * 8 + x) = acc * 0.5
+                    x += 1
+                  }
+                  y += 1
                 }
-                yy += 1
+                val x0 = (mx * compH(0) + bh) * 8
+                val y0 = (my * compV(0) + bv) * 8
+                var x = 0
+                while (x < 8) {
+                  var yy = 0
+                  while (yy < 8) {
+                    var acc = 0.0
+                    var v = 0
+                    while (v < 8) { acc += Cos(yy)(v) * tmp(v * 8 + x); v += 1 }
+                    // tiny guard past the epsilon of the double basis so
+                    // values that are exact integers in real arithmetic
+                    // (the DC-only case) round identically to the
+                    // closed-form oracle
+                    val p0 = math.floor(acc * 0.5 + 128.0 + 0.5 + 1e-9).toInt
+                    val p = if (p0 < 0) 0 else if (p0 > 255) 255 else p0
+                    val px = x0 + x; val py = y0 + yy
+                    if (px < w && py < h) {
+                      val i = py.toLong * w + px
+                      sumG += p; wsumG += i * p
+                      if (i == 0L) firstG = p
+                    }
+                    yy += 1
+                  }
+                  x += 1
+                }
               }
-              x += 1
+              bh += 1
             }
+            bv += 1
           }
           c += 1
         }
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
     Some(Row(w.toLong, h.toLong, w.toLong * h, sumG, wsumG, firstG))
   }
@@ -528,11 +558,13 @@ object JpegSynth {
     encode(width(id), height(id),
       (x, y) => ((7 * id + 3 * (y.toLong * width(id) + x)) % 256).toInt)
 
-  /** One encode plane: its pixel source, quant table (natural order) +
-    * DQT id, and Huffman code tables + DHT id. */
+  /** One encode plane: its pixel source (in PLANE coordinates — quarter
+    * resolution for 4:2:0 chroma), quant table (natural order) + DQT id,
+    * Huffman code tables + DHT id, and sampling factors. */
   private final case class Plane(pixel: (Int, Int) => Int, qt: Array[Int],
                                  qtId: Int, dc: Map[Int, (Int, Int)],
-                                 ac: Map[Int, (Int, Int)], tabId: Int)
+                                 ac: Map[Int, (Int, Int)], tabId: Int,
+                                 hS: Int = 1, vS: Int = 1)
 
   /** Real baseline encoder: FDCT per block (doubles), Annex-K quantization
     * (half-up with an epsilon guard so exact-integer ratios — the
@@ -558,6 +590,21 @@ object JpegSynth {
       Plane(cbP, QChroma, 1, DcCodesC, AcCodesC, 1),
       Plane(crP, QChroma, 1, DcCodesC, AcCodesC, 1)), restartInterval)
 
+  /** 4:2:0 — the layout virtually all real-world JPEGs use: luma at full
+    * resolution (2×2 blocks per 16×16 MCU), each chroma plane subsampled
+    * 2× per axis (its pixel function is DEFINED at quarter resolution —
+    * synthesis picks the closed-form plane directly, no downsampling
+    * filter exists in the encoder). */
+  def encodeColor420(w: Int, h: Int, yP: (Int, Int) => Int,
+                     cbP: (Int, Int) => Int, crP: (Int, Int) => Int,
+                     restartInterval: Int = 0): Array[Byte] = {
+    require(w % 16 == 0 && h % 16 == 0, "4:2:0 synth dims are multiples of 16")
+    encodePlanes(w, h, Seq(
+      Plane(yP, QLuma, 0, DcCodes, AcCodes, 0, hS = 2, vS = 2),
+      Plane(cbP, QChroma, 1, DcCodesC, AcCodesC, 1),
+      Plane(crP, QChroma, 1, DcCodesC, AcCodesC, 1)), restartInterval)
+  }
+
   private def encodePlanes(w: Int, h: Int, planes: Seq[Plane],
                            restartInterval: Int): Array[Byte] = {
     require(w % 8 == 0 && h % 8 == 0, "synth dims are multiples of 8")
@@ -576,7 +623,8 @@ object JpegSynth {
       seg(0xDB, Array(id) ++ (0 until 64).map(i => qt(Zigzag(i))))
     }
     seg(0xC0, Array(8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, nc) ++
-      planes.zipWithIndex.flatMap { case (p, ci) => Seq(ci + 1, 0x11, p.qtId) })
+      planes.zipWithIndex.flatMap { case (p, ci) =>
+        Seq(ci + 1, (p.hS << 4) | p.vS, p.qtId) })
     // DHT per distinct table id: DC class then AC class
     planes.map(_.tabId).distinct.foreach { id =>
       if (id == 0) {
@@ -597,11 +645,13 @@ object JpegSynth {
     val tmpRow = new Array[Double](64)
     val fdct = new Array[Double](64)
     val preds = new Array[Int](nc)
+    val hMax = planes.map(_.hS).max
+    val vMax = planes.map(_.vS).max
     var mcu = 0
     var by = 0
-    while (by < h / 8) {
+    while (by < h / (8 * vMax)) {
       var bx = 0
-      while (bx < w / 8) {
+      while (bx < w / (8 * hMax)) {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
           bw.flush() // pad to the byte boundary before the marker
           marker(0xD0 + (mcu / restartInterval - 1) % 8)
@@ -611,11 +661,17 @@ object JpegSynth {
         var ci = 0
         while (ci < nc) {
           val pl = planes(ci)
+          var bv = 0
+          while (bv < pl.vS) {
+          var bh = 0
+          while (bh < pl.hS) {
+          val px0 = (bx * pl.hS + bh) * 8
+          val py0 = (by * pl.vS + bv) * 8
           var y = 0
           while (y < 8) {
             var x = 0
             while (x < 8) {
-              block(y * 8 + x) = pl.pixel(bx * 8 + x, by * 8 + y) - 128.0
+              block(y * 8 + x) = pl.pixel(px0 + x, py0 + y) - 128.0
               x += 1
             }
             y += 1
@@ -674,6 +730,10 @@ object JpegSynth {
             k += 1
           }
           if (run > 0) { val (e, el) = pl.ac(0x00); bw.put(e, el) }
+          bh += 1
+          }
+          bv += 1
+          }
           ci += 1
         }
         bx += 1

@@ -496,6 +496,45 @@ class FunctionsSpec extends SparkSpec {
       assert((0 until 6).forall(i => f.getLong(i) == rst.getLong(i)),
         s"color restart stream decoded differently for id=$id")
     }
+    // 4:2:0 — the near-universal real-world layout: 16×16 MCUs of four
+    // luma blocks + one block per subsampled chroma plane. Same exactness
+    // argument: block-constant luma decodes to the closed form, and the
+    // luma block PLACEMENT inside the MCU is pinned by wsum_g (a swapped
+    // 2×2 raster order hash-mismatches immediately)
+    for (id <- 0L to 5L) {
+      val w = 16 * (id % 3 + 1).toInt; val h = 16 * (id % 2 + 1).toInt
+      val wb = w / 8
+      def blk(x: Int, y: Int): Long = (y / 8).toLong * wb + (x / 8)
+      def yP(x: Int, y: Int): Int = JpegSynth.blockValue(id, blk(x, y))
+      def cP(x: Int, y: Int): Int = (118 + (7 * id + x + y) % 20).toInt
+      val c420 = JpegSynth.encodeColor420(w, h, yP, cP, cP)
+      val f = Jpeg.decode(c420).get
+      var sum = 0L; var wsum = 0L
+      for (by <- 0 until h / 8; bx <- 0 until wb) {
+        val p = JpegSynth.decodedValue(JpegSynth.blockValue(id, by.toLong * wb + bx))
+        sum += 64L * p
+        wsum += (8L * w * (64L * by + 28) + 8L * (64L * bx + 28)) * p
+      }
+      assert(f.getLong(0) == w && f.getLong(1) == h)
+      assert(f.getLong(3) == sum, s"4:2:0 luma sum for id=$id")
+      assert(f.getLong(4) == wsum, s"4:2:0 luma wsum (block placement) for id=$id")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(c420))
+      assert(img != null && img.getWidth == w && img.getHeight == h,
+        s"ImageIO rejected the 4:2:0 stream for id=$id")
+      var ioY = 0.0
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        ioY += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+          0.114 * (rgb & 0xFF)
+      }
+      assert(math.abs(ioY - f.getLong(3)) <= 3.0 * w * h,
+        s"ImageIO RGB does not invert to the 4:2:0 luma for id=$id")
+      // restart intervals over 16×16 MCUs
+      val rst = Jpeg.decode(JpegSynth.encodeColor420(w, h, yP, cP, cP,
+        restartInterval = 1)).get
+      assert((0 until 6).forall(i => f.getLong(i) == rst.getLong(i)),
+        s"4:2:0 restart stream decoded differently for id=$id")
+    }
     // corruption → None: truncation, entropy-stream damage, non-baseline
     val good = JpegSynth.render(5L)
     assert(Jpeg.decode(null).isEmpty)
