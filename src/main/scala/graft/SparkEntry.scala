@@ -107,6 +107,7 @@ object SparkEntry {
     "x6b_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "x6c_centroid_matrix" -> (Similarity.centroidMatrix _),
     "x6d_batch_topk" -> ((s, d) => Similarity.batchTopK(s, d)),
+    "x6e_sq8_topk" -> ((s, d) => Similarity.sq8TopK(s, d)),
     "x7_lang_id" -> (TextAnalysis.langId _),
     "x8_quality_score" -> (TextAnalysis.qualityScore _),
     "x9_token_counts" -> (TextAnalysis.tokenCounts _),
@@ -680,6 +681,24 @@ object SparkEntry {
               * 1000000 + 0.5) / 1000000 AS cosine
           FROM p JOIN nrm n1 ON p.l1 = n1.label JOIN nrm n2 ON p.l2 = n2.label
           ORDER BY l1, l2""",
+    // x6e: per-dimension min/max are order-independent aggregates and the
+    // affine map is written with identical association on both engines,
+    // so the quantized codes — and the integer L1 ranking — hash-match
+    "x6e_sq8_topk" ->
+      """WITH s AS (SELECT g.i AS d,
+              min(CAST(embedding[g.i] AS DOUBLE)) AS mn,
+              max(CAST(embedding[g.i] AS DOUBLE)) AS mx
+            FROM embeddings, range(1, 65) g(i) GROUP BY 1),
+          c AS (SELECT e.vec_id, g.i AS d,
+              CAST(floor((CAST(e.embedding[g.i] AS DOUBLE) - s.mn)
+                / (CASE WHEN s.mx = s.mn THEN 1 ELSE s.mx - s.mn END)
+                * 255 + 0.5) AS BIGINT) AS code
+            FROM embeddings e, range(1, 65) g(i) JOIN s ON s.d = g.i),
+          q AS (SELECT d, code AS qc FROM c WHERE vec_id = 0),
+          dist AS (SELECT c.vec_id, SUM(ABS(c.code - q.qc)) AS l1
+                   FROM c JOIN q USING (d) WHERE c.vec_id <> 0 GROUP BY 1)
+          SELECT vec_id, CAST(l1 AS BIGINT) AS l1_dist
+          FROM dist ORDER BY l1, vec_id LIMIT 10""",
     "x6d_batch_topk" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
             FROM embeddings WHERE vec_id < 10),

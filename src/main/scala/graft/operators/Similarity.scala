@@ -131,6 +131,48 @@ object Similarity {
       .limit(k)
   }
 
+  /** X6e — SQ8 quantized top-k: corpus-global per-DIMENSION affine int8
+    * quantization (x35 quantizes per vector for storage; comparisons need
+    * one shared codebook — FAISS's `SQ8` trained on the corpus), then
+    * rank by integer L1 distance over the 64 codes. This is the
+    * memory-bandwidth-lean rerank path of a production vector stack: 64
+    * bytes per vector instead of 256, integer SAD instead of float dot.
+    * The codebook is 64 (min, max) pairs — bounded metadata, collected
+    * once and inlined as literals, so the plan is the x6 shape: one scan,
+    * quantize + distance fused, TakeOrderedAndProject. Every step is
+    * exact integer or IEEE-pinned double (min/max are order-independent
+    * aggregates, the affine map is written with identical association on
+    * both engines), so unlike cosine ANN this approximate representation
+    * carries a FULL hash oracle. */
+  def sq8TopK(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+              k: Int = 10): DataFrame = {
+    val vd = VectorFns.asDouble(col("embedding"))
+    val e = Tables.embeddings(spark, sfDir)
+    val stats = e.select(posexplode(vd).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val mn = (0 until IvfDim).map(i => stats(i)._1)
+    val span = (0 until IvfDim).map { i =>
+      val s = stats(i)._2 - stats(i)._1
+      if (s == 0.0) 1.0 else s // constant dims all map to code 0
+    }
+    val codes = array((0 until IvfDim).map(i =>
+      floor((element_at(vd, i + 1) - lit(mn(i))) / lit(span(i)) * 255 + 0.5)
+        .cast("long")): _*)
+    // the probe's codes via the SAME IEEE ops, driver-side
+    val probe = e.where(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val probeCodes = (0 until IvfDim).map(i =>
+      math.floor((probe(i).toDouble - mn(i)) / span(i) * 255 + 0.5).toLong)
+    e.where(col("vec_id") =!= queryId)
+      .select(col("vec_id"), codes.as("codes"))
+      .select(col("vec_id"),
+        aggregate(zip_with(col("codes"), typedLit(probeCodes), (a, b) => abs(a - b)),
+          lit(0L), (acc, x) => acc + x).as("l1_dist"))
+      .orderBy(col("l1_dist"), col("vec_id"))
+      .limit(k)
+  }
+
   /** X6d — batched exact top-k: score the corpus against N probe vectors
     * in ONE scan (the eval-harness shape — a query batch, not a single
     * vector). The probe batch is bounded metadata (N rows), inlined as a
