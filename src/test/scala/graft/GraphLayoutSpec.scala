@@ -130,6 +130,41 @@ class GraphLayoutSpec extends SparkSpec {
     }
   }
 
+  test("x6e: SQ8 ranking matches a driver-side reimplementation and honors the quantization bound") {
+    import graft.operators.Similarity
+    val res = Similarity.sq8TopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val vecs = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val dim = vecs.values.head.length
+    val mn = Array.tabulate(dim)(d => vecs.values.map(_(d)).min)
+    val span = Array.tabulate(dim) { d =>
+      val s = vecs.values.map(_(d)).max - mn(d); if (s == 0.0) 1.0 else s
+    }
+    def codes(v: Array[Double]) =
+      Array.tabulate(dim)(d => math.floor((v(d) - mn(d)) / span(d) * 255 + 0.5).toLong)
+    vecs.values.foreach(v => assert(codes(v).forall(c => c >= 0 && c <= 255),
+      "a trained-range code escaped [0,255]"))
+    val probe = codes(vecs(0L))
+    val all = vecs.collect { case (id, v) if id != 0L =>
+      id -> codes(v).zip(probe).map { case (a, b) => math.abs(a - b) }.sum
+    }
+    assert(res == all.toSeq.sortBy { case (id, d) => (d, id) }.take(10),
+      "engine top-10 diverged from the independent SQ8 reimplementation")
+    // analytic bound: two half-step quantization errors per dimension, so the
+    // code distance mapped back to value units strays from the float L1 by
+    // at most one step per dimension
+    res.foreach { case (id, l1) =>
+      val scaled = codes(vecs(id)).zip(probe).zipWithIndex
+        .map { case ((a, b), d) => math.abs(a - b) * span(d) / 255.0 }.sum
+      val floatL1 = vecs(id).zip(vecs(0L)).map { case (a, b) => math.abs(a - b) }.sum
+      val bound = span.map(_ / 255.0).sum
+      assert(math.abs(scaled - floatL1) <= bound + 1e-9,
+        s"vec $id: |$scaled - $floatL1| exceeds the per-dim step budget $bound")
+      assert(l1 == codes(vecs(id)).zip(probe).map { case (a, b) => math.abs(a - b) }.sum)
+    }
+  }
+
   test("x33: every z-file confines both dimensions to a 16-bucket range") {
     Layout.zorderLayout(spark, sf).collect().foreach { r =>
       assert(r.getLong(3) - r.getLong(2) <= 15, s"zfile ${r.getLong(0)} bx span too wide")
