@@ -140,6 +140,7 @@ object SparkEntry {
     "x49_weighted_sample" -> ((s, d) => TextAnalysis.weightedSample(s, d)),
     "x50_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "x51_effective_tokens" -> (Dedup.effectiveTokens _),
+    "x52_leakfree_split" -> (Dedup.leakFreeSplit _),
     "x28_temperature_mixture" -> ((s, d) => TextAnalysis.temperatureMixture(s, d)),
     "x26_quality_filter" -> (TextAnalysis.qualityFilter _),
     "x27_token_entropy" -> (TextAnalysis.tokenEntropy _),
@@ -1112,6 +1113,32 @@ object SparkEntry {
                    * 1000000) // SUM(t.n_tok) AS BIGINT) AS dup_token_ppm
           FROM tok t JOIN keepers k USING (doc_id)
           GROUP BY t.lang ORDER BY t.lang""",
+    // x52: x13's recursive-CTE labels, split assigned by hashing the
+    // CLUSTER id — near-dup pairs cannot straddle splits by construction
+    "x52_leakfree_split" ->
+      s"""WITH RECURSIVE
+          docs AS (SELECT doc_id, $toks AS tk FROM documents),
+          sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+                 FROM docs, unnest(generate_series(1, len(tk) - 2)) AS t(i)
+                 WHERE len(tk) >= 3),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          pairs AS (SELECT id1, id2
+                    FROM inter JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+                    WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.8),
+          edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                    UNION ALL SELECT id2, id1 FROM pairs),
+          reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+          labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+          SELECT doc_id, cluster_id,
+                 CASE WHEN ${polyHashSql("CAST(cluster_id AS VARCHAR)")} % 10 <= 7 THEN 'train'
+                      WHEN ${polyHashSql("CAST(cluster_id AS VARCHAR)")} % 10 = 8 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM labels ORDER BY doc_id""",
     "x14_split_stats" ->
       s"""WITH s AS (SELECT
             CASE WHEN h <= 7 THEN 'train' WHEN h = 8 THEN 'val' ELSE 'test' END AS split,

@@ -287,6 +287,24 @@ object Dedup {
       computeClusters(spark, sfDir, threshold)
     }
 
+  /** X52 — leakage-free split assignment: the fix for what x36 audits.
+    * x14's split hashes `doc_id`, so two near-duplicate documents can land
+    * in train AND test — the classic eval-contamination bug. Here the
+    * split is a pure function of the [[dupClusters]] label (content-stable
+    * hash of `cluster_id`, 8/1/1), so an entire near-dup cluster moves as
+    * one unit and a cross-split near-dup pair is impossible *by
+    * construction*, not by post-hoc filtering. Cost over x13 is one
+    * narrow projection on the memoized label table — no new shuffle; at
+    * 100 TB the split column is computed where the labels already live. */
+  def leakFreeSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = pmod(TextFns.polyHash(col("cluster_id").cast("string")), lit(10L))
+    dupClusters(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id"),
+        when(bucket <= 7, lit("train")).when(bucket === 8, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   private def computeClusters(spark: SparkSession, sfDir: String,
                               threshold: Double): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"))

@@ -418,6 +418,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(m("x5b_embed_lsh_precision") == 1.0, "x5b verify cosine is exact — precision must be 1")
   }
 
+  test("x52: no near-dup pair straddles splits, while the naive doc-hash split leaks") {
+    val pairs = Dedup.ngramJaccard(spark, sf, 0.8)
+      .select($"id1", $"id2").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixture should contain planted near-dups")
+    val split = Dedup.leakFreeSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"near-dup pair ($a,$b) straddles ${split(a)}/${split(b)}")
+    }
+    // the property is not vacuous: x14's doc_id-hash split DOES break up
+    // near-dup pairs on the same fixture (what x36 exists to audit)
+    def polyHash(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    def naive(id: Long) = polyHash(id.toString) % 10 match {
+      case b if b <= 7 => "train"; case 8 => "val"; case _ => "test"
+    }
+    assert(pairs.exists { case (a, b) => naive(a) != naive(b) },
+      "fixture no longer demonstrates doc-hash leakage; pick a fixture where x36 > 0")
+    // every split is populated (8/1/1 over enough clusters should hit all 3)
+    assert(split.values.toSet == Set("train", "val", "test"))
+  }
+
   test("ANN: brute-force top-1 is the global max; IVF hits are ranked correctly") {
     val brute = Similarity.bruteTopK(spark, sf, 0L, 10).collect()
     assert(brute.length == 10)
