@@ -108,6 +108,7 @@ object SparkEntry {
     "x6c_centroid_matrix" -> (Similarity.centroidMatrix _),
     "x6d_batch_topk" -> ((s, d) => Similarity.batchTopK(s, d)),
     "x6e_sq8_topk" -> ((s, d) => Similarity.sq8TopK(s, d)),
+    "x6f_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
     "x7_lang_id" -> (TextAnalysis.langId _),
     "x8_quality_score" -> (TextAnalysis.qualityScore _),
     "x9_token_counts" -> (TextAnalysis.tokenCounts _),
@@ -195,6 +196,28 @@ object SparkEntry {
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length($e)), i -> CAST(ascii(substring($e, i, 1)) AS BIGINT))), (acc, x) -> (acc * 31 + x) % 1000000007)"
   private def dotD(a: String, b: String) =
     s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+  // One Lloyd round of the x6f PQ training (assign = argmin integer
+  // squared-L2 with ties to the lowest cid; update = integer-floor mean;
+  // empty codewords keep their previous value). MATERIALIZED per round —
+  // DuckDB inlines plain CTEs and an unrolled iteration would explode.
+  private def pqRoundSql(r: Int): String = {
+    val prev = s"pqc${r - 1}"
+    s"""pqd$r AS MATERIALIZED (
+            SELECT u.vec_id, u.s, c.cid, SUM((u.v - c.cv) * (u.v - c.cv)) AS dist
+            FROM pqu u JOIN $prev c ON c.s = u.s AND c.j = u.j
+            GROUP BY 1, 2, 3),
+          pqa$r AS MATERIALIZED (
+            SELECT vec_id, s, cid FROM (
+              SELECT vec_id, s, cid,
+                     row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
+              FROM pqd$r) WHERE rn = 1),
+          pqc$r AS MATERIALIZED (
+            SELECT p.s, p.cid, p.j, COALESCE(n.cv, p.cv) AS cv
+            FROM $prev p LEFT JOIN (
+              SELECT a.s, a.cid, u.j, CAST(SUM(u.v) // COUNT(*) AS BIGINT) AS cv
+              FROM pqa$r a JOIN pqu u ON u.vec_id = a.vec_id AND u.s = a.s
+              GROUP BY 1, 2, 3) n ON n.s = p.s AND n.cid = p.cid AND n.j = p.j)"""
+  }
   // Shared by j13 and j14: the SCD-2 dimension build (gaps-and-islands →
   // validity intervals) as a reusable CTE chain ending in `dim`.
   private lazy val scd2Cte =
@@ -700,6 +723,50 @@ object SparkEntry {
                    FROM c JOIN q USING (d) WHERE c.vec_id <> 0 GROUP BY 1)
           SELECT vec_id, CAST(l1 AS BIGINT) AS l1_dist
           FROM dist ORDER BY l1, vec_id LIMIT 10""",
+    // x6f: the PQ training is ALL integer (fixed-point + nonnegative
+    // shift, floor division, ties to the lowest cid), so the oracle
+    // RETRAINS the same codebooks from the same seeds — three unrolled
+    // Lloyd rounds — then replays both query stages: ADC shortlist-50
+    // (probe raw vs codeword table), exact integer-L2 rerank to top-10.
+    // The encode step (codes) runs against the post-round-3 codebooks,
+    // exactly like the engine's.
+    "x6f_pq_topk" ->
+      s"""WITH pqu AS MATERIALIZED (
+            SELECT vec_id, CAST((g.i - 1) // 2 AS BIGINT) AS s,
+                   CAST((g.i - 1) % 2 AS BIGINT) AS j,
+                   CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                     + 2000000 AS v
+            FROM embeddings, range(1, 65) g(i)),
+          pqc0 AS MATERIALIZED (
+            SELECT s, vec_id AS cid, j, v AS cv FROM pqu WHERE vec_id < 16),
+          ${pqRoundSql(1)},
+          ${pqRoundSql(2)},
+          ${pqRoundSql(3)},
+          pqd4 AS MATERIALIZED (
+            SELECT u.vec_id, u.s, c.cid, SUM((u.v - c.cv) * (u.v - c.cv)) AS dist
+            FROM pqu u JOIN pqc3 c ON c.s = u.s AND c.j = u.j
+            GROUP BY 1, 2, 3),
+          codes AS MATERIALIZED (
+            SELECT vec_id, s, cid FROM (
+              SELECT vec_id, s, cid,
+                     row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
+              FROM pqd4) WHERE rn = 1),
+          cdq AS MATERIALIZED (
+            SELECT c.s, c.cid, SUM((q.v - c.cv) * (q.v - c.cv)) AS d
+            FROM pqc3 c JOIN pqu q ON q.vec_id = 0 AND q.s = c.s AND q.j = c.j
+            GROUP BY 1, 2),
+          short AS MATERIALIZED (
+            SELECT c.vec_id FROM codes c
+            JOIN cdq ON cdq.s = c.s AND cdq.cid = c.cid
+            WHERE c.vec_id <> 0
+            GROUP BY 1 ORDER BY SUM(cdq.d), c.vec_id LIMIT 50),
+          exact AS (
+            SELECT u.vec_id, CAST(SUM((u.v - q.v) * (u.v - q.v)) AS BIGINT) AS l2_dist
+            FROM pqu u JOIN pqu q ON q.vec_id = 0 AND q.s = u.s AND q.j = u.j
+            JOIN short ON short.vec_id = u.vec_id
+            GROUP BY 1)
+          SELECT vec_id, l2_dist FROM exact
+          ORDER BY l2_dist, vec_id LIMIT 10""",
     "x6d_batch_topk" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
             FROM embeddings WHERE vec_id < 10),

@@ -440,6 +440,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(split.values.toSet == Set("train", "val", "test"))
   }
 
+  test("x6f: PQ rerank recovers the exact top-10; training beats the seed codebooks") {
+    val got = Similarity.pqTopK(spark, sf).collect().map(_.getLong(0)).toSet
+    val vecs = Tables.embeddings(spark, sf).select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong + 2000000L).toArray)
+      .toMap
+    def d2(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact10 = vecs.collect { case (id, v) if id != 0L => (d2(v, vecs(0L)), id) }
+      .toSeq.sorted.take(10).map(_._2).toSet
+    val overlap = got.count(exact10).toDouble / 10.0
+    assert(overlap >= 0.9, s"PQ shortlist+rerank overlap@10 = $overlap — shortlist too shallow")
+    // Lloyd training must not be a no-op: corpus distortion under the
+    // trained codebooks ≤ distortion under the raw vec_id<16 seeds
+    val trained = Similarity.pqCodebooks(spark, sf)
+    val seeds = vecs.toSeq.sortBy(_._1).take(16).map(_._2)
+    val S = trained.length; val d = 64 / S
+    def sub(v: Array[Long], s: Int) = v.slice(s * d, (s + 1) * d)
+    def distortion(cb: (Int, Int) => Array[Long]) = vecs.values.map { v =>
+      (0 until S).map(s => (0 until 16).map(c => d2(sub(v, s), cb(s, c))).min).sum
+    }.sum
+    val dTrained = distortion((s, c) => trained(s)(c))
+    val dSeed = distortion((s, c) => sub(seeds(c), s))
+    assert(dTrained <= dSeed, s"training increased distortion: $dTrained > $dSeed")
+  }
+
   test("ANN: brute-force top-1 is the global max; IVF hits are ranked correctly") {
     val brute = Similarity.bruteTopK(spark, sf, 0L, 10).collect()
     assert(brute.length == 10)
