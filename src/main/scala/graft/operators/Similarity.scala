@@ -156,19 +156,22 @@ object Similarity {
       val s = stats(i)._2 - stats(i)._1
       if (s == 0.0) 1.0 else s // constant dims all map to code 0
     }
-    val codes = array((0 until IvfDim).map(i =>
-      floor((element_at(vd, i + 1) - lit(mn(i))) / lit(span(i)) * 255 + 0.5)
-        .cast("long")): _*)
+    // per-dimension code, inlined (no intermediate array, no higher-order
+    // lambda): quantize + SAD stay one fused whole-stage-codegen span
+    def code(i: Int): Column =
+      floor((element_at(col("embedding"), i + 1).cast("double") - lit(mn(i)))
+        / lit(span(i)) * 255 + 0.5).cast("long")
     // the probe's codes via the SAME IEEE ops, driver-side
     val probe = e.where(col("vec_id") === queryId)
       .select(col("embedding")).head().getSeq[Float](0)
     val probeCodes = (0 until IvfDim).map(i =>
       math.floor((probe(i).toDouble - mn(i)) / span(i) * 255 + 0.5).toLong)
+    // SAD as 64 static |code − probeCode| terms: integer addition is
+    // order-independent, so the oracle's SUM-over-rows form still matches
     e.where(col("vec_id") =!= queryId)
-      .select(col("vec_id"), codes.as("codes"))
       .select(col("vec_id"),
-        aggregate(zip_with(col("codes"), typedLit(probeCodes), (a, b) => abs(a - b)),
-          lit(0L), (acc, x) => acc + x).as("l1_dist"))
+        (0 until IvfDim).map(i => abs(code(i) - lit(probeCodes(i))))
+          .reduce(_ + _).as("l1_dist"))
       .orderBy(col("l1_dist"), col("vec_id"))
       .limit(k)
   }
