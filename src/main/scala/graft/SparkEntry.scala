@@ -142,6 +142,7 @@ object SparkEntry {
     "x50_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "x51_effective_tokens" -> (Dedup.effectiveTokens _),
     "x52_leakfree_split" -> (Dedup.leakFreeSplit _),
+    "x53_domain_cap" -> ((s, d) => TextAnalysis.domainCap(s, d)),
     "x28_temperature_mixture" -> ((s, d) => TextAnalysis.temperatureMixture(s, d)),
     "x26_quality_filter" -> (TextAnalysis.qualityFilter _),
     "x27_token_entropy" -> (TextAnalysis.tokenEntropy _),
@@ -1206,6 +1207,14 @@ object SparkEntry {
                       WHEN ${polyHashSql("CAST(cluster_id AS VARCHAR)")} % 10 = 8 THEN 'val'
                       ELSE 'test' END AS split
           FROM labels ORDER BY doc_id""",
+    // x53: content-stable hash rank within each source, capped
+    "x53_domain_cap" ->
+      s"""SELECT doc_id, source, rnk FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY ${polyHashSql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rnk
+            FROM documents)
+          WHERE rnk <= 10 ORDER BY source, rnk""",
     "x14_split_stats" ->
       s"""WITH s AS (SELECT
             CASE WHEN h <= 7 THEN 'train' WHEN h = 8 THEN 'val' ELSE 'test' END AS split,

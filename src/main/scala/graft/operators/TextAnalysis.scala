@@ -820,6 +820,29 @@ object TextAnalysis {
     * dialect) — bit-exact in DuckDB, full hash oracle. Plan shape:
     * scan → project → TakeOrderedAndProject (per-partition heaps), no
     * global sort, no window. */
+  /** X53 — per-domain cap: keep at most `cap` documents per source, the
+    * head-domain guard every crawl-curation pipeline applies (a handful
+    * of giant domains must not dominate the corpus). Selection within a
+    * domain is by the content-stable hash of `doc_id` — a deterministic
+    * uniform draw, not "first `cap` by id", which would bias toward the
+    * oldest crawl segment — and reruns/backfills keep the identical set
+    * (the x14 no-`rand()` rule). The rank-≤-cap filter compiles to
+    * WindowGroupLimit (the s9 rewrite): each shuffle partition prunes to
+    * `cap` rows per domain BEFORE the final rank, so the post-shuffle
+    * volume is O(domains·cap), not O(corpus) — the property that makes a
+    * per-domain cap affordable at 100 TB. Skewed head domains shard
+    * across map partitions and each shard self-prunes; only `cap` rows
+    * per domain per partition reach the reduce side. */
+  def domainCap(spark: SparkSession, sfDir: String, cap: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(TextFns.polyHash(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= cap)
+      .orderBy(col("source"), col("rnk"))
+  }
+
   def weightedSample(spark: SparkSession, sfDir: String, n: Int = 100): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),

@@ -81,6 +81,19 @@ class PlanSpec extends SparkSpec {
       "lateral top-k did not rewrite to the group-limit pushdown")
   }
 
+  test("x53: domain cap prunes map-side — WindowGroupLimit below AND above the exchange") {
+    val plan = SparkEntry.queries("x53_domain_cap")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val partialThenFinal = plan.split("Exchange hashpartitioning", 2) match {
+      case Array(after, before) =>
+        after.contains("WindowGroupLimit") && before.contains("WindowGroupLimit")
+      case _ => false
+    }
+    assert(partialThenFinal,
+      "per-domain cap must group-limit on both sides of the shuffle " +
+        "(post-shuffle volume O(domains*cap), not O(corpus))")
+  }
+
   test("top-k queries plan TakeOrderedAndProject, not a global sort") {
     Seq("s1_topk", "x6_ann_cosine_topk", "x20_bm25_topk").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
