@@ -255,6 +255,23 @@ object Similarity {
     Array.tabulate(PqSub, PqK)((s, c) => loaded((s, c)))
   }
 
+  /** The PQ index table: every vector's [[PqSub]] codeword ids plus its
+    * fixed-point view `u` (kept for the exact-rerank stage — FAISS's
+    * "refine" index stores full-precision vectors next to the codes the
+    * same way). Encoding runs ONCE per corpus version — the 512-distance
+    * argmin expression is paid at index-build time, disk-memoized — and
+    * every query reads the codes; at 100 TB this is the difference
+    * between an index and re-encoding the corpus per query. */
+  private[graft] def pqIndex(spark: SparkSession, sfDir: String): DataFrame =
+    DfCache.memoizeDisk(spark, s"pq_codes:$sfDir:$PqSub:$PqK:$PqRounds",
+        Seq(s"$sfDir/embeddings.parquet")) {
+      val cents = pqCodebooks(spark, sfDir)
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), pqFixed.as("u"))
+        .select(col("vec_id"), col("u"),
+          array((0 until PqSub).map(s => pqAssign(s, cents)): _*).as("codes"))
+    }
+
   /** X6f — product-quantization shortlist + exact rerank, the production
     * PQ query shape (FAISS's ADC): each vector is [[PqSub]] 4-bit codeword
     * ids (16 B — 16× narrower than the float vector), the probe stays
@@ -285,12 +302,13 @@ object Similarity {
     // ADC table: probe (raw, unquantized) vs every codeword — S×K longs
     val pdist = (0 until PqSub).map(s =>
       (0 until PqK).map(c => d2(sub0(s), cents(s)(c).toSeq)))
-    Tables.embeddings(spark, sfDir)
+    // scan the stored codes ([[pqIndex]]): ADC is 32 literal-array lookups
+    // per row, no distance arithmetic at query time at all
+    pqIndex(spark, sfDir)
       .where(col("vec_id") =!= queryId)
-      .select(col("vec_id"), pqFixed.as("u"))
       .select(col("vec_id"), col("u"),
         (0 until PqSub).map(s =>
-          element_at(typedLit(pdist(s)), pqAssign(s, cents) + 1))
+          element_at(typedLit(pdist(s)), element_at(col("codes"), s + 1) + 1))
           .reduce(_ + _).as("adc"))
       .orderBy(col("adc"), col("vec_id")).limit(PqShortlist)
       .select(col("vec_id"),
