@@ -47,6 +47,13 @@ object ApproxQuality {
     val ivf = ids(Similarity.ivfTopK(spark, sfDir, 0L, 10, 4))
     val x6bOverlap = brute.intersect(ivf).size.toDouble / brute.size
 
+    // x6g — overlap@10 of the composed IVF-PQ (+refine) with the exact
+    // integer-L2 top-10 (the rerank metric); both approximation sources
+    // (cell pruning, code quantization) are in the loop
+    val bruteL2 = ids(Similarity.bruteL2TopK(spark, sfDir, 0L, 10))
+    val ivfpq = ids(Similarity.ivfPqTopK(spark, sfDir, 0L, 10, 4))
+    val x6gOverlap = bruteL2.intersect(ivfpq).size.toDouble / bruteL2.size
+
     // a7b — HLL++ max relative error vs exact per-category distinct users
     val exactUsers = Counters.distinctCounts(spark, sfDir).collect()
       .map(r => Option(r.getString(0)).getOrElse("") -> r.getLong(1)).toMap
@@ -87,6 +94,7 @@ object ApproxQuality {
       "x5b_embed_lsh_precision" -> x5bPrecision,
       "x5b_exact_pairs" -> exactCos.size.toDouble,
       "x6b_ivf_overlap_at_10" -> x6bOverlap,
+      "x6g_ivfpq_overlap_at_10" -> x6gOverlap,
       "a7b_hllpp_max_rel_err" -> a7bErr,
       "a12_hll_sketch_max_rel_err" -> a12Err,
       "x22b_quantile_max_rel_dev" -> x22bErr)
@@ -104,6 +112,7 @@ object ApproxQuality {
     ("x5b_embed_lsh_recall", ">=", 0.8),
     ("x5b_embed_lsh_precision", ">=", 0.95),
     ("x6b_ivf_overlap_at_10", ">=", 0.7),
+    ("x6g_ivfpq_overlap_at_10", ">=", 0.7),
     ("a7b_hllpp_max_rel_err", "<=", 0.05),
     ("a12_hll_sketch_max_rel_err", "<=", 0.05),
     ("x22b_quantile_max_rel_dev", "<=", 0.1))

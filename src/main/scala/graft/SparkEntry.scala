@@ -109,6 +109,7 @@ object SparkEntry {
     "x6d_batch_topk" -> ((s, d) => Similarity.batchTopK(s, d)),
     "x6e_sq8_topk" -> ((s, d) => Similarity.sq8TopK(s, d)),
     "x6f_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
+    "x6g_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "x7_lang_id" -> (TextAnalysis.langId _),
     "x8_quality_score" -> (TextAnalysis.qualityScore _),
     "x9_token_counts" -> (TextAnalysis.tokenCounts _),

@@ -194,9 +194,9 @@ object Similarity {
 
   /** Integer squared-L2 of subspace `s` against codeword literal `cent`,
     * over the fixed-point column `u`. */
-  private def pqDistExpr(s: Int, cent: Array[Long]): Column =
+  private def pqDistExpr(u: Column, s: Int, cent: Array[Long]): Column =
     (0 until PqSubDim).map { j =>
-      val d = element_at(col("u"), s * PqSubDim + j + 1) - lit(cent(j))
+      val d = element_at(u, s * PqSubDim + j + 1) - lit(cent(j))
       d * d
     }.reduce(_ + _)
 
@@ -204,8 +204,9 @@ object Similarity {
     * distances; `array_position(min)` takes the FIRST minimum, so ties
     * break to the lowest cid — the same rule the oracle's
     * `row_number() ORDER BY dist, cid` applies. */
-  private def pqAssign(s: Int, cents: Array[Array[Array[Long]]]): Column = {
-    val scores = array((0 until PqK).map(c => pqDistExpr(s, cents(s)(c))): _*)
+  private def pqAssign(u: Column, s: Int,
+                       cents: Array[Array[Array[Long]]]): Column = {
+    val scores = array((0 until PqK).map(c => pqDistExpr(u, s, cents(s)(c))): _*)
     (array_position(scores, array_min(scores)) - 1).cast("int")
   }
 
@@ -231,7 +232,7 @@ object Similarity {
       }
       for (_ <- 0 until PqRounds) {
         val subRows = array((0 until PqSub).map { s =>
-          struct(lit(s).as("s"), pqAssign(s, cents).as("cid"),
+          struct(lit(s).as("s"), pqAssign(col("u"), s, cents).as("cid"),
             array((0 until PqSubDim).map(j =>
               element_at(col("u"), s * PqSubDim + j + 1)): _*).as("sv"))
         }: _*)
@@ -269,8 +270,105 @@ object Similarity {
       Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), pqFixed.as("u"))
         .select(col("vec_id"), col("u"),
-          array((0 until PqSub).map(s => pqAssign(s, cents)): _*).as("codes"))
+          array((0 until PqSub).map(s => pqAssign(col("u"), s, cents)): _*).as("codes"))
     }
+
+  /** The probe vector in the [[pqFixed]] fixed-point domain, computed
+    * driver-side with the same IEEE ops (exact integers thereafter). */
+  private def fixedProbe(spark: SparkSession, sfDir: String,
+                         queryId: Long): Seq[Long] =
+    Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0)
+      .map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong + PqShift)
+
+  /** Exact integer-L2 brute-force top-k over the fixed-point view — the
+    * ground truth the PQ/IVF-PQ quality metrics compare against. */
+  private[graft] def bruteL2TopK(spark: SparkSession, sfDir: String,
+                                 queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val u0 = fixedProbe(spark, sfDir, queryId)
+    Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") =!= queryId)
+      .select(col("vec_id"), pqFixed.as("u"))
+      .select(col("vec_id"),
+        aggregate(zip_with(col("u"), typedLit(u0), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("l2_dist"))
+      .orderBy(col("l2_dist"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** The PQ encode expression over a RAW `embedding` column — the same
+    * integer argmin against the trained codebook literals the stored
+    * [[pqIndex]] was built with, usable on any DataFrame with that column
+    * (in particular a live STREAM of new vectors: the codebooks are
+    * bounded driver metadata, so a fresh vector is encoded identically to
+    * the backfilled corpus — spec-pinned in StreamingSpec). */
+  private[graft] def streamEncodeCodes(spark: SparkSession, sfDir: String): Column = {
+    val cents = pqCodebooks(spark, sfDir)
+    array((0 until PqSub).map(s => pqAssign(pqFixed, s, cents)): _*)
+  }
+
+  /** The composed IVF-PQ index (FAISS `IVFxx,PQyy` with refine): every
+    * vector's trained coarse cell ([[ivfCentroids]]), its PQ codes, and
+    * its fixed-point view, written hive-partitioned by `cell` — ONE scan
+    * builds it, and a probe prunes to `nprobe` cell directories at the
+    * file level while ADC reads 16 B of codes per candidate. This is the
+    * 100 TB layout: the corpus lives partitioned by cell, codes answer
+    * the shortlist, stored vectors answer the rerank. */
+  private[graft] def ivfPqIndex(spark: SparkSession, sfDir: String): DataFrame =
+    DfCache.memoizeDisk(spark, s"ivfpq_idx:$sfDir:$PqSub:$PqK:$PqRounds",
+        Seq(s"$sfDir/embeddings.parquet"), partitionBy = Seq("cell"),
+        sessionCache = false) {
+      val cents = ivfCentroids(spark, sfDir)
+        .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toSeq).toSeq
+      val pq = pqCodebooks(spark, sfDir)
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"), pqFixed.as("u"))
+        .select(col("vec_id"), col("u"),
+          array((0 until PqSub).map(s => pqAssign(col("u"), s, pq)): _*).as("codes"),
+          assignCell(cents).as("cell"))
+    }
+
+  /** X6g — IVF-PQ with exact refine, the ladder composed into the index
+    * every production vector store actually ships: the probe picks
+    * `nprobe` trained cells by centroid similarity (bounded driver
+    * metadata), the scan reads ONLY those cell partitions
+    * (PartitionFilters), ADC ranks candidates by 32 integer table
+    * lookups against the stored codes, and the 50-deep shortlist is
+    * exact-reranked from the stored vectors. Approximation comes from
+    * two sources — cell pruning and code quantization — so unlike x6f
+    * this carries no cross-engine oracle; quality is regenerated per
+    * round into APPROX_QUALITY.json (overlap@10 vs the exact scan) and
+    * spec-floored. */
+  def ivfPqTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val q = probeVec(spark, sfDir, queryId)
+    val probed = ivfCentroids(spark, sfDir)
+      .select(col("cell"), VectorFns.cosine(col("centroid"), q).as("csim"))
+      .orderBy(col("csim").desc, col("cell"))
+      .limit(nprobe)
+      .select(col("cell")).collect().map(_.getInt(0)).toSeq
+    val cents = pqCodebooks(spark, sfDir)
+    val u0 = fixedProbe(spark, sfDir, queryId)
+    def sub0(s: Int) = u0.slice(s * PqSubDim, (s + 1) * PqSubDim)
+    def d2(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val pdist = (0 until PqSub).map(s =>
+      (0 until PqK).map(c => d2(sub0(s), cents(s)(c).toSeq)))
+    ivfPqIndex(spark, sfDir)
+      .where(col("cell").isin(probed: _*)) // partition pruning at the scan
+      .where(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("u"),
+        (0 until PqSub).map(s =>
+          element_at(typedLit(pdist(s)), element_at(col("codes"), s + 1) + 1))
+          .reduce(_ + _).as("adc"))
+      .orderBy(col("adc"), col("vec_id")).limit(PqShortlist)
+      .select(col("vec_id"),
+        aggregate(zip_with(col("u"), typedLit(u0), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("l2_dist"))
+      .orderBy(col("l2_dist"), col("vec_id"))
+      .limit(k)
+  }
 
   /** X6f — product-quantization shortlist + exact rerank, the production
     * PQ query shape (FAISS's ADC): each vector is [[PqSub]] 4-bit codeword
@@ -291,11 +389,7 @@ object Similarity {
   def pqTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L,
              k: Int = 10): DataFrame = {
     val cents = pqCodebooks(spark, sfDir)
-    val probe = Tables.embeddings(spark, sfDir)
-      .where(col("vec_id") === queryId)
-      .select(col("embedding")).head().getSeq[Float](0)
-    val u0: Seq[Long] =
-      probe.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong + PqShift)
+    val u0 = fixedProbe(spark, sfDir, queryId)
     def sub0(s: Int) = u0.slice(s * PqSubDim, (s + 1) * PqSubDim)
     def d2(a: Seq[Long], b: Seq[Long]) =
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum

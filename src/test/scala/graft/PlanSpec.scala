@@ -62,6 +62,19 @@ class PlanSpec extends SparkSpec {
       "IVF index must be read partition-pruned from disk, not via a full cached relation")
   }
 
+  test("x6g: IVF-PQ probe is partition-pruned AND reads stored codes, not embeddings") {
+    val plan = SparkEntry.queries("x6g_ivfpq_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell#"),
+      s"cell probe did not reach the partition filters:\n$plan")
+    assert(!plan.contains("InMemoryTableScan"),
+      "IVF-PQ index must be read partition-pruned from disk")
+    // ADC must rank from the 16 B codes column of the index — if the scan
+    // pulls `embedding`, the query is re-encoding instead of reading codes
+    assert(!plan.contains("embedding#"),
+      "x6g scan reads the raw embedding column — codes are stored precisely to avoid that")
+  }
+
   test("s8: correlated subqueries decorrelate into semi/anti/aggregate joins") {
     val plan = SparkEntry.queries("s8_subquery_filter")(spark, sf)
       .queryExecution.executedPlan.toString

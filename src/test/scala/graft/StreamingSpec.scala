@@ -63,6 +63,41 @@ class StreamingSpec extends SparkSpec {
         s"(${streamed.size} streamed vs ${batch.size} batch rows)")
   }
 
+  test("streaming PQ encode equals the stored codes index (one codebook, backfill + live)") {
+    // same property one rung down the ladder: the trained PQ codebooks are
+    // bounded driver metadata, so a live ingest encodes with the same
+    // integer argmin literals the stored index was built with — streamed
+    // codes must equal the disk-memoized pqIndex bit-for-bit, or a fresh
+    // vector would be shortlisted under a different quantizer than the
+    // corpus it is compared against
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Similarity
+    val stored = Similarity.pqIndex(spark, sf)
+      .select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_pq_stream_")
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("embeddings.parquet"),
+      java.nio.file.Paths.get(sf, "embeddings.parquet"))
+    val schema = spark.read.parquet(s"$sf/embeddings.parquet").schema
+    val qn = "graft_pq_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_pq_ck_")
+    val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .select(col("vec_id"), Similarity.streamEncodeCodes(spark, sf).as("codes"))
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append")
+      .option("checkpointLocation", ckDir.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally { if (q.isActive) q.stop() }
+    val streamed = spark.table(qn).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    spark.catalog.dropTempView(qn)
+    assert(streamed.nonEmpty && streamed == stored,
+      s"streamed PQ codes diverged from the stored index " +
+        s"(${streamed.size} streamed vs ${stored.size} stored rows)")
+  }
+
   test("A4: watermark evicts window state; finalized windows emit append-mode") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
