@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 
 /** Quality evidence for the approximate-operator family — the rows the
   * correctness gate records as `no_oracle` by design (a7b, a12, x2, x3,
-  * x5b, x6b, x22b — x6c graduated to a full fixed-point DuckDB oracle): each is measured here against its EXACT in-engine
+  * x5b, x6b, x6g, x22b — x6c/x6e/x6f graduated to full fixed-point
+  * DuckDB oracles): each is measured here against its EXACT in-engine
   * baseline and the numbers are emitted as `APPROX_QUALITY.json` by
   * [[Verify]], so the no-oracle rows carry regenerated-per-round evidence
   * instead of only in-suite assertions. A spec pins floors on the same
@@ -105,17 +106,19 @@ object ApproxQuality {
     * into `APPROX_QUALITY.json` next to the measurements, so the artifact
     * is self-describing and the gate can never drift from the report.
     * Floors are set to DEMAND quality (raised whenever an operator is
-    * improved), not to ratify the current measurement. */
+    * improved), not to ratify the current measurement — round 7 raised
+    * x5b/x6b/x6g/a7b/x22b to within a small honest margin of the
+    * measured values at both verify SFs. */
   val bounds: Seq[(String, String, Double)] = Seq(
     ("x2_minhash_recall_at_j08", ">=", 0.95),
     ("x3_simhash_recall_at_j08", ">=", 0.85),
-    ("x5b_embed_lsh_recall", ">=", 0.8),
+    ("x5b_embed_lsh_recall", ">=", 0.85),
     ("x5b_embed_lsh_precision", ">=", 0.95),
-    ("x6b_ivf_overlap_at_10", ">=", 0.7),
-    ("x6g_ivfpq_overlap_at_10", ">=", 0.7),
-    ("a7b_hllpp_max_rel_err", "<=", 0.05),
+    ("x6b_ivf_overlap_at_10", ">=", 0.85),
+    ("x6g_ivfpq_overlap_at_10", ">=", 0.85),
+    ("a7b_hllpp_max_rel_err", "<=", 0.02),
     ("a12_hll_sketch_max_rel_err", "<=", 0.05),
-    ("x22b_quantile_max_rel_dev", "<=", 0.1))
+    ("x22b_quantile_max_rel_dev", "<=", 0.06))
 
   def boundHolds(name: String, value: Double): Boolean =
     bounds.find(_._1 == name).forall {

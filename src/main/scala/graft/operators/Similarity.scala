@@ -113,7 +113,7 @@ object Similarity {
     * in those cells, read partition-pruned from the cell-partitioned
     * index. Measured overlap@10 vs the exact brute force: 0.9 at sf0.01,
     * 1.0 at sf0.1, scanning ~25% of the corpus (APPROX_QUALITY floors it
-    * at 0.7). */
+    * at 0.85). */
   def ivfTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L,
               k: Int = 10, nprobe: Int = 4): DataFrame = {
     val q = probeVec(spark, sfDir, queryId)
@@ -210,7 +210,9 @@ object Similarity {
     (array_position(scores, array_min(scores)) - 1).cast("int")
   }
 
-  /** The trained product-quantization codebooks behind x6f: [[PqRounds]]
+  /** The trained product-quantization codebooks behind x6f (Jégou,
+    * Douze & Schmid, "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011 — the PQ/ADC formulation): [[PqRounds]]
     * Lloyd iterations per subspace, run jointly in one distributed scan
     * per round (assign = integer argmin vs the codeword literals; update =
     * per-(subspace, codeword) integer mean with floor division; empty
