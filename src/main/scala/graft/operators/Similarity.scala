@@ -331,6 +331,32 @@ object Similarity {
           assignCell(cents).as("cell"))
     }
 
+  /** Incremental IVF-PQ index maintenance: encode a NEW batch of vectors
+    * with the FROZEN trained quantizers (coarse cells + PQ codebooks are
+    * bounded driver metadata — the corpus index must never shift under a
+    * live query) and land it as the tag-scoped partition
+    * `batch=<tag>/cell=<c>/` of `indexDir`. Properties, both spec-pinned:
+    * a RETRY overwrites its own batch directory byte-for-byte instead of
+    * appending a second copy (the x16 idempotence rule), and because the
+    * quantizers are frozen, incrementally-built batches are bit-identical
+    * to a full rebuild — growing the corpus never re-encodes it. `cell`
+    * stays a partition column through the batch layer, so a probe's
+    * nprobe filter still prunes directories across every batch. */
+  def ivfPqAppend(spark: SparkSession, sfDir: String, newVecs: DataFrame,
+                  indexDir: String, batchTag: String): DataFrame = {
+    val cents = ivfCentroids(spark, sfDir)
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toSeq).toSeq
+    val pq = pqCodebooks(spark, sfDir)
+    newVecs
+      .select(col("vec_id"), col("embedding"), pqFixed.as("u"))
+      .select(col("vec_id"), col("u"),
+        array((0 until PqSub).map(s => pqAssign(col("u"), s, pq)): _*).as("codes"),
+        assignCell(cents).as("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/batch=$batchTag")
+    spark.read.parquet(indexDir)
+  }
+
   /** X6g — IVF-PQ with exact refine, the ladder composed into the index
     * every production vector store actually ships: the probe picks
     * `nprobe` trained cells by centroid similarity (bounded driver

@@ -466,6 +466,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(dTrained <= dSeed, s"training increased distortion: $dTrained > $dSeed")
   }
 
+  test("ivfPqAppend: incremental batches equal a full rebuild; replay is idempotent; cell still prunes") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_inc_").toString
+    val e = Tables.embeddings(spark, sf)
+    val half = e.select(max(col("vec_id"))).head().getLong(0) / 2
+    Similarity.ivfPqAppend(spark, sf, e.where(col("vec_id") <= half), idx, "b0")
+    val combined = Similarity.ivfPqAppend(spark, sf, e.where(col("vec_id") > half), idx, "b1")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("cell"), col("codes"), col("u")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Int](2).toSeq, r.getSeq[Long](3).toSeq)))
+      .toMap
+    val full = rows(Similarity.ivfPqIndex(spark, sf))
+    assert(rows(combined) == full,
+      "frozen-quantizer incremental build diverged from the full rebuild")
+    // replaying batch b1 (a retry) must clobber itself, not duplicate
+    val replayed = Similarity.ivfPqAppend(spark, sf, e.where(col("vec_id") > half), idx, "b1")
+    assert(rows(replayed) == full, "replayed batch duplicated or altered rows")
+    // the nprobe filter still prunes at the directory level through batch=
+    val plan = spark.read.parquet(idx).where(col("cell").isin(0, 1))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell#"),
+      s"cell filter did not reach PartitionFilters through the batch layer:\n$plan")
+  }
+
   test("ANN: brute-force top-1 is the global max; IVF hits are ranked correctly") {
     val brute = Similarity.bruteTopK(spark, sf, 0L, 10).collect()
     assert(brute.length == 10)
