@@ -149,9 +149,6 @@ class DedupSimilaritySpec extends SparkSpec {
     sys.props("graft.index.cache") = scratchIdx
     spark.sparkContext.setCheckpointDir(ckDir)
     try {
-      Dedup.dupClusters(spark, sf).count()
-      Dedup.evictCaches(spark)
-      Dedup.dupClusters(spark, sf).count()
       def rddDirs: Int = {
         val root = new java.io.File(ckDir)
         def walk(f: java.io.File): Int =
@@ -161,7 +158,17 @@ class DedupSimilaritySpec extends SparkSpec {
           else 0
         walk(root)
       }
+      Dedup.dupClusters(spark, sf).count()
+      // assert BEFORE anything drops references: once evictCaches runs, a
+      // natural GC lets the ContextCleaner reclaim run 1's checkpoints and
+      // the count legitimately races to zero (observed under heap pressure)
       assert(rddDirs > 0, "expected reliable checkpoints to have been written")
+      Dedup.evictCaches(spark)
+      // a SECOND scratch root so run 2 recomputes (the first root's parquet
+      // would otherwise serve the clusters and write nothing new)
+      sys.props("graft.index.cache") =
+        java.nio.file.Files.createTempDirectory("graft_idx13b").toString
+      Dedup.dupClusters(spark, sf).count()
       // drop the last references (incl. the memoized label table, which
       // pins the final round's snapshot) and let the cleaner reclaim
       Dedup.evictCaches(spark)
