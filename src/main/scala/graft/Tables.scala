@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Fixture-table loader. All operators take `(SparkSession, sfDir)` and load
   * their inputs here, so the same code runs at every scale factor — and, on a
@@ -13,12 +13,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark has no native type
-    * for: read nanos as long (SPARK-40819). Applied once per session by the
-    * entry points (Bench/Verify/SparkSpec/entry) rather than as a hidden
-    * side effect of every table load. */
-  def ensureParquetConf(spark: SparkSession): Unit =
+  /** Parquet timestamp compatibility, applied once per session by the entry
+    * points (Bench/Verify/SparkSpec/entry) rather than as a hidden side
+    * effect of every table load. Two writer dialects arrive in practice:
+    *   - TIMESTAMP(NANOS): Spark has no native nanos type — read as long
+    *     (SPARK-40819) and truncate to µs in [[load]].
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): pandas/Arrow's default.
+    *     Spark 4 infers TIMESTAMP_NTZ for it, which `withWatermark` rejects
+    *     (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Session TZ is pinned UTC at
+    *     every entry point, so NTZ wall-clock == the UTC instant and reading
+    *     it as a plain TIMESTAMP is lossless — disable the inference. */
+  def ensureParquetConf(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+  }
 
   /** Scratch root for `spark.local.dir` (shuffle/spill/state-store working
     * files): tmpfs when the machine has one (`/dev/shm`), the JVM tmpdir
@@ -36,15 +44,27 @@ object Tables {
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // Nanos arrive as long (see ensureParquetConf); truncate to a microsecond
-    // TIMESTAMP — exactly what engines with µs timestamps (DuckDB included)
-    // do on read, so semantics agree. Integer `div` (not `/`): nano epochs
-    // exceed double's 2^53 exact range.
+    // Normalize every writer dialect of `ts` to a µs TIMESTAMP:
+    //   - long nanos (see ensureParquetConf): integer `div` truncation to µs
+    //     — exactly what µs engines (DuckDB included) do on read. `div`,
+    //     not `/`: nano epochs exceed double's 2^53 exact range.
+    //   - TIMESTAMP_NTZ (a session that skipped ensureParquetConf, or a
+    //     table handed to us already-read): cast via the session TZ, which
+    //     every entry point pins to UTC — the identity on the µs value.
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeTs(df) else df
   }
+
+  /** The `ts`-normalization rule of [[load]] exposed for any DataFrame with
+    * an event-time column (the streaming source applies it too). */
+  def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.schema(tsCol).dataType match {
+      case LongType =>
+        df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case _ => df
+    }
 
   def events(spark: SparkSession, sfDir: String): DataFrame    = load(spark, sfDir, "events")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "lineitem")

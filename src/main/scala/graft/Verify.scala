@@ -26,7 +26,19 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A thrown query must still appear in the correctness report as a
+        // FAILURE (round 7 had 4 queries silently vanish from the
+        // denominator): dump a one-row (err) placeholder — the driver's
+        // DuckDB compare then reports rows/schema mismatch with the
+        // exception text in the parquet instead of dropping the row.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        try {
+          import spark.implicits._
+          Seq(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}")
+            .toDF("err").coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name err-row dump failed: ${e2.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -95,6 +95,16 @@ private[graft] object DfCache {
     }.mkString("|"))
   }
 
+  /** (key → seconds) ledger of disk-index builds performed by THIS
+    * process — reads of an already-published index record nothing. Bench
+    * drains it to report index-build cost as its own line, so build vs
+    * query cost stays separable in the round artifacts. */
+  private val buildLog =
+    scala.collection.concurrent.TrieMap.empty[String, Double]
+  private[graft] def drainBuildLog(): Map[String, Double] = {
+    val m = buildLog.toMap; buildLog.clear(); m
+  }
+
   private def loadOrBuild(spark: SparkSession, key: String, sources: Seq[String],
                           partitionBy: Seq[String])
                          (build: => DataFrame): DataFrame = {
@@ -116,12 +126,14 @@ private[graft] object DfCache {
           .filter(s => s.getPath.getName.startsWith(slug + "_"))
           .foreach(s => fs.delete(s.getPath, true)) // stale source version
       val tmp = new Path(root, s".tmp_${slug}_${java.util.UUID.randomUUID()}")
+      val t0 = System.nanoTime()
       val w = build.write.mode("overwrite")
       // hive-style layout so a partition-column filter prunes directories
       // at the scan (the IVF cell index reads only the probed cells)
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
         .parquet(tmp.toString)
       if (!fs.rename(tmp, dir)) fs.delete(tmp, true) // lost the race: winner is published
+      buildLog.put(key, (System.nanoTime() - t0) / 1e9)
       spark.read.parquet(dir.toString)
     }
   }

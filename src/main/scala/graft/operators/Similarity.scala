@@ -192,61 +192,90 @@ object Similarity {
     transform(VectorFns.asDouble(col("embedding")),
       x => floor(x * 1e6 + 0.5).cast("long") + lit(PqShift))
 
-  /** Integer squared-L2 of subspace `s` against codeword literal `cent`,
-    * over the fixed-point column `u`. */
-  private def pqDistExpr(u: Column, s: Int, cent: Array[Long]): Column =
-    (0 until PqSubDim).map { j =>
-      val d = element_at(u, s * PqSubDim + j + 1) - lit(cent(j))
-      d * d
-    }.reduce(_ + _)
-
-  /** Argmin codeword for subspace `s`: K static codegen'd integer
-    * distances; `array_position(min)` takes the FIRST minimum, so ties
-    * break to the lowest cid — the same rule the oracle's
-    * `row_number() ORDER BY dist, cid` applies. */
-  private def pqAssign(u: Column, s: Int,
-                       cents: Array[Array[Array[Long]]]): Column = {
-    val scores = array((0 until PqK).map(c => pqDistExpr(u, s, cents(s)(c))): _*)
-    (array_position(scores, array_min(scores)) - 1).cast("int")
+  /** All [[PqSub]] codeword assignments in ONE compact expression: the
+    * codebook rides along as a 3-level array LITERAL (data, not code) and
+    * the per-subspace integer argmin runs as nested higher-order
+    * functions, so the generated code is constant-size regardless of
+    * S×K — the unrolled 512-distance tree this replaces compiled 3-4 MiB
+    * of Janino bytecode (~100 s per plan at ANY data size; the round-7
+    * bench regression). Semantics unchanged and exact: integer squared-L2
+    * on the [[pqFixed]] view, `array_position(array_min)` takes the FIRST
+    * minimum so ties still break to the lowest cid — the rule the
+    * oracle's `row_number() ORDER BY dist, cid` applies. */
+  private def pqCodesExpr(u: Column, cents: Array[Array[Array[Long]]]): Column = {
+    val cb = typedLit(cents.map(_.map(_.toSeq).toSeq).toSeq)
+    transform(sequence(lit(0), lit(PqSub - 1)), s => {
+      val scores = transform(element_at(cb, s + 1), cw =>
+        (0 until PqSubDim).map { j =>
+          val d = element_at(u, s * lit(PqSubDim) + lit(j + 1)) - element_at(cw, j + 1)
+          d * d
+        }.reduce(_ + _))
+      (array_position(scores, array_min(scores)) - 1).cast("int")
+    })
   }
+
+  /** Training-sample bound: every vector with `vec_id < PqTrainN` — one
+    * deterministic SQL-expressible predicate, so the sample is identical
+    * on both engines. Covers the ENTIRE fixture corpus at every scale
+    * factor (≤ 2,000 rows), so the oracle's training CTE needs no WHERE;
+    * past the bound it caps driver memory at N×64 longs (~32 MB) — FAISS
+    * trains PQ on a bounded sample for exactly this reason — and the
+    * oracle's `pqu` CTE would carry the same `vec_id < N`. */
+  private val PqTrainN = 65536L
 
   /** The trained product-quantization codebooks behind x6f (Jégou,
     * Douze & Schmid, "Product Quantization for Nearest Neighbor Search",
-    * TPAMI 2011 — the PQ/ADC formulation): [[PqRounds]]
-    * Lloyd iterations per subspace, run jointly in one distributed scan
-    * per round (assign = integer argmin vs the codeword literals; update =
-    * per-(subspace, codeword) integer mean with floor division; empty
-    * codewords keep their previous value; seeds = the K lowest vec_ids).
-    * ALL arithmetic is exact integer on the [[pqFixed]] view, so the
-    * trained codebooks — and everything downstream — are bit-identical
-    * across runs, partitionings, and engines: the DuckDB oracle replays
-    * the same training as unrolled materialized CTEs and hash-matches.
+    * TPAMI 2011 — the PQ/ADC formulation): [[PqRounds]] Lloyd iterations
+    * over the [[PqTrainN]]-bounded sample, collected ONCE (one scan) and
+    * trained driver-side — the per-round inputs were always bounded
+    * metadata, and the round-7 profile showed the distributed form spent
+    * ~100× its data cost on Catalyst/Janino replanning per round. Rules
+    * unchanged and exact: assign = integer argmin with first-min
+    * tie-break (ties to the lowest cid), update = per-(subspace,
+    * codeword) integer mean with floor division over order-independent
+    * integer sums, empty codewords keep their previous value, seeds = the
+    * K lowest vec_ids. ALL arithmetic is exact integer on the [[pqFixed]]
+    * view, so the trained codebooks — and everything downstream — are
+    * bit-identical to the distributed form they replace, across runs,
+    * partitionings, and engines: the DuckDB oracle replays the same
+    * training as unrolled materialized CTEs and hash-matches.
     * S×K×[[PqSubDim]] longs of bounded driver metadata, disk-memoized. */
   private[graft] def pqCodebooks(spark: SparkSession,
                                  sfDir: String): Array[Array[Array[Long]]] = {
     val df = DfCache.memoizeDisk(spark, s"pq_cent:$sfDir:$PqSub:$PqK:$PqRounds",
         Seq(s"$sfDir/embeddings.parquet")) {
-      val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), pqFixed.as("u"))
-      val seeds = e.orderBy(col("vec_id")).limit(PqK)
+      val sample: Array[Array[Long]] = Tables.embeddings(spark, sfDir)
+        .where(col("vec_id") < PqTrainN)
+        .select(col("vec_id"), pqFixed.as("u"))
+        .orderBy(col("vec_id"))
         .collect().map(_.getSeq[Long](1).toArray)
       var cents: Array[Array[Array[Long]]] = Array.tabulate(PqSub, PqK) {
-        (s, c) => seeds(c).slice(s * PqSubDim, (s + 1) * PqSubDim)
+        (s, c) => sample(c).slice(s * PqSubDim, (s + 1) * PqSubDim)
       }
       for (_ <- 0 until PqRounds) {
-        val subRows = array((0 until PqSub).map { s =>
-          struct(lit(s).as("s"), pqAssign(col("u"), s, cents).as("cid"),
-            array((0 until PqSubDim).map(j =>
-              element_at(col("u"), s * PqSubDim + j + 1)): _*).as("sv"))
-        }: _*)
-        val upd = e.select(explode(subRows).as("x")).select(col("x.*"))
-          .groupBy(col("s"), col("cid"))
-          .agg(count(lit(1)).as("n"),
-            array((0 until PqSubDim).map(j =>
-              sum(element_at(col("sv"), j + 1))): _*).as("sums"))
-          .collect() // ≤ S·K rows of bounded metadata per round
-          .map(r => (r.getInt(0), r.getInt(1)) ->
-            r.getSeq[Long](3).map(v => math.floorDiv(v, r.getLong(2))).toArray).toMap
-        cents = Array.tabulate(PqSub, PqK)((s, c) => upd.getOrElse((s, c), cents(s)(c)))
+        val n = Array.ofDim[Long](PqSub, PqK)
+        val sums = Array.ofDim[Long](PqSub, PqK, PqSubDim)
+        for (u <- sample; s <- 0 until PqSub) {
+          var best = 0
+          var bestD = Long.MaxValue
+          var c = 0
+          while (c < PqK) {
+            var d = 0L
+            var j = 0
+            while (j < PqSubDim) {
+              val t = u(s * PqSubDim + j) - cents(s)(c)(j); d += t * t; j += 1
+            }
+            if (d < bestD) { bestD = d; best = c } // strict <: first minimum wins
+            c += 1
+          }
+          n(s)(best) += 1
+          var j = 0
+          while (j < PqSubDim) { sums(s)(best)(j) += u(s * PqSubDim + j); j += 1 }
+        }
+        val prev = cents
+        cents = Array.tabulate(PqSub, PqK)((s, c) =>
+          if (n(s)(c) == 0L) prev(s)(c)
+          else Array.tabulate(PqSubDim)(j => math.floorDiv(sums(s)(c)(j), n(s)(c))))
       }
       import spark.implicits._
       cents.zipWithIndex.flatMap { case (ks, s) =>
@@ -271,8 +300,7 @@ object Similarity {
       val cents = pqCodebooks(spark, sfDir)
       Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), pqFixed.as("u"))
-        .select(col("vec_id"), col("u"),
-          array((0 until PqSub).map(s => pqAssign(col("u"), s, cents)): _*).as("codes"))
+        .select(col("vec_id"), col("u"), pqCodesExpr(col("u"), cents).as("codes"))
     }
 
   /** The probe vector in the [[pqFixed]] fixed-point domain, computed
@@ -307,7 +335,7 @@ object Similarity {
     * the backfilled corpus — spec-pinned in StreamingSpec). */
   private[graft] def streamEncodeCodes(spark: SparkSession, sfDir: String): Column = {
     val cents = pqCodebooks(spark, sfDir)
-    array((0 until PqSub).map(s => pqAssign(pqFixed, s, cents)): _*)
+    pqCodesExpr(pqFixed, cents)
   }
 
   /** The composed IVF-PQ index (FAISS `IVFxx,PQyy` with refine): every
@@ -326,8 +354,7 @@ object Similarity {
       val pq = pqCodebooks(spark, sfDir)
       Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding"), pqFixed.as("u"))
-        .select(col("vec_id"), col("u"),
-          array((0 until PqSub).map(s => pqAssign(col("u"), s, pq)): _*).as("codes"),
+        .select(col("vec_id"), col("u"), pqCodesExpr(col("u"), pq).as("codes"),
           assignCell(cents).as("cell"))
     }
 
@@ -349,8 +376,7 @@ object Similarity {
     val pq = pqCodebooks(spark, sfDir)
     newVecs
       .select(col("vec_id"), col("embedding"), pqFixed.as("u"))
-      .select(col("vec_id"), col("u"),
-        array((0 until PqSub).map(s => pqAssign(col("u"), s, pq)): _*).as("codes"),
+      .select(col("vec_id"), col("u"), pqCodesExpr(col("u"), pq).as("codes"),
         assignCell(cents).as("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/batch=$batchTag")

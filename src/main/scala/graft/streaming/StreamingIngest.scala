@@ -166,10 +166,10 @@ object StreamingIngest {
     }
     val schema = schemaCache.getOrElseUpdate(sfDir,
       spark.read.parquet(s"$sfDir/events.parquet").schema)
-    val raw = spark.readStream.schema(schema).parquet(dir.toString)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    // Same ts normalization as the batch loader: long nanos → µs TIMESTAMP,
+    // NTZ → TIMESTAMP (session TZ pinned UTC), so `withWatermark("ts", …)`
+    // always sees an event-time-capable type regardless of writer dialect.
+    graft.Tables.normalizeTs(spark.readStream.schema(schema).parquet(dir.toString))
   }
 
   /** T1+A2/A3 — run the 5-min × category counter as a complete-mode

@@ -36,12 +36,15 @@ class GraphLayoutSpec extends SparkSpec {
     val e = Tables.events(spark, sf).repartition(7, col("event_id")) // force multi-partition merge
     val cm = bridge.column(
       expressions.CountMax(bridge.expression(col("ts"))).toAggregateExpression()).as("cm")
+    // `r.get`, not `getTimestamp`: tolerant of the ts column surfacing as
+    // TIMESTAMP or TIMESTAMP_NTZ (LocalDateTime) — both sides of the
+    // comparison come from the same session, so equality is well-defined
     val fused = e.groupBy(col("event_type")).agg(cm)
       .select(col("event_type"), col("cm.cnt"), col("cm.max_ts")).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2))).toSet
+      .map(r => (r.getString(0), r.getLong(1), r.get(2))).toSet
     val sep = e.groupBy(col("event_type"))
       .agg(count(col("ts")).as("c"), max(col("ts")).as("m")).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2))).toSet
+      .map(r => (r.getString(0), r.getLong(1), r.get(2))).toSet
     assert(fused == sep)
   }
 

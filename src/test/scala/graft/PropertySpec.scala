@@ -134,4 +134,74 @@ class PropertySpec extends SparkSpec {
     assert(s(0L) > s(1L) && s(1L) > s(2L) && s(2L) > 0.0)
     assert(!s.contains(3L)) // no query term → filtered, never ranked
   }
+
+  test("ts dialect contract: long-nanos, µs-NTZ and UTC-adjusted writers are " +
+    "indistinguishable through batch load, streaming source and watermark") {
+    // The round-7 regression class: a fixture rewritten by a different
+    // parquet writer (pandas/Arrow µs-NTZ vs Spark UTC-adjusted vs raw
+    // nanos) must not change ANY entry-point path. Three copies of the
+    // same logical events, one per dialect, through (1) Tables.load,
+    // (2) the watermarked append-mode streaming counter — identical rows.
+    import graft.streaming.StreamingIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft_ntz_").toString
+    try {
+      val epochUs = (0 until 300).map(i =>
+        1700000000000000L + (i % 97).toLong * 137000000L + (i % 13).toLong * 250000L)
+      val base = epochUs.zipWithIndex.map { case (us, i) =>
+        (i.toLong, (i % 7).toLong, Seq("click", "view", "error")(i % 3), us)
+      }.toDF("event_id", "user_id", "event_type", "us")
+    val dialects = Map(
+        "nanos" -> ($"us" * 1000L),                          // raw long nanos
+        "ntz"   -> timestamp_micros($"us").cast("timestamp_ntz"), // pandas/Arrow default
+        "utc"   -> timestamp_micros($"us"))                  // Spark's own writer
+      dialects.foreach { case (name, tsCol) =>
+        // single FILE named events.parquet (the fixture layout — the
+        // streaming source symlinks exactly that name)
+        base.select($"event_id", $"user_id", $"event_type", tsCol.as("ts"),
+            lit(1.0).as("value"), lit("{}").as("props"))
+          .coalesce(1).write.parquet(s"$dir/$name/_stage")
+        val part = new java.io.File(s"$dir/$name/_stage").listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$dir/$name/events.parquet"))
+      }
+      def batchRows(d: String) = Tables.events(spark, s"$dir/$d")
+        .select($"event_id", $"user_id", $"event_type",
+          functions.Times.epochSeconds($"ts").as("e"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      def streamRows(d: String) =
+        StreamingIngest.streamCountsAppend(spark, s"$dir/$d")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      val batch = dialects.keys.map(d => d -> batchRows(d)).toMap
+      assert(batch("nanos").nonEmpty)
+      assert(batch("ntz") == batch("nanos"), "NTZ batch load diverged from nanos")
+      assert(batch("utc") == batch("nanos"), "UTC batch load diverged from nanos")
+      val stream = dialects.keys.map(d => d -> streamRows(d)).toMap
+      assert(stream("nanos").nonEmpty, "watermarked stream emitted nothing")
+      assert(stream("ntz") == stream("nanos"), "NTZ stream diverged from nanos")
+      assert(stream("utc") == stream("nanos"), "UTC stream diverged from nanos")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("normalizeTs maps every ts dialect to TIMESTAMP with identical instants") {
+    // Direct unit pin on the normalization rule itself — exercises the
+    // TimestampNTZType cast branch even though the session-level
+    // inferTimestampNTZ=false conf keeps parquet reads off it (a caller
+    // handing us an already-read NTZ DataFrame still goes through here).
+    import org.apache.spark.sql.types.{TimestampType}
+    val us = Seq(0L, 1L, 1700000000123456L, 4102444800000000L)
+    val ntz = us.toDF("us").select(timestamp_micros($"us").cast("timestamp_ntz").as("ts"))
+    val nanos = us.toDF("us").select(($"us" * 1000L).as("ts"))
+    val utc = us.toDF("us").select(timestamp_micros($"us").as("ts"))
+    val outs = Seq(ntz, nanos, utc).map(Tables.normalizeTs(_))
+    outs.foreach(df => assert(df.schema("ts").dataType == TimestampType))
+    val micros = outs.map(_.select(unix_micros($"ts")).collect().map(_.getLong(0)).toSeq)
+    assert(micros.forall(_ == us), s"instants drifted: $micros vs $us")
+  }
 }
