@@ -25,6 +25,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.ensureParquetConf(spark)
+    Tables.registerScratchReaper()
     // Untimed warm-up: session/codegen/JIT startup otherwise lands entirely
     // on whichever query sorts first (~5 s of pure infrastructure). The
     // second pass warms the shuffle/aggregate machinery too, not just scan.

@@ -43,6 +43,34 @@ object Tables {
     dir.toString
   }
 
+  private val reaperRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Best-effort end-of-process reaper for `graft_*` scratch dirs this
+    * process touched under the tmp roots (stream-source symlink dirs,
+    * spec checkpoint/landing/batch-index dirs, local-dir wrappers) —
+    * the suites were leaving ~60 of them per run. Spares the
+    * cross-process index cache (`graft_index_cache`), which is the one
+    * deliberately durable artifact, and anything this process did not
+    * touch (mtime older than JVM start). Registered once, by the entry
+    * points (test base, Verify, Bench). */
+  def registerScratchReaper(): Unit =
+    if (reaperRegistered.compareAndSet(false, true)) {
+      val jvmStart =
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+        }
+        Seq(sys.props("java.io.tmpdir"), "/dev/shm").distinct.foreach { root =>
+          Option(new java.io.File(root).listFiles()).toSeq.flatten
+            .filter(f => f.getName.startsWith("graft_") &&
+              f.getName != "graft_index_cache" &&
+              f.lastModified() >= jvmStart)
+            .foreach(f => try rm(f) catch { case _: Throwable => () })
+        }
+      }, "graft-scratch-reaper"))
+    }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Normalize every writer dialect of `ts` to a µs TIMESTAMP:
     //   - long nanos (see ensureParquetConf): integer `div` truncation to µs

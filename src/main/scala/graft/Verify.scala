@@ -18,6 +18,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.ensureParquetConf(spark)
+    Tables.registerScratchReaper()
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=a11,x31 dumps a subset — local iteration on new
     // queries without re-running all ~100 (driver never sets it)

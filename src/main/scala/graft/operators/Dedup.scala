@@ -352,6 +352,35 @@ object Dedup {
       return docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
         .orderBy(col("doc_id"))
     }
+    // Small-graph fast path: the dup EDGE set (never the corpus) under a
+    // bounded gate runs union-find driver-side — the count is already in
+    // hand from the signature, the edges are two longs each (≤ ~16 MB at
+    // the gate), and the result is identical by construction (both
+    // algorithms label every node with its component's minimum id). This
+    // removes O(log n) rounds of join+distinct+action latency — pure
+    // fixed cost at bench scale — while graphs past the gate take the
+    // Kiveris et al. large-star/small-star path unchanged.
+    if (curSig._1 <= 1000000L) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      cur.select(col("u"), col("v")).collect().foreach { e =>
+        val (ru, rv) = (find(e.getLong(0)), find(e.getLong(1)))
+        if (ru != rv) { // union by min: the smaller id becomes the root
+          if (ru < rv) parent(rv) = ru else parent(ru) = rv
+        }
+      }
+      val labels = parent.keys.toSeq.map(x => (x, find(x))).filter(p => p._1 != p._2)
+      import spark.implicits._
+      return docs.join(labels.toDF("doc_id", "lbl"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }
     var converged = false
     while (!converged) {
       val next = snapshot(spark, smallStar(largeStar(cur)))

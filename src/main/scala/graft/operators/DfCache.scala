@@ -95,12 +95,19 @@ private[graft] object DfCache {
     }.mkString("|"))
   }
 
-  /** (key → seconds) ledger of disk-index builds performed by THIS
-    * process — reads of an already-published index record nothing. Bench
-    * drains it to report index-build cost as its own line, so build vs
-    * query cost stays separable in the round artifacts. */
+  /** (key → EXCLUSIVE seconds) ledger of disk-index builds performed by
+    * THIS process — reads of an already-published index record nothing,
+    * and a build that triggers nested builds (clusters → pairs → prefix
+    * → shingled) records only its own time, so the entries sum to the
+    * true total. Bench drains it to report index-build cost as its own
+    * line, keeping build vs query cost separable in the round
+    * artifacts. */
   private val buildLog =
     scala.collection.concurrent.TrieMap.empty[String, Double]
+  // per-thread nesting stack: each frame accumulates child build wall time
+  private val buildStack = new ThreadLocal[scala.collection.mutable.Stack[Double]] {
+    override def initialValue() = scala.collection.mutable.Stack.empty[Double]
+  }
   private[graft] def drainBuildLog(): Map[String, Double] = {
     val m = buildLog.toMap; buildLog.clear(); m
   }
@@ -126,14 +133,21 @@ private[graft] object DfCache {
           .filter(s => s.getPath.getName.startsWith(slug + "_"))
           .foreach(s => fs.delete(s.getPath, true)) // stale source version
       val tmp = new Path(root, s".tmp_${slug}_${java.util.UUID.randomUUID()}")
+      val stack = buildStack.get
+      stack.push(0.0) // collector frame for nested builds
       val t0 = System.nanoTime()
-      val w = build.write.mode("overwrite")
-      // hive-style layout so a partition-column filter prunes directories
-      // at the scan (the IVF cell index reads only the probed cells)
-      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-        .parquet(tmp.toString)
-      if (!fs.rename(tmp, dir)) fs.delete(tmp, true) // lost the race: winner is published
-      buildLog.put(key, (System.nanoTime() - t0) / 1e9)
+      try {
+        val w = build.write.mode("overwrite")
+        // hive-style layout so a partition-column filter prunes directories
+        // at the scan (the IVF cell index reads only the probed cells)
+        (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+          .parquet(tmp.toString)
+        if (!fs.rename(tmp, dir)) fs.delete(tmp, true) // lost the race: winner is published
+        val wall = (System.nanoTime() - t0) / 1e9
+        val childSum = stack.pop()
+        if (stack.nonEmpty) stack.push(stack.pop() + wall)
+        buildLog.put(key, wall - childSum)
+      } catch { case e: Throwable => stack.pop(); throw e }
       spark.read.parquet(dir.toString)
     }
   }

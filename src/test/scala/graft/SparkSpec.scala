@@ -18,6 +18,7 @@ object SparkSpec {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     Tables.ensureParquetConf(s)
+    Tables.registerScratchReaper()
     s
   }
   val sf = "/root/testdata/sf0.001"
