@@ -53,36 +53,75 @@ object Similarity {
     (array_position(scores, array_max(scores)) - 1).cast("int")
   }
 
+  /** Training-sample bound for the coarse quantizer — same rationale and
+    * same SQL-expressible rule as [[PqTrainN]]: the whole fixture corpus
+    * at any scale factor, a bounded driver sample (N×64 doubles) beyond. */
+  private val IvfTrainN = 65536L
+
+  /** Driver-side replica of [[assignCell]]'s IEEE arithmetic, operation
+    * for operation: sequential dot loop (DotProduct's codegen order),
+    * the same driver-computed centroid-norm fold, division, and
+    * first-maximum tie-break (`array_position` semantics). Used by the
+    * driver-side Lloyd trainer, which must assign exactly like the
+    * distributed expression so the trained centroids are bit-identical
+    * to the distributed form they replace. */
+  private[graft] def assignCellLocal(cents: Seq[Seq[Double]],
+                                     v: Array[Double]): Int = {
+    val scores = cents.map { c =>
+      val nrm = math.max(math.sqrt(c.map(x => x * x).sum), 1e-12)
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i) * c(i); i += 1 }
+      s / nrm
+    }
+    scores.indexOf(scores.max)
+  }
+
+  /** Spark's `round(double)` (HALF_UP via BigDecimal.valueOf) followed by
+    * the long cast — replicated exactly for the fixed-point micro sums. */
+  private def roundMicrosLocal(x: Double): Long =
+    java.math.BigDecimal.valueOf(x * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
   /** The trained coarse quantizer behind x6b: `IvfRounds` Lloyd iterations
-    * of K-means over the embedding corpus, each round one distributed
-    * scan (assign = argmax cosine vs the broadcast centroid literals;
-    * update = per-cell fixed-point mean). Centroid arithmetic is the x31
-    * discipline — element sums accumulate as micro-scaled longs (exact,
-    * order-independent) and divide by floor division — so the trained
-    * centroids are bit-stable across runs and partitionings. Seeding is
-    * deterministic: the K lowest vec_ids. Empty cells keep their previous
-    * centroid. The K×64 centroid table is bounded driver metadata; it is
-    * persisted via [[DfCache.memoizeDisk]] so the training cost is paid
-    * once per corpus version, not per process. */
+    * of K-means over the [[IvfTrainN]]-bounded sample, collected once and
+    * trained driver-side (the per-round inputs were always bounded
+    * metadata — K cells × 64 dims of fixed-point sums; the distributed
+    * form paid a Catalyst replan + codegen per round for a 2,000-row
+    * scan). Arithmetic is replicated operation-for-operation from the
+    * distributed expressions ([[assignCellLocal]], [[roundMicrosLocal]]),
+    * and centroid updates keep the x31 discipline — element sums
+    * accumulate as micro-scaled longs (exact, order-independent) and
+    * divide by floor division — so the trained centroids are bit-stable
+    * across runs AND bit-identical to the distributed form they replace.
+    * Seeding is deterministic: the K lowest vec_ids. Empty cells keep
+    * their previous centroid. The K×64 centroid table is bounded driver
+    * metadata; it is persisted via [[DfCache.memoizeDisk]] so the
+    * training cost is paid once per corpus version, not per process. */
   private[graft] def ivfCentroids(spark: SparkSession, sfDir: String,
                                   kCells: Int = IvfK,
                                   rounds: Int = IvfRounds): DataFrame =
     DfCache.memoizeDisk(spark, s"ivf_cent:$sfDir:$kCells:$rounds",
         Seq(s"$sfDir/embeddings.parquet")) {
-      val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-      var cents: Seq[Seq[Double]] = e.orderBy(col("vec_id")).limit(kCells)
-        .collect().map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      val sample: Array[Array[Double]] = Tables.embeddings(spark, sfDir)
+        .where(col("vec_id") < IvfTrainN)
+        .select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id"))
+        .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      var cents: Seq[Seq[Double]] = sample.take(kCells).map(_.toSeq).toSeq
       for (_ <- 0 until rounds) {
-        val upd = e.select(assignCell(cents).as("cell"),
-            VectorFns.asDouble(col("embedding")).as("v"))
-          .groupBy(col("cell"))
-          .agg(count(lit(1)).as("n"),
-            array((0 until IvfDim).map(i =>
-              sum(round(element_at(col("v"), i + 1) * 1e6).cast("long"))): _*).as("s"))
-          .collect() // K rows of bounded metadata per round
-          .map(r => r.getInt(0) -> r.getSeq[Long](2).map(v =>
-            math.floorDiv(v, r.getLong(1)).toDouble / 1e6).toSeq).toMap
-        cents = cents.indices.map(c => upd.getOrElse(c, cents(c)))
+        val n = Array.ofDim[Long](kCells)
+        val sums = Array.ofDim[Long](kCells, IvfDim)
+        for (v <- sample) {
+          val cell = assignCellLocal(cents, v)
+          n(cell) += 1
+          var i = 0
+          while (i < IvfDim) { sums(cell)(i) += roundMicrosLocal(v(i)); i += 1 }
+        }
+        cents = cents.indices.map(c =>
+          if (n(c) == 0L) cents(c)
+          else (0 until IvfDim).map(i =>
+            math.floorDiv(sums(c)(i), n(c)).toDouble / 1e6))
       }
       import spark.implicits._
       cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
