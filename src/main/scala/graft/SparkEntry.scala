@@ -144,6 +144,7 @@ object SparkEntry {
     "x51_effective_tokens" -> (Dedup.effectiveTokens _),
     "x52_leakfree_split" -> (Dedup.leakFreeSplit _),
     "x53_domain_cap" -> ((s, d) => TextAnalysis.domainCap(s, d)),
+    "x54_substring_dup" -> ((s, d) => TextAnalysis.substringDup(s, d)),
     "x28_temperature_mixture" -> ((s, d) => TextAnalysis.temperatureMixture(s, d)),
     "x26_quality_filter" -> (TextAnalysis.qualityFilter _),
     "x27_token_entropy" -> (TextAnalysis.tokenEntropy _),
@@ -1216,6 +1217,59 @@ object SparkEntry {
                      ORDER BY ${polyHashSql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rnk
             FROM documents)
           WHERE rnk <= 10 ORDER BY source, rnk""",
+    // x54: winnowing anchors (min (kh,p) per 16-window of 8-gram
+    // hashes — content-defined, alignment-invariant), 64-char span
+    // hashes via the x10 portable rolling hash; "repeated across docs"
+    // = min(doc)≠max(doc) per hash; per-doc shared-interval union via
+    // gaps-and-islands
+    "x54_substring_dup" ->
+      s"""WITH pos AS MATERIALIZED (
+            SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS p
+            FROM documents WHERE length(text) >= 64),
+          kg AS MATERIALIZED (
+            SELECT doc_id, text, p, ${polyHashSql("substring(text, p, 8)")} AS kh
+            FROM pos),
+          win AS (
+            SELECT doc_id, text, p,
+              min(struct_pack(h := kh, p := p)) OVER (PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS m
+            FROM kg),
+          anch AS (
+            SELECT DISTINCT doc_id, text, m.p AS p FROM win
+            WHERE p <= length(text) - 22 AND m.p <= length(text) - 63),
+          sp AS MATERIALIZED (
+            SELECT doc_id, p, ${polyHashSql("substring(text, p, 64)")} AS h
+            FROM anch),
+          multi AS (SELECT h FROM sp GROUP BY h
+                    HAVING MIN(doc_id) <> MAX(doc_id)),
+          sh AS (SELECT doc_id, p FROM sp WHERE h IN (SELECT h FROM multi)),
+          isl AS (SELECT doc_id, p,
+              CASE WHEN p > coalesce(MAX(p + 63) OVER (PARTITION BY doc_id
+                ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                -1) THEN 1 ELSE 0 END AS ni
+            FROM sh),
+          grp AS (SELECT doc_id, p,
+              SUM(ni) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM isl),
+          cov AS (SELECT doc_id, SUM(mx - mn + 64) AS covered FROM
+              (SELECT doc_id, g, MIN(p) AS mn, MAX(p) AS mx FROM grp
+               GROUP BY 1, 2) GROUP BY 1),
+          agg AS (SELECT sp.doc_id, COUNT(*) AS n_spans,
+              SUM(CASE WHEN sh.p IS NOT NULL THEN 1 ELSE 0 END) AS n_shared,
+              MIN(sh.p) AS first_shared
+            FROM sp LEFT JOIN sh ON sp.doc_id = sh.doc_id AND sp.p = sh.p
+            GROUP BY 1)
+          SELECT d.doc_id,
+            CAST(coalesce(agg.n_spans, 0) AS BIGINT) AS n_spans,
+            CAST(coalesce(agg.n_shared, 0) AS BIGINT) AS n_shared_spans,
+            CAST(coalesce(agg.first_shared, 0) AS BIGINT) AS first_shared_pos,
+            CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_chars,
+            CAST(CASE WHEN coalesce(cov.covered, 0) = 0 THEN 0
+                 ELSE cov.covered * 1000000 // length(d.text) END AS BIGINT)
+              AS covered_ppm
+          FROM documents d
+          LEFT JOIN agg ON agg.doc_id = d.doc_id
+          LEFT JOIN cov ON cov.doc_id = d.doc_id
+          ORDER BY d.doc_id""",
     "x14_split_stats" ->
       s"""WITH s AS (SELECT
             CASE WHEN h <= 7 THEN 'train' WHEN h = 8 THEN 'val' ELSE 'test' END AS split,

@@ -44,6 +44,14 @@ object Tables {
   }
 
   private val reaperRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val reaperKeep =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Exempt a path (e.g. Verify's output dir, which the caller chose and
+    * may well live under /tmp with a graft_ prefix) from the scratch
+    * reaper. */
+  def keepScratch(path: String): Unit =
+    reaperKeep.add(new java.io.File(path).getAbsolutePath): Unit
 
   /** Best-effort end-of-process reaper for `graft_*` scratch dirs this
     * process touched under the tmp roots (stream-source symlink dirs,
@@ -63,9 +71,14 @@ object Tables {
         }
         Seq(sys.props("java.io.tmpdir"), "/dev/shm").distinct.foreach { root =>
           Option(new java.io.File(root).listFiles()).toSeq.flatten
-            .filter(f => f.getName.startsWith("graft_") &&
-              f.getName != "graft_index_cache" &&
-              f.lastModified() >= jvmStart)
+            .filter { f =>
+              val p = f.getAbsolutePath
+              f.getName.startsWith("graft_") &&
+                f.getName != "graft_index_cache" &&
+                f.lastModified() >= jvmStart &&
+                !reaperKeep.stream().anyMatch(k =>
+                  k == p || k.startsWith(p + java.io.File.separator))
+            }
             .foreach(f => try rm(f) catch { case _: Throwable => () })
         }
       }, "graft-scratch-reaper"))

@@ -18,6 +18,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.ensureParquetConf(spark)
+    Tables.keepScratch(outDir) // the dump must survive the scratch reaper
     Tables.registerScratchReaper()
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=a11,x31 dumps a subset — local iteration on new

@@ -887,4 +887,103 @@ object TextAnalysis {
       .toDF("token", "n_exact", "ok_lower", "ok_upper")
       .orderBy(col("n_exact").desc, col("token"))
   }
+
+  /** X54 — exact repeated-SUBSTRING detection across documents (Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL 2022 — the exact-substring pass that token-shingle dedup
+    * (x2-x4) cannot express: boilerplate, license blocks and templated
+    * passages repeat at the CHARACTER level across otherwise-distinct
+    * docs). Production systems build a corpus suffix array; the
+    * Spark-native shape is winnowing fingerprints (Schleimer, Wilkerson
+    * & Aiken, "Winnowing: Local Algorithms for Document
+    * Fingerprinting", SIGMOD 2003): every position's `kGram`-char hash,
+    * then each sliding window of `winnow` consecutive positions selects
+    * its (hash, position)-minimum as an anchor, and each anchor
+    * contributes its `spanLen`-char span keyed by the portable x10
+    * rolling hash. Anchors are CONTENT-defined, so a passage shared at
+    * DIFFERENT offsets in two docs selects the same interior anchors in
+    * both — alignment-invariant, which fixed-stride position sampling
+    * is not — and any shared run of length ≥ spanLen + winnow + kGram −
+    * 2 is guaranteed to be caught (an interior anchor window fits on
+    * both sides; spec-pinned with a deliberately mis-aligned passage).
+    *
+    * Scale shape: ~1 anchor per `winnow` positions (the winnowing
+    * density bound), so the span table is (doc_id, p, 8-byte hash)
+    * rows at ~chars/winnow density — never the span text; "appears in
+    * ≥2 docs" is `min(doc_id) ≠ max(doc_id)`, two partial-aggregable
+    * extremes, NOT a count-distinct (a boilerplate span hitting
+    * millions of docs shuffles two longs, not a doc list). The k-gram
+    * hashing + anchor selection is one scan + one bounded window
+    * (state = `winnow` rows); per-doc interval merge of the shared
+    * spans is the gaps-and-islands window (t2's shape) — state bounded
+    * by one doc's anchor count. Everything is exact integers on the
+    * portable hash ⇒ full cross-engine oracle.
+    *
+    * Output per doc: anchor-span count, spans shared with another doc,
+    * first shared position, UNION length of the shared [p, p+spanLen)
+    * intervals (the chars an exact-substring cleaner would drop), and
+    * that coverage as ppm of the doc. */
+  def substringDup(spark: SparkSession, sfDir: String, spanLen: Int = 64,
+                   winnow: Int = 16, kGram: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val kg = docs
+      .where(length(col("text")) >= spanLen)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (kGram - 1))).as("p"))
+      .select(col("doc_id"), col("text"), col("p"),
+        TextFns.polyHash(col("text").substr(col("p"), lit(kGram))).as("kh"))
+    // anchor selection: the (kh, p) minimum of each winnow-window of
+    // k-gram positions (struct ordering = lexicographic on both engines;
+    // p makes the tie-break total), deduped — a position can win several
+    // windows but fingerprints once
+    val ahead = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(0, winnow - 1)
+    val sp = kg
+      .withColumn("m", min(struct(col("kh"), col("p"))).over(ahead))
+      // only FULL windows select (p ≤ nKgrams − winnow + 1), and an
+      // anchor's span must fit the doc
+      .where(col("p") <= length(col("text")) - (kGram - 1) - (winnow - 1) &&
+        col("m.p") <= length(col("text")) - (spanLen - 1))
+      .select(col("doc_id"), col("text"), col("m.p").as("p"))
+      .distinct()
+      .select(col("doc_id"), col("p"),
+        TextFns.polyHash(col("text").substr(col("p"), lit(spanLen))).as("h"))
+    val multi = sp.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("mn_doc"), max(col("doc_id")).as("mx_doc"))
+      .where(col("mn_doc") =!= col("mx_doc"))
+      .select(col("h"))
+    val shared = sp.join(multi, "h").select(col("doc_id"), col("p"))
+    // gaps-and-islands merge of the fixed-length intervals: a span opens
+    // a new island iff it starts past every earlier span's end
+    val before = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cov = shared
+      .withColumn("ni",
+        when(col("p") > coalesce(max(col("p") + (spanLen - 1)).over(before),
+          lit(-1)), 1).otherwise(0))
+      .withColumn("g", sum(col("ni")).over(upTo))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("p")).as("mn"), max(col("p")).as("mx"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("mx") - col("mn") + spanLen).as("covered"))
+    val agg = sp.join(shared.withColumn("sh", lit(1)), Seq("doc_id", "p"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("sh"), lit(0))).as("n_shared"),
+        min(when(col("sh") === 1, col("p"))).as("first_shared"))
+    docs
+      .join(agg, Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).cast("long").as("n_spans"),
+        coalesce(col("n_shared"), lit(0L)).cast("long").as("n_shared_spans"),
+        coalesce(col("first_shared"), lit(0)).cast("long").as("first_shared_pos"),
+        coalesce(col("covered"), lit(0L)).cast("long").as("covered_chars"),
+        when(coalesce(col("covered"), lit(0L)) === 0L, lit(0L))
+          .otherwise(expr("covered * 1000000L div length(text)"))
+          .cast("long").as("covered_ppm"))
+      .orderBy(col("doc_id"))
+  }
 }

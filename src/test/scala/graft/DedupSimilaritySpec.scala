@@ -496,6 +496,48 @@ class DedupSimilaritySpec extends SparkSpec {
       s"cell filter did not reach PartitionFilters through the batch layer:\n$plan")
   }
 
+  test("x54 winnowing: a shared passage at MIS-ALIGNED offsets is found in both " +
+    "docs, a unique doc reports zero, and the coverage invariants hold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def s(alpha: String, n: Int) =
+      (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    // 120-char passage ≥ spanLen + winnow + kGram − 2 = 86 (the detection
+    // guarantee bound), embedded at offsets differing by 7 — NOT a
+    // multiple of any stride, so fixed-position sampling would miss it;
+    // content-defined anchors must not
+    val passage = s("abcdefghij ", 120)
+    val docs = Seq(
+      (1L, s("klmnopqrst ", 40) + passage + s("klmnopqrst ", 30)),
+      (2L, s("uvwxyz ", 47) + passage),
+      (3L, s("0123456789 ", 200)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_x54_").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")))
+      .write.parquet(dir + "/documents.parquet")
+    val r = operators.TextAnalysis.substringDup(spark, dir).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(4))).toMap
+    assert(r(1L)._2 > 0, "doc 1 missed the mis-aligned shared passage")
+    assert(r(2L)._2 > 0, "doc 2 missed the mis-aligned shared passage")
+    assert(r(3L)._2 == 0, "unique doc reported shared spans")
+    // covered chars cannot exceed the passage (plus nothing: the random
+    // affixes share no 64-run) and must be positive on both carriers
+    assert(r(1L)._3 > 0 && r(1L)._3 <= 120, s"doc 1 coverage ${r(1L)._3}")
+    assert(r(2L)._3 > 0 && r(2L)._3 <= 120, s"doc 2 coverage ${r(2L)._3}")
+    // both docs cover the SAME shared content length
+    assert(r(1L)._3 == r(2L)._3, "asymmetric coverage of the same passage")
+    // fixture-wide invariants: n_shared ≤ n_spans, covered ≤ doc length
+    val fx = operators.TextAnalysis.substringDup(spark, sf).collect()
+    assert(fx.forall(x => x.getLong(2) <= x.getLong(1)), "n_shared > n_spans")
+    val lens = Tables.documents(spark, sf)
+      .select(col("doc_id"), org.apache.spark.sql.functions.length(col("text")))
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(fx.forall(x => x.getLong(4) <= lens(x.getLong(0))),
+      "covered_chars exceeds doc length")
+  }
+
   test("ANN: brute-force top-1 is the global max; IVF hits are ranked correctly") {
     val brute = Similarity.bruteTopK(spark, sf, 0L, 10).collect()
     assert(brute.length == 10)
