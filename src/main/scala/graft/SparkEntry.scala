@@ -102,6 +102,7 @@ object SparkEntry {
     "x3_dedup_simhash" -> (Dedup.simhashDedup _),
     "x4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "x5_embed_neardup" -> ((s, d) => Dedup.embedCosine(s, d)),
+    "x55_threshold_curve" -> ((s, d) => Dedup.cosineThresholdCurve(s, d)),
     "x5b_embed_neardup_lsh" -> ((s, d) => Dedup.embedCosineLsh(s, d)),
     "x6_ann_cosine_topk" -> ((s, d) => Similarity.bruteTopK(s, d)),
     "x6b_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
@@ -679,6 +680,29 @@ object SparkEntry {
             ON a.label = b.label AND a.vec_id < b.vec_id
           WHERE round(${cosineD("a.embedding", "b.embedding")}, 6) >= 0.4
           ORDER BY id1, id2""",
+    // x55: integer micro-cosine vs each candidate threshold; distinct
+    // docs via endpoint union
+    "x55_threshold_curve" ->
+      s"""WITH p AS MATERIALIZED (
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+              CAST(floor(round(${cosineD("a.embedding", "b.embedding")}, 6)
+                * 1000000 + 0.5) AS BIGINT) AS cppm
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id),
+          t AS (SELECT unnest([300000, 400000, 500000, 600000, 700000,
+                              800000, 900000]) AS threshold_ppm),
+          m AS (SELECT threshold_ppm, id1, id2 FROM p, t
+                WHERE cppm >= threshold_ppm),
+          c AS (SELECT threshold_ppm, COUNT(*) AS n_pairs FROM m GROUP BY 1),
+          d AS (SELECT threshold_ppm, COUNT(DISTINCT id) AS n_docs FROM
+              (SELECT threshold_ppm, id1 AS id FROM m
+               UNION ALL SELECT threshold_ppm, id2 FROM m) GROUP BY 1)
+          SELECT CAST(t.threshold_ppm AS BIGINT) AS threshold_ppm,
+            CAST(coalesce(c.n_pairs, 0) AS BIGINT) AS n_pairs,
+            CAST(coalesce(d.n_docs, 0) AS BIGINT) AS n_docs_affected
+          FROM t LEFT JOIN c USING (threshold_ppm)
+          LEFT JOIN d USING (threshold_ppm)
+          ORDER BY threshold_ppm""",
     "x6_ann_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
           SELECT vec_id, CAST(label AS BIGINT) AS label,

@@ -240,6 +240,48 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** X55 — cosine-threshold calibration curve over the label-blocked
+    * exact pair set (x5's blocks): for each candidate dedup threshold,
+    * how many near-dup pairs fire and how many distinct documents are
+    * touched — the table a pipeline team reads BEFORE picking the x5/x5b
+    * operating point (too low: the dedup pass deletes the corpus; too
+    * high: near-dups survive into training). One pair computation reused
+    * across all thresholds (the 7-row threshold table is a literal —
+    * broadcast by construction); comparisons run on integer micro-cosine
+    * (`floor(round(c,6)·10⁶ + 0.5)` — exact on both engines since the
+    * 6-dp round is already IEEE-pinned, the x5/x6c discipline), so the
+    * curve carries a full hash oracle. Distinct-doc counting explodes
+    * each qualifying pair to its two endpoints — bounded by 2·pairs×
+    * thresholds rows of two longs, never the corpus. */
+  def cosineThresholdCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val thresholds = (3 to 9).map(_ * 100000L)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        VectorFns.norm(col("embedding")).as("nrm"))
+    val pairs = snapshot(spark, e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        floor(round(VectorFns.dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")), 6) * 1e6 + 0.5).cast("long").as("cppm")))
+    val m = pairs
+      .select(col("id1"), col("id2"), col("cppm"),
+        explode(typedLit(thresholds)).as("threshold_ppm"))
+      .where(col("cppm") >= col("threshold_ppm"))
+    val nPairs = m.groupBy(col("threshold_ppm")).agg(count(lit(1)).as("n_pairs"))
+    val nDocs = m.select(col("threshold_ppm"), col("id1").as("id"))
+      .union(m.select(col("threshold_ppm"), col("id2").as("id")))
+      .groupBy(col("threshold_ppm"))
+      .agg(countDistinct(col("id")).as("n_docs_affected"))
+    import spark.implicits._
+    thresholds.toDF("threshold_ppm")
+      .join(nPairs, Seq("threshold_ppm"), "left")
+      .join(nDocs, Seq("threshold_ppm"), "left")
+      .select(col("threshold_ppm"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_affected"), lit(0L)).as("n_docs_affected"))
+      .orderBy(col("threshold_ppm"))
+  }
+
   /** X36 — cross-split leakage audit: the near-dup pairs (x4's verified
     * J ≥ t set, memoized — zero recompute) whose two documents landed in
     * DIFFERENT x14 train/val/test splits. Exact-dup leakage is impossible

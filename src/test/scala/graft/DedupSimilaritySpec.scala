@@ -538,6 +538,21 @@ class DedupSimilaritySpec extends SparkSpec {
       "covered_chars exceeds doc length")
   }
 
+  test("x55 threshold curve: monotone in the threshold and consistent with x5 at 0.4") {
+    val r = Dedup.cosineThresholdCurve(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.map(_._1).toSeq == (3 to 9).map(_ * 100000L), "threshold grid")
+    // raising the threshold can only shrink the pair set and the doc set
+    r.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 <= lo._2, s"n_pairs grew: $lo -> $hi")
+      assert(hi._3 <= lo._3, s"n_docs grew: $lo -> $hi")
+    }
+    // the 0.4 row IS x5's pair count (same blocks, same rounded cosine)
+    val x5Pairs = Dedup.embedCosine(spark, sf, 0.4).count()
+    assert(r.find(_._1 == 400000L).get._2 == x5Pairs,
+      "curve at 0.4 disagrees with x5_embed_neardup")
+  }
+
   test("ANN: brute-force top-1 is the global max; IVF hits are ranked correctly") {
     val brute = Similarity.bruteTopK(spark, sf, 0L, 10).collect()
     assert(brute.length == 10)
