@@ -193,7 +193,9 @@ object Bench {
         // x13 chain: shingle → prefix → verified pairs → clusters
         "dedup_clusters" -> (() => { Dedup.dupClusters(spark, sfDir); () }),
         // x43/x48's shared co-occurrence pair table
-        "cooc_pairs" -> (() => { TextAnalysis.cooccurrenceLift(spark, sfDir); () }))
+        "cooc_pairs" -> (() => { TextAnalysis.cooccurrenceLift(spark, sfDir); () }),
+        // x54/x56's winnowing span-fingerprint table
+        "subdup_spans" -> (() => { TextAnalysis.spanIndex(spark, sfDir); () }))
       builders.foreach { case (name, f) =>
         try f() catch { case e: Throwable =>
           System.err.println(s"[bench] index prebuild $name failed: ${e.getMessage}")

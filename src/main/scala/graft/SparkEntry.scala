@@ -146,6 +146,8 @@ object SparkEntry {
     "x52_leakfree_split" -> (Dedup.leakFreeSplit _),
     "x53_domain_cap" -> ((s, d) => TextAnalysis.domainCap(s, d)),
     "x54_substring_dup" -> ((s, d) => TextAnalysis.substringDup(s, d)),
+    "x56_substring_clean" -> ((s, d) => TextAnalysis.substringClean(s, d)),
+    "x57_boilerplate_by_source" -> ((s, d) => TextAnalysis.boilerplateBySource(s, d)),
     "x28_temperature_mixture" -> ((s, d) => TextAnalysis.temperatureMixture(s, d)),
     "x26_quality_filter" -> (TextAnalysis.qualityFilter _),
     "x27_token_entropy" -> (TextAnalysis.tokenEntropy _),
@@ -291,6 +293,64 @@ object SparkEntry {
         ORDER BY doc_id"""
   private def cosineD(a: String, b: String) =
     s"${dotD(a, b)} / (sqrt(${dotD(a, a)}) * sqrt(${dotD(b, b)}))"
+
+  // The winnowing span-fingerprint chain shared by x54/x56/x57
+  // (TextAnalysis.spanIndex): per-position 8-gram hashes, each 16-window
+  // selects its (hash, pos)-minimum anchor, anchors fingerprint their
+  // 64-char span with the portable rolling hash.
+  private lazy val winnowSpansSql =
+    s"""pos AS MATERIALIZED (
+            SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS p
+            FROM documents WHERE length(text) >= 64),
+          kg AS MATERIALIZED (
+            SELECT doc_id, text, p, ${polyHashSql("substring(text, p, 8)")} AS kh
+            FROM pos),
+          win AS (
+            SELECT doc_id, text, p,
+              min(struct_pack(h := kh, p := p)) OVER (PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS m
+            FROM kg),
+          anch AS (
+            SELECT DISTINCT doc_id, text, m.p AS p FROM win
+            WHERE p <= length(text) - 22 AND m.p <= length(text) - 63),
+          sp AS MATERIALIZED (
+            SELECT doc_id, p, ${polyHashSql("substring(text, p, 64)")} AS h
+            FROM anch)"""
+
+  // x54's per-doc coverage table over the winnowing spans (also the
+  // x57 rollup input): shared spans, gaps-and-islands interval union,
+  // per-doc counts.
+  private lazy val subdupPerDocSql =
+    s"""$winnowSpansSql,
+          multi AS (SELECT h FROM sp GROUP BY h
+                    HAVING MIN(doc_id) <> MAX(doc_id)),
+          sh AS (SELECT doc_id, p FROM sp WHERE h IN (SELECT h FROM multi)),
+          isl AS (SELECT doc_id, p,
+              CASE WHEN p > coalesce(MAX(p + 63) OVER (PARTITION BY doc_id
+                ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                -1) THEN 1 ELSE 0 END AS ni
+            FROM sh),
+          grp AS (SELECT doc_id, p,
+              SUM(ni) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM isl),
+          cov AS (SELECT doc_id, SUM(mx - mn + 64) AS covered FROM
+              (SELECT doc_id, g, MIN(p) AS mn, MAX(p) AS mx FROM grp
+               GROUP BY 1, 2) GROUP BY 1),
+          agg AS (SELECT sp.doc_id, COUNT(*) AS n_spans,
+              SUM(CASE WHEN sh.p IS NOT NULL THEN 1 ELSE 0 END) AS n_shared,
+              MIN(sh.p) AS first_shared
+            FROM sp LEFT JOIN sh ON sp.doc_id = sh.doc_id AND sp.p = sh.p
+            GROUP BY 1),
+          perdoc AS (SELECT d.doc_id,
+            CAST(coalesce(agg.n_spans, 0) AS BIGINT) AS n_spans,
+            CAST(coalesce(agg.n_shared, 0) AS BIGINT) AS n_shared_spans,
+            CAST(coalesce(agg.first_shared, 0) AS BIGINT) AS first_shared_pos,
+            CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_chars,
+            CAST(CASE WHEN coalesce(cov.covered, 0) = 0 THEN 0
+                 ELSE cov.covered * 1000000 // length(d.text) END AS BIGINT)
+              AS covered_ppm
+          FROM documents d
+          LEFT JOIN agg ON agg.doc_id = d.doc_id
+          LEFT JOIN cov ON cov.doc_id = d.doc_id)"""
 
   def oracleSql: Map[String, String] = Map(
     "q_ingest_partition_counts" ->
@@ -1245,54 +1305,67 @@ object SparkEntry {
     // hashes — content-defined, alignment-invariant), 64-char span
     // hashes via the x10 portable rolling hash; "repeated across docs"
     // = min(doc)≠max(doc) per hash; per-doc shared-interval union via
-    // gaps-and-islands
+    // gaps-and-islands ([[subdupPerDocSql]], shared with x57)
     "x54_substring_dup" ->
-      s"""WITH pos AS MATERIALIZED (
-            SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS p
-            FROM documents WHERE length(text) >= 64),
-          kg AS MATERIALIZED (
-            SELECT doc_id, text, p, ${polyHashSql("substring(text, p, 8)")} AS kh
-            FROM pos),
-          win AS (
-            SELECT doc_id, text, p,
-              min(struct_pack(h := kh, p := p)) OVER (PARTITION BY doc_id ORDER BY p
-                ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS m
-            FROM kg),
-          anch AS (
-            SELECT DISTINCT doc_id, text, m.p AS p FROM win
-            WHERE p <= length(text) - 22 AND m.p <= length(text) - 63),
-          sp AS MATERIALIZED (
-            SELECT doc_id, p, ${polyHashSql("substring(text, p, 64)")} AS h
-            FROM anch),
-          multi AS (SELECT h FROM sp GROUP BY h
-                    HAVING MIN(doc_id) <> MAX(doc_id)),
-          sh AS (SELECT doc_id, p FROM sp WHERE h IN (SELECT h FROM multi)),
-          isl AS (SELECT doc_id, p,
+      s"""WITH $subdupPerDocSql
+          SELECT doc_id, n_spans, n_shared_spans, first_shared_pos,
+                 covered_chars, covered_ppm
+          FROM perdoc ORDER BY doc_id""",
+    // x57: the same per-doc coverage rolled up by source — the
+    // which-feed-ships-boilerplate report
+    "x57_boilerplate_by_source" ->
+      s"""WITH $subdupPerDocSql
+          SELECT d.source,
+            COUNT(*) AS n_docs,
+            CAST(SUM(CASE WHEN perdoc.n_shared_spans > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_docs_affected,
+            CAST(SUM(length(d.text)) AS BIGINT) AS total_chars,
+            CAST(SUM(perdoc.covered_chars) AS BIGINT) AS covered_chars,
+            CAST(SUM(perdoc.covered_chars) * 1000000
+              // SUM(length(d.text)) AS BIGINT) AS boilerplate_ppm
+          FROM perdoc JOIN documents d ON d.doc_id = perdoc.doc_id
+          GROUP BY d.source ORDER BY d.source""",
+    // x56: x54's spans with keep-one-canonical semantics (the
+    // (doc_id,p)-min per repeated span hash survives; every other
+    // occurrence is cut), islands merged, the doc spliced back together
+    // from the gap segments, and the CLEANED text fingerprinted with
+    // the portable rolling hash — full string-surgery hash check
+    "x56_substring_clean" ->
+      s"""WITH $winnowSpansSql,
+          keep AS (SELECT h, MIN(struct_pack(d := doc_id, p := p)) AS k
+                   FROM sp GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)),
+          sh AS (SELECT s.doc_id, s.p FROM sp s JOIN keep ON keep.h = s.h
+                 WHERE NOT (s.doc_id = keep.k.d AND s.p = keep.k.p)),
+          isl0 AS (SELECT doc_id, p,
               CASE WHEN p > coalesce(MAX(p + 63) OVER (PARTITION BY doc_id
                 ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                 -1) THEN 1 ELSE 0 END AS ni
             FROM sh),
           grp AS (SELECT doc_id, p,
-              SUM(ni) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM isl),
-          cov AS (SELECT doc_id, SUM(mx - mn + 64) AS covered FROM
-              (SELECT doc_id, g, MIN(p) AS mn, MAX(p) AS mx FROM grp
-               GROUP BY 1, 2) GROUP BY 1),
-          agg AS (SELECT sp.doc_id, COUNT(*) AS n_spans,
-              SUM(CASE WHEN sh.p IS NOT NULL THEN 1 ELSE 0 END) AS n_shared,
-              MIN(sh.p) AS first_shared
-            FROM sp LEFT JOIN sh ON sp.doc_id = sh.doc_id AND sp.p = sh.p
-            GROUP BY 1)
+              SUM(ni) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM isl0),
+          isl AS (SELECT doc_id, MIN(p) AS mn, MAX(p) + 63 AS mx FROM grp
+                  GROUP BY doc_id, g),
+          seg AS (
+            SELECT i.doc_id,
+              coalesce(LAG(i.mx + 1) OVER (PARTITION BY i.doc_id ORDER BY i.mn), 1) AS s,
+              i.mn - coalesce(LAG(i.mx + 1) OVER (PARTITION BY i.doc_id
+                ORDER BY i.mn), 1) AS len
+            FROM isl i),
+          tails AS (SELECT doc_id, MAX(mx) + 1 AS s, 100000000 AS len
+                    FROM isl GROUP BY 1),
+          parts AS (SELECT doc_id, s, len FROM seg WHERE len > 0
+                    UNION ALL SELECT doc_id, s, len FROM tails),
+          clean AS (
+            SELECT p.doc_id,
+              string_agg(substring(d.text, CAST(p.s AS INT), CAST(p.len AS INT)),
+                '' ORDER BY p.s) AS cleaned
+            FROM parts p JOIN documents d ON d.doc_id = p.doc_id GROUP BY 1)
           SELECT d.doc_id,
-            CAST(coalesce(agg.n_spans, 0) AS BIGINT) AS n_spans,
-            CAST(coalesce(agg.n_shared, 0) AS BIGINT) AS n_shared_spans,
-            CAST(coalesce(agg.first_shared, 0) AS BIGINT) AS first_shared_pos,
-            CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_chars,
-            CAST(CASE WHEN coalesce(cov.covered, 0) = 0 THEN 0
-                 ELSE cov.covered * 1000000 // length(d.text) END AS BIGINT)
-              AS covered_ppm
+            CAST(length(d.text) AS BIGINT) AS n_chars,
+            CAST(length(coalesce(c.cleaned, d.text)) AS BIGINT) AS n_chars_clean,
+            ${polyHashSql("coalesce(c.cleaned, d.text)")} AS clean_fp
           FROM documents d
-          LEFT JOIN agg ON agg.doc_id = d.doc_id
-          LEFT JOIN cov ON cov.doc_id = d.doc_id
+          LEFT JOIN clean c ON c.doc_id = d.doc_id
           ORDER BY d.doc_id""",
     "x14_split_stats" ->
       s"""WITH s AS (SELECT

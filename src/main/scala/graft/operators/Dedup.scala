@@ -401,8 +401,11 @@ object Dedup {
     // algorithms label every node with its component's minimum id). This
     // removes O(log n) rounds of join+distinct+action latency — pure
     // fixed cost at bench scale — while graphs past the gate take the
-    // Kiveris et al. large-star/small-star path unchanged.
-    if (curSig._1 <= 1000000L) {
+    // Kiveris et al. large-star/small-star path unchanged. The gate is a
+    // deployment knob (and lets the spec pin the distributed path).
+    val ufGate = sys.props.get("graft.cc.unionFindGate")
+      .map(_.toLong).getOrElse(1000000L)
+    if (curSig._1 <= ufGate) {
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x

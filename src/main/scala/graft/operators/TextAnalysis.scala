@@ -923,31 +923,46 @@ object TextAnalysis {
     * first shared position, UNION length of the shared [p, p+spanLen)
     * intervals (the chars an exact-substring cleaner would drop), and
     * that coverage as ppm of the doc. */
+  /** The winnowing span-fingerprint index shared by x54 (report) and x56
+    * (clean): (doc_id, anchor position, 64-char span hash) rows at ~1
+    * anchor per [[substringDup]]-`winnow` positions. Disk-memoized like
+    * the shingle/pair indexes — at 100 TB this is the persisted
+    * fingerprint table a substring-dedup pass maintains next to the
+    * corpus, built once per corpus version. */
+  private[graft] def spanIndex(spark: SparkSession, sfDir: String,
+                               spanLen: Int = 64, winnow: Int = 16,
+                               kGram: Int = 8): DataFrame =
+    DfCache.memoizeDisk(spark, s"subdup_spans:$sfDir:$spanLen:$winnow:$kGram",
+        Seq(s"$sfDir/documents.parquet")) {
+      val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      val kg = docs
+        .where(length(col("text")) >= spanLen)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")) - (kGram - 1))).as("p"))
+        .select(col("doc_id"), col("text"), col("p"),
+          TextFns.polyHash(col("text").substr(col("p"), lit(kGram))).as("kh"))
+      // anchor selection: the (kh, p) minimum of each winnow-window of
+      // k-gram positions (struct ordering = lexicographic on both engines;
+      // p makes the tie-break total), deduped — a position can win several
+      // windows but fingerprints once
+      val ahead = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+        .rowsBetween(0, winnow - 1)
+      kg
+        .withColumn("m", min(struct(col("kh"), col("p"))).over(ahead))
+        // only FULL windows select (p ≤ nKgrams − winnow + 1), and an
+        // anchor's span must fit the doc
+        .where(col("p") <= length(col("text")) - (kGram - 1) - (winnow - 1) &&
+          col("m.p") <= length(col("text")) - (spanLen - 1))
+        .select(col("doc_id"), col("text"), col("m.p").as("p"))
+        .distinct()
+        .select(col("doc_id"), col("p"),
+          TextFns.polyHash(col("text").substr(col("p"), lit(spanLen))).as("h"))
+    }
+
   def substringDup(spark: SparkSession, sfDir: String, spanLen: Int = 64,
                    winnow: Int = 16, kGram: Int = 8): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-    val kg = docs
-      .where(length(col("text")) >= spanLen)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - (kGram - 1))).as("p"))
-      .select(col("doc_id"), col("text"), col("p"),
-        TextFns.polyHash(col("text").substr(col("p"), lit(kGram))).as("kh"))
-    // anchor selection: the (kh, p) minimum of each winnow-window of
-    // k-gram positions (struct ordering = lexicographic on both engines;
-    // p makes the tie-break total), deduped — a position can win several
-    // windows but fingerprints once
-    val ahead = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-      .rowsBetween(0, winnow - 1)
-    val sp = kg
-      .withColumn("m", min(struct(col("kh"), col("p"))).over(ahead))
-      // only FULL windows select (p ≤ nKgrams − winnow + 1), and an
-      // anchor's span must fit the doc
-      .where(col("p") <= length(col("text")) - (kGram - 1) - (winnow - 1) &&
-        col("m.p") <= length(col("text")) - (spanLen - 1))
-      .select(col("doc_id"), col("text"), col("m.p").as("p"))
-      .distinct()
-      .select(col("doc_id"), col("p"),
-        TextFns.polyHash(col("text").substr(col("p"), lit(spanLen))).as("h"))
+    val sp = spanIndex(spark, sfDir, spanLen, winnow, kGram)
     val multi = sp.groupBy(col("h"))
       .agg(min(col("doc_id")).as("mn_doc"), max(col("doc_id")).as("mx_doc"))
       .where(col("mn_doc") =!= col("mx_doc"))
@@ -984,6 +999,88 @@ object TextAnalysis {
         when(coalesce(col("covered"), lit(0L)) === 0L, lit(0L))
           .otherwise(expr("covered * 1000000L div length(text)"))
           .cast("long").as("covered_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X57 — per-SOURCE boilerplate report: x54's repeated-substring
+    * coverage rolled up by the corpus `source` column — the
+    * crawler-feedback table (which feed ships templated/boilerplate
+    * text, and how much of it) a curation team actually reads. One
+    * narrow join of the per-doc x54 result (itself fed by the memoized
+    * [[spanIndex]]) against doc metadata, then a bounded-key rollup;
+    * integer ppm via positive floor division ⇒ full hash oracle. */
+  def boilerplateBySource(spark: SparkSession, sfDir: String): DataFrame =
+    substringDup(spark, sfDir)
+      .join(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), length(col("text")).as("len")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_shared_spans") > 0, 1L).otherwise(0L)).as("n_docs_affected"),
+        sum(col("len")).cast("long").as("total_chars"),
+        sum(col("covered_chars")).as("covered_chars"))
+      .select(col("source"), col("n_docs"), col("n_docs_affected"),
+        col("total_chars"), col("covered_chars"),
+        expr("covered_chars * 1000000L div total_chars").as("boilerplate_ppm"))
+      .orderBy(col("source"))
+
+  /** X56 — exact repeated-substring REMOVAL, x54's decision applied the
+    * way Lee et al. (ACL 2022) apply it: every repeated span keeps ONE
+    * canonical occurrence corpus-wide (the (doc_id, p)-minimum per span
+    * hash — content-stable, never first-arrival) and is cut from every
+    * other document; the emitted row carries the cleaned length and the
+    * portable rolling-hash fingerprint of the cleaned TEXT — so the full
+    * string surgery is hash-checked cross-engine without shipping text.
+    *
+    * Scale shape: reuses the disk-memoized [[spanIndex]]; the canonical
+    * pick is one min(struct) aggregate per span hash (partial-
+    * aggregable); interval union is the x54 gaps-and-islands window;
+    * splicing is per-doc — segment rows are (start, len) pairs cut
+    * against the doc's own text and reassembled with one ordered
+    * array_join, state bounded by one doc's island count. */
+  def substringClean(spark: SparkSession, sfDir: String, spanLen: Int = 64,
+                     winnow: Int = 16, kGram: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val sp = spanIndex(spark, sfDir, spanLen, winnow, kGram)
+    val keep = sp.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("p"))).as("k"),
+        min(col("doc_id")).as("mnd"), max(col("doc_id")).as("mxd"))
+      .where(col("mnd") =!= col("mxd"))
+      .select(col("h"), col("k"))
+    // every non-canonical occurrence of a repeated span gets cut
+    val sh = sp.join(keep, "h")
+      .where(!(col("doc_id") === col("k.doc_id") && col("p") === col("k.p")))
+      .select(col("doc_id"), col("p"))
+    val before = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val isl = sh
+      .withColumn("ni",
+        when(col("p") > coalesce(max(col("p") + (spanLen - 1)).over(before),
+          lit(-1)), 1).otherwise(0))
+      .withColumn("g", sum(col("ni")).over(upTo))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("p")).as("mn"), (max(col("p")) + (spanLen - 1)).as("mx"))
+    val byMn = Window.partitionBy(col("doc_id")).orderBy(col("mn"))
+    val seg = isl
+      .withColumn("s", coalesce(lag(col("mx") + 1, 1).over(byMn), lit(1)))
+      .select(col("doc_id"), col("s"), (col("mn") - col("s")).as("len"))
+      .where(col("len") > 0)
+    val tails = isl.groupBy(col("doc_id"))
+      .agg((max(col("mx")) + 1).as("s"))
+      .select(col("doc_id"), col("s"), lit(100000000L).as("len"))
+    val clean = seg.union(tails).join(docs, "doc_id")
+      .select(col("doc_id"), col("s"),
+        col("text").substr(col("s").cast("int"), col("len").cast("int")).as("seg"))
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("s"), col("seg")))),
+          x => x.getField("seg")), "").as("cleaned"))
+    docs.join(clean, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        length(coalesce(col("cleaned"), col("text"))).cast("long").as("n_chars_clean"),
+        TextFns.polyHash(coalesce(col("cleaned"), col("text"))).as("clean_fp"))
       .orderBy(col("doc_id"))
   }
 }

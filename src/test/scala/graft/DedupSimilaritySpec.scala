@@ -133,6 +133,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.dedupAgainstIndex(spark, fresh, idxDir, "b2").isEmpty)
   }
 
+  test("x13: union-find fast path labels exactly match the distributed CC") {
+    def run(): Seq[(Long, Long)] = Dedup.dupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    Dedup.evictCaches(spark)
+    sys.props("graft.index.cache") =
+      java.nio.file.Files.createTempDirectory("graft_ccuf").toString
+    sys.props("graft.cc.unionFindGate") = "0" // force large/small-star
+    try {
+      val distributed = run()
+      Dedup.evictCaches(spark)
+      sys.props("graft.index.cache") =
+        java.nio.file.Files.createTempDirectory("graft_ccuf2").toString
+      sys.props("graft.cc.unionFindGate") = Long.MaxValue.toString // force union-find
+      val unionFind = run()
+      assert(distributed.nonEmpty)
+      assert(distributed == unionFind,
+        "driver union-find diverged from the distributed fixpoint")
+    } finally {
+      sys.props.remove("graft.index.cache")
+      sys.props.remove("graft.cc.unionFindGate")
+      Dedup.evictCaches(spark)
+    }
+  }
+
   test("X13: reliable-checkpoint files are reclaimed across dupClusters runs") {
     // with a checkpoint dir set, every dupClusters round writes a reliable
     // rdd-* snapshot; cleanCheckpoints=true (set at session build) lets the
@@ -147,6 +171,10 @@ class DedupSimilaritySpec extends SparkSpec {
     Dedup.evictCaches(spark)
     val scratchIdx = java.nio.file.Files.createTempDirectory("graft_idx13").toString
     sys.props("graft.index.cache") = scratchIdx
+    // pin the DISTRIBUTED CC path: the union-find fast path writes only
+    // the initial edge snapshot and leaves no lineage referencing it, so
+    // "checkpoints were written" would race a suite-triggered GC
+    sys.props("graft.cc.unionFindGate") = "0"
     spark.sparkContext.setCheckpointDir(ckDir)
     try {
       def rddDirs: Int = {
@@ -181,6 +209,7 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally {
       spark.sparkContext.setCheckpointDir(null)
       sys.props.remove("graft.index.cache")
+      sys.props.remove("graft.cc.unionFindGate")
       Dedup.evictCaches(spark) // entries built against the scratch root
     }
   }
@@ -536,6 +565,47 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
     assert(fx.forall(x => x.getLong(4) <= lens(x.getLong(0))),
       "covered_chars exceeds doc length")
+  }
+
+  test("x56 substring clean: canonical doc keeps its copy, duplicates lose theirs, " +
+    "untouched docs fingerprint identically to x10") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def s(alpha: String, n: Int) =
+      (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val passage = s("abcdefghij ", 120)
+    val docs = Seq(
+      (1L, s("klmnopqrst ", 40) + passage + s("klmnopqrst ", 30)),
+      (2L, s("uvwxyz ", 47) + passage),
+      (3L, s("0123456789 ", 200)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_x56_").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")))
+      .write.parquet(dir + "/documents.parquet")
+    val r = operators.TextAnalysis.substringClean(spark, dir).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    // doc 1 holds every canonical (doc_id,p)-min span: it must keep its text
+    assert(r(1L)._1 == r(1L)._2, s"canonical doc was cut: ${r(1L)}")
+    // doc 2's copy of the passage is non-canonical: it must shrink
+    assert(r(2L)._2 < r(2L)._1, "duplicate doc kept its repeated passage")
+    // doc 3 shares nothing: untouched
+    assert(r(3L)._1 == r(3L)._2, "unique doc was cut")
+    // fixture-wide consistency: any doc x56 leaves untouched must carry
+    // EXACTLY x10's full-text fingerprint (same rolling hash, same text)
+    val fp = operators.TextAnalysis.fingerprint(spark, sf).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val fx = operators.TextAnalysis.substringClean(spark, sf).collect()
+    val untouched = fx.filter(x => x.getLong(1) == x.getLong(2))
+    assert(untouched.nonEmpty)
+    untouched.foreach(x =>
+      assert(x.getLong(3) == fp(x.getLong(0)),
+        s"untouched doc ${x.getLong(0)} clean_fp != x10 fp"))
+    // and changed docs must NOT carry the original fingerprint
+    fx.filter(x => x.getLong(1) != x.getLong(2)).foreach(x =>
+      assert(x.getLong(3) != fp(x.getLong(0)),
+        s"cut doc ${x.getLong(0)} kept the original fingerprint"))
   }
 
   test("x55 threshold curve: monotone in the threshold and consistent with x5 at 0.4") {
