@@ -148,6 +148,7 @@ object SparkEntry {
     "x54_substring_dup" -> ((s, d) => TextAnalysis.substringDup(s, d)),
     "x56_substring_clean" -> ((s, d) => TextAnalysis.substringClean(s, d)),
     "x57_boilerplate_by_source" -> ((s, d) => TextAnalysis.boilerplateBySource(s, d)),
+    "x58_substring_contamination" -> ((s, d) => TextAnalysis.substringContamination(s, d)),
     "x28_temperature_mixture" -> ((s, d) => TextAnalysis.temperatureMixture(s, d)),
     "x26_quality_filter" -> (TextAnalysis.qualityFilter _),
     "x27_token_entropy" -> (TextAnalysis.tokenEntropy _),
@@ -1325,6 +1326,25 @@ object SparkEntry {
               // SUM(length(d.text)) AS BIGINT) AS boilerplate_ppm
           FROM perdoc JOIN documents d ON d.doc_id = perdoc.doc_id
           GROUP BY d.source ORDER BY d.source""",
+    // x58: new-batch docs (x16's bucket rule) probed span-by-span
+    // against the prior corpus's distinct span-hash set
+    "x58_substring_contamination" ->
+      s"""WITH $winnowSpansSql,
+          b AS (SELECT doc_id,
+                  ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 10 AS bk
+                FROM documents),
+          priorh AS (SELECT DISTINCT sp.h FROM sp
+                     JOIN b ON b.doc_id = sp.doc_id AND b.bk <= 7),
+          newsp AS (SELECT sp.doc_id, sp.h FROM sp
+                    JOIN b ON b.doc_id = sp.doc_id AND b.bk >= 8)
+          SELECT n.doc_id,
+            CAST(COUNT(*) AS BIGINT) AS n_spans,
+            CAST(SUM(CASE WHEN p.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_hit_spans,
+            CAST(SUM(CASE WHEN p.h IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+              // COUNT(*) AS BIGINT) AS hit_ppm
+          FROM newsp n LEFT JOIN priorh p ON p.h = n.h
+          GROUP BY n.doc_id ORDER BY n.doc_id""",
     // x56: x54's spans with keep-one-canonical semantics (the
     // (doc_id,p)-min per repeated span hash survives; every other
     // occurrence is cut), islands merged, the doc spliced back together

@@ -1023,6 +1023,36 @@ object TextAnalysis {
         expr("covered_chars * 1000000L div total_chars").as("boilerplate_ppm"))
       .orderBy(col("source"))
 
+  /** X58 — substring-level contamination probe: for each NEW document
+    * (the x16 bucket convention — content-stable hash of doc_id, ≥8 =
+    * new batch, ≤7 = prior corpus), how many of its winnowing anchor
+    * spans already exist VERBATIM in the prior corpus. The char-level
+    * complement of x17's token-shingle decontamination: catches
+    * benchmark answers or quoted passages embedded inside otherwise
+    * novel text, which whole-doc fingerprints (x10) and token shingles
+    * with different tokenization both miss. Reuses the disk-memoized
+    * [[spanIndex]]; the prior side collapses to a DISTINCT span-hash
+    * set (8 bytes per unique span) and the probe is one hash join on
+    * the span hash — at 100 TB the prior set is the persisted
+    * benchmark-fingerprint table every training pipeline keeps. All
+    * integer ⇒ full hash oracle. */
+  def substringContamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val sp = spanIndex(spark, sfDir)
+    val bucket = pmod(TextFns.polyHash(col("doc_id").cast("string")), lit(10L))
+    val docsB = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), bucket.as("b"))
+    val priorH = sp.join(docsB.where(col("b") <= 7).select(col("doc_id")), "doc_id")
+      .select(col("h")).distinct()
+    sp.join(docsB.where(col("b") >= 8).select(col("doc_id")), "doc_id")
+      .join(priorH.withColumn("hit", lit(1L)), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_hit_spans"),
+        expr("n_hit_spans * 1000000L div n_spans").as("hit_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** X56 — exact repeated-substring REMOVAL, x54's decision applied the
     * way Lee et al. (ACL 2022) apply it: every repeated span keeps ONE
     * canonical occurrence corpus-wide (the (doc_id, p)-minimum per span

@@ -608,6 +608,37 @@ class DedupSimilaritySpec extends SparkSpec {
         s"cut doc ${x.getLong(0)} kept the original fingerprint"))
   }
 
+  test("x58 substring contamination: a new doc quoting a prior doc is flagged, " +
+    "a novel new doc is clean") {
+    import spark.implicits._
+    // the x16 bucket rule, replicated driver-side to choose doc ids
+    def bucket(id: Long): Long =
+      id.toString.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L) % 10
+    val priorId = (1L to 200L).find(bucket(_) <= 7).get
+    val ids = (1L to 500L).filter(bucket(_) >= 8)
+    val (quotingId, novelId) = (ids.head, ids(1))
+    val rnd = new scala.util.Random(13)
+    def s(alpha: String, n: Int) =
+      (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val benchmark = s("abcdefghij ", 150) // the "benchmark answer" text
+    val docs = Seq(
+      (priorId, benchmark + s("klmnopqrst ", 50)),          // prior corpus
+      (quotingId, s("uvwxyz ", 31) + benchmark),            // quotes it verbatim
+      (novelId, s("0123456789 ", 200)))                     // genuinely novel
+    val dir = java.nio.file.Files.createTempDirectory("graft_x58_").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")))
+      .write.parquet(dir + "/documents.parquet")
+    val r = operators.TextAnalysis.substringContamination(spark, dir).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(!r.contains(priorId), "prior-bucket doc leaked into the new batch")
+    assert(r(quotingId)._2 > 0, "verbatim quote of a prior doc went undetected")
+    assert(r(novelId)._2 == 0, "novel doc reported contamination")
+    assert(r.values.forall(v => v._2 <= v._1 && v._3 <= 1000000L))
+  }
+
   test("x55 threshold curve: monotone in the threshold and consistent with x5 at 0.4") {
     val r = Dedup.cosineThresholdCurve(spark, sf).collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
