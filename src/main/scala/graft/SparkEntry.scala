@@ -96,6 +96,7 @@ object SparkEntry {
     "t10_transform_with_state" -> (StreamingIngest.transformWithStateCounts _),
     "t11_stream_count_max" -> (StreamingIngest.streamCountMax _),
     "t12_stream_media_decode" -> (StreamingIngest.streamMediaDecode _),
+    "t13_stream_contamination" -> (StreamingIngest.streamSubstringContamination _),
     // M5 — [EXT] LLM-pipeline operators
     "x1_dedup_exact" -> (Dedup.exactDedup _),
     "x2_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -1329,6 +1330,26 @@ object SparkEntry {
     // x58: new-batch docs (x16's bucket rule) probed span-by-span
     // against the prior corpus's distinct span-hash set
     "x58_substring_contamination" ->
+      s"""WITH $winnowSpansSql,
+          b AS (SELECT doc_id,
+                  ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 10 AS bk
+                FROM documents),
+          priorh AS (SELECT DISTINCT sp.h FROM sp
+                     JOIN b ON b.doc_id = sp.doc_id AND b.bk <= 7),
+          newsp AS (SELECT sp.doc_id, sp.h FROM sp
+                    JOIN b ON b.doc_id = sp.doc_id AND b.bk >= 8)
+          SELECT n.doc_id,
+            CAST(COUNT(*) AS BIGINT) AS n_spans,
+            CAST(SUM(CASE WHEN p.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_hit_spans,
+            CAST(SUM(CASE WHEN p.h IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+              // COUNT(*) AS BIGINT) AS hit_ppm
+          FROM newsp n LEFT JOIN priorh p ON p.h = n.h
+          GROUP BY n.doc_id ORDER BY n.doc_id""",
+    // t13: the same probe as a streaming execution (per-row winnowing,
+    // stream-static join, complete-mode agg) — batch-equivalent by
+    // construction, so it carries x58's oracle verbatim
+    "t13_stream_contamination" ->
       s"""WITH $winnowSpansSql,
           b AS (SELECT doc_id,
                   ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 10 AS bk

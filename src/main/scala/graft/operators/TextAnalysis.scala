@@ -959,6 +959,34 @@ object TextAnalysis {
           TextFns.polyHash(col("text").substr(col("p"), lit(spanLen))).as("h"))
     }
 
+  /** Per-ROW (window-function-free) form of the [[spanIndex]] winnowing
+    * selection, for streaming rows where analytic windows are
+    * unavailable: the doc's k-gram hash array is built once, each full
+    * winnow-window takes its FIRST-minimum position (`array_position`
+    * ties = lowest p — exactly the batch index's (kh, p) lexicographic
+    * struct-min), and the distinct span-fitting anchors hash their
+    * spans. Spec-pinned row-equal to the batch [[spanIndex]] on the
+    * fixture, so a live stream fingerprints new docs identically to the
+    * backfilled corpus (the PQ streamEncodeCodes discipline). */
+  def winnowSpanHashes(text: Column, spanLen: Int = 64, winnow: Int = 16,
+                       kGram: Int = 8): Column = {
+    val n = length(text)
+    val kh = transform(sequence(lit(1), n - (kGram - 1)),
+      p => TextFns.polyHash(text.substr(p, lit(kGram))))
+    val starts = sequence(lit(1), n - (kGram - 1) - (winnow - 1))
+    val anchors = array_distinct(transform(starts, x => {
+      val w = slice(kh, x, lit(winnow))
+      x.cast("long") + array_position(w, array_min(w)) - 1L
+    }))
+    val fit = filter(anchors, p => p <= (n - (spanLen - 1)).cast("long"))
+    val spans = transform(fit,
+      p => TextFns.polyHash(text.substr(p.cast("int"), lit(spanLen))))
+    // guard BEFORE the sequences evaluate: a doc under spanLen has no
+    // spans (CaseWhen branches evaluate lazily, so the invalid sequence
+    // bounds in the other branch are never touched)
+    when(n >= spanLen, spans).otherwise(typedLit(Seq.empty[Long]))
+  }
+
   def substringDup(spark: SparkSession, sfDir: String, spanLen: Int = 64,
                    winnow: Int = 16, kGram: Int = 8): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))

@@ -442,6 +442,70 @@ object StreamingIngest {
     drainMemorySink(spark, qn)(_.orderBy(col("lang")))
   }
 
+  /** T13 — streaming substring decontamination: a live stream of new
+    * documents is fingerprinted with the PER-ROW winnowing expression
+    * ([[graft.operators.TextAnalysis.winnowSpanHashes]] — spec-pinned
+    * identical to the batch span index), probed span-by-span against
+    * the PERSISTED prior-corpus span set via a stream-static hash join,
+    * and per-doc hit counts land in the sink. This is the x58 batch
+    * probe running as the gate a live ingest pipeline actually deploys
+    * (quarantine quoted benchmark text before it lands); the stream
+    * restricted to the same new-batch bucket is batch-equivalent by
+    * construction, so x58's DuckDB oracle checks the streaming
+    * execution end-to-end. */
+  def streamSubstringContamination(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    graft.Tables.ensureParquetConf(spark)
+    val bucket = pmod(graft.functions.TextFns.polyHash(
+      col("doc_id").cast("string")), lit(10L))
+    // static side: the prior corpus's distinct span hashes, derived from
+    // the disk-memoized span index (8 bytes per unique span)
+    val priorH = TextAnalysis.spanIndex(spark, sfDir)
+      .join(graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), bucket.as("b"))
+        .where(col("b") <= 7).select(col("doc_id")), "doc_id")
+      .select(col("h")).distinct()
+    // stream side: same symlink-dir pattern as t12
+    val dirKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(sfDir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_stream_doc_" + dirKey)
+    val target = java.nio.file.Paths.get(sfDir, "documents.parquet")
+    val link = dir.resolve("documents.parquet")
+    java.nio.file.Files.createDirectories(dir)
+    val linkStale = java.nio.file.Files.isSymbolicLink(link) &&
+      (java.nio.file.Files.readSymbolicLink(link) != target ||
+        !java.nio.file.Files.exists(target))
+    if (linkStale) java.nio.file.Files.delete(link)
+    if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      java.nio.file.Files.createSymbolicLink(link, target)
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val agg = spark.readStream.schema(schema).parquet(dir.toString)
+      .where(bucket >= 8)
+      .select(col("doc_id"),
+        explode(TextAnalysis.winnowSpanHashes(col("text"))).as("h"))
+      .join(priorH.withColumn("hit", lit(1L)), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit_spans"))
+    val qn = "graft_stream_sub_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withStatePartitions(spark) {
+      withScratchCheckpoint { ck =>
+        val q = agg.writeStream
+          .format("memory").queryName(qn)
+          .outputMode("complete")
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+      }
+    }
+    drainMemorySink(spark, qn)(
+      _.select(col("doc_id"), col("n_spans"), col("n_hit_spans"),
+        expr("n_hit_spans * 1000000L div n_spans").as("hit_ppm"))
+        .orderBy(col("doc_id")))
+  }
+
   def transformWithStateCounts(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}

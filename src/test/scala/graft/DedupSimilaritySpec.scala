@@ -608,6 +608,25 @@ class DedupSimilaritySpec extends SparkSpec {
         s"cut doc ${x.getLong(0)} kept the original fingerprint"))
   }
 
+  test("winnowSpanHashes (per-row, streaming form) == batch spanIndex on every fixture doc") {
+    import org.apache.spark.sql.functions.{col, sort_array}
+    val batch = operators.TextAnalysis.spanIndex(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (d, rows) => d -> rows.map(_.getLong(2)).sorted.toSeq }
+    val perRow = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        sort_array(operators.TextAnalysis.winnowSpanHashes(col("text"))).as("hs"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq)
+      .filter(_._2.nonEmpty).toMap
+    assert(batch.nonEmpty)
+    assert(batch.keySet == perRow.keySet,
+      "per-row form fingerprints a different doc set than the batch index")
+    batch.foreach { case (d, hs) =>
+      assert(perRow(d) == hs, s"doc $d: per-row span hashes diverge from the index")
+    }
+  }
+
   test("x58 substring contamination: a new doc quoting a prior doc is flagged, " +
     "a novel new doc is clean") {
     import spark.implicits._
