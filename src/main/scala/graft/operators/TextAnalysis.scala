@@ -968,8 +968,11 @@ object TextAnalysis {
     * spans. Spec-pinned row-equal to the batch [[spanIndex]] on the
     * fixture, so a live stream fingerprints new docs identically to the
     * backfilled corpus (the PQ streamEncodeCodes discipline). */
-  def winnowSpanHashes(text: Column, spanLen: Int = 64, winnow: Int = 16,
-                       kGram: Int = 8): Column = {
+  /** The per-row anchors WITH positions: array of (p, h) structs — the
+    * row-local form of one doc's [[spanIndex]] rows, shared by
+    * [[winnowSpanHashes]] and the incremental [[spanIndexAppend]]. */
+  private def winnowSpans(text: Column, spanLen: Int, winnow: Int,
+                          kGram: Int): Column = {
     val n = length(text)
     val kh = transform(sequence(lit(1), n - (kGram - 1)),
       p => TextFns.polyHash(text.substr(p, lit(kGram))))
@@ -979,12 +982,40 @@ object TextAnalysis {
       x.cast("long") + array_position(w, array_min(w)) - 1L
     }))
     val fit = filter(anchors, p => p <= (n - (spanLen - 1)).cast("long"))
-    val spans = transform(fit,
-      p => TextFns.polyHash(text.substr(p.cast("int"), lit(spanLen))))
+    val spans = transform(fit, p => struct(p.as("p"),
+      TextFns.polyHash(text.substr(p.cast("int"), lit(spanLen))).as("h")))
     // guard BEFORE the sequences evaluate: a doc under spanLen has no
     // spans (CaseWhen branches evaluate lazily, so the invalid sequence
     // bounds in the other branch are never touched)
-    when(n >= spanLen, spans).otherwise(typedLit(Seq.empty[Long]))
+    when(n >= spanLen, spans)
+      .otherwise(typedLit(Seq.empty[(Long, Long)])
+        .cast("array<struct<p: bigint, h: bigint>>"))
+  }
+
+  def winnowSpanHashes(text: Column, spanLen: Int = 64, winnow: Int = 16,
+                       kGram: Int = 8): Column =
+    transform(winnowSpans(text, spanLen, winnow, kGram), s => s.getField("h"))
+
+  /** Incremental span-index maintenance — the substring family's
+    * [[Similarity.ivfPqAppend]]: fingerprint a NEW batch of documents
+    * with the per-row winnowing form (spec-pinned identical to the
+    * batch builder — anchor selection is a pure per-doc function, so
+    * incrementally-built batches are row-identical to a full rebuild)
+    * and land it as the tag-scoped partition `batch=<tag>/` of
+    * `indexDir`. A RETRY overwrites its own batch directory instead of
+    * appending a second copy (the x16 idempotence rule). The grown
+    * index serves the same probes (x58/t13) across every batch. */
+  def spanIndexAppend(spark: SparkSession, newDocs: DataFrame,
+                      indexDir: String, batchTag: String, spanLen: Int = 64,
+                      winnow: Int = 16, kGram: Int = 8): DataFrame = {
+    newDocs
+      .select(col("doc_id"),
+        explode(winnowSpans(col("text"), spanLen, winnow, kGram)).as("s"))
+      // p as INT: the exact schema of the batch-built [[spanIndex]], so
+      // batches and rebuilds are byte-compatible reads of one index
+      .select(col("doc_id"), col("s.p").cast("int").as("p"), col("s.h").as("h"))
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchTag")
+    spark.read.parquet(indexDir)
   }
 
   def substringDup(spark: SparkSession, sfDir: String, spanLen: Int = 64,

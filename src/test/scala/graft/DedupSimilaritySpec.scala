@@ -627,6 +627,27 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("spanIndexAppend: incremental batches equal the full rebuild and a replay " +
+    "clobbers itself") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val half = ids(ids.length / 2)
+    val idx = java.nio.file.Files.createTempDirectory("graft_subidx").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("p").cast("long"), col("h")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    operators.TextAnalysis.spanIndexAppend(spark, docs.where(col("doc_id") <= half), idx, "b1")
+    val combined = operators.TextAnalysis.spanIndexAppend(
+      spark, docs.where(col("doc_id") > half), idx, "b2")
+    val full = rows(operators.TextAnalysis.spanIndex(spark, sf))
+    assert(rows(combined) == full,
+      "incremental span batches diverged from the full rebuild")
+    val replayed = operators.TextAnalysis.spanIndexAppend(
+      spark, docs.where(col("doc_id") <= half), idx, "b1")
+    assert(rows(replayed) == full, "replayed batch duplicated or altered rows")
+  }
+
   test("x58 substring contamination: a new doc quoting a prior doc is flagged, " +
     "a novel new doc is clean") {
     import spark.implicits._
