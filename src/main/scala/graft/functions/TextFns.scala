@@ -113,4 +113,50 @@ object TextFns {
   /** Hamming distance between two simhashes (popcount of xor). */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** JVM replica of [[graft.expressions.PolyHash]]'s fold — same UTF-16
+    * char walk, same modulus — for per-partition imperative code. */
+  def polyHashLocal(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) { acc = (acc * 31L + s.charAt(i)) % 1000000007L; i += 1 }
+    acc
+  }
+
+  /** JVM replica of the winnowing span selection behind
+    * `TextAnalysis.spanIndex`, rule for rule: per-position `kGram`-char
+    * [[polyHashLocal]] hashes, each full `winnow`-window selects its
+    * FIRST-minimum position (the batch builder's (kh, p) struct-min),
+    * anchors dedupe and span-fitting ones fingerprint their
+    * `spanLen`-char span. Returns (1-based position, span hash) pairs —
+    * spec-pinned row-identical to the batch index on the fixture. Used
+    * by the streaming probe (t13) and the incremental index builder,
+    * where an interpreted higher-order-function form profiled ~100×
+    * slower (per-slice lambda frames; this loop is O(positions·winnow)
+    * native integer work). */
+  def winnowSpansLocal(text: String, spanLen: Int = 64, winnow: Int = 16,
+                       kGram: Int = 8): Seq[(Int, Long)] = {
+    val n = text.length
+    if (n < spanLen) return Nil
+    val nK = n - kGram + 1
+    val kh = new Array[Long](nK)
+    var i = 0
+    while (i < nK) { kh(i) = polyHashLocal(text.substring(i, i + kGram)); i += 1 }
+    val anchors = scala.collection.mutable.SortedSet.empty[Int]
+    var x = 0
+    while (x <= nK - winnow) {
+      var best = x
+      var j = x + 1
+      while (j < x + winnow) {
+        if (kh(j) < kh(best)) best = j // strict <: first minimum wins
+        j += 1
+      }
+      anchors += best
+      x += 1
+    }
+    anchors.iterator
+      .filter(p => p + spanLen <= n)
+      .map(p => (p + 1, polyHashLocal(text.substring(p, p + spanLen))))
+      .toSeq
+  }
 }

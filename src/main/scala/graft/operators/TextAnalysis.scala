@@ -968,33 +968,29 @@ object TextAnalysis {
     * spans. Spec-pinned row-equal to the batch [[spanIndex]] on the
     * fixture, so a live stream fingerprints new docs identically to the
     * backfilled corpus (the PQ streamEncodeCodes discipline). */
-  /** The per-row anchors WITH positions: array of (p, h) structs — the
-    * row-local form of one doc's [[spanIndex]] rows, shared by
-    * [[winnowSpanHashes]] and the incremental [[spanIndexAppend]]. */
-  private def winnowSpans(text: Column, spanLen: Int, winnow: Int,
-                          kGram: Int): Column = {
-    val n = length(text)
-    val kh = transform(sequence(lit(1), n - (kGram - 1)),
-      p => TextFns.polyHash(text.substr(p, lit(kGram))))
-    val starts = sequence(lit(1), n - (kGram - 1) - (winnow - 1))
-    val anchors = array_distinct(transform(starts, x => {
-      val w = slice(kh, x, lit(winnow))
-      x.cast("long") + array_position(w, array_min(w)) - 1L
-    }))
-    val fit = filter(anchors, p => p <= (n - (spanLen - 1)).cast("long"))
-    val spans = transform(fit, p => struct(p.as("p"),
-      TextFns.polyHash(text.substr(p.cast("int"), lit(spanLen))).as("h")))
-    // guard BEFORE the sequences evaluate: a doc under spanLen has no
-    // spans (CaseWhen branches evaluate lazily, so the invalid sequence
-    // bounds in the other branch are never touched)
-    when(n >= spanLen, spans)
-      .otherwise(typedLit(Seq.empty[(Long, Long)])
-        .cast("array<struct<p: bigint, h: bigint>>"))
+  /** Per-doc span rows for a batch of documents via the JVM winnowing
+    * replica ([[TextFns.winnowSpansLocal]] — spec-pinned identical to
+    * the batch [[spanIndex]]), as a mapPartitions stage: the shape the
+    * STREAMING probe (t13) and the incremental builder share. An
+    * interpreted higher-order-function form of the same selection
+    * profiled ~100× slower (per-slice lambda frames), and analytic
+    * windows are unavailable on streams — this is the documented
+    * per-partition-imperative-last-resort tier, applied where it is
+    * genuinely the only fit. */
+  private[graft] def localSpanRows(docs: DataFrame, spanLen: Int = 64,
+                                   winnow: Int = 16, kGram: Int = 8): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val enc = Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType), StructField("p", IntegerType),
+      StructField("h", LongType))))
+    docs.select(col("doc_id"), col("text")).mapPartitions { it =>
+      it.flatMap { r =>
+        TextFns.winnowSpansLocal(r.getString(1), spanLen, winnow, kGram)
+          .iterator.map { case (p, h) => Row(r.getLong(0), p, h) }
+      }
+    }(enc)
   }
-
-  def winnowSpanHashes(text: Column, spanLen: Int = 64, winnow: Int = 16,
-                       kGram: Int = 8): Column =
-    transform(winnowSpans(text, spanLen, winnow, kGram), s => s.getField("h"))
 
   /** Incremental span-index maintenance — the substring family's
     * [[Similarity.ivfPqAppend]]: fingerprint a NEW batch of documents
@@ -1008,12 +1004,10 @@ object TextAnalysis {
   def spanIndexAppend(spark: SparkSession, newDocs: DataFrame,
                       indexDir: String, batchTag: String, spanLen: Int = 64,
                       winnow: Int = 16, kGram: Int = 8): DataFrame = {
-    newDocs
-      .select(col("doc_id"),
-        explode(winnowSpans(col("text"), spanLen, winnow, kGram)).as("s"))
-      // p as INT: the exact schema of the batch-built [[spanIndex]], so
-      // batches and rebuilds are byte-compatible reads of one index
-      .select(col("doc_id"), col("s.p").cast("int").as("p"), col("s.h").as("h"))
+    // (doc_id, p INT, h) — the exact schema of the batch-built
+    // [[spanIndex]], so batches and rebuilds are byte-compatible reads
+    // of one index
+    localSpanRows(newDocs, spanLen, winnow, kGram)
       .write.mode("overwrite").parquet(s"$indexDir/batch=$batchTag")
     spark.read.parquet(indexDir)
   }

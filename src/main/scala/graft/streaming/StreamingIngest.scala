@@ -480,10 +480,10 @@ object StreamingIngest {
     if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
       java.nio.file.Files.createSymbolicLink(link, target)
     val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
-    val agg = spark.readStream.schema(schema).parquet(dir.toString)
-      .where(bucket >= 8)
-      .select(col("doc_id"),
-        explode(TextAnalysis.winnowSpanHashes(col("text"))).as("h"))
+    val agg = TextAnalysis.localSpanRows(
+        spark.readStream.schema(schema).parquet(dir.toString)
+          .where(bucket >= 8))
+      .select(col("doc_id"), col("h"))
       .join(priorH.withColumn("hit", lit(1L)), Seq("h"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),

@@ -186,11 +186,23 @@ class DedupSimilaritySpec extends SparkSpec {
           else 0
         walk(root)
       }
-      Dedup.dupClusters(spark, sf).count()
-      // assert BEFORE anything drops references: once evictCaches runs, a
-      // natural GC lets the ContextCleaner reclaim run 1's checkpoints and
-      // the count legitimately races to zero (observed under heap pressure)
-      assert(rddDirs > 0, "expected reliable checkpoints to have been written")
+      // Observe the checkpoint writes WHILE the CC loop runs: after the
+      // disk layer publishes, nothing references the final snapshot, so
+      // a suite-triggered GC can legitimately reclaim every rdd-* dir
+      // before a post-run assert (observed under heap pressure). Each
+      // round's snapshot lives at least as long as the next round, so
+      // a 10 ms poll cannot miss them all.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val run1 = Future { Dedup.dupClusters(spark, sf).count() }
+      var seen = false
+      while (!run1.isCompleted) {
+        if (rddDirs > 0) seen = true
+        Thread.sleep(10)
+      }
+      Await.result(run1, scala.concurrent.duration.Duration(120, "s"))
+      seen ||= rddDirs > 0
+      assert(seen, "expected reliable checkpoints to have been written")
       Dedup.evictCaches(spark)
       // a SECOND scratch root so run 2 recomputes (the first root's parquet
       // would otherwise serve the clusters and write nothing new)
@@ -608,22 +620,22 @@ class DedupSimilaritySpec extends SparkSpec {
         s"cut doc ${x.getLong(0)} kept the original fingerprint"))
   }
 
-  test("winnowSpanHashes (per-row, streaming form) == batch spanIndex on every fixture doc") {
-    import org.apache.spark.sql.functions.{col, sort_array}
+  test("winnowSpansLocal (JVM streaming form) == batch spanIndex on every fixture doc") {
+    import org.apache.spark.sql.functions.col
     val batch = operators.TextAnalysis.spanIndex(spark, sf).collect()
       .groupBy(_.getLong(0))
-      .map { case (d, rows) => d -> rows.map(_.getLong(2)).sorted.toSeq }
-    val perRow = Tables.documents(spark, sf)
-      .select(col("doc_id"),
-        sort_array(operators.TextAnalysis.winnowSpanHashes(col("text"))).as("hs"))
-      .collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq)
+      .map { case (d, rows) =>
+        d -> rows.map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq }
+    val local = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        functions.TextFns.winnowSpansLocal(r.getString(1)).sortBy(_._1))
       .filter(_._2.nonEmpty).toMap
     assert(batch.nonEmpty)
-    assert(batch.keySet == perRow.keySet,
-      "per-row form fingerprints a different doc set than the batch index")
-    batch.foreach { case (d, hs) =>
-      assert(perRow(d) == hs, s"doc $d: per-row span hashes diverge from the index")
+    assert(batch.keySet == local.keySet,
+      "JVM form fingerprints a different doc set than the batch index")
+    batch.foreach { case (d, rows) =>
+      assert(local(d) == rows, s"doc $d: JVM span rows diverge from the index")
     }
   }
 
