@@ -444,7 +444,8 @@ object StreamingIngest {
 
   /** T13 — streaming substring decontamination: a live stream of new
     * documents is fingerprinted with the PER-ROW winnowing expression
-    * ([[graft.operators.TextAnalysis.winnowSpanHashes]] — spec-pinned
+    * ([[graft.functions.TextFns.winnowSpansLocal]] via
+    * `TextAnalysis.localSpanRows` — spec-pinned
     * identical to the batch span index), probed span-by-span against
     * the PERSISTED prior-corpus span set via a stream-static hash join,
     * and per-doc hit counts land in the sink. This is the x58 batch
