@@ -113,6 +113,7 @@ object SparkEntry {
     "x6f_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
     "x6g_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "x7_lang_id" -> (TextAnalysis.langId _),
+    "x59_lang_confusion" -> (TextAnalysis.langConfusion _),
     "x8_quality_score" -> (TextAnalysis.qualityScore _),
     "x9_token_counts" -> (TextAnalysis.tokenCounts _),
     "x10_fingerprint" -> (TextAnalysis.fingerprint _),
@@ -882,6 +883,23 @@ object SparkEntry {
                  WHEN s_de >= s_fr THEN 'de'
                  ELSE 'fr' END AS predicted_lang
           FROM scored ORDER BY doc_id""",
+    // x59: x7's prediction cross-tabulated against the label
+    "x59_lang_confusion" ->
+      s"""WITH scored AS (SELECT doc_id, lang AS labeled_lang,
+            CAST(len(list_filter($toks, w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS s_en,
+            CAST(len(list_filter($toks, w -> w IN ('el','la','de','y','que'))) AS BIGINT) AS s_es,
+            CAST(len(list_filter($toks, w -> w IN ('der','die','das','und','ist'))) AS BIGINT) AS s_de,
+            CAST(len(list_filter($toks, w -> w IN ('le','la','et','les','des'))) AS BIGINT) AS s_fr
+          FROM documents),
+          pred AS (SELECT labeled_lang,
+            CASE WHEN s_en + s_es + s_de + s_fr = 0 THEN 'unknown'
+                 WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                 WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                 WHEN s_de >= s_fr THEN 'de'
+                 ELSE 'fr' END AS predicted_lang
+          FROM scored)
+          SELECT labeled_lang, predicted_lang, count(*) AS n_docs
+          FROM pred GROUP BY 1, 2 ORDER BY 1, 2""",
     "x8_quality_score" ->
       s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM documents),
           s AS (SELECT doc_id,

@@ -1055,6 +1055,17 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** X59 — language-ID confusion matrix: x7's predicted language
+    * cross-tabulated against the corpus label — the quality report that
+    * decides whether the n-gram classifier is good enough to route docs
+    * (and per-cell counts show WHICH confusions dominate). One bounded-
+    * key rollup over x7's scan; full hash oracle. */
+  def langConfusion(spark: SparkSession, sfDir: String): DataFrame =
+    langId(spark, sfDir)
+      .groupBy(col("labeled_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("labeled_lang"), col("predicted_lang"))
+
   /** X57 — per-SOURCE boilerplate report: x54's repeated-substring
     * coverage rolled up by the corpus `source` column — the
     * crawler-feedback table (which feed ships templated/boilerplate
