@@ -101,7 +101,7 @@ object Bench {
         val prevP = spark.conf.getOption(pkey)
         val prevS = spark.conf.getOption(skey)
         spark.conf.set(skey, "2")
-        val dir = java.nio.file.Files.createTempDirectory("graft_warm_stream_")
+        val dir = graft.Tables.scratchDir("graft_warm_stream_")
         try {
           Tables.events(spark, sfDir).limit(32)
             .select(col("user_id"), col("ts"), col("event_type"))

@@ -213,7 +213,7 @@ object SparkEntry {
     val prev = s"pqc${r - 1}"
     s"""pqd$r AS MATERIALIZED (
             SELECT u.vec_id, u.s, c.cid, SUM((u.v - c.cv) * (u.v - c.cv)) AS dist
-            FROM pqu u JOIN $prev c ON c.s = u.s AND c.j = u.j
+            FROM pqt u JOIN $prev c ON c.s = u.s AND c.j = u.j
             GROUP BY 1, 2, 3),
           pqa$r AS MATERIALIZED (
             SELECT vec_id, s, cid FROM (
@@ -224,7 +224,7 @@ object SparkEntry {
             SELECT p.s, p.cid, p.j, COALESCE(n.cv, p.cv) AS cv
             FROM $prev p LEFT JOIN (
               SELECT a.s, a.cid, u.j, CAST(SUM(u.v) // COUNT(*) AS BIGINT) AS cv
-              FROM pqa$r a JOIN pqu u ON u.vec_id = a.vec_id AND u.s = a.s
+              FROM pqa$r a JOIN pqt u ON u.vec_id = a.vec_id AND u.s = a.s
               GROUP BY 1, 2, 3) n ON n.s = p.s AND n.cid = p.cid AND n.j = p.j)"""
   }
   // Shared by j13 and j14: the SCD-2 dimension build (gaps-and-islands →
@@ -827,8 +827,13 @@ object SparkEntry {
                    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
                      + 2000000 AS v
             FROM embeddings, range(1, 65) g(i)),
+          pqt AS MATERIALIZED (
+            -- training sample: the engine's SQL-expressible vec_id bound
+            -- (Similarity.PqTrainN = 65536); a no-op at fixture scale but
+            -- keeps oracle and engine defined-identical at every SF
+            SELECT * FROM pqu WHERE vec_id < 65536),
           pqc0 AS MATERIALIZED (
-            SELECT s, vec_id AS cid, j, v AS cv FROM pqu WHERE vec_id < 16),
+            SELECT s, vec_id AS cid, j, v AS cv FROM pqt WHERE vec_id < 16),
           ${pqRoundSql(1)},
           ${pqRoundSql(2)},
           ${pqRoundSql(3)},

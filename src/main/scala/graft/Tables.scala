@@ -38,13 +38,13 @@ object Tables {
     val base =
       if (shm.isDirectory && shm.canWrite) shm.toPath
       else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
-    val dir = java.nio.file.Files.createTempDirectory(base, "graft_local_")
-    dir.toFile.deleteOnExit()
-    dir.toString
+    ownScratch(java.nio.file.Files.createTempDirectory(base, "graft_local_")).toString
   }
 
   private val reaperRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
   private val reaperKeep =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val reaperOwned =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Exempt a path (e.g. Verify's output dir, which the caller chose and
@@ -53,33 +53,50 @@ object Tables {
   def keepScratch(path: String): Unit =
     reaperKeep.add(new java.io.File(path).getAbsolutePath): Unit
 
-  /** Best-effort end-of-process reaper for `graft_*` scratch dirs this
-    * process touched under the tmp roots (stream-source symlink dirs,
-    * spec checkpoint/landing/batch-index dirs, local-dir wrappers) —
-    * the suites were leaving ~60 of them per run. Spares the
-    * cross-process index cache (`graft_index_cache`), which is the one
-    * deliberately durable artifact, and anything this process did not
-    * touch (mtime older than JVM start). Registered once, by the entry
-    * points (test base, Verify, Bench). */
+  /** Claim a scratch path for this process's end-of-run reaper. Ownership
+    * is explicit — the reaper deletes ONLY registered paths, never the
+    * result of scanning /tmp, so a second graft JVM running concurrently
+    * (sbt test alongside Verify/Bench) can't lose its live scratch to this
+    * one's exit. */
+  def ownScratch(path: java.nio.file.Path): java.nio.file.Path = {
+    reaperOwned.add(path.toAbsolutePath.toString)
+    path
+  }
+
+  /** Create a reaper-owned scratch directory under the JVM tmpdir. The
+    * single entry point for ad-hoc scratch in operators and specs. */
+  def scratchDir(prefix: String): java.nio.file.Path =
+    ownScratch(java.nio.file.Files.createTempDirectory(prefix))
+
+  /** [[scratchDir]]'s single-file sibling. */
+  def scratchFile(prefix: String, suffix: String): java.nio.file.Path =
+    ownScratch(java.nio.file.Files.createTempFile(prefix, suffix))
+
+  /** Recursive best-effort delete that never follows symlinks: a link is
+    * removed as a link (stream-source dirs link to the read-only fixture
+    * parquet — recursing through the link would delete fixture data the
+    * moment a fixture is directory-shaped). */
+  def rmScratch(f: java.io.File): Unit = {
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath))
+      Option(f.listFiles()).toSeq.flatten.foreach(rmScratch)
+    f.delete(); ()
+  }
+
+  /** Best-effort end-of-process reaper for scratch dirs this process
+    * CREATED (stream-source symlink dirs, spec checkpoint/landing/
+    * batch-index dirs, local-dir wrappers) — the suites were leaving ~60
+    * of them per run. Deletes only [[ownScratch]]-registered paths: no
+    * name+mtime heuristics, so concurrent graft JVMs never reap each
+    * other, and the durable cross-process index cache is untouched
+    * because nothing registers it. Registered once, by the entry points
+    * (test base, Verify, Bench). */
   def registerScratchReaper(): Unit =
     if (reaperRegistered.compareAndSet(false, true)) {
-      val jvmStart =
-        java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
-        }
-        Seq(sys.props("java.io.tmpdir"), "/dev/shm").distinct.foreach { root =>
-          Option(new java.io.File(root).listFiles()).toSeq.flatten
-            .filter { f =>
-              val p = f.getAbsolutePath
-              f.getName.startsWith("graft_") &&
-                f.getName != "graft_index_cache" &&
-                f.lastModified() >= jvmStart &&
-                !reaperKeep.stream().anyMatch(k =>
-                  k == p || k.startsWith(p + java.io.File.separator))
-            }
-            .foreach(f => try rm(f) catch { case _: Throwable => () })
+        reaperOwned.forEach { p =>
+          val keep = reaperKeep.stream().anyMatch(k =>
+            k == p || k.startsWith(p + java.io.File.separator))
+          if (!keep) try rmScratch(new java.io.File(p)) catch { case _: Throwable => () }
         }
       }, "graft-scratch-reaper"))
     }

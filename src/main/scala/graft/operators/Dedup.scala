@@ -414,10 +414,16 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      cur.select(col("u"), col("v")).collect().foreach { e =>
-        val (ru, rv) = (find(e.getLong(0)), find(e.getLong(1)))
-        if (ru != rv) { // union by min: the smaller id becomes the root
-          if (ru < rv) parent(rv) = ru else parent(ru) = rv
+      // primitive-typed collect: (Long, Long) tuples, not GenericRow —
+      // at the 1M-edge gate that is ~2 boxed longs/edge on the driver
+      // instead of ~10× of Row object overhead
+      locally {
+        import spark.implicits._
+        cur.select(col("u"), col("v")).as[(Long, Long)].collect().foreach { e =>
+          val (ru, rv) = (find(e._1), find(e._2))
+          if (ru != rv) { // union by min: the smaller id becomes the root
+            if (ru < rv) parent(rv) = ru else parent(ru) = rv
+          }
         }
       }
       val labels = parent.keys.toSeq.map(x => (x, find(x))).filter(p => p._1 != p._2)

@@ -59,7 +59,7 @@ object Ingest {
     // Unique per-invocation dir: a fixed path + dynamic-overwrite would let
     // stale partitions from a previous run (different data) pollute the
     // read-back accounting.
-    val out = java.nio.file.Files.createTempDirectory("graft_landing_").toString
+    val out = graft.Tables.scratchDir("graft_landing_").toString
     land(spark, sfDir, out)
     spark.read.orc(out)
       .groupBy(col("logdate"))
@@ -83,7 +83,7 @@ object Ingest {
     * asserts the file counts collapsed and the staging/trash dirs are
     * gone. */
   def compactRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    val out = graft.Tables.scratchDir("graft_compact_").toString
     enriched(spark, sfDir)
       .withColumn("logday", substring(col("logdate"), 1, 8))
       .repartition(8)

@@ -255,11 +255,11 @@ object Similarity {
 
   /** Training-sample bound: every vector with `vec_id < PqTrainN` — one
     * deterministic SQL-expressible predicate, so the sample is identical
-    * on both engines. Covers the ENTIRE fixture corpus at every scale
-    * factor (≤ 2,000 rows), so the oracle's training CTE needs no WHERE;
-    * past the bound it caps driver memory at N×64 longs (~32 MB) — FAISS
-    * trains PQ on a bounded sample for exactly this reason — and the
-    * oracle's `pqu` CTE would carry the same `vec_id < N`. */
+    * on both engines: the oracle's `pqt` training CTE carries the same
+    * `vec_id < 65536` (a no-op at fixture scale, where the corpus is ≤
+    * 2,000 rows, but defined-identical at every SF). Past the bound it
+    * caps driver memory at N×64 longs (~32 MB) — FAISS trains PQ on a
+    * bounded sample for exactly this reason. */
   private val PqTrainN = 65536L
 
   /** The trained product-quantization codebooks behind x6f (Jégou,

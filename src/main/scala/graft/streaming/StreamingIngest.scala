@@ -129,14 +129,10 @@ object StreamingIngest {
     val base =
       if (shm.isDirectory && shm.canWrite) shm.toPath
       else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
-    val dir = java.nio.file.Files.createTempDirectory(base, "graft_ck_")
+    val dir = graft.Tables.ownScratch(
+      java.nio.file.Files.createTempDirectory(base, "graft_ck_"))
     try body(dir.toString)
-    finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
-      }
-      rm(dir.toFile)
-    }
+    finally graft.Tables.rmScratch(dir.toFile)
   }
 
   /** Project the finished memory-sink table, pin its rows locally, and DROP
@@ -153,6 +149,33 @@ object StreamingIngest {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** Per-sfDir symlink dir exposing the read-only `documents.parquet`
+    * fixture to the file stream source. Keyed by a hash of the RAW sfDir
+    * (a sanitized name could collide across distinct fixture paths), and
+    * the symlink target is re-validated on every call so a moved/
+    * regenerated fixture can't be silently served from a stale link.
+    * Reaper-owned only when this process created it — a concurrent graft
+    * JVM sharing the dir keeps it. */
+  private def docStreamDir(sfDir: String): java.nio.file.Path = {
+    val dirKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(sfDir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_stream_doc_" + dirKey)
+    val target = java.nio.file.Paths.get(sfDir, "documents.parquet")
+    val link = dir.resolve("documents.parquet")
+    if (!java.nio.file.Files.exists(dir)) {
+      java.nio.file.Files.createDirectories(dir)
+      graft.Tables.ownScratch(dir)
+    }
+    val linkStale = java.nio.file.Files.isSymbolicLink(link) &&
+      (java.nio.file.Files.readSymbolicLink(link) != target ||
+        !java.nio.file.Files.exists(target))
+    if (linkStale) java.nio.file.Files.delete(link)
+    if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      java.nio.file.Files.createSymbolicLink(link, target)
+    dir
+  }
+
   def source(spark: SparkSession, sfDir: String): DataFrame = {
     graft.Tables.ensureParquetConf(spark)
     // The file stream source wants a directory; expose the single fixture
@@ -161,6 +184,7 @@ object StreamingIngest {
       "graft_stream_src_" + sfDir.replaceAll("[^0-9a-zA-Z]", "_"))
     if (!java.nio.file.Files.exists(dir)) {
       java.nio.file.Files.createDirectories(dir)
+      graft.Tables.ownScratch(dir)
       java.nio.file.Files.createSymbolicLink(
         dir.resolve("events.parquet"), java.nio.file.Paths.get(sfDir, "events.parquet"))
     }
@@ -395,23 +419,7 @@ object StreamingIngest {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     graft.Tables.ensureParquetConf(spark)
-    // keyed by a hash of the RAW sfDir (a sanitized name could collide
-    // across distinct fixture paths), and the symlink target is
-    // re-validated on every call so a moved/regenerated fixture can't be
-    // silently served from a stale link
-    val dirKey = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(sfDir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft_stream_doc_" + dirKey)
-    val target = java.nio.file.Paths.get(sfDir, "documents.parquet")
-    val link = dir.resolve("documents.parquet")
-    java.nio.file.Files.createDirectories(dir)
-    val linkStale = java.nio.file.Files.isSymbolicLink(link) &&
-      (java.nio.file.Files.readSymbolicLink(link) != target ||
-        !java.nio.file.Files.exists(target))
-    if (linkStale) java.nio.file.Files.delete(link)
-    if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
-      java.nio.file.Files.createSymbolicLink(link, target)
+    val dir = docStreamDir(sfDir)
     val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
     val docs = spark.readStream.schema(schema).parquet(dir.toString)
       .select(col("doc_id").as("media_id"), col("lang"))
@@ -467,19 +475,7 @@ object StreamingIngest {
         .where(col("b") <= 7).select(col("doc_id")), "doc_id")
       .select(col("h")).distinct()
     // stream side: same symlink-dir pattern as t12
-    val dirKey = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(sfDir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft_stream_doc_" + dirKey)
-    val target = java.nio.file.Paths.get(sfDir, "documents.parquet")
-    val link = dir.resolve("documents.parquet")
-    java.nio.file.Files.createDirectories(dir)
-    val linkStale = java.nio.file.Files.isSymbolicLink(link) &&
-      (java.nio.file.Files.readSymbolicLink(link) != target ||
-        !java.nio.file.Files.exists(target))
-    if (linkStale) java.nio.file.Files.delete(link)
-    if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
-      java.nio.file.Files.createSymbolicLink(link, target)
+    val dir = docStreamDir(sfDir)
     val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
     val agg = TextAnalysis.localSpanRows(
         spark.readStream.schema(schema).parquet(dir.toString)

@@ -107,7 +107,7 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("X16 operational loop: the persisted fingerprint index admits only novelty across runs") {
-    val idxDir = java.nio.file.Files.createTempDirectory("graft_fp_idx").toString + "/idx"
+    val idxDir = graft.Tables.scratchDir("graft_fp_idx").toString + "/idx"
     val bucket = pmod(graft.functions.TextFns.polyHash($"doc_id".cast("string")), lit(10L))
     val docs = Tables.documents(spark, sf)
     val prior = docs.where(bucket <= 7)
@@ -138,13 +138,13 @@ class DedupSimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     Dedup.evictCaches(spark)
     sys.props("graft.index.cache") =
-      java.nio.file.Files.createTempDirectory("graft_ccuf").toString
+      graft.Tables.scratchDir("graft_ccuf").toString
     sys.props("graft.cc.unionFindGate") = "0" // force large/small-star
     try {
       val distributed = run()
       Dedup.evictCaches(spark)
       sys.props("graft.index.cache") =
-        java.nio.file.Files.createTempDirectory("graft_ccuf2").toString
+        graft.Tables.scratchDir("graft_ccuf2").toString
       sys.props("graft.cc.unionFindGate") = Long.MaxValue.toString // force union-find
       val unionFind = run()
       assert(distributed.nonEmpty)
@@ -162,14 +162,14 @@ class DedupSimilaritySpec extends SparkSpec {
     // rdd-* snapshot; cleanCheckpoints=true (set at session build) lets the
     // ContextCleaner delete them once unreachable, so repeated runs can't
     // accumulate O(runs · log n) files
-    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck13").toString
+    val ckDir = graft.Tables.scratchDir("graft_ck13").toString
     // the label table is memoized (x44 shares it) — evict so each run below
     // actually recomputes and snapshots, instead of reading the cache; the
     // index is ALSO disk-backed now, so point the disk layer at a scratch
     // root for the duration (otherwise the persisted parquet serves the
     // clusters and no checkpoint is ever written)
     Dedup.evictCaches(spark)
-    val scratchIdx = java.nio.file.Files.createTempDirectory("graft_idx13").toString
+    val scratchIdx = graft.Tables.scratchDir("graft_idx13").toString
     sys.props("graft.index.cache") = scratchIdx
     // pin the DISTRIBUTED CC path: the union-find fast path writes only
     // the initial edge snapshot and leaves no lineage referencing it, so
@@ -207,7 +207,7 @@ class DedupSimilaritySpec extends SparkSpec {
       // a SECOND scratch root so run 2 recomputes (the first root's parquet
       // would otherwise serve the clusters and write nothing new)
       sys.props("graft.index.cache") =
-        java.nio.file.Files.createTempDirectory("graft_idx13b").toString
+        graft.Tables.scratchDir("graft_idx13b").toString
       Dedup.dupClusters(spark, sf).count()
       // drop the last references (incl. the memoized label table, which
       // pins the final round's snapshot) and let the cleaner reclaim
@@ -228,9 +228,9 @@ class DedupSimilaritySpec extends SparkSpec {
 
   test("memoizeDisk: persisted index survives session eviction, invalidates on source change") {
     import graft.operators.DfCache
-    val scratch = java.nio.file.Files.createTempDirectory("graft_idxspec").toString
+    val scratch = graft.Tables.scratchDir("graft_idxspec").toString
     sys.props("graft.index.cache") = scratch
-    val src = java.nio.file.Files.createTempFile("graft_idxsrc", ".bin")
+    val src = graft.Tables.scratchFile("graft_idxsrc", ".bin")
     java.nio.file.Files.write(src, Array[Byte](1, 2, 3))
     try {
       var builds = 0
@@ -270,7 +270,7 @@ class DedupSimilaritySpec extends SparkSpec {
 
   test("readBatchIndex: write debris reads as empty; a malformed index propagates") {
     import org.apache.spark.sql.functions.col
-    val dir = java.nio.file.Files.createTempDirectory("graft_idx_probe").toString
+    val dir = graft.Tables.scratchDir("graft_idx_probe").toString
     def empty = spark.range(0).select(col("id").as("fp"))
     // missing dir -> empty (first run)
     assert(Dedup.readBatchIndex(spark, s"$dir/missing", "t0")(empty).count() == 0)
@@ -438,7 +438,7 @@ class DedupSimilaritySpec extends SparkSpec {
     val synth = Seq(
       (1L, Seq.fill(200)("spark").mkString(" ")),
       (2L, (1 to 200).map(i => s"tok$i").mkString(" "))).toDF("doc_id", "text")
-    val dir = java.nio.file.Files.createTempDirectory("graft_zratio_").toString
+    val dir = graft.Tables.scratchDir("graft_zratio_").toString
     synth.coalesce(1).write.parquet(s"$dir/documents.parquet")
     val m = TextAnalysis.compressionRatio(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
@@ -515,7 +515,7 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("ivfPqAppend: incremental batches equal a full rebuild; replay is idempotent; cell still prunes") {
-    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_inc_").toString
+    val idx = graft.Tables.scratchDir("graft_ivfpq_inc_").toString
     val e = Tables.embeddings(spark, sf)
     val half = e.select(max(col("vec_id"))).head().getLong(0) / 2
     Similarity.ivfPqAppend(spark, sf, e.where(col("vec_id") <= half), idx, "b0")
@@ -552,7 +552,7 @@ class DedupSimilaritySpec extends SparkSpec {
       (1L, s("klmnopqrst ", 40) + passage + s("klmnopqrst ", 30)),
       (2L, s("uvwxyz ", 47) + passage),
       (3L, s("0123456789 ", 200)))
-    val dir = java.nio.file.Files.createTempDirectory("graft_x54_").toString
+    val dir = graft.Tables.scratchDir("graft_x54_").toString
     docs.toDF("doc_id", "text")
       .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
       .withColumn("source", org.apache.spark.sql.functions.lit("t"))
@@ -590,7 +590,7 @@ class DedupSimilaritySpec extends SparkSpec {
       (1L, s("klmnopqrst ", 40) + passage + s("klmnopqrst ", 30)),
       (2L, s("uvwxyz ", 47) + passage),
       (3L, s("0123456789 ", 200)))
-    val dir = java.nio.file.Files.createTempDirectory("graft_x56_").toString
+    val dir = graft.Tables.scratchDir("graft_x56_").toString
     docs.toDF("doc_id", "text")
       .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
       .withColumn("source", org.apache.spark.sql.functions.lit("t"))
@@ -645,7 +645,7 @@ class DedupSimilaritySpec extends SparkSpec {
     val docs = Tables.documents(spark, sf)
     val ids = docs.select(col("doc_id")).collect().map(_.getLong(0)).sorted
     val half = ids(ids.length / 2)
-    val idx = java.nio.file.Files.createTempDirectory("graft_subidx").toString
+    val idx = graft.Tables.scratchDir("graft_subidx").toString
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select(col("doc_id"), col("p").cast("long"), col("h")).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -677,7 +677,7 @@ class DedupSimilaritySpec extends SparkSpec {
       (priorId, benchmark + s("klmnopqrst ", 50)),          // prior corpus
       (quotingId, s("uvwxyz ", 31) + benchmark),            // quotes it verbatim
       (novelId, s("0123456789 ", 200)))                     // genuinely novel
-    val dir = java.nio.file.Files.createTempDirectory("graft_x58_").toString
+    val dir = graft.Tables.scratchDir("graft_x58_").toString
     docs.toDF("doc_id", "text")
       .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
       .withColumn("source", org.apache.spark.sql.functions.lit("t"))

@@ -656,7 +656,7 @@ class FunctionsSpec extends SparkSpec {
     // cases on a constructed events dir; expectations below are the exact
     // tuples DuckDB returns for the f5/f6 oracle SQL over the same props
     val props = Seq("""{"k": 5}""", """{"k": null}""", "{}", """{"k": "abc"}""", """{"k": "7"}""")
-    val dir = java.nio.file.Files.createTempDirectory("graft_json_edge_").toString
+    val dir = graft.Tables.scratchDir("graft_json_edge_").toString
     props.zipWithIndex.map { case (p, i) =>
       (i + 1L, new Timestamp(1700000000000L + i * 1000L), 10L + i, "click", 1.0, p)
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")

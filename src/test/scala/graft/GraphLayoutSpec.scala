@@ -185,7 +185,7 @@ class GraphLayoutSpec extends SparkSpec {
       (1L, 1L, "A"), (2L, 1L, "B"), (3L, 1L, "C"),
       (4L, 2L, "B"), (5L, 2L, "A"), (6L, 2L, "C"),
       (7L, 3L, "A"), (8L, 3L, null), (9L, 3L, "D"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_dangling_").toString
+    val dir = graft.Tables.scratchDir("graft_dangling_").toString
     rows.map { case (id, u, t) =>
       (id, new Timestamp(1700000000000L + id * 1000L), u, t, 1.0, "{}")
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -237,7 +237,7 @@ class GraphLayoutSpec extends SparkSpec {
   }
 
   test("x31/x33: empty inputs yield empty results, not failures") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_empty_").toString
+    val dir = graft.Tables.scratchDir("graft_empty_").toString
     Tables.events(spark, sf).limit(0).write.parquet(s"$dir/events.parquet")
     Tables.lineitem(spark, sf).limit(0).write.parquet(s"$dir/lineitem.parquet")
     assert(Graphs.pagerank(spark, dir, 3).count() == 0)

@@ -17,7 +17,7 @@ class IngestSpec extends SparkSpec {
   }
 
   test("re-landing is idempotent (dynamic partition overwrite)") {
-    val out = java.nio.file.Files.createTempDirectory("graft_idem").toString
+    val out = graft.Tables.scratchDir("graft_idem").toString
     Ingest.land(spark, sf, out)
     val first = spark.read.orc(out).count()
     Ingest.land(spark, sf, out)
@@ -27,7 +27,7 @@ class IngestSpec extends SparkSpec {
 
   test("compaction collapses small files, preserves rows, cleans up") {
     import graft.sources.Landing
-    val out = java.nio.file.Files.createTempDirectory("graft_compact_spec").toString
+    val out = graft.Tables.scratchDir("graft_compact_spec").toString
     Ingest.enriched(spark, sf).repartition(8)
       .write.mode("overwrite").partitionBy("logdate").orc(out)
     val before = Landing.partitionFileStats(spark, out)
@@ -55,7 +55,7 @@ class IngestSpec extends SparkSpec {
   test("compaction restores a partition stranded in trash by a crashed swap") {
     import graft.sources.Landing
     import org.apache.hadoop.fs.Path
-    val out = java.nio.file.Files.createTempDirectory("graft_crash_spec").toString
+    val out = graft.Tables.scratchDir("graft_crash_spec").toString
     Ingest.enriched(spark, sf).repartition(4)
       .write.mode("overwrite").partitionBy("logdate").orc(out)
     val rowsBefore = spark.read.orc(out).count()
@@ -78,7 +78,7 @@ class IngestSpec extends SparkSpec {
   test("retention drops expired partitions transactionally and is idempotent") {
     import graft.sources.Landing
     import org.apache.hadoop.fs.Path
-    val out = java.nio.file.Files.createTempDirectory("graft_retain_spec").toString
+    val out = graft.Tables.scratchDir("graft_retain_spec").toString
     Ingest.enriched(spark, sf)
       .withColumn("logday", substring(col("logdate"), 1, 8))
       .write.mode("overwrite").partitionBy("logday").orc(out)
@@ -105,7 +105,7 @@ class IngestSpec extends SparkSpec {
   }
 
   test("landing layout is partition-pruned on read") {
-    val out = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val out = graft.Tables.scratchDir("graft_prune").toString
     Ingest.land(spark, sf, out)
     val one = spark.read.orc(out).where(col("logdate") === "202401010000")
     val scan = one.queryExecution.executedPlan.toString

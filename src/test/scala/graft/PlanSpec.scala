@@ -163,12 +163,12 @@ class PlanSpec extends SparkSpec {
     // Spark must inject a dynamicpruning subquery into the fact scan so
     // only the dim's surviving days are read — THE mechanism that turns a
     // 100 TB partitioned landing zone into a 3-partition read.
-    val out = java.nio.file.Files.createTempDirectory("graft_dpp_").toString
+    val out = graft.Tables.scratchDir("graft_dpp_").toString
     graft.operators.Ingest.enriched(spark, sf)
       .withColumn("logday", substring(col("logdate"), 1, 8))
       .write.mode("overwrite").partitionBy("logday").orc(out)
     val fact = spark.read.orc(out)
-    val dimPath = java.nio.file.Files.createTempDirectory("graft_dpp_dim_").toString
+    val dimPath = graft.Tables.scratchDir("graft_dpp_dim_").toString
     fact.select(col("logday")).distinct().orderBy(col("logday")).limit(3)
       .withColumn("keep", lit(1)).write.mode("overwrite").parquet(dimPath)
     val dim = spark.read.parquet(dimPath)
@@ -189,7 +189,7 @@ class PlanSpec extends SparkSpec {
     // the matching build partition). The fixtures are deliberately
     // uniform, so this exhibit constructs real skew: one monster key
     // carrying 100k rows against 2k uniform keys of 25.
-    val dir = java.nio.file.Files.createTempDirectory("graft_skew_").toString
+    val dir = graft.Tables.scratchDir("graft_skew_").toString
     // xxhash64 values keep the shuffle bytes incompressible, so the
     // monster partition's measured size reflects its row count
     spark.range(100000).select(lit(7L).as("k"), xxhash64(col("id")).as("v"))

@@ -125,7 +125,7 @@ class PropertySpec extends SparkSpec {
     // direct monotonicity probe on a synthetic corpus: same lengths, more
     // 'spark' occurrences → strictly higher score
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+    val dir = graft.Tables.scratchDir("graft_bm25").toString
     Seq((0L, "spark spark spark pad"), (1L, "spark spark pad pad"),
         (2L, "spark pad pad pad"), (3L, "pad pad pad pad"))
       .toDF("doc_id", "text").write.parquet(dir + "/documents.parquet")
@@ -143,7 +143,7 @@ class PropertySpec extends SparkSpec {
     // same logical events, one per dialect, through (1) Tables.load,
     // (2) the watermarked append-mode streaming counter — identical rows.
     import graft.streaming.StreamingIngest
-    val dir = java.nio.file.Files.createTempDirectory("graft_ntz_").toString
+    val dir = graft.Tables.scratchDir("graft_ntz_").toString
     try {
       val epochUs = (0 until 300).map(i =>
         1700000000000000L + (i % 97).toLong * 137000000L + (i % 13).toLong * 250000L)

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
 class SinksSpec extends SparkSpec {
 
   private def tmp(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+    graft.Tables.scratchDir(prefix).toString
 
   test("S6: catalog identifiers are quoted and malformed ones rejected") {
     assert(Landing.quoteIdent("events_landed") == "`events_landed`")

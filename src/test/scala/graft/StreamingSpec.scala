@@ -40,13 +40,13 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     val cents = Similarity.ivfCentroids(spark, sf)
       .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toSeq).toSeq
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_ivf_stream_")
+    val srcDir = graft.Tables.scratchDir("graft_ivf_stream_")
     java.nio.file.Files.createSymbolicLink(
       srcDir.resolve("embeddings.parquet"),
       java.nio.file.Paths.get(sf, "embeddings.parquet"))
     val schema = spark.read.parquet(s"$sf/embeddings.parquet").schema
     val qn = "graft_ivf_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckDir = java.nio.file.Files.createTempDirectory("graft_ivf_ck_")
+    val ckDir = graft.Tables.scratchDir("graft_ivf_ck_")
     val q = spark.readStream.schema(schema).parquet(srcDir.toString)
       .select(col("vec_id"), Similarity.assignCell(cents).as("cell"))
       .writeStream.format("memory").queryName(qn)
@@ -75,13 +75,13 @@ class StreamingSpec extends SparkSpec {
     val stored = Similarity.pqIndex(spark, sf)
       .select(col("vec_id"), col("codes")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_pq_stream_")
+    val srcDir = graft.Tables.scratchDir("graft_pq_stream_")
     java.nio.file.Files.createSymbolicLink(
       srcDir.resolve("embeddings.parquet"),
       java.nio.file.Paths.get(sf, "embeddings.parquet"))
     val schema = spark.read.parquet(s"$sf/embeddings.parquet").schema
     val qn = "graft_pq_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckDir = java.nio.file.Files.createTempDirectory("graft_pq_ck_")
+    val ckDir = graft.Tables.scratchDir("graft_pq_ck_")
     val q = spark.readStream.schema(schema).parquet(srcDir.toString)
       .select(col("vec_id"), Similarity.streamEncodeCodes(spark, sf).as("codes"))
       .writeStream.format("memory").queryName(qn)
@@ -231,12 +231,12 @@ class StreamingSpec extends SparkSpec {
     import graft.streaming.CompletenessListener
     // private copy of the fixture so the shared per-sfDir stream source
     // isn't polluted by the late batch this test appends
-    val sfCopy = java.nio.file.Files.createTempDirectory("graft_t6_sf")
+    val sfCopy = graft.Tables.scratchDir("graft_t6_sf")
     java.nio.file.Files.copy(java.nio.file.Paths.get(sf, "events.parquet"),
       sfCopy.resolve("events.parquet"))
     val mySf = sfCopy.toString
-    val out = java.nio.file.Files.createTempDirectory("graft_t6_land").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_t6_ckpt").toString
+    val out = graft.Tables.scratchDir("graft_t6_land").toString
+    val ckpt = graft.Tables.scratchDir("graft_t6_ckpt").toString
     val notified = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val listener = new CompletenessListener(300L)(ld => notified.add(ld))
     spark.streams.addListener(listener)
@@ -276,7 +276,7 @@ class StreamingSpec extends SparkSpec {
     import graft.sources.Bookkeeping
     import graft.streaming.{CompletenessListener, JdbcCompletenessStore}
     val url = Bookkeeping.derbyUrl(
-      java.nio.file.Files.createTempDirectory("graft_t6d").toString + "/bk")
+      graft.Tables.scratchDir("graft_t6d").toString + "/bk")
     Bookkeeping.ensureTable(url)
     // the logdates exist as bookkeeping rows (the landing epilogue upserts
     // them before the watermark ever completes them)
@@ -312,7 +312,7 @@ class StreamingSpec extends SparkSpec {
   test("T6 durable: a late batch's upsert cannot clobber CHECKED back to NEW") {
     import graft.sources.Bookkeeping
     val url = Bookkeeping.derbyUrl(
-      java.nio.file.Files.createTempDirectory("graft_t6c").toString + "/bk")
+      graft.Tables.scratchDir("graft_t6c").toString + "/bk")
     Bookkeeping.ensureTable(url)
     Bookkeeping.upsert(url, Seq(
       Bookkeeping.Detail("sink", "202001010000", "host0", 10, 10, 0, "NEW")))
@@ -331,7 +331,7 @@ class StreamingSpec extends SparkSpec {
 
   test("runId: resume reuses the marker; wiping the checkpoint mints a new identity") {
     val hconf = spark.sessionState.newHadoopConf()
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_runid").toString
+    val ckpt = graft.Tables.scratchDir("graft_runid").toString
     val id1 = StreamingIngest.runId(ckpt, hconf)
     assert(StreamingIngest.runId(ckpt, hconf) == id1) // resume: stable
     // start-from-scratch restart: wipe + recreate the checkpoint path
@@ -342,8 +342,8 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("landStream lands every event exactly once (checkpointed)") {
-    val out = java.nio.file.Files.createTempDirectory("graft_stream_land").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+    val out = graft.Tables.scratchDir("graft_stream_land").toString
+    val ckpt = graft.Tables.scratchDir("graft_stream_ckpt").toString
     StreamingIngest.landStream(spark, sf, out, ckpt)
     val landed = spark.read.orc(out).count()
     assert(landed == Tables.events(spark, sf).count())
@@ -355,10 +355,10 @@ class StreamingSpec extends SparkSpec {
   test("dedupStream keeps first-seen content across runs; batch replay is idempotent") {
     import spark.implicits._
     import org.apache.spark.sql.types._
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_ddsrc").toString
-    val idxDir = java.nio.file.Files.createTempDirectory("graft_ddidx").toString + "/index"
-    val outDir = java.nio.file.Files.createTempDirectory("graft_ddout").toString + "/out"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ddck").toString
+    val srcDir = graft.Tables.scratchDir("graft_ddsrc").toString
+    val idxDir = graft.Tables.scratchDir("graft_ddidx").toString + "/index"
+    val outDir = graft.Tables.scratchDir("graft_ddout").toString + "/out"
+    val ckpt = graft.Tables.scratchDir("graft_ddck").toString
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     def writeDocs(rows: Seq[(Long, String)]): Unit =
@@ -391,8 +391,8 @@ class StreamingSpec extends SparkSpec {
     // SAME index dir: its batch 0 must treat the old run's batch 0 as prior
     // corpus — dropping its duplicates, preserving its index partition —
     // not claim it as its own attempt and clobber it
-    val srcDir2 = java.nio.file.Files.createTempDirectory("graft_ddsrc2").toString
-    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_ddck2").toString
+    val srcDir2 = graft.Tables.scratchDir("graft_ddsrc2").toString
+    val ckpt2 = graft.Tables.scratchDir("graft_ddck2").toString
     Seq(6L -> "alpha beta", 7L -> "eta theta").toDF("doc_id", "text")
       .repartition(1).write.mode("append").parquet(srcDir2)
     StreamingIngest.dedupStream(
@@ -403,10 +403,10 @@ class StreamingSpec extends SparkSpec {
   test("nearDedupIndexBatch: streaming near-dup dedup against the persisted shingle index") {
     import spark.implicits._
     import org.apache.spark.sql.types._
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_ndsrc").toString
-    val idxDir = java.nio.file.Files.createTempDirectory("graft_ndidx").toString + "/index"
-    val outDir = java.nio.file.Files.createTempDirectory("graft_ndout").toString + "/out"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ndck").toString
+    val srcDir = graft.Tables.scratchDir("graft_ndsrc").toString
+    val idxDir = graft.Tables.scratchDir("graft_ndidx").toString + "/index"
+    val outDir = graft.Tables.scratchDir("graft_ndout").toString + "/out"
+    val ckpt = graft.Tables.scratchDir("graft_ndck").toString
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     def writeDocs(rows: Seq[(Long, String)]): Unit =
