@@ -934,30 +934,48 @@ object TextAnalysis {
                                kGram: Int = 8): DataFrame =
     DfCache.memoizeDisk(spark, s"subdup_spans:$sfDir:$spanLen:$winnow:$kGram",
         Seq(s"$sfDir/documents.parquet")) {
-      val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-      val kg = docs
-        .where(length(col("text")) >= spanLen)
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(1), length(col("text")) - (kGram - 1))).as("p"))
-        .select(col("doc_id"), col("text"), col("p"),
-          TextFns.polyHash(col("text").substr(col("p"), lit(kGram))).as("kh"))
-      // anchor selection: the (kh, p) minimum of each winnow-window of
-      // k-gram positions (struct ordering = lexicographic on both engines;
-      // p makes the tie-break total), deduped — a position can win several
-      // windows but fingerprints once
-      val ahead = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-        .rowsBetween(0, winnow - 1)
-      kg
-        .withColumn("m", min(struct(col("kh"), col("p"))).over(ahead))
-        // only FULL windows select (p ≤ nKgrams − winnow + 1), and an
-        // anchor's span must fit the doc
-        .where(col("p") <= length(col("text")) - (kGram - 1) - (winnow - 1) &&
-          col("m.p") <= length(col("text")) - (spanLen - 1))
-        .select(col("doc_id"), col("text"), col("m.p").as("p"))
-        .distinct()
-        .select(col("doc_id"), col("p"),
-          TextFns.polyHash(col("text").substr(col("p"), lit(spanLen))).as("h"))
+      // the JVM winnowing form: per-doc pure function, ~100× faster than
+      // the analytic-window formulation ([[spanIndexWindowed]], kept as
+      // the differential oracle) because anchor selection over the
+      // (winnow)-position look-ahead never materializes one row per
+      // character position with the full `text` column along for the ride
+      localSpanRows(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+        spanLen, winnow, kGram)
     }
+
+  /** The analytic-window formulation of the winnowing selection — one
+    * exploded row per k-gram position, a (kh, p) struct-min over the
+    * `winnow`-row look-ahead window, span-fit filters, distinct. An
+    * independent declarative restatement of [[localSpanRows]]'s per-doc
+    * JVM selection, spec-pinned row-identical to it on the fixture: the
+    * differential oracle that keeps the fast builder honest. */
+  private[graft] def spanIndexWindowed(docs: DataFrame, spanLen: Int = 64,
+                                       winnow: Int = 16,
+                                       kGram: Int = 8): DataFrame = {
+    val kg = docs.select(col("doc_id"), col("text"))
+      .where(length(col("text")) >= spanLen)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (kGram - 1))).as("p"))
+      .select(col("doc_id"), col("text"), col("p"),
+        TextFns.polyHash(col("text").substr(col("p"), lit(kGram))).as("kh"))
+    // anchor selection: the (kh, p) minimum of each winnow-window of
+    // k-gram positions (struct ordering = lexicographic on both engines;
+    // p makes the tie-break total), deduped — a position can win several
+    // windows but fingerprints once
+    val ahead = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(0, winnow - 1)
+    kg
+      .withColumn("m", min(struct(col("kh"), col("p"))).over(ahead))
+      // only FULL windows select (p ≤ nKgrams − winnow + 1), and an
+      // anchor's span must fit the doc
+      .where(col("p") <= length(col("text")) - (kGram - 1) - (winnow - 1) &&
+        col("m.p") <= length(col("text")) - (spanLen - 1))
+      .select(col("doc_id"), col("text"), col("m.p").as("p"))
+      .distinct()
+      .select(col("doc_id"), col("p"),
+        TextFns.polyHash(col("text").substr(col("p"), lit(spanLen))).as("h"))
+  }
 
   /** Per-ROW (window-function-free) form of the [[spanIndex]] winnowing
     * selection, for streaming rows where analytic windows are

@@ -620,22 +620,32 @@ class DedupSimilaritySpec extends SparkSpec {
         s"cut doc ${x.getLong(0)} kept the original fingerprint"))
   }
 
-  test("winnowSpansLocal (JVM streaming form) == batch spanIndex on every fixture doc") {
+  test("analytic-window winnowing (differential oracle) == JVM spanIndex " +
+    "on every fixture doc") {
     import org.apache.spark.sql.functions.col
-    val batch = operators.TextAnalysis.spanIndex(spark, sf).collect()
+    def byDoc(rows: Array[org.apache.spark.sql.Row]) = rows
       .groupBy(_.getLong(0))
-      .map { case (d, rows) =>
-        d -> rows.map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq }
+      .map { case (d, rs) =>
+        d -> rs.map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq }
+    // the shipped builder (JVM winnowing, disk-memoized)
+    val batch = byDoc(operators.TextAnalysis.spanIndex(spark, sf).collect())
+    // the independent declarative restatement: exploded k-gram positions +
+    // struct-min analytic window
+    val windowed = byDoc(operators.TextAnalysis.spanIndexWindowed(
+      Tables.documents(spark, sf)).collect())
+    // and the raw per-doc JVM function, driver-side
     val local = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) ->
         functions.TextFns.winnowSpansLocal(r.getString(1)).sortBy(_._1))
       .filter(_._2.nonEmpty).toMap
     assert(batch.nonEmpty)
-    assert(batch.keySet == local.keySet,
-      "JVM form fingerprints a different doc set than the batch index")
+    assert(batch.keySet == local.keySet && batch.keySet == windowed.keySet,
+      "the three winnowing forms fingerprint different doc sets")
     batch.foreach { case (d, rows) =>
       assert(local(d) == rows, s"doc $d: JVM span rows diverge from the index")
+      assert(windowed(d) == rows,
+        s"doc $d: analytic-window oracle diverges from the shipped index")
     }
   }
 
