@@ -83,42 +83,48 @@ object Search {
     * fused by reciprocal-rank fusion (RRF, Cormack et al. '09 —
     * Σ 1/(rrfK + rank), the standard score-free fusion every
     * retrieve-then-rerank stack runs). Each leg is a full corpus-scale
-    * scoring scan ending in TakeOrderedAndProject(candidates); the two
-    * candidate lists are bounded metadata (2 × `cand` rows — the j11/x6
-    * collect pattern), so the fusion itself is driver arithmetic, which
-    * is exactly how serving-time fusion works: the heavy lifting is the
-    * scans, the fusion is on the short lists. Ranks use the ROUNDED
-    * scores (ties broken by id) so both engines order identically. */
+    * scoring scan ending in TakeOrderedAndProject(candidates); from
+    * there everything stays in-engine: per-leg ranks are a row_number
+    * over the ≤ `cand`-row candidate set (a single-partition window
+    * over bounded metadata — the corpus-scale work already ended at the
+    * top-k), and the fusion is a full-outer join of the two short lists
+    * with the RRF expression, so the whole query is one declarative
+    * plan with no driver collect. Ranks use the ROUNDED scores (ties
+    * broken by id) so both engines order identically; the only
+    * driver-side value is the 1-row probe vector literal (the x6
+    * pattern). */
   def hybridTopK(spark: SparkSession, sfDir: String,
                  terms: Seq[String] = Seq("spark", "join", "window"),
                  probeId: Long = 0L, cand: Int = 50, k: Int = 10,
                  rrfK: Int = 60): DataFrame = {
     import graft.functions.VectorFns
-    val kwLeg = bm25Scored(spark, sfDir, terms)
+    import org.apache.spark.sql.expressions.Window
+    val kw = bm25Scored(spark, sfDir, terms)
       .select(col("doc_id"), col("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(cand)
-      .collect().map(_.getLong(0))
+      .select(col("doc_id").as("kid"),
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+          .cast("long").as("r1"))
     val probe = typedLit(Tables.embeddings(spark, sfDir)
       .where(col("vec_id") === probeId)
       .select(col("embedding")).head().getSeq[Float](0))
-    val vecLeg = Tables.embeddings(spark, sfDir)
+    val vec = Tables.embeddings(spark, sfDir)
       .where(col("vec_id") =!= probeId)
       .select(col("vec_id"),
         round(VectorFns.cosine(col("embedding"), probe), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(cand)
-      .collect().map(_.getLong(0))
-    val kwRank = kwLeg.zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
-    val vecRank = vecLeg.zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
-    val fused = (kwRank.keySet ++ vecRank.keySet).toSeq.sorted.map { id =>
-      val rrf = kwRank.get(id).map(r => 1.0 / (rrfK + r)).getOrElse(0.0) +
-        vecRank.get(id).map(r => 1.0 / (rrfK + r)).getOrElse(0.0)
-      (id, kwRank.get(id), vecRank.get(id),
-        BigDecimal(rrf).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    }
-    import spark.implicits._
-    fused.toDF("doc_id", "kw_rank", "vec_rank", "rrf")
+      .select(col("vec_id").as("vid"),
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id")))
+          .cast("long").as("r2"))
+    kw.join(vec, col("kid") === col("vid"), "full_outer")
+      .select(
+        coalesce(col("kid"), col("vid")).as("doc_id"),
+        col("r1").as("kw_rank"), col("r2").as("vec_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(rrfK) + col("r1")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(rrfK) + col("r2")), lit(0.0)), 6).as("rrf"))
       .orderBy(col("rrf").desc, col("doc_id"))
       .limit(k)
   }

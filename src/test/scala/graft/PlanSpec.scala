@@ -22,8 +22,12 @@ class PlanSpec extends SparkSpec {
   // expansion happens before the partial agg, map-side.
   // a12: the ALL row unions per-category sketches — the exchange moves a
   // handful of KB-sized partial HLL sketches, the whole point of the op.
+  // x29: the per-leg row_number windows and the full-outer RRF fusion run
+  // AFTER each leg's corpus-scale TakeOrderedAndProject — the exchanges
+  // carry ≤ 2×cand candidate rows of bounded metadata, never corpus data.
   private val allowSinglePartition =
-    Set("w4_ntile_rank", "x32_column_profile", "a12_hll_sketch_union")
+    Set("w4_ntile_rank", "x32_column_profile", "a12_hll_sketch_union",
+      "x29_hybrid_rrf")
 
   test("no Cartesian product in any declared query") {
     SparkEntry.queries.foreach { case (name, fn) =>
