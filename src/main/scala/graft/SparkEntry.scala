@@ -112,6 +112,7 @@ object SparkEntry {
     "x6e_sq8_topk" -> ((s, d) => Similarity.sq8TopK(s, d)),
     "x6f_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
     "x6g_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
+    "x6h_ivfpq_append_topk" -> ((s, d) => Similarity.ivfPqAppendTopK(s, d)),
     "x7_lang_id" -> (TextAnalysis.langId _),
     "x59_lang_confusion" -> (TextAnalysis.langConfusion _),
     "x8_quality_score" -> (TextAnalysis.qualityScore _),
@@ -151,6 +152,7 @@ object SparkEntry {
     "x56_substring_clean" -> ((s, d) => TextAnalysis.substringClean(s, d)),
     "x57_boilerplate_by_source" -> ((s, d) => TextAnalysis.boilerplateBySource(s, d)),
     "x58_substring_contamination" -> ((s, d) => TextAnalysis.substringContamination(s, d)),
+    "x60_span_append_probe" -> ((s, d) => TextAnalysis.spanAppendProbe(s, d)),
     "x28_temperature_mixture" -> ((s, d) => TextAnalysis.temperatureMixture(s, d)),
     "x26_quality_filter" -> (TextAnalysis.qualityFilter _),
     "x27_token_entropy" -> (TextAnalysis.tokenEntropy _),
@@ -227,6 +229,130 @@ object SparkEntry {
               FROM pqa$r a JOIN pqt u ON u.vec_id = a.vec_id AND u.s = a.s
               GROUP BY 1, 2, 3) n ON n.s = p.s AND n.cid = p.cid AND n.j = p.j)"""
   }
+  // The x6f PQ training + encode chain (pqu fixed-point view, bounded
+  // training sample, 3 unrolled Lloyd rounds, corpus codes, probe-vs-
+  // codeword ADC table) — shared by x6f, and by x6g/x6h where the same
+  // codes are read cell-pruned.
+  private lazy val pqChainSql: String =
+    s"""pqu AS MATERIALIZED (
+            SELECT vec_id, CAST((g.i - 1) // 2 AS BIGINT) AS s,
+                   CAST((g.i - 1) % 2 AS BIGINT) AS j,
+                   CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                     + 2000000 AS v
+            FROM embeddings, range(1, 65) g(i)),
+          pqt AS MATERIALIZED (
+            -- training sample: the engine's SQL-expressible vec_id bound
+            -- (Similarity.PqTrainN = 65536); a no-op at fixture scale but
+            -- keeps oracle and engine defined-identical at every SF
+            SELECT * FROM pqu WHERE vec_id < 65536),
+          pqc0 AS MATERIALIZED (
+            SELECT s, vec_id AS cid, j, v AS cv FROM pqt WHERE vec_id < 16),
+          ${pqRoundSql(1)},
+          ${pqRoundSql(2)},
+          ${pqRoundSql(3)},
+          pqd4 AS MATERIALIZED (
+            SELECT u.vec_id, u.s, c.cid, SUM((u.v - c.cv) * (u.v - c.cv)) AS dist
+            FROM pqu u JOIN pqc3 c ON c.s = u.s AND c.j = u.j
+            GROUP BY 1, 2, 3),
+          codes AS MATERIALIZED (
+            SELECT vec_id, s, cid FROM (
+              SELECT vec_id, s, cid,
+                     row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
+              FROM pqd4) WHERE rn = 1),
+          cdq AS MATERIALIZED (
+            SELECT c.s, c.cid, SUM((q.v - c.cv) * (q.v - c.cv)) AS d
+            FROM pqc3 c JOIN pqu q ON q.vec_id = 0 AND q.s = c.s AND q.j = c.j
+            GROUP BY 1, 2)"""
+
+  // One Lloyd round of the x6b/x6g IVF coarse-quantizer training,
+  // replicating Similarity.ivfCentroids operation-for-operation: assign =
+  // first-max cosine argmax (list_dot_product is a sequential left-to-
+  // right double fold — verified — matching DotProduct's codegen order;
+  // ties to the lowest cell), update = micro-scaled exact integer sums
+  // with true floor division (DuckDB `//` truncates, so floorDiv is
+  // emulated for negative sums), empty cells keep their previous
+  // centroid.
+  private def ivfRoundSql(r: Int): String = {
+    val prev = s"ic${r - 1}"
+    s"""ia$r AS MATERIALIZED (
+            SELECT vec_id, cell FROM (
+              SELECT t.vec_id, c.cell,
+                     row_number() OVER (PARTITION BY t.vec_id
+                       ORDER BY list_dot_product(t.e, c.c)
+                         / GREATEST(sqrt(list_dot_product(c.c, c.c)), 1e-12)
+                         DESC, c.cell) AS rn
+              FROM tr t CROSS JOIN $prev c) WHERE rn = 1),
+          is$r AS MATERIALIZED (
+            SELECT cell, list(CAST(fd AS DOUBLE) / 1000000 ORDER BY d) AS c
+            FROM (SELECT a.cell AS cell, m.d AS d,
+                    CASE WHEN SUM(m.m) % COUNT(*) <> 0 AND SUM(m.m) < 0
+                         THEN SUM(m.m) // COUNT(*) - 1
+                         ELSE SUM(m.m) // COUNT(*) END AS fd
+                  FROM ia$r a JOIN trm m ON m.vec_id = a.vec_id
+                  GROUP BY 1, 2) sums
+            GROUP BY cell),
+          ic$r AS MATERIALIZED (
+            SELECT p.cell, COALESCE(n.c, p.c) AS c
+            FROM $prev p LEFT JOIN is$r n ON n.cell = p.cell)"""
+  }
+
+  // The full IVF chain shared by x6b/x6g/x6h: retrain the 16-cell coarse
+  // quantizer (4 Lloyd rounds over the vec_id < 65536 sample, seeds = the
+  // 16 lowest vec_ids), pick the probe's nprobe=4 cells by centroid
+  // cosine, and assign every corpus vector to its trained cell
+  // (Similarity.assignCell: dot/||c|| argmax, row norm cancels).
+  private lazy val ivfChainSql: String =
+    s"""tr AS MATERIALIZED (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE vec_id < 65536),
+          trm AS MATERIALIZED (
+            SELECT vec_id, g.i AS d,
+                   CAST(round(e[g.i] * 1000000) AS BIGINT) AS m
+            FROM tr, range(1, 65) g(i)),
+          ic0 AS MATERIALIZED (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+                   e AS c
+            FROM (SELECT vec_id, e FROM tr ORDER BY vec_id LIMIT 16) seeds),
+          ${ivfRoundSql(1)},
+          ${ivfRoundSql(2)},
+          ${ivfRoundSql(3)},
+          ${ivfRoundSql(4)},
+          qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                 FROM embeddings WHERE vec_id = 0),
+          probed AS MATERIALIZED (
+            SELECT cell FROM ic4, qv
+            ORDER BY list_dot_product(c, qe)
+              / (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qe, qe)))
+              DESC, cell LIMIT 4),
+          asg AS MATERIALIZED (
+            SELECT vec_id, cell FROM (
+              SELECT v.vec_id, c.cell,
+                     row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY list_dot_product(CAST(v.embedding AS DOUBLE[]), c.c)
+                         / GREATEST(sqrt(list_dot_product(c.c, c.c)), 1e-12)
+                         DESC, c.cell) AS rn
+              FROM embeddings v CROSS JOIN ic4 c) WHERE rn = 1)"""
+
+  // The composed x6g/x6h replay over both retrained quantizers:
+  // cell-pruned candidates, ADC shortlist-50, exact integer-L2 rerank.
+  private lazy val ivfPqOracleSql: String =
+    s"""WITH $pqChainSql,
+          $ivfChainSql,
+          cand AS MATERIALIZED (
+            SELECT c.vec_id FROM codes c
+            JOIN asg a ON a.vec_id = c.vec_id
+            JOIN probed p ON p.cell = a.cell
+            JOIN cdq ON cdq.s = c.s AND cdq.cid = c.cid
+            WHERE c.vec_id <> 0
+            GROUP BY 1 ORDER BY SUM(cdq.d), c.vec_id LIMIT 50),
+          exact AS (
+            SELECT u.vec_id, CAST(SUM((u.v - q.v) * (u.v - q.v)) AS BIGINT) AS l2_dist
+            FROM pqu u JOIN pqu q ON q.vec_id = 0 AND q.s = u.s AND q.j = u.j
+            JOIN cand ON cand.vec_id = u.vec_id
+            GROUP BY 1)
+          SELECT vec_id, l2_dist FROM exact
+          ORDER BY l2_dist, vec_id LIMIT 10"""
+
   // Shared by j13 and j14: the SCD-2 dimension build (gaps-and-islands →
   // validity intervals) as a reusable CTE chain ending in `dim`.
   private lazy val scd2Cte =
@@ -319,6 +445,28 @@ object SparkEntry {
           sp AS MATERIALIZED (
             SELECT doc_id, p, ${polyHashSql("substring(text, p, 64)")} AS h
             FROM anch)"""
+
+  // The substring-contamination probe shared VERBATIM by x58 (batch),
+  // t13 (the same probe as a streaming execution) and x60 (the same
+  // probe over an incrementally appended span index) — all three are
+  // row-identical by construction, so one oracle serves them.
+  private lazy val contaminationOracleSql =
+    s"""WITH $winnowSpansSql,
+          b AS (SELECT doc_id,
+                  ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 10 AS bk
+                FROM documents),
+          priorh AS (SELECT DISTINCT sp.h FROM sp
+                     JOIN b ON b.doc_id = sp.doc_id AND b.bk <= 7),
+          newsp AS (SELECT sp.doc_id, sp.h FROM sp
+                    JOIN b ON b.doc_id = sp.doc_id AND b.bk >= 8)
+          SELECT n.doc_id,
+            CAST(COUNT(*) AS BIGINT) AS n_spans,
+            CAST(SUM(CASE WHEN p.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_hit_spans,
+            CAST(SUM(CASE WHEN p.h IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+              // COUNT(*) AS BIGINT) AS hit_ppm
+          FROM newsp n LEFT JOIN priorh p ON p.h = n.h
+          GROUP BY n.doc_id ORDER BY n.doc_id"""
 
   // x54's per-doc coverage table over the winnowing spans (also the
   // x57 rollup input): shared spans, gaps-and-islands interval union,
@@ -821,35 +969,7 @@ object SparkEntry {
     // The encode step (codes) runs against the post-round-3 codebooks,
     // exactly like the engine's.
     "x6f_pq_topk" ->
-      s"""WITH pqu AS MATERIALIZED (
-            SELECT vec_id, CAST((g.i - 1) // 2 AS BIGINT) AS s,
-                   CAST((g.i - 1) % 2 AS BIGINT) AS j,
-                   CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
-                     + 2000000 AS v
-            FROM embeddings, range(1, 65) g(i)),
-          pqt AS MATERIALIZED (
-            -- training sample: the engine's SQL-expressible vec_id bound
-            -- (Similarity.PqTrainN = 65536); a no-op at fixture scale but
-            -- keeps oracle and engine defined-identical at every SF
-            SELECT * FROM pqu WHERE vec_id < 65536),
-          pqc0 AS MATERIALIZED (
-            SELECT s, vec_id AS cid, j, v AS cv FROM pqt WHERE vec_id < 16),
-          ${pqRoundSql(1)},
-          ${pqRoundSql(2)},
-          ${pqRoundSql(3)},
-          pqd4 AS MATERIALIZED (
-            SELECT u.vec_id, u.s, c.cid, SUM((u.v - c.cv) * (u.v - c.cv)) AS dist
-            FROM pqu u JOIN pqc3 c ON c.s = u.s AND c.j = u.j
-            GROUP BY 1, 2, 3),
-          codes AS MATERIALIZED (
-            SELECT vec_id, s, cid FROM (
-              SELECT vec_id, s, cid,
-                     row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
-              FROM pqd4) WHERE rn = 1),
-          cdq AS MATERIALIZED (
-            SELECT c.s, c.cid, SUM((q.v - c.cv) * (q.v - c.cv)) AS d
-            FROM pqc3 c JOIN pqu q ON q.vec_id = 0 AND q.s = c.s AND q.j = c.j
-            GROUP BY 1, 2),
+      s"""WITH $pqChainSql,
           short AS MATERIALIZED (
             SELECT c.vec_id FROM codes c
             JOIN cdq ON cdq.s = c.s AND cdq.cid = c.cid
@@ -862,6 +982,30 @@ object SparkEntry {
             GROUP BY 1)
           SELECT vec_id, l2_dist FROM exact
           ORDER BY l2_dist, vec_id LIMIT 10""",
+    // x6b: full retraining oracle — the IVF coarse quantizer is k-means
+    // with IEEE-pinned assignment (sequential double dot) and exact
+    // integer centroid updates, so DuckDB retrains it bit-for-bit (the
+    // x6f discipline applied to the coarse level), then replays the
+    // probe: nprobe=4 cells by centroid cosine, exact cosine rank over
+    // the vectors assigned to those cells.
+    "x6b_ann_ivf" ->
+      s"""WITH $ivfChainSql
+          SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+            round(${cosineD("e.embedding", "qe")}, 6) AS cosine
+          FROM embeddings e
+          JOIN asg ON asg.vec_id = e.vec_id
+          JOIN probed p ON p.cell = asg.cell, qv
+          WHERE e.vec_id <> 0
+          ORDER BY cosine DESC, e.vec_id LIMIT 10""",
+    // x6g: both trained quantizers retrained in-oracle (coarse cells via
+    // the IVF chain, PQ codebooks via the x6f chain), then the composed
+    // replay: cell-pruned candidates, ADC shortlist-50 against the
+    // stored codes, exact integer-L2 rerank to top-10.
+    "x6g_ivfpq_topk" -> ivfPqOracleSql,
+    // x6h: the same probe over an ivfPqAppend-grown index — the frozen
+    // quantizers make the grown index bit-identical to the rebuild
+    // (spec-pinned), so x6g's oracle carries over verbatim
+    "x6h_ivfpq_append_topk" -> ivfPqOracleSql,
     "x6d_batch_topk" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
             FROM embeddings WHERE vec_id < 10),
@@ -1352,43 +1496,16 @@ object SparkEntry {
           GROUP BY d.source ORDER BY d.source""",
     // x58: new-batch docs (x16's bucket rule) probed span-by-span
     // against the prior corpus's distinct span-hash set
-    "x58_substring_contamination" ->
-      s"""WITH $winnowSpansSql,
-          b AS (SELECT doc_id,
-                  ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 10 AS bk
-                FROM documents),
-          priorh AS (SELECT DISTINCT sp.h FROM sp
-                     JOIN b ON b.doc_id = sp.doc_id AND b.bk <= 7),
-          newsp AS (SELECT sp.doc_id, sp.h FROM sp
-                    JOIN b ON b.doc_id = sp.doc_id AND b.bk >= 8)
-          SELECT n.doc_id,
-            CAST(COUNT(*) AS BIGINT) AS n_spans,
-            CAST(SUM(CASE WHEN p.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-              AS n_hit_spans,
-            CAST(SUM(CASE WHEN p.h IS NOT NULL THEN 1 ELSE 0 END) * 1000000
-              // COUNT(*) AS BIGINT) AS hit_ppm
-          FROM newsp n LEFT JOIN priorh p ON p.h = n.h
-          GROUP BY n.doc_id ORDER BY n.doc_id""",
+    "x58_substring_contamination" -> contaminationOracleSql,
     // t13: the same probe as a streaming execution (per-row winnowing,
     // stream-static join, complete-mode agg) — batch-equivalent by
     // construction, so it carries x58's oracle verbatim
-    "t13_stream_contamination" ->
-      s"""WITH $winnowSpansSql,
-          b AS (SELECT doc_id,
-                  ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 10 AS bk
-                FROM documents),
-          priorh AS (SELECT DISTINCT sp.h FROM sp
-                     JOIN b ON b.doc_id = sp.doc_id AND b.bk <= 7),
-          newsp AS (SELECT sp.doc_id, sp.h FROM sp
-                    JOIN b ON b.doc_id = sp.doc_id AND b.bk >= 8)
-          SELECT n.doc_id,
-            CAST(COUNT(*) AS BIGINT) AS n_spans,
-            CAST(SUM(CASE WHEN p.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-              AS n_hit_spans,
-            CAST(SUM(CASE WHEN p.h IS NOT NULL THEN 1 ELSE 0 END) * 1000000
-              // COUNT(*) AS BIGINT) AS hit_ppm
-          FROM newsp n LEFT JOIN priorh p ON p.h = n.h
-          GROUP BY n.doc_id ORDER BY n.doc_id""",
+    "t13_stream_contamination" -> contaminationOracleSql,
+    // x60: the same probe over an incrementally APPENDED span index —
+    // per-doc winnowing is a pure function of the text, so the grown
+    // index is row-identical to the rebuild (spec-pinned) and x58's
+    // oracle carries over verbatim
+    "x60_span_append_probe" -> contaminationOracleSql,
     // x56: x54's spans with keep-one-canonical semantics (the
     // (doc_id,p)-min per repeated span hash survives; every other
     // occurrence is cut), islands merged, the doc spliced back together

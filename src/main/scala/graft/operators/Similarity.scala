@@ -434,7 +434,15 @@ object Similarity {
     * round into APPROX_QUALITY.json (overlap@10 vs the exact scan) and
     * spec-floored. */
   def ivfPqTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L,
-                k: Int = 10, nprobe: Int = 4): DataFrame = {
+                k: Int = 10, nprobe: Int = 4): DataFrame =
+    ivfPqProbe(spark, sfDir, ivfPqIndex(spark, sfDir), queryId, k, nprobe)
+
+  /** The x6g probe over ANY cell-partitioned IVF-PQ index DataFrame
+    * (the monolithic [[ivfPqIndex]] or a [[ivfPqAppend]]-grown one):
+    * nprobe cells by centroid cosine, ADC shortlist against the stored
+    * codes, exact integer-L2 rerank. */
+  private def ivfPqProbe(spark: SparkSession, sfDir: String, index: DataFrame,
+                         queryId: Long, k: Int, nprobe: Int): DataFrame = {
     val q = probeVec(spark, sfDir, queryId)
     val probed = ivfCentroids(spark, sfDir)
       .select(col("cell"), VectorFns.cosine(col("centroid"), q).as("csim"))
@@ -448,7 +456,7 @@ object Similarity {
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
     val pdist = (0 until PqSub).map(s =>
       (0 until PqK).map(c => d2(sub0(s), cents(s)(c).toSeq)))
-    ivfPqIndex(spark, sfDir)
+    index
       .where(col("cell").isin(probed: _*)) // partition pruning at the scan
       .where(col("vec_id") =!= queryId)
       .select(col("vec_id"), col("u"),
@@ -461,6 +469,27 @@ object Similarity {
           lit(0L), (acc, x) => acc + x).as("l2_dist"))
       .orderBy(col("l2_dist"), col("vec_id"))
       .limit(k)
+  }
+
+  /** X6h — the x6g probe served from an INCREMENTALLY maintained IVF-PQ
+    * index: the corpus lands as two [[ivfPqAppend]] batches (even/odd
+    * vec_id — any split; the quantizers are frozen so batch membership
+    * can't change a row) of a scratch index, and the probe reads the
+    * grown index's `batch=<tag>/cell=<c>` partitions with the same
+    * nprobe pruning. Bit-identical to the monolithic rebuild (spec-pinned), so
+    * x6h carries x6g's full retraining oracle verbatim — the append
+    * path itself sits under the cross-engine correctness gate (the
+    * 100 TB operational mode; reference anchor: the incremental landing
+    * loop `HiveBatchedSink.scala:297-358`). */
+  def ivfPqAppendTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                      k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val idx = Tables.scratchDir("graft_x6h_idx").toString + "/idx"
+    val vecs = Tables.embeddings(spark, sfDir)
+    ivfPqAppend(spark, sfDir, vecs.where(pmod(col("vec_id"), lit(2L)) === 0L),
+      idx, "base")
+    val grown = ivfPqAppend(spark, sfDir,
+      vecs.where(pmod(col("vec_id"), lit(2L)) === 1L), idx, "grow")
+    ivfPqProbe(spark, sfDir, grown, queryId, k, nprobe)
   }
 
   /** X6f — product-quantization shortlist + exact rerank, the production

@@ -1135,6 +1135,41 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** X60 — the x58 contamination probe served from an INCREMENTALLY
+    * maintained span index: the prior corpus (x16's bucket ≤ 7) and the
+    * new batch (bucket ≥ 8) land as two [[spanIndexAppend]] batches of a
+    * scratch index, and the probe reads the GROWN index's partitions —
+    * prior span hashes from `batch=prior/`, probe spans from
+    * `batch=novel/` (partition pruning does the scoping, exactly how the
+    * 100 TB operational mode reads a maintained index; reference anchor:
+    * the incremental landing loop `HiveBatchedSink.scala:297-358`).
+    * Per-doc winnowing is a pure function of the text, so batch-built
+    * rows are row-identical to the full rebuild (spec-pinned) and the
+    * result equals [[substringContamination]] — x60 carries x58's hash
+    * oracle verbatim, putting the append path itself under the
+    * cross-engine correctness gate. */
+  def spanAppendProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = pmod(TextFns.polyHash(col("doc_id").cast("string")), lit(10L))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), bucket.as("b"))
+    val idx = graft.Tables.scratchDir("graft_x60_idx").toString + "/idx"
+    spanIndexAppend(spark,
+      docs.where(col("b") <= 7).select(col("doc_id"), col("text")), idx, "prior")
+    val grown = spanIndexAppend(spark,
+      docs.where(col("b") >= 8).select(col("doc_id"), col("text")), idx, "novel")
+    val priorH = grown.where(col("batch") === "prior")
+      .select(col("h")).distinct()
+    grown.where(col("batch") === "novel")
+      .select(col("doc_id"), col("h"))
+      .join(priorH.withColumn("hit", lit(1L)), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_hit_spans"),
+        expr("n_hit_spans * 1000000L div n_spans").as("hit_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** X56 — exact repeated-substring REMOVAL, x54's decision applied the
     * way Lee et al. (ACL 2022) apply it: every repeated span keeps ONE
     * canonical occurrence corpus-wide (the (doc_id, p)-minimum per span
