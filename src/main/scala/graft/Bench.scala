@@ -179,6 +179,19 @@ object Bench {
     // next to the corpus, built once per corpus version, not per query.
     // (skipped under a SPARK_GRAFT_ONLY subset — local profiling of one
     // query should see its real in-band build cost when it wants to)
+    // Cache state of record, stamped into the JSON: "cold" = the durable
+    // cross-process index cache had NO entries when this process started
+    // (every index_build second below is a genuine from-scratch build —
+    // the round-snapshot posture, and the driver's); "warm" = entries
+    // existed (the per-index lines then list only what was still missing);
+    // "in-band" = SPARK_GRAFT_ONLY profiling, no prebuild at all.
+    val indexCacheRoot = new java.io.File(sys.props.getOrElse("graft.index.cache",
+      sys.env.getOrElse("GRAFT_INDEX_CACHE",
+        sys.props("java.io.tmpdir") + "/graft_index_cache")))
+    val indexCacheState =
+      if (sys.env.get("SPARK_GRAFT_ONLY").exists(_.trim.nonEmpty)) "in-band"
+      else if (Option(indexCacheRoot.listFiles()).exists(_.nonEmpty)) "warm"
+      else "cold"
     val indexBuild: Map[String, Double] = if (
       sys.env.get("SPARK_GRAFT_ONLY").exists(_.trim.nonEmpty)) Map.empty else {
       import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
@@ -265,7 +278,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val ibTotal = r3(indexBuild.values.sum)
     val fullJson =
-      s"""{"bench_total_sec":${r3(total)},"unit":"sec","queries":$allQs,"index_build":$ib,"index_build_total_sec":$ibTotal,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"bench_total_sec":${r3(total)},"unit":"sec","queries":$allQs,"index_build":$ib,"index_build_total_sec":$ibTotal,"index_cache":"$indexCacheState","failed":$failed,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e") }
@@ -279,7 +292,7 @@ object Bench {
     val qs = top.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val om = s"""{"n":${omitted.size},"sec":${r3(omitted.map(_._2).sum)}}"""
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"omitted":$om,"index_build":$ib,"index_build_total_sec":$ibTotal,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"omitted":$om,"index_build":$ib,"index_build_total_sec":$ibTotal,"index_cache":"$indexCacheState","failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -503,11 +503,13 @@ object Dedup {
       .select(col("doc_id"), TextFns.polyHash(col("text")).as("fp"))
     val priorFp = docs.where(!isNew)
       .select(TextFns.polyHash(col("text")).as("pfp")).distinct()
+    // batch membership is a pure function of doc_id (the x16 bucket
+    // rule), so each leg filters the stored index directly — no document
+    // re-scan, no id-set join on either side of the candidate join
+    val bk = pmod(TextFns.polyHash(col("doc_id").cast("string")), lit(10L))
     val prefix = prefixIndex(spark, sfDir, threshold)
-    val newIds = docs.where(isNew).select(col("doc_id"))
-    val priorIds = docs.where(!isNew).select(col("doc_id"))
-    val cand = prefix.join(newIds, "doc_id").as("a")
-      .join(prefix.join(priorIds, "doc_id").as("b"),
+    val cand = prefix.where(bk >= 8).as("a")
+      .join(prefix.where(bk <= 7).as("b"),
         col("a.s") === col("b.s") &&
           lengthCompatible(col("a.n"), col("b.n"), threshold))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
