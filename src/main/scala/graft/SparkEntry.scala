@@ -97,6 +97,7 @@ object SparkEntry {
     "t11_stream_count_max" -> (StreamingIngest.streamCountMax _),
     "t12_stream_media_decode" -> (StreamingIngest.streamMediaDecode _),
     "t13_stream_contamination" -> (StreamingIngest.streamSubstringContamination _),
+    "t14_stream_dedup_index" -> ((s, d) => StreamingIngest.streamDedupIndex(s, d)),
     // M5 — [EXT] LLM-pipeline operators
     "x1_dedup_exact" -> (Dedup.exactDedup _),
     "x2_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -153,6 +154,7 @@ object SparkEntry {
     "x57_boilerplate_by_source" -> ((s, d) => TextAnalysis.boilerplateBySource(s, d)),
     "x58_substring_contamination" -> ((s, d) => TextAnalysis.substringContamination(s, d)),
     "x60_span_append_probe" -> ((s, d) => TextAnalysis.spanAppendProbe(s, d)),
+    "x61_dedup_index_probe" -> ((s, d) => Dedup.dedupIndexProbe(s, d)),
     "x28_temperature_mixture" -> ((s, d) => TextAnalysis.temperatureMixture(s, d)),
     "x26_quality_filter" -> (TextAnalysis.qualityFilter _),
     "x27_token_entropy" -> (TextAnalysis.tokenEntropy _),
@@ -1506,6 +1508,31 @@ object SparkEntry {
     // index is row-identical to the rebuild (spec-pinned) and x58's
     // oracle carries over verbatim
     "x60_span_append_probe" -> contaminationOracleSql,
+    // t14: the streaming near-dup index — batch 0 (buckets 0-7)
+    // exact-dedups within itself; batch 1 (8-9) additionally drops exact
+    // dups of ANY prior hash and n-gram near-dups (Jaccard >= 0.8) of
+    // prior KEPT docs; same-batch near-dup pairs both survive by design
+    "t14_stream_dedup_index" ->
+      s"""WITH b AS (SELECT doc_id, ${polyHashSql("text")} AS fp,
+            ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 10 AS bk FROM documents),
+          pk AS (SELECT fp, min(doc_id) AS doc_id FROM b WHERE bk <= 7 GROUP BY fp),
+          $jaccardPairsCte,
+          nf AS (SELECT DISTINCT x.doc_id
+                 FROM b x JOIN pairs p
+                   ON (p.id1 = x.doc_id OR p.id2 = x.doc_id)
+                 JOIN pk ON (CASE WHEN p.id1 = x.doc_id THEN p.id2
+                                  ELSE p.id1 END) = pk.doc_id
+                 WHERE x.bk >= 8),
+          fk AS (SELECT fp, min(doc_id) AS doc_id FROM b
+                 WHERE bk >= 8 AND fp NOT IN (SELECT fp FROM pk)
+                 GROUP BY fp),
+          keep AS (SELECT doc_id FROM pk
+                   UNION ALL
+                   SELECT doc_id FROM fk
+                   WHERE doc_id NOT IN (SELECT doc_id FROM nf))
+          SELECT k.doc_id, CAST(length(d.text) AS BIGINT) AS text_len
+          FROM keep k JOIN documents d ON d.doc_id = k.doc_id
+          ORDER BY k.doc_id""",
     // x56: x54's spans with keep-one-canonical semantics (the
     // (doc_id,p)-min per repeated span hash survives; every other
     // occurrence is cut), islands merged, the doc spliced back together
@@ -1579,6 +1606,18 @@ object SparkEntry {
           WHERE ${polyHashSql("text")} NOT IN (SELECT ${polyHashSql("text")} FROM prior)
             AND doc_id NOT IN (SELECT idn FROM neardup)
           ORDER BY doc_id""",
+    // x61: the tag-scoped batch-index dedup — prior batch keeps one doc
+    // per text hash; the fresh batch's survivors are min-doc_id keepers of
+    // hashes never seen in the prior split (the index stores survivor
+    // fingerprints, but survivors cover every distinct prior hash, so the
+    // probe set IS the prior split's distinct hashes)
+    "x61_dedup_index_probe" ->
+      s"""WITH b AS (SELECT doc_id, ${polyHashSql("text")} AS fp,
+            ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 10 AS bk FROM documents)
+          SELECT min(doc_id) AS doc_id, fp
+          FROM b WHERE bk >= 8
+            AND fp NOT IN (SELECT fp FROM b WHERE bk <= 7)
+          GROUP BY fp ORDER BY doc_id""",
     "x17_contamination" -> x17Oracle,
     // identical by construction: the Bloom pre-filter has no false
     // negatives, so x17b must reproduce x17's rows exactly

@@ -690,6 +690,29 @@ object Dedup {
     survivors
   }
 
+  /** X61 — [[dedupAgainstIndex]] itself under the driver's oracle gate:
+    * the corpus lands as two tag-scoped batches of a scratch fingerprint
+    * index (prior = x16's hash buckets 0-7, fresh = 8-9, the same
+    * deterministic split every incremental query uses), and the result is
+    * the FRESH batch's survivors — docs whose text hash was never kept by
+    * the prior batch, one keeper (min doc_id) per hash within the batch.
+    * The index holds only survivor fingerprints, but a dedup keeps one doc
+    * per distinct hash, so the probe set equals the prior batch's distinct
+    * hashes — which is exactly what the cross-engine oracle restates. The
+    * third incremental-maintenance path (after x60's spanIndexAppend and
+    * x6h's ivfPqAppend) moved from spec-only onto the correctness gate;
+    * reference anchor: the incremental landing loop
+    * `HiveBatchedSink.scala:297-358`. */
+  def dedupIndexProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val bucket = pmod(TextFns.polyHash(col("doc_id").cast("string")), lit(10L))
+    val idx = Tables.scratchDir("graft_x61_idx").toString + "/idx"
+    dedupAgainstIndex(spark, docs.where(bucket <= 7), idx, "prior")
+    dedupAgainstIndex(spark, docs.where(bucket >= 8), idx, "fresh")
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The unrestricted exact all-pairs baseline — test-only ground truth for
     * the LSH recall check; deliberately not a declared query (quadratic). */
   def embedCosineAllPairs(spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {

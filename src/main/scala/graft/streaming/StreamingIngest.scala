@@ -784,7 +784,9 @@ object StreamingIngest {
       .select(col("new_id"),
         size(array_intersect(col("sh1"), col("sh2"))).cast("double").as("i"),
         size(col("sh1")).as("n1"), size(col("sh2")).as("n2"))
-      .where(col("i") / (col("n1") + col("n2") - col("i")) >= threshold)
+      // round-to-6 before the threshold: Dedup.verifyJaccard's convention,
+      // so the cross-engine oracle's rounded restatement is defined-identical
+      .where(round(col("i") / (col("n1") + col("n2") - col("i")), 6) >= threshold)
       .select(col("new_id").as("doc_id")).distinct()
     val survivors = withSh
       .join(priorFp.select(col("fp").as("seen_fp")),
@@ -830,6 +832,61 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
     try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+  }
+
+  /** T14 — [[dedupStream]]'s near-dup mode under the driver's oracle gate:
+    * the corpus arrives as two genuinely separate micro-batches (x16's
+    * deterministic hash split, materialized as two arrival files with
+    * ordered mtimes and `maxFilesPerTrigger = 1`), each batch exact-dedups
+    * within itself (x1's min-doc_id keeper), and the second batch
+    * additionally drops docs whose fingerprint OR ≥ `threshold` n-gram
+    * Jaccard matches a doc KEPT by the first — both probes served from the
+    * persisted batch-partitioned indexes, never by rescanning prior text.
+    * The result is every survivor across both batches. Near-dup pairs
+    * arriving in the SAME batch both survive by design (the periodic full
+    * x4/x13 pass sweeps residue), which is what makes the result
+    * deterministic and SQL-restatable: the oracle recomputes prior keepers,
+    * fresh-vs-prior-keeper Jaccard, and the fingerprint anti-join directly.
+    * Reference anchor: the incremental landing loop
+    * `HiveBatchedSink.scala:297-358` (each roll = one batch against the
+    * accumulated corpus). */
+  def streamDedupIndex(spark: SparkSession, sfDir: String,
+                       threshold: Double = 0.8): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    graft.Tables.ensureParquetConf(spark)
+    val docs = graft.Tables.documents(spark, sfDir)
+    val bucket = pmod(graft.functions.TextFns.polyHash(
+      col("doc_id").cast("string")), lit(10L))
+    val root = graft.Tables.scratchDir("graft_t14")
+    val srcDir = root.resolve("src")
+    Files.createDirectories(srcDir)
+    // Land each split as ONE real parquet file with an explicit mtime:
+    // the file stream source admits files oldest-first, so distinct
+    // ordered mtimes pin batch 0 = prior, batch 1 = fresh on every run.
+    def land(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+      val tmp = root.resolve(name + "_tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(p =>
+        p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, srcDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(srcDir.resolve(name),
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    land(docs.where(bucket <= 7), "a_prior.parquet", 1000000000000L)
+    land(docs.where(bucket >= 8), "b_fresh.parquet", 1000000060000L)
+    val idxDir = root.resolve("idx").toString
+    val outDir = root.resolve("out").toString
+    withStatePartitions(spark) {
+      withScratchCheckpoint { ck =>
+        dedupStream(
+          spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(srcDir.toString),
+          idxDir, outDir, ck, Some(threshold))
+      }
+    }
+    spark.read.parquet(outDir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
+      .orderBy(col("doc_id"))
   }
 
   /** T9 epilogue targets: the reference's ordered close-callback chain

@@ -133,6 +133,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.dedupAgainstIndex(spark, fresh, idxDir, "b2").isEmpty)
   }
 
+  test("x61: the declared dedup-index-probe query equals the two-batch expectation") {
+    val got = Dedup.dedupIndexProbe(spark, sf)
+      .select($"doc_id").as[Long].collect().toSeq
+    val bucket = pmod(graft.functions.TextFns.polyHash($"doc_id".cast("string")), lit(10L))
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text", bucket.as("bk"))
+      .as[(Long, String, Long)].collect()
+    val priorTexts = docs.filter(_._3 <= 7).map(_._2).toSet
+    val expected = docs.filter(d => d._3 >= 8 && !priorTexts.contains(d._2))
+      .groupBy(_._2).map(_._2.map(_._1).min).toSeq.sorted
+    assert(got == expected)
+  }
+
   test("x13: union-find fast path labels exactly match the distributed CC") {
     def run(): Seq[(Long, Long)] = Dedup.dupClusters(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq

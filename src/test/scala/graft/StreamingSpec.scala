@@ -400,6 +400,35 @@ class StreamingSpec extends SparkSpec {
     assert(keptIds == Set(0L, 1L, 4L, 7L)) // 6 dropped: dup of run 1's batch 0
   }
 
+  test("t14: streamDedupIndex equals the batch restatement (prior keepers + fresh minus exact/near dups)") {
+    import spark.implicits._
+    val got = StreamingIngest.streamDedupIndex(spark, sf)
+      .select(col("doc_id")).as[Long].collect().toSet
+    // batch restatement of the two-micro-batch semantics
+    val bucket = pmod(graft.functions.TextFns.polyHash($"doc_id".cast("string")), lit(10L))
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text", bucket.as("bk"))
+      .as[(Long, String, Long)].collect()
+    val prior = docs.filter(_._3 <= 7)
+    val fresh = docs.filter(_._3 >= 8)
+    val priorKept = prior.groupBy(_._2).map(_._2.map(_._1).min).toSet
+    val priorTexts = prior.map(_._2).toSet
+    // fresh docs near (Jaccard >= 0.8) ANY prior keeper — from the x4
+    // verified pair set, which the near probe provably reproduces
+    val pairs = graft.operators.Dedup.ngramJaccard(spark, sf, 0.8)
+      .select($"id1", $"id2").as[(Long, Long)].collect()
+    val freshIds = fresh.map(_._1).toSet
+    val nearFresh = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .collect { case (f, p) if freshIds.contains(f) && priorKept.contains(p) => f }
+      .toSet
+    val freshKept = fresh.filterNot(d => priorTexts.contains(d._2))
+      .groupBy(_._2).map(_._2.map(_._1).min)
+      .filterNot(nearFresh.contains).toSet
+    assert(got == priorKept ++ freshKept)
+    // the near probe actually fired across batches: at least one fresh doc
+    // was dropped for near-similarity alone (not an exact dup)
+    assert(nearFresh.exists(f => !priorTexts.contains(fresh.find(_._1 == f).get._2)))
+  }
+
   test("nearDedupIndexBatch: streaming near-dup dedup against the persisted shingle index") {
     import spark.implicits._
     import org.apache.spark.sql.types._
