@@ -155,6 +155,7 @@ object SparkEntry {
     "x58_substring_contamination" -> ((s, d) => TextAnalysis.substringContamination(s, d)),
     "x60_span_append_probe" -> ((s, d) => TextAnalysis.spanAppendProbe(s, d)),
     "x61_dedup_index_probe" -> ((s, d) => Dedup.dedupIndexProbe(s, d)),
+    "x62_cdc_chunk_stats" -> ((s, d) => TextAnalysis.cdcChunkStats(s, d)),
     "x28_temperature_mixture" -> ((s, d) => TextAnalysis.temperatureMixture(s, d)),
     "x26_quality_filter" -> (TextAnalysis.qualityFilter _),
     "x27_token_entropy" -> (TextAnalysis.tokenEntropy _),
@@ -1618,6 +1619,35 @@ object SparkEntry {
           FROM b WHERE bk >= 8
             AND fp NOT IN (SELECT fp FROM b WHERE bk <= 7)
           GROUP BY fp ORDER BY doc_id""",
+    // x62: content-defined chunking — a boundary falls BEFORE every
+    // position (p >= 2) whose 8-gram rolling hash is divisible by 64;
+    // chunks are the segments between successive boundaries (whole doc if
+    // none), hashed with the same portable polyhash, rolled up per source
+    "x62_cdc_chunk_stats" ->
+      s"""WITH pos AS MATERIALIZED (
+            SELECT doc_id, text,
+              unnest(generate_series(2, length(text) - 7)) AS p
+            FROM documents WHERE length(text) >= 9),
+          bnd AS (SELECT doc_id, p FROM pos
+                  WHERE ${polyHashSql("substring(text, p, 8)")} % 64 = 0),
+          alb AS (SELECT doc_id, 1 AS p FROM documents WHERE length(text) > 0
+                  UNION ALL SELECT doc_id, p FROM bnd
+                  UNION ALL SELECT doc_id, length(text) + 1 FROM documents
+                  WHERE length(text) > 0),
+          ch AS (SELECT doc_id, p AS a,
+                   lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS b
+                 FROM alb),
+          chunks AS MATERIALIZED (
+            SELECT c.doc_id, b - a AS len,
+              ${polyHashSql("substring(d.text, a, b - a)")} AS h
+            FROM ch c JOIN documents d ON d.doc_id = c.doc_id
+            WHERE b IS NOT NULL)
+          SELECT d.source, count(*) AS n_chunks,
+            count(DISTINCT h) AS n_unique_chunks,
+            CAST(sum(len) AS BIGINT) AS total_chars,
+            (count(*) - count(DISTINCT h)) * 1000000 // count(*) AS dup_ppm
+          FROM chunks c JOIN documents d ON d.doc_id = c.doc_id
+          GROUP BY d.source ORDER BY d.source""",
     "x17_contamination" -> x17Oracle,
     // identical by construction: the Bloom pre-filter has no false
     // negatives, so x17b must reproduce x17's rows exactly

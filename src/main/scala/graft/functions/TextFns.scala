@@ -159,4 +159,32 @@ object TextFns {
       .map(p => (p + 1, polyHashLocal(text.substring(p, p + spanLen))))
       .toSeq
   }
+
+  /** Content-defined chunking (the Rabin/rolling-hash splitter behind
+    * RAG chunk pipelines and CDC dedup stores, cf. LBFS SOSP 2001): a
+    * chunk boundary falls BEFORE every 1-based position whose `kGram`-char
+    * [[polyHashLocal]] is ≡ 0 mod `divisor`, so boundaries move with the
+    * content — an insertion reshuffles only its own chunk's split points,
+    * never the fixed-offset grid a byte-window splitter would shift
+    * corpus-wide. Returns (start, len, chunk hash) per chunk; a doc
+    * shorter than `kGram` is one chunk. Pure per-doc function — the same
+    * stream/batch/incremental-identical property as [[winnowSpansLocal]]. */
+  def cdcChunksLocal(text: String, kGram: Int = 8,
+                     divisor: Long = 64L): Seq[(Int, Int, Long)] = {
+    val n = text.length
+    if (n == 0) return Nil
+    val nK = n - kGram + 1
+    val bounds = scala.collection.mutable.ArrayBuffer[Int](1)
+    var i = 1 // position 1 (i=0) never cuts: it would yield an empty chunk
+    while (i < nK) {
+      if (polyHashLocal(text.substring(i, i + kGram)) % divisor == 0L)
+        bounds += i + 1
+      i += 1
+    }
+    bounds += n + 1
+    bounds.iterator.sliding(2).withPartial(false).map { w =>
+      val (a, b) = (w.head, w.last)
+      (a, b - a, polyHashLocal(text.substring(a - 1, b - 1)))
+    }.toSeq
+  }
 }

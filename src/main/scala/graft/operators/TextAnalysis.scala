@@ -1030,6 +1030,41 @@ object TextAnalysis {
     spark.read.parquet(indexDir)
   }
 
+  /** X62 — content-defined chunking rollup: split every doc at rolling-hash
+    * boundaries ([[TextFns.cdcChunksLocal]] — boundaries follow content, so
+    * shared passages chunk identically regardless of their byte offset in
+    * the doc) and report, per source, the chunk count, distinct-chunk count,
+    * character volume, and the chunk-level duplication rate in ppm — the
+    * dedup-store sizing question a RAG/CDC pipeline asks of a corpus.
+    * Per-doc pure function (mapPartitions, the localSpanRows tier) into one
+    * bounded-key aggregate; at 100 TB the only shuffle is the ~|sources|
+    * rollup, and countDistinct partial-aggregates per partition first. */
+  def cdcChunkStats(spark: SparkSession, sfDir: String, kGram: Int = 8,
+                    divisor: Long = 64L): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val enc = Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType), StructField("len", IntegerType),
+      StructField("h", LongType))))
+    val docs = Tables.documents(spark, sfDir)
+    val chunks = docs.select(col("doc_id"), col("text")).mapPartitions { it =>
+      it.flatMap { r =>
+        TextFns.cdcChunksLocal(r.getString(1), kGram, divisor)
+          .iterator.map { case (_, len, h) => Row(r.getLong(0), len, h) }
+      }
+    }(enc)
+    chunks
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("h")).as("n_unique_chunks"),
+        sum(col("len").cast("long")).as("total_chars"))
+      .select(col("source"), col("n_chunks"), col("n_unique_chunks"),
+        col("total_chars"),
+        expr("(n_chunks - n_unique_chunks) * 1000000L div n_chunks").as("dup_ppm"))
+      .orderBy(col("source"))
+  }
+
   def substringDup(spark: SparkSession, sfDir: String, spanLen: Int = 64,
                    winnow: Int = 16, kGram: Int = 8): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))

@@ -60,6 +60,39 @@ class FunctionsSpec extends SparkSpec {
     assert(got.toSeq == Seq(3, 0))
   }
 
+  test("cdcChunksLocal: chunks reassemble the doc; boundaries are content-defined") {
+    import graft.functions.TextFns
+    val docs = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("text"))
+      .collect().map(_.getString(0)).filter(_.nonEmpty)
+    assert(docs.nonEmpty)
+    var sawMulti = false
+    docs.foreach { t =>
+      val ch = TextFns.cdcChunksLocal(t)
+      // partition property: contiguous, start at 1, cover the doc exactly
+      assert(ch.head._1 == 1)
+      assert(ch.map(_._2).sum == t.length)
+      ch.sliding(2).foreach {
+        case Seq((a1, l1, _), (a2, _, _)) => assert(a1 + l1 == a2)
+        case _ => ()
+      }
+      // each chunk hash is the polyhash of its substring
+      ch.foreach { case (a, l, h) =>
+        assert(h == TextFns.polyHashLocal(t.substring(a - 1, a - 1 + l)))
+      }
+      if (ch.size > 1) sawMulti = true
+    }
+    assert(sawMulti, "fixture should produce multi-chunk docs")
+    // content-defined, not offset-defined: a prefix insertion only changes
+    // chunking up to the first boundary after the edit — the tail chunks
+    // of the shifted doc match the original's tail chunk hashes
+    val t = docs.maxBy(_.length)
+    val orig = TextFns.cdcChunksLocal(t).map(_._3)
+    val shifted = TextFns.cdcChunksLocal("zq7 " + t).map(_._3)
+    assert(orig.size > 2)
+    assert(shifted.takeRight(orig.size - 1) == orig.takeRight(orig.size - 1))
+  }
+
   test("native ShingleHashes matches the HOF chain exactly (values and order)") {
     val toks = TextFns.tokens($"text")
     val mismatch = Tables.documents(spark, sf)
