@@ -156,6 +156,8 @@ object SparkEntry {
     "x60_span_append_probe" -> ((s, d) => TextAnalysis.spanAppendProbe(s, d)),
     "x61_dedup_index_probe" -> ((s, d) => Dedup.dedupIndexProbe(s, d)),
     "x62_cdc_chunk_stats" -> ((s, d) => TextAnalysis.cdcChunkStats(s, d)),
+    "x63_bpe_merges" -> (TextAnalysis.bpeMerges _),
+    "x63b_bpe_encode_stats" -> (TextAnalysis.bpeEncodeStats _),
     "x28_temperature_mixture" -> ((s, d) => TextAnalysis.temperatureMixture(s, d)),
     "x26_quality_filter" -> (TextAnalysis.qualityFilter _),
     "x27_token_entropy" -> (TextAnalysis.tokenEntropy _),
@@ -213,6 +215,45 @@ object SparkEntry {
   // One Lloyd round of the x6f PQ training (assign = argmin integer
   // squared-L2 with ties to the lowest cid; update = integer-floor mean;
   // empty codewords keep their previous value). MATERIALIZED per round —
+  // X63: BPE vocabulary retraining, the pqRoundSql discipline for strings —
+  // v0 = the top-4096 (freq desc, word asc) corpus words as space-joined
+  // char symbols (1-space pad, 2-space joins: every symbol is flanked by
+  // spaces, so a literal replace can never match inside a multi-char
+  // symbol); each round picks the (count desc, a, b) argmax adjacent pair
+  // over the CURRENT symbol sequences and rewrites it everywhere
+  // left-to-right (replace() scans left-to-right non-overlapping — the
+  // classic BPE application order).
+  private val BpeRounds = 12
+  private def bpeCharsSql(wordExpr: String) =
+    s"""' ' || list_reduce(list_transform(
+          generate_series(1, length($wordExpr)), i -> substring($wordExpr, i, 1)),
+          (a, b) -> a || '  ' || b) || ' '"""
+  private def bpeApplySql(r: Int, col: String) =
+    s"""replace($col,
+          ' ' || (SELECT a FROM p$r) || '  ' || (SELECT b FROM p$r) || ' ',
+          ' ' || (SELECT a FROM p$r) || (SELECT b FROM p$r) || ' ')"""
+  private lazy val bpeTrainCtes: String = {
+    val v0 =
+      s"""bw AS MATERIALIZED (
+            SELECT word, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest($toks) AS word FROM documents)
+            GROUP BY word ORDER BY freq DESC, word LIMIT 4096),
+          v0 AS MATERIALIZED (
+            SELECT word, freq, ${bpeCharsSql("word")} AS s FROM bw)"""
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+            SELECT a, b FROM (
+              SELECT sym[i] AS a, sym[i + 1] AS b, SUM(freq) AS c
+              FROM (SELECT freq, string_split(trim(s), '  ') AS sym FROM v${r - 1}) t,
+                   unnest(generate_series(1, len(sym) - 1)) AS g(i)
+              GROUP BY 1, 2)
+            ORDER BY c DESC, a, b LIMIT 1),
+          v$r AS MATERIALIZED (
+            SELECT word, freq, ${bpeApplySql(r, "s")} AS s FROM v${r - 1})"""
+    }
+    (v0 +: rounds).mkString(",\n          ")
+  }
+
   // DuckDB inlines plain CTEs and an unrolled iteration would explode.
   private def pqRoundSql(r: Int): String = {
     val prev = s"pqc${r - 1}"
@@ -1647,6 +1688,36 @@ object SparkEntry {
             CAST(sum(len) AS BIGINT) AS total_chars,
             (count(*) - count(DISTINCT h)) * 1000000 // count(*) AS dup_ppm
           FROM chunks c JOIN documents d ON d.doc_id = c.doc_id
+          GROUP BY d.source ORDER BY d.source""",
+    // x63: DuckDB retrains the same 12 BPE merges (bounded top-4096 word
+    // sample, integer counts, total-order ties) and restates the merge table
+    "x63_bpe_merges" ->
+      s"""WITH $bpeTrainCtes
+          SELECT * FROM (
+            ${(1 to BpeRounds).map(r =>
+              s"SELECT CAST($r AS BIGINT) AS rank, a AS lhs, b AS rhs, a || b AS merged FROM p$r")
+              .mkString("\n            UNION ALL ")}
+          ) ORDER BY rank""",
+    // x63b: the retrained merges applied to EVERY distinct corpus word
+    // (merges come from the bounded train sample; application is
+    // corpus-wide), joined back through each doc's words per source
+    "x63b_bpe_encode_stats" ->
+      s"""WITH $bpeTrainCtes,
+          aw0 AS MATERIALIZED (
+            SELECT word, ${bpeCharsSql("word")} AS s
+            FROM (SELECT DISTINCT unnest($toks) AS word FROM documents)),
+          ${(1 to BpeRounds).map(r =>
+            s"""aw$r AS MATERIALIZED (
+            SELECT word, ${bpeApplySql(r, "s")} AS s FROM aw${r - 1})""")
+            .mkString(",\n          ")},
+          wn AS (SELECT word,
+                   CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n
+                 FROM aw$BpeRounds),
+          dw AS (SELECT doc_id, unnest($toks) AS word FROM documents)
+          SELECT d.source, CAST(count(*) AS BIGINT) AS n_tokens_ws,
+            CAST(SUM(wn.n) AS BIGINT) AS n_tokens_bpe,
+            CAST(SUM(wn.n) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT) AS bpe_ppm
+          FROM dw JOIN wn USING (word) JOIN documents d ON d.doc_id = dw.doc_id
           GROUP BY d.source ORDER BY d.source""",
     "x17_contamination" -> x17Oracle,
     // identical by construction: the Bloom pre-filter has no false

@@ -691,6 +691,127 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** The JVM tokenizer replica of [[TextFns.tokens]] (`split(trim(lower),
+    * "\\s+")`) for per-doc pure functions — Locale.ROOT so lowercasing is
+    * locale-independent like Spark's UTF8String path. */
+  private def tokensLocal(text: String): Array[String] =
+    text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+
+  /** Left-to-right non-overlapping merge of one adjacent symbol pair —
+    * exactly `replace(s, ' a  b ', ' ab ')` on the space-joined form, so
+    * the DuckDB oracle's string rewrite is defined-identical. */
+  private def bpeMergeOnce(syms: Array[String],
+                           a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** X63 — byte-pair-encoding vocabulary training (Sennrich et al., ACL
+    * 2016), the x6f driver-side-training pattern applied to tokenization:
+    * the train set is the TOP-`topWords` corpus words by frequency (freq
+    * desc, word asc — a bounded, SQL-expressible sample; one TakeOrdered
+    * over the word-count aggregate, never the full vocab on the driver),
+    * each round counts adjacent symbol pairs frequency-weighted across it
+    * and merges the (count desc, pair asc) argmax everywhere it occurs
+    * left-to-right. Merges never cross word boundaries (no end-of-word
+    * marker — each word is its own symbol sequence). All-integer/string
+    * ops, deterministic ties, so the DuckDB oracle retrains the same
+    * merge table via `rounds` unrolled MATERIALIZED rewrite rounds. */
+  private val bpeMergeMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Seq[(String, String)]]
+
+  private[graft] def bpeMergeList(spark: SparkSession, sfDir: String,
+                                  topWords: Int = 4096,
+                                  rounds: Int = 12): Seq[(String, String)] =
+    // driver-metadata memo (the fixture path is immutable per corpus
+    // version — same keying rule as the disk-memoized indexes): x63 and
+    // x63b share one training pass per JVM
+    bpeMergeMemo.getOrElseUpdate((sfDir, topWords, rounds),
+      bpeTrain(spark, sfDir, topWords, rounds))
+
+  private def bpeTrain(spark: SparkSession, sfDir: String,
+                       topWords: Int, rounds: Int): Seq[(String, String)] = {
+    val top = Tables.documents(spark, sfDir)
+      .select(explode(TextFns.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w"))
+      .limit(topWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var vocab: Array[(Array[String], Long)] =
+      top.map { case (w, f) => (w.map(_.toString).toArray, f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var r = 0
+    while (r < rounds) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((a, b), _) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((a, b))
+        vocab = vocab.map { case (syms, f) => (bpeMergeOnce(syms, a, b), f) }
+      }
+      r += 1
+    }
+    merges.toSeq
+  }
+
+  /** X63's declared form: the trained merge table itself — (rank, lhs,
+    * rhs, merged), the artifact a tokenizer ships. */
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    bpeMergeList(spark, sfDir).zipWithIndex
+      .map { case ((a, b), i) => (i + 1L, a, b, a + b) }
+      .toDF("rank", "lhs", "rhs", "merged")
+      .orderBy(col("rank"))
+  }
+
+  /** X63b — the trained merges applied corpus-wide: every doc's words are
+    * BPE-encoded (the 12 merges in rank order, each left-to-right within
+    * the word) and rolled up per source as whitespace-token count,
+    * BPE-token count, and their ratio in ppm — the "how many tokens will
+    * training actually see" question. The merge table is bounded driver
+    * metadata in the closure; encode is a per-doc pure function with a
+    * per-partition word→length memo (Zipf makes the hit rate ~99%), so
+    * the only shuffle is the per-source rollup. */
+  def bpeEncodeStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val merges = bpeMergeList(spark, sfDir)
+    val enc = Encoders.row(StructType(Seq(
+      StructField("source", StringType), StructField("n_ws", LongType),
+      StructField("n_bpe", LongType))))
+    val perDoc = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).mapPartitions { it =>
+        val memo = scala.collection.mutable.HashMap.empty[String, Long]
+        def encLen(w: String): Long = memo.getOrElseUpdate(w, {
+          var syms = w.map(_.toString).toArray
+          merges.foreach { case (a, b) => syms = bpeMergeOnce(syms, a, b) }
+          syms.length.toLong
+        })
+        it.map { r =>
+          val ws = tokensLocal(r.getString(1))
+          Row(r.getString(0), ws.length.toLong, ws.iterator.map(encLen).sum)
+        }
+      }(enc)
+    perDoc.groupBy(col("source"))
+      .agg(sum(col("n_ws")).as("n_tokens_ws"), sum(col("n_bpe")).as("n_tokens_bpe"))
+      .select(col("source"), col("n_tokens_ws"), col("n_tokens_bpe"),
+        expr("n_tokens_bpe * 1000000L div n_tokens_ws").as("bpe_ppm"))
+      .orderBy(col("source"))
+  }
+
   /** X43 — co-occurrence lift over the top-V document-frequency
     * vocabulary: which token pairs appear in the same document far more
     * often than independence predicts — the association diagnostic behind

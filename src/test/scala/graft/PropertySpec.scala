@@ -91,6 +91,36 @@ class PropertySpec extends SparkSpec {
     sigs.foreach(group => assert(group.distinct.length == 1)) // deterministic
   }
 
+  test("x63 BPE: first merge independently re-derived; encode bounded by words and chars") {
+    import graft.operators.TextAnalysis
+    val merges = TextAnalysis.bpeMergeList(spark, sf)
+    assert(merges.size == 12 && merges.distinct.size == 12)
+    // round 1's argmax re-derived with an independent declarative pair
+    // count over the SAME bounded train sample (chars only — no symbol
+    // rewriting has happened yet, so plain substr pairs are exact)
+    val top = Tables.documents(spark, sf)
+      .select(explode(TextFns.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(4096)
+    val first = top.where(length(col("w")) >= 2)
+      .select(col("w"), col("freq"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("j"))
+      .select(expr("substr(w, j, 1)").as("a"),
+        expr("substr(w, j + 1, 1)").as("b"), col("freq"))
+      .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("c"))
+      .orderBy(col("c").desc, col("a"), col("b")).limit(1)
+      .select(col("a"), col("b")).as[(String, String)].head()
+    assert(merges.head == first)
+    // encode invariants per source: every word is >= 1 BPE token
+    // (n_bpe >= n_ws, so the ppm ratio is >= 1e6) and the reported ppm
+    // is exactly the integer-div restatement of the two counts
+    TextAnalysis.bpeEncodeStats(spark, sf).collect().foreach { r =>
+      val (ws, bpe, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(ws <= bpe, s"${r.getString(0)}: fewer BPE tokens than words")
+      assert(ppm > 0 && bpe * 1000000L / ws == ppm)
+    }
+  }
+
   test("x21 packing invariants: lossless, contiguous chunks, boundary-accurate") {
     val packed = operators.TextAnalysis.sequencePack(spark, sf, seqLen = 512)
       .collect()
