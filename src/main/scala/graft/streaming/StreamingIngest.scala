@@ -854,7 +854,10 @@ object StreamingIngest {
                        threshold: Double = 0.8): DataFrame = {
     import java.nio.file.{Files, StandardCopyOption}
     graft.Tables.ensureParquetConf(spark)
+    // only the columns the dedup probes read — the arrival files are
+    // derived scratch, not the corpus, so don't ship the full doc schema
     val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
     val bucket = pmod(graft.functions.TextFns.polyHash(
       col("doc_id").cast("string")), lit(10L))
     val root = graft.Tables.scratchDir("graft_t14")
