@@ -37,6 +37,7 @@ object SparkEntry {
     // M2 — counter / bookkeeping analytics
     "a2_window_counts" -> (Counters.windowCounts _),
     "a2b_dense_timeline" -> (Counters.denseTimeline _),
+    "a2c_hopping_counts" -> (Counters.hoppingCounts _),
     "a3_category_window_counts" -> (Counters.categoryWindowCounts _),
     "a5_completeness" -> ((s, d) => Counters.completeness(s, d)),
     "a6_max_ts_per_category" -> (Counters.maxTsPerCategory _),
@@ -158,6 +159,10 @@ object SparkEntry {
     "x62_cdc_chunk_stats" -> ((s, d) => TextAnalysis.cdcChunkStats(s, d)),
     "x63_bpe_merges" -> (TextAnalysis.bpeMerges _),
     "x63b_bpe_encode_stats" -> (TextAnalysis.bpeEncodeStats _),
+    "x64_funnel_steps" -> (Counters.funnelSteps _),
+    "x65_cohort_retention" -> (Counters.cohortRetention _),
+    "x66_embedding_outliers" -> ((s, d) => Similarity.embeddingOutliers(s, d)),
+    "x67_token_rarity" -> (TextAnalysis.tokenRarity _),
     "x28_temperature_mixture" -> ((s, d) => TextAnalysis.temperatureMixture(s, d)),
     "x26_quality_filter" -> (TextAnalysis.qualityFilter _),
     "x27_token_entropy" -> (TextAnalysis.tokenEntropy _),
@@ -631,6 +636,16 @@ object SparkEntry {
           SELECT g.bucket_epoch, CAST(coalesce(c.n, 0) AS BIGINT) AS cnt,
             c.n IS NULL AS filled
           FROM g LEFT JOIN c ON g.bucket_epoch = c.b ORDER BY 1""",
+    // a2c: Spark's window(ts, 10 min, 5 min) assigns each event to the two
+    // slide-aligned windows containing it — restated as pure integer floor
+    // arithmetic (starts = 5-min floor and that minus 300)
+    "a2c_hopping_counts" ->
+      s"""WITH h AS (SELECT user_id,
+              unnest([${bucketE("ts")}, ${bucketE("ts")} - 300]) AS win_start
+            FROM events)
+          SELECT win_start, win_start + 600 AS win_end, count(*) AS cnt,
+            count(DISTINCT user_id) AS n_users
+          FROM h GROUP BY 1 ORDER BY 1""",
     "a3_category_window_counts" ->
       s"""SELECT ${bucketE("ts")} AS bucket_epoch,
           coalesce(event_type, 'no_category') AS category,
@@ -1719,6 +1734,76 @@ object SparkEntry {
             CAST(SUM(wn.n) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT) AS bpe_ppm
           FROM dw JOIN wn USING (word) JOIN documents d ON d.doc_id = dw.doc_id
           GROUP BY d.source ORDER BY d.source""",
+    // x64: the sequential funnel condition (first qualifying event after
+    // the user's first prior-step event, within 72 h) as chained per-user
+    // MIN aggregates — identical CTE chain on both engines, all-integer
+    "x64_funnel_steps" ->
+      s"""WITH e AS (SELECT user_id, event_type, ${epochS("ts")} AS t FROM events),
+          v AS (SELECT user_id, min(t) AS v_t FROM e
+                WHERE event_type = 'view' GROUP BY 1),
+          c AS (SELECT e.user_id, min(e.t) AS c_t, min(v.v_t) AS v_t
+                FROM e JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click'
+                  AND e.t > v.v_t AND e.t <= v.v_t + 259200 GROUP BY 1),
+          p AS (SELECT e.user_id, min(e.t) AS p_t, min(c.c_t) AS c_t
+                FROM e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase'
+                  AND e.t > c.c_t AND e.t <= c.c_t + 259200 GROUP BY 1)
+          SELECT * FROM (
+            SELECT CAST(1 AS BIGINT) AS step_no, 'view' AS step,
+              count(*) AS users, CAST(0 AS BIGINT) AS sum_lag_s FROM v
+            UNION ALL
+            SELECT 2, 'click', count(*),
+              CAST(COALESCE(sum(c_t - v_t), 0) AS BIGINT) FROM c
+            UNION ALL
+            SELECT 3, 'purchase', count(*),
+              CAST(COALESCE(sum(p_t - c_t), 0) AS BIGINT) FROM p)
+          ORDER BY step_no""",
+    // x65: day numbers are integer epoch-days (positive range ⇒ floor ==
+    // truncate, so DuckDB // and Spark div agree exactly)
+    "x65_cohort_retention" ->
+      s"""WITH e AS (SELECT user_id, ${epochS("ts")} // 86400 AS d FROM events),
+          f AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY 1)
+          SELECT f.cohort_day, e.d - f.cohort_day AS day_offset,
+            count(DISTINCT e.user_id) AS active_users, count(*) AS n_events
+          FROM e JOIN f ON e.user_id = f.user_id
+          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // x66: the x6c fixed-point discipline — micro-scaled integer elements,
+    // centroid = explicit IEEE half-up over the exact integer sum, squared
+    // distance all-integer, so the hash oracle covers the full pipeline
+    "x66_embedding_outliers" ->
+      """WITH u AS (SELECT vec_id, label, g.i AS i,
+              CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v
+            FROM embeddings, range(1, 65) g(i)),
+          s AS (SELECT label, i, CAST(sum(v) AS BIGINT) AS sv, count(*) AS n
+                FROM u GROUP BY 1, 2),
+          c AS (SELECT label, i,
+                  CAST(floor(CAST(sv AS DOUBLE) / n + 0.5) AS BIGINT) AS cv
+                FROM s),
+          d AS (SELECT u.vec_id, u.label,
+                  CAST(sum((u.v - c.cv) * (u.v - c.cv)) AS BIGINT) AS dist
+                FROM u JOIN c ON u.label = c.label AND u.i = c.i GROUP BY 1, 2),
+          r AS (SELECT label, vec_id, dist,
+                  row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS rnk
+                FROM d)
+          SELECT CAST(label AS BIGINT) AS label, vec_id, dist,
+            CAST(rnk AS BIGINT) AS rnk
+          FROM r WHERE rnk <= 5 ORDER BY label, rnk""",
+    // x67: occurrences keyed by the portable polyhash on BOTH engines (a
+    // collision merges the same counts on each side), rates integer ppm
+    "x67_token_rarity" ->
+      s"""WITH t0 AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+          t AS (SELECT doc_id, ${polyHashSql("w")} AS h FROM t0),
+          cf AS (SELECT h, count(*) AS c FROM t GROUP BY 1),
+          tot AS (SELECT count(*) AS n FROM t),
+          pd AS (SELECT t.doc_id, count(*) AS n_tok,
+                   CAST(sum(cf.c) AS BIGINT) AS sum_cf,
+                   CAST(count(CASE WHEN cf.c <= 2 THEN 1 END) AS BIGINT) AS rare_cnt
+                 FROM t JOIN cf USING (h) GROUP BY 1)
+          SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+            sum_cf * 1000000 // (tot.n * n_tok) AS mean_cf_ppm,
+            rare_cnt * 1000000 // n_tok AS rare_ppm
+          FROM pd, tot ORDER BY doc_id""",
     "x17_contamination" -> x17Oracle,
     // identical by construction: the Bloom pre-filter has no false
     // negatives, so x17b must reproduce x17's rows exactly

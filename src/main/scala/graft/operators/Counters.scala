@@ -174,6 +174,99 @@ object Counters {
     per.unionByName(all).orderBy(col("category"))
   }
 
+  /** A2c — HOPPING (sliding) window counts: 10-minute windows sliding
+    * every 5 minutes via the native `window(ts, size, slide)` operator —
+    * the overlapping-window generalization of A2's tumbling buckets (the
+    * reference's counters are tumbling-only, `util/TimedUtils.scala:45`;
+    * a monitoring read of the same state wants the smoothed hop view).
+    * Each event lands in exactly size/slide = 2 windows; Spark expands
+    * them *before* the aggregate, so the plan is explode → one hash
+    * aggregation on the window struct — partial-aggregable, state bounded
+    * by the time range, no extra shuffle vs the tumbling form. Output
+    * keys are the window's epoch bounds so the oracle can restate the
+    * expansion with pure integer floor arithmetic. */
+  def hoppingCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"),
+           countDistinct(col("user_id")).as("n_users"))
+      .select(
+        Times.epochSeconds(col("w.start")).as("win_start"),
+        Times.epochSeconds(col("w.end")).as("win_end"),
+        col("cnt"), col("n_users"))
+      .orderBy(col("win_start"))
+
+  /** X64 — ordered funnel conversion over the event stream: view → click
+    * → purchase, each step strictly after the previous and within a
+    * 72-hour conversion window of it. "First qualifying event after the
+    * user's first prior-step event" semantics — the sequential condition
+    * a single GROUP BY cannot express, built as three per-user MIN
+    * aggregates chained by equi joins on `user_id` (one shuffle key
+    * reused end-to-end; each stage is partial-aggregable and the
+    * per-step tables only shrink, so the 100 TB plan is three pushed-down
+    * scans of one event partition + co-partitioned hash joins on the user
+    * dimension). Output: one row per funnel step with the surviving user
+    * count and the total step-transition lag in seconds (integer — the
+    * conversion-latency numerator a dashboard divides by `users`). */
+  def funnelSteps(spark: SparkSession, sfDir: String): DataFrame =
+    funnelStepsOf(Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        Times.epochSeconds(col("ts")).as("t")))
+
+  /** [[funnelSteps]] over any `(user_id, event_type, t: epoch-seconds)`
+    * relation — the spec entry point for hand-built conversion fixtures. */
+  private[graft] def funnelStepsOf(ev: DataFrame): DataFrame = {
+    val winS = 259200L // 72 h conversion window per step
+    val v = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("t")).as("v_t"))
+    val c = ev.where(col("event_type") === "click")
+      .join(v, "user_id")
+      .where(col("t") > col("v_t") && col("t") <= col("v_t") + winS)
+      .groupBy(col("user_id")).agg(min(col("t")).as("c_t"), min(col("v_t")).as("v_t"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(c.select(col("user_id"), col("c_t")), "user_id")
+      .where(col("t") > col("c_t") && col("t") <= col("c_t") + winS)
+      .groupBy(col("user_id")).agg(min(col("t")).as("p_t"), min(col("c_t")).as("c_t"))
+    val s1 = v.agg(count(lit(1)).as("users")).select(
+      lit(1L).as("step_no"), lit("view").as("step"), col("users"),
+      lit(0L).as("sum_lag_s"))
+    val s2 = c.agg(count(lit(1)).as("users"),
+      coalesce(sum(col("c_t") - col("v_t")), lit(0L)).as("sum_lag_s"))
+      .select(lit(2L).as("step_no"), lit("click").as("step"),
+        col("users"), col("sum_lag_s"))
+    val s3 = p.agg(count(lit(1)).as("users"),
+      coalesce(sum(col("p_t") - col("c_t")), lit(0L)).as("sum_lag_s"))
+      .select(lit(3L).as("step_no"), lit("purchase").as("step"),
+        col("users"), col("sum_lag_s"))
+    s1.unionByName(s2).unionByName(s3).orderBy(col("step_no"))
+  }
+
+  /** X65 — cohort retention matrix: users grouped by their first-activity
+    * day (the cohort), then for each (cohort, day-offset) cell the
+    * distinct users active that day — the classic product-analytics
+    * retention triangle, absent from the reference (its completeness
+    * probe tracks *partitions*, not user lifecycles). Day numbers are
+    * integer epoch-days (`epoch DIV 86400` — positive range, so floor ==
+    * truncate and the engine/oracle dialects agree exactly; no calendar
+    * functions on either side). Plan: one per-user MIN aggregate, a
+    * co-partitioned join back on `user_id`, then the cell aggregate —
+    * the cell key space is bounded by (days × days)/2, never the event
+    * count, so the second shuffle is O(calendar²) at any volume. */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame =
+    cohortRetentionOf(Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        floor(Times.epochSeconds(col("ts")) / 86400L).cast("long").as("d")))
+
+  /** [[cohortRetention]] over any `(user_id, d: epoch-day)` relation. */
+  private[graft] def cohortRetentionOf(ev: DataFrame): DataFrame = {
+    val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+    ev.join(first, "user_id")
+      .groupBy(col("cohort_day"), (col("d") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"),
+           count(lit(1)).as("n_events"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** A11 — the reference's `TimestampCount` accumulator (count + latest
     * event ts per category, `util/TimedUtils.scala:40-56`) as ONE native
     * Catalyst aggregate ([[graft.expressions.CountMax]]): the fused-buffer

@@ -638,4 +638,50 @@ object Similarity {
             * 1e6 + 0.5) / 1e6).as("cosine"))
       .orderBy(col("l1"), col("l2"))
   }
+
+  /** X66 — embedding outlier detection: for each label, the `topN` vectors
+    * farthest (squared L2) from their own label centroid — the embedding-QC
+    * pass a curation pipeline runs before trusting labels or training on
+    * the vectors (mis-embedded rows, label noise and near-empty inputs all
+    * surface as centroid outliers).
+    *
+    * Oracle-exact by the x6c fixed-point discipline: elements are
+    * micro-scaled longs, the per-label centroid divides the exact integer
+    * SUM vector with the explicit IEEE half-up form (`floor(s/n + 0.5)` on
+    * doubles — sums < 2⁵³ stay exact), and the squared distance expands to
+    * three [[VectorFns.dot]] products over integer-valued doubles (every
+    * product ≤ 1.5e12 and every partial sum ≤ 4e14 — exact, order-free), so
+    * DuckDB's all-integer restatement matches bit-for-bit.
+    *
+    * Scale: one scan feeds the |labels|-row centroid aggregate (map-side
+    * partial sums of 64 longs per label), the centroid table broadcasts
+    * back, the distance projection stays in whole-stage codegen, and the
+    * per-label rank filter compiles to WindowGroupLimit (≤ topN rows per
+    * label survive each map partition — post-shuffle volume
+    * O(labels·topN), never the corpus). */
+  def embeddingOutliers(spark: SparkSession, sfDir: String, topN: Int = 5): DataFrame = {
+    val dim = 64
+    val v = VectorFns.asDouble(col("embedding"))
+    val micro = array((0 until dim).map(i =>
+      floor(element_at(v, i + 1) * 1e6 + 0.5).cast("long")): _*)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").cast("long").as("label"), micro.as("e"))
+    val cent = e.groupBy(col("label"))
+      .agg(array((0 until dim).map(i => sum(element_at(col("e"), i + 1))): _*).as("s"),
+           count(lit(1)).as("n"))
+      .select(col("label"),
+        transform(col("s"),
+          s => floor(s.cast("double") / col("n") + 0.5).cast("long")).as("c"))
+    val ed = VectorFns.asDouble(col("e"))
+    val cd = VectorFns.asDouble(col("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("dist").desc, col("vec_id"))
+    e.join(broadcast(cent), "label")
+      .select(col("label"), col("vec_id"),
+        (VectorFns.dot(ed, ed) - lit(2.0) * VectorFns.dot(ed, cd)
+          + VectorFns.dot(cd, cd)).cast("long").as("dist"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= topN)
+      .orderBy(col("label"), col("rnk"))
+  }
 }

@@ -1386,4 +1386,38 @@ object TextAnalysis {
         TextFns.polyHash(coalesce(col("cleaned"), col("text"))).as("clean_fp"))
       .orderBy(col("doc_id"))
   }
+
+  /** X67 — per-doc token rarity: each document's mean corpus-relative
+    * token frequency and its share of rare tokens (corpus count ≤ 2), both
+    * in exact integer ppm — the corpus-frequency quality signal (the CCNet
+    * family's "is this doc made of normal words?" test) that x8's
+    * surface-statistics score cannot see: a fluent-looking doc of
+    * vocabulary the corpus never uses again scores high on x8 and floors
+    * here.
+    *
+    * Scale: occurrences are hashed to 8-byte [[TextFns.polyHash]] keys
+    * BEFORE the frequency shuffle (the x37 lesson — never shuffle token
+    * strings; a hash collision merges two words' counts identically in
+    * engine and oracle, which restates the same hash, so parity is
+    * unconditional). The corpus-frequency table is one partial-aggregable
+    * groupBy; the total-occurrence scalar is collected once (1 value, the
+    * x20 inline-the-stats idiom) and re-enters as a literal; the per-doc
+    * rollup joins occurrences to frequencies on the hash and aggregates by
+    * doc — two reused shuffles, no driver loops, all-integer output. */
+  def tokenRarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), TextFns.polyHash(col("w")).as("h"))
+    val cf = Dedup.snapshot(spark,
+      tok.groupBy(col("h")).agg(count(lit(1)).as("c")))
+    val total = cf.agg(sum(col("c"))).head().getLong(0)
+    tok.join(cf, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("c")).as("sum_cf"),
+           sum(when(col("c") <= 2L, 1L).otherwise(0L)).as("rare_cnt"))
+      .select(col("doc_id"), col("n_tok"),
+        expr(s"sum_cf * 1000000L div (${total}L * n_tok)").as("mean_cf_ppm"),
+        expr("rare_cnt * 1000000L div n_tok").as("rare_ppm"))
+      .orderBy(col("doc_id"))
+  }
 }

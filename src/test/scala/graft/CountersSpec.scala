@@ -35,6 +35,57 @@ class CountersSpec extends SparkSpec {
     assert(catTotal == total)
   }
 
+  test("a2c hopping windows tile the tumbling counts (size/slide = 2)") {
+    val hop = Counters.hoppingCounts(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val tumb = Counters.windowCounts(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each hop window [s, s+600) is exactly tumbling bucket s + bucket s+300
+    hop.foreach { case (s, (e, n)) =>
+      assert(e == s + 600, "window length must be 10 minutes")
+      assert(n == tumb.getOrElse(s, 0L) + tumb.getOrElse(s + 300, 0L),
+        s"window $s count $n != tumbling sum")
+    }
+    // every event lands in exactly size/slide = 2 windows
+    assert(hop.values.map(_._2).sum == 2 * tumb.values.sum)
+  }
+
+  test("x64 funnel: sequencing, window edges and first-qualifying semantics") {
+    // u1 full conversion; u2 click only BEFORE its view; u3 click exactly at
+    // the 72 h edge (in) then purchase 1 s past its edge (out); u4 never
+    // views; u5's first purchase precedes its click (skipped), second counts
+    val ev = Seq(
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+      (2L, "click", 90L), (2L, "view", 100L),
+      (3L, "view", 100L), (3L, "click", 100L + 259200L),
+      (3L, "purchase", 100L + 259200L + 259201L),
+      (4L, "click", 10L), (4L, "purchase", 20L),
+      (5L, "view", 100L), (5L, "click", 200L),
+      (5L, "purchase", 150L), (5L, "purchase", 250L)
+    ).toDF("user_id", "event_type", "t")
+    val rows = Counters.funnelStepsOf(ev).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows("view") == ((4L, 0L)))          // u1,u2,u3,u5
+    assert(rows("click") == ((3L, 259400L)))    // u1(100)+u3(259200)+u5(100)
+    assert(rows("purchase") == ((2L, 150L)))    // u1(100)+u5(50)
+  }
+
+  test("x65 cohort cells: offset-0 completeness and event conservation") {
+    val ev = Seq((1L, 10L), (1L, 11L), (1L, 13L),
+      (2L, 10L), (2L, 10L), (2L, 11L), (3L, 12L)).toDF("user_id", "d")
+    val cells = Counters.cohortRetentionOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(cells == Map(
+      (10L, 0L) -> ((2L, 3L)), (10L, 1L) -> ((2L, 2L)),
+      (10L, 3L) -> ((1L, 1L)), (12L, 0L) -> ((1L, 1L))))
+    // on the fixture: every user is active at offset 0, and cells conserve
+    // the total event count
+    val fix = Counters.cohortRetention(spark, sf)
+    val atZero = fix.where($"day_offset" === 0).agg(sum("active_users")).head.getLong(0)
+    assert(atZero == Tables.events(spark, sf).select($"user_id").distinct().count())
+    assert(fix.agg(sum("n_events")).head.getLong(0) == Tables.events(spark, sf).count())
+  }
+
   test("x22b sketch quantiles track the exact form (a7b pattern for percentiles)") {
     val exact = operators.TextAnalysis.lengthQuantiles(spark, sf).collect()
       .map(r => r.getString(0) -> Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap

@@ -739,4 +739,45 @@ class DedupSimilaritySpec extends SparkSpec {
     val ivfCos = ivf.map(_.getDouble(2))
     assert(ivfCos.toSeq == ivfCos.sorted.reverse.toSeq)
   }
+
+  test("x66 outliers: driver replica of the centroid distances confirms the top-5 per label") {
+    val rows = Tables.embeddings(spark, sf).select($"vec_id", $"label", $"embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def micro(a: Array[Float]): Array[Long] =
+      a.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+    val expect = rows.groupBy(_._2).toSeq.flatMap { case (lab, vs) =>
+      val ms = vs.map(v => (v._1, micro(v._3)))
+      val n = ms.length
+      val cent = Array.tabulate(64)(i =>
+        math.floor(ms.map(_._2(i)).sum.toDouble / n + 0.5).toLong)
+      ms.map { case (id, m) =>
+        val dist = (0 until 64).map { i => val d = m(i) - cent(i); d * d }.sum
+        (lab.toLong, id, dist)
+      }.sortBy { case (_, id, dist) => (-dist, id) }.take(5).zipWithIndex
+        .map { case ((l, id, dist), i) => (l, id, dist, i + 1L) }
+    }.toSet
+    val got = Similarity.embeddingOutliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+  }
+
+  test("x67 token rarity: JVM replica over the hashed corpus-frequency table") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def toks(t: String): Array[String] =
+      t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    val occ = docs.flatMap { case (id, t) =>
+      toks(t).map(w => (id, graft.functions.TextFns.polyHashLocal(w))) }
+    val cf = occ.groupBy(_._2).map { case (h, o) => h -> o.length.toLong }
+    val total = occ.length.toLong
+    val expect = occ.groupBy(_._1).toSeq.map { case (id, os) =>
+      val n = os.length.toLong
+      val sumCf = os.map(o => cf(o._2)).sum
+      val rare = os.count(o => cf(o._2) <= 2L).toLong
+      (id, n, sumCf * 1000000L / (total * n), rare * 1000000L / n)
+    }.toSet
+    val got = graft.operators.TextAnalysis.tokenRarity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+  }
 }

@@ -25,9 +25,12 @@ class PlanSpec extends SparkSpec {
   // x29: the per-leg row_number windows and the full-outer RRF fusion run
   // AFTER each leg's corpus-scale TakeOrderedAndProject — the exchanges
   // carry ≤ 2×cand candidate rows of bounded metadata, never corpus data.
+  // x64: the three per-step user counts are ungrouped aggregates over
+  // already per-user-aggregated (shrinking) funnel tables — each exchange
+  // carries one partial count row per partition, never event data.
   private val allowSinglePartition =
     Set("w4_ntile_rank", "x32_column_profile", "a12_hll_sketch_union",
-      "x29_hybrid_rrf")
+      "x29_hybrid_rrf", "x64_funnel_steps")
 
   test("no Cartesian product in any declared query") {
     SparkEntry.queries.foreach { case (name, fn) =>
