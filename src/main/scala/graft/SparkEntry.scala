@@ -163,6 +163,7 @@ object SparkEntry {
     "x65_cohort_retention" -> (Counters.cohortRetention _),
     "x66_embedding_outliers" -> ((s, d) => Similarity.embeddingOutliers(s, d)),
     "x67_token_rarity" -> (TextAnalysis.tokenRarity _),
+    "x68_snapshot_diff" -> (Dedup.snapshotDiff _),
     "x28_temperature_mixture" -> ((s, d) => TextAnalysis.temperatureMixture(s, d)),
     "x26_quality_filter" -> (TextAnalysis.qualityFilter _),
     "x27_token_entropy" -> (TextAnalysis.tokenEntropy _),
@@ -1804,6 +1805,29 @@ object SparkEntry {
             sum_cf * 1000000 // (tot.n * n_tok) AS mean_cf_ppm,
             rare_cnt * 1000000 // n_tok AS rare_ppm
           FROM pd, tot ORDER BY doc_id""",
+    // x68: both snapshots synthesized by the x16 bucket rule, diffed on
+    // portable fingerprints — the full-outer manifest join restated
+    "x68_snapshot_diff" ->
+      s"""WITH d AS (SELECT doc_id, source, text,
+              ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 10 AS bk FROM documents),
+          a AS (SELECT doc_id, source, ${polyHashSql("text")} AS fp,
+                  CAST(length(text) AS BIGINT) AS len
+                FROM d WHERE bk <= 8),
+          bs AS (SELECT doc_id, source,
+                   CASE WHEN bk <= 1 THEN text || ' rev2' ELSE text END AS text
+                 FROM d WHERE bk <= 7 OR bk = 9),
+          b AS (SELECT doc_id, source, ${polyHashSql("text")} AS fp,
+                  CAST(length(text) AS BIGINT) AS len FROM bs),
+          j AS (SELECT COALESCE(a.source, b.source) AS source,
+                  CASE WHEN a.doc_id IS NULL THEN 'added'
+                       WHEN b.doc_id IS NULL THEN 'removed'
+                       WHEN a.fp = b.fp THEN 'same'
+                       ELSE 'changed' END AS status,
+                  COALESCE(b.len, 0) - COALESCE(a.len, 0) AS delta
+                FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+          SELECT source, status, count(*) AS n_docs,
+            CAST(sum(delta) AS BIGINT) AS delta_chars
+          FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
     "x17_contamination" -> x17Oracle,
     // identical by construction: the Bloom pre-filter has no false
     // negatives, so x17b must reproduce x17's rows exactly

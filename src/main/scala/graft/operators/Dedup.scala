@@ -805,4 +805,55 @@ object Dedup {
           .as("dup_token_ppm"))
       .orderBy(col("lang"))
   }
+
+  /** X68 — corpus snapshot diff: the what-changed audit between two
+    * crawls/exports of the same corpus, computed entirely on content
+    * fingerprints (one full-outer hash join on `doc_id`; no text ever
+    * crosses the shuffle), rolled up to `source × status` with the net
+    * character delta — the table a pipeline operator reads before deciding
+    * whether an incremental re-process (x16/x60's append paths) or a full
+    * rebuild is warranted. Statuses: `added` (new doc_id), `removed`
+    * (gone), `changed` (fingerprint moved), `same`.
+    *
+    * Scale: both snapshots scan with column pruning to
+    * (doc_id, source, fp, len); the join is co-partitioned on `doc_id`;
+    * the rollup key space is |sources| × 4. At 100 TB the snapshots would
+    * already be fingerprint manifests (x10's declared output) — this
+    * operator is then a manifest-only join, never touching text at all. */
+  def snapshotDiffOf(a: DataFrame, b: DataFrame): DataFrame = {
+    val fp = (d: DataFrame, fpc: String, lenc: String) => d.select(
+      col("doc_id"), col("source"),
+      TextFns.polyHash(col("text")).as(fpc),
+      length(col("text")).cast("long").as(lenc))
+    fp(a, "fp_a", "len_a").join(fp(b, "fp_b", "len_b")
+        .withColumnRenamed("source", "source_b"),
+        Seq("doc_id"), "full_outer")
+      .select(coalesce(col("source"), col("source_b")).as("source"),
+        when(col("fp_a").isNull, "added")
+          .when(col("fp_b").isNull, "removed")
+          .when(col("fp_a") === col("fp_b"), "same")
+          .otherwise("changed").as("status"),
+        (coalesce(col("len_b"), lit(0L)) - coalesce(col("len_a"), lit(0L)))
+          .as("delta"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("delta")).as("delta_chars"))
+      .orderBy(col("source"), col("status"))
+  }
+
+  /** The declared x68: two snapshots synthesized from the fixture by the
+    * x16 content-stable bucket rule — prior = buckets 0–8, current =
+    * buckets 0–7 ∪ 9 with buckets 0–1 textually revised — so every status
+    * class is populated deterministically and the DuckDB oracle restates
+    * the same construction. */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val bucket = pmod(TextFns.polyHash(col("doc_id").cast("string")), lit(10L))
+    val prior = docs.where(bucket <= 8)
+    val current = docs.where(bucket <= 7 || bucket === 9)
+      .withColumn("text",
+        when(bucket <= 1, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+    snapshotDiffOf(prior, current)
+  }
 }

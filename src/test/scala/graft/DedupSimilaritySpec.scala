@@ -761,6 +761,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("x68 snapshot diff: every status class on a hand-built snapshot pair") {
+    val a = Seq((1L, "s0", "alpha"), (2L, "s0", "beta"), (3L, "s1", "gamma"))
+      .toDF("doc_id", "source", "text")
+    val b = Seq((1L, "s0", "alpha"),          // same
+      (2L, "s0", "beta changed"),             // changed (+8 chars)
+      (4L, "s1", "delta"))                    // added; doc 3 removed
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.snapshotDiffOf(a, b).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      ("s0", "same") -> ((1L, 0L)), ("s0", "changed") -> ((1L, 8L)),
+      ("s1", "added") -> ((1L, 5L)), ("s1", "removed") -> ((1L, -5L))))
+    // the declared construction: statuses partition the bucket classes —
+    // added+removed+changed+same counts must tile both snapshots exactly
+    val fix = Dedup.snapshotDiff(spark, sf).collect()
+      .map(r => r.getString(1) -> r.getLong(2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val n = Tables.documents(spark, sf).count()
+    val bk = Tables.documents(spark, sf).select(
+      pmod(graft.functions.TextFns.polyHash($"doc_id".cast("string")), lit(10L)).as("b"))
+      .groupBy($"b").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fix.getOrElse("added", 0L) == bk.getOrElse(9L, 0L))
+    assert(fix.getOrElse("removed", 0L) == bk.getOrElse(8L, 0L))
+    assert(fix.getOrElse("changed", 0L) == bk.getOrElse(0L, 0L) + bk.getOrElse(1L, 0L))
+    assert(fix.values.sum == n) // every doc appears in exactly one status
+  }
+
   test("x67 token rarity: JVM replica over the hashed corpus-frequency table") {
     val docs = Tables.documents(spark, sf).select($"doc_id", $"text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
