@@ -38,6 +38,7 @@ object SparkEntry {
     "a2_window_counts" -> (Counters.windowCounts _),
     "a2b_dense_timeline" -> (Counters.denseTimeline _),
     "a2c_hopping_counts" -> (Counters.hoppingCounts _),
+    "a2d_interp_timeline" -> (Counters.interpTimeline _),
     "a3_category_window_counts" -> (Counters.categoryWindowCounts _),
     "a5_completeness" -> ((s, d) => Counters.completeness(s, d)),
     "a6_max_ts_per_category" -> (Counters.maxTsPerCategory _),
@@ -647,6 +648,34 @@ object SparkEntry {
           SELECT win_start, win_start + 600 AS win_end, count(*) AS cnt,
             count(DISTINCT user_id) AS n_users
           FROM h GROUP BY 1 ORDER BY 1""",
+    // a2d: per-category grid + linear interpolation between the nearest
+    // observed neighbors; integer // matches Spark div (both truncate)
+    "a2d_interp_timeline" ->
+      s"""WITH c AS (SELECT event_type AS category, ${bucketE("ts")} AS b,
+              count(*) AS cnt
+            FROM events GROUP BY 1, 2),
+          r AS (SELECT category, min(b) AS mn, max(b) AS mx FROM c GROUP BY 1),
+          g AS (SELECT category, unnest(generate_series(mn, mx, 300)) AS b FROM r),
+          j AS (SELECT g.category, g.b, c.cnt
+                FROM g LEFT JOIN c ON g.category = c.category AND g.b = c.b),
+          w AS (SELECT category, b, cnt,
+              last_value(cnt IGNORE NULLS) OVER pw AS pv,
+              last_value(CASE WHEN cnt IS NOT NULL THEN b END IGNORE NULLS)
+                OVER pw AS pb,
+              first_value(cnt IGNORE NULLS) OVER nw AS nv,
+              first_value(CASE WHEN cnt IS NOT NULL THEN b END IGNORE NULLS)
+                OVER nw AS nb
+            FROM j
+            WINDOW pw AS (PARTITION BY category ORDER BY b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              nw AS (PARTITION BY category ORDER BY b
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+          SELECT category, b AS bucket_epoch, cnt IS NOT NULL AS observed,
+            CASE WHEN cnt IS NOT NULL THEN cnt
+                 WHEN pv IS NULL THEN nv
+                 WHEN nv IS NULL THEN pv
+                 ELSE pv + (nv - pv) * (b - pb) // (nb - pb) END AS cnt_filled
+          FROM w ORDER BY 1, 2""",
     "a3_category_window_counts" ->
       s"""SELECT ${bucketE("ts")} AS bucket_epoch,
           coalesce(event_type, 'no_category') AS category,

@@ -196,6 +196,54 @@ object Counters {
         col("cnt"), col("n_users"))
       .orderBy(col("win_start"))
 
+  /** A2d — per-category interpolated dense timeline: the time-series
+    * resample pass. [[denseTimeline]] zero-fills the global grid; a
+    * monitor reading *per-category* rates wants holes bridged between the
+    * neighboring observations instead (a silent 5-min bucket between two
+    * busy ones is far more likely missing data than a true zero — the
+    * completeness blind spot the reference's probe exists for). Each
+    * category's grid spans its own [min, max] bucket (`sequence` exploded
+    * from the per-category range aggregate — O(time-range) rows per
+    * category, never event-count); holes take the linear interpolation
+    * between the nearest observed neighbors (integer `div`, matching
+    * DuckDB `//` — both truncate toward zero), ends clamp to the nearest
+    * observation. Both neighbor lookups share ONE per-category sort (the
+    * w8 frame discipline: last-ignoreNulls before, first-ignoreNulls
+    * after). */
+  def interpTimeline(spark: SparkSession, sfDir: String): DataFrame =
+    interpTimelineOf(Tables.events(spark, sfDir)
+      .groupBy(col("event_type").as("category"),
+        Times.bucketEpoch(col("ts"), 300L).as("b"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** [[interpTimeline]] over any `(category, b: bucket-epoch, cnt)`
+    * observation relation — the spec entry point for hand-built series. */
+  private[graft] def interpTimelineOf(counts: DataFrame): DataFrame = {
+    val grid = counts.groupBy(col("category"))
+      .agg(min(col("b")).as("mn"), max(col("b")).as("mx"))
+      .select(col("category"),
+        explode(sequence(col("mn"), col("mx"), lit(300L))).as("b"))
+    val ord = Window.partitionBy(col("category")).orderBy(col("b"))
+    val prevW = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val nextW = ord.rowsBetween(1, Window.unboundedFollowing)
+    grid.join(counts, Seq("category", "b"), "left")
+      .select(col("category"), col("b"), col("cnt"),
+        last(col("cnt"), ignoreNulls = true).over(prevW).as("pv"),
+        last(when(col("cnt").isNotNull, col("b")), ignoreNulls = true)
+          .over(prevW).as("pb"),
+        first(col("cnt"), ignoreNulls = true).over(nextW).as("nv"),
+        first(when(col("cnt").isNotNull, col("b")), ignoreNulls = true)
+          .over(nextW).as("nb"))
+      .select(col("category"), col("b").as("bucket_epoch"),
+        col("cnt").isNotNull.as("observed"),
+        when(col("cnt").isNotNull, col("cnt"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") +
+            expr("(nv - pv) * (b - pb) div (nb - pb)")).as("cnt_filled"))
+      .orderBy(col("category"), col("bucket_epoch"))
+  }
+
   /** X64 — ordered funnel conversion over the event stream: view → click
     * → purchase, each step strictly after the previous and within a
     * 72-hour conversion window of it. "First qualifying event after the

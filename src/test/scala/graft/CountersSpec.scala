@@ -86,6 +86,34 @@ class CountersSpec extends SparkSpec {
     assert(fix.agg(sum("n_events")).head.getLong(0) == Tables.events(spark, sf).count())
   }
 
+  test("a2d interpolation: holes bridge linearly, ends clamp, observed rows untouched") {
+    // cat A observed at buckets 0 (cnt 10) and 900 (cnt 40): two holes at
+    // 300/600 interpolate 20/30; cat B observed only at 300: single point
+    val obs = Seq(("A", 0L, 10L), ("A", 900L, 40L), ("B", 300L, 7L))
+      .toDF("category", "b", "cnt")
+    val got = Counters.interpTimelineOf(obs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getBoolean(2), r.getLong(3))).toMap
+    assert(got == Map(
+      ("A", 0L) -> ((true, 10L)), ("A", 300L) -> ((false, 20L)),
+      ("A", 600L) -> ((false, 30L)), ("A", 900L) -> ((true, 40L)),
+      ("B", 300L) -> ((true, 7L))))
+    // fixture invariants: observed rows reproduce a3's counts exactly, and
+    // every interpolated value lies within its category's observed range
+    val fix = Counters.interpTimeline(spark, sf)
+    val a3 = Counters.categoryWindowCounts(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(0)) -> r.getLong(2)).toMap
+    val rows = fix.collect()
+    rows.filter(_.getBoolean(2)).foreach { r =>
+      assert(a3((r.getString(0), r.getLong(1))) == r.getLong(3)) }
+    val range = rows.filter(_.getBoolean(2)).groupBy(_.getString(0))
+      .view.mapValues(rs => (rs.map(_.getLong(3)).min, rs.map(_.getLong(3)).max)).toMap
+    rows.filterNot(_.getBoolean(2)).foreach { r =>
+      val (lo, hi) = range(r.getString(0))
+      assert(r.getLong(3) >= lo && r.getLong(3) <= hi,
+        s"interpolated ${r.getLong(3)} escapes [$lo,$hi]")
+    }
+  }
+
   test("x22b sketch quantiles track the exact form (a7b pattern for percentiles)") {
     val exact = operators.TextAnalysis.lengthQuantiles(spark, sf).collect()
       .map(r => r.getString(0) -> Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
