@@ -114,6 +114,29 @@ class PlanSpec extends SparkSpec {
         "(post-shuffle volume O(domains*cap), not O(corpus))")
   }
 
+  test("x66: outlier rank prunes map-side and the centroid table broadcasts") {
+    val plan = SparkEntry.queries("x66_embedding_outliers")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") &&
+      plan.indexOf("WindowGroupLimit") != plan.lastIndexOf("WindowGroupLimit"),
+      "per-label top-N must group-limit on both sides of the shuffle")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the |labels|-row centroid table must broadcast, not shuffle the corpus")
+  }
+
+  test("x68: snapshot diff joins fingerprints, never text, across the exchange") {
+    val plan = SparkEntry.queries("x68_snapshot_diff")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), "diff must be one full-outer join on doc_id")
+    // the fingerprint projection must sit BELOW the join's exchanges: after
+    // the first Exchange hashpartitioning(doc_id...) line, the scan-side
+    // subtrees still contain graft_polyhash projections (fp computed
+    // map-side), and the join itself compares fp columns, not text
+    val joinIdx = plan.indexOf("FullOuter")
+    assert(plan.indexOf("graft_polyhash", joinIdx) > 0,
+      "fingerprints must be computed below the join, on the scan side")
+  }
+
   test("top-k queries plan TakeOrderedAndProject, not a global sort") {
     Seq("s1_topk", "x6_ann_cosine_topk", "x20_bm25_topk").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
