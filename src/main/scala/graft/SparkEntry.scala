@@ -116,6 +116,7 @@ object SparkEntry {
     "x6f_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
     "x6g_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "x6h_ivfpq_append_topk" -> ((s, d) => Similarity.ivfPqAppendTopK(s, d)),
+    "x69_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "x7_lang_id" -> (TextAnalysis.langId _),
     "x59_lang_confusion" -> (TextAnalysis.langConfusion _),
     "x8_quality_score" -> (TextAnalysis.qualityScore _),
@@ -1086,6 +1087,29 @@ object SparkEntry {
           JOIN probed p ON p.cell = asg.cell, qv
           WHERE e.vec_id <> 0
           ORDER BY cosine DESC, e.vec_id LIMIT 10""",
+    // x69: SemDeDup — the coarse quantizer retrains via the x6b chain
+    // (bit-identical cells), then the within-cell pair test restates x5's
+    // 6-dp rounded cosine; every output column is an integer count
+    "x69_semantic_dedup" ->
+      s"""WITH $ivfChainSql,
+          av AS MATERIALIZED (
+            SELECT a.cell, a.vec_id, e.embedding
+            FROM asg a JOIN embeddings e USING (vec_id)),
+          prs AS MATERIALIZED (
+            SELECT a.cell, a.vec_id AS id1, b.vec_id AS id2
+            FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE round(${cosineD("a.embedding", "b.embedding")}, 6) >= 0.4),
+          dp AS (SELECT cell, count(*) AS dup_pairs FROM prs GROUP BY 1),
+          dr AS (SELECT cell, count(DISTINCT id2) AS n_dropped FROM prs GROUP BY 1),
+          st AS (SELECT cell, count(*) AS n_vecs FROM asg GROUP BY 1)
+          SELECT CAST(st.cell AS BIGINT) AS cell,
+            CAST(st.n_vecs AS BIGINT) AS n_vecs,
+            CAST(coalesce(dp.dup_pairs, 0) AS BIGINT) AS dup_pairs,
+            CAST(coalesce(dr.n_dropped, 0) AS BIGINT) AS n_dropped,
+            CAST(st.n_vecs - coalesce(dr.n_dropped, 0) AS BIGINT) AS n_kept
+          FROM st LEFT JOIN dp ON dp.cell = st.cell
+          LEFT JOIN dr ON dr.cell = st.cell
+          ORDER BY cell""",
     // x6g: both trained quantizers retrained in-oracle (coarse cells via
     // the IVF chain, PQ codebooks via the x6f chain), then the composed
     // replay: cell-pruned candidates, ADC shortlist-50 against the

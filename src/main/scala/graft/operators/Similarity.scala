@@ -684,4 +684,59 @@ object Similarity {
       .where(col("rnk") <= topN)
       .orderBy(col("label"), col("rnk"))
   }
+
+  /** X69 — SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the trained IVF coarse
+    * quantizer ([[ivfAssignment]] — the same K-means cells behind x6b),
+    * then dedup ONLY within each cell: a vector is dropped when a
+    * lower-id vector in its cell has cosine ≥ `threshold` (the paper's
+    * ε-ball pruning with a deterministic min-id keeper instead of a
+    * random one). Cross-cell near-dups are invisible by design — that is
+    * the trade that makes the pass linear: all-pairs runs per cell, never
+    * corpus-wide (at 100 TB, K grows ~√N so per-cell membership — and the
+    * quadratic term — stays bounded, while x5b's multi-assignment
+    * blocking exists for the recall-critical variant). Output is the
+    * per-cell curation rollup a pipeline team reads after the pass:
+    * members, qualifying pairs, dropped, kept — K rows of bounded
+    * metadata.
+    *
+    * Determinism: the cell assignment is the bit-stable trained quantizer
+    * (x6b's oracle retrains it in DuckDB and hash-matches), the pair test
+    * reuses x5's IEEE-pinned 6-dp rounded cosine, and every output column
+    * is an integer count — so the rollup carries a full hash oracle.
+    *
+    * Plan shape: the self-join shuffles both sides on `cell` (reading the
+    * cell-partitioned index, so co-location is the disk layout), the pair
+    * filter runs inside codegen, and the three rollups are map-side
+    * partial counts over ≤ K keys. No cartesian product: the join is an
+    * equi-join on `cell` with the id inequality as a post-condition.
+    *
+    * Reference anchor: the reference dedups nothing — this is the [EXT]
+    * LLM-curation surface; the micro-batch landing loop it extends is
+    * `HiveBatchedSink.scala:297-358`. */
+  def semanticDedup(spark: SparkSession, sfDir: String,
+                    threshold: Double = 0.4): DataFrame = {
+    val asg = ivfAssignment(spark, sfDir)
+      .select(col("cell"), col("vec_id"), col("embedding"),
+        VectorFns.norm(col("embedding")).as("nrm"))
+    val pairs = Dedup.snapshot(spark, asg.as("a").join(asg.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cell").as("cell"),
+        col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        round(VectorFns.dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
+      .where(col("cosine") >= threshold))
+    val dupPairs = pairs.groupBy(col("cell"))
+      .agg(count(lit(1)).as("dup_pairs"))
+    val dropped = pairs.select(col("cell"), col("id2")).distinct()
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_dropped"))
+    val stats = asg.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    stats.join(dupPairs, Seq("cell"), "left")
+      .join(dropped, Seq("cell"), "left")
+      .select(col("cell").cast("long").as("cell"), col("n_vecs"),
+        coalesce(col("dup_pairs"), lit(0L)).as("dup_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+      .orderBy(col("cell"))
+  }
 }

@@ -37,6 +37,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(blocked.subsetOf(exact))
   }
 
+  test("x69 SemDeDup: rollup tiles the corpus; within-cell pairs are a nonempty subset of exact pairs") {
+    val roll = Similarity.semanticDedup(spark, sf).collect()
+    assert(roll.nonEmpty, "at least one populated cell")
+    roll.foreach { r =>
+      val (n, dp, nd, nk) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nk + nd == n, s"kept+dropped must tile cell ${r.getLong(0)}")
+      assert(nd <= dp, "each drop needs at least one qualifying pair")
+      assert((dp == 0) == (nd == 0), "pairs and drops appear together")
+    }
+    assert(roll.map(_.getLong(1)).sum == Tables.embeddings(spark, sf).count(),
+      "cell membership must tile the corpus exactly once (single-assignment)")
+    // cell-restricted pairs are a subset of the corpus-wide exact pair set —
+    // and nonempty on the fixture, which plants near-dups
+    val exact = Dedup.embedCosineAllPairs(spark, sf, 0.4).count()
+    val found = roll.map(_.getLong(2)).sum
+    assert(found > 0 && found <= exact,
+      s"within-cell pairs $found must be in (0, $exact]")
+  }
+
   test("X13: dup clusters are transitive and labeled by the component minimum") {
     val pairs = Dedup.ngramJaccard(spark, sf, 0.8)
       .select($"id1", $"id2").as[(Long, Long)].collect()
