@@ -100,6 +100,7 @@ object SparkEntry {
     "t12_stream_media_decode" -> (StreamingIngest.streamMediaDecode _),
     "t13_stream_contamination" -> (StreamingIngest.streamSubstringContamination _),
     "t14_stream_dedup_index" -> ((s, d) => StreamingIngest.streamDedupIndex(s, d)),
+    "t15_stream_semantic_dedup" -> ((s, d) => StreamingIngest.streamSemanticDedup(s, d)),
     // M5 — [EXT] LLM-pipeline operators
     "x1_dedup_exact" -> (Dedup.exactDedup _),
     "x2_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -1110,6 +1111,35 @@ object SparkEntry {
           FROM st LEFT JOIN dp ON dp.cell = st.cell
           LEFT JOIN dr ON dr.cell = st.cell
           ORDER BY cell""",
+    // t15: streaming SemDeDup — the quantizer retrains via the x6b chain,
+    // the arrival split restates t14's polyhash buckets, and both dedup
+    // rules (within-batch greedy, fresh-vs-prior-keeper) are NOT EXISTS
+    // predicates over the same 6-dp rounded cosine
+    "t15_stream_semantic_dedup" ->
+      s"""WITH $ivfChainSql,
+          av AS MATERIALIZED (
+            SELECT a.cell, a.vec_id, e.embedding,
+              ${polyHashSql("CAST(e.vec_id AS VARCHAR)")} % 10 AS bkt
+            FROM asg a JOIN embeddings e USING (vec_id)),
+          pr AS (SELECT * FROM av WHERE bkt <= 7),
+          fr AS (SELECT * FROM av WHERE bkt >= 8),
+          pk AS MATERIALIZED (
+            SELECT p.cell, p.vec_id, p.embedding FROM pr p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM pr q WHERE q.cell = p.cell AND q.vec_id < p.vec_id
+                AND round(${cosineD("q.embedding", "p.embedding")}, 6) >= 0.4)),
+          fk AS (
+            SELECT f.cell, f.vec_id FROM fr f
+            WHERE NOT EXISTS (
+              SELECT 1 FROM fr g WHERE g.cell = f.cell AND g.vec_id < f.vec_id
+                AND round(${cosineD("g.embedding", "f.embedding")}, 6) >= 0.4)
+            AND NOT EXISTS (
+              SELECT 1 FROM pk WHERE pk.cell = f.cell
+                AND round(${cosineD("pk.embedding", "f.embedding")}, 6) >= 0.4))
+          SELECT vec_id, CAST(cell AS BIGINT) AS cell
+          FROM (SELECT vec_id, cell FROM pk
+                UNION ALL SELECT vec_id, cell FROM fk)
+          ORDER BY vec_id""",
     // x6g: both trained quantizers retrained in-oracle (coarse cells via
     // the IVF chain, PQ codebooks via the x6f chain), then the composed
     // replay: cell-pruned candidates, ADC shortlist-50 against the

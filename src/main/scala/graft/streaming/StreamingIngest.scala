@@ -863,20 +863,10 @@ object StreamingIngest {
     val root = graft.Tables.scratchDir("graft_t14")
     val srcDir = root.resolve("src")
     Files.createDirectories(srcDir)
-    // Land each split as ONE real parquet file with an explicit mtime:
-    // the file stream source admits files oldest-first, so distinct
-    // ordered mtimes pin batch 0 = prior, batch 1 = fresh on every run.
-    def land(df: DataFrame, name: String, mtimeMs: Long): Unit = {
-      val tmp = root.resolve(name + "_tmp")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter(p =>
-        p.getFileName.toString.endsWith(".parquet")).findFirst().get()
-      Files.move(part, srcDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(srcDir.resolve(name),
-        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
-    }
-    land(docs.where(bucket <= 7), "a_prior.parquet", 1000000000000L)
-    land(docs.where(bucket >= 8), "b_fresh.parquet", 1000000060000L)
+    landArrivalFile(docs.where(bucket <= 7), root, srcDir, "a_prior.parquet",
+      1000000000000L)
+    landArrivalFile(docs.where(bucket >= 8), root, srcDir, "b_fresh.parquet",
+      1000000060000L)
     val idxDir = root.resolve("idx").toString
     val outDir = root.resolve("out").toString
     withStatePartitions(spark) {
@@ -890,6 +880,136 @@ object StreamingIngest {
     spark.read.parquet(outDir)
       .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Land `df` as ONE real parquet file with an explicit mtime: the file
+    * stream source admits files oldest-first, so distinct ordered mtimes
+    * pin the arrival order (batch 0 = prior, batch 1 = fresh) on every
+    * run. Shared by the t14/t15 arrival fixtures. */
+  private def landArrivalFile(df: DataFrame, root: java.nio.file.Path,
+                              srcDir: java.nio.file.Path, name: String,
+                              mtimeMs: Long): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val tmp = root.resolve(name + "_tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(p =>
+      p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    Files.move(part, srcDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(srcDir.resolve(name),
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+  }
+
+  /** One micro-batch of the streaming SemDeDup loop ([[semanticDedupStream]]):
+    * assign each arriving vector to its frozen-quantizer cell, apply x69's
+    * within-batch ε-ball rule (drop on any lower-id same-cell neighbor at
+    * cosine ≥ `threshold`), then drop batch survivors whose cell holds a
+    * prior KEPT vector within the threshold — probed from the persisted
+    * cell index, never by rescanning prior batches. Kept vectors append to
+    * the index under a tag-scoped `batch=` partition (replay-idempotent:
+    * a retry overwrites its own half-done attempt and the probe excludes
+    * the batch's own tag — [[dedupIndexBatch]]'s contract). The index
+    * carries vec_id + embedding + cell + norm: O(kept) rows, the same
+    * few-GB-at-100-TB envelope as the fingerprint index, and the probe
+    * joins only within matching cells. */
+  private[graft] def semanticDedupBatch(batch: DataFrame, batchTag: String,
+                                        cents: Seq[Seq[Double]],
+                                        indexDir: String, outDir: String,
+                                        threshold: Double): Unit = {
+    import graft.functions.VectorFns
+    val spark = batch.sparkSession
+    val asg = batch
+      .withColumn("cell", graft.operators.Similarity.assignCell(cents))
+      .withColumn("nrm", VectorFns.norm(col("embedding")))
+    // x5's IEEE-pinned 6-dp rounded cosine — the x69 pair test verbatim
+    def cos(a: String, b: String) = round(
+      VectorFns.dot(col(s"$a.embedding"), col(s"$b.embedding"))
+        / (col(s"$a.nrm") * col(s"$b.nrm")), 6)
+    val dropInBatch = asg.as("a").join(asg.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
+      .where(cos("a", "b") >= threshold)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+    val keptBatch = asg.join(dropInBatch, Seq("vec_id"), "left_anti")
+    val prior = graft.operators.Dedup.readBatchIndex(spark, indexDir, batchTag)(
+      spark.range(0).select(col("id").as("vec_id"),
+        array().cast("array<float>").as("embedding"),
+        col("id").cast("int").as("cell"), col("id").cast("double").as("nrm")))
+    val dropVsPrior = keptBatch.as("a")
+      .join(prior.as("b"), col("a.cell") === col("b.cell"))
+      .where(cos("a", "b") >= threshold)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+    val kept = keptBatch.join(dropVsPrior, Seq("vec_id"), "left_anti")
+    kept.persist()
+    try {
+      kept.select(col("vec_id"), col("cell").cast("long").as("cell"))
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchTag")
+      kept.select(col("vec_id"), col("embedding"), col("cell"), col("nrm"))
+        .write.mode("overwrite").parquet(s"$indexDir/batch=$batchTag")
+    } finally kept.unpersist()
+  }
+
+  /** Drive [[semanticDedupBatch]] over a streaming embedding source —
+    * [[dedupStream]]'s loop with the semantic probe: each micro-batch
+    * keeps only vectors with no near-duplicate (cosine ≥ threshold, same
+    * frozen-quantizer cell) in any prior batch or run. `vecs` needs
+    * `vec_id` and `embedding` columns; the quantizer is trained OFFLINE
+    * and frozen before the stream starts (the x6h/ivfPqAppend contract:
+    * growth never retrains, so assignment is stable forever and the
+    * periodic full x69 pass decides re-clustering). */
+  def semanticDedupStream(vecs: DataFrame, cents: Seq[Seq[Double]],
+                          indexDir: String, outDir: String, checkpoint: String,
+                          threshold: Double = 0.4): Unit = {
+    val run = runId(checkpoint, vecs.sparkSession.sessionState.newHadoopConf())
+    val q = vecs.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        semanticDedupBatch(b, s"$run-$id", cents, indexDir, outDir, threshold)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+  }
+
+  /** T15 — [[semanticDedupStream]] under the driver's oracle gate: the
+    * embedding corpus arrives as two genuinely separate micro-batches
+    * (t14's deterministic polyhash split and ordered-mtime arrival files),
+    * the quantizer is the disk-memoized x6b coarse quantizer trained
+    * before the stream, and the result is every surviving vector with its
+    * cell. Same-batch near-dup pairs: the lower id survives (x69's greedy
+    * rule applied within the batch); cross-batch: fresh vectors drop
+    * against prior KEPT vectors only. Deterministic end to end — the
+    * oracle retrains the quantizer (x6b chain) and restates both rules as
+    * NOT EXISTS predicates. Reference anchor: the incremental landing
+    * loop `HiveBatchedSink.scala:297-358`. */
+  def streamSemanticDedup(spark: SparkSession, sfDir: String,
+                          threshold: Double = 0.4): DataFrame = {
+    import java.nio.file.Files
+    graft.Tables.ensureParquetConf(spark)
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val bucket = pmod(graft.functions.TextFns.polyHash(
+      col("vec_id").cast("string")), lit(10L))
+    val root = graft.Tables.scratchDir("graft_t15")
+    val srcDir = root.resolve("src")
+    Files.createDirectories(srcDir)
+    landArrivalFile(vecs.where(bucket <= 7), root, srcDir, "a_prior.parquet",
+      1000000000000L)
+    landArrivalFile(vecs.where(bucket >= 8), root, srcDir, "b_fresh.parquet",
+      1000000060000L)
+    val cents = graft.operators.Similarity.ivfCentroids(spark, sfDir)
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toSeq).toSeq
+    val outDir = root.resolve("out").toString
+    withStatePartitions(spark) {
+      withScratchCheckpoint { ck =>
+        semanticDedupStream(
+          spark.readStream.schema(vecs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(srcDir.toString),
+          cents, root.resolve("idx").toString, outDir, ck, threshold)
+      }
+    }
+    spark.read.parquet(outDir)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .orderBy(col("vec_id"))
   }
 
   /** T9 epilogue targets: the reference's ordered close-callback chain

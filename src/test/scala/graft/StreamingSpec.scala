@@ -429,6 +429,65 @@ class StreamingSpec extends SparkSpec {
     assert(nearFresh.exists(f => !priorTexts.contains(fresh.find(_._1 == f).get._2)))
   }
 
+  test("t15: streamSemanticDedup equals the batch restatement; batch replay is idempotent") {
+    import spark.implicits._
+    val got = StreamingIngest.streamSemanticDedup(spark, sf)
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toMap
+    // batch restatement from independently-verified primitives: the exact
+    // all-pairs cosine set (x5's verified form) restricted to same-cell,
+    // split by the arrival buckets, with both NOT-EXISTS rules replayed
+    val asg = graft.operators.Similarity.ivfAssignment(spark, sf)
+      .select($"vec_id", $"cell".cast("long")).as[(Long, Long)].collect().toMap
+    val near = graft.operators.Dedup.embedCosineAllPairs(spark, sf, 0.4)
+      .select($"id1", $"id2").as[(Long, Long)].collect()
+      .filter { case (a, b) => asg(a) == asg(b) }
+    val nbrs = near.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def bucket(id: Long): Long = {
+      var h = 0L
+      for (c <- id.toString) h = (h * 31 + c.toLong) % 1000000007L
+      h % 10
+    }
+    val ids = asg.keySet
+    val prior = ids.filter(bucket(_) <= 7)
+    val fresh = ids.filter(bucket(_) >= 8)
+    val priorKept = prior.filter(i =>
+      !nbrs.getOrElse(i, Set.empty).exists(j => prior.contains(j) && j < i))
+    val freshKept = fresh.filter(i =>
+      !nbrs.getOrElse(i, Set.empty).exists(j => fresh.contains(j) && j < i) &&
+      !nbrs.getOrElse(i, Set.empty).exists(priorKept.contains))
+    assert(got.keySet == priorKept ++ freshKept)
+    got.foreach { case (id, cell) => assert(cell == asg(id)) }
+    // the cross-batch probe actually fired
+    assert(fresh.exists(i => nbrs.getOrElse(i, Set.empty).exists(priorKept.contains)))
+
+    // two-run loop (tomorrow's crawl) over explicit dirs must equal the
+    // declared single-stream query, and an at-least-once replay of the
+    // fresh batch (same tag, same content) must reproduce — not drop —
+    // its survivors, because the probe excludes the batch's own partition
+    val srcDir = graft.Tables.scratchDir("graft_sdsrc").toString
+    val idxDir = graft.Tables.scratchDir("graft_sdidx").toString + "/index"
+    val outDir = graft.Tables.scratchDir("graft_sdout").toString + "/out"
+    val ckpt = graft.Tables.scratchDir("graft_sdck").toString
+    val vecs = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val bkt = pmod(graft.functions.TextFns.polyHash($"vec_id".cast("string")), lit(10L))
+    val cents = graft.operators.Similarity.ivfCentroids(spark, sf)
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toSeq).toSeq
+    def stream = spark.readStream.schema(
+      org.apache.spark.sql.types.StructType(vecs.schema)).parquet(srcDir)
+    def kept = spark.read.parquet(outDir)
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toMap
+    vecs.where(bkt <= 7).repartition(1).write.mode("append").parquet(srcDir)
+    StreamingIngest.semanticDedupStream(stream, cents, idxDir, outDir, ckpt, 0.4)
+    vecs.where(bkt >= 8).repartition(1).write.mode("append").parquet(srcDir)
+    StreamingIngest.semanticDedupStream(stream, cents, idxDir, outDir, ckpt, 0.4)
+    assert(kept == got, "cross-run loop must equal the single-stream result")
+    val run = StreamingIngest.runId(ckpt, spark.sessionState.newHadoopConf())
+    StreamingIngest.semanticDedupBatch(vecs.where(bkt >= 8), s"$run-1", cents,
+      idxDir, outDir, 0.4)
+    assert(kept == got, "replay must overwrite itself byte-for-byte")
+  }
+
   test("nearDedupIndexBatch: streaming near-dup dedup against the persisted shingle index") {
     import spark.implicits._
     import org.apache.spark.sql.types._
