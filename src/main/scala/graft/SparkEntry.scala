@@ -118,6 +118,7 @@ object SparkEntry {
     "x6g_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "x6h_ivfpq_append_topk" -> ((s, d) => Similarity.ivfPqAppendTopK(s, d)),
     "x69_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
+    "x69b_semantic_blocking_recall" -> ((s, d) => Similarity.semanticBlockingRecall(s, d)),
     "x7_lang_id" -> (TextAnalysis.langId _),
     "x59_lang_confusion" -> (TextAnalysis.langConfusion _),
     "x8_quality_score" -> (TextAnalysis.qualityScore _),
@@ -1111,6 +1112,21 @@ object SparkEntry {
           FROM st LEFT JOIN dp ON dp.cell = st.cell
           LEFT JOIN dr ON dr.cell = st.cell
           ORDER BY cell""",
+    // x69b: exact all-pairs baseline (x5's verified form) joined to the
+    // retrained cell assignment; recall as exact integer ppm
+    "x69b_semantic_blocking_recall" ->
+      s"""WITH $ivfChainSql,
+          np AS MATERIALIZED (
+            SELECT a.vec_id AS id1, b.vec_id AS id2
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(${cosineD("a.embedding", "b.embedding")}, 6) >= 0.4),
+          j AS (SELECT n1.cell AS c1, n2.cell AS c2
+                FROM np JOIN asg n1 ON n1.vec_id = np.id1
+                JOIN asg n2 ON n2.vec_id = np.id2)
+          SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(sum(CASE WHEN c1 = c2 THEN 1 ELSE 0 END) AS BIGINT) AS n_same_cell,
+            CAST(sum(CASE WHEN c1 = c2 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+          FROM j""",
     // t15: streaming SemDeDup — the quantizer retrains via the x6b chain,
     // the arrival split restates t14's polyhash buckets, and both dedup
     // rules (within-batch greedy, fresh-vs-prior-keeper) are NOT EXISTS

@@ -739,4 +739,27 @@ object Similarity {
         (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
       .orderBy(col("cell"))
   }
+
+  /** X69b — the blocking-recall audit for [[semanticDedup]]: what fraction
+    * of the EXACT near-dup pairs (corpus-wide cosine ≥ threshold, x5's
+    * verified all-pairs form) land in the same quantizer cell and are
+    * therefore visible to the within-cell pass. This is the number a
+    * pipeline team reads before trusting x69's linear-time trade — if
+    * recall is too low, raise nprobe-style multi-assignment (x5b) or K.
+    * At 100 TB the exact all-pairs baseline runs on a bounded audit
+    * sample, exactly like the x6b/x6g overlap floors; the rollup itself
+    * is three integers. Recall is exact ppm (`div` — both engines floor
+    * on positive operands). */
+  def semanticBlockingRecall(spark: SparkSession, sfDir: String,
+                             threshold: Double = 0.4): DataFrame = {
+    val asg = ivfAssignment(spark, sfDir).select(col("vec_id"), col("cell"))
+    val pairs = Dedup.embedCosineAllPairs(spark, sfDir, threshold)
+    pairs
+      .join(asg.select(col("vec_id").as("id1"), col("cell").as("c1")), "id1")
+      .join(asg.select(col("vec_id").as("id2"), col("cell").as("c2")), "id2")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("c1") === col("c2"), 1L).otherwise(0L)).as("n_same_cell"))
+      .select(col("n_pairs"), col("n_same_cell"),
+        expr("n_same_cell * 1000000L div n_pairs").as("recall_ppm"))
+  }
 }

@@ -56,6 +56,18 @@ class DedupSimilaritySpec extends SparkSpec {
       s"within-cell pairs $found must be in (0, $exact]")
   }
 
+  test("x69b: blocking recall ties x69's within-cell pairs to the exact all-pairs baseline") {
+    val r = Similarity.semanticBlockingRecall(spark, sf).collect()
+    assert(r.length == 1)
+    val (np, ns, ppm) = (r.head.getLong(0), r.head.getLong(1), r.head.getLong(2))
+    assert(np == Dedup.embedCosineAllPairs(spark, sf, 0.4).count(),
+      "denominator must be the exact corpus-wide pair count")
+    val roll = Similarity.semanticDedup(spark, sf).collect()
+    assert(ns == roll.map(_.getLong(2)).sum,
+      "numerator must equal the pairs x69 actually sees")
+    assert(ns <= np && ppm == ns * 1000000L / np)
+  }
+
   test("X13: dup clusters are transitive and labeled by the component minimum") {
     val pairs = Dedup.ngramJaccard(spark, sf, 0.8)
       .select($"id1", $"id2").as[(Long, Long)].collect()
