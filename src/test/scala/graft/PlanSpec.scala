@@ -137,6 +137,17 @@ class PlanSpec extends SparkSpec {
       "fingerprints must be computed below the join, on the scan side")
   }
 
+  test("x69: the semantic-dedup pair join is an equi-join keyed on the quantizer cell") {
+    val plan = SparkEntry.queries("x69_semantic_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the all-pairs term must be confined to a cell: the join prints its
+    // equi keys first, and they must be the cell column (the id inequality
+    // rides along as a post-condition, never as the join itself)
+    assert("""(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)(\w*\s)*\[cell""".r
+      .findFirstIn(plan).isDefined,
+      s"pair join must be keyed on cell:\n$plan")
+  }
+
   test("top-k queries plan TakeOrderedAndProject, not a global sort") {
     Seq("s1_topk", "x6_ann_cosine_topk", "x20_bm25_topk").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
