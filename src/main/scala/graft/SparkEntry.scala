@@ -39,6 +39,7 @@ object SparkEntry {
     "a2b_dense_timeline" -> (Counters.denseTimeline _),
     "a2c_hopping_counts" -> (Counters.hoppingCounts _),
     "a2d_interp_timeline" -> (Counters.interpTimeline _),
+    "a2e_anomaly_flags" -> ((s, d) => Counters.anomalyFlags(s, d)),
     "a3_category_window_counts" -> (Counters.categoryWindowCounts _),
     "a5_completeness" -> ((s, d) => Counters.completeness(s, d)),
     "a6_max_ts_per_category" -> (Counters.maxTsPerCategory _),
@@ -679,6 +680,24 @@ object SparkEntry {
                  WHEN nv IS NULL THEN pv
                  ELSE pv + (nv - pv) * (b - pb) // (nb - pb) END AS cnt_filled
           FROM w ORDER BY 1, 2""",
+    // a2e: the z-test is stated cross-multiplied in integers on both
+    // engines — no sqrt/division, so the flag hash-matches exactly
+    "a2e_anomaly_flags" ->
+      s"""WITH c AS (SELECT event_type AS category, ${bucketE("ts")} AS bucket_epoch,
+              count(*) AS cnt
+            FROM events GROUP BY 1, 2),
+          w AS (SELECT category, bucket_epoch, cnt,
+              count(cnt) OVER tw AS tn,
+              coalesce(sum(cnt) OVER tw, 0) AS ts_,
+              coalesce(sum(cnt * cnt) OVER tw, 0) AS tss
+            FROM c
+            WINDOW tw AS (PARTITION BY category ORDER BY bucket_epoch
+                ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING))
+          SELECT category, bucket_epoch, cnt, CAST(tn AS BIGINT) AS trail_n,
+            CAST(CASE WHEN tn >= 3
+                AND (tn * cnt - ts_) * (tn * cnt - ts_) > 9 * (tn * tss - ts_ * ts_)
+              THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+          FROM w ORDER BY category, bucket_epoch""",
     "a3_category_window_counts" ->
       s"""SELECT ${bucketE("ts")} AS bucket_epoch,
           coalesce(event_type, 'no_category') AS category,

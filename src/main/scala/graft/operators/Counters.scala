@@ -207,9 +207,12 @@ object Counters {
     * category, never event-count); holes take the linear interpolation
     * between the nearest observed neighbors (integer `div`, matching
     * DuckDB `//` — both truncate toward zero), ends clamp to the nearest
-    * observation. Both neighbor lookups share ONE per-category sort (the
-    * w8 frame discipline: last-ignoreNulls before, first-ignoreNulls
-    * after). */
+    * observation. Both neighbor lookups are GROWING last-ignoreNulls
+    * frames (the w8 discipline) — the next-neighbor one over a
+    * descending sort, because a genuine `[1 FOLLOWING, UNBOUNDED
+    * FOLLOWING)` frame is a shrinking frame that WindowExec recomputes
+    * from scratch per row: O(rows²) per category, measured 21 s at sf0.1
+    * vs ~2 s for the two-sort linear form. */
   def interpTimeline(spark: SparkSession, sfDir: String): DataFrame =
     interpTimelineOf(Tables.events(spark, sfDir)
       .groupBy(col("event_type").as("category"),
@@ -223,16 +226,19 @@ object Counters {
       .agg(min(col("b")).as("mn"), max(col("b")).as("mx"))
       .select(col("category"),
         explode(sequence(col("mn"), col("mx"), lit(300L))).as("b"))
-    val ord = Window.partitionBy(col("category")).orderBy(col("b"))
-    val prevW = ord.rowsBetween(Window.unboundedPreceding, -1)
-    val nextW = ord.rowsBetween(1, Window.unboundedFollowing)
+    val prevW = Window.partitionBy(col("category")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // "first observation after" == "last observation before" under the
+    // reversed sort — a growing frame both ways, never a shrinking one
+    val nextW = Window.partitionBy(col("category")).orderBy(col("b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     grid.join(counts, Seq("category", "b"), "left")
       .select(col("category"), col("b"), col("cnt"),
         last(col("cnt"), ignoreNulls = true).over(prevW).as("pv"),
         last(when(col("cnt").isNotNull, col("b")), ignoreNulls = true)
           .over(prevW).as("pb"),
-        first(col("cnt"), ignoreNulls = true).over(nextW).as("nv"),
-        first(when(col("cnt").isNotNull, col("b")), ignoreNulls = true)
+        last(col("cnt"), ignoreNulls = true).over(nextW).as("nv"),
+        last(when(col("cnt").isNotNull, col("b")), ignoreNulls = true)
           .over(nextW).as("nb"))
       .select(col("category"), col("b").as("bucket_epoch"),
         col("cnt").isNotNull.as("observed"),
@@ -241,6 +247,47 @@ object Counters {
           .when(col("nv").isNull, col("pv"))
           .otherwise(col("pv") +
             expr("(nv - pv) * (b - pb) div (nb - pb)")).as("cnt_filled"))
+      .orderBy(col("category"), col("bucket_epoch"))
+  }
+
+  /** A2e — trailing-window anomaly flags over the per-category 5-min
+    * throughput timeline: the data-quality monitor the reference's
+    * counter family feeds (`counter/TimedSinkCounter.scala:33-55`
+    * publishes these rates to JMX precisely so an operator can spot a
+    * category whose ingest rate jumps). A bucket is flagged when its
+    * count deviates from the trailing `trail`-bucket mean by more than
+    * `k` standard deviations, with the z-test stated in CROSS-MULTIPLIED
+    * integer form — `(n·x − s)² > k²·(n·ss − s²)` over the window's
+    * count/sum/sum-of-squares — so no sqrt or division ever runs and the
+    * flag is bit-exact on both engines (the x31 fixed-point discipline
+    * applied to variance). Warm-up buckets (fewer than `minN` trailing
+    * observations) never flag. One sort per category serves all three
+    * trailing aggregates (w3's frame discipline); the timeline is
+    * per-category-bucket counts — O(categories × time range), partial-
+    * aggregable map-side, never event-count rows through the window. */
+  def anomalyFlags(spark: SparkSession, sfDir: String,
+                   trail: Int = 4, minN: Long = 3, k: Long = 3): DataFrame =
+    anomalyFlagsOf(Tables.events(spark, sfDir)
+      .groupBy(col("event_type").as("category"),
+        Times.bucketEpoch(col("ts"), 300L).as("bucket_epoch"))
+      .agg(count(lit(1)).as("cnt")), trail, minN, k)
+
+  /** [[anomalyFlags]] over any `(category, bucket_epoch, cnt)` timeline —
+    * the spec entry point for hand-built series. */
+  private[graft] def anomalyFlagsOf(counts: DataFrame, trail: Int,
+                                    minN: Long, k: Long): DataFrame = {
+    val tw = Window.partitionBy(col("category")).orderBy(col("bucket_epoch"))
+      .rowsBetween(-trail, -1)
+    val dev = col("trail_n") * col("cnt") - col("trail_s")
+    val varN = col("trail_n") * col("trail_ss") - col("trail_s") * col("trail_s")
+    counts
+      .withColumn("trail_n", count(col("cnt")).over(tw))
+      .withColumn("trail_s", coalesce(sum(col("cnt")).over(tw), lit(0L)))
+      .withColumn("trail_ss",
+        coalesce(sum(col("cnt") * col("cnt")).over(tw), lit(0L)))
+      .select(col("category"), col("bucket_epoch"), col("cnt"), col("trail_n"),
+        when(col("trail_n") >= minN && dev * dev > lit(k * k) * varN, 1L)
+          .otherwise(0L).as("is_anomaly"))
       .orderBy(col("category"), col("bucket_epoch"))
   }
 

@@ -114,6 +114,27 @@ class CountersSpec extends SparkSpec {
     }
   }
 
+  test("a2e anomaly flags: spike flags, the exact-kσ boundary does not, warm-up never") {
+    val base = 1000000000L
+    // series c: trailing window {8,12,8,12} → mean 10, σ = 2 (n·ss − s² =
+    // 4·416 − 1600 = 64); cnt 16 sits EXACTLY at 3σ (24² = 576 = 9·64, a
+    // strict > must not fire) while 17 exceeds it (28² = 784 > 576)
+    val series = Seq(
+      ("a", 0, 10L), ("a", 1, 10L), ("a", 2, 10L), ("a", 3, 10L), ("a", 4, 100L),
+      ("b", 0, 8L), ("b", 1, 12L), ("b", 2, 8L), ("b", 3, 12L), ("b", 4, 16L),
+      ("c", 0, 8L), ("c", 1, 12L), ("c", 2, 8L), ("c", 3, 12L), ("c", 4, 17L),
+      ("d", 0, 5L), ("d", 1, 500L))
+      .map { case (c, i, n) => (c, base + i * 300L, n) }
+      .toDF("category", "bucket_epoch", "cnt")
+    val got = Counters.anomalyFlagsOf(series, 4, 3, 3).collect()
+      .map(r => (r.getString(0), (r.getLong(1) - base) / 300) -> r.getLong(4)).toMap
+    assert(got(("a", 4)) == 1L, "zero-variance spike must flag")
+    assert(got(("b", 4)) == 0L, "exactly kσ must NOT flag (strict inequality)")
+    assert(got(("c", 4)) == 1L, "beyond kσ must flag")
+    assert(got(("d", 1)) == 0L, "warm-up buckets (trail_n < minN) never flag")
+    assert(got.valuesIterator.count(_ == 1L) == 2, "nothing else flags")
+  }
+
   test("x22b sketch quantiles track the exact form (a7b pattern for percentiles)") {
     val exact = operators.TextAnalysis.lengthQuantiles(spark, sf).collect()
       .map(r => r.getString(0) -> Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
