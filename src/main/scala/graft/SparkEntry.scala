@@ -107,6 +107,7 @@ object SparkEntry {
     "x2_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "x3_dedup_simhash" -> (Dedup.simhashDedup _),
     "x4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "x70_source_dup_matrix" -> ((s, d) => Dedup.sourceDupMatrix(s, d)),
     "x5_embed_neardup" -> ((s, d) => Dedup.embedCosine(s, d)),
     "x55_threshold_curve" -> ((s, d) => Dedup.cosineThresholdCurve(s, d)),
     "x5b_embed_neardup_lsh" -> ((s, d) => Dedup.embedCosineLsh(s, d)),
@@ -982,6 +983,15 @@ object SparkEntry {
     "x4_ngram_jaccard" ->
       s"""WITH $jaccardPairsCte
           SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2""",
+    // x70: x4's pair set rolled up by canonicalized source pair
+    "x70_source_dup_matrix" ->
+      s"""WITH $jaccardPairsCte
+          SELECT least(d1.source, d2.source) AS source_a,
+            greatest(d1.source, d2.source) AS source_b,
+            count(*) AS n_pairs
+          FROM pairs p JOIN documents d1 ON p.id1 = d1.doc_id
+          JOIN documents d2 ON p.id2 = d2.doc_id
+          GROUP BY 1, 2 ORDER BY 1, 2""",
     // shares x4's pair CTE: leakage = the near-dup pairs whose docs landed
     // in different x14 splits
     "x36_split_leakage" ->

@@ -148,6 +148,29 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.8): DataFrame =
     verifiedPairs(spark, sfDir, threshold).orderBy(col("id1"), col("id2"))
 
+  /** X70 — the cross-source duplication matrix: x4's verified near-dup
+    * pair set rolled up by which (source, source) combination each pair
+    * straddles — the accounting a curation team reads to decide which
+    * corpus feeds mirror each other (heavy off-diagonal mass = one crawl
+    * re-serving another's content; heavy diagonal = within-source
+    * boilerplate, x57's territory). Pairs come from the memoized
+    * [[verifiedPairs]] index (no re-join), each endpoint picks up its
+    * source from one projection-pruned documents scan, and the pair is
+    * canonicalized `least/greatest` so the matrix is upper-triangular —
+    * |sources|² bounded output, partial-aggregable counts. */
+  def sourceDupMatrix(spark: SparkSession, sfDir: String,
+                      threshold: Double = 0.8): DataFrame = {
+    val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    verifiedPairs(spark, sfDir, threshold).select(col("id1"), col("id2"))
+      .join(src.select(col("doc_id").as("id1"), col("source").as("sa")), "id1")
+      .join(src.select(col("doc_id").as("id2"), col("source").as("sb")), "id2")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** The verified (id1, id2, jaccard) near-dup pair set behind x4 *and* x13.
     * Memoized + persisted per (session, sfDir, threshold) — x13's connected
     * components consume exactly this edge set, and without the cache it

@@ -68,6 +68,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ns <= np && ppm == ns * 1000000L / np)
   }
 
+  test("x70: source dup matrix tiles x4's pair set and is canonically upper-triangular") {
+    val m = Dedup.sourceDupMatrix(spark, sf).collect()
+    assert(m.nonEmpty)
+    assert(m.map(_.getLong(2)).sum == Dedup.ngramJaccard(spark, sf, 0.8).count(),
+      "every verified pair must land in exactly one matrix cell")
+    m.foreach(r => assert(r.getString(0) <= r.getString(1),
+      "pairs must canonicalize least/greatest"))
+  }
+
   test("X13: dup clusters are transitive and labeled by the component minimum") {
     val pairs = Dedup.ngramJaccard(spark, sf, 0.8)
       .select($"id1", $"id2").as[(Long, Long)].collect()
