@@ -169,6 +169,7 @@ object SparkEntry {
     "x65_cohort_retention" -> (Counters.cohortRetention _),
     "x66_embedding_outliers" -> ((s, d) => Similarity.embeddingOutliers(s, d)),
     "x67_token_rarity" -> (TextAnalysis.tokenRarity _),
+    "x71_unigram_surprisal" -> (TextAnalysis.unigramSurprisal _),
     "x68_snapshot_diff" -> (Dedup.snapshotDiff _),
     "x28_temperature_mixture" -> ((s, d) => TextAnalysis.temperatureMixture(s, d)),
     "x26_quality_filter" -> (TextAnalysis.qualityFilter _),
@@ -1933,6 +1934,22 @@ object SparkEntry {
             sum_cf * 1000000 // (tot.n * n_tok) AS mean_cf_ppm,
             rare_cnt * 1000000 // n_tok AS rare_ppm
           FROM pd, tot ORDER BY doc_id""",
+    // x71: integer surprisal — bit length of T//c, no floating log; both
+    // engines' bin() render minimal binary strings
+    "x71_unigram_surprisal" ->
+      s"""WITH t0 AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+          t AS (SELECT doc_id, ${polyHashSql("w")} AS h FROM t0),
+          cf AS (SELECT h, count(*) AS c FROM t GROUP BY 1),
+          tot AS (SELECT count(*) AS n FROM t),
+          sc AS (SELECT t.doc_id,
+                   CAST(length(bin(tot.n // cf.c)) AS BIGINT) AS s
+                 FROM t JOIN cf USING (h), tot),
+          agg AS (SELECT doc_id, count(*) AS n_tokens,
+                    CAST(sum(s) AS BIGINT) AS sum_bits
+                  FROM sc GROUP BY 1)
+          SELECT doc_id, n_tokens, sum_bits,
+            sum_bits * 1000 // n_tokens AS mean_millibits
+          FROM agg ORDER BY doc_id""",
     // x68: both snapshots synthesized by the x16 bucket rule, diffed on
     // portable fingerprints — the full-outer manifest join restated
     "x68_snapshot_diff" ->

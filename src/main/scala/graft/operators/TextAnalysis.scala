@@ -1420,4 +1420,35 @@ object TextAnalysis {
         expr("rare_cnt * 1000000L div n_tok").as("rare_ppm"))
       .orderBy(col("doc_id"))
   }
+
+  /** X71 — unigram cross-entropy (surprisal) scoring: the CCNet-style
+    * perplexity filter (Wenzek et al. 2020) stated against the corpus's
+    * own unigram model. Each token occurrence scores an integer surprisal
+    * `s = |bin(T div c)|` — the bit length of total-count-over-token-count,
+    * i.e. ⌊log₂(T/c)⌋+1 computed with NO floating log (both engines'
+    * `bin()` render minimal binary strings, so the score is hash-exact —
+    * the a2e cross-multiplication discipline applied to logarithms); a
+    * document's `sum_bits`/`mean_millibits` is its negative log-likelihood
+    * under the unigram LM up to that integer quantization. High mean =
+    * rare-token gibberish, low mean = boilerplate of corpus-common words —
+    * the two tails a perplexity filter trims. Same scale shape as x67:
+    * occurrences hashed before the frequency shuffle (never token
+    * strings), vocab-sized count table joined on the hash, T collected as
+    * one bounded literal (x20 idiom), per-doc sums partial-aggregable. */
+  def unigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), TextFns.polyHash(col("w")).as("h"))
+    val cf = Dedup.snapshot(spark,
+      tok.groupBy(col("h")).agg(count(lit(1)).as("c")))
+    val total = cf.agg(sum(col("c"))).head().getLong(0)
+    tok.join(cf, "h")
+      .select(col("doc_id"),
+        length(bin(expr(s"${total}L div c"))).cast("long").as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("sum_bits"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_bits"),
+        expr("sum_bits * 1000L div n_tokens").as("mean_millibits"))
+      .orderBy(col("doc_id"))
+  }
 }

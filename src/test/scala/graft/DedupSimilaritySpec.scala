@@ -77,6 +77,27 @@ class DedupSimilaritySpec extends SparkSpec {
       "pairs must canonicalize least/greatest"))
   }
 
+  test("x71: surprisal equals the JVM bit-length replica over the corpus unigram model") {
+    import graft.functions.TextFns
+    val toks = Tables.documents(spark, sf)
+      .select($"doc_id", explode(TextFns.tokens($"text")).as("w"))
+      .select($"doc_id", TextFns.polyHash($"w").as("h"))
+      .as[(Long, Long)].collect()
+    val cnt = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val total = toks.length.toLong
+    val expected = toks.groupBy(_._1).map { case (id, hs) =>
+      val bits = hs.map { case (_, h) =>
+        java.lang.Long.toBinaryString(total / cnt(h)).length.toLong }
+      id -> ((hs.length.toLong, bits.sum, bits.sum * 1000L / hs.length))
+    }
+    val got = operators.TextAnalysis.unigramSurprisal(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    // the score separates: not every doc has the same mean (the filter
+    // would be vacuous on a corpus it cannot rank)
+    assert(got.values.map(_._3).toSet.size > 1)
+  }
+
   test("X13: dup clusters are transitive and labeled by the component minimum") {
     val pairs = Dedup.ngramJaccard(spark, sf, 0.8)
       .select($"id1", $"id2").as[(Long, Long)].collect()
