@@ -170,6 +170,7 @@ object SparkEntry {
     "x66_embedding_outliers" -> ((s, d) => Similarity.embeddingOutliers(s, d)),
     "x67_token_rarity" -> (TextAnalysis.tokenRarity _),
     "x71_unigram_surprisal" -> (TextAnalysis.unigramSurprisal _),
+    "x71b_bigram_surprisal" -> (TextAnalysis.bigramSurprisal _),
     "x68_snapshot_diff" -> (Dedup.snapshotDiff _),
     "x28_temperature_mixture" -> ((s, d) => TextAnalysis.temperatureMixture(s, d)),
     "x26_quality_filter" -> (TextAnalysis.qualityFilter _),
@@ -1949,6 +1950,27 @@ object SparkEntry {
                   FROM sc GROUP BY 1)
           SELECT doc_id, n_tokens, sum_bits,
             sum_bits * 1000 // n_tokens AS mean_millibits
+          FROM agg ORDER BY doc_id""",
+    // x71b: conditional surprisal — head count over bigram count, same
+    // integer bit-length form; pair hashed w1||' '||w2 (x4 convention)
+    "x71b_bigram_surprisal" ->
+      s"""WITH docs AS (SELECT doc_id, $toks AS tk FROM documents),
+          b0 AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+                 FROM docs, unnest(generate_series(1, len(tk) - 1)) AS t(i)
+                 WHERE len(tk) >= 2),
+          b AS (SELECT doc_id, ${polyHashSql("w1")} AS h1,
+                  ${polyHashSql("w1 || ' ' || w2")} AS h12
+                FROM b0),
+          c1 AS (SELECT h1, count(*) AS c1 FROM b GROUP BY 1),
+          c12 AS (SELECT h12, count(*) AS c12 FROM b GROUP BY 1),
+          sc AS (SELECT b.doc_id,
+                   CAST(length(bin(c1.c1 // c12.c12)) AS BIGINT) AS s
+                 FROM b JOIN c1 USING (h1) JOIN c12 USING (h12)),
+          agg AS (SELECT doc_id, count(*) AS n_bigrams,
+                    CAST(sum(s) AS BIGINT) AS sum_bits
+                  FROM sc GROUP BY 1)
+          SELECT doc_id, n_bigrams, sum_bits,
+            sum_bits * 1000 // n_bigrams AS mean_millibits
           FROM agg ORDER BY doc_id""",
     // x68: both snapshots synthesized by the x16 bucket rule, diffed on
     // portable fingerprints — the full-outer manifest join restated

@@ -1451,4 +1451,45 @@ object TextAnalysis {
         expr("sum_bits * 1000L div n_tokens").as("mean_millibits"))
       .orderBy(col("doc_id"))
   }
+
+  /** X71b — bigram conditional surprisal: [[unigramSurprisal]]'s order-1
+    * upgrade. Each adjacent pair scores `|bin(c₁ div c₁₂)|` where c₁₂
+    * counts the bigram corpus-wide and c₁ counts its HEAD word as a
+    * bigram head (so Σc₁₂ over continuations = c₁ and the conditional
+    * model is properly normalized) — the integer quantization of
+    * −log₂ P(w₂|w₁). No backoff is needed: the corpus is scored against
+    * its own counts, so every observed bigram has c₁₂ ≥ 1. Repetitive
+    * boilerplate (predictable continuations, c₁₂ ≈ c₁) scores near 1
+    * bit; improbable word salad scores high — a sharper separator than
+    * the unigram form, which is blind to order. Bigrams form inside the
+    * token array (one `transform` over adjacent positions, no self-join,
+    * no window); both the head and the pair are hashed before any
+    * shuffle (pair hash over `w₁+' '+w₂` — the x4 shingle convention);
+    * docs with fewer than 2 tokens have no bigrams and drop out on both
+    * engines. */
+  def bigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    val bg = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+      // explicit guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0]
+      // (not empty like DuckDB's generate_series), so a 1-token doc would
+      // fabricate an out-of-bounds bigram instead of having none
+      .where(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"),
+        TextFns.polyHash(col("b.w1")).as("h1"),
+        TextFns.polyHash(concat(col("b.w1"), lit(" "), col("b.w2"))).as("h12"))
+    val snapped = Dedup.snapshot(spark, bg)
+    val c1 = snapped.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
+    val c12 = snapped.groupBy(col("h12")).agg(count(lit(1)).as("c12"))
+    snapped.join(c1, "h1").join(c12, "h12")
+      .select(col("doc_id"),
+        length(bin(expr("c1 div c12"))).cast("long").as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("sum_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_bits"),
+        expr("sum_bits * 1000L div n_bigrams").as("mean_millibits"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -98,6 +98,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.values.map(_._3).toSet.size > 1)
   }
 
+  test("x71b: bigram surprisal equals the JVM replica and is properly conditional") {
+    import graft.functions.TextFns
+    val bg = Tables.documents(spark, sf)
+      .select($"doc_id", TextFns.tokens($"text").as("tk"))
+      .where(size($"tk") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))")).as("b"))
+      .select($"doc_id", TextFns.polyHash($"b.w1").as("h1"),
+        TextFns.polyHash(concat($"b.w1", lit(" "), $"b.w2")).as("h12"))
+      .as[(Long, Long, Long)].collect()
+    val c1 = bg.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val c12 = bg.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val expected = bg.groupBy(_._1).map { case (id, rows) =>
+      val bits = rows.map { case (_, h1, h12) =>
+        java.lang.Long.toBinaryString(c1(h1) / c12(h12)).length.toLong }
+      id -> ((rows.length.toLong, bits.sum, bits.sum * 1000L / rows.length))
+    }
+    val got = operators.TextAnalysis.bigramSurprisal(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    // conditional normalization: per head, continuations tile the head count
+    val tile = bg.groupBy(_._2).forall { case (h1, rows) =>
+      rows.groupBy(_._3).values.map(_.length).sum == c1(h1) }
+    assert(tile, "sum of c12 over continuations must equal c1")
+  }
+
   test("X13: dup clusters are transitive and labeled by the component minimum") {
     val pairs = Dedup.ngramJaccard(spark, sf, 0.8)
       .select($"id1", $"id2").as[(Long, Long)].collect()
