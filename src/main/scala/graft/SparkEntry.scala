@@ -1150,7 +1150,8 @@ object SparkEntry {
           np AS MATERIALIZED (
             SELECT a.vec_id AS id1, b.vec_id AS id2
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE round(${cosineD("a.embedding", "b.embedding")}, 6) >= 0.4),
+            WHERE a.vec_id < 65536 AND b.vec_id < 65536
+              AND round(${cosineD("a.embedding", "b.embedding")}, 6) >= 0.4),
           j AS (SELECT n1.cell AS c1, n2.cell AS c2
                 FROM np JOIN asg n1 ON n1.vec_id = np.id1
                 JOIN asg n2 ON n2.vec_id = np.id2)

@@ -738,8 +738,10 @@ object Dedup {
 
   /** The unrestricted exact all-pairs baseline — test-only ground truth for
     * the LSH recall check; deliberately not a declared query (quadratic). */
-  def embedCosineAllPairs(spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {
+  def embedCosineAllPairs(spark: SparkSession, sfDir: String, threshold: Double = 0.4,
+                          auditN: Long = Long.MaxValue): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") < auditN)
       .select(col("vec_id"), col("embedding"), VectorFns.norm(col("embedding")).as("nrm"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),

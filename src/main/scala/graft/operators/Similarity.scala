@@ -746,14 +746,19 @@ object Similarity {
     * therefore visible to the within-cell pass. This is the number a
     * pipeline team reads before trusting x69's linear-time trade — if
     * recall is too low, raise nprobe-style multi-assignment (x5b) or K.
-    * At 100 TB the exact all-pairs baseline runs on a bounded audit
-    * sample, exactly like the x6b/x6g overlap floors; the rollup itself
-    * is three integers. Recall is exact ppm (`div` — both engines floor
-    * on positive operands). */
+    * The exact all-pairs baseline is STRUCTURALLY bounded to the
+    * `vec_id < `[[IvfTrainN]] audit sample (the whole fixture corpus at
+    * any SF, a bounded sample beyond — the same rule the quantizer
+    * trainers use, stated identically in the oracle so engine and
+    * oracle stay defined-identical at every scale), exactly like the
+    * x6b/x6g overlap floors; its quadratic BNLJ pair join and one-row
+    * rollup exchange are therefore bounded by construction and carry
+    * PlanSpec allowlist entries. Recall is exact ppm (`div` — both
+    * engines floor on positive operands). */
   def semanticBlockingRecall(spark: SparkSession, sfDir: String,
                              threshold: Double = 0.4): DataFrame = {
     val asg = ivfAssignment(spark, sfDir).select(col("vec_id"), col("cell"))
-    val pairs = Dedup.embedCosineAllPairs(spark, sfDir, threshold)
+    val pairs = Dedup.embedCosineAllPairs(spark, sfDir, threshold, IvfTrainN)
     pairs
       .join(asg.select(col("vec_id").as("id1"), col("cell").as("c1")), "id1")
       .join(asg.select(col("vec_id").as("id2"), col("cell").as("c2")), "id2")

@@ -15,7 +15,11 @@ package graft
 class PlanSpec extends SparkSpec {
 
   // streaming queries execute on construction; exercise them anyway at sf0.001
-  private val allowNestedLoop = Set("x6c_centroid_matrix")
+  // x69b: the exact-audit denominator is DELIBERATELY all-pairs, but over
+  // the vec_id < 65536 audit sample (structural bound, stated identically
+  // in the oracle) — ≤ 64k² candidate pairs regardless of corpus size;
+  // the production pass (x69) joins on cell and stays off this list.
+  private val allowNestedLoop = Set("x6c_centroid_matrix", "x69b_semantic_blocking_recall")
   // w4: global-order Window kept as the exact oracle form.
   // x32: ungrouped global aggregate — the exchange carries ONE partial-agg
   // row per map partition (bounded metadata), never row data; the row
@@ -28,9 +32,11 @@ class PlanSpec extends SparkSpec {
   // x64: the three per-step user counts are ungrouped aggregates over
   // already per-user-aggregated (shrinking) funnel tables — each exchange
   // carries one partial count row per partition, never event data.
+  // x69b: ungrouped 3-integer rollup — the exchange carries one partial
+  // count row per map partition over the bounded audit pair set.
   private val allowSinglePartition =
     Set("w4_ntile_rank", "x32_column_profile", "a12_hll_sketch_union",
-      "x29_hybrid_rrf", "x64_funnel_steps")
+      "x29_hybrid_rrf", "x64_funnel_steps", "x69b_semantic_blocking_recall")
 
   test("no Cartesian product in any declared query") {
     SparkEntry.queries.foreach { case (name, fn) =>
