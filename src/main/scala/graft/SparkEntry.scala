@@ -102,6 +102,7 @@ object SparkEntry {
     "t13_stream_contamination" -> (StreamingIngest.streamSubstringContamination _),
     "t14_stream_dedup_index" -> ((s, d) => StreamingIngest.streamDedupIndex(s, d)),
     "t15_stream_semantic_dedup" -> ((s, d) => StreamingIngest.streamSemanticDedup(s, d)),
+    "t16_stream_anomaly_flags" -> (StreamingIngest.streamAnomalyFlags _),
     // M5 — [EXT] LLM-pipeline operators
     "x1_dedup_exact" -> (Dedup.exactDedup _),
     "x2_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -411,6 +412,28 @@ object SparkEntry {
           SELECT vec_id, l2_dist FROM exact
           ORDER BY l2_dist, vec_id LIMIT 10"""
 
+  // Shared by a2e (batch, no filter) and t16 (stream — the timeline CTE
+  // additionally carries t1b's watermark flush rule; sound to push inside
+  // because trailing windows look strictly BACKWARD and the unflushed
+  // buckets are a per-category suffix, so flags∘filter = filter∘flags):
+  // trailing-window z-flags, the test cross-multiplied into pure integers.
+  private def a2eOracleSql(having: String = ""): String =
+    s"""WITH c AS (SELECT event_type AS category, ${bucketE("ts")} AS bucket_epoch,
+            count(*) AS cnt
+          FROM events GROUP BY 1, 2$having),
+        w AS (SELECT category, bucket_epoch, cnt,
+            count(cnt) OVER tw AS tn,
+            coalesce(sum(cnt) OVER tw, 0) AS ts_,
+            coalesce(sum(cnt * cnt) OVER tw, 0) AS tss
+          FROM c
+          WINDOW tw AS (PARTITION BY category ORDER BY bucket_epoch
+              ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING))
+        SELECT category, bucket_epoch, cnt, CAST(tn AS BIGINT) AS trail_n,
+          CAST(CASE WHEN tn >= 3
+              AND (tn * cnt - ts_) * (tn * cnt - ts_) > 9 * (tn * tss - ts_ * ts_)
+            THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        FROM w ORDER BY category, bucket_epoch"""
+
   // Shared by j13 and j14: the SCD-2 dimension build (gaps-and-islands →
   // validity intervals) as a reusable CTE chain ending in `dim`.
   private lazy val scd2Cte =
@@ -685,22 +708,14 @@ object SparkEntry {
           FROM w ORDER BY 1, 2""",
     // a2e: the z-test is stated cross-multiplied in integers on both
     // engines — no sqrt/division, so the flag hash-matches exactly
-    "a2e_anomaly_flags" ->
-      s"""WITH c AS (SELECT event_type AS category, ${bucketE("ts")} AS bucket_epoch,
-              count(*) AS cnt
-            FROM events GROUP BY 1, 2),
-          w AS (SELECT category, bucket_epoch, cnt,
-              count(cnt) OVER tw AS tn,
-              coalesce(sum(cnt) OVER tw, 0) AS ts_,
-              coalesce(sum(cnt * cnt) OVER tw, 0) AS tss
-            FROM c
-            WINDOW tw AS (PARTITION BY category ORDER BY bucket_epoch
-                ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING))
-          SELECT category, bucket_epoch, cnt, CAST(tn AS BIGINT) AS trail_n,
-            CAST(CASE WHEN tn >= 3
-                AND (tn * cnt - ts_) * (tn * cnt - ts_) > 9 * (tn * tss - ts_ * ts_)
-              THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
-          FROM w ORDER BY category, bucket_epoch""",
+    "a2e_anomaly_flags" -> a2eOracleSql(),
+    // t16: the same monitor on the watermarked stream — the timeline is
+    // the t1b-flushed one (windows the final watermark passed), so the
+    // oracle adds exactly t1b's HAVING rule to the shared chain
+    "t16_stream_anomaly_flags" -> a2eOracleSql(
+      s"""
+          HAVING ${bucketE("ts")} + 300 <=
+            (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 600 FROM events)"""),
     "a3_category_window_counts" ->
       s"""SELECT ${bucketE("ts")} AS bucket_epoch,
           coalesce(event_type, 'no_category') AS category,

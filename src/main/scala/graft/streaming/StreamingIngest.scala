@@ -257,6 +257,47 @@ object StreamingIngest {
         .orderBy(col("bucket_epoch"), col("category")))
   }
 
+  /** T16 — a2e's throughput-anomaly monitor ON the stream: the
+    * watermarked append-mode 5-min category counts (t1b's scale-correct
+    * bounded-state form — the reference's 500-bucket LRU done by
+    * watermark eviction) land as the timeline, and
+    * [[graft.operators.Counters.anomalyFlagsOf]] flags each bucket
+    * against its trailing window with the integer cross-multiplied
+    * z-test. The flag pass runs on the LANDED timeline — O(categories ×
+    * time-range) rows of three longs, bounded monitor metadata at any
+    * corpus size — so the streaming stage carries only the aggregation
+    * state. The timeline holds exactly the windows the final watermark
+    * passed (t1b's flush rule — the last ~2 buckets stay in state, as
+    * any live monitor's must), and because the trailing test looks
+    * strictly BACKWARD, every emitted flag equals the batch a2e's flag
+    * verbatim: the oracle is a2e's chain + t1b's HAVING rule, and the
+    * differential spec pins stream == flushed-batch row-for-row. The
+    * category is the raw `event_type` (a2e's definition), not the t1b
+    * header-default form. */
+  def streamAnomalyFlags(spark: SparkSession, sfDir: String): DataFrame = {
+    val qn = "graft_stream_anom_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val agg = source(spark, sfDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type").as("category"))
+      .count()
+    withStatePartitions(spark) {
+      withScratchCheckpoint { ck =>
+        val q = agg.writeStream
+          .format("memory").queryName(qn)
+          .outputMode("append")
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+      }
+    }
+    val counts = drainMemorySink(spark, qn)(
+      _.select(col("category"),
+        unix_timestamp(col("window.start")).as("bucket_epoch"),
+        col("count").as("cnt")))
+    graft.operators.Counters.anomalyFlagsOf(counts, trail = 4, minN = 3, k = 3)
+  }
+
   /** T11 — the NATIVE custom aggregate ([[graft.expressions.CountMax]],
     * a11's fused (count, max) `DeclarativeAggregate`) running INSIDE a
     * streaming aggregation: the state store holds the two-expression

@@ -488,6 +488,24 @@ class StreamingSpec extends SparkSpec {
     assert(kept == got, "replay must overwrite itself byte-for-byte")
   }
 
+  test("t16: streaming anomaly flags equal the batch a2e row-for-row") {
+    val stream = StreamingIngest.streamAnomalyFlags(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // the stream emits exactly the buckets the final watermark passed
+    // (t1b's flush rule); trailing windows look strictly backward, so the
+    // flushed rows must equal the batch monitor's rows verbatim
+    val maxE = Tables.events(spark, sf)
+      .agg(max(graft.functions.Times.epochSeconds(col("ts")))).head().getLong(0)
+    val batch = operators.Counters.anomalyFlags(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      .filter { case ((_, b), _) => b + 300 <= maxE - 600 }
+    assert(stream == batch,
+      "the watermark-flushed timeline must reproduce the batch monitor exactly")
+    assert(batch.valuesIterator.exists(_._3 == 1L), "the fixture must exercise a flag")
+  }
+
   test("nearDedupIndexBatch: streaming near-dup dedup against the persisted shingle index") {
     import spark.implicits._
     import org.apache.spark.sql.types._
