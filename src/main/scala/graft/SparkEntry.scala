@@ -122,6 +122,7 @@ object SparkEntry {
     "x6h_ivfpq_append_topk" -> ((s, d) => Similarity.ivfPqAppendTopK(s, d)),
     "x69_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "x69b_semantic_blocking_recall" -> ((s, d) => Similarity.semanticBlockingRecall(s, d)),
+    "x72_cell_drift" -> (Similarity.cellDrift _),
     "x7_lang_id" -> (TextAnalysis.langId _),
     "x59_lang_confusion" -> (TextAnalysis.langConfusion _),
     "x8_quality_score" -> (TextAnalysis.qualityScore _),
@@ -1174,6 +1175,23 @@ object SparkEntry {
             CAST(sum(CASE WHEN c1 = c2 THEN 1 ELSE 0 END) AS BIGINT) AS n_same_cell,
             CAST(sum(CASE WHEN c1 = c2 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS recall_ppm
           FROM j""",
+    // x72: retrained assignment + t14's bucket split; shares and drift in
+    // exact ppm against each half's own total
+    "x72_cell_drift" ->
+      s"""WITH $ivfChainSql,
+          av AS (SELECT a.cell, a.vec_id,
+              ${polyHashSql("CAST(a.vec_id AS VARCHAR)")} % 10 AS bkt
+            FROM asg a),
+          agg AS (SELECT cell,
+              CAST(count(CASE WHEN bkt <= 7 THEN 1 END) AS BIGINT) AS n_prior,
+              CAST(count(CASE WHEN bkt >= 8 THEN 1 END) AS BIGINT) AS n_fresh
+            FROM av GROUP BY 1),
+          tot AS (SELECT sum(n_prior) AS tp, sum(n_fresh) AS tf FROM agg)
+          SELECT CAST(cell AS BIGINT) AS cell, n_prior, n_fresh,
+            CAST(n_prior * 1000000 // tot.tp AS BIGINT) AS prior_ppm,
+            CAST(n_fresh * 1000000 // tot.tf AS BIGINT) AS fresh_ppm,
+            CAST(abs(n_prior * 1000000 // tot.tp - n_fresh * 1000000 // tot.tf) AS BIGINT) AS drift_ppm
+          FROM agg, tot ORDER BY cell""",
     // t15: streaming SemDeDup — the quantizer retrains via the x6b chain,
     // the arrival split restates t14's polyhash buckets, and both dedup
     // rules (within-batch greedy, fresh-vs-prior-keeper) are NOT EXISTS

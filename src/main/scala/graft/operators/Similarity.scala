@@ -767,4 +767,33 @@ object Similarity {
       .select(col("n_pairs"), col("n_same_cell"),
         expr("n_same_cell * 1000000L div n_pairs").as("recall_ppm"))
   }
+
+  /** X72 — quantizer cell-drift audit: the when-to-retrain signal the
+    * frozen-quantizer operating mode (x6h/t15) defers to. The corpus is
+    * split into the standard prior/fresh arrival halves (t14/t15's
+    * polyhash buckets) and each cell's POPULATION SHARE is compared
+    * across the two — a frozen quantizer is healthy while fresh data
+    * fills cells in the same proportions it was trained on; share drift
+    * concentrating in few cells means the embedding distribution moved
+    * and the periodic full re-cluster (x69's pass) is due. Shares and
+    * drift are exact integer ppm against each half's own total (x20
+    * one-row literals), so the K-row audit carries a full hash oracle. */
+  def cellDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = pmod(graft.functions.TextFns.polyHash(
+      col("vec_id").cast("string")), lit(10L))
+    val tagged = ivfAssignment(spark, sfDir)
+      .select(col("cell"), (bucket <= 7).as("is_prior"))
+    val agg = tagged.groupBy(col("cell")).agg(
+      sum(when(col("is_prior"), 1L).otherwise(0L)).as("n_prior"),
+      sum(when(col("is_prior"), 0L).otherwise(1L)).as("n_fresh"))
+    val totals = agg.agg(sum(col("n_prior")), sum(col("n_fresh"))).head()
+    val (tp, tf) = (totals.getLong(0), totals.getLong(1))
+    agg
+      .select(col("cell").cast("long").as("cell"),
+        col("n_prior"), col("n_fresh"),
+        expr(s"n_prior * 1000000L div ${tp}L").as("prior_ppm"),
+        expr(s"n_fresh * 1000000L div ${tf}L").as("fresh_ppm"))
+      .withColumn("drift_ppm", abs(col("prior_ppm") - col("fresh_ppm")))
+      .orderBy(col("cell"))
+  }
 }

@@ -124,6 +124,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(tile, "sum of c12 over continuations must equal c1")
   }
 
+  test("x72: drift audit tiles the corpus and ties to x69's cell populations") {
+    val d = Similarity.cellDrift(spark, sf).collect()
+    val roll = Similarity.semanticDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    d.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == roll(r.getLong(0)),
+        s"prior+fresh must tile cell ${r.getLong(0)}'s population")
+      assert(r.getLong(5) == math.abs(r.getLong(3) - r.getLong(4)),
+        "drift must be the absolute share difference")
+    }
+    assert(d.map(r => r.getLong(1) + r.getLong(2)).sum ==
+      Tables.embeddings(spark, sf).count(), "halves must tile the corpus")
+  }
+
   test("X13: dup clusters are transitive and labeled by the component minimum") {
     val pairs = Dedup.ngramJaccard(spark, sf, 0.8)
       .select($"id1", $"id2").as[(Long, Long)].collect()
