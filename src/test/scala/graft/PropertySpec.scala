@@ -91,6 +91,33 @@ class PropertySpec extends SparkSpec {
     sigs.foreach(group => assert(group.distinct.length == 1)) // deterministic
   }
 
+  test("∀count series: anomalyFlagsOf = JVM trailing z-replica (random categories, gaps, spikes)") {
+    // random per-category series with gaps and occasional large spikes —
+    // exercises warm-up, zero-variance windows and the strict-> boundary
+    val g = for {
+      cat <- Gen.oneOf("a", "b", "c")
+      idx <- Gen.choose(0, 40)
+      cnt <- Gen.frequency(9 -> Gen.choose(1L, 20L), 1 -> Gen.choose(200L, 500L))
+    } yield (cat, 1000000000L + idx * 300L, cnt)
+    val rows = Gen.listOfN(400, g).sample.get
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // one row per (cat,bucket)
+    val (trail, minN, k) = (4, 3L, 3L)
+    val expected = rows.groupBy(_._1).flatMap { case (cat, rs) =>
+      val sorted = rs.sortBy(_._2)
+      sorted.zipWithIndex.map { case ((_, b, x), i) =>
+        val w = sorted.slice(math.max(0, i - trail), i).map(_._3)
+        val (n, s, ss) = (w.length.toLong, w.sum, w.map(v => v * v).sum)
+        val flag = if (n >= minN && { val d = n * x - s; d * d > k * k * (n * ss - s * s) }) 1L else 0L
+        (cat, b) -> ((x, n, flag))
+      }
+    }
+    val got = operators.Counters.anomalyFlagsOf(
+        rows.toDF("category", "bucket_epoch", "cnt"), trail, minN, k)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected)
+  }
+
   test("x63 BPE: first merge independently re-derived; encode bounded by words and chars") {
     import graft.operators.TextAnalysis
     val merges = TextAnalysis.bpeMergeList(spark, sf)
