@@ -109,6 +109,7 @@ object SparkEntry {
     "x3_dedup_simhash" -> (Dedup.simhashDedup _),
     "x4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "x70_source_dup_matrix" -> ((s, d) => Dedup.sourceDupMatrix(s, d)),
+    "x73_curation_manifest" -> ((s, d) => TextAnalysis.curationManifest(s, d)),
     "x5_embed_neardup" -> ((s, d) => Dedup.embedCosine(s, d)),
     "x55_threshold_curve" -> ((s, d) => Dedup.cosineThresholdCurve(s, d)),
     "x5b_embed_neardup_lsh" -> ((s, d) => Dedup.embedCosineLsh(s, d)),
@@ -1001,6 +1002,43 @@ object SparkEntry {
     "x4_ngram_jaccard" ->
       s"""WITH $jaccardPairsCte
           SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2""",
+    // x73: the composed per-doc verdict — x1's keeper window, x44's
+    // recursive components + keep-longest (built on the shared jaccard
+    // CTE), x8's exact quality text; precedence as nested CASE
+    "x73_curation_manifest" ->
+      s"""WITH RECURSIVE $jaccardPairsCte,
+          edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                    UNION ALL SELECT id2, id1 FROM pairs),
+          reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+          labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+          canon AS (SELECT m.doc_id,
+              (row_number() OVER (PARTITION BY cluster_id
+                 ORDER BY n_chars DESC, m.doc_id) = 1) AS keep
+            FROM (SELECT l.doc_id, l.cluster_id, d.n_chars
+                  FROM labels l JOIN documents d USING (doc_id)) m),
+          keepers AS (SELECT doc_id,
+              (doc_id = min(doc_id) OVER (PARTITION BY text)) AS is_text_keeper
+            FROM documents),
+          qs AS (SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS n_tokens,
+              CAST(len(toks) AS DOUBLE) AS n_tok,
+              CAST(len(list_distinct(toks)) AS DOUBLE) AS n_uniq,
+              CAST(len(list_filter(toks, w -> w IN ('the','a','of','and','to','el','la','de','y','que','der','die','das','und','ist','le','et','les','des'))) AS DOUBLE) AS n_stop
+            FROM docs),
+          qual AS (SELECT doc_id, n_tokens,
+              round((CASE WHEN n_tok >= 20 AND n_tok <= 1000 THEN 1.0 WHEN n_tok >= 5 THEN 0.5 ELSE 0.0 END) * 0.4
+                    + (n_uniq / n_tok) * 0.4 + (n_stop / n_tok) * 0.2, 6) AS quality
+            FROM qs)
+          SELECT k.doc_id, q.n_tokens,
+            CASE WHEN NOT k.is_text_keeper THEN 'exact_dup'
+                 WHEN NOT c.keep THEN 'near_dup'
+                 WHEN q.quality < 0.5 THEN 'low_quality'
+                 ELSE 'keep' END AS verdict
+          FROM keepers k JOIN canon c USING (doc_id) JOIN qual q USING (doc_id)
+          ORDER BY doc_id""",
     // x70: x4's pair set rolled up by canonicalized source pair
     "x70_source_dup_matrix" ->
       s"""WITH $jaccardPairsCte

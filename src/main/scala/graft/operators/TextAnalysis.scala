@@ -1492,4 +1492,35 @@ object TextAnalysis {
         expr("sum_bits * 1000L div n_bigrams").as("mean_millibits"))
       .orderBy(col("doc_id"))
   }
+
+  /** X73 — the per-document curation manifest: every doc's verdict with
+    * FIRST-BLOCKING-STAGE precedence — `exact_dup` (not x1's min-id
+    * keeper of its text) → `near_dup` (x44's keep-longest says drop) →
+    * `low_quality` (x8's 6-dp rounded composite under `minQuality`) →
+    * `keep`. This is the WHY-report a curation run emits alongside the
+    * curated corpus (x19's rollup aggregates the survivors; this is the
+    * row-level audit trail reviewers and data-deletion requests read).
+    * Every ingredient is an already-oracled operator, so the composed
+    * verdict column carries a full hash oracle; the quality threshold
+    * compares the 6-dp ROUNDED score (bit-identical cross-engine, x8's
+    * discipline), so the boundary is exact. The keeper test reuses x1's
+    * group-by-text definition; at 100 TB the same verdict computes off
+    * the x10 fingerprint index (x16's probe) instead of raw text. */
+  def curationManifest(spark: SparkSession, sfDir: String,
+                       minQuality: Double = 0.5): DataFrame = {
+    val byText = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
+    val exact = Tables.documents(spark, sfDir).select(col("doc_id"),
+      (col("doc_id") === min(col("doc_id")).over(byText)).as("is_text_keeper"))
+    val canon = Dedup.clusterCanonical(spark, sfDir)
+      .select(col("doc_id"), col("keep"))
+    val q = qualityScore(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    exact.join(canon, "doc_id").join(q, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        when(!col("is_text_keeper"), lit("exact_dup"))
+          .when(!col("keep"), lit("near_dup"))
+          .when(col("quality") < minQuality, lit("low_quality"))
+          .otherwise(lit("keep")).as("verdict"))
+      .orderBy(col("doc_id"))
+  }
 }

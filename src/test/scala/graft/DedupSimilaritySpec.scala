@@ -138,6 +138,30 @@ class DedupSimilaritySpec extends SparkSpec {
       Tables.embeddings(spark, sf).count(), "halves must tile the corpus")
   }
 
+  test("x73: manifest verdicts are the first-blocking composition of x1/x44/x8") {
+    val man = operators.TextAnalysis.curationManifest(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val keepers = Dedup.exactDedup(spark, sf).select($"keeper_id").as[Long].collect().toSet
+    val canon = Dedup.clusterCanonical(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val qual = operators.TextAnalysis.qualityScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    man.foreach { case (id, v) =>
+      val expected =
+        if (!keepers.contains(id)) "exact_dup"
+        else if (!canon(id)) "near_dup"
+        else if (qual(id) < 0.5) "low_quality"
+        else "keep"
+      assert(v == expected, s"doc $id: got $v, component composition says $expected")
+    }
+    assert(man.size == Tables.documents(spark, sf).count(), "one verdict per doc")
+    // the fixture plants near-dups and low-quality docs but no exact text
+    // copies (x1's spec pins count == distinct), so those three fire here;
+    // exact_dup is exercised by the composition check above
+    assert(Set("keep", "near_dup", "low_quality").subsetOf(man.values.toSet),
+      "fixture-exercised verdicts must all fire")
+  }
+
   test("X13: dup clusters are transitive and labeled by the component minimum") {
     val pairs = Dedup.ngramJaccard(spark, sf, 0.8)
       .select($"id1", $"id2").as[(Long, Long)].collect()
