@@ -110,6 +110,7 @@ object SparkEntry {
     "x4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "x70_source_dup_matrix" -> ((s, d) => Dedup.sourceDupMatrix(s, d)),
     "x73_curation_manifest" -> ((s, d) => TextAnalysis.curationManifest(s, d)),
+    "x74_source_divergence" -> (TextAnalysis.sourceDivergence _),
     "x5_embed_neardup" -> ((s, d) => Dedup.embedCosine(s, d)),
     "x55_threshold_curve" -> ((s, d) => Dedup.cosineThresholdCurve(s, d)),
     "x5b_embed_neardup_lsh" -> ((s, d) => Dedup.embedCosineLsh(s, d)),
@@ -1002,6 +1003,28 @@ object SparkEntry {
     "x4_ngram_jaccard" ->
       s"""WITH $jaccardPairsCte
           SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2""",
+    // x74: the union-sum identity over one inner join; every term exact
+    // integer ppm (c*1e6 // t, floors on positive operands)
+    "x74_source_divergence" ->
+      s"""WITH t0 AS (SELECT source, unnest($toks) AS w FROM documents),
+          occ AS (SELECT source, ${polyHashSql("w")} AS h FROM t0),
+          tot AS (SELECT source, count(*) AS t FROM occ GROUP BY 1),
+          ppm AS (SELECT o.source, o.h,
+              CAST(count(*) * 1000000 // tot.t AS BIGINT) AS p
+            FROM occ o JOIN tot USING (source) GROUP BY o.source, o.h, tot.t),
+          mass AS (SELECT source, CAST(sum(p) AS BIGINT) AS s FROM ppm GROUP BY 1),
+          common AS (SELECT a.source AS source_a, b.source AS source_b,
+              CAST(sum(abs(a.p - b.p)) AS BIGINT) AS d_common,
+              CAST(sum(a.p) AS BIGINT) AS pa_common,
+              CAST(sum(b.p) AS BIGINT) AS pb_common
+            FROM ppm a JOIN ppm b ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2)
+          SELECT source_a, source_b,
+            CAST((d_common + (ma.s - pa_common) + (mb.s - pb_common)) // 2 AS BIGINT) AS tv_ppm
+          FROM common
+          JOIN mass ma ON ma.source = common.source_a
+          JOIN mass mb ON mb.source = common.source_b
+          ORDER BY source_a, source_b""",
     // x73: the composed per-doc verdict — x1's keeper window, x44's
     // recursive components + keep-longest (built on the shared jaccard
     // CTE), x8's exact quality text; precedence as nested CASE

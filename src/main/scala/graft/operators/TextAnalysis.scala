@@ -1493,6 +1493,42 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** X74 — pairwise source-distribution divergence: total-variation
+    * distance between every two sources' unigram frequency distributions,
+    * in exact integer ppm — the drift measure behind data-mixing
+    * decisions (two sources at near-zero TV are redundant feeds; a
+    * source drifting from the mixture mean is changing register). The
+    * identity `Σ_union |p−q| = Σ_common |p−q| + (S_p − Σ_common p) +
+    * (S_q − Σ_common q)` turns the union-of-vocabularies sum into ONE
+    * inner join on the token hash plus per-source totals — no full-outer
+    * join, no null handling, and every term is an integer (per-token ppm
+    * = `c·10⁶ div T`; S is each source's exact ppm mass, ≤ 10⁶ with
+    * floor loss). Tokens are hashed before the shuffle (x37's rule);
+    * output is |sources|² rows. TV halves the sum, flooring — both
+    * engines `div 2`. */
+  def sourceDivergence(spark: SparkSession, sfDir: String): DataFrame = {
+    val occ = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("w"))
+      .select(col("source"), TextFns.polyHash(col("w")).as("h"))
+    val tot = occ.groupBy(col("source")).agg(count(lit(1)).as("t"))
+    val ppm = Dedup.snapshot(spark, occ
+      .groupBy(col("source"), col("h")).agg(count(lit(1)).as("c"))
+      .join(broadcast(tot), "source")
+      .select(col("source"), col("h"), expr("c * 1000000L div t").as("p")))
+    val mass = ppm.groupBy(col("source")).agg(sum(col("p")).as("s"))
+    val common = ppm.as("a").join(ppm.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(sum(abs(col("a.p") - col("b.p"))).as("d_common"),
+        sum(col("a.p")).as("pa_common"), sum(col("b.p")).as("pb_common"))
+    common
+      .join(broadcast(mass.select(col("source").as("source_a"), col("s").as("sa"))), "source_a")
+      .join(broadcast(mass.select(col("source").as("source_b"), col("s").as("sb"))), "source_b")
+      .select(col("source_a"), col("source_b"),
+        expr("(d_common + (sa - pa_common) + (sb - pb_common)) div 2").as("tv_ppm"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** X73 — the per-document curation manifest: every doc's verdict with
     * FIRST-BLOCKING-STAGE precedence — `exact_dup` (not x1's min-id
     * keeper of its text) → `near_dup` (x44's keep-longest says drop) →

@@ -162,6 +162,29 @@ class DedupSimilaritySpec extends SparkSpec {
       "fixture-exercised verdicts must all fire")
   }
 
+  test("x74: TV divergence equals the JVM union-sum replica and stays in [0, 1e6]") {
+    import graft.functions.TextFns
+    val occ = Tables.documents(spark, sf)
+      .select($"source", explode(TextFns.tokens($"text")).as("w"))
+      .select($"source", TextFns.polyHash($"w").as("h"))
+      .as[(String, Long)].collect()
+    val bySrc = occ.groupBy(_._1).view.mapValues { rows =>
+      val t = rows.length.toLong
+      rows.groupBy(_._2).map { case (h, r) => h -> r.length.toLong * 1000000L / t }
+    }.toMap
+    val srcs = bySrc.keys.toSeq.sorted
+    val expected = (for {
+      a <- srcs; b <- srcs if a < b
+      pa = bySrc(a); pb = bySrc(b)
+      union = pa.keySet ++ pb.keySet
+    } yield (a, b) -> union.toSeq
+      .map(h => math.abs(pa.getOrElse(h, 0L) - pb.getOrElse(h, 0L))).sum / 2).toMap
+    val got = operators.TextAnalysis.sourceDivergence(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+    got.values.foreach(v => assert(v >= 0L && v <= 1000000L))
+  }
+
   test("X13: dup clusters are transitive and labeled by the component minimum") {
     val pairs = Dedup.ngramJaccard(spark, sf, 0.8)
       .select($"id1", $"id2").as[(Long, Long)].collect()
