@@ -420,7 +420,13 @@ object SparkEntry {
   // because trailing windows look strictly BACKWARD and the unflushed
   // buckets are a per-category suffix, so flags∘filter = filter∘flags):
   // trailing-window z-flags, the test cross-multiplied into pure integers.
-  private def a2eOracleSql(having: String = ""): String =
+  private def a2eOracleSql(having: String = ""): String = {
+    // the (trail, minN, k²) literals come from the ONE shared constant
+    // triple (Counters.Anomaly*) — the engine, the stream, and this
+    // oracle can no longer drift apart
+    val (trail, minN, k2) = (graft.operators.Counters.AnomalyTrail,
+      graft.operators.Counters.AnomalyMinN,
+      graft.operators.Counters.AnomalyK * graft.operators.Counters.AnomalyK)
     s"""WITH c AS (SELECT event_type AS category, ${bucketE("ts")} AS bucket_epoch,
             count(*) AS cnt
           FROM events GROUP BY 1, 2$having),
@@ -430,12 +436,13 @@ object SparkEntry {
             coalesce(sum(cnt * cnt) OVER tw, 0) AS tss
           FROM c
           WINDOW tw AS (PARTITION BY category ORDER BY bucket_epoch
-              ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING))
+              ROWS BETWEEN $trail PRECEDING AND 1 PRECEDING))
         SELECT category, bucket_epoch, cnt, CAST(tn AS BIGINT) AS trail_n,
-          CAST(CASE WHEN tn >= 3
-              AND (tn * cnt - ts_) * (tn * cnt - ts_) > 9 * (tn * tss - ts_ * ts_)
+          CAST(CASE WHEN tn >= $minN
+              AND (tn * cnt - ts_) * (tn * cnt - ts_) > $k2 * (tn * tss - ts_ * ts_)
             THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
         FROM w ORDER BY category, bucket_epoch"""
+  }
 
   // Shared by j13 and j14: the SCD-2 dimension build (gaps-and-islands →
   // validity intervals) as a reusable CTE chain ending in `dim`.
@@ -1004,7 +1011,10 @@ object SparkEntry {
       s"""WITH $jaccardPairsCte
           SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2""",
     // x74: the union-sum identity over one inner join; every term exact
-    // integer ppm (c*1e6 // t, floors on positive operands)
+    // integer ppm (c*1e6 // t, floors on positive operands). The pair
+    // matrix is ALL unordered source pairs (mass × mass) so a pair with
+    // fully disjoint vocabularies — the maximum-divergence case — still
+    // appears, its shared-term sums coalesced to 0.
     "x74_source_divergence" ->
       s"""WITH t0 AS (SELECT source, unnest($toks) AS w FROM documents),
           occ AS (SELECT source, ${polyHashSql("w")} AS h FROM t0),
@@ -1013,6 +1023,9 @@ object SparkEntry {
               CAST(count(*) * 1000000 // tot.t AS BIGINT) AS p
             FROM occ o JOIN tot USING (source) GROUP BY o.source, o.h, tot.t),
           mass AS (SELECT source, CAST(sum(p) AS BIGINT) AS s FROM ppm GROUP BY 1),
+          allp AS (SELECT ma.source AS source_a, mb.source AS source_b,
+              ma.s AS sa, mb.s AS sb
+            FROM mass ma JOIN mass mb ON ma.source < mb.source),
           common AS (SELECT a.source AS source_a, b.source AS source_b,
               CAST(sum(abs(a.p - b.p)) AS BIGINT) AS d_common,
               CAST(sum(a.p) AS BIGINT) AS pa_common,
@@ -1020,10 +1033,9 @@ object SparkEntry {
             FROM ppm a JOIN ppm b ON a.h = b.h AND a.source < b.source
             GROUP BY 1, 2)
           SELECT source_a, source_b,
-            CAST((d_common + (ma.s - pa_common) + (mb.s - pb_common)) // 2 AS BIGINT) AS tv_ppm
-          FROM common
-          JOIN mass ma ON ma.source = common.source_a
-          JOIN mass mb ON mb.source = common.source_b
+            CAST((coalesce(d_common, 0) + (sa - coalesce(pa_common, 0))
+              + (sb - coalesce(pb_common, 0))) // 2 AS BIGINT) AS tv_ppm
+          FROM allp LEFT JOIN common USING (source_a, source_b)
           ORDER BY source_a, source_b""",
     // x73: the composed per-doc verdict — x1's keeper window, x44's
     // recursive components + keep-longest (built on the shared jaccard

@@ -20,6 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object Counters {
 
+  /** The (trail, minN, k) triple of the a2e/t16 anomaly monitor — the ONE
+    * source of truth shared by [[anomalyFlags]]' defaults,
+    * [[graft.streaming.StreamingIngest.streamAnomalyFlags]], and the
+    * DuckDB oracle `a2eOracleSql` interpolates (`ROWS BETWEEN trail
+    * PRECEDING`, `tn >= minN`, `k² *`): drifting any one of the three
+    * copies used to silently break the stream==batch differential or the
+    * hash oracle, so now there are no copies. */
+  val AnomalyTrail: Int = 4
+  val AnomalyMinN: Long = 3L
+  val AnomalyK: Long = 3L
+
   /** A2 — global 5-min tumbling-window count (+ last update ts, A6 shape).
     * TimedUtils.scala:55-68,126-133. */
   def windowCounts(spark: SparkSession, sfDir: String): DataFrame =
@@ -266,20 +277,34 @@ object Counters {
     * per-category-bucket counts — O(categories × time range), partial-
     * aggregable map-side, never event-count rows through the window. */
   def anomalyFlags(spark: SparkSession, sfDir: String,
-                   trail: Int = 4, minN: Long = 3, k: Long = 3): DataFrame =
+                   trail: Int = AnomalyTrail, minN: Long = AnomalyMinN,
+                   k: Long = AnomalyK): DataFrame =
     anomalyFlagsOf(Tables.events(spark, sfDir)
       .groupBy(col("event_type").as("category"),
         Times.bucketEpoch(col("ts"), 300L).as("bucket_epoch"))
       .agg(count(lit(1)).as("cnt")), trail, minN, k)
 
   /** [[anomalyFlags]] over any `(category, bucket_epoch, cnt)` timeline —
-    * the spec entry point for hand-built series. */
+    * the spec entry point for hand-built series.
+    *
+    * The two sides of the cross-multiplied z-test are computed in
+    * `decimal(38,0)` — DuckDB promotes the same products to HUGEINT, and
+    * a Long intermediate silently wraps once `dev ≈ trail·cnt` passes
+    * ~3·10⁹ (a 5-min bucket count of ~7.6·10⁸ at extreme scale), flipping
+    * flags on the engine side only. With 38 digits both sides are exact
+    * while `cnt < ~10¹⁷` (dev ≤ 2·trail·cnt, dev² ≤ 4·trail²·cnt² needs
+    * 2·digits(cnt)+3 ≤ 38) — beyond any physical per-bucket event count,
+    * so engine and oracle agree at every reachable scale. */
   private[graft] def anomalyFlagsOf(counts: DataFrame, trail: Int,
                                     minN: Long, k: Long): DataFrame = {
     val tw = Window.partitionBy(col("category")).orderBy(col("bucket_epoch"))
       .rowsBetween(-trail, -1)
-    val dev = col("trail_n") * col("cnt") - col("trail_s")
-    val varN = col("trail_n") * col("trail_ss") - col("trail_s") * col("trail_s")
+    // cast ONE operand of every product so the multiply itself runs in
+    // decimal — casting the finished Long product would wrap first
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val dev = dec(col("trail_n")) * col("cnt") - col("trail_s")
+    val varN = dec(col("trail_n")) * col("trail_ss") -
+      dec(col("trail_s")) * col("trail_s")
     counts
       .withColumn("trail_n", count(col("cnt")).over(tw))
       .withColumn("trail_s", coalesce(sum(col("cnt")).over(tw), lit(0L)))

@@ -788,6 +788,13 @@ object Similarity {
       sum(when(col("is_prior"), 0L).otherwise(1L)).as("n_fresh"))
     val totals = agg.agg(sum(col("n_prior")), sum(col("n_fresh"))).head()
     val (tp, tf) = (totals.getLong(0), totals.getLong(1))
+    // Degenerate-half guard: an empty prior or fresh half would put 0
+    // into the interpolated `div` literal, where Spark yields NULL ppm
+    // while DuckDB `// 0` raises — engine and oracle failing DIFFERENTLY
+    // instead of agreeing. The audit is meaningless on an empty half
+    // anyway, so fail loudly (the x6c structural-bound discipline).
+    require(tp > 0 && tf > 0,
+      s"cellDrift needs both arrival halves non-empty (prior=$tp, fresh=$tf)")
     agg
       .select(col("cell").cast("long").as("cell"),
         col("n_prior"), col("n_fresh"),

@@ -1504,8 +1504,14 @@ object TextAnalysis {
     * join, no null handling, and every term is an integer (per-token ppm
     * = `c·10⁶ div T`; S is each source's exact ppm mass, ≤ 10⁶ with
     * floor loss). Tokens are hashed before the shuffle (x37's rule);
-    * output is |sources|² rows. TV halves the sum, flooring — both
-    * engines `div 2`. */
+    * output is every unordered source pair — C(|sources|, 2) rows,
+    * INCLUDING pairs sharing no vocabulary at all (the maximum-divergence
+    * case the metric exists to flag: their shared-term sums coalesce to
+    * 0 and tv correctly lands at ≈ (Sₐ+S_b)/2). The pair matrix comes
+    * from the per-source mass rows — |sources| rows of bounded metadata,
+    * collected once and re-entered as a literal relation (the x20 idiom),
+    * so the only data-sized work stays the one inner join. TV halves the
+    * sum, flooring — both engines `div 2`. */
   def sourceDivergence(spark: SparkSession, sfDir: String): DataFrame = {
     val occ = Tables.documents(spark, sfDir)
       .select(col("source"), explode(TextFns.tokens(col("text"))).as("w"))
@@ -1516,16 +1522,20 @@ object TextAnalysis {
       .join(broadcast(tot), "source")
       .select(col("source"), col("h"), expr("c * 1000000L div t").as("p")))
     val mass = ppm.groupBy(col("source")).agg(sum(col("p")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val allPairs = spark.createDataFrame(for {
+        (a, sa) <- mass.toSeq; (b, sb) <- mass.toSeq if a < b
+      } yield (a, b, sa, sb))
+      .toDF("source_a", "source_b", "sa", "sb")
     val common = ppm.as("a").join(ppm.as("b"),
         col("a.h") === col("b.h") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
       .agg(sum(abs(col("a.p") - col("b.p"))).as("d_common"),
         sum(col("a.p")).as("pa_common"), sum(col("b.p")).as("pb_common"))
-    common
-      .join(broadcast(mass.select(col("source").as("source_a"), col("s").as("sa"))), "source_a")
-      .join(broadcast(mass.select(col("source").as("source_b"), col("s").as("sb"))), "source_b")
+    allPairs.join(common, Seq("source_a", "source_b"), "left")
       .select(col("source_a"), col("source_b"),
-        expr("(d_common + (sa - pa_common) + (sb - pb_common)) div 2").as("tv_ppm"))
+        expr("""(coalesce(d_common, 0L) + (sa - coalesce(pa_common, 0L))
+               + (sb - coalesce(pb_common, 0L))) div 2""").as("tv_ppm"))
       .orderBy(col("source_a"), col("source_b"))
   }
 

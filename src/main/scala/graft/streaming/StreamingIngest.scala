@@ -295,7 +295,10 @@ object StreamingIngest {
       _.select(col("category"),
         unix_timestamp(col("window.start")).as("bucket_epoch"),
         col("count").as("cnt")))
-    graft.operators.Counters.anomalyFlagsOf(counts, trail = 4, minN = 3, k = 3)
+    graft.operators.Counters.anomalyFlagsOf(counts,
+      trail = graft.operators.Counters.AnomalyTrail,
+      minN = graft.operators.Counters.AnomalyMinN,
+      k = graft.operators.Counters.AnomalyK)
   }
 
   /** T11 — the NATIVE custom aggregate ([[graft.expressions.CountMax]],
@@ -933,8 +936,13 @@ object StreamingIngest {
     import java.nio.file.{Files, StandardCopyOption}
     val tmp = root.resolve(name + "_tmp")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = Files.list(tmp).filter(p =>
-      p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    // Files.list holds a directory handle until closed — leak one per
+    // landed arrival file otherwise
+    val listing = Files.list(tmp)
+    val part =
+      try listing.filter(p =>
+        p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      finally listing.close()
     Files.move(part, srcDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
     Files.setLastModifiedTime(srcDir.resolve(name),
       java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
