@@ -234,16 +234,27 @@ object Bench {
     // isolating one query's cost from its neighbors (JIT, GC, cache
     // residue are order-coupled).
     val selected = SparkEntry.selectedQueries.toSeq.sortBy(_._1)
-    // SPARK_GRAFT_REPEAT=N times each query N times and reports the LAST
-    // run — separates steady-state cost from first-use codegen/JIT when
-    // investigating a regression. Default 1 (the honest cold number).
-    // floor at 1: REPEAT=0 would skip execution yet report the -1 failure
-    // sentinel as a passing query's time
-    val repeat = math.max(1, sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1))
+    // SPARK_GRAFT_REPS=N (default 3) runs each query N times and reports
+    // the per-query MEDIAN (plus min, in the file artifact). Identical
+    // unchanged queries drifted 20-35% between single-shot cold runs on
+    // this host (q_compact 2.88→3.72 s with zero code change), which made
+    // round-over-round deltas unattributable; the median of 3 absorbs
+    // one bad draw per query while the recorded min bounds the query's
+    // intrinsic cost from below. N is stamped into both JSON outputs as
+    // "reps" so every artifact states its own protocol. Floor at 1:
+    // REPS=0 would skip execution yet report a passing time.
+    // (SPARK_GRAFT_REPEAT, the old report-the-last-run knob, is honored
+    // as an alias when REPS is unset.)
+    val reps = math.max(1, sys.env.get("SPARK_GRAFT_REPS")
+      .orElse(sys.env.get("SPARK_GRAFT_REPEAT")).map(_.toInt).getOrElse(3))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val results = selected.map { case (name, fn) =>
-      var last = -1.0
       var ok = true
-      for (_ <- 1 to repeat if ok) {
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      for (_ <- 1 to reps if ok) {
         val t0 = System.nanoTime()
         ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -251,34 +262,37 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
           }
-        last = (System.nanoTime() - t0) / 1e9
+        times += (System.nanoTime() - t0) / 1e9
+        // Untimed inter-rep/inter-query housekeeping (the JMH
+        // between-iterations discipline): collect the garbage the run
+        // just created so the NEXT number is its own cost, not this
+        // one's GC debt — without it, whichever run happens to trip the
+        // full collection ~70 queries in reads 5× slower run-to-run.
+        System.gc()
       }
-      // Untimed inter-query housekeeping (the JMH between-iterations
-      // discipline): collect the garbage the query just created so the
-      // NEXT query's number is its own cost, not this one's GC debt —
-      // without it, whichever query happens to trip the full collection
-      // ~70 queries in reads 5× slower run-to-run.
-      System.gc()
       // failures are marked -1 so a broken query can't read as a fast pass
-      (name, if (ok) last else -1.0, ok)
+      (name, if (ok) median(times.toSeq) else -1.0,
+        if (ok) times.min else -1.0, ok)
     }
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.collect { case (_, v, _, true) => v }.sum
     def r3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     // Full-precision per-query JSON goes to a FILE, not stdout: the
     // harness that captures this main keeps only a bounded tail of the
     // output, and ~90 queries of full-precision doubles overflow it —
     // which truncates the line mid-object and breaks its JSON parse.
     // Failed queries are named ONLY in `failed` — no -1.0 sentinels in the
-    // map, so naive sums/averages over `queries` stay meaningful.
-    val allQs = results.collect { case (k, v, true) => "\"" + k + "\":" + v }
+    // maps, so naive sums/averages over `queries` stay meaningful.
+    val allQs = results.collect { case (k, v, _, true) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val allMins = results.collect { case (k, _, mn, true) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
     val ib = indexBuild.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val ibTotal = r3(indexBuild.values.sum)
     val fullJson =
-      s"""{"bench_total_sec":${r3(total)},"unit":"sec","queries":$allQs,"index_build":$ib,"index_build_total_sec":$ibTotal,"index_cache":"$indexCacheState","failed":$failed,"sf":"$sfDir"}"""
+      s"""{"bench_total_sec":${r3(total)},"unit":"sec","reps":$reps,"queries":$allQs,"queries_min":$allMins,"index_build":$ib,"index_build_total_sec":$ibTotal,"index_cache":"$indexCacheState","failed":$failed,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e") }
@@ -286,13 +300,13 @@ object Bench {
     // tail always holds it whole: the 45 costliest queries (3 dp,
     // alphabetical for round-over-round diffing) plus an explicit
     // omitted-summary — never a silent drop — and the headline total.
-    val passed = results.collect { case (k, v, true) => (k, v) }
+    val passed = results.collect { case (k, v, _, true) => (k, v) }
     val top = passed.sortBy(-_._2).take(40).sortBy(_._1)
     val omitted = passed.sortBy(-_._2).drop(40)
     val qs = top.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val om = s"""{"n":${omitted.size},"sec":${r3(omitted.map(_._2).sum)}}"""
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"omitted":$om,"index_build":$ib,"index_build_total_sec":$ibTotal,"index_cache":"$indexCacheState","failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"queries":$qs,"omitted":$om,"index_build":$ib,"index_build_total_sec":$ibTotal,"index_cache":"$indexCacheState","failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
