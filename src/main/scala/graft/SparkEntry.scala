@@ -103,6 +103,7 @@ object SparkEntry {
     "t14_stream_dedup_index" -> ((s, d) => StreamingIngest.streamDedupIndex(s, d)),
     "t15_stream_semantic_dedup" -> ((s, d) => StreamingIngest.streamSemanticDedup(s, d)),
     "t16_stream_anomaly_flags" -> (StreamingIngest.streamAnomalyFlags _),
+    "t17_stream_idle_close" -> ((s, d) => StreamingIngest.idleCloseSessions(s, d)),
     // M5 — [EXT] LLM-pipeline operators
     "x1_dedup_exact" -> (Dedup.exactDedup _),
     "x2_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -726,6 +727,34 @@ object SparkEntry {
       s"""
           HAVING ${bucketE("ts")} + 300 <=
             (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 600 FROM events)"""),
+    // t17: gaps-and-islands sessionization (30-min gap over floored
+    // epoch seconds); the stream emits every session except each user's
+    // LAST (any later arrival closes its predecessor), and the last iff
+    // its idle deadline precedes the final watermark — the timer fire
+    // rule (TimerStateImpl expires ts <= watermark) stated in exact
+    // integer milliseconds: both engines floor micros→ms, the watermark
+    // is max_event_ms − 600000, the deadline (end + 1800)·1000.
+    "t17_stream_idle_close" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+              coalesce(event_type, 'no_category') AS cat FROM events),
+          m AS (SELECT user_id, es, cat,
+              CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY es) > 1800
+                THEN 1 ELSE 0 END AS brk FROM e),
+          s AS (SELECT user_id, es, cat,
+              SUM(brk) OVER (PARTITION BY user_id ORDER BY es
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM m),
+          g AS (SELECT user_id, sid,
+              min(es) AS session_start, max(es) AS session_end,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(count(DISTINCT cat) AS BIGINT) AS n_types
+            FROM s GROUP BY 1, 2),
+          wm AS (SELECT epoch_ms(max(ts)) - 600000 AS w FROM events)
+          SELECT user_id, session_start, session_end, n_events, n_types
+          FROM g
+          WHERE sid < (SELECT max(sid) FROM g g2 WHERE g2.user_id = g.user_id)
+             OR (session_end + 1800) * 1000 <= (SELECT w FROM wm)
+          ORDER BY user_id, session_start""",
     "a3_category_window_counts" ->
       s"""SELECT ${bucketE("ts")} AS bucket_epoch,
           coalesce(event_type, 'no_category') AS category,

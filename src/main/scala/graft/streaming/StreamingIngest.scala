@@ -586,6 +586,201 @@ object StreamingIngest {
         .orderBy(col("user_id")))
   }
 
+  /** The per-key state machine of [[idleCloseSessions]] — the reference's
+    * idle-close done the way the reference actually does it: a TIMER fires
+    * the close after `idleTimeout` of silence (`HiveBatchedWriter
+    * .scala:60-63` closes a writer whose last write is older than the
+    * idle deadline), instead of waiting for the key's next arrival to
+    * notice the gap. Per key it composes the full typed-state surface:
+    *
+    *  - `ListState[(epoch, category)]` — the open session's events (the
+    *    reference's open writer + its buffered batch);
+    *  - `MapState[category → count]` — the open session's per-category
+    *    tallies (the reference's per-writer counters), maintained
+    *    incrementally on arrival and READ by the timer path to emit
+    *    `n_types` without rescanning the list;
+    *  - an event-time timer at `lastEvent + gap` — re-armed on every
+    *    arrival (delete + register), fired by the engine when the
+    *    WATERMARK passes the deadline ([[TimerStateImpl]] expires
+    *    `ts <= watermarkForEviction`), which is exactly "close after
+    *    `gap` of silence" measured in event time.
+    *
+    * Arrival path: merge the open events with the batch's, re-sessionize
+    * (sort + split on `gap`), emit every chunk a LATER chunk proves
+    * closed, keep the last chunk open, re-arm its timer. Timer path: emit
+    * the open session and clear all state. Emission is therefore
+    * batch-equivalent whenever arrivals respect session closure order
+    * (time-split files under a watermark guarantee it): every session
+    * except each key's last is closed by some later arrival, and the last
+    * is closed by its timer iff the final watermark passes its deadline —
+    * the flush rule the t17 oracle states.
+    *
+    * TTL is deliberately NOT configured here: Spark 4.1 permits state TTL
+    * only in `TimeMode.ProcessingTime` (`validateTTLConfig` throws for
+    * any other mode), and the idle-close contract needs EVENT-time timers
+    * — the TTL surface is exercised by [[TtlCacheProcessor]] on the
+    * processing-time path instead. */
+  private[graft] class IdleSessionProcessor(gapSec: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, String), (Long, Long, Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
+      MapState, OutputMode, TimeMode, TimerValues, TTLConfig}
+    @transient private var open: ListState[(Long, String)] = _
+    @transient private var typeCounts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      open = getHandle.getListState[(Long, String)]("open",
+        org.apache.spark.sql.Encoders.product[(Long, String)], TTLConfig.NONE)
+      typeCounts = getHandle.getMapState[String, Long]("typeCounts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    private def sessionRow(user: Long, evs: Seq[(Long, String)],
+                           nTypes: Long): (Long, Long, Long, Long, Long) =
+      (user, evs.iterator.map(_._1).min, evs.iterator.map(_._1).max,
+        evs.size.toLong, nTypes)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long, String)],
+                                 timerValues: TimerValues): Iterator[(Long, Long, Long, Long, Long)] = {
+      val prior = if (open.exists()) open.get().toSeq else Seq.empty
+      val all = (prior ++ rows.map(r => (r._2, r._3))).sortBy(identity)
+      val chunks = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer.empty[(Long, String)])
+      all.foreach { e =>
+        if (chunks.last.nonEmpty && e._1 - chunks.last.last._1 > gapSec)
+          chunks += scala.collection.mutable.ArrayBuffer.empty
+        chunks.last += e
+      }
+      val tail = chunks.last.toSeq
+      // re-arm: retire the open session's previous deadline, arm the new
+      // one (the engine auto-deletes a FIRED timer, so a prior timer
+      // exists exactly when a prior open session does)
+      val newDeadline = (tail.iterator.map(_._1).max + gapSec) * 1000
+      if (prior.nonEmpty) {
+        val oldDeadline = (prior.iterator.map(_._1).max + gapSec) * 1000
+        if (oldDeadline != newDeadline) getHandle.deleteTimer(oldDeadline)
+      }
+      getHandle.registerTimer(newDeadline)
+      open.put(tail.toArray)
+      typeCounts.clear()
+      tail.groupBy(_._2).foreach { case (c, es) =>
+        typeCounts.updateValue(c, es.size.toLong) }
+      chunks.dropRight(1).iterator.map(c =>
+        sessionRow(user, c.toSeq, c.iterator.map(_._2).toSet.size.toLong))
+    }
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long, Long)] = {
+      if (!open.exists()) Iterator.empty
+      else {
+        val evs = open.get().toSeq
+        // a deadline the arrival path replaced is stale — defensive: the
+        // re-arm deletes it, so this only guards engine-level surprises
+        if (expiredTimerInfo.getExpiryTimeInMs !=
+            (evs.iterator.map(_._1).max + gapSec) * 1000) Iterator.empty
+        else {
+          val nTypes = typeCounts.keys().size.toLong
+          val row = sessionRow(user, evs, nTypes)
+          open.clear()
+          typeCounts.clear()
+          Iterator.single(row)
+        }
+      }
+    }
+  }
+
+  /** The processing-time half of the T10 state surface: a ValueState with
+    * a real TTL (Spark 4.1 allows TTL only in `TimeMode.ProcessingTime`)
+    * holding a per-key running count. Emits `(key, countSinceExpiry)` per
+    * batch — after the TTL elapses with no re-write, the state reads as
+    * absent and the count restarts, which is what the TTL spec asserts
+    * across two runs of one checkpoint separated by a sleep. Spec-only:
+    * wall-clock-dependent by nature, so it never carries a hash oracle. */
+  private[graft] class TtlCacheProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig(ttl))
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                                 timerValues: TimerValues): Iterator[(Long, Long)] = {
+      val n = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(n)
+      Iterator.single((key, n))
+    }
+  }
+
+  /** T17 — the reference's idle-close driven by EVENT-TIME TIMERS
+    * ([[IdleSessionProcessor]]): per-user 30-min-gap sessions over the
+    * event stream, where a session with no successor arrival is closed by
+    * its re-armed `lastEvent + gap` timer the moment the watermark passes
+    * the deadline — the reference's `idleTimeout` writer close
+    * (`HiveBatchedWriter.scala:60-63`) stated in event time. The fixture
+    * arrives as three arrival files time-split on floored-second terciles
+    * with ordered mtimes and `maxFilesPerTrigger = 1`, so sessions
+    * genuinely span micro-batches, mid-stream watermark advances fire
+    * timers mid-run (not only at shutdown), and the strict split keeps
+    * arrival order compatible with session closure (no emitted session
+    * can be reopened). Emitted set = every session except each user's
+    * last, plus the last iff its deadline precedes the final watermark —
+    * `(end + gap)·1000 ≤ max_event_ms − 600000`, the t1b flush rule at
+    * timer granularity ([[TimerStateImpl]] fires `ts <= watermark`; both
+    * sides exact integer ms) — which is exactly what the DuckDB oracle
+    * restates, so a genuinely timer-driven multi-batch execution carries
+    * a full hash oracle. RocksDB state store, t10's conf scope. */
+  def idleCloseSessions(spark: SparkSession, sfDir: String,
+                        gapSec: Long = 1800L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    graft.Tables.ensureParquetConf(spark)
+    val qn = "graft_t17_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"),
+        coalesce(col("event_type"), lit("no_category")).as("cat"),
+        Times.epochSeconds(col("ts")).as("es"))
+    val bounds = ev.agg(min(col("es")), max(col("es"))).head()
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    val (cut1, cut2) = (mn + (mx - mn) / 3, mn + 2 * ((mx - mn) / 3))
+    val root = graft.Tables.scratchDir("graft_t17")
+    val srcDir = root.resolve("src")
+    java.nio.file.Files.createDirectories(srcDir)
+    val cols = Seq(col("user_id"), col("ts"), col("cat"))
+    landArrivalFile(ev.where(col("es") <= cut1).select(cols: _*),
+      root, srcDir, "a_first.parquet", 1000000000000L)
+    landArrivalFile(ev.where(col("es") > cut1 && col("es") <= cut2).select(cols: _*),
+      root, srcDir, "b_second.parquet", 1000000060000L)
+    landArrivalFile(ev.where(col("es") > cut2).select(cols: _*),
+      root, srcDir, "c_third.parquet", 1000000120000L)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val sessions = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), Times.epochSeconds(col("ts")).as("es"), col("cat"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new IdleSessionProcessor(gapSec),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "session_start", "session_end", "n_events", "n_types")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try withStatePartitions(spark, 2) {
+      withScratchCheckpoint { ck =>
+        val q = sessions.writeStream
+          .format("memory").queryName(qn)
+          .outputMode("append")
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    drainMemorySink(spark, qn)(_.orderBy(col("user_id"), col("session_start")))
+  }
+
   /** T2 — sessionization: the idle-close semantics (a writer closes after
     * `idleTimeout` with no writes, HiveBatchedWriter.scala:60-63) as
     * session windows per user. Batch form here (same gap semantics the

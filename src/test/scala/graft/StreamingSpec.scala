@@ -544,4 +544,207 @@ class StreamingSpec extends SparkSpec {
     StreamingIngest.nearDedupIndexBatch(replay, s"$run-1", idxDir, outDir, 0.8)
     assert(keptIds == Set(0L, 3L))
   }
+
+  test("T17: event-time timers fire the idle close; arrivals close their predecessors") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    val sessions = ms.toDF().toDF("user_id", "ts", "cat")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"),
+        graft.functions.Times.epochSeconds(col("ts")).as("es"), col("cat"))
+      .as[(Long, Long, String)].groupByKey(_._1)
+      .transformWithState(new StreamingIngest.IdleSessionProcessor(1800L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF("user_id", "session_start", "session_end", "n_events", "n_types")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val qn = "t17_tws_sink"
+    val q = sessions.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      def rows = spark.table(qn).as[(Long, Long, Long, Long, Long)].collect().toSet
+      // batch 1 — user 5: THREE sessions in one batch (the first two
+      // close on arrival INSIDE handleInputRows; the third stays open,
+      // deadline 3900+1800=5700); user 7: one open two-category session
+      // (deadline 3800); user 9: one open single-event session (deadline
+      // 2800). The post-batch watermark is 3900-600=3300, so the no-data
+      // finalization batch fires EXACTLY user 9's timer (2800 ≤ 3300 <
+      // 3800 ≤ 5700) — a timer-driven close with no arrival involved.
+      ms.addData((7L, t(1000), "a"), (7L, t(2000), "b"), (9L, t(1000), "a"),
+        (5L, t(100), "a"), (5L, t(2000), "a"), (5L, t(3900), "a"))
+      q.processAllAvailable()
+      assert(rows == Set(
+        (5L, 100L, 100L, 1L, 1L), (5L, 2000L, 2000L, 1L, 1L),
+        (9L, 1000L, 1000L, 1L, 1L)),
+        s"expected the two arrival closes and user 9's timer close; got $rows")
+      // batch 2 — user 7 returns far beyond the gap: the ARRIVAL closes
+      // [1000, 2000] (its timer never fired — the deadline re-arms to
+      // 101800). The new watermark (99400) then fires user 5's
+      // remaining timer (5700). User 7's open session must NOT emit.
+      ms.addData((7L, t(100000), "a"))
+      q.processAllAvailable()
+      assert(rows == Set(
+        (5L, 100L, 100L, 1L, 1L), (5L, 2000L, 2000L, 1L, 1L),
+        (5L, 3900L, 3900L, 1L, 1L),
+        (7L, 1000L, 2000L, 2L, 2L),
+        (9L, 1000L, 1000L, 1L, 1L)), s"got $rows")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      spark.catalog.dropTempView(qn)
+    }
+  }
+
+  test("T17: sessions spanning micro-batches extend instead of closing; deadline re-arms") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    val sessions = ms.toDF().toDF("user_id", "ts", "cat")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"),
+        graft.functions.Times.epochSeconds(col("ts")).as("es"), col("cat"))
+      .as[(Long, Long, String)].groupByKey(_._1)
+      .transformWithState(new StreamingIngest.IdleSessionProcessor(1800L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF("user_id", "session_start", "session_end", "n_events", "n_types")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val qn = "t17b_tws_sink"
+    val q = sessions.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      def rows = spark.table(qn).as[(Long, Long, Long, Long, Long)].collect().toSet
+      // user 7's session continues 1500 s later in batch 2 (within gap):
+      // the old deadline (1000+1800=2800) is RE-ARMED to 2500+1800=4300,
+      // so although the batch-2 watermark (2500-600=1900) stays below
+      // both, no session may close; batch 3 pushes the watermark past
+      // 4300 and the timer closes the MERGED session.
+      ms.addData((7L, t(1000), "a"))
+      q.processAllAvailable()
+      ms.addData((7L, t(2500), "b"))
+      q.processAllAvailable()
+      assert(rows.isEmpty, s"within-gap continuation must not close; got $rows")
+      ms.addData((8L, t(10000), "a"))
+      q.processAllAvailable()
+      assert(rows == Set((7L, 1000L, 2500L, 2L, 2L)),
+        s"the re-armed timer must close the merged session exactly once; got $rows")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      spark.catalog.dropTempView(qn)
+    }
+  }
+
+  test("T17: state TTL expires an idle key's value on the processing-time path") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("v", LongType)))
+    // Two SEPARATE single-batch runs of one checkpoint: ProcessingTime
+    // time-mode keeps scheduling batches to advance its clock (TTL/timer
+    // deadlines can fire at any future tick), so neither
+    // processAllAvailable nor even AvailableNow ever settles — only
+    // Trigger.Once bounds the run. The memory sink is per-run, so each
+    // run's emissions read in isolation.
+    def scenario(ttl: java.time.Duration, tag: String,
+                 sleepMs: Long): Set[(Long, Long, Long)] = {
+      val srcDir = graft.Tables.scratchDir(s"graft_ttl_${tag}_src").toString
+      val ck = graft.Tables.scratchDir(s"graft_ttl_${tag}_ck").toString
+      val outDir = graft.Tables.scratchDir(s"graft_ttl_${tag}_out").toString + "/out"
+      def run(): Unit = {
+        val counted = spark.readStream.schema(schema).parquet(srcDir)
+          .as[(Long, Long)].groupByKey(_._1)
+          .transformWithState(new StreamingIngest.TtlCacheProcessor(ttl),
+            org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .toDF("user_id", "n")
+        @annotation.nowarn("cat=deprecation") // Once is the only bounded
+        // trigger under ProcessingTime time-mode (see scenario comment);
+        // foreachBatch→parquet because the memory sink refuses
+        // checkpoint recovery, and run 2 must resume run 1's checkpoint
+        val q = counted.writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            b.withColumn("batch_id", lit(id))
+              .write.mode("append").parquet(outDir)
+            ()
+          }
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+        try q.awaitTermination() finally { if (q.isActive) q.stop() }
+      }
+      Seq((1L, 0L), (1L, 0L)).toDF("user_id", "v")
+        .repartition(1).write.mode("append").parquet(srcDir)
+      run()
+      Thread.sleep(sleepMs)
+      Seq((1L, 0L)).toDF("user_id", "v")
+        .repartition(1).write.mode("append").parquet(srcDir)
+      run()
+      spark.read.parquet(outDir).as[(Long, Long, Long)].collect().toSet
+    }
+    try {
+      // 1-s TTL + 2.5-s idle: run 2 reads EXPIRED state and the count
+      // restarts — (1,2) then (1,1), never (1,3)
+      assert(scenario(java.time.Duration.ofSeconds(1), "short", 2500L) ==
+        Set((1L, 2L, 0L), (1L, 1L, 1L)))
+      // 1-h TTL control on the same shape: state survives, count continues
+      assert(scenario(java.time.Duration.ofHours(1), "long", 0L) ==
+        Set((1L, 2L, 0L), (1L, 3L, 1L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("t17: the declared idle-close stream equals batch sessionization + the flush rule") {
+    val stream = StreamingIngest.idleCloseSessions(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // batch replica: per-user gaps-and-islands over floored epoch
+    // seconds; emitted = all but each user's last session, plus the last
+    // iff its idle deadline precedes the final watermark (exact ms)
+    val ev = Tables.events(spark, sf).select(col("user_id"),
+        graft.functions.Times.epochSeconds(col("ts")).as("es"),
+        coalesce(col("event_type"), lit("no_category")).as("cat"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val maxMs = Tables.events(spark, sf)
+      .agg(max(unix_millis(col("ts")))).head().getLong(0)
+    val batch = ev.groupBy(_._1).toSeq.flatMap { case (u, es0) =>
+      val es = es0.sortBy(e => (e._2, e._3))
+      val chunks = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)])
+      es.foreach { e =>
+        if (chunks.last.nonEmpty && e._2 - chunks.last.last._2 > 1800L)
+          chunks += scala.collection.mutable.ArrayBuffer.empty
+        chunks.last += e
+      }
+      val sess = chunks.map(c => (u, c.map(_._2).min, c.map(_._2).max,
+        c.size.toLong, c.map(_._3).distinct.size.toLong))
+      sess.dropRight(1) ++
+        sess.lastOption.filter(s => (s._3 + 1800L) * 1000 <= maxMs - 600000L)
+    }.toSet
+    assert(stream == batch, "timer-driven streaming sessions must equal the batch form")
+    assert(stream.nonEmpty && batch.exists(_._4 > 1),
+      "the fixture must exercise multi-event sessions")
+  }
 }
