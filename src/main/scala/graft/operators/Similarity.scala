@@ -58,6 +58,27 @@ object Similarity {
     * at any scale factor, a bounded driver sample (N×64 doubles) beyond. */
   private val IvfTrainN = 65536L
 
+  /** Default target AVERAGE cell population for [[semanticDedup]]'s
+    * cell-count policy (overridable via sys-prop
+    * `graft.semdedup.cellpop`). 4096 keeps each cell's all-pairs term at
+    * ≈ 8M cosine tests — seconds of one executor core — while total work
+    * stays K·pop²/2 = N·pop/2, linear in the corpus. */
+  private[graft] val SemanticCellPop = 4096L
+
+  /** The corpus-size → cell-count policy behind [[semanticDedup]]:
+    * `K = max(IvfK, ⌈n / targetCellPop⌉)`, so the MEAN cell population
+    * never exceeds `targetCellPop` no matter how the corpus grows (the
+    * floor keeps the fixture quantizer — and every existing oracle —
+    * unchanged at small n). The max cell stays bounded by mean × the
+    * trained quantizer's balance factor, which the x69 policy spec pins
+    * on the fixture. */
+  private[graft] def semanticCellCount(n: Long,
+      targetCellPop: Long = sys.props.get("graft.semdedup.cellpop")
+        .map(_.toLong).getOrElse(SemanticCellPop)): Int = {
+    require(targetCellPop > 0, s"graft.semdedup.cellpop must be positive")
+    math.max(IvfK.toLong, (n + targetCellPop - 1) / targetCellPop).toInt
+  }
+
   /** Driver-side replica of [[assignCell]]'s IEEE arithmetic, operation
     * for operation: sequential dot loop (DotProduct's codegen order),
     * the same driver-computed centroid-norm fold, division, and
@@ -693,12 +714,20 @@ object Similarity {
     * ε-ball pruning with a deterministic min-id keeper instead of a
     * random one). Cross-cell near-dups are invisible by design — that is
     * the trade that makes the pass linear: all-pairs runs per cell, never
-    * corpus-wide (at 100 TB, K grows ~√N so per-cell membership — and the
-    * quadratic term — stays bounded, while x5b's multi-assignment
-    * blocking exists for the recall-critical variant). Output is the
-    * per-cell curation rollup a pipeline team reads after the pass:
-    * members, qualifying pairs, dropped, kept — K rows of bounded
-    * metadata.
+    * corpus-wide. The cell count is NOT fixed: it defaults to
+    * [[semanticCellCount]]'s corpus-size policy `K = max(IvfK,
+    * ⌈N / targetCellPop⌉)`, which caps the AVERAGE cell population at
+    * `targetCellPop` (sys-prop `graft.semdedup.cellpop`, default
+    * [[SemanticCellPop]]), so total within-cell pair work is ≤
+    * K·(balance·target)²/2 — linear in N at fixed target, with the
+    * quantizer's balance factor spec-pinned on the fixture
+    * (DedupSimilaritySpec "x69: cell-count policy"). At the fixture SFs
+    * the policy resolves to the floor `IvfK`, so the trained quantizer —
+    * and every x69/x69b/t15 oracle — is unchanged; at 100 TB the same
+    * code takes K ≈ N/4096 cells. x5b's multi-assignment blocking exists
+    * for the recall-critical variant. Output is the per-cell curation
+    * rollup a pipeline team reads after the pass: members, qualifying
+    * pairs, dropped, kept — K rows of bounded metadata.
     *
     * Determinism: the cell assignment is the bit-stable trained quantizer
     * (x6b's oracle retrains it in DuckDB and hash-matches), the pair test
@@ -715,8 +744,10 @@ object Similarity {
     * LLM-curation surface; the micro-batch landing loop it extends is
     * `HiveBatchedSink.scala:297-358`. */
   def semanticDedup(spark: SparkSession, sfDir: String,
-                    threshold: Double = 0.4): DataFrame = {
-    val asg = ivfAssignment(spark, sfDir)
+                    threshold: Double = 0.4, kCells: Int = 0): DataFrame = {
+    val k = if (kCells > 0) kCells
+      else semanticCellCount(Tables.embeddings(spark, sfDir).count())
+    val asg = ivfAssignment(spark, sfDir, k)
       .select(col("cell"), col("vec_id"), col("embedding"),
         VectorFns.norm(col("embedding")).as("nrm"))
     val pairs = Dedup.snapshot(spark, asg.as("a").join(asg.as("b"),

@@ -56,6 +56,35 @@ class DedupSimilaritySpec extends SparkSpec {
       s"within-cell pairs $found must be in (0, $exact]")
   }
 
+  test("x69: cell-count policy bounds within-cell quadratic work at every corpus size") {
+    // the policy, not prose: K = max(IvfK, ceil(n/target)) keeps the MEAN
+    // cell population <= target no matter how n grows (100× data cannot
+    // make the within-cell join quadratic in the corpus), stays at the
+    // fixture floor for small n (oracles unchanged), and is monotone
+    for (n <- Seq(0L, 1L, 500L, 4096L, 4097L, 65536L, 10000000L, 1000000000000L)) {
+      val k = Similarity.semanticCellCount(n, 4096L)
+      assert(k >= 16, s"n=$n must respect the IvfK floor")
+      assert(n.toDouble / k <= 4096.0, s"n=$n: mean cell population exceeds the target")
+    }
+    assert(Similarity.semanticCellCount(500L, 4096L) == 16,
+      "fixture corpus sizes must resolve to the trained 16-cell quantizer")
+    assert(Similarity.semanticCellCount(1000000000L, 4096L) == 244141,
+      "at 1e9 vectors the policy takes ~N/4096 cells")
+    // on the fixture, the trained quantizer's balance bounds the MAX cell
+    // by a small factor of the mean, and the rollup's per-cell pair count
+    // respects the structural members²/2 ceiling — together these bound
+    // total within-cell work by K·(balance·target)²/2
+    val roll = Similarity.semanticDedup(spark, sf).collect()
+    val members = roll.map(_.getLong(1))
+    val mean = members.sum.toDouble / Similarity.semanticCellCount(members.sum, 4096L)
+    assert(members.max <= 4.0 * mean,
+      s"trained-quantizer balance: max cell ${members.max} vs mean $mean")
+    roll.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) * (r.getLong(1) - 1) / 2,
+        s"cell ${r.getLong(0)}: dup_pairs exceeds the members-choose-2 ceiling")
+    }
+  }
+
   test("x69b: blocking recall ties x69's within-cell pairs to the exact all-pairs baseline") {
     val r = Similarity.semanticBlockingRecall(spark, sf).collect()
     assert(r.length == 1)
