@@ -4,13 +4,17 @@ import graft.operators.{Counters, Dedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Quality evidence for the approximate-operator family — the rows the
-  * correctness gate records as `no_oracle` by design (a7b, a12, x2, x3,
-  * x5b, x6b, x6g, x22b — x6c/x6e/x6f graduated to full fixed-point
-  * DuckDB oracles): each is measured here against its EXACT in-engine
-  * baseline and the numbers are emitted as `APPROX_QUALITY.json` by
-  * [[Verify]], so the no-oracle rows carry regenerated-per-round evidence
-  * instead of only in-suite assertions. A spec pins floors on the same
+/** Quality evidence for the approximate-operator family — the seven rows
+  * the correctness gate records as `no_oracle` by design (a7b, a12, x2,
+  * x3, x5b, x22b, x41 — the x6 family graduated to full retrained DuckDB
+  * oracles; its overlap metrics stay here as extra evidence): each is
+  * measured here against its EXACT in-engine baseline and the numbers
+  * are emitted as `APPROX_QUALITY.json` by [[Verify]], so the no-oracle
+  * rows carry regenerated-per-round evidence instead of only in-suite
+  * assertions. The artifact's `per_query` block ([[perQuery]]) keys the
+  * verdicts by declared query name, and `tools/merge_floors.py` joins
+  * them into `CORRECTNESS_r{N}.json`'s no-oracle rows so one artifact
+  * carries the whole correctness story. A spec pins floors on the same
   * numbers so a quality regression fails the build, not just the report.
   *
   * Every metric is driver-bounded at the verify scale factor: near-dup
@@ -87,6 +91,24 @@ object ApproxQuality {
       es.zip(aq(lang)).map { case (e, a) => math.abs(e - a) / math.max(e, 1.0) }.max
     }.max
 
+    // x41 — exact JVM differential: the engine's per-partition deflate
+    // must equal an independent driver-side deflate row-for-row (no SQL
+    // deflate exists, so this differential IS x41's oracle; 0 mismatches
+    // is an exact-parity claim, not a floor)
+    val engineRatio = TextAnalysis.compressionRatio(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val deflater = new java.util.zip.Deflater(6)
+    val dbuf = new Array[Byte](1 << 16)
+    val x41Mismatches = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect().count { r =>
+        val raw = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        deflater.reset(); deflater.setInput(raw); deflater.finish()
+        var n = 0L
+        while (!deflater.finished()) n += deflater.deflate(dbuf)
+        engineRatio.get(r.getLong(0)) !=
+          Some((raw.length.toLong, n, n * 1000000L / math.max(raw.length.toLong, 1L)))
+      }
+
     Seq(
       "x2_minhash_recall_at_j08" -> recall(mh, exactJ),
       "x3_simhash_recall_at_j08" -> recall(sh, exactJ),
@@ -98,7 +120,8 @@ object ApproxQuality {
       "x6g_ivfpq_overlap_at_10" -> x6gOverlap,
       "a7b_hllpp_max_rel_err" -> a7bErr,
       "a12_hll_sketch_max_rel_err" -> a12Err,
-      "x22b_quantile_max_rel_dev" -> x22bErr)
+      "x22b_quantile_max_rel_dev" -> x22bErr,
+      "x41_deflate_differential_mismatches" -> x41Mismatches.toDouble)
   }
 
   /** The quality bars each metric must clear — the SINGLE source of truth:
@@ -118,7 +141,24 @@ object ApproxQuality {
     ("x6g_ivfpq_overlap_at_10", ">=", 0.85),
     ("a7b_hllpp_max_rel_err", "<=", 0.02),
     ("a12_hll_sketch_max_rel_err", "<=", 0.05),
-    ("x22b_quantile_max_rel_dev", "<=", 0.06))
+    ("x22b_quantile_max_rel_dev", "<=", 0.06),
+    ("x41_deflate_differential_mismatches", "<=", 0.0))
+
+  /** Declared-query-name → quality-metric mapping for the rows the
+    * correctness gate records as `no_oracle`: the [[json]] artifact's
+    * `per_query` block keys the floor evidence by the EXACT query name,
+    * so each no-oracle row in `CORRECTNESS_r{N}.json` has a one-join
+    * pointer to its measured value + verdict (`approx_floor_ok`) —
+    * `tools/merge_floors.py` performs that join mechanically. */
+  val perQuery: Seq[(String, Seq[String])] = Seq(
+    "x2_dedup_minhash" -> Seq("x2_minhash_recall_at_j08"),
+    "x3_dedup_simhash" -> Seq("x3_simhash_recall_at_j08"),
+    "x5b_embed_neardup_lsh" ->
+      Seq("x5b_embed_lsh_recall", "x5b_embed_lsh_precision"),
+    "a7b_approx_distinct" -> Seq("a7b_hllpp_max_rel_err"),
+    "a12_hll_sketch_union" -> Seq("a12_hll_sketch_max_rel_err"),
+    "x22b_length_quantiles_approx" -> Seq("x22b_quantile_max_rel_dev"),
+    "x41_compression_ratio" -> Seq("x41_deflate_differential_mismatches"))
 
   def boundHolds(name: String, value: Double): Boolean =
     bounds.find(_._1 == name).forall {
@@ -130,12 +170,19 @@ object ApproxQuality {
   def json(spark: SparkSession, sfDir: String): String = {
     def fmt(v: Double): String =
       BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
-    val ms = metrics(spark, sfDir)
+    val measured = metrics(spark, sfDir)
+    val mm = measured.toMap
+    val ms = measured
       .map { case (k, v) => s""""$k": ${fmt(v)}""" }
       .mkString(",\n  ")
     val bs = bounds
       .map { case (k, op, b) => s""""$k": "$op $b"""" }
       .mkString(",\n    ")
-    s"""{\n  $ms,\n  "bounds": {\n    $bs\n  },\n  "sf": "$sfDir"\n}\n"""
+    val pq = perQuery.map { case (query, names) =>
+      val ok = names.forall(n => boundHolds(n, mm(n)))
+      val vals = names.map(n => s""""$n": ${fmt(mm(n))}""").mkString(", ")
+      s""""$query": {"approx_floor_ok": $ok, $vals}"""
+    }.mkString(",\n    ")
+    s"""{\n  $ms,\n  "bounds": {\n    $bs\n  },\n  "per_query": {\n    $pq\n  },\n  "sf": "$sfDir"\n}\n"""
   }
 }
