@@ -733,23 +733,28 @@ object StreamingIngest {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     graft.Tables.ensureParquetConf(spark)
     val qn = "graft_t17_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // one projection serves the bounds scan AND the three tercile
+    // landings (four jobs otherwise re-read the fixture parquet)
     val ev = graft.Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"),
         coalesce(col("event_type"), lit("no_category")).as("cat"),
         Times.epochSeconds(col("ts")).as("es"))
-    val bounds = ev.agg(min(col("es")), max(col("es"))).head()
-    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
-    val (cut1, cut2) = (mn + (mx - mn) / 3, mn + 2 * ((mx - mn) / 3))
+      .persist()
     val root = graft.Tables.scratchDir("graft_t17")
     val srcDir = root.resolve("src")
     java.nio.file.Files.createDirectories(srcDir)
-    val cols = Seq(col("user_id"), col("ts"), col("cat"))
-    landArrivalFile(ev.where(col("es") <= cut1).select(cols: _*),
-      root, srcDir, "a_first.parquet", 1000000000000L)
-    landArrivalFile(ev.where(col("es") > cut1 && col("es") <= cut2).select(cols: _*),
-      root, srcDir, "b_second.parquet", 1000000060000L)
-    landArrivalFile(ev.where(col("es") > cut2).select(cols: _*),
-      root, srcDir, "c_third.parquet", 1000000120000L)
+    try {
+      val bounds = ev.agg(min(col("es")), max(col("es"))).head()
+      val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+      val (cut1, cut2) = (mn + (mx - mn) / 3, mn + 2 * ((mx - mn) / 3))
+      val cols = Seq(col("user_id"), col("ts"), col("cat"))
+      landArrivalFile(ev.where(col("es") <= cut1).select(cols: _*),
+        root, srcDir, "a_first.parquet", 1000000000000L)
+      landArrivalFile(ev.where(col("es") > cut1 && col("es") <= cut2).select(cols: _*),
+        root, srcDir, "b_second.parquet", 1000000060000L)
+      landArrivalFile(ev.where(col("es") > cut2).select(cols: _*),
+        root, srcDir, "c_third.parquet", 1000000120000L)
+    } finally { ev.unpersist(); () }
     val schema = spark.read.parquet(srcDir.toString).schema
     val sessions = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
