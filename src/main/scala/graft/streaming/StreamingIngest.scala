@@ -654,11 +654,13 @@ object StreamingIngest {
       // one (the engine auto-deletes a FIRED timer, so a prior timer
       // exists exactly when a prior open session does)
       val newDeadline = (tail.iterator.map(_._1).max + gapSec) * 1000
-      if (prior.nonEmpty) {
-        val oldDeadline = (prior.iterator.map(_._1).max + gapSec) * 1000
-        if (oldDeadline != newDeadline) getHandle.deleteTimer(oldDeadline)
-      }
-      getHandle.registerTimer(newDeadline)
+      val oldDeadline =
+        if (prior.isEmpty) None
+        else Some((prior.iterator.map(_._1).max + gapSec) * 1000)
+      if (oldDeadline.forall(_ != newDeadline)) {
+        oldDeadline.foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(newDeadline)
+      } // unchanged deadline: the armed timer already covers it
       open.put(tail.toArray)
       typeCounts.clear()
       tail.groupBy(_._2).foreach { case (c, es) =>
