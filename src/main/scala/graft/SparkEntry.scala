@@ -434,13 +434,14 @@ object SparkEntry {
         w AS (SELECT category, bucket_epoch, cnt,
             count(cnt) OVER tw AS tn,
             coalesce(sum(cnt) OVER tw, 0) AS ts_,
-            coalesce(sum(cnt * cnt) OVER tw, 0) AS tss
+            coalesce(sum(CAST(cnt AS HUGEINT) * cnt) OVER tw, 0) AS tss
           FROM c
           WINDOW tw AS (PARTITION BY category ORDER BY bucket_epoch
               ROWS BETWEEN $trail PRECEDING AND 1 PRECEDING))
         SELECT category, bucket_epoch, cnt, CAST(tn AS BIGINT) AS trail_n,
           CAST(CASE WHEN tn >= $minN
-              AND (tn * cnt - ts_) * (tn * cnt - ts_) > $k2 * (tn * tss - ts_ * ts_)
+              AND CAST(tn * cnt - ts_ AS HUGEINT) * (tn * cnt - ts_)
+                > $k2 * (tn * tss - CAST(ts_ AS HUGEINT) * ts_)
             THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
         FROM w ORDER BY category, bucket_epoch"""
   }

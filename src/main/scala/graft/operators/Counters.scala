@@ -287,14 +287,15 @@ object Counters {
   /** [[anomalyFlags]] over any `(category, bucket_epoch, cnt)` timeline —
     * the spec entry point for hand-built series.
     *
-    * The two sides of the cross-multiplied z-test are computed in
-    * `decimal(38,0)` — DuckDB promotes the same products to HUGEINT, and
-    * a Long intermediate silently wraps once `dev ≈ trail·cnt` passes
-    * ~3·10⁹ (a 5-min bucket count of ~7.6·10⁸ at extreme scale), flipping
-    * flags on the engine side only. With 38 digits both sides are exact
-    * while `cnt < ~10¹⁷` (dev ≤ 2·trail·cnt, dev² ≤ 4·trail²·cnt² needs
-    * 2·digits(cnt)+3 ≤ 38) — beyond any physical per-bucket event count,
-    * so engine and oracle agree at every reachable scale. */
+    * Every product AND the windowed sum-of-squares run in
+    * `decimal(38,0)` — DuckDB promotes the same terms to HUGEINT, and a
+    * Long intermediate silently wraps (first at `cnt ≈ 7.6·10⁸` in the
+    * cross-products, then at `cnt ≈ 1.5·10⁹` inside `Σcnt²` itself),
+    * flipping flags on the engine side only. With 38 digits both sides
+    * are exact while `cnt < ~10¹⁷` (the dominant term `trail²·cnt²`
+    * needs 2·digits(cnt)+3 ≤ 38) — beyond any physical per-bucket event
+    * count, so engine and oracle agree at every reachable scale; a spec
+    * pins the engine against a BigInt reference at 10¹⁰-scale counts. */
   private[graft] def anomalyFlagsOf(counts: DataFrame, trail: Int,
                                     minN: Long, k: Long): DataFrame = {
     val tw = Window.partitionBy(col("category")).orderBy(col("bucket_epoch"))
@@ -302,6 +303,7 @@ object Counters {
     // cast ONE operand of every product so the multiply itself runs in
     // decimal — casting the finished Long product would wrap first
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val cntD = col("cnt").cast("decimal(20,0)")
     val dev = dec(col("trail_n")) * col("cnt") - col("trail_s")
     val varN = dec(col("trail_n")) * col("trail_ss") -
       dec(col("trail_s")) * col("trail_s")
@@ -309,7 +311,7 @@ object Counters {
       .withColumn("trail_n", count(col("cnt")).over(tw))
       .withColumn("trail_s", coalesce(sum(col("cnt")).over(tw), lit(0L)))
       .withColumn("trail_ss",
-        coalesce(sum(col("cnt") * col("cnt")).over(tw), lit(0L)))
+        coalesce(sum(cntD * cntD).over(tw), lit(0L).cast("decimal(38,0)")))
       .select(col("category"), col("bucket_epoch"), col("cnt"), col("trail_n"),
         when(col("trail_n") >= minN && dev * dev > lit(k * k) * varN, 1L)
           .otherwise(0L).as("is_anomaly"))

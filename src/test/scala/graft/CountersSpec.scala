@@ -135,6 +135,42 @@ class CountersSpec extends SparkSpec {
     assert(got.valuesIterator.count(_ == 1L) == 2, "nothing else flags")
   }
 
+  test("a2e: the decimal z-test is exact where Long cross-products wrap") {
+    // per-bucket counts around 10^10: cnt² ≈ 10^20 overflows a Long SUM
+    // (wraps at ~9.2·10^18) and (n·x−s)² overflows the Long product —
+    // both sides now run in decimal(38,0), so the engine must agree with
+    // an exact BigInt reference on a boundary the old math got wrong
+    val base = 1000000000L
+    val big = 10000000000L // 1e10
+    // trailing window {big, big+4, big, big+4}: n·ss−s² = 64 exactly —
+    // the 1e20-scale terms cancel, so any wrap destroys the variance.
+    // dev(x) = 4x − (4·big+8): x = big+9 → dev 28, 784 > 9·64 = 576 →
+    // flags; x = big+8 → dev 24, 576 = 576 sits EXACTLY at kσ and the
+    // strict > must not fire
+    val series = Seq(
+      ("h", 0, big), ("h", 1, big + 4), ("h", 2, big), ("h", 3, big + 4),
+      ("h", 4, big + 9),
+      ("i", 0, big), ("i", 1, big + 4), ("i", 2, big), ("i", 3, big + 4),
+      ("i", 4, big + 8))
+      .map { case (c, j, n) => (c, base + j * 300L, n) }
+      .toDF("category", "bucket_epoch", "cnt")
+    val got = Counters.anomalyFlagsOf(series, 4, 3, 3).collect()
+      .map(r => (r.getString(0), (r.getLong(1) - base) / 300) -> r.getLong(4)).toMap
+    // independent exact reference in BigInt over the same windows
+    def ref(window: Seq[Long], x: Long): Long = {
+      val n = BigInt(window.size)
+      val s = window.map(BigInt(_)).sum
+      val ss = window.map(v => BigInt(v) * v).sum
+      val dev = n * x - s
+      if (window.size >= 3 && dev * dev > 9 * (n * ss - s * s)) 1L else 0L
+    }
+    val w = Seq(big, big + 4, big, big + 4)
+    assert(ref(w, big + 9) == 1L && ref(w, big + 8) == 0L,
+      "the fixture must straddle the flag boundary")
+    assert(got(("h", 4)) == 1L, "beyond kσ at 1e10 scale must flag (Long math wrapped here)")
+    assert(got(("i", 4)) == 0L, "exactly kσ at 1e10 scale must not flag")
+  }
+
   test("x22b sketch quantiles track the exact form (a7b pattern for percentiles)") {
     val exact = operators.TextAnalysis.lengthQuantiles(spark, sf).collect()
       .map(r => r.getString(0) -> Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap

@@ -214,6 +214,30 @@ class DedupSimilaritySpec extends SparkSpec {
     got.values.foreach(v => assert(v >= 0L && v <= 1000000L))
   }
 
+  test("x74: a fully disjoint source pair appears at maximal divergence, not silently absent") {
+    import spark.implicits._
+    // src_a/src_c share vocabulary; src_b shares NOTHING with either —
+    // exactly the pair the metric exists to flag, and exactly the rows
+    // an inner join on the token hash used to drop
+    val synth = Seq(
+      (1L, "alpha beta gamma alpha", "src_a"), // masses: 500000+250000+250000 = 1e6
+      (2L, "delta epsilon zeta", "src_b"),     // 3 × 333333 = 999999 (floor loss)
+      (3L, "alpha beta", "src_c"))             // 2 × 500000 = 1e6
+      .toDF("doc_id", "text", "source")
+    val dir = graft.Tables.scratchDir("graft_x74disj_").toString
+    synth.coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = operators.TextAnalysis.sourceDivergence(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == Set(("src_a", "src_b"), ("src_a", "src_c"), ("src_b", "src_c")),
+      "every unordered source pair must appear, shared vocabulary or not")
+    // disjoint pairs: tv = (Sa + Sb) div 2 with the shared terms coalesced to 0
+    assert(got(("src_a", "src_b")) == (1000000L + 999999L) / 2)
+    assert(got(("src_b", "src_c")) == (999999L + 1000000L) / 2)
+    // a vs c share alpha (|500000−500000| = 0) and beta (|250000−500000|):
+    // tv = (250000 + (1e6−750000) + (1e6−1e6)) div 2 = 250000
+    assert(got(("src_a", "src_c")) == 250000L)
+  }
+
   test("X13: dup clusters are transitive and labeled by the component minimum") {
     val pairs = Dedup.ngramJaccard(spark, sf, 0.8)
       .select($"id1", $"id2").as[(Long, Long)].collect()
