@@ -600,7 +600,8 @@ object StreamingIngest {
     *    incrementally on arrival and READ by the timer path to emit
     *    `n_types` without rescanning the list;
     *  - an event-time timer at `lastEvent + gap` — re-armed on every
-    *    arrival (delete + register), fired by the engine when the
+    *    arrival that moves the deadline (delete + register; an unchanged
+    *    deadline keeps its armed timer), fired by the engine when the
     *    WATERMARK passes the deadline ([[TimerStateImpl]] expires
     *    `ts <= watermarkForEviction`), which is exactly "close after
     *    `gap` of silence" measured in event time.

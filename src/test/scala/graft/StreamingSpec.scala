@@ -652,6 +652,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("T17: an out-of-order arrival inside the watermark merges into the open session") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    val sessions = ms.toDF().toDF("user_id", "ts", "cat")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"),
+        graft.functions.Times.epochSeconds(col("ts")).as("es"), col("cat"))
+      .as[(Long, Long, String)].groupByKey(_._1)
+      .transformWithState(new StreamingIngest.IdleSessionProcessor(1800L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF("user_id", "session_start", "session_end", "n_events", "n_types")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val qn = "t17c_tws_sink"
+    val q = sessions.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      def rows = spark.table(qn).as[(Long, Long, Long, Long, Long)].collect().toSet
+      // batch 1 pushes the watermark to 1400 (2000 - 600); batch 2's
+      // event at 1600 is OLDER than the open session's last event but
+      // above the late-event watermark, so it must be admitted and
+      // merged (the re-sessionization sorts prior ∪ batch). The merged
+      // deadline stays 2000+1800=3800; batch 3 pushes the watermark to
+      // 9400 and the timer closes [1600, 2000] as ONE session.
+      ms.addData((7L, t(2000), "a"))
+      q.processAllAvailable()
+      ms.addData((7L, t(1600), "b"))
+      q.processAllAvailable()
+      assert(rows.isEmpty, s"nothing may close while the deadline is unexpired; got $rows")
+      ms.addData((8L, t(10000), "a"))
+      q.processAllAvailable()
+      assert(rows == Set((7L, 1600L, 2000L, 2L, 2L)),
+        s"the out-of-order event must merge, not fork a session; got $rows")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      spark.catalog.dropTempView(qn)
+    }
+  }
+
   test("T17: state TTL expires an idle key's value on the processing-time path") {
     import spark.implicits._
     import org.apache.spark.sql.types._
