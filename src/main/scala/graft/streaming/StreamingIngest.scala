@@ -621,6 +621,23 @@ object StreamingIngest {
     * any other mode), and the idle-close contract needs EVENT-time timers
     * — the TTL surface is exercised by [[TtlCacheProcessor]] on the
     * processing-time path instead. */
+  /** Pure gap-rule sessionizer shared by [[IdleSessionProcessor]] and the
+    * property suite: sort `(epoch, category)` events and split where the
+    * epoch gap strictly exceeds `gapSec`. Always returns at least one
+    * (possibly empty) chunk — the caller treats the LAST chunk as the
+    * open session. */
+  private[graft] def sessionChunks(events: Seq[(Long, String)],
+                                   gapSec: Long): Seq[Seq[(Long, String)]] = {
+    val chunks = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String)])
+    events.sortBy(identity).foreach { e =>
+      if (chunks.last.nonEmpty && e._1 - chunks.last.last._1 > gapSec)
+        chunks += scala.collection.mutable.ArrayBuffer.empty
+      chunks.last += e
+    }
+    chunks.map(_.toSeq).toSeq
+  }
+
   private[graft] class IdleSessionProcessor(gapSec: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Long, String), (Long, Long, Long, Long, Long)] {
@@ -642,15 +659,9 @@ object StreamingIngest {
     override def handleInputRows(user: Long, rows: Iterator[(Long, Long, String)],
                                  timerValues: TimerValues): Iterator[(Long, Long, Long, Long, Long)] = {
       val prior = if (open.exists()) open.get().toSeq else Seq.empty
-      val all = (prior ++ rows.map(r => (r._2, r._3))).sortBy(identity)
-      val chunks = scala.collection.mutable.ArrayBuffer(
-        scala.collection.mutable.ArrayBuffer.empty[(Long, String)])
-      all.foreach { e =>
-        if (chunks.last.nonEmpty && e._1 - chunks.last.last._1 > gapSec)
-          chunks += scala.collection.mutable.ArrayBuffer.empty
-        chunks.last += e
-      }
-      val tail = chunks.last.toSeq
+      val chunks =
+        StreamingIngest.sessionChunks(prior ++ rows.map(r => (r._2, r._3)), gapSec)
+      val tail = chunks.last
       // re-arm: retire the open session's previous deadline, arm the new
       // one (the engine auto-deletes a FIRED timer, so a prior timer
       // exists exactly when a prior open session does)

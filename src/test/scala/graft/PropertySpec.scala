@@ -261,4 +261,39 @@ class PropertySpec extends SparkSpec {
     val micros = outs.map(_.select(unix_micros($"ts")).collect().map(_.getLong(0)).toSeq)
     assert(micros.forall(_ == us), s"instants drifted: $micros vs $us")
   }
+
+  test("t17 sessionChunks: gap invariants; incremental == batch for every time-ordered split") {
+    import graft.streaming.StreamingIngest.sessionChunks
+    val gap = 100L
+    val evGen = Gen.listOfN(120,
+      Gen.zip(Gen.choose(0L, 3000L), Gen.oneOf("a", "b", "c")))
+    (1 to 25).foreach { _ =>
+      val all = evGen.sample.get
+      val sorted = all.sorted
+      val chunks = sessionChunks(all, gap)
+      // tiling: the chunks are exactly the sorted events, in order
+      assert(chunks.flatten == sorted)
+      // intra-chunk adjacency within gap; inter-chunk boundary beyond it
+      chunks.foreach(_.sliding(2).foreach {
+        case Seq(x, y) => assert(y._1 - x._1 <= gap); case _ => ()
+      })
+      chunks.sliding(2).foreach {
+        case Seq(c1, c2) => assert(c2.head._1 - c1.last._1 > gap)
+        case _ => ()
+      }
+      // THE streaming theorem the processor rests on: for any
+      // time-ordered split (a file/batch boundary), sessionizing the
+      // earlier part, carrying only its OPEN chunk forward, and
+      // sessionizing again with the later part reproduces the one-shot
+      // batch chunks exactly
+      Seq(1, sorted.size / 3, sorted.size / 2, sorted.size - 1, sorted.size)
+        .foreach { cut =>
+          val (earlier, later) = sorted.splitAt(cut)
+          val first = sessionChunks(earlier, gap)
+          val second = sessionChunks(first.last ++ later, gap)
+          assert(first.dropRight(1) ++ second == chunks,
+            s"incremental processing diverged at cut $cut")
+        }
+    }
+  }
 }
