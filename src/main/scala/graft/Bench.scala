@@ -243,14 +243,20 @@ object Bench {
     // intrinsic cost from below. N is stamped into both JSON outputs as
     // "reps" so every artifact states its own protocol. Floor at 1:
     // REPS=0 would skip execution yet report a passing time.
-    // (SPARK_GRAFT_REPEAT, the old report-the-last-run knob, is honored
-    // as an alias when REPS is unset.)
-    val reps = math.max(1, sys.env.get("SPARK_GRAFT_REPS")
-      .orElse(sys.env.get("SPARK_GRAFT_REPEAT")).map(_.toInt).getOrElse(3))
+    // SPARK_GRAFT_REPEAT keeps its ORIGINAL semantics — run N times,
+    // report the LAST run (pure steady-state, cold first run excluded) —
+    // so profiling numbers stay comparable with earlier rounds; REPS
+    // wins when both are set.
+    val repsEnv = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt)
+    val repeatEnv = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt)
+    val lastOnly = repsEnv.isEmpty && repeatEnv.isDefined
+    val reps = math.max(1, repsEnv.orElse(repeatEnv).getOrElse(3))
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    def summarize(xs: Seq[Double]): Double = if (lastOnly) xs.last else median(xs)
+    val protocol = if (lastOnly) "last" else "median"
     val results = selected.map { case (name, fn) =>
       var ok = true
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -271,7 +277,7 @@ object Bench {
         System.gc()
       }
       // failures are marked -1 so a broken query can't read as a fast pass
-      (name, if (ok) median(times.toSeq) else -1.0,
+      (name, if (ok) summarize(times.toSeq) else -1.0,
         if (ok) times.min else -1.0, ok)
     }
     val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
@@ -292,7 +298,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val ibTotal = r3(indexBuild.values.sum)
     val fullJson =
-      s"""{"bench_total_sec":${r3(total)},"unit":"sec","reps":$reps,"queries":$allQs,"queries_min":$allMins,"index_build":$ib,"index_build_total_sec":$ibTotal,"index_cache":"$indexCacheState","failed":$failed,"sf":"$sfDir"}"""
+      s"""{"bench_total_sec":${r3(total)},"unit":"sec","reps":$reps,"protocol":"$protocol","queries":$allQs,"queries_min":$allMins,"index_build":$ib,"index_build_total_sec":$ibTotal,"index_cache":"$indexCacheState","failed":$failed,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e") }
@@ -306,7 +312,7 @@ object Bench {
     val qs = top.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val om = s"""{"n":${omitted.size},"sec":${r3(omitted.map(_._2).sum)}}"""
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"queries":$qs,"omitted":$om,"index_build":$ib,"index_build_total_sec":$ibTotal,"index_cache":"$indexCacheState","failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"protocol":"$protocol","queries":$qs,"omitted":$om,"index_build":$ib,"index_build_total_sec":$ibTotal,"index_cache":"$indexCacheState","failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -65,18 +65,36 @@ object Similarity {
     * stays K·pop²/2 = N·pop/2, linear in the corpus. */
   private[graft] val SemanticCellPop = 4096L
 
+  /** Ceiling on the cells the DRIVER-SIDE Lloyd trainer can honestly
+    * produce: the training sample is bounded by [[IvfTrainN]] = 65536,
+    * and K-means needs a healthy multiple of points per centroid (16
+    * here), so K beyond 4096 would seed centroids the sample cannot
+    * support — `sample.take(K)` would silently return fewer centroids
+    * and the policy's population math would be fiction. The cap also
+    * bounds the trainer's driver cost (K × sample × rounds dot
+    * products). */
+  private[graft] val MaxDriverTrainedCells = (IvfTrainN / 16).toInt // 4096
+
   /** The corpus-size → cell-count policy behind [[semanticDedup]]:
-    * `K = max(IvfK, ⌈n / targetCellPop⌉)`, so the MEAN cell population
-    * never exceeds `targetCellPop` no matter how the corpus grows (the
-    * floor keeps the fixture quantizer — and every existing oracle —
-    * unchanged at small n). The max cell stays bounded by mean × the
-    * trained quantizer's balance factor, which the x69 policy spec pins
-    * on the fixture. */
+    * `K = min(MaxDriverTrainedCells, max(IvfK, ⌈n / targetCellPop⌉))`.
+    * The floor keeps the fixture quantizer — and every existing oracle —
+    * unchanged at small n; between the bounds the MEAN cell population
+    * is capped at `targetCellPop` (max cell ≤ mean × the trained
+    * quantizer's balance factor, spec-pinned on the fixture). The upper
+    * cap is the honest boundary of the driver-side trainer (see
+    * [[MaxDriverTrainedCells]]): beyond K·target ≈ 16.8M vectors the
+    * mean population grows as n/4096 again, and the right move is a
+    * DISTRIBUTED or hierarchical coarse quantizer feeding the same
+    * cell-partitioned layout — the within-cell join and rollups here
+    * are already distributed and unchanged by where the centroids come
+    * from. The min also makes the arithmetic total (no Int wrap for any
+    * n or cellpop). */
   private[graft] def semanticCellCount(n: Long,
       targetCellPop: Long = sys.props.get("graft.semdedup.cellpop")
         .map(_.toLong).getOrElse(SemanticCellPop)): Int = {
     require(targetCellPop > 0, s"graft.semdedup.cellpop must be positive")
-    math.max(IvfK.toLong, (n + targetCellPop - 1) / targetCellPop).toInt
+    math.min(MaxDriverTrainedCells.toLong,
+      math.max(IvfK.toLong, (n + targetCellPop - 1) / targetCellPop)).toInt
   }
 
   /** Driver-side replica of [[assignCell]]'s IEEE arithmetic, operation
@@ -723,8 +741,12 @@ object Similarity {
     * quantizer's balance factor spec-pinned on the fixture
     * (DedupSimilaritySpec "x69: cell-count policy"). At the fixture SFs
     * the policy resolves to the floor `IvfK`, so the trained quantizer —
-    * and every x69/x69b/t15 oracle — is unchanged; at 100 TB the same
-    * code takes K ≈ N/4096 cells. x5b's multi-assignment blocking exists
+    * and every x69/x69b/t15 oracle — is unchanged; K then grows as
+    * ⌈N/4096⌉ up to [[MaxDriverTrainedCells]], the honest ceiling of the
+    * driver-side trainer — past ~16.8M vectors, swap in a distributed /
+    * hierarchical coarse quantizer (the cell-partitioned layout, join
+    * and rollups here are indifferent to where centroids come from).
+    * x5b's multi-assignment blocking exists
     * for the recall-critical variant. Output is the per-cell curation
     * rollup a pipeline team reads after the pass: members, qualifying
     * pairs, dropped, kept — K rows of bounded metadata.
@@ -818,7 +840,10 @@ object Similarity {
       sum(when(col("is_prior"), 1L).otherwise(0L)).as("n_prior"),
       sum(when(col("is_prior"), 0L).otherwise(1L)).as("n_fresh"))
     val totals = agg.agg(sum(col("n_prior")), sum(col("n_fresh"))).head()
-    val (tp, tf) = (totals.getLong(0), totals.getLong(1))
+    // an empty assignment yields NULL sums — read through to 0 so the
+    // require below fires with its diagnostic instead of an NPE
+    val tp = if (totals.isNullAt(0)) 0L else totals.getLong(0)
+    val tf = if (totals.isNullAt(1)) 0L else totals.getLong(1)
     // Degenerate-half guard: an empty prior or fresh half would put 0
     // into the interpolated `div` literal, where Spark yields NULL ppm
     // while DuckDB `// 0` raises — engine and oracle failing DIFFERENTLY

@@ -586,6 +586,23 @@ object StreamingIngest {
         .orderBy(col("user_id")))
   }
 
+  /** Pure gap-rule sessionizer shared by [[IdleSessionProcessor]] and the
+    * property suite: sort `(epoch, category)` events and split where the
+    * epoch gap strictly exceeds `gapSec`. Always returns at least one
+    * (possibly empty) chunk — the caller treats the LAST chunk as the
+    * open session. */
+  private[graft] def sessionChunks(events: Seq[(Long, String)],
+                                   gapSec: Long): Seq[Seq[(Long, String)]] = {
+    val chunks = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String)])
+    events.sortBy(identity).foreach { e =>
+      if (chunks.last.nonEmpty && e._1 - chunks.last.last._1 > gapSec)
+        chunks += scala.collection.mutable.ArrayBuffer.empty
+      chunks.last += e
+    }
+    chunks.map(_.toSeq).toSeq
+  }
+
   /** The per-key state machine of [[idleCloseSessions]] — the reference's
     * idle-close done the way the reference actually does it: a TIMER fires
     * the close after `idleTimeout` of silence (`HiveBatchedWriter
@@ -594,11 +611,15 @@ object StreamingIngest {
     * notice the gap. Per key it composes the full typed-state surface:
     *
     *  - `ListState[(epoch, category)]` — the open session's events (the
-    *    reference's open writer + its buffered batch);
+    *    reference's open writer + its buffered batch), read only by the
+    *    ARRIVAL path's re-sessionization;
+    *  - `ValueState[(start, last, n)]` — the open session's bounds (the
+    *    reference's per-writer `TimestampCount`), so the timer close
+    *    emits without rescanning the buffered list;
     *  - `MapState[category → count]` — the open session's per-category
     *    tallies (the reference's per-writer counters), maintained
     *    incrementally on arrival and READ by the timer path to emit
-    *    `n_types` without rescanning the list;
+    *    `n_types`;
     *  - an event-time timer at `lastEvent + gap` — re-armed on every
     *    arrival that moves the deadline (delete + register; an unchanged
     *    deadline keeps its armed timer), fired by the engine when the
@@ -621,33 +642,19 @@ object StreamingIngest {
     * any other mode), and the idle-close contract needs EVENT-time timers
     * — the TTL surface is exercised by [[TtlCacheProcessor]] on the
     * processing-time path instead. */
-  /** Pure gap-rule sessionizer shared by [[IdleSessionProcessor]] and the
-    * property suite: sort `(epoch, category)` events and split where the
-    * epoch gap strictly exceeds `gapSec`. Always returns at least one
-    * (possibly empty) chunk — the caller treats the LAST chunk as the
-    * open session. */
-  private[graft] def sessionChunks(events: Seq[(Long, String)],
-                                   gapSec: Long): Seq[Seq[(Long, String)]] = {
-    val chunks = scala.collection.mutable.ArrayBuffer(
-      scala.collection.mutable.ArrayBuffer.empty[(Long, String)])
-    events.sortBy(identity).foreach { e =>
-      if (chunks.last.nonEmpty && e._1 - chunks.last.last._1 > gapSec)
-        chunks += scala.collection.mutable.ArrayBuffer.empty
-      chunks.last += e
-    }
-    chunks.map(_.toSeq).toSeq
-  }
-
   private[graft] class IdleSessionProcessor(gapSec: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Long, String), (Long, Long, Long, Long, Long)] {
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
-      MapState, OutputMode, TimeMode, TimerValues, TTLConfig}
+      MapState, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
     @transient private var open: ListState[(Long, String)] = _
+    @transient private var bounds: ValueState[(Long, Long, Long)] = _
     @transient private var typeCounts: MapState[String, Long] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       open = getHandle.getListState[(Long, String)]("open",
         org.apache.spark.sql.Encoders.product[(Long, String)], TTLConfig.NONE)
+      bounds = getHandle.getValueState[(Long, Long, Long)]("bounds",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
       typeCounts = getHandle.getMapState[String, Long]("typeCounts",
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
@@ -661,11 +668,11 @@ object StreamingIngest {
       val prior = if (open.exists()) open.get().toSeq else Seq.empty
       val chunks =
         StreamingIngest.sessionChunks(prior ++ rows.map(r => (r._2, r._3)), gapSec)
-      val tail = chunks.last
+      val tail = chunks.last // sorted, nonempty (rows is nonempty)
       // re-arm: retire the open session's previous deadline, arm the new
       // one (the engine auto-deletes a FIRED timer, so a prior timer
       // exists exactly when a prior open session does)
-      val newDeadline = (tail.iterator.map(_._1).max + gapSec) * 1000
+      val newDeadline = (tail.last._1 + gapSec) * 1000
       val oldDeadline =
         if (prior.isEmpty) None
         else Some((prior.iterator.map(_._1).max + gapSec) * 1000)
@@ -674,25 +681,28 @@ object StreamingIngest {
         getHandle.registerTimer(newDeadline)
       } // unchanged deadline: the armed timer already covers it
       open.put(tail.toArray)
+      bounds.update((tail.head._1, tail.last._1, tail.size.toLong))
       typeCounts.clear()
       tail.groupBy(_._2).foreach { case (c, es) =>
         typeCounts.updateValue(c, es.size.toLong) }
       chunks.dropRight(1).iterator.map(c =>
-        sessionRow(user, c.toSeq, c.iterator.map(_._2).toSet.size.toLong))
+        sessionRow(user, c, c.iterator.map(_._2).toSet.size.toLong))
     }
     override def handleExpiredTimer(user: Long, timerValues: TimerValues,
                                     expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long, Long)] = {
-      if (!open.exists()) Iterator.empty
+      if (!bounds.exists()) Iterator.empty
       else {
-        val evs = open.get().toSeq
+        // the timer path emits entirely from the Value/Map bookkeeping —
+        // the buffered event list is never rescanned on close
+        val (start, last, n) = bounds.get()
         // a deadline the arrival path replaced is stale — defensive: the
         // re-arm deletes it, so this only guards engine-level surprises
-        if (expiredTimerInfo.getExpiryTimeInMs !=
-            (evs.iterator.map(_._1).max + gapSec) * 1000) Iterator.empty
+        if (expiredTimerInfo.getExpiryTimeInMs != (last + gapSec) * 1000)
+          Iterator.empty
         else {
-          val nTypes = typeCounts.keys().size.toLong
-          val row = sessionRow(user, evs, nTypes)
+          val row = (user, start, last, n, typeCounts.keys().size.toLong)
           open.clear()
+          bounds.clear()
           typeCounts.clear()
           Iterator.single(row)
         }

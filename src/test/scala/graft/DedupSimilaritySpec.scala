@@ -57,19 +57,26 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("x69: cell-count policy bounds within-cell quadratic work at every corpus size") {
-    // the policy, not prose: K = max(IvfK, ceil(n/target)) keeps the MEAN
-    // cell population <= target no matter how n grows (100× data cannot
-    // make the within-cell join quadratic in the corpus), stays at the
-    // fixture floor for small n (oracles unchanged), and is monotone
-    for (n <- Seq(0L, 1L, 500L, 4096L, 4097L, 65536L, 10000000L, 1000000000000L)) {
+    // the policy, not prose: K = min(cap, max(IvfK, ceil(n/target)))
+    // keeps the MEAN cell population <= target over the driver-trainable
+    // range, stays at the fixture floor for small n (oracles unchanged),
+    // is monotone, and never Int-wraps
+    for (n <- Seq(0L, 1L, 500L, 4096L, 4097L, 65536L, 10000000L)) {
       val k = Similarity.semanticCellCount(n, 4096L)
       assert(k >= 16, s"n=$n must respect the IvfK floor")
       assert(n.toDouble / k <= 4096.0, s"n=$n: mean cell population exceeds the target")
     }
     assert(Similarity.semanticCellCount(500L, 4096L) == 16,
       "fixture corpus sizes must resolve to the trained 16-cell quantizer")
-    assert(Similarity.semanticCellCount(1000000000L, 4096L) == 244141,
-      "at 1e9 vectors the policy takes ~N/4096 cells")
+    assert(Similarity.semanticCellCount(10000000L, 4096L) == 2442,
+      "inside the trainable range the policy takes ~N/4096 cells")
+    // the honest boundary of the DRIVER-SIDE trainer: the 65536-vector
+    // training sample supports at most 4096 healthy centroids, so the
+    // policy caps there (a distributed quantizer takes over beyond) —
+    // and the cap also makes extreme n / tiny cellpop total (no wrap)
+    assert(Similarity.semanticCellCount(1000000000L, 4096L) == 4096)
+    assert(Similarity.semanticCellCount(Long.MaxValue / 2, 1L) == 4096,
+      "no Int wrap at any corpus size or cellpop")
     // on the fixture, the trained quantizer's balance bounds the MAX cell
     // by a small factor of the mean, and the rollup's per-cell pair count
     // respects the structural members²/2 ceiling — together these bound

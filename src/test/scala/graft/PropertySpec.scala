@@ -267,8 +267,11 @@ class PropertySpec extends SparkSpec {
     val gap = 100L
     val evGen = Gen.listOfN(120,
       Gen.zip(Gen.choose(0L, 3000L), Gen.oneOf("a", "b", "c")))
-    (1 to 25).foreach { _ =>
-      val all = evGen.sample.get
+    (1 to 25).foreach { i =>
+      // seeded per round: a failure names its reproducible round in the
+      // assertion message instead of vanishing with unseeded randomness
+      val all = evGen.pureApply(Gen.Parameters.default,
+        org.scalacheck.rng.Seed(4200L + i))
       val sorted = all.sorted
       val chunks = sessionChunks(all, gap)
       // tiling: the chunks are exactly the sorted events, in order
@@ -292,7 +295,7 @@ class PropertySpec extends SparkSpec {
           val first = sessionChunks(earlier, gap)
           val second = sessionChunks(first.last ++ later, gap)
           assert(first.dropRight(1) ++ second == chunks,
-            s"incremental processing diverged at cut $cut")
+            s"incremental processing diverged at cut $cut (seed round $i)")
         }
     }
   }

@@ -545,10 +545,16 @@ class StreamingSpec extends SparkSpec {
     assert(keptIds == Set(0L, 3L))
   }
 
-  test("T17: event-time timers fire the idle close; arrivals close their predecessors") {
+  /** Shared harness for the T17 MemoryStream tests: ONE pipeline shape
+    * (30-min gap, 10-min watermark, RocksDB provider scoped and
+    * restored), so the three scenario tests cannot drift onto different
+    * pipelines. `body` receives the stream handle, a blocking
+    * add-then-drain step, and the sink-set reader. */
+  private def withT17Stream(qn: String)(
+      body: (Seq[(Long, java.sql.Timestamp, String)] => Unit,
+             () => Set[(Long, Long, Long, Long, Long)]) => Unit): Unit = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, java.sql.Timestamp, String)]
     val sessions = ms.toDF().toDF("user_id", "ts", "cat")
@@ -564,11 +570,25 @@ class StreamingSpec extends SparkSpec {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val qn = "t17_tws_sink"
     val q = sessions.writeStream.format("memory").queryName(qn)
       .outputMode("append").start()
-    try {
-      def rows = spark.table(qn).as[(Long, Long, Long, Long, Long)].collect().toSet
+    try body(
+      evs => { ms.addData(evs); q.processAllAvailable() },
+      () => spark.table(qn).as[(Long, Long, Long, Long, Long)].collect().toSet)
+    finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      spark.catalog.dropTempView(qn)
+    }
+  }
+
+  test("T17: event-time timers fire the idle close; arrivals close their predecessors") {
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    withT17Stream("t17_tws_sink") { (feed, rowsF) =>
+      def rows = rowsF()
       // batch 1 — user 5: THREE sessions in one batch (the first two
       // close on arrival INSIDE handleInputRows; the third stays open,
       // deadline 3900+1800=5700); user 7: one open two-category session
@@ -576,9 +596,8 @@ class StreamingSpec extends SparkSpec {
       // 2800). The post-batch watermark is 3900-600=3300, so the no-data
       // finalization batch fires EXACTLY user 9's timer (2800 ≤ 3300 <
       // 3800 ≤ 5700) — a timer-driven close with no arrival involved.
-      ms.addData((7L, t(1000), "a"), (7L, t(2000), "b"), (9L, t(1000), "a"),
-        (5L, t(100), "a"), (5L, t(2000), "a"), (5L, t(3900), "a"))
-      q.processAllAvailable()
+      feed(Seq((7L, t(1000), "a"), (7L, t(2000), "b"), (9L, t(1000), "a"),
+        (5L, t(100), "a"), (5L, t(2000), "a"), (5L, t(3900), "a")))
       assert(rows == Set(
         (5L, 100L, 100L, 1L, 1L), (5L, 2000L, 2000L, 1L, 1L),
         (9L, 1000L, 1000L, 1L, 1L)),
@@ -587,117 +606,49 @@ class StreamingSpec extends SparkSpec {
       // [1000, 2000] (its timer never fired — the deadline re-arms to
       // 101800). The new watermark (99400) then fires user 5's
       // remaining timer (5700). User 7's open session must NOT emit.
-      ms.addData((7L, t(100000), "a"))
-      q.processAllAvailable()
+      feed(Seq((7L, t(100000), "a")))
       assert(rows == Set(
         (5L, 100L, 100L, 1L, 1L), (5L, 2000L, 2000L, 1L, 1L),
         (5L, 3900L, 3900L, 1L, 1L),
         (7L, 1000L, 2000L, 2L, 2L),
         (9L, 1000L, 1000L, 1L, 1L)), s"got $rows")
-    } finally {
-      q.stop()
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
-      spark.catalog.dropTempView(qn)
     }
   }
 
   test("T17: sessions spanning micro-batches extend instead of closing; deadline re-arms") {
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
-    val ms = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, java.sql.Timestamp, String)]
-    val sessions = ms.toDF().toDF("user_id", "ts", "cat")
-      .withWatermark("ts", "10 minutes")
-      .select(col("user_id"),
-        graft.functions.Times.epochSeconds(col("ts")).as("es"), col("cat"))
-      .as[(Long, Long, String)].groupByKey(_._1)
-      .transformWithState(new StreamingIngest.IdleSessionProcessor(1800L),
-        org.apache.spark.sql.streaming.TimeMode.EventTime(),
-        org.apache.spark.sql.streaming.OutputMode.Append())
-      .toDF("user_id", "session_start", "session_end", "n_events", "n_types")
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val qn = "t17b_tws_sink"
-    val q = sessions.writeStream.format("memory").queryName(qn)
-      .outputMode("append").start()
-    try {
-      def rows = spark.table(qn).as[(Long, Long, Long, Long, Long)].collect().toSet
+    withT17Stream("t17b_tws_sink") { (feed, rowsF) =>
+      def rows = rowsF()
       // user 7's session continues 1500 s later in batch 2 (within gap):
       // the old deadline (1000+1800=2800) is RE-ARMED to 2500+1800=4300,
       // so although the batch-2 watermark (2500-600=1900) stays below
       // both, no session may close; batch 3 pushes the watermark past
       // 4300 and the timer closes the MERGED session.
-      ms.addData((7L, t(1000), "a"))
-      q.processAllAvailable()
-      ms.addData((7L, t(2500), "b"))
-      q.processAllAvailable()
+      feed(Seq((7L, t(1000), "a")))
+      feed(Seq((7L, t(2500), "b")))
       assert(rows.isEmpty, s"within-gap continuation must not close; got $rows")
-      ms.addData((8L, t(10000), "a"))
-      q.processAllAvailable()
+      feed(Seq((8L, t(10000), "a")))
       assert(rows == Set((7L, 1000L, 2500L, 2L, 2L)),
         s"the re-armed timer must close the merged session exactly once; got $rows")
-    } finally {
-      q.stop()
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
-      spark.catalog.dropTempView(qn)
     }
   }
 
   test("T17: an out-of-order arrival inside the watermark merges into the open session") {
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
-    val ms = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, java.sql.Timestamp, String)]
-    val sessions = ms.toDF().toDF("user_id", "ts", "cat")
-      .withWatermark("ts", "10 minutes")
-      .select(col("user_id"),
-        graft.functions.Times.epochSeconds(col("ts")).as("es"), col("cat"))
-      .as[(Long, Long, String)].groupByKey(_._1)
-      .transformWithState(new StreamingIngest.IdleSessionProcessor(1800L),
-        org.apache.spark.sql.streaming.TimeMode.EventTime(),
-        org.apache.spark.sql.streaming.OutputMode.Append())
-      .toDF("user_id", "session_start", "session_end", "n_events", "n_types")
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val qn = "t17c_tws_sink"
-    val q = sessions.writeStream.format("memory").queryName(qn)
-      .outputMode("append").start()
-    try {
-      def rows = spark.table(qn).as[(Long, Long, Long, Long, Long)].collect().toSet
+    withT17Stream("t17c_tws_sink") { (feed, rowsF) =>
+      def rows = rowsF()
       // batch 1 pushes the watermark to 1400 (2000 - 600); batch 2's
       // event at 1600 is OLDER than the open session's last event but
       // above the late-event watermark, so it must be admitted and
       // merged (the re-sessionization sorts prior ∪ batch). The merged
       // deadline stays 2000+1800=3800; batch 3 pushes the watermark to
       // 9400 and the timer closes [1600, 2000] as ONE session.
-      ms.addData((7L, t(2000), "a"))
-      q.processAllAvailable()
-      ms.addData((7L, t(1600), "b"))
-      q.processAllAvailable()
+      feed(Seq((7L, t(2000), "a")))
+      feed(Seq((7L, t(1600), "b")))
       assert(rows.isEmpty, s"nothing may close while the deadline is unexpired; got $rows")
-      ms.addData((8L, t(10000), "a"))
-      q.processAllAvailable()
+      feed(Seq((8L, t(10000), "a")))
       assert(rows == Set((7L, 1600L, 2000L, 2L, 2L)),
         s"the out-of-order event must merge, not fork a session; got $rows")
-    } finally {
-      q.stop()
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
-      spark.catalog.dropTempView(qn)
     }
   }
 
