@@ -77,21 +77,31 @@ private[graft] object DfCache {
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
 
-  /** Content fingerprint of the source paths: every file's name, size and
-    * mtime, directories walked in sorted order. Driver-side metadata ops
-    * only — no data is read. */
+  /** Content fingerprint of the source paths: every file's path RELATIVE
+    * to its listed root (not just the base name — in a hive-partitioned
+    * source, moving a file between `logdate=` dirs changes its rows'
+    * partition-column values while name/size/mtime stay identical, and
+    * the fingerprint must change with it), plus size and mtime,
+    * directories walked in sorted order. Driver-side metadata ops only —
+    * no data is read. */
   private def fingerprint(spark: SparkSession, paths: Seq[String]): String = {
     import org.apache.hadoop.fs.{FileStatus, Path}
     val conf = spark.sparkContext.hadoopConfiguration
     sha(paths.sorted.map { p =>
       val hp = new Path(p)
       val fs = hp.getFileSystem(conf)
-      def walk(st: FileStatus): Seq[String] =
-        if (st.isDirectory)
-          fs.listStatus(st.getPath).sortBy(_.getPath.getName).toSeq.flatMap(walk)
-        else Seq(s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
       if (!fs.exists(hp)) s"$p:absent"
-      else walk(fs.getFileStatus(hp)).mkString(s"$p[", ",", "]")
+      else {
+        val rootStr = fs.getFileStatus(hp).getPath.toString
+        def walk(st: FileStatus): Seq[String] =
+          if (st.isDirectory)
+            fs.listStatus(st.getPath).sortBy(_.getPath.getName).toSeq.flatMap(walk)
+          else {
+            val rel = st.getPath.toString.stripPrefix(rootStr)
+            Seq(s"$rel:${st.getLen}:${st.getModificationTime}")
+          }
+        walk(fs.getFileStatus(hp)).mkString(s"$p[", ",", "]")
+      }
     }.mkString("|"))
   }
 
@@ -130,7 +140,12 @@ private[graft] object DfCache {
     else {
       if (fs.exists(root))
         fs.listStatus(root)
-          .filter(s => s.getPath.getName.startsWith(slug + "_"))
+          // NEVER the current fingerprint's dir: a concurrent builder may
+          // publish it between our marker check and this sweep, and
+          // deleting it would yank a just-published index out from under
+          // its readers — only genuinely stale source versions go
+          .filter(s => s.getPath.getName.startsWith(slug + "_") &&
+            s.getPath.getName != dir.getName)
           .foreach(s => fs.delete(s.getPath, true)) // stale source version
       val tmp = new Path(root, s".tmp_${slug}_${java.util.UUID.randomUUID()}")
       val stack = buildStack.get
@@ -142,7 +157,31 @@ private[graft] object DfCache {
         // at the scan (the IVF cell index reads only the probed cells)
         (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
           .parquet(tmp.toString)
-        if (!fs.rename(tmp, dir)) fs.delete(tmp, true) // lost the race: winner is published
+        // the visibility marker is written into the TEMP dir so the rename
+        // publishes it atomically even on deployments that disable
+        // mapreduce.fileoutputcommitter.marksuccessfuljobs — without it,
+        // every access would read the dir as unpublished and rebuild
+        val tmpMarker = new Path(tmp, "_SUCCESS")
+        if (!fs.exists(tmpMarker)) fs.create(tmpMarker, true).close()
+        if (!fs.rename(tmp, dir)) {
+          // rename refused (POSIX onto an existing dir): either a
+          // concurrent winner published (marker present — discard ours)
+          // or a markerless partial/legacy dir occupies the slot —
+          // replace it with the fresh build instead of reading garbage
+          if (fs.exists(new Path(dir, "_SUCCESS"))) fs.delete(tmp, true)
+          else {
+            fs.delete(dir, true)
+            if (!fs.rename(tmp, dir)) fs.delete(tmp, true)
+          }
+        }
+        else {
+          // HDFS rename semantics: renaming onto an EXISTING dir moves tmp
+          // INSIDE it as debris (hidden from parquet reads by the dot
+          // prefix, but a full leaked index copy) — the loser detects the
+          // nesting and removes its bytes
+          val nested = new Path(dir, tmp.getName)
+          if (fs.exists(nested)) fs.delete(nested, true)
+        }
         val wall = (System.nanoTime() - t0) / 1e9
         val childSum = stack.pop()
         if (stack.nonEmpty) stack.push(stack.pop() + wall)

@@ -50,22 +50,36 @@ object Bookkeeping {
                           receivecount: Long, sinkcount: Long,
                           updatetime: Long, state: String)
 
-  /** Create the bookkeeping table if absent (idempotent). */
+  /** Create the bookkeeping table if absent (idempotent). Attempt-then-
+    * verify, NOT a `getTables` probe: metadata-catalog name casing
+    * differs per vendor (Derby upper-cases, Postgres lower-cases), so a
+    * cased probe reports "absent" forever on the other vendor and every
+    * later call crashes on CREATE — the exact trap [[upsertCommitted]]'s
+    * comment documents; both sites now use the same portable pattern. */
   def ensureTable(url: String, table: String = Table): Unit = {
     val conn = DriverManager.getConnection(url)
-    try {
-      val meta = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
-      val exists = try meta.next() finally meta.close()
-      if (!exists) {
-        val st = conn.createStatement()
-        try st.execute(
-          s"""CREATE TABLE $table (
-              name VARCHAR(128), logdate VARCHAR(32), hostname VARCHAR(128),
-              receivecount BIGINT, sinkcount BIGINT, updatetime BIGINT,
-              state VARCHAR(16), PRIMARY KEY (name, logdate, hostname))""")
-        finally st.close()
-      }
-    } finally conn.close()
+    try createIfAbsent(conn,
+      s"""CREATE TABLE $table (
+          name VARCHAR(128), logdate VARCHAR(32), hostname VARCHAR(128),
+          receivecount BIGINT, sinkcount BIGINT, updatetime BIGINT,
+          state VARCHAR(16), PRIMARY KEY (name, logdate, hostname))""", table)
+    finally conn.close()
+  }
+
+  /** Portable create-if-absent: attempt the CREATE, and on failure verify
+    * the table actually answers a SELECT before swallowing — a real
+    * failure (permissions, connection) must surface, not be eaten. */
+  private def createIfAbsent(conn: java.sql.Connection, createSql: String,
+                             table: String): Unit = {
+    val st = conn.createStatement()
+    try st.execute(createSql)
+    catch { case e: java.sql.SQLException =>
+      val probe = conn.createStatement()
+      try probe.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close()
+      catch { case _: java.sql.SQLException => throw e }
+      finally probe.close()
+    }
+    finally st.close()
   }
 
   /** T7 — `exists ? UPDATE : INSERT` per (name, logdate, hostname), exactly
@@ -117,54 +131,54 @@ object Bookkeeping {
                       rows: Seq[Detail], table: String = Table): Boolean = {
     val conn = DriverManager.getConnection(url)
     try {
-      // create-if-absent portably: attempt, and on failure verify the table
-      // actually exists before swallowing (metadata-catalog name casing
-      // differs per vendor — Derby upper-cases, Postgres lower-cases — so a
-      // getTables probe is not reliable, but a SELECT against the table is).
-      // A real failure (permissions, connection) must surface, not be eaten.
-      val st = conn.createStatement()
-      try st.execute(
+      createIfAbsent(conn,
         """CREATE TABLE batch_commits (
-            name VARCHAR(128), batchid BIGINT, PRIMARY KEY (name, batchid))""")
-      catch { case e: java.sql.SQLException =>
-        val probe = conn.createStatement()
-        try probe.executeQuery("SELECT 1 FROM batch_commits WHERE 1=0").close()
-        catch { case _: java.sql.SQLException => throw e }
-        finally probe.close()
-      }
-      finally st.close()
+            name VARCHAR(128), batchid BIGINT, PRIMARY KEY (name, batchid))""",
+        "batch_commits")
       conn.setAutoCommit(false)
-      // replay probe inside the transaction: SELECT then INSERT is portable
-      // (no reliance on a vendor-specific duplicate-key exception type);
-      // a racing concurrent inserter still trips the PK below and is
-      // caught as the generic SQLException
-      val sel = conn.prepareStatement(
-        "SELECT 1 FROM batch_commits WHERE name = ? AND batchid = ?")
-      val replay =
-        try {
-          sel.setString(1, runName); sel.setLong(2, batchId)
-          val rs = sel.executeQuery()
-          try rs.next() finally rs.close()
-        } finally sel.close()
-      if (replay) { conn.rollback(); return false }
-      val ins = conn.prepareStatement("INSERT INTO batch_commits VALUES (?, ?)")
-      val fresh =
-        try { ins.setString(1, runName); ins.setLong(2, batchId); ins.executeUpdate(); true }
-        catch {
-          // only an integrity violation (SQLState class 23) means a racing
-          // inserter beat us to the PK = genuine replay. Anything else —
-          // lock timeout, deadlock victim, dropped connection — must
-          // propagate so the caller's batch retries instead of silently
-          // reporting "already committed" and losing the accumulation.
-          case e: java.sql.SQLException
-              if Option(e.getSQLState).exists(_.startsWith("23")) => false
-          case e: java.sql.SQLException => conn.rollback(); throw e
-        }
-        finally ins.close()
-      if (!fresh) { conn.rollback(); return false }
-      upsertRows(conn, rows, table)
-      conn.commit()
-      true
+      // EVERY exit from the open transaction must be an explicit commit or
+      // rollback: closing a connection with an in-flight transaction is
+      // vendor-defined (commit-on-close drivers would durably write the
+      // commit record WITHOUT the counter accumulation — the replay probe
+      // would then skip the batch forever and its counts would be lost;
+      // Derby instead throws from close(), masking the real error), so a
+      // throw from any statement below rolls back before propagating.
+      try {
+        // replay probe inside the transaction: SELECT then INSERT is portable
+        // (no reliance on a vendor-specific duplicate-key exception type);
+        // a racing concurrent inserter still trips the PK below and is
+        // caught as the generic SQLException
+        val sel = conn.prepareStatement(
+          "SELECT 1 FROM batch_commits WHERE name = ? AND batchid = ?")
+        val replay =
+          try {
+            sel.setString(1, runName); sel.setLong(2, batchId)
+            val rs = sel.executeQuery()
+            try rs.next() finally rs.close()
+          } finally sel.close()
+        if (replay) { conn.rollback(); return false }
+        val ins = conn.prepareStatement("INSERT INTO batch_commits VALUES (?, ?)")
+        val fresh =
+          try { ins.setString(1, runName); ins.setLong(2, batchId); ins.executeUpdate(); true }
+          catch {
+            // only an integrity violation (SQLState class 23) means a racing
+            // inserter beat us to the PK = genuine replay. Anything else —
+            // lock timeout, deadlock victim, dropped connection — must
+            // propagate so the caller's batch retries instead of silently
+            // reporting "already committed" and losing the accumulation.
+            case e: java.sql.SQLException
+                if Option(e.getSQLState).exists(_.startsWith("23")) => false
+          }
+          finally ins.close()
+        if (!fresh) { conn.rollback(); return false }
+        upsertRows(conn, rows, table)
+        conn.commit()
+        true
+      } catch { case e: Throwable =>
+        try conn.rollback()
+        catch { case suppressed: java.sql.SQLException => e.addSuppressed(suppressed) }
+        throw e
+      }
     } finally conn.close()
   }
 

@@ -29,6 +29,17 @@ object Landing {
     parts.map(p => s"`$p`").mkString(".")
   }
 
+  /** Render a partition value / location as a Spark SQL string literal.
+    * BOTH metacharacters must be escaped: quotes (doubled) AND
+    * backslashes — Spark's lexer treats `\` as an escape inside string
+    * literals, so a value ending in `\` would swallow the closing quote
+    * (`'x\'` parses the quote as escaped) and shift the literal boundary
+    * into whatever follows: a parse failure at best, attacker-shifted
+    * DDL at worst. Backslashes are escaped FIRST so the doubled quotes
+    * stay quote escapes. */
+  private[graft] def quoteValue(v: String): String =
+    "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+
   /** Write `df` as a Hive-layout partitioned table. `format` ∈ orc|parquet. */
   def write(df: DataFrame, path: String, partitionCols: Seq[String],
             format: String = "orc"): Unit =
@@ -51,9 +62,9 @@ object Landing {
   def registerPartition(spark: SparkSession, table: String,
                         spec: Map[String, String], location: String): Unit = {
     val specSql = spec.map { case (k, v) =>
-      s"${quoteIdent(k)}='${v.replace("'", "''")}'" }.mkString(", ")
+      s"${quoteIdent(k)}=${quoteValue(v)}" }.mkString(", ")
     spark.sql(s"ALTER TABLE ${quoteIdent(table)} ADD IF NOT EXISTS " +
-      s"PARTITION ($specSql) LOCATION '${location.replace("'", "''")}'")
+      s"PARTITION ($specSql) LOCATION ${quoteValue(location)}")
   }
 
   /** Batched form: one `ALTER TABLE … ADD IF NOT EXISTS PARTITION p1 … pN`
@@ -65,8 +76,8 @@ object Landing {
     if (parts.nonEmpty) {
       val specsSql = parts.map { case (spec, location) =>
         val specSql = spec.map { case (k, v) =>
-          s"${quoteIdent(k)}='${v.replace("'", "''")}'" }.mkString(", ")
-        s"PARTITION ($specSql) LOCATION '${location.replace("'", "''")}'"
+          s"${quoteIdent(k)}=${quoteValue(v)}" }.mkString(", ")
+        s"PARTITION ($specSql) LOCATION ${quoteValue(location)}"
       }.mkString(" ")
       spark.sql(s"ALTER TABLE ${quoteIdent(table)} ADD IF NOT EXISTS $specsSql")
     }
@@ -106,7 +117,13 @@ object Landing {
     * dir is complete, so recovery is re-running the compaction (staged
     * output is rebuilt; renames are idempotent toward the same end
     * state). On object stores the renames become a manifest commit, same
-    * contract. Returns (partition, filesBefore, filesAfter). */
+    * contract. An exclusive lock file serializes whole compaction runs
+    * (overlapping crons would share staging/trash and could destroy a
+    * mid-swap partition's only copy); a hard-crashed run leaves the lock
+    * for a human to clear — loud and safe over self-healing and racy.
+    * The NULL partition (`__HIVE_DEFAULT_PARTITION__`) is skipped: its
+    * rows cannot be reselected by value. Returns (partition,
+    * filesBefore, filesAfter). */
   def compactPartitions(spark: SparkSession, path: String,
                         partitionCol: String, format: String = "orc",
                         maxFiles: Int = 1): Seq[(String, Int, Int)] = {
@@ -116,20 +133,42 @@ object Landing {
     val staging = new Path(root.getParent,
       "." + root.getName + s"_compact_staging")
     val trash = new Path(root.getParent, "." + root.getName + s"_compact_trash")
-    // Crash recovery FIRST: a prior run that died between its two renames
-    // left that partition's only copy in the trash dir. Restore any trash
-    // partition missing from the live tree before deleting anything —
-    // deleting trash up-front would destroy the surviving copy.
-    if (fs.exists(trash)) fs.listStatus(trash).foreach { d =>
-      val live = new Path(root, d.getPath.getName)
-      if (d.isDirectory && !fs.exists(live))
-        require(fs.rename(d.getPath, live),
-          s"could not restore ${d.getPath.getName} from interrupted compaction")
-    }
-    fs.delete(staging, true); fs.delete(trash, true)
-    val before = partitionFileStats(spark, path)
-    val targets = before.filter(_._2 > maxFiles)
-    if (targets.isEmpty) return Seq.empty
+    // Mutual exclusion: two concurrent compactions share the fixed
+    // staging/trash dirs, and run B's up-front deletes could destroy the
+    // only copy of a partition run A is mid-swap on — permanent data
+    // loss. `create(…, overwrite = false)` is an atomic exclusive claim
+    // on HDFS-likes and the local FS. A crashed run leaves the lock
+    // behind ON PURPOSE: the next run fails loudly here with removal
+    // instructions instead of silently racing a compaction that might
+    // still be alive (cron overlap is indistinguishable from a crash
+    // from this side).
+    val lock = new Path(root.getParent, "." + root.getName + "_compact_lock")
+    val claimed =
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    require(claimed,
+      s"another compaction of $path appears to be running (lock $lock " +
+        "exists); if its process crashed, remove the lock file and re-run")
+    try {
+      // Crash recovery FIRST: a prior run that died between its two renames
+      // left that partition's only copy in the trash dir. Restore any trash
+      // partition missing from the live tree before deleting anything —
+      // deleting trash up-front would destroy the surviving copy.
+      if (fs.exists(trash)) fs.listStatus(trash).foreach { d =>
+        val live = new Path(root, d.getPath.getName)
+        if (d.isDirectory && !fs.exists(live))
+          require(fs.rename(d.getPath, live),
+            s"could not restore ${d.getPath.getName} from interrupted compaction")
+      }
+      fs.delete(staging, true); fs.delete(trash, true)
+      val before = partitionFileStats(spark, path)
+      // the NULL partition's rows cannot be reselected by a literal
+      // isin() on the sentinel dir name (NULL matches nothing), so a swap
+      // would publish an EMPTY rewrite over real data — skip it; every
+      // other partition still compacts
+      val targets = before.filter(_._2 > maxFiles).filterNot(
+        _._1.endsWith("=__HIVE_DEFAULT_PARTITION__"))
+      if (targets.isEmpty) return Seq.empty
     // the exact inverse of the escaping Spark's writer applied to these
     // dir names ('%hh' decoded, '+' literal — NOT URL decoding)
     val values = targets.map(_._1.split("=", 2)(1))
@@ -175,6 +214,7 @@ object Landing {
     }
     fs.delete(staging, true); fs.delete(trash, true)
     after
+    } finally { fs.delete(lock, false); () }
   }
 
 
@@ -184,9 +224,12 @@ object Landing {
     * chronologically). Two-phase for crash safety: retire each expired
     * dir into a trash dir (a metadata rename), then purge the trash as
     * the commit point — a crash mid-run leaves retired partitions in
-    * trash, and the next invocation's purge-first completes the deletion
-    * (retention, unlike compaction, never restores). Optionally issues
-    * the batched catalog `DROP PARTITION` DDL. Driver work is one entry
+    * trash, and the next invocation completes BOTH halves of the
+    * deletion: it re-issues the idempotent catalog `DROP` for every
+    * partition found in trash (whose specs no live listing could
+    * re-derive) before purging the files (retention, unlike compaction,
+    * never restores). Optionally issues the batched catalog
+    * `DROP PARTITION` DDL. Driver work is one entry
     * per expired partition — bounded metadata. Returns the dropped
     * partition dir names. */
   def dropPartitionsBefore(spark: SparkSession, path: String,
@@ -196,11 +239,30 @@ object Landing {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val trash = new Path(root.getParent, "." + root.getName + "_retention_trash")
-    // complete any prior crashed run: trash holds already-retired data
-    fs.delete(trash, true)
-    if (!fs.exists(root)) return Seq.empty
     val unescape =
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName _
+    def dropDdl(dirNames: Seq[String]): Unit = catalogTable.foreach { t =>
+      if (dirNames.nonEmpty) {
+        val specs = dirNames.map(n =>
+          s"PARTITION (${quoteIdent(partitionCol)}=" +
+            s"${quoteValue(unescape(n.split("=", 2)(1)))})")
+        spark.sql(s"ALTER TABLE ${quoteIdent(t)} DROP IF EXISTS ${specs.mkString(", ")}")
+      }
+    }
+    // Complete any prior crashed run: trash holds already-retired data
+    // whose catalog entries may never have been dropped (a crash between
+    // the renames and the DDL left the metastore pointing at retired
+    // dirs) — re-issue the idempotent DROP for everything found in trash
+    // BEFORE purging it, or those entries dangle forever: the retired
+    // dirs are gone from the live listing, so no later run would ever
+    // re-derive their specs.
+    if (fs.exists(trash)) {
+      dropDdl(fs.listStatus(trash).toSeq
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith(partitionCol + "="))
+        .map(_.getPath.getName).sorted)
+      fs.delete(trash, true)
+    }
+    if (!fs.exists(root)) return Seq.empty
     val expired = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
       .filter(s => unescape(s.getPath.getName.split("=", 2)(1)) < cutoff)
@@ -211,12 +273,7 @@ object Landing {
       require(fs.rename(p, new Path(trash, p.getName)),
         s"retention could not retire ${p.getName}")
     }
-    catalogTable.foreach { t =>
-      val specs = expired.map(p =>
-        s"PARTITION (${quoteIdent(partitionCol)}=" +
-          s"'${unescape(p.getName.split("=", 2)(1)).replace("'", "''")}')")
-      spark.sql(s"ALTER TABLE ${quoteIdent(t)} DROP IF EXISTS ${specs.mkString(", ")}")
-    }
+    dropDdl(expired.map(_.getName))
     fs.delete(trash, true)
     expired.map(_.getName)
   }
@@ -235,6 +292,6 @@ object Landing {
       partitionCols.map(c => s"${quoteIdent(c)} ${schema(c).dataType.sql}")).mkString(", ")
     spark.sql(s"""CREATE TABLE IF NOT EXISTS ${quoteIdent(table)} ($ddl) USING $format
                   PARTITIONED BY (${partitionCols.map(quoteIdent).mkString(", ")})
-                  LOCATION '${location.replace("'", "''")}'""")
+                  LOCATION ${quoteValue(location)}""")
   }
 }

@@ -75,6 +75,29 @@ class IngestSpec extends SparkSpec {
     assert(!fs.exists(trash))
   }
 
+  test("compaction is single-flight: a held lock refuses the run; a finished run releases it") {
+    import graft.sources.Landing
+    import org.apache.hadoop.fs.Path
+    val out = graft.Tables.scratchDir("graft_lock_spec").toString
+    Ingest.enriched(spark, sf).repartition(4)
+      .write.mode("overwrite").partitionBy("logdate").orc(out)
+    val root = new Path(out)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new Path(root.getParent, "." + root.getName + "_compact_lock")
+    // a concurrent (or hard-crashed) run holds the lock: refuse LOUDLY —
+    // two compactions sharing staging/trash could destroy a mid-swap
+    // partition's only copy
+    fs.create(lock, false).close()
+    val e = intercept[IllegalArgumentException](
+      Landing.compactPartitions(spark, out, "logdate"))
+    assert(e.getMessage.contains("lock"), s"unexpected message: ${e.getMessage}")
+    fs.delete(lock, false)
+    // with the lock clear the run proceeds and releases it afterwards
+    val report = Landing.compactPartitions(spark, out, "logdate")
+    assert(report.nonEmpty)
+    assert(!fs.exists(lock), "a completed run must release the lock")
+  }
+
   test("retention drops expired partitions transactionally and is idempotent") {
     import graft.sources.Landing
     import org.apache.hadoop.fs.Path

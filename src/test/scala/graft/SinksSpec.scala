@@ -22,6 +22,50 @@ class SinksSpec extends SparkSpec {
       intercept[IllegalArgumentException](Landing.quoteIdent(bad))
   }
 
+  test("S6: partition values/locations survive Spark's lexer for every metacharacter") {
+    // round-trip each hostile value through the ACTUAL parser: quotes must
+    // not end the literal, and a trailing backslash must not swallow the
+    // closing quote (Spark treats \ as an escape inside string literals —
+    // '…\' would shift the literal boundary into the following DDL text)
+    for (v <- Seq("plain", "it's", "trailing\\", "a\\'b", "\\\\'", "", "x\\nny"))
+      assert(spark.sql(s"SELECT ${Landing.quoteValue(v)} AS v").head().getString(0) == v,
+        s"round trip broke for <$v>")
+  }
+
+  test("S6: retention re-issues the catalog DROP for partitions stranded in trash") {
+    import org.apache.hadoop.fs.Path
+    val out = tmp("graft_ret_repair")
+    val tbl = "graft_ret_repair_t"
+    import spark.implicits._
+    val df = Seq(("a", "20240101"), ("b", "20240102"))
+      .toDF("payload", "logdate")
+    df.write.mode("overwrite").partitionBy("logdate").parquet(out)
+    try {
+      Landing.createPartitionedTable(spark, tbl, df.schema, Seq("logdate"),
+        out, format = "parquet")
+      spark.sql(s"MSCK REPAIR TABLE $tbl")
+      assert(spark.sql(s"SHOW PARTITIONS $tbl").count() == 2)
+      // simulate the crash window: the FS rename retired 20240101 into
+      // trash, but the process died before the catalog DROP ran — the
+      // live listing can no longer re-derive that spec
+      val root = new Path(out)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val trash = new Path(root.getParent, "." + root.getName + "_retention_trash")
+      fs.mkdirs(trash)
+      require(fs.rename(new Path(root, "logdate=20240101"),
+        new Path(trash, "logdate=20240101")))
+      // the next invocation (nothing else is expired) must repair the
+      // catalog from the trash listing before purging it
+      val dropped = Landing.dropPartitionsBefore(spark, out, "logdate",
+        cutoff = "20240102", catalogTable = Some(tbl))
+      assert(dropped.isEmpty, "no live partition is expired")
+      assert(!fs.exists(trash))
+      val left = spark.sql(s"SHOW PARTITIONS $tbl").collect().map(_.getString(0))
+      assert(left.toSeq == Seq("logdate=20240102"),
+        s"the stranded partition's catalog entry must be dropped; got ${left.toSeq}")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("S7: JDBC round trip — detail written, read back, completeness equals in-engine") {
     val url = Bookkeeping.derbyUrl(s"${tmp("graft_derby_rt")}/bk")
     Bookkeeping.write(Counters.sinkDetail(spark, sf), url)
