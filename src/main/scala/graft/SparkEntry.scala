@@ -729,17 +729,21 @@ object SparkEntry {
           HAVING ${bucketE("ts")} + 300 <=
             (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 600 FROM events)"""),
     // t17: gaps-and-islands sessionization (30-min gap over floored
-    // epoch seconds); the stream emits every session except each user's
-    // LAST (any later arrival closes its predecessor), and the last iff
-    // its idle deadline precedes the final watermark — the timer fire
-    // rule (TimerStateImpl expires ts <= watermark) stated in exact
-    // integer milliseconds: both engines floor micros→ms, the watermark
-    // is max_event_ms − 600000, the deadline (end + 1800)·1000.
+    // epoch seconds, sessions confined to 1-h round windows — the
+    // reference's partition router, so brk fires on gap OR window
+    // change); the stream emits every session except each user's LAST
+    // (any later arrival closes its predecessor), and the last iff its
+    // close deadline — idle AND round window elapsed,
+    // max((end//3600+1)*3600, end+1800) — precedes the final watermark:
+    // the timer fire rule (TimerStateImpl expires ts <= watermark)
+    // stated in exact integer milliseconds: both engines floor
+    // micros→ms, the watermark is max_event_ms − 600000.
     "t17_stream_idle_close" ->
       """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
               coalesce(event_type, 'no_category') AS cat FROM events),
           m AS (SELECT user_id, es, cat,
               CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY es) > 1800
+                OR es // 3600 <> lag(es) OVER (PARTITION BY user_id ORDER BY es) // 3600
                 THEN 1 ELSE 0 END AS brk FROM e),
           s AS (SELECT user_id, es, cat,
               SUM(brk) OVER (PARTITION BY user_id ORDER BY es
@@ -754,7 +758,8 @@ object SparkEntry {
           SELECT user_id, session_start, session_end, n_events, n_types
           FROM g
           WHERE sid < (SELECT max(sid) FROM g g2 WHERE g2.user_id = g.user_id)
-             OR (session_end + 1800) * 1000 <= (SELECT w FROM wm)
+             OR GREATEST((session_end // 3600 + 1) * 3600,
+                         session_end + 1800) * 1000 <= (SELECT w FROM wm)
           ORDER BY user_id, session_start""",
     "a3_category_window_counts" ->
       s"""SELECT ${bucketE("ts")} AS bucket_epoch,

@@ -586,17 +586,24 @@ object StreamingIngest {
         .orderBy(col("user_id")))
   }
 
-  /** Pure gap-rule sessionizer shared by [[IdleSessionProcessor]] and the
+  /** Pure sessionizer shared by [[IdleSessionProcessor]] and the
     * property suite: sort `(epoch, category)` events and split where the
-    * epoch gap strictly exceeds `gapSec`. Always returns at least one
-    * (possibly empty) chunk — the caller treats the LAST chunk as the
-    * open session. */
-  private[graft] def sessionChunks(events: Seq[(Long, String)],
-                                   gapSec: Long): Seq[Seq[(Long, String)]] = {
+    * epoch gap strictly exceeds `gapSec` OR the round window
+    * (`epoch / roundSec`, epochs non-negative) changes. The window split
+    * is the reference's dynamic-partition ROUTER (`HiveBatchedSink
+    * .scala:311-312` rounds each event's timestamp into its partition
+    * path, so every round window gets its OWN writer): a session can
+    * never span a window boundary, which is what bounds a never-idle
+    * key's open-session state to one window of events. Always returns at
+    * least one (possibly empty) chunk — the caller treats the LAST chunk
+    * as the open session. */
+  private[graft] def sessionChunks(events: Seq[(Long, String)], gapSec: Long,
+                                   roundSec: Long): Seq[Seq[(Long, String)]] = {
     val chunks = scala.collection.mutable.ArrayBuffer(
       scala.collection.mutable.ArrayBuffer.empty[(Long, String)])
     events.sortBy(identity).foreach { e =>
-      if (chunks.last.nonEmpty && e._1 - chunks.last.last._1 > gapSec)
+      if (chunks.last.nonEmpty && (e._1 - chunks.last.last._1 > gapSec ||
+          e._1 / roundSec != chunks.last.last._1 / roundSec))
         chunks += scala.collection.mutable.ArrayBuffer.empty
       chunks.last += e
     }
@@ -620,12 +627,28 @@ object StreamingIngest {
     *    tallies (the reference's per-writer counters), maintained
     *    incrementally on arrival and READ by the timer path to emit
     *    `n_types`;
-    *  - an event-time timer at `lastEvent + gap` — re-armed on every
-    *    arrival that moves the deadline (delete + register; an unchanged
-    *    deadline keeps its armed timer), fired by the engine when the
-    *    WATERMARK passes the deadline ([[TimerStateImpl]] expires
-    *    `ts <= watermarkForEviction`), which is exactly "close after
-    *    `gap` of silence" measured in event time.
+    *  - an event-time timer at `max(windowEnd, lastEvent + gap)` —
+    *    re-armed on every arrival that moves the deadline (delete +
+    *    register; an unchanged deadline keeps its armed timer), fired by
+    *    the engine when the WATERMARK passes the deadline
+    *    ([[TimerStateImpl]] expires `ts <= watermarkForEviction`). The
+    *    `max` is the reference's FULL close predicate
+    *    (`HiveBatchedWriter.scala:62`: `now > minFinishedTimestamp &&
+    *    now - lastWrite >= idleTimeout`, with `minFinishedTimestamp` =
+    *    the partition window's start + the round duration,
+    *    `HiveBatchedSink.scala:380-381`): a writer needs `gap` of
+    *    silence AND its round window to have elapsed before it may
+    *    close. (The reference's `>` on the window bound vs this timer's
+    *    `>=` differ by under the 1 s event resolution; the oracle states
+    *    the same `max` expression, so the two stay consistent.)
+    *
+    * The round window also bounds the writer the other way: the
+    * reference routes each event into its WINDOW's writer
+    * (`HiveBatchedSink.scala:311-312`), so [[sessionChunks]] splits at
+    * window boundaries and the open session — hence the `ListState`, the
+    * `MapState`, and the per-arrival re-sessionization scan — holds at
+    * most one round window of events even for a key that never goes
+    * idle (heartbeats at under `gap` spacing).
     *
     * Arrival path: merge the open events with the batch's, re-sessionize
     * (sort + split on `gap`), emit every chunk a LATER chunk proves
@@ -642,7 +665,7 @@ object StreamingIngest {
     * any other mode), and the idle-close contract needs EVENT-time timers
     * — the TTL surface is exercised by [[TtlCacheProcessor]] on the
     * processing-time path instead. */
-  private[graft] class IdleSessionProcessor(gapSec: Long)
+  private[graft] class IdleSessionProcessor(gapSec: Long, roundSec: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Long, String), (Long, Long, Long, Long, Long)] {
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
@@ -663,19 +686,24 @@ object StreamingIngest {
                            nTypes: Long): (Long, Long, Long, Long, Long) =
       (user, evs.iterator.map(_._1).min, evs.iterator.map(_._1).max,
         evs.size.toLong, nTypes)
+    /** The close deadline of an open session whose last event is `last`:
+      * idle for `gap` AND the session's round window elapsed — the
+      * reference's two-condition predicate in event-time ms. */
+    private def deadlineMs(last: Long): Long =
+      math.max((last / roundSec + 1) * roundSec, last + gapSec) * 1000
     override def handleInputRows(user: Long, rows: Iterator[(Long, Long, String)],
                                  timerValues: TimerValues): Iterator[(Long, Long, Long, Long, Long)] = {
       val prior = if (open.exists()) open.get().toSeq else Seq.empty
-      val chunks =
-        StreamingIngest.sessionChunks(prior ++ rows.map(r => (r._2, r._3)), gapSec)
+      val chunks = StreamingIngest.sessionChunks(
+        prior ++ rows.map(r => (r._2, r._3)), gapSec, roundSec)
       val tail = chunks.last // sorted, nonempty (rows is nonempty)
       // re-arm: retire the open session's previous deadline, arm the new
       // one (the engine auto-deletes a FIRED timer, so a prior timer
       // exists exactly when a prior open session does)
-      val newDeadline = (tail.last._1 + gapSec) * 1000
+      val newDeadline = deadlineMs(tail.last._1)
       val oldDeadline =
         if (prior.isEmpty) None
-        else Some((prior.iterator.map(_._1).max + gapSec) * 1000)
+        else Some(deadlineMs(prior.iterator.map(_._1).max))
       if (oldDeadline.forall(_ != newDeadline)) {
         oldDeadline.foreach(getHandle.deleteTimer)
         getHandle.registerTimer(newDeadline)
@@ -696,10 +724,15 @@ object StreamingIngest {
         // the buffered event list is never rescanned on close
         val (start, last, n) = bounds.get()
         // a deadline the arrival path replaced is stale — defensive: the
-        // re-arm deletes it, so this only guards engine-level surprises
-        if (expiredTimerInfo.getExpiryTimeInMs != (last + gapSec) * 1000)
+        // re-arm deletes it, so this only guards engine-level surprises.
+        // Re-arm the CORRECT deadline instead of only dropping the fire:
+        // otherwise the open session would never close and its
+        // List/Value/Map state would be stranded forever (event-time
+        // mode permits no TTL to reclaim it).
+        if (expiredTimerInfo.getExpiryTimeInMs != deadlineMs(last)) {
+          getHandle.registerTimer(deadlineMs(last))
           Iterator.empty
-        else {
+        } else {
           val row = (user, start, last, n, typeCounts.keys().size.toLong)
           open.clear()
           bounds.clear()
@@ -735,24 +768,32 @@ object StreamingIngest {
 
   /** T17 — the reference's idle-close driven by EVENT-TIME TIMERS
     * ([[IdleSessionProcessor]]): per-user 30-min-gap sessions over the
-    * event stream, where a session with no successor arrival is closed by
-    * its re-armed `lastEvent + gap` timer the moment the watermark passes
-    * the deadline — the reference's `idleTimeout` writer close
-    * (`HiveBatchedWriter.scala:60-63`) stated in event time. The fixture
-    * arrives as three arrival files time-split on floored-second terciles
-    * with ordered mtimes and `maxFilesPerTrigger = 1`, so sessions
-    * genuinely span micro-batches, mid-stream watermark advances fire
-    * timers mid-run (not only at shutdown), and the strict split keeps
-    * arrival order compatible with session closure (no emitted session
-    * can be reopened). Emitted set = every session except each user's
-    * last, plus the last iff its deadline precedes the final watermark —
-    * `(end + gap)·1000 ≤ max_event_ms − 600000`, the t1b flush rule at
-    * timer granularity ([[TimerStateImpl]] fires `ts <= watermark`; both
-    * sides exact integer ms) — which is exactly what the DuckDB oracle
-    * restates, so a genuinely timer-driven multi-batch execution carries
-    * a full hash oracle. RocksDB state store, t10's conf scope. */
+    * event stream, confined to 1-hour round windows (the reference's
+    * dynamic-partition router, `HiveBatchedSink.scala:311-312`: each
+    * event lands in its round window's writer, so no session spans a
+    * window boundary and a never-idle key's state stays bounded), where
+    * a session with no successor arrival is closed by its re-armed
+    * `max(windowEnd, lastEvent + gap)` timer the moment the watermark
+    * passes the deadline — the reference's full two-condition writer
+    * close (`HiveBatchedWriter.scala:62`: round window elapsed AND
+    * `idleTimeout` of silence) stated in event time. The fixture arrives
+    * as three arrival files time-split on floored-second terciles with
+    * ordered mtimes and `maxFilesPerTrigger = 1`, so sessions genuinely
+    * span micro-batches, mid-stream watermark advances fire timers
+    * mid-run (not only at shutdown), and the strict split keeps arrival
+    * order compatible with session closure (no emitted session can be
+    * reopened). Emitted set = every session except each user's last,
+    * plus the last iff its deadline precedes the final watermark —
+    * `max((end/round + 1)·round, end + gap)·1000 ≤ max_event_ms −
+    * 600000`, the t1b flush rule at timer granularity
+    * ([[TimerStateImpl]] fires `ts <= watermark`; both sides exact
+    * integer ms) — which is exactly what the DuckDB oracle restates
+    * (gaps-and-islands splitting on gap OR window change), so a
+    * genuinely timer-driven multi-batch execution carries a full hash
+    * oracle. RocksDB state store, t10's conf scope. */
   def idleCloseSessions(spark: SparkSession, sfDir: String,
-                        gapSec: Long = 1800L): DataFrame = {
+                        gapSec: Long = 1800L,
+                        roundSec: Long = 3600L): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     graft.Tables.ensureParquetConf(spark)
@@ -786,7 +827,7 @@ object StreamingIngest {
       .select(col("user_id"), Times.epochSeconds(col("ts")).as("es"), col("cat"))
       .as[(Long, Long, String)]
       .groupByKey(_._1)
-      .transformWithState(new IdleSessionProcessor(gapSec),
+      .transformWithState(new IdleSessionProcessor(gapSec, roundSec),
         TimeMode.EventTime(), OutputMode.Append())
       .toDF("user_id", "session_start", "session_end", "n_events", "n_types")
     val key = "spark.sql.streaming.stateStore.providerClass"

@@ -262,9 +262,10 @@ class PropertySpec extends SparkSpec {
     assert(micros.forall(_ == us), s"instants drifted: $micros vs $us")
   }
 
-  test("t17 sessionChunks: gap invariants; incremental == batch for every time-ordered split") {
+  test("t17 sessionChunks: gap+window invariants; incremental == batch for every time-ordered split") {
     import graft.streaming.StreamingIngest.sessionChunks
     val gap = 100L
+    val round = 500L // several windows across the 0..3000 epoch range
     val evGen = Gen.listOfN(120,
       Gen.zip(Gen.choose(0L, 3000L), Gen.oneOf("a", "b", "c")))
     (1 to 25).foreach { i =>
@@ -273,15 +274,24 @@ class PropertySpec extends SparkSpec {
       val all = evGen.pureApply(Gen.Parameters.default,
         org.scalacheck.rng.Seed(4200L + i))
       val sorted = all.sorted
-      val chunks = sessionChunks(all, gap)
+      val chunks = sessionChunks(all, gap, round)
       // tiling: the chunks are exactly the sorted events, in order
       assert(chunks.flatten == sorted)
-      // intra-chunk adjacency within gap; inter-chunk boundary beyond it
+      // intra-chunk adjacency within gap AND within one round window —
+      // the never-idle-key state bound: an open chunk can never span
+      // more than one window, so its size is bounded by the window's
+      // event count regardless of how long the key stays busy
       chunks.foreach(_.sliding(2).foreach {
-        case Seq(x, y) => assert(y._1 - x._1 <= gap); case _ => ()
+        case Seq(x, y) =>
+          assert(y._1 - x._1 <= gap && y._1 / round == x._1 / round)
+        case _ => ()
       })
+      chunks.foreach(c =>
+        if (c.nonEmpty) assert(c.last._1 - c.head._1 < round))
+      // inter-chunk boundary: beyond the gap OR across a window edge
       chunks.sliding(2).foreach {
-        case Seq(c1, c2) => assert(c2.head._1 - c1.last._1 > gap)
+        case Seq(c1, c2) => assert(c2.head._1 - c1.last._1 > gap ||
+          c2.head._1 / round != c1.last._1 / round)
         case _ => ()
       }
       // THE streaming theorem the processor rests on: for any
@@ -292,8 +302,8 @@ class PropertySpec extends SparkSpec {
       Seq(1, sorted.size / 3, sorted.size / 2, sorted.size - 1, sorted.size)
         .foreach { cut =>
           val (earlier, later) = sorted.splitAt(cut)
-          val first = sessionChunks(earlier, gap)
-          val second = sessionChunks(first.last ++ later, gap)
+          val first = sessionChunks(earlier, gap, round)
+          val second = sessionChunks(first.last ++ later, gap, round)
           assert(first.dropRight(1) ++ second == chunks,
             s"incremental processing diverged at cut $cut (seed round $i)")
         }

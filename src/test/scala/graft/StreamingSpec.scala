@@ -546,9 +546,9 @@ class StreamingSpec extends SparkSpec {
   }
 
   /** Shared harness for the T17 MemoryStream tests: ONE pipeline shape
-    * (30-min gap, 10-min watermark, RocksDB provider scoped and
-    * restored), so the three scenario tests cannot drift onto different
-    * pipelines. `body` receives the stream handle, a blocking
+    * (30-min gap, 1-h round window, 10-min watermark, RocksDB provider
+    * scoped and restored), so the scenario tests cannot drift onto
+    * different pipelines. `body` receives the stream handle, a blocking
     * add-then-drain step, and the sink-set reader. */
   private def withT17Stream(qn: String)(
       body: (Seq[(Long, java.sql.Timestamp, String)] => Unit,
@@ -562,7 +562,7 @@ class StreamingSpec extends SparkSpec {
       .select(col("user_id"),
         graft.functions.Times.epochSeconds(col("ts")).as("es"), col("cat"))
       .as[(Long, Long, String)].groupByKey(_._1)
-      .transformWithState(new StreamingIngest.IdleSessionProcessor(1800L),
+      .transformWithState(new StreamingIngest.IdleSessionProcessor(1800L, 3600L),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         org.apache.spark.sql.streaming.OutputMode.Append())
       .toDF("user_id", "session_start", "session_end", "n_events", "n_types")
@@ -591,27 +591,70 @@ class StreamingSpec extends SparkSpec {
       def rows = rowsF()
       // batch 1 — user 5: THREE sessions in one batch (the first two
       // close on arrival INSIDE handleInputRows; the third stays open,
-      // deadline 3900+1800=5700); user 7: one open two-category session
-      // (deadline 3800); user 9: one open single-event session (deadline
-      // 2800). The post-batch watermark is 3900-600=3300, so the no-data
-      // finalization batch fires EXACTLY user 9's timer (2800 ≤ 3300 <
-      // 3800 ≤ 5700) — a timer-driven close with no arrival involved.
+      // deadline max(7200, 4300+1800)=7200); user 7: one open
+      // two-category session (deadline max(3600, 3800)=3800); user 9:
+      // one open single-event session (deadline max(3600, 2800)=3600 —
+      // the round-window floor binds). The post-batch watermark is
+      // 4300-600=3700, so the no-data finalization batch fires EXACTLY
+      // user 9's timer (3600 ≤ 3700 < 3800 ≤ 7200) — a timer-driven
+      // close with no arrival involved.
       feed(Seq((7L, t(1000), "a"), (7L, t(2000), "b"), (9L, t(1000), "a"),
-        (5L, t(100), "a"), (5L, t(2000), "a"), (5L, t(3900), "a")))
+        (5L, t(100), "a"), (5L, t(2000), "a"), (5L, t(4300), "a")))
       assert(rows == Set(
         (5L, 100L, 100L, 1L, 1L), (5L, 2000L, 2000L, 1L, 1L),
         (9L, 1000L, 1000L, 1L, 1L)),
         s"expected the two arrival closes and user 9's timer close; got $rows")
       // batch 2 — user 7 returns far beyond the gap: the ARRIVAL closes
       // [1000, 2000] (its timer never fired — the deadline re-arms to
-      // 101800). The new watermark (99400) then fires user 5's
-      // remaining timer (5700). User 7's open session must NOT emit.
+      // max(100800, 101800)=101800). The new watermark (99400) then
+      // fires user 5's remaining timer (7200). User 7's open session
+      // must NOT emit.
       feed(Seq((7L, t(100000), "a")))
       assert(rows == Set(
         (5L, 100L, 100L, 1L, 1L), (5L, 2000L, 2000L, 1L, 1L),
-        (5L, 3900L, 3900L, 1L, 1L),
+        (5L, 4300L, 4300L, 1L, 1L),
         (7L, 1000L, 2000L, 2L, 2L),
         (9L, 1000L, 1000L, 1L, 1L)), s"got $rows")
+    }
+  }
+
+  test("T17: the round-window minimum lifetime holds an idle session open until its window elapses") {
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    withT17Stream("t17d_tws_sink") { (feed, rowsF) =>
+      def rows = rowsF()
+      // user 9's lone event at 1000 has idle deadline 2800 but window
+      // deadline 3600 (window [0, 3600) must elapse before a writer may
+      // close — HiveBatchedWriter.isIdle's `now > minFinishedTimestamp`).
+      // Batch 1's watermark is 4100-600=3500: past the idle deadline,
+      // NOT past the window one — nothing may close.
+      feed(Seq((9L, t(1000), "a"), (8L, t(4100), "a")))
+      assert(rows.isEmpty,
+        s"idle-but-window-unelapsed session must stay open; got $rows")
+      // batch 2 pushes the watermark to 4300-600=3700 ≥ 3600: the timer
+      // fires. User 8's continuing session ([4100,4300], deadline
+      // max(7200, 6100)=7200) stays open.
+      feed(Seq((8L, t(4300), "a")))
+      assert(rows == Set((9L, 1000L, 1000L, 1L, 1L)),
+        s"the window-floored timer must close user 9 exactly once; got $rows")
+    }
+  }
+
+  test("T17: a never-idle key is force-split at round-window boundaries with bounded open state") {
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    withT17Stream("t17e_tws_sink") { (feed, rowsF) =>
+      def rows = rowsF()
+      // heartbeats every 600 s (always under the 1800-s gap) from 1000
+      // to 8200: without the round-window router this key NEVER closes
+      // and its ListState grows without bound. The window rule splits at
+      // 3600 and 7200, so the arrivals themselves close
+      // [1000..3400] and [4000..7000]; the open tail [7600, 8200]
+      // (deadline max(10800, 10000)=10800) holds at most one window of
+      // events — the bounded-state guarantee — and stays open (watermark
+      // 8200-600=7600 < 10800).
+      feed((1000L to 8200L by 600L).map(s => (3L, t(s), "a")))
+      assert(rows == Set(
+        (3L, 1000L, 3400L, 5L, 1L), (3L, 4000L, 7000L, 6L, 1L)),
+        s"window-boundary force splits must close the two elapsed windows; got $rows")
     }
   }
 
@@ -619,11 +662,12 @@ class StreamingSpec extends SparkSpec {
     def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     withT17Stream("t17b_tws_sink") { (feed, rowsF) =>
       def rows = rowsF()
-      // user 7's session continues 1500 s later in batch 2 (within gap):
-      // the old deadline (1000+1800=2800) is RE-ARMED to 2500+1800=4300,
-      // so although the batch-2 watermark (2500-600=1900) stays below
-      // both, no session may close; batch 3 pushes the watermark past
-      // 4300 and the timer closes the MERGED session.
+      // user 7's session continues 1500 s later in batch 2 (within gap,
+      // same window): the old deadline max(3600, 2800)=3600 is RE-ARMED
+      // to max(3600, 4300)=4300, so although the batch-2 watermark
+      // (2500-600=1900) stays below both, no session may close; batch 3
+      // pushes the watermark past 4300 and the timer closes the MERGED
+      // session.
       feed(Seq((7L, t(1000), "a")))
       feed(Seq((7L, t(2500), "b")))
       assert(rows.isEmpty, s"within-gap continuation must not close; got $rows")
@@ -641,8 +685,9 @@ class StreamingSpec extends SparkSpec {
       // event at 1600 is OLDER than the open session's last event but
       // above the late-event watermark, so it must be admitted and
       // merged (the re-sessionization sorts prior ∪ batch). The merged
-      // deadline stays 2000+1800=3800; batch 3 pushes the watermark to
-      // 9400 and the timer closes [1600, 2000] as ONE session.
+      // deadline stays max(3600, 2000+1800)=3800; batch 3 pushes the
+      // watermark to 9400 and the timer closes [1600, 2000] as ONE
+      // session.
       feed(Seq((7L, t(2000), "a")))
       feed(Seq((7L, t(1600), "b")))
       assert(rows.isEmpty, s"nothing may close while the deadline is unexpired; got $rows")
@@ -716,35 +761,76 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
-  test("t17: the declared idle-close stream equals batch sessionization + the flush rule") {
-    val stream = StreamingIngest.idleCloseSessions(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-      .toSet
-    // batch replica: per-user gaps-and-islands over floored epoch
-    // seconds; emitted = all but each user's last session, plus the last
-    // iff its idle deadline precedes the final watermark (exact ms)
-    val ev = Tables.events(spark, sf).select(col("user_id"),
-        graft.functions.Times.epochSeconds(col("ts")).as("es"),
-        coalesce(col("event_type"), lit("no_category")).as("cat"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
-    val maxMs = Tables.events(spark, sf)
-      .agg(max(unix_millis(col("ts")))).head().getLong(0)
-    val batch = ev.groupBy(_._1).toSeq.flatMap { case (u, es0) =>
+  /** Batch replica of the t17 semantics, shared by the fixture-equality
+    * and arrival-shuffle tests: per-user gaps-and-islands over floored
+    * epoch seconds splitting on gap OR round-window change; emitted =
+    * all but each user's last session, plus the last iff its close
+    * deadline — `max(windowEnd, end + gap)` (idle AND window elapsed) —
+    * precedes the final watermark (exact ms). */
+  private def t17BatchReplica(ev: Seq[(Long, Long, String)], maxMs: Long,
+      gap: Long = 1800L, round: Long = 3600L): Set[(Long, Long, Long, Long, Long)] =
+    ev.groupBy(_._1).toSeq.flatMap { case (u, es0) =>
       val es = es0.sortBy(e => (e._2, e._3))
       val chunks = scala.collection.mutable.ArrayBuffer(
         scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)])
       es.foreach { e =>
-        if (chunks.last.nonEmpty && e._2 - chunks.last.last._2 > 1800L)
+        if (chunks.last.nonEmpty && (e._2 - chunks.last.last._2 > gap ||
+            e._2 / round != chunks.last.last._2 / round))
           chunks += scala.collection.mutable.ArrayBuffer.empty
         chunks.last += e
       }
       val sess = chunks.map(c => (u, c.map(_._2).min, c.map(_._2).max,
         c.size.toLong, c.map(_._3).distinct.size.toLong))
-      sess.dropRight(1) ++
-        sess.lastOption.filter(s => (s._3 + 1800L) * 1000 <= maxMs - 600000L)
+      sess.dropRight(1) ++ sess.lastOption.filter(s =>
+        math.max((s._3 / round + 1) * round, s._3 + gap) * 1000 <= maxMs - 600000L)
     }.toSet
+
+  test("t17: the declared idle-close stream equals batch sessionization + the flush rule") {
+    val stream = StreamingIngest.idleCloseSessions(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val ev = Tables.events(spark, sf).select(col("user_id"),
+        graft.functions.Times.epochSeconds(col("ts")).as("es"),
+        coalesce(col("event_type"), lit("no_category")).as("cat"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val maxMs = Tables.events(spark, sf)
+      .agg(max(unix_millis(col("ts")))).head().getLong(0)
+    val batch = t17BatchReplica(ev, maxMs)
     assert(stream == batch, "timer-driven streaming sessions must equal the batch form")
     assert(stream.nonEmpty && batch.exists(_._4 > 1),
       "the fixture must exercise multi-event sessions")
+  }
+
+  test("T17 property: arrival shuffles within the watermark emit the same session set") {
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // The class of bug hand-built fixtures can't enumerate: out-of-order
+    // arrivals inside the watermark exercising the merge/re-arm path in
+    // arbitrary interleavings. Jittered-sort shuffles are watermark-safe
+    // by construction: sorting by `ts + jitter` with jitter < 500 s means
+    // any event fed after another is at most 500 s older — inside the
+    // 600-s delay — so nothing is dropped as late, and the final emitted
+    // SET must equal the batch replica regardless of the interleaving.
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(9100L + seed)
+      val events = (0 until 4).flatMap { u =>
+        (0 until 20).map { _ =>
+          (u.toLong, 1000L + rnd.nextInt(11000).toLong,
+            Seq("a", "b", "c")(rnd.nextInt(3)))
+        }
+      }
+      // precomputed keys: sortBy would re-invoke an inline rnd per
+      // comparison, voiding both determinism and the 500-s bound
+      val shuffled = events.map(e => (e, e._2 + rnd.nextInt(500)))
+        .sortBy(_._2).map(_._1)
+      assert(shuffled.map(_._2) != shuffled.map(_._2).sorted,
+        s"seed $seed produced no inversions — jitter too weak")
+      val expected = t17BatchReplica(events, events.map(_._2).max * 1000L)
+      withT17Stream(s"t17p${seed}_tws_sink") { (feed, rowsF) =>
+        shuffled.grouped(10).foreach(b =>
+          feed(b.map { case (u, es, c) => (u, t(es), c) }))
+        assert(rowsF() == expected,
+          s"shuffled arrival order (seed $seed) changed the emitted session set")
+      }
+    }
   }
 }
