@@ -72,28 +72,56 @@ object Similarity {
     * support — `sample.take(K)` would silently return fewer centroids
     * and the policy's population math would be fiction. The cap also
     * bounds the trainer's driver cost (K × sample × rounds dot
-    * products). */
+    * products). K above this routes to [[ivfCentroidsDistributed]] via
+    * [[driverTrainGate]]. */
   private[graft] val MaxDriverTrainedCells = (IvfTrainN / 16).toInt // 4096
 
+  /** Ceiling on the cells the DISTRIBUTED trainer will target: the
+    * centroid matrix is broadcast whole to every executor (K × 64
+    * doubles — 512 MB at 2^20) and scoring is O(K·dim) per vector, so
+    * 2^20 is where broadcast size and per-vector cost stop being
+    * sensible for a FLAT quantizer. At the 4096 target population that
+    * covers a ~4.3e9-vector corpus; the next honest boundary beyond it
+    * is a HIERARCHICAL (two-level) coarse quantizer, documented at the
+    * README knob. */
+  private[graft] val MaxDistributedCells = 1 << 20
+
+  /** Training-sample size for a K-cell quantizer: the whole
+    * [[IvfTrainN]] fixture-scale sample, or 16 points per centroid once
+    * K grows past what that sample supports. */
+  private[graft] def ivfTrainSize(kCells: Int): Long =
+    math.max(IvfTrainN, 16L * kCells)
+
+  /** Trainer-path gate (sys-prop `graft.ivf.driverTrainGate`, default
+    * [[IvfTrainN]]): the largest training sample the driver-side Lloyd
+    * trainer may collect. A K whose [[ivfTrainSize]] exceeds the gate —
+    * K > [[MaxDriverTrainedCells]] at the default, i.e. the
+    * beyond-16.8M-vector corpora — trains DISTRIBUTED instead
+    * ([[ivfCentroidsDistributed]]: the same integer Lloyd rules as
+    * per-round Spark jobs). Same shape as `graft.cc.unionFindGate`:
+    * small problems take the cheap exact driver path, large ones the
+    * distributed one, and a differential spec pins the two bit-equal. */
+  private[graft] def driverTrainGate: Long =
+    sys.props.get("graft.ivf.driverTrainGate").map(_.toLong).getOrElse(IvfTrainN)
+
   /** The corpus-size → cell-count policy behind [[semanticDedup]]:
-    * `K = min(MaxDriverTrainedCells, max(IvfK, ⌈n / targetCellPop⌉))`.
+    * `K = min(MaxDistributedCells, max(IvfK, ⌈n / targetCellPop⌉))`.
     * The floor keeps the fixture quantizer — and every existing oracle —
     * unchanged at small n; between the bounds the MEAN cell population
     * is capped at `targetCellPop` (max cell ≤ mean × the trained
-    * quantizer's balance factor, spec-pinned on the fixture). The upper
-    * cap is the honest boundary of the driver-side trainer (see
-    * [[MaxDriverTrainedCells]]): beyond K·target ≈ 16.8M vectors the
-    * mean population grows as n/4096 again, and the right move is a
-    * DISTRIBUTED or hierarchical coarse quantizer feeding the same
-    * cell-partitioned layout — the within-cell join and rollups here
-    * are already distributed and unchanged by where the centroids come
-    * from. The min also makes the arithmetic total (no Int wrap for any
-    * n or cellpop). */
+    * quantizer's balance factor, spec-pinned on the fixture). Up to
+    * K = [[MaxDriverTrainedCells]] (≈ 16.8M vectors) the driver-side
+    * trainer runs; past it [[driverTrainGate]] routes to the
+    * DISTRIBUTED trainer with the same rules and a 16-points-per-
+    * centroid sample, so the policy no longer caps there. The upper cap
+    * is [[MaxDistributedCells]] — the flat-quantizer broadcast/scoring
+    * boundary (≈ 4.3e9 vectors at the default target) — which also
+    * makes the arithmetic total (no Int wrap for any n or cellpop). */
   private[graft] def semanticCellCount(n: Long,
       targetCellPop: Long = sys.props.get("graft.semdedup.cellpop")
         .map(_.toLong).getOrElse(SemanticCellPop)): Int = {
     require(targetCellPop > 0, s"graft.semdedup.cellpop must be positive")
-    math.min(MaxDriverTrainedCells.toLong,
+    math.min(MaxDistributedCells.toLong,
       math.max(IvfK.toLong, (n + targetCellPop - 1) / targetCellPop)).toInt
   }
 
@@ -105,15 +133,34 @@ object Similarity {
     * distributed expression so the trained centroids are bit-identical
     * to the distributed form they replace. */
   private[graft] def assignCellLocal(cents: Seq[Seq[Double]],
+                                     v: Array[Double]): Int =
+    assignCellLocal(cents.map(_.toArray).toArray, centNormsLocal(cents), v)
+
+  /** The per-centroid norm fold of [[assignCell]]/[[assignCellLocal]],
+    * hoisted: `math.sqrt` is IEEE-deterministic, so computing each norm
+    * once and reusing it across vectors yields bit-identical scores to
+    * recomputing per vector — which is what lets the trainers score at
+    * O(K·dim) per vector without touching parity. */
+  private[graft] def centNormsLocal(cents: Seq[Seq[Double]]): Array[Double] =
+    cents.map(c => math.max(math.sqrt(c.map(x => x * x).sum), 1e-12)).toArray
+
+  private[graft] def assignCellLocal(cents: Array[Array[Double]],
+                                     norms: Array[Double],
                                      v: Array[Double]): Int = {
-    val scores = cents.map { c =>
-      val nrm = math.max(math.sqrt(c.map(x => x * x).sum), 1e-12)
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
       var s = 0.0
       var i = 0
-      while (i < v.length) { s += v(i) * c(i); i += 1 }
-      s / nrm
+      val cc = cents(c)
+      while (i < v.length) { s += v(i) * cc(i); i += 1 }
+      val score = s / norms(c)
+      // first-maximum tie-break: array_position semantics, strictly >
+      if (score > bestScore) { best = c; bestScore = score }
+      c += 1
     }
-    scores.indexOf(scores.max)
+    best
   }
 
   /** Spark's `round(double)` (HALF_UP via BigDecimal.valueOf) followed by
@@ -122,17 +169,20 @@ object Similarity {
     java.math.BigDecimal.valueOf(x * 1e6)
       .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
 
-  /** The trained coarse quantizer behind x6b: `IvfRounds` Lloyd iterations
-    * of K-means over the [[IvfTrainN]]-bounded sample, collected once and
+  /** The trained coarse quantizer behind x6b: `IvfRounds` Lloyd
+    * iterations of K-means over the [[ivfTrainSize]]-bounded sample.
+    * While the sample fits [[driverTrainGate]] it is collected once and
     * trained driver-side (the per-round inputs were always bounded
-    * metadata — K cells × 64 dims of fixed-point sums; the distributed
-    * form paid a Catalyst replan + codegen per round for a 2,000-row
-    * scan). Arithmetic is replicated operation-for-operation from the
+    * metadata — K cells × 64 dims of fixed-point sums; a per-round
+    * Catalyst job would pay replan + codegen for a 2,000-row scan);
+    * past the gate the SAME rules run as distributed per-round jobs
+    * ([[ivfCentroidsDistributed]], differential-spec-pinned bit-equal).
+    * Arithmetic is replicated operation-for-operation from the
     * distributed expressions ([[assignCellLocal]], [[roundMicrosLocal]]),
     * and centroid updates keep the x31 discipline — element sums
     * accumulate as micro-scaled longs (exact, order-independent) and
     * divide by floor division — so the trained centroids are bit-stable
-    * across runs AND bit-identical to the distributed form they replace.
+    * across runs AND bit-identical across both trainer paths.
     * Seeding is deterministic: the K lowest vec_ids. Empty cells keep
     * their previous centroid. The K×64 centroid table is bounded driver
     * metadata; it is persisted via [[DfCache.memoizeDisk]] so the
@@ -142,35 +192,117 @@ object Similarity {
                                   rounds: Int = IvfRounds): DataFrame =
     DfCache.memoizeDisk(spark, s"ivf_cent:$sfDir:$kCells:$rounds",
         Seq(s"$sfDir/embeddings.parquet")) {
-      val sample: Array[Array[Double]] = Tables.embeddings(spark, sfDir)
-        .where(col("vec_id") < IvfTrainN)
-        .select(col("vec_id"), col("embedding"))
-        .orderBy(col("vec_id"))
-        .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
-      var cents: Seq[Seq[Double]] = sample.take(kCells).map(_.toSeq).toSeq
-      for (_ <- 0 until rounds) {
-        val n = Array.ofDim[Long](kCells)
-        val sums = Array.ofDim[Long](kCells, IvfDim)
-        for (v <- sample) {
-          val cell = assignCellLocal(cents, v)
-          n(cell) += 1
-          var i = 0
-          while (i < IvfDim) { sums(cell)(i) += roundMicrosLocal(v(i)); i += 1 }
+      val trainN = ivfTrainSize(kCells)
+      if (trainN > driverTrainGate)
+        ivfCentroidsDistributed(spark, sfDir, kCells, rounds, trainN)
+      else {
+        val sample: Array[Array[Double]] = Tables.embeddings(spark, sfDir)
+          .where(col("vec_id") < trainN)
+          .select(col("vec_id"), col("embedding"))
+          .orderBy(col("vec_id"))
+          .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+        var cents: Seq[Seq[Double]] = sample.take(kCells).map(_.toSeq).toSeq
+        for (_ <- 0 until rounds) {
+          val cs = cents.map(_.toArray).toArray
+          val norms = centNormsLocal(cents)
+          val n = Array.ofDim[Long](kCells)
+          val sums = Array.ofDim[Long](kCells, IvfDim)
+          for (v <- sample) {
+            val cell = assignCellLocal(cs, norms, v)
+            n(cell) += 1
+            var i = 0
+            while (i < IvfDim) { sums(cell)(i) += roundMicrosLocal(v(i)); i += 1 }
+          }
+          cents = cents.indices.map(c =>
+            if (n(c) == 0L) cents(c)
+            else (0 until IvfDim).map(i =>
+              math.floorDiv(sums(c)(i), n(c)).toDouble / 1e6))
         }
-        cents = cents.indices.map(c =>
-          if (n(c) == 0L) cents(c)
-          else (0 until IvfDim).map(i =>
-            math.floorDiv(sums(c)(i), n(c)).toDouble / 1e6))
+        import spark.implicits._
+        cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
       }
-      import spark.implicits._
-      cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
     }
+
+  /** The DISTRIBUTED coarse-quantizer trainer — the scale path past
+    * [[driverTrainGate]], where the training sample (16 points per
+    * centroid, [[ivfTrainSize]]) no longer fits a driver collect. Each
+    * Lloyd round is one Spark job: broadcast the K×64 centroid matrix,
+    * score every training vector per partition with the SAME JVM
+    * arithmetic as the driver trainer ([[assignCellLocal]] with hoisted
+    * IEEE-deterministic norms, [[roundMicrosLocal]] fixed-point
+    * accumulation), combine map-side into K×(dim+1) partial longs per
+    * partition, and reduce with an exact order-independent long-sum
+    * `groupBy(cell, d)` — so the collected per-round aggregate is
+    * bounded metadata (K×65 longs) and the new centroids, computed with
+    * the same `floorDiv / 1e6` rule, are BIT-IDENTICAL to the driver
+    * trainer on the same sample (differential-spec-pinned). Seeding is
+    * the driver rule verbatim: the K lowest vec_ids, fetched with a
+    * bounded `orderBy(vec_id).limit(K)`. No round-over-round lineage:
+    * each job reads the source scan afresh with centroids as local
+    * values, so there is nothing to checkpoint (the x31 fixpoint
+    * discipline degenerates to its snapshot-free case). */
+  private[graft] def ivfCentroidsDistributed(spark: SparkSession, sfDir: String,
+                                             kCells: Int, rounds: Int,
+                                             trainN: Long): DataFrame = {
+    import spark.implicits._
+    val train = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") < trainN)
+      .select(col("embedding")).as[Array[Float]]
+    var cents: Seq[Seq[Double]] = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") < trainN)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(kCells)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    require(cents.size == kCells,
+      s"training set has only ${cents.size} vectors for $kCells centroids")
+    val dim = IvfDim
+    for (_ <- 0 until rounds) {
+      val k = kCells
+      val bc = spark.sparkContext.broadcast(
+        (cents.map(_.toArray).toArray, centNormsLocal(cents)))
+      val partial = train.mapPartitions { it =>
+        val (cs, norms) = bc.value
+        val n = Array.ofDim[Long](k)
+        val sums = Array.ofDim[Long](k * dim)
+        val v = Array.ofDim[Double](dim)
+        it.foreach { vf =>
+          var i = 0
+          while (i < dim) { v(i) = vf(i).toDouble; i += 1 }
+          val c = assignCellLocal(cs, norms, v)
+          n(c) += 1
+          i = 0
+          while (i < dim) { sums(c * dim + i) += roundMicrosLocal(v(i)); i += 1 }
+        }
+        (0 until k).iterator.filter(n(_) > 0L).flatMap(c =>
+          Iterator.single((c, -1, n(c))) ++
+            (0 until dim).iterator.map(i => (c, i, sums(c * dim + i))))
+      }.toDF("cell", "d", "v")
+      val agg = partial.groupBy(col("cell"), col("d"))
+        .agg(sum(col("v")).as("s"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+      bc.destroy()
+      cents = cents.indices.map { c =>
+        val nc = agg.getOrElse((c, -1), 0L)
+        if (nc == 0L) cents(c) // empty cells keep their previous centroid
+        else (0 until dim).map(i =>
+          math.floorDiv(agg.getOrElse((c, i), 0L), nc).toDouble / 1e6)
+      }
+    }
+    cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+  }
 
   /** The cell-partitioned posting table: every vector tagged with its
     * trained cell, written hive-partitioned by `cell` — at 100 TB this IS
     * the IVF layout (the corpus partitioned by cell on disk), and a probe
     * restricted to `nprobe` cells prunes the other partitions at the scan
     * (PartitionFilters, asserted in PlanSpec). */
+  /** Largest K scored as [[assignCell]]'s K static codegen'd dot-product
+    * expressions; beyond it the generated code outgrows JIT-friendly
+    * method sizes and the per-partition JVM scorer (the trainers'
+    * [[assignCellLocal]], bit-identical by the same replica argument)
+    * takes over in [[ivfAssignment]]. */
+  private[graft] val AssignExprMaxK = 64
+
   private[graft] def ivfAssignment(spark: SparkSession, sfDir: String,
                                    kCells: Int = IvfK,
                                    rounds: Int = IvfRounds): DataFrame =
@@ -179,10 +311,33 @@ object Similarity {
         sessionCache = false) {
       val cents = ivfCentroids(spark, sfDir, kCells, rounds)
         .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toSeq).toSeq
-      Tables.embeddings(spark, sfDir)
+      val base = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("label"), col("embedding"))
-        .withColumn("cell", assignCell(cents))
+      if (cents.size <= AssignExprMaxK)
+        base.withColumn("cell", assignCell(cents))
+      else assignCellsPartitioned(spark, base, cents)
     }
+
+  /** The large-K cell assigner: per-partition JVM scoring with broadcast
+    * centroids + hoisted norms — same arithmetic as [[assignCell]]
+    * (spec-pinned equal), O(K·dim) per vector with no codegen blowup.
+    * `base` must be `(vec_id, label, embedding)`. */
+  private[graft] def assignCellsPartitioned(spark: SparkSession,
+      base: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
+    import spark.implicits._
+    val dim = IvfDim
+    val bc = spark.sparkContext.broadcast(
+      (cents.map(_.toArray).toArray, centNormsLocal(cents)))
+    base.as[(Long, Int, Array[Float])].mapPartitions { it =>
+      val (cs, norms) = bc.value
+      val v = Array.ofDim[Double](dim)
+      it.map { case (id, lb, emb) =>
+        var i = 0
+        while (i < dim) { v(i) = emb(i).toDouble; i += 1 }
+        (id, lb, emb, assignCellLocal(cs, norms, v))
+      }
+    }.toDF("vec_id", "label", "embedding", "cell")
+  }
 
   /** X6b — IVF ANN with a REAL trained coarse quantizer ([[ivfCentroids]]:
     * K-means, not the label stand-in it replaced): probe the `nprobe`

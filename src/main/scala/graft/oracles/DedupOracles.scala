@@ -1,0 +1,444 @@
+package graft.oracles
+
+/** DuckDB oracle SQL — the dedup/similarity family: exact+near dedup, ANN ladder, substring/winnowing, contamination, clusters, SemDeDup.
+  * Split from `SparkEntry` (round 11 housekeeping): the declaration table
+  * there stays reviewable; each family object carries only its SQL. All
+  * shared snippet builders live in [[OracleDefs]].
+  */
+object DedupOracles {
+  import OracleDefs._
+
+  private[graft] def sql: Map[String, String] = Map(
+    "x1_dedup_exact" ->
+      """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies,
+         CAST(length(text) AS BIGINT) AS text_len
+         FROM documents GROUP BY text ORDER BY keeper_id""",
+    "x4_ngram_jaccard" ->
+      s"""WITH $jaccardPairsCte
+          SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2""",
+    // x70: x4's pair set rolled up by canonicalized source pair
+    "x70_source_dup_matrix" ->
+      s"""WITH $jaccardPairsCte
+          SELECT least(d1.source, d2.source) AS source_a,
+            greatest(d1.source, d2.source) AS source_b,
+            count(*) AS n_pairs
+          FROM pairs p JOIN documents d1 ON p.id1 = d1.doc_id
+          JOIN documents d2 ON p.id2 = d2.doc_id
+          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // shares x4's pair CTE: leakage = the near-dup pairs whose docs landed
+    // in different x14 splits
+    "x36_split_leakage" ->
+      s"""WITH $jaccardPairsCte,
+          spl AS (SELECT doc_id,
+            CASE WHEN ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 10 <= 7 THEN 'train'
+                 WHEN ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 10 = 8 THEN 'val'
+                 ELSE 'test' END AS split FROM documents)
+          SELECT p.id1, p.id2, s1.split AS split1, s2.split AS split2, p.jaccard
+          FROM pairs p JOIN spl s1 ON p.id1 = s1.doc_id
+          JOIN spl s2 ON p.id2 = s2.doc_id
+          WHERE s1.split <> s2.split
+          ORDER BY p.id1, p.id2""",
+    "x5_embed_neardup" ->
+      s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
+          round(${cosineD("a.embedding", "b.embedding")}, 6) AS cosine
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE round(${cosineD("a.embedding", "b.embedding")}, 6) >= 0.4
+          ORDER BY id1, id2""",
+    // x55: integer micro-cosine vs each candidate threshold; distinct
+    // docs via endpoint union
+    "x55_threshold_curve" ->
+      s"""WITH p AS MATERIALIZED (
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+              CAST(floor(round(${cosineD("a.embedding", "b.embedding")}, 6)
+                * 1000000 + 0.5) AS BIGINT) AS cppm
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id),
+          t AS (SELECT unnest([300000, 400000, 500000, 600000, 700000,
+                              800000, 900000]) AS threshold_ppm),
+          m AS (SELECT threshold_ppm, id1, id2 FROM p, t
+                WHERE cppm >= threshold_ppm),
+          c AS (SELECT threshold_ppm, COUNT(*) AS n_pairs FROM m GROUP BY 1),
+          d AS (SELECT threshold_ppm, COUNT(DISTINCT id) AS n_docs FROM
+              (SELECT threshold_ppm, id1 AS id FROM m
+               UNION ALL SELECT threshold_ppm, id2 FROM m) GROUP BY 1)
+          SELECT CAST(t.threshold_ppm AS BIGINT) AS threshold_ppm,
+            CAST(coalesce(c.n_pairs, 0) AS BIGINT) AS n_pairs,
+            CAST(coalesce(d.n_docs, 0) AS BIGINT) AS n_docs_affected
+          FROM t LEFT JOIN c USING (threshold_ppm)
+          LEFT JOIN d USING (threshold_ppm)
+          ORDER BY threshold_ppm""",
+    "x6_ann_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+          SELECT vec_id, CAST(label AS BIGINT) AS label,
+          round(${cosineD("embedding", "qe")}, 6) AS cosine
+          FROM embeddings, q WHERE vec_id <> 0
+          ORDER BY cosine DESC, vec_id LIMIT 10""",
+    // x6c: the engine computes micro-scaled integer SUM vectors per label
+    // (the count divisor cancels in cosine), so every value up to the
+    // final IEEE double ops is exact integer math DuckDB reproduces
+    // bit-for-bit; the half-up rounding is the explicit floor form on
+    // both sides.
+    "x6c_centroid_matrix" ->
+      """WITH u AS (SELECT label, g.i AS i,
+              CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v
+            FROM embeddings, range(1, 65) g(i)),
+          s AS (SELECT label, i, CAST(sum(v) AS BIGINT) AS sv
+                FROM u GROUP BY label, i),
+          nrm AS (SELECT label, CAST(sum(sv * sv) AS BIGINT) AS sq
+                  FROM s GROUP BY label),
+          p AS (SELECT a.label AS l1, b.label AS l2,
+                  CAST(sum(a.sv * b.sv) AS BIGINT) AS dot
+                FROM s a JOIN s b ON a.i = b.i AND a.label < b.label
+                GROUP BY 1, 2)
+          SELECT CAST(p.l1 AS BIGINT) AS l1, CAST(p.l2 AS BIGINT) AS l2,
+            floor(CAST(p.dot AS DOUBLE)
+              / (sqrt(CAST(n1.sq AS DOUBLE)) * sqrt(CAST(n2.sq AS DOUBLE)))
+              * 1000000 + 0.5) / 1000000 AS cosine
+          FROM p JOIN nrm n1 ON p.l1 = n1.label JOIN nrm n2 ON p.l2 = n2.label
+          ORDER BY l1, l2""",
+    // x6e: per-dimension min/max are order-independent aggregates and the
+    // affine map is written with identical association on both engines,
+    // so the quantized codes — and the integer L1 ranking — hash-match
+    "x6e_sq8_topk" ->
+      """WITH s AS (SELECT g.i AS d,
+              min(CAST(embedding[g.i] AS DOUBLE)) AS mn,
+              max(CAST(embedding[g.i] AS DOUBLE)) AS mx
+            FROM embeddings, range(1, 65) g(i) GROUP BY 1),
+          c AS (SELECT e.vec_id, g.i AS d,
+              CAST(floor((CAST(e.embedding[g.i] AS DOUBLE) - s.mn)
+                / (CASE WHEN s.mx = s.mn THEN 1 ELSE s.mx - s.mn END)
+                * 255 + 0.5) AS BIGINT) AS code
+            FROM embeddings e, range(1, 65) g(i) JOIN s ON s.d = g.i),
+          q AS (SELECT d, code AS qc FROM c WHERE vec_id = 0),
+          dist AS (SELECT c.vec_id, SUM(ABS(c.code - q.qc)) AS l1
+                   FROM c JOIN q USING (d) WHERE c.vec_id <> 0 GROUP BY 1)
+          SELECT vec_id, CAST(l1 AS BIGINT) AS l1_dist
+          FROM dist ORDER BY l1, vec_id LIMIT 10""",
+    // x6f: the PQ training is ALL integer (fixed-point + nonnegative
+    // shift, floor division, ties to the lowest cid), so the oracle
+    // RETRAINS the same codebooks from the same seeds — three unrolled
+    // Lloyd rounds — then replays both query stages: ADC shortlist-50
+    // (probe raw vs codeword table), exact integer-L2 rerank to top-10.
+    // The encode step (codes) runs against the post-round-3 codebooks,
+    // exactly like the engine's.
+    "x6f_pq_topk" ->
+      s"""WITH $pqChainSql,
+          short AS MATERIALIZED (
+            SELECT c.vec_id FROM codes c
+            JOIN cdq ON cdq.s = c.s AND cdq.cid = c.cid
+            WHERE c.vec_id <> 0
+            GROUP BY 1 ORDER BY SUM(cdq.d), c.vec_id LIMIT 50),
+          exact AS (
+            SELECT u.vec_id, CAST(SUM((u.v - q.v) * (u.v - q.v)) AS BIGINT) AS l2_dist
+            FROM pqu u JOIN pqu q ON q.vec_id = 0 AND q.s = u.s AND q.j = u.j
+            JOIN short ON short.vec_id = u.vec_id
+            GROUP BY 1)
+          SELECT vec_id, l2_dist FROM exact
+          ORDER BY l2_dist, vec_id LIMIT 10""",
+    // x6b: full retraining oracle — the IVF coarse quantizer is k-means
+    // with IEEE-pinned assignment (sequential double dot) and exact
+    // integer centroid updates, so DuckDB retrains it bit-for-bit (the
+    // x6f discipline applied to the coarse level), then replays the
+    // probe: nprobe=4 cells by centroid cosine, exact cosine rank over
+    // the vectors assigned to those cells.
+    "x6b_ann_ivf" ->
+      s"""WITH $ivfChainSql
+          SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+            round(${cosineD("e.embedding", "qe")}, 6) AS cosine
+          FROM embeddings e
+          JOIN asg ON asg.vec_id = e.vec_id
+          JOIN probed p ON p.cell = asg.cell, qv
+          WHERE e.vec_id <> 0
+          ORDER BY cosine DESC, e.vec_id LIMIT 10""",
+    // x69: SemDeDup — the coarse quantizer retrains via the x6b chain
+    // (bit-identical cells), then the within-cell pair test restates x5's
+    // 6-dp rounded cosine; every output column is an integer count
+    "x69_semantic_dedup" ->
+      s"""WITH $ivfChainSql,
+          av AS MATERIALIZED (
+            SELECT a.cell, a.vec_id, e.embedding
+            FROM asg a JOIN embeddings e USING (vec_id)),
+          prs AS MATERIALIZED (
+            SELECT a.cell, a.vec_id AS id1, b.vec_id AS id2
+            FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE round(${cosineD("a.embedding", "b.embedding")}, 6) >= 0.4),
+          dp AS (SELECT cell, count(*) AS dup_pairs FROM prs GROUP BY 1),
+          dr AS (SELECT cell, count(DISTINCT id2) AS n_dropped FROM prs GROUP BY 1),
+          st AS (SELECT cell, count(*) AS n_vecs FROM asg GROUP BY 1)
+          SELECT CAST(st.cell AS BIGINT) AS cell,
+            CAST(st.n_vecs AS BIGINT) AS n_vecs,
+            CAST(coalesce(dp.dup_pairs, 0) AS BIGINT) AS dup_pairs,
+            CAST(coalesce(dr.n_dropped, 0) AS BIGINT) AS n_dropped,
+            CAST(st.n_vecs - coalesce(dr.n_dropped, 0) AS BIGINT) AS n_kept
+          FROM st LEFT JOIN dp ON dp.cell = st.cell
+          LEFT JOIN dr ON dr.cell = st.cell
+          ORDER BY cell""",
+    // x69b: exact all-pairs baseline (x5's verified form) joined to the
+    // retrained cell assignment; recall as exact integer ppm
+    "x69b_semantic_blocking_recall" ->
+      s"""WITH $ivfChainSql,
+          np AS MATERIALIZED (
+            SELECT a.vec_id AS id1, b.vec_id AS id2
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 65536 AND b.vec_id < 65536
+              AND round(${cosineD("a.embedding", "b.embedding")}, 6) >= 0.4),
+          j AS (SELECT n1.cell AS c1, n2.cell AS c2
+                FROM np JOIN asg n1 ON n1.vec_id = np.id1
+                JOIN asg n2 ON n2.vec_id = np.id2)
+          SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(sum(CASE WHEN c1 = c2 THEN 1 ELSE 0 END) AS BIGINT) AS n_same_cell,
+            CAST(sum(CASE WHEN c1 = c2 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+          FROM j""",
+    // x72: retrained assignment + t14's bucket split; shares and drift in
+    // exact ppm against each half's own total
+    "x72_cell_drift" ->
+      s"""WITH $ivfChainSql,
+          av AS (SELECT a.cell, a.vec_id,
+              ${polyHashSql("CAST(a.vec_id AS VARCHAR)")} % 10 AS bkt
+            FROM asg a),
+          agg AS (SELECT cell,
+              CAST(count(CASE WHEN bkt <= 7 THEN 1 END) AS BIGINT) AS n_prior,
+              CAST(count(CASE WHEN bkt >= 8 THEN 1 END) AS BIGINT) AS n_fresh
+            FROM av GROUP BY 1),
+          tot AS (SELECT sum(n_prior) AS tp, sum(n_fresh) AS tf FROM agg)
+          SELECT CAST(cell AS BIGINT) AS cell, n_prior, n_fresh,
+            CAST(n_prior * 1000000 // tot.tp AS BIGINT) AS prior_ppm,
+            CAST(n_fresh * 1000000 // tot.tf AS BIGINT) AS fresh_ppm,
+            CAST(abs(n_prior * 1000000 // tot.tp - n_fresh * 1000000 // tot.tf) AS BIGINT) AS drift_ppm
+          FROM agg, tot ORDER BY cell""",
+    // x6g: both trained quantizers retrained in-oracle (coarse cells via
+    // the IVF chain, PQ codebooks via the x6f chain), then the composed
+    // replay: cell-pruned candidates, ADC shortlist-50 against the
+    // stored codes, exact integer-L2 rerank to top-10.
+    "x6g_ivfpq_topk" -> ivfPqOracleSql,
+    // x6h: the same probe over an ivfPqAppend-grown index — the frozen
+    // quantizers make the grown index bit-identical to the rebuild
+    // (spec-pinned), so x6g's oracle carries over verbatim
+    "x6h_ivfpq_append_topk" -> ivfPqOracleSql,
+    "x6d_batch_topk" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
+            FROM embeddings WHERE vec_id < 10),
+          s AS (SELECT p.probe_id, c.vec_id,
+                  round(${cosineD("c.embedding", "p.pe")}, 6) AS cosine
+                FROM embeddings c, p WHERE c.vec_id >= 10),
+          r AS (SELECT probe_id, vec_id, cosine,
+                  CAST(row_number() OVER (PARTITION BY probe_id
+                    ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+                FROM s)
+          SELECT probe_id, rnk, vec_id, cosine FROM r WHERE rnk <= 5
+          ORDER BY probe_id, rnk""",
+    "x13_dup_clusters" ->
+      s"""WITH RECURSIVE
+          docs AS (SELECT doc_id, $toks AS tk FROM documents),
+          sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+                 FROM docs, unnest(generate_series(1, len(tk) - 2)) AS t(i)
+                 WHERE len(tk) >= 3),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          pairs AS (SELECT id1, id2
+                    FROM inter JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+                    WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.8),
+          edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                    UNION ALL SELECT id2, id1 FROM pairs),
+          reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+          SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id""",
+    "x44_cluster_canonical" ->
+      s"""WITH RECURSIVE
+          docs AS (SELECT doc_id, $toks AS tk FROM documents),
+          sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+                 FROM docs, unnest(generate_series(1, len(tk) - 2)) AS t(i)
+                 WHERE len(tk) >= 3),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          pairs AS (SELECT id1, id2
+                    FROM inter JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+                    WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.8),
+          edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                    UNION ALL SELECT id2, id1 FROM pairs),
+          reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+          labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+          m AS (SELECT l.doc_id, l.cluster_id, d.n_chars
+                FROM labels l JOIN documents d USING (doc_id))
+          SELECT doc_id, cluster_id,
+                 count(*) OVER (PARTITION BY cluster_id) AS n_members,
+                 (row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY n_chars DESC, doc_id) = 1) AS keep
+          FROM m ORDER BY doc_id""",
+    // x52: x13's recursive-CTE labels, split assigned by hashing the
+    // CLUSTER id — near-dup pairs cannot straddle splits by construction
+    "x52_leakfree_split" ->
+      s"""WITH RECURSIVE
+          docs AS (SELECT doc_id, $toks AS tk FROM documents),
+          sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+                 FROM docs, unnest(generate_series(1, len(tk) - 2)) AS t(i)
+                 WHERE len(tk) >= 3),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          pairs AS (SELECT id1, id2
+                    FROM inter JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+                    WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.8),
+          edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                    UNION ALL SELECT id2, id1 FROM pairs),
+          reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+          labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+          SELECT doc_id, cluster_id,
+                 CASE WHEN ${polyHashSql("CAST(cluster_id AS VARCHAR)")} % 10 <= 7 THEN 'train'
+                      WHEN ${polyHashSql("CAST(cluster_id AS VARCHAR)")} % 10 = 8 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM labels ORDER BY doc_id""",
+    // x54: winnowing anchors (min (kh,p) per 16-window of 8-gram
+    // hashes — content-defined, alignment-invariant), 64-char span
+    // hashes via the x10 portable rolling hash; "repeated across docs"
+    // = min(doc)≠max(doc) per hash; per-doc shared-interval union via
+    // gaps-and-islands ([[subdupPerDocSql]], shared with x57)
+    "x54_substring_dup" ->
+      s"""WITH $subdupPerDocSql
+          SELECT doc_id, n_spans, n_shared_spans, first_shared_pos,
+                 covered_chars, covered_ppm
+          FROM perdoc ORDER BY doc_id""",
+    // x57: the same per-doc coverage rolled up by source — the
+    // which-feed-ships-boilerplate report
+    "x57_boilerplate_by_source" ->
+      s"""WITH $subdupPerDocSql
+          SELECT d.source,
+            COUNT(*) AS n_docs,
+            CAST(SUM(CASE WHEN perdoc.n_shared_spans > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_docs_affected,
+            CAST(SUM(length(d.text)) AS BIGINT) AS total_chars,
+            CAST(SUM(perdoc.covered_chars) AS BIGINT) AS covered_chars,
+            CAST(SUM(perdoc.covered_chars) * 1000000
+              // SUM(length(d.text)) AS BIGINT) AS boilerplate_ppm
+          FROM perdoc JOIN documents d ON d.doc_id = perdoc.doc_id
+          GROUP BY d.source ORDER BY d.source""",
+    // x58: new-batch docs (x16's bucket rule) probed span-by-span
+    // against the prior corpus's distinct span-hash set
+    "x58_substring_contamination" -> contaminationOracleSql,
+    // x60: the same probe over an incrementally APPENDED span index —
+    // per-doc winnowing is a pure function of the text, so the grown
+    // index is row-identical to the rebuild (spec-pinned) and x58's
+    // oracle carries over verbatim
+    "x60_span_append_probe" -> contaminationOracleSql,
+    // x56: x54's spans with keep-one-canonical semantics (the
+    // (doc_id,p)-min per repeated span hash survives; every other
+    // occurrence is cut), islands merged, the doc spliced back together
+    // from the gap segments, and the CLEANED text fingerprinted with
+    // the portable rolling hash — full string-surgery hash check
+    "x56_substring_clean" ->
+      s"""WITH $winnowSpansSql,
+          keep AS (SELECT h, MIN(struct_pack(d := doc_id, p := p)) AS k
+                   FROM sp GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)),
+          sh AS (SELECT s.doc_id, s.p FROM sp s JOIN keep ON keep.h = s.h
+                 WHERE NOT (s.doc_id = keep.k.d AND s.p = keep.k.p)),
+          isl0 AS (SELECT doc_id, p,
+              CASE WHEN p > coalesce(MAX(p + 63) OVER (PARTITION BY doc_id
+                ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                -1) THEN 1 ELSE 0 END AS ni
+            FROM sh),
+          grp AS (SELECT doc_id, p,
+              SUM(ni) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM isl0),
+          isl AS (SELECT doc_id, MIN(p) AS mn, MAX(p) + 63 AS mx FROM grp
+                  GROUP BY doc_id, g),
+          seg AS (
+            SELECT i.doc_id,
+              coalesce(LAG(i.mx + 1) OVER (PARTITION BY i.doc_id ORDER BY i.mn), 1) AS s,
+              i.mn - coalesce(LAG(i.mx + 1) OVER (PARTITION BY i.doc_id
+                ORDER BY i.mn), 1) AS len
+            FROM isl i),
+          tails AS (SELECT doc_id, MAX(mx) + 1 AS s, 100000000 AS len
+                    FROM isl GROUP BY 1),
+          parts AS (SELECT doc_id, s, len FROM seg WHERE len > 0
+                    UNION ALL SELECT doc_id, s, len FROM tails),
+          clean AS (
+            SELECT p.doc_id,
+              string_agg(substring(d.text, CAST(p.s AS INT), CAST(p.len AS INT)),
+                '' ORDER BY p.s) AS cleaned
+            FROM parts p JOIN documents d ON d.doc_id = p.doc_id GROUP BY 1)
+          SELECT d.doc_id,
+            CAST(length(d.text) AS BIGINT) AS n_chars,
+            CAST(length(coalesce(c.cleaned, d.text)) AS BIGINT) AS n_chars_clean,
+            ${polyHashSql("coalesce(c.cleaned, d.text)")} AS clean_fp
+          FROM documents d
+          LEFT JOIN clean c ON c.doc_id = d.doc_id
+          ORDER BY d.doc_id""",
+    "x16_incremental_dedup" ->
+      s"""WITH b AS (SELECT doc_id, text,
+            ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 10 AS h FROM documents),
+          newb AS (SELECT doc_id, text FROM b WHERE h >= 8),
+          prior AS (SELECT doc_id, text FROM b WHERE h <= 7),
+          docs AS (SELECT doc_id, $toks AS tk FROM documents),
+          sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+                 FROM docs, unnest(generate_series(1, len(tk) - 2)) AS t(i)
+                 WHERE len(tk) >= 3),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          inter AS (SELECT a.doc_id AS idn, p.doc_id AS idp, count(*) AS i
+                    FROM sh a JOIN newb nb ON a.doc_id = nb.doc_id
+                    JOIN sh p ON a.s = p.s
+                    JOIN prior pr ON p.doc_id = pr.doc_id
+                    GROUP BY 1, 2),
+          neardup AS (SELECT DISTINCT idn FROM inter
+                      JOIN sizes sa ON sa.doc_id = idn JOIN sizes sb ON sb.doc_id = idp
+                      WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.8)
+          SELECT doc_id, ${polyHashSql("text")} AS fp FROM newb
+          WHERE ${polyHashSql("text")} NOT IN (SELECT ${polyHashSql("text")} FROM prior)
+            AND doc_id NOT IN (SELECT idn FROM neardup)
+          ORDER BY doc_id""",
+    // x61: the tag-scoped batch-index dedup — prior batch keeps one doc
+    // per text hash; the fresh batch's survivors are min-doc_id keepers of
+    // hashes never seen in the prior split (the index stores survivor
+    // fingerprints, but survivors cover every distinct prior hash, so the
+    // probe set IS the prior split's distinct hashes)
+    "x61_dedup_index_probe" ->
+      s"""WITH b AS (SELECT doc_id, ${polyHashSql("text")} AS fp,
+            ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 10 AS bk FROM documents)
+          SELECT min(doc_id) AS doc_id, fp
+          FROM b WHERE bk >= 8
+            AND fp NOT IN (SELECT fp FROM b WHERE bk <= 7)
+          GROUP BY fp ORDER BY doc_id""",
+    // x62: content-defined chunking — a boundary falls BEFORE every
+    // position (p >= 2) whose 8-gram rolling hash is divisible by 64;
+    // chunks are the segments between successive boundaries (whole doc if
+    // none), hashed with the same portable polyhash, rolled up per source
+    "x62_cdc_chunk_stats" ->
+      s"""WITH pos AS MATERIALIZED (
+            SELECT doc_id, text,
+              unnest(generate_series(2, length(text) - 7)) AS p
+            FROM documents WHERE length(text) >= 9),
+          bnd AS (SELECT doc_id, p FROM pos
+                  WHERE ${polyHashSql("substring(text, p, 8)")} % 64 = 0),
+          alb AS (SELECT doc_id, 1 AS p FROM documents WHERE length(text) > 0
+                  UNION ALL SELECT doc_id, p FROM bnd
+                  UNION ALL SELECT doc_id, length(text) + 1 FROM documents
+                  WHERE length(text) > 0),
+          ch AS (SELECT doc_id, p AS a,
+                   lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS b
+                 FROM alb),
+          chunks AS MATERIALIZED (
+            SELECT c.doc_id, b - a AS len,
+              ${polyHashSql("substring(d.text, a, b - a)")} AS h
+            FROM ch c JOIN documents d ON d.doc_id = c.doc_id
+            WHERE b IS NOT NULL)
+          SELECT d.source, count(*) AS n_chunks,
+            count(DISTINCT h) AS n_unique_chunks,
+            CAST(sum(len) AS BIGINT) AS total_chars,
+            (count(*) - count(DISTINCT h)) * 1000000 // count(*) AS dup_ppm
+          FROM chunks c JOIN documents d ON d.doc_id = c.doc_id
+          GROUP BY d.source ORDER BY d.source""",
+    "x17_contamination" -> x17Oracle,
+    // identical by construction: the Bloom pre-filter has no false
+    // negatives, so x17b must reproduce x17's rows exactly
+    "x17b_contamination_bloom" -> x17Oracle,
+  )
+}

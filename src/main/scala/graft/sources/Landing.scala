@@ -31,14 +31,34 @@ object Landing {
 
   /** Render a partition value / location as a Spark SQL string literal.
     * BOTH metacharacters must be escaped: quotes (doubled) AND
-    * backslashes — Spark's lexer treats `\` as an escape inside string
-    * literals, so a value ending in `\` would swallow the closing quote
-    * (`'x\'` parses the quote as escaped) and shift the literal boundary
-    * into whatever follows: a parse failure at best, attacker-shifted
-    * DDL at worst. Backslashes are escaped FIRST so the doubled quotes
-    * stay quote escapes. */
+    * backslashes — Spark's default lexer treats `\` as an escape inside
+    * string literals, so a value ending in `\` would swallow the closing
+    * quote (`'x\'` parses the quote as escaped) and shift the literal
+    * boundary into whatever follows: a parse failure at best,
+    * attacker-shifted DDL at worst. Backslashes are escaped FIRST so the
+    * doubled quotes stay quote escapes. Under the legacy
+    * `spark.sql.parser.escapedStringLiterals=true` lexer (deprecated in
+    * Spark 4) there is NO escape processing at all: doubling a backslash
+    * or a quote corrupts the value (`''` stays two raw characters), so
+    * the only way to carry a metacharacter is to pick a DELIMITER the
+    * value does not contain. Two shapes remain INEXPRESSIBLE there: a
+    * value containing BOTH quote characters (no third delimiter exists —
+    * the `R'…'` raw form is itself mangled by the legacy AstBuilder,
+    * which blindly strips first/last chars), and a value ENDING in `\`
+    * (the lexer still pairs `\` + closing delimiter when deciding where
+    * the token ends, so the literal never terminates). Fail loudly on
+    * those rather than emit shifted DDL. The session conf that will
+    * parse the literal decides which rendering applies. */
   private[graft] def quoteValue(v: String): String =
-    "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+    if (!org.apache.spark.sql.internal.SQLConf.get.escapedStringLiterals)
+      "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+    else if (!v.contains("'") && !v.endsWith("\\")) "'" + v + "'"
+    else if (!v.contains("\"") && !v.endsWith("\\")) "\"" + v + "\""
+    else throw new IllegalArgumentException(
+      "value is not expressible under the legacy " +
+        "spark.sql.parser.escapedStringLiterals=true lexer (it ends in a " +
+        "backslash or contains both quote delimiters); unset the legacy " +
+        s"conf to land this partition value: <$v>")
 
   /** Write `df` as a Hive-layout partitioned table. `format` ∈ orc|parquet. */
   def write(df: DataFrame, path: String, partitionCols: Seq[String],
@@ -137,15 +157,26 @@ object Landing {
     // staging/trash dirs, and run B's up-front deletes could destroy the
     // only copy of a partition run A is mid-swap on — permanent data
     // loss. `create(…, overwrite = false)` is an atomic exclusive claim
-    // on HDFS-likes and the local FS. A crashed run leaves the lock
-    // behind ON PURPOSE: the next run fails loudly here with removal
-    // instructions instead of silently racing a compaction that might
-    // still be alive (cron overlap is indistinguishable from a crash
-    // from this side).
+    // on HDFS-likes and the local FS; on S3A-style object stores the
+    // underlying check-then-put is NOT atomic, so there the lock is
+    // ADVISORY ONLY (it still catches cron overlap by seconds, not a
+    // true race) — run compaction under an external scheduler lock, or
+    // on a store with conditional-put, when two writers are possible. A
+    // crashed run leaves the lock behind ON PURPOSE: the next run fails
+    // loudly here with removal instructions instead of silently racing a
+    // compaction that might still be alive (cron overlap is
+    // indistinguishable from a crash from this side). Only the specific
+    // already-exists failure means "held" — any other IOException (a
+    // permission error, a transient FS fault) must propagate as itself
+    // rather than instruct the operator to delete a lock that does not
+    // exist.
     val lock = new Path(root.getParent, "." + root.getName + "_compact_lock")
     val claimed =
       try { fs.create(lock, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
     require(claimed,
       s"another compaction of $path appears to be running (lock $lock " +
         "exists); if its process crashed, remove the lock file and re-run")

@@ -70,12 +70,15 @@ class DedupSimilaritySpec extends SparkSpec {
       "fixture corpus sizes must resolve to the trained 16-cell quantizer")
     assert(Similarity.semanticCellCount(10000000L, 4096L) == 2442,
       "inside the trainable range the policy takes ~N/4096 cells")
-    // the honest boundary of the DRIVER-SIDE trainer: the 65536-vector
-    // training sample supports at most 4096 healthy centroids, so the
-    // policy caps there (a distributed quantizer takes over beyond) —
+    // past the driver trainer's 4096-cell ceiling the DISTRIBUTED
+    // trainer (gated by graft.ivf.driverTrainGate) keeps the mean
+    // population at the target instead of letting it grow as n/4096
+    assert(Similarity.semanticCellCount(1000000000L, 4096L) == 244141,
+      "beyond the driver ceiling the distributed trainer keeps ~N/4096 cells")
+    // the flat-quantizer boundary: broadcast size and O(K) scoring cap
+    // K at 2^20 (a hierarchical quantizer is the next step beyond) —
     // and the cap also makes extreme n / tiny cellpop total (no wrap)
-    assert(Similarity.semanticCellCount(1000000000L, 4096L) == 4096)
-    assert(Similarity.semanticCellCount(Long.MaxValue / 2, 1L) == 4096,
+    assert(Similarity.semanticCellCount(Long.MaxValue / 2, 1L) == (1 << 20),
       "no Int wrap at any corpus size or cellpop")
     // on the fixture, the trained quantizer's balance bounds the MAX cell
     // by a small factor of the mean, and the rollup's per-cell pair count
@@ -375,6 +378,59 @@ class DedupSimilaritySpec extends SparkSpec {
       sys.props.remove("graft.cc.unionFindGate")
       Dedup.evictCaches(spark)
     }
+  }
+
+  test("x6b: the distributed Lloyd trainer equals the driver trainer bit-for-bit") {
+    // the theorem that makes the two trainer paths interchangeable:
+    // same seed rule, same IEEE scoring (hoisted norms are the same
+    // doubles), exact order-independent micro-long sums, same floorDiv
+    // update — so centroid-by-centroid, dimension-by-dimension, the raw
+    // double BITS must agree on the shared fixture sample
+    val driver = Similarity.ivfCentroids(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val dist = Similarity.ivfCentroidsDistributed(spark, sf, 16, 4, 65536L)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    assert(driver.map(_._1) == dist.map(_._1), "cell ids must tile 0..K-1")
+    driver.zip(dist).foreach { case ((c, dv), (_, xv)) =>
+      assert(dv.size == xv.size, s"cell $c dimensionality mismatch")
+      dv.zip(xv).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(java.lang.Double.doubleToRawLongBits(a) ==
+          java.lang.Double.doubleToRawLongBits(b),
+          s"cell $c dim $i diverged: driver $a vs distributed $b")
+      }
+    }
+  }
+
+  test("x6b: driverTrainGate routes ivfCentroids through the distributed trainer, artifact unchanged") {
+    val reference = Similarity.ivfCentroids(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).sortBy(_._1).toSeq
+    Dedup.evictCaches(spark)
+    sys.props("graft.index.cache") =
+      graft.Tables.scratchDir("graft_ivfgate").toString
+    sys.props("graft.ivf.driverTrainGate") = "0" // force the scale path
+    try {
+      val gated = Similarity.ivfCentroids(spark, sf).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).sortBy(_._1).toSeq
+      assert(gated == reference,
+        "the gated distributed build must reproduce the driver-trained artifact")
+    } finally {
+      sys.props.remove("graft.index.cache")
+      sys.props.remove("graft.ivf.driverTrainGate")
+      Dedup.evictCaches(spark)
+    }
+  }
+
+  test("ivfAssignment: the large-K partitioned assigner equals the codegen expression path") {
+    val cents = Similarity.ivfCentroids(spark, sf).collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toSeq).toSeq
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val viaExpr = base.withColumn("cell", Similarity.assignCell(cents))
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    val viaPart = Similarity.assignCellsPartitioned(spark, base, cents)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    assert(viaExpr.nonEmpty && viaPart == viaExpr,
+      "per-partition JVM scoring must assign every vector to the same cell")
   }
 
   test("X13: reliable-checkpoint files are reclaimed across dupClusters runs") {

@@ -26,10 +26,36 @@ class SinksSpec extends SparkSpec {
     // round-trip each hostile value through the ACTUAL parser: quotes must
     // not end the literal, and a trailing backslash must not swallow the
     // closing quote (Spark treats \ as an escape inside string literals —
-    // '…\' would shift the literal boundary into the following DDL text)
-    for (v <- Seq("plain", "it's", "trailing\\", "a\\'b", "\\\\'", "", "x\\nny"))
-      assert(spark.sql(s"SELECT ${Landing.quoteValue(v)} AS v").head().getString(0) == v,
-        s"round trip broke for <$v>")
+    // '…\' would shift the literal boundary into the following DDL text).
+    // Then again under the LEGACY escapedStringLiterals lexer, where NO
+    // escape processing happens (doubling quotes or backslashes corrupts
+    // the value) — quoteValue must switch to delimiter-choice/raw-literal
+    // rendering, and must REFUSE the one shape that lexer cannot express
+    // rather than emit shifted DDL.
+    val vs = Seq("plain", "it's", "a\\'b", "\\\\'", "", "x\\nny",
+      "he said \"hi\"")
+    // expressible under the default lexer only: a trailing backslash (the
+    // legacy token cannot terminate after one) and both quote delimiters
+    // at once (no third delimiter exists without escape processing)
+    val defaultOnly = Seq("trailing\\", "both'\"quotes")
+    def roundTrip(lexer: String, extra: Seq[String] = Nil): Unit =
+      for (v <- vs ++ extra)
+        assert(spark.sql(s"SELECT ${Landing.quoteValue(v)} AS v").head().getString(0) == v,
+          s"round trip broke for <$v> ($lexer lexer)")
+    roundTrip("default", defaultOnly)
+    val key = "spark.sql.parser.escapedStringLiterals"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      roundTrip("legacy")
+      // the legacy lexer has no escapes at all — refuse LOUDLY instead of
+      // emitting shifted DDL for the shapes it cannot express
+      defaultOnly.foreach(v =>
+        intercept[IllegalArgumentException](Landing.quoteValue(v)))
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("S6: retention re-issues the catalog DROP for partitions stranded in trash") {
