@@ -46,7 +46,9 @@ object Landing {
     * the `R'…'` raw form is itself mangled by the legacy AstBuilder,
     * which blindly strips first/last chars), and a value ENDING in `\`
     * (the lexer still pairs `\` + closing delimiter when deciding where
-    * the token ends, so the literal never terminates). Fail loudly on
+    * the token ends, so the literal never terminates; refused
+    * conservatively — an EVEN run of trailing backslashes would lex,
+    * but counting parity buys nothing over the loud error). Fail loudly on
     * those rather than emit shifted DDL. The session conf that will
     * parse the literal decides which rendering applies. */
   private[graft] def quoteValue(v: String): String =

@@ -805,16 +805,26 @@ class StreamingSpec extends SparkSpec {
     def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     // The class of bug hand-built fixtures can't enumerate: out-of-order
     // arrivals inside the watermark exercising the merge/re-arm path in
-    // arbitrary interleavings. Jittered-sort shuffles are watermark-safe
-    // by construction: sorting by `ts + jitter` with jitter < 500 s means
-    // any event fed after another is at most 500 s older — inside the
-    // 600-s delay — so nothing is dropped as late, and the final emitted
-    // SET must equal the batch replica regardless of the interleaving.
+    // arbitrary interleavings. Jittered-sort shuffles (sort by
+    // `ts + jitter`, jitter < 500 s) are sound by construction, on two
+    // counts. Watermark: any event fed after another is at most 500 s
+    // older — inside the 600-s delay — so nothing is dropped as late and
+    // no timer can fire before a session's last event lands (the open
+    // deadline is ≥ last + gap ≥ any pending same-session event, while
+    // the watermark stays ≥ 100 s behind it). Closure: stream == batch
+    // requires that no inversion cross a SESSION boundary — a gap
+    // boundary is safe (> 1800 s wide vs the 500-s jitter), but a
+    // round-WINDOW boundary can separate events arbitrarily close in
+    // time, so the generator keeps epochs ≥ 700 s away from window
+    // edges (per-window bands [w·3600+700, w·3600+2900]); adjacent
+    // bands are still only 1400 s apart — under the gap, so the window
+    // split itself IS exercised — while 1400 > jitter keeps every
+    // inversion inside one session.
     (1 to 3).foreach { seed =>
       val rnd = new scala.util.Random(9100L + seed)
       val events = (0 until 4).flatMap { u =>
         (0 until 20).map { _ =>
-          (u.toLong, 1000L + rnd.nextInt(11000).toLong,
+          (u.toLong, rnd.nextInt(3) * 3600L + 700L + rnd.nextInt(2200).toLong,
             Seq("a", "b", "c")(rnd.nextInt(3)))
         }
       }
@@ -824,6 +834,14 @@ class StreamingSpec extends SparkSpec {
         .sortBy(_._2).map(_._1)
       assert(shuffled.map(_._2) != shuffled.map(_._2).sorted,
         s"seed $seed produced no inversions — jitter too weak")
+      // the window rule must be load-bearing in this fixture: some user
+      // has adjacent-window events within the idle gap, so their session
+      // split can only come from the round-window boundary
+      assert(events.groupBy(_._1).values.exists { es =>
+        val s = es.map(_._2).sorted
+        s.zip(s.tail).exists(p => p._2 - p._1 <= 1800L &&
+          p._1 / 3600 != p._2 / 3600)
+      }, s"seed $seed exercises no window-boundary split")
       val expected = t17BatchReplica(events, events.map(_._2).max * 1000L)
       withT17Stream(s"t17p${seed}_tws_sink") { (feed, rowsF) =>
         shuffled.grouped(10).foreach(b =>
