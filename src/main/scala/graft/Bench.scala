@@ -37,9 +37,7 @@ object Bench {
     // honestly stamps "warm"); SPARK_GRAFT_ONLY subsets never evict —
     // profiling one query should not destroy the shared cache.
     locally {
-      val root = new java.io.File(sys.props.getOrElse("graft.index.cache",
-        sys.env.getOrElse("GRAFT_INDEX_CACHE",
-          sys.props("java.io.tmpdir") + "/graft_index_cache")))
+      val root = new java.io.File(graft.operators.DfCache.indexCacheRoot)
       val subset = sys.env.get("SPARK_GRAFT_ONLY").exists(_.trim.nonEmpty)
       val keepWarm = sys.env.get("SPARK_GRAFT_WARM_INDEX_CACHE").exists(_.trim.nonEmpty)
       if (!subset && !keepWarm && Option(root.listFiles()).exists(_.nonEmpty)) {
@@ -49,7 +47,13 @@ object Bench {
         val stale = new java.io.File(root.getParentFile,
           root.getName + "_stale_" + ProcessHandle.current().pid())
         if (root.renameTo(stale)) rm(stale)
-        else Option(root.listFiles()).toSeq.flatten.foreach(rm)
+        else Option(root.listFiles()).toSeq.flatten.foreach { entry =>
+          // non-atomic fallback: unpublish each entry FIRST (DfCache's
+          // visibility marker is _SUCCESS), so a kill mid-delete can
+          // never leave a published-looking entry with missing files
+          new java.io.File(entry, "_SUCCESS").delete()
+          rm(entry)
+        }
       }
     }
     // Untimed warm-up: session/codegen/JIT startup otherwise lands entirely
@@ -213,9 +217,7 @@ object Bench {
     // existed (only possible under SPARK_GRAFT_WARM_INDEX_CACHE=1
     // profiling; the per-index lines then list only what was missing);
     // "in-band" = SPARK_GRAFT_ONLY profiling, no prebuild at all.
-    val indexCacheRoot = new java.io.File(sys.props.getOrElse("graft.index.cache",
-      sys.env.getOrElse("GRAFT_INDEX_CACHE",
-        sys.props("java.io.tmpdir") + "/graft_index_cache")))
+    val indexCacheRoot = new java.io.File(graft.operators.DfCache.indexCacheRoot)
     val indexCacheState =
       if (sys.env.get("SPARK_GRAFT_ONLY").exists(_.trim.nonEmpty)) "in-band"
       else if (Option(indexCacheRoot.listFiles()).exists(_.nonEmpty)) "warm"

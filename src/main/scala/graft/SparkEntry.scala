@@ -232,9 +232,11 @@ object SparkEntry {
       "text" -> graft.oracles.TextOracles.sql,
       "corpus" -> graft.oracles.CorpusOracles.sql,
       "multimodal" -> graft.oracles.MultimodalOracles.sql)
-    val merged = fams.map(_._2).reduce(_ ++ _)
-    require(merged.size == fams.map(_._2.size).sum,
-      "duplicate oracle key across family objects")
-    merged
+    val dups = fams.flatMap { case (fam, m) => m.keys.map(_ -> fam) }
+      .groupBy(_._1).filter(_._2.size > 1)
+      .map { case (k, fs) => s"$k (${fs.map(_._2).mkString(", ")})" }
+    require(dups.isEmpty,
+      s"duplicate oracle key across family objects: ${dups.mkString("; ")}")
+    fams.map(_._2).reduce(_ ++ _)
   }
 }

@@ -122,15 +122,22 @@ private[graft] object DfCache {
     val m = buildLog.toMap; buildLog.clear(); m
   }
 
+  /** The durable index-cache root. Resolution order: JVM property (test
+    * isolation) > env (deployment override) > tmpdir default. The ONE
+    * definition — Bench's force-cold eviction and cache-state stamp must
+    * read the same root this cache writes, or a drifted copy would evict
+    * one directory while entries are served from another and the
+    * `index_cache: "cold"` stamp would lie. */
+  private[graft] def indexCacheRoot: String =
+    sys.props.getOrElse("graft.index.cache",
+      sys.env.getOrElse("GRAFT_INDEX_CACHE",
+        sys.props("java.io.tmpdir") + "/graft_index_cache"))
+
   private def loadOrBuild(spark: SparkSession, key: String, sources: Seq[String],
                           partitionBy: Seq[String])
                          (build: => DataFrame): DataFrame = {
     import org.apache.hadoop.fs.Path
-    // resolution order: JVM property (test isolation) > env (deployment
-    // override) > tmpdir default
-    val root = new Path(sys.props.getOrElse("graft.index.cache",
-      sys.env.getOrElse("GRAFT_INDEX_CACHE",
-        sys.props("java.io.tmpdir") + "/graft_index_cache")))
+    val root = new Path(indexCacheRoot)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val slug = sha(key)
     val dir = new Path(root, s"${slug}_${fingerprint(spark, sources)}")

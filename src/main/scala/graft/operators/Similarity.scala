@@ -257,35 +257,48 @@ object Similarity {
       s"training set has only ${cents.size} vectors for $kCells centroids")
     val dim = IvfDim
     for (_ <- 0 until rounds) {
-      val k = kCells
       val bc = spark.sparkContext.broadcast(
         (cents.map(_.toArray).toArray, centNormsLocal(cents)))
+      // per-task accumulation is keyed by TOUCHED cell (LongMap of
+      // primitive-long slots at cell·(dim+1)+…), so task memory scales
+      // with min(K, partition rows), not with K — at the 2^20-cell
+      // ceiling a dense Array[Long](K·dim) would cost 512 MB per task on
+      // top of the 512 MB broadcast. Emission likewise covers only
+      // touched cells, so the shuffle is bounded by rows, and the
+      // exact long sums stay order-independent.
       val partial = train.mapPartitions { it =>
         val (cs, norms) = bc.value
-        val n = Array.ofDim[Long](k)
-        val sums = Array.ofDim[Long](k * dim)
+        val acc = scala.collection.mutable.LongMap.empty[Array[Long]]
         val v = Array.ofDim[Double](dim)
         it.foreach { vf =>
           var i = 0
           while (i < dim) { v(i) = vf(i).toDouble; i += 1 }
           val c = assignCellLocal(cs, norms, v)
-          n(c) += 1
+          val slot = acc.getOrElseUpdate(c.toLong, Array.ofDim[Long](dim + 1))
+          slot(0) += 1
           i = 0
-          while (i < dim) { sums(c * dim + i) += roundMicrosLocal(v(i)); i += 1 }
+          while (i < dim) { slot(i + 1) += roundMicrosLocal(v(i)); i += 1 }
         }
-        (0 until k).iterator.filter(n(_) > 0L).flatMap(c =>
-          Iterator.single((c, -1, n(c))) ++
-            (0 until dim).iterator.map(i => (c, i, sums(c * dim + i))))
+        acc.iterator.flatMap { case (c, slot) =>
+          Iterator.single((c.toInt, -1, slot(0))) ++
+            (0 until dim).iterator.map(i => (c.toInt, i, slot(i + 1)))
+        }
       }.toDF("cell", "d", "v")
-      val agg = partial.groupBy(col("cell"), col("d"))
+      // K×(dim+1) longs of bounded metadata, landed in a primitive-keyed
+      // LongMap (no boxed-tuple keys — at 2^20 cells the boxed form is
+      // multiple GB of driver heap for the same information)
+      val agg = scala.collection.mutable.LongMap.empty[Long]
+      partial.groupBy(col("cell"), col("d"))
         .agg(sum(col("v")).as("s"))
-        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+        .collect().foreach(r => agg(r.getInt(0).toLong * (dim + 2) +
+          (r.getInt(1) + 1)) = r.getLong(2))
       bc.destroy()
       cents = cents.indices.map { c =>
-        val nc = agg.getOrElse((c, -1), 0L)
+        val nc = agg.getOrElse(c.toLong * (dim + 2), 0L)
         if (nc == 0L) cents(c) // empty cells keep their previous centroid
         else (0 until dim).map(i =>
-          math.floorDiv(agg.getOrElse((c, i), 0L), nc).toDouble / 1e6)
+          math.floorDiv(agg.getOrElse(c.toLong * (dim + 2) + i + 1, 0L), nc)
+            .toDouble / 1e6)
       }
     }
     cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")

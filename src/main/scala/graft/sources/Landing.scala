@@ -51,16 +51,24 @@ object Landing {
     * but counting parity buys nothing over the loud error). Fail loudly on
     * those rather than emit shifted DDL. The session conf that will
     * parse the literal decides which rendering applies. */
-  private[graft] def quoteValue(v: String): String =
-    if (!org.apache.spark.sql.internal.SQLConf.get.escapedStringLiterals)
+  private[graft] def quoteValue(v: String): String = {
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    if (!conf.escapedStringLiterals)
       "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
     else if (!v.contains("'") && !v.endsWith("\\")) "'" + v + "'"
-    else if (!v.contains("\"") && !v.endsWith("\\")) "\"" + v + "\""
+    // the double-quote fallback is only a STRING under the default
+    // spark.sql.ansi.doubleQuotedIdentifiers=false; when that conf makes
+    // "…" a delimited identifier, fall through to the loud refusal
+    else if (!v.contains("\"") && !v.endsWith("\\") &&
+        !conf.doubleQuotedIdentifiers) "\"" + v + "\""
     else throw new IllegalArgumentException(
-      "value is not expressible under the legacy " +
-        "spark.sql.parser.escapedStringLiterals=true lexer (it ends in a " +
-        "backslash or contains both quote delimiters); unset the legacy " +
-        s"conf to land this partition value: <$v>")
+      "value is not expressible under the active legacy lexer confs " +
+        "(spark.sql.parser.escapedStringLiterals=true has no escape " +
+        "processing: the value ends in a backslash, contains both quote " +
+        "delimiters, or needs the double-quote form while " +
+        "spark.sql.ansi.doubleQuotedIdentifiers makes that an " +
+        s"identifier); unset the legacy conf to land this value: <$v>")
+  }
 
   /** Write `df` as a Hive-layout partitioned table. `format` ∈ orc|parquet. */
   def write(df: DataFrame, path: String, partitionCols: Seq[String],
