@@ -19,13 +19,14 @@ object StreamingOracles {
     // t17: gaps-and-islands sessionization (30-min gap over floored
     // epoch seconds, sessions confined to 1-h round windows — the
     // reference's partition router, so brk fires on gap OR window
-    // change); the stream emits every session except each user's LAST
-    // (any later arrival closes its predecessor), and the last iff its
-    // close deadline — idle AND round window elapsed,
-    // max((end//3600+1)*3600, end+1800) — precedes the final watermark:
-    // the timer fire rule (TimerStateImpl expires ts <= watermark)
-    // stated in exact integer milliseconds: both engines floor
-    // micros→ms, the watermark is max_event_ms − 600000.
+    // change); the stream closes sessions ONLY by timer, so ONE uniform
+    // rule selects the emitted set: a session emits iff its close
+    // deadline — idle AND round window elapsed,
+    // max((end//3600+1)*3600, end+1800) — strictly precedes the final
+    // watermark. The timer fire rule (TimerStateImpl expires
+    // ts <= watermark, the armed timer carries deadline·1000 + 1) in
+    // exact integer milliseconds: both engines floor micros→ms, the
+    // watermark is max_event_ms − 600000.
     "t17_stream_idle_close" ->
       """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
               coalesce(event_type, 'no_category') AS cat FROM events),
@@ -45,9 +46,8 @@ object StreamingOracles {
           wm AS (SELECT epoch_ms(max(ts)) - 600000 AS w FROM events)
           SELECT user_id, session_start, session_end, n_events, n_types
           FROM g
-          WHERE sid < (SELECT max(sid) FROM g g2 WHERE g2.user_id = g.user_id)
-             OR GREATEST((session_end // 3600 + 1) * 3600,
-                         session_end + 1800) * 1000 <= (SELECT w FROM wm)
+          WHERE GREATEST((session_end // 3600 + 1) * 3600,
+                         session_end + 1800) * 1000 < (SELECT w FROM wm)
           ORDER BY user_id, session_start""",
     "t7_upsert_latest" ->
       s"""WITH ranked AS (

@@ -594,9 +594,9 @@ object StreamingIngest {
     * .scala:311-312` rounds each event's timestamp into its partition
     * path, so every round window gets its OWN writer): a session can
     * never span a window boundary, which is what bounds a never-idle
-    * key's open-session state to one window of events. Always returns at
-    * least one (possibly empty) chunk — the caller treats the LAST chunk
-    * as the open session. */
+    * key's open-session state. Always returns at least one (possibly
+    * empty) chunk — [[IdleSessionProcessor]] keeps EVERY chunk open
+    * until its close timer fires. */
   private[graft] def sessionChunks(events: Seq[(Long, String)], gapSec: Long,
                                    roundSec: Long): Seq[Seq[(Long, String)]] = {
     val chunks = scala.collection.mutable.ArrayBuffer(
@@ -611,54 +611,63 @@ object StreamingIngest {
   }
 
   /** The per-key state machine of [[idleCloseSessions]] — the reference's
-    * idle-close done the way the reference actually does it: a TIMER fires
-    * the close after `idleTimeout` of silence (`HiveBatchedWriter
-    * .scala:60-63` closes a writer whose last write is older than the
-    * idle deadline), instead of waiting for the key's next arrival to
-    * notice the gap. Per key it composes the full typed-state surface:
+    * idle-close done the way the reference actually does it: ONLY a timer
+    * fires a close. The reference's idle scan (`IdleWriterRemoveThread`,
+    * `HiveBatchedSink.scala:115-141`, feeding `IdleWriterCloseThread`
+    * at 156) is the sole path that ever closes a writer — an
+    * arriving event never closes anything, it only lands in (or opens)
+    * its window's writer — so this processor emits NOTHING on arrival;
+    * every session waits for the watermark to pass its close deadline.
+    * Per key it composes the full typed-state surface:
     *
-    *  - `ListState[(epoch, category)]` — the open session's events (the
-    *    reference's open writer + its buffered batch), read only by the
-    *    ARRIVAL path's re-sessionization;
-    *  - `ValueState[(start, last, n)]` — the open session's bounds (the
-    *    reference's per-writer `TimestampCount`), so the timer close
-    *    emits without rescanning the buffered list;
-    *  - `MapState[category → count]` — the open session's per-category
-    *    tallies (the reference's per-writer counters), maintained
-    *    incrementally on arrival and READ by the timer path to emit
-    *    `n_types`;
-    *  - an event-time timer at `max(windowEnd, lastEvent + gap)` —
-    *    re-armed on every arrival that moves the deadline (delete +
-    *    register; an unchanged deadline keeps its armed timer), fired by
-    *    the engine when the WATERMARK passes the deadline
-    *    ([[TimerStateImpl]] expires `ts <= watermarkForEviction`). The
-    *    `max` is the reference's FULL close predicate
-    *    (`HiveBatchedWriter.scala:62`: `now > minFinishedTimestamp &&
-    *    now - lastWrite >= idleTimeout`, with `minFinishedTimestamp` =
-    *    the partition window's start + the round duration,
-    *    `HiveBatchedSink.scala:380-381`): a writer needs `gap` of
-    *    silence AND its round window to have elapsed before it may
-    *    close. (The reference's `>` on the window bound vs this timer's
-    *    `>=` differ by under the 1 s event resolution; the oracle states
-    *    the same `max` expression, so the two stay consistent.)
+    *  - `ListState[(epoch, category)]` — every open session's events (the
+    *    reference's open writers + their buffered batches), read only by
+    *    the ARRIVAL path's re-sessionization;
+    *  - `MapState[start → (last, n)]` — per open session's bounds (the
+    *    reference's per-writer `TimestampCount`), so a timer close emits
+    *    without rescanning the buffered list;
+    *  - `MapState[(start, category) → count]` — per open session's
+    *    per-category tallies (the reference's per-writer counters),
+    *    rebuilt on arrival and READ by the timer path to emit `n_types`;
+    *  - one event-time timer per DISTINCT deadline
+    *    `max(windowEnd, lastEvent + gap)·1000 + 1` — re-armed by set
+    *    difference on every arrival that changes a session's deadline,
+    *    fired by the engine when the WATERMARK passes it
+    *    ([[TimerStateImpl]] expires `ts <= watermarkForEviction`; the
+    *    `+ 1` makes the fire rule STRICT — `deadline·1000 < watermark` —
+    *    which is what makes the order-invariance theorem below airtight
+    *    at the `es = last + gap` boundary). The `max` is the reference's
+    *    FULL close predicate (`HiveBatchedWriter.scala:62`: `now >
+    *    minFinishedTimestamp && now - lastWrite >= idleTimeout`, with
+    *    `minFinishedTimestamp` = the partition window's start + the
+    *    round duration, `HiveBatchedSink.scala:380-381`): a writer needs
+    *    `gap` of silence AND its round window to have elapsed before it
+    *    may close.
     *
-    * The round window also bounds the writer the other way: the
-    * reference routes each event into its WINDOW's writer
-    * (`HiveBatchedSink.scala:311-312`), so [[sessionChunks]] splits at
-    * window boundaries and the open session — hence the `ListState`, the
-    * `MapState`, and the per-arrival re-sessionization scan — holds at
-    * most one round window of events even for a key that never goes
-    * idle (heartbeats at under `gap` spacing).
+    * The round window bounds state even so: the reference routes each
+    * event into its WINDOW's writer (`HiveBatchedSink.scala:311-312`),
+    * so [[sessionChunks]] splits at window boundaries, and a session
+    * older than `round + gap + watermark delay` behind the stream's max
+    * event time has necessarily fired its timer — the `ListState`, the
+    * `MapState`s, and the per-arrival re-sessionization scan hold at
+    * most ~two round windows of events per key even for one that never
+    * goes idle (heartbeats at under `gap` spacing).
     *
     * Arrival path: merge the open events with the batch's, re-sessionize
-    * (sort + split on `gap`), emit every chunk a LATER chunk proves
-    * closed, keep the last chunk open, re-arm its timer. Timer path: emit
-    * the open session and clear all state. Emission is therefore
-    * batch-equivalent whenever arrivals respect session closure order
-    * (time-split files under a watermark guarantee it): every session
-    * except each key's last is closed by some later arrival, and the last
-    * is closed by its timer iff the final watermark passes its deadline —
-    * the flush rule the t17 oracle states.
+    * (sort + split on `gap` OR window change), rebuild the bounds/tally
+    * maps, re-arm timers by deadline-set difference, emit nothing. Timer
+    * path: emit EVERY session whose deadline equals the fired timestamp
+    * (two same-window idle sessions share `windowEnd + 1`), drop their
+    * state, keep the rest. Emission is therefore invariant across ALL
+    * watermark-admissible arrival orders — not just closure-ordered
+    * ones: an event that could merge into a session has
+    * `es ≤ last + gap` and `es < windowEnd`, so `es·1000 <
+    * deadline`, and the session fires only once the watermark exceeds
+    * its deadline — by which time that event would be LATE (the
+    * monotone watermark already passed it). Hence emitted set =
+    * sessions of the batch gap-and-window rule whose deadline precedes
+    * the final watermark — the flush rule the t17 oracle states
+    * uniformly, with no per-arrival special case.
     *
     * TTL is deliberately NOT configured here: Spark 4.1 permits state TTL
     * only in `TimeMode.ProcessingTime` (`validateTTLConfig` throws for
@@ -669,76 +678,94 @@ object StreamingIngest {
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Long, String), (Long, Long, Long, Long, Long)] {
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
-      MapState, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+      MapState, OutputMode, TimeMode, TimerValues, TTLConfig}
     @transient private var open: ListState[(Long, String)] = _
-    @transient private var bounds: ValueState[(Long, Long, Long)] = _
-    @transient private var typeCounts: MapState[String, Long] = _
+    @transient private var bounds: MapState[Long, (Long, Long)] = _
+    @transient private var typeCounts: MapState[(Long, String), Long] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       open = getHandle.getListState[(Long, String)]("open",
         org.apache.spark.sql.Encoders.product[(Long, String)], TTLConfig.NONE)
-      bounds = getHandle.getValueState[(Long, Long, Long)]("bounds",
-        org.apache.spark.sql.Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
-      typeCounts = getHandle.getMapState[String, Long]("typeCounts",
-        org.apache.spark.sql.Encoders.STRING,
+      bounds = getHandle.getMapState[Long, (Long, Long)]("bounds",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+      typeCounts = getHandle.getMapState[(Long, String), Long]("typeCounts",
+        org.apache.spark.sql.Encoders.product[(Long, String)],
         org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
     }
-    private def sessionRow(user: Long, evs: Seq[(Long, String)],
-                           nTypes: Long): (Long, Long, Long, Long, Long) =
-      (user, evs.iterator.map(_._1).min, evs.iterator.map(_._1).max,
-        evs.size.toLong, nTypes)
     /** The close deadline of an open session whose last event is `last`:
       * idle for `gap` AND the session's round window elapsed — the
-      * reference's two-condition predicate in event-time ms. */
+      * reference's two-condition predicate in event-time ms, `+ 1` so
+      * the engine's `ts <= watermark` fire becomes strictly-past. */
     private def deadlineMs(last: Long): Long =
-      math.max((last / roundSec + 1) * roundSec, last + gapSec) * 1000
+      math.max((last / roundSec + 1) * roundSec, last + gapSec) * 1000 + 1
     override def handleInputRows(user: Long, rows: Iterator[(Long, Long, String)],
                                  timerValues: TimerValues): Iterator[(Long, Long, Long, Long, Long)] = {
       val prior = if (open.exists()) open.get().toSeq else Seq.empty
+      val batch = rows.map(r => (r._2, r._3)).toArray
       val chunks = StreamingIngest.sessionChunks(
-        prior ++ rows.map(r => (r._2, r._3)), gapSec, roundSec)
-      val tail = chunks.last // sorted, nonempty (rows is nonempty)
-      // re-arm: retire the open session's previous deadline, arm the new
-      // one (the engine auto-deletes a FIRED timer, so a prior timer
-      // exists exactly when a prior open session does)
-      val newDeadline = deadlineMs(tail.last._1)
-      val oldDeadline =
-        if (prior.isEmpty) None
-        else Some(deadlineMs(prior.iterator.map(_._1).max))
-      if (oldDeadline.forall(_ != newDeadline)) {
-        oldDeadline.foreach(getHandle.deleteTimer)
-        getHandle.registerTimer(newDeadline)
-      } // unchanged deadline: the armed timer already covers it
-      open.put(tail.toArray)
-      bounds.update((tail.head._1, tail.last._1, tail.size.toLong))
-      typeCounts.clear()
-      tail.groupBy(_._2).foreach { case (c, es) =>
-        typeCounts.updateValue(c, es.size.toLong) }
-      chunks.dropRight(1).iterator.map(c =>
-        sessionRow(user, c, c.iterator.map(_._2).toSet.size.toLong))
+        prior ++ batch, gapSec, roundSec)
+      // re-arm by set difference: deadlines are shared when two idle
+      // sessions sit in one window, so compare DISTINCT deadline sets
+      // (a fired timer's sessions left `bounds` in handleExpiredTimer,
+      // keeping the old set in sync with the timers actually armed)
+      val oldBounds = bounds.iterator().toList
+      val oldDeadlines = oldBounds.iterator.map(b => deadlineMs(b._2._1)).toSet
+      val newBounds = chunks.map(c => (c.head._1, (c.last._1, c.size.toLong)))
+      val newDeadlines = newBounds.iterator.map(b => deadlineMs(b._2._1)).toSet
+      (oldDeadlines -- newDeadlines).foreach(getHandle.deleteTimer)
+      (newDeadlines -- oldDeadlines).foreach(getHandle.registerTimer)
+      // the list is an unordered bag (re-sessionization sorts), so the
+      // arrival path APPENDS the batch — O(batch) state writes, never a
+      // full rewrite; the rare timer fire compacts it
+      open.appendList(batch)
+      // diff the per-session bookkeeping: an unchanged (start, last, n)
+      // triple proves the session's event multiset is unchanged (events
+      // are only ever ADDED, chunks are contiguous in sorted order, and
+      // equal counts over a superset pin equality), so only sessions the
+      // batch actually touched pay Map-state writes
+      val oldMap = oldBounds.toMap
+      val changed = newBounds.filter { case (s, v) => !oldMap.get(s).contains(v) }
+      val newStarts = newBounds.iterator.map(_._1).toSet
+      val staleStarts = oldMap.keySet.diff(newStarts) ++ changed.iterator.map(_._1)
+      staleStarts.diff(newStarts).foreach(bounds.removeKey)
+      changed.foreach { case (s, v) => bounds.updateValue(s, v) }
+      typeCounts.keys().toList.filter(k => staleStarts(k._1))
+        .foreach(typeCounts.removeKey)
+      chunks.withFilter(c => changed.exists(_._1 == c.head._1))
+        .foreach(c => c.groupBy(_._2).foreach { case (cat, es) =>
+          typeCounts.updateValue((c.head._1, cat), es.size.toLong) })
+      Iterator.empty
     }
     override def handleExpiredTimer(user: Long, timerValues: TimerValues,
                                     expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long, Long)] = {
-      if (!bounds.exists()) Iterator.empty
-      else {
-        // the timer path emits entirely from the Value/Map bookkeeping —
-        // the buffered event list is never rescanned on close
-        val (start, last, n) = bounds.get()
-        // a deadline the arrival path replaced is stale — defensive: the
-        // re-arm deletes it, so this only guards engine-level surprises.
-        // Re-arm the CORRECT deadline instead of only dropping the fire:
-        // otherwise the open session would never close and its
-        // List/Value/Map state would be stranded forever (event-time
-        // mode permits no TTL to reclaim it).
-        if (expiredTimerInfo.getExpiryTimeInMs != deadlineMs(last)) {
-          getHandle.registerTimer(deadlineMs(last))
-          Iterator.empty
-        } else {
-          val row = (user, start, last, n, typeCounts.keys().size.toLong)
-          open.clear()
-          bounds.clear()
-          typeCounts.clear()
-          Iterator.single(row)
-        }
+      val ts = expiredTimerInfo.getExpiryTimeInMs()
+      val entries = bounds.iterator().toList
+      val due = entries.filter(e => deadlineMs(e._2._1) == ts)
+      if (due.isEmpty) {
+        // a deadline no live session owns is stale — defensive: the
+        // arrival re-arm deletes replaced deadlines, so this only guards
+        // engine-level surprises (e.g. a timer surviving recovery).
+        // Re-arm every live deadline (registerTimer is idempotent) so
+        // the open sessions still close and their state drains — in
+        // event-time mode no TTL could otherwise reclaim it.
+        entries.iterator.map(e => deadlineMs(e._2._1)).toSet
+          .foreach(getHandle.registerTimer)
+        Iterator.empty
+      } else {
+        // the timer path emits entirely from the Map bookkeeping — the
+        // buffered event list is pruned by bounds, never rescanned.
+        // Sessions are time-disjoint, so a session's events are exactly
+        // the open entries inside [start, last].
+        val remaining = (if (open.exists()) open.get() else Iterator.empty)
+          .filterNot(ev => due.exists(d => ev._1 >= d._1 && ev._1 <= d._2._1))
+          .toArray
+        if (remaining.isEmpty) open.clear() else open.put(remaining)
+        val dueStarts = due.iterator.map(_._1).toSet
+        val dueTypeKeys = typeCounts.keys().toList.filter(k => dueStarts(k._1))
+        due.foreach(d => bounds.removeKey(d._1))
+        dueTypeKeys.foreach(typeCounts.removeKey)
+        due.sortBy(_._1).iterator.map { case (s, (l, n)) =>
+          (user, s, l, n, dueTypeKeys.count(_._1 == s).toLong) }
       }
     }
   }
@@ -772,25 +799,28 @@ object StreamingIngest {
     * dynamic-partition router, `HiveBatchedSink.scala:311-312`: each
     * event lands in its round window's writer, so no session spans a
     * window boundary and a never-idle key's state stays bounded), where
-    * a session with no successor arrival is closed by its re-armed
-    * `max(windowEnd, lastEvent + gap)` timer the moment the watermark
-    * passes the deadline — the reference's full two-condition writer
-    * close (`HiveBatchedWriter.scala:62`: round window elapsed AND
-    * `idleTimeout` of silence) stated in event time. The fixture arrives
-    * as three arrival files time-split on floored-second terciles with
+    * EVERY session is closed by its re-armed `max(windowEnd,
+    * lastEvent + gap)` timer the moment the watermark strictly passes
+    * the deadline — the reference's full two-condition writer close
+    * (`HiveBatchedWriter.scala:62`: round window elapsed AND
+    * `idleTimeout` of silence) stated in event time, and the ONLY close
+    * path, exactly as in the reference (its idle scan is the sole
+    * closer; arrivals never close writers). The fixture arrives as
+    * three arrival files time-split on floored-second terciles with
     * ordered mtimes and `maxFilesPerTrigger = 1`, so sessions genuinely
-    * span micro-batches, mid-stream watermark advances fire timers
-    * mid-run (not only at shutdown), and the strict split keeps arrival
-    * order compatible with session closure (no emitted session can be
-    * reopened). Emitted set = every session except each user's last,
-    * plus the last iff its deadline precedes the final watermark —
-    * `max((end/round + 1)·round, end + gap)·1000 ≤ max_event_ms −
+    * span micro-batches and mid-stream watermark advances fire timers
+    * mid-run (not only at shutdown). Emitted set = every session whose
+    * deadline strictly precedes the final watermark —
+    * `max((end/round + 1)·round, end + gap)·1000 < max_event_ms −
     * 600000`, the t1b flush rule at timer granularity
-    * ([[TimerStateImpl]] fires `ts <= watermark`; both sides exact
-    * integer ms) — which is exactly what the DuckDB oracle restates
-    * (gaps-and-islands splitting on gap OR window change), so a
+    * ([[TimerStateImpl]] fires `ts <= watermark` and the armed timer
+    * carries `deadline·1000 + 1`; both sides exact integer ms) — which
+    * is exactly what the DuckDB oracle restates (gaps-and-islands
+    * splitting on gap OR window change, one uniform WHERE), so a
     * genuinely timer-driven multi-batch execution carries a full hash
-    * oracle. RocksDB state store, t10's conf scope. */
+    * oracle, and the emitted set is provably invariant across every
+    * watermark-admissible arrival order (see [[IdleSessionProcessor]]).
+    * RocksDB state store, t10's conf scope. */
   def idleCloseSessions(spark: SparkSession, sfDir: String,
                         gapSec: Long = 1800L,
                         roundSec: Long = 3600L): DataFrame = {

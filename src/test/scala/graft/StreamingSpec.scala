@@ -585,30 +585,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
-  test("T17: event-time timers fire the idle close; arrivals close their predecessors") {
+  test("T17: timers are the ONLY close path; each session fires when the watermark passes its deadline") {
     def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     withT17Stream("t17_tws_sink") { (feed, rowsF) =>
       def rows = rowsF()
-      // batch 1 — user 5: THREE sessions in one batch (the first two
-      // close on arrival INSIDE handleInputRows; the third stays open,
-      // deadline max(7200, 4300+1800)=7200); user 7: one open
-      // two-category session (deadline max(3600, 3800)=3800); user 9:
-      // one open single-event session (deadline max(3600, 2800)=3600 —
-      // the round-window floor binds). The post-batch watermark is
-      // 4300-600=3700, so the no-data finalization batch fires EXACTLY
-      // user 9's timer (3600 ≤ 3700 < 3800 ≤ 7200) — a timer-driven
-      // close with no arrival involved.
+      // batch 1 — user 5: THREE sessions land in one batch; NONE closes
+      // on arrival (the reference's idle scan is the sole closer) — all
+      // three arm timers: [100] deadline max(3600, 1900)=3600, [2000]
+      // deadline max(3600, 3800)=3800, [4300] deadline max(7200,
+      // 6100)=7200. User 7: one open two-category session (deadline
+      // max(3600, 3800)=3800); user 9: one open single-event session
+      // (deadline max(3600, 2800)=3600 — the round-window floor binds).
+      // The post-batch watermark is 4300-600=3700, so the no-data
+      // finalization batch fires EXACTLY the 3600-deadline timers: user
+      // 5's first session and user 9 (3600 < 3700 ≤ 3800 ≤ 7200) —
+      // user 5's SECOND session stays open even though a later session
+      // proves it closed, because only its timer may emit it.
       feed(Seq((7L, t(1000), "a"), (7L, t(2000), "b"), (9L, t(1000), "a"),
         (5L, t(100), "a"), (5L, t(2000), "a"), (5L, t(4300), "a")))
       assert(rows == Set(
-        (5L, 100L, 100L, 1L, 1L), (5L, 2000L, 2000L, 1L, 1L),
+        (5L, 100L, 100L, 1L, 1L),
         (9L, 1000L, 1000L, 1L, 1L)),
-        s"expected the two arrival closes and user 9's timer close; got $rows")
-      // batch 2 — user 7 returns far beyond the gap: the ARRIVAL closes
-      // [1000, 2000] (its timer never fired — the deadline re-arms to
-      // max(100800, 101800)=101800). The new watermark (99400) then
-      // fires user 5's remaining timer (7200). User 7's open session
-      // must NOT emit.
+        s"expected exactly the two expired-deadline timer closes; got $rows")
+      // batch 2 — user 7 returns far beyond the gap: the arrival only
+      // RE-SESSIONIZES (old [1000,2000] keeps its 3800 timer; the new
+      // open [100000] arms max(100800, 101800)=101800). The advanced
+      // watermark (99400) then fires every pending deadline ≤ it: user
+      // 5's 3800 and 7200, user 7's 3800. User 7's open session must
+      // NOT emit (101800 > 99400).
       feed(Seq((7L, t(100000), "a")))
       assert(rows == Set(
         (5L, 100L, 100L, 1L, 1L), (5L, 2000L, 2000L, 1L, 1L),
@@ -644,17 +648,26 @@ class StreamingSpec extends SparkSpec {
     withT17Stream("t17e_tws_sink") { (feed, rowsF) =>
       def rows = rowsF()
       // heartbeats every 600 s (always under the 1800-s gap) from 1000
-      // to 8200: without the round-window router this key NEVER closes
-      // and its ListState grows without bound. The window rule splits at
-      // 3600 and 7200, so the arrivals themselves close
-      // [1000..3400] and [4000..7000]; the open tail [7600, 8200]
-      // (deadline max(10800, 10000)=10800) holds at most one window of
-      // events — the bounded-state guarantee — and stays open (watermark
-      // 8200-600=7600 < 10800).
+      // to 8200: without the round-window router this key NEVER goes
+      // idle and its ListState grows without bound. The window rule
+      // splits at 3600 and 7200 into [1000..3400] (deadline max(3600,
+      // 3400+1800)=5200), [4000..7000] (deadline max(7200, 8800)=8800)
+      // and the open tail [7600..8200] (deadline max(10800,
+      // 10000)=10800). The post-batch watermark 8200-600=7600 fires
+      // only the 5200 timer: the first elapsed window closes, the later
+      // two sessions (≤ two windows of events — the bounded-state
+      // guarantee) wait for THEIR timers.
       feed((1000L to 8200L by 600L).map(s => (3L, t(s), "a")))
+      assert(rows == Set((3L, 1000L, 3400L, 5L, 1L)),
+        s"only the watermark-passed window may close; got $rows")
+      // one more heartbeat far ahead pushes the watermark to 19400:
+      // both pending timers (8800, 10800) fire and the retained state
+      // drains to the single new open session.
+      feed(Seq((3L, t(20000), "a")))
       assert(rows == Set(
-        (3L, 1000L, 3400L, 5L, 1L), (3L, 4000L, 7000L, 6L, 1L)),
-        s"window-boundary force splits must close the two elapsed windows; got $rows")
+        (3L, 1000L, 3400L, 5L, 1L), (3L, 4000L, 7000L, 6L, 1L),
+        (3L, 7600L, 8200L, 2L, 1L)),
+        s"advancing the watermark must drain every expired window; got $rows")
     }
   }
 
@@ -694,6 +707,74 @@ class StreamingSpec extends SparkSpec {
       feed(Seq((8L, t(10000), "a")))
       assert(rows == Set((7L, 1600L, 2000L, 2L, 2L)),
         s"the out-of-order event must merge, not fork a session; got $rows")
+    }
+  }
+
+  test("T17: checkpoint recovery resumes open sessions, re-arms timers, and merges cross-run arrivals") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // Two AvailableNow runs over ONE checkpoint — the recovery path the
+    // stale-timer guard only defends against: run 1 leaves two open
+    // sessions (nothing emitted; their events, bounds, tallies, armed
+    // timers and the 2400-s watermark live only in the checkpoint), run
+    // 2 must (a) merge an admissible out-of-order arrival into the
+    // RECOVERED u1 session — deleting the recovered 3800 timer and
+    // re-arming 4300 — and (b) fire the recovered u2 timer untouched.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val srcDir = graft.Tables.scratchDir("graft_t17rec_src").toString
+    val ck = graft.Tables.scratchDir("graft_t17rec_ck").toString
+    val outDir = graft.Tables.scratchDir("graft_t17rec_out").toString + "/out"
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts", TimestampType), StructField("cat", StringType)))
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    def run(): Unit = {
+      val sessions = spark.readStream.schema(schema).parquet(srcDir)
+        .withWatermark("ts", "10 minutes")
+        .select(col("user_id"),
+          graft.functions.Times.epochSeconds(col("ts")).as("es"), col("cat"))
+        .as[(Long, Long, String)].groupByKey(_._1)
+        .transformWithState(new StreamingIngest.IdleSessionProcessor(1800L, 3600L),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF("user_id", "session_start", "session_end", "n_events", "n_types")
+      // foreachBatch→parquet because the memory sink refuses checkpoint
+      // recovery, and run 2 must resume run 1's checkpoint
+      val q = sessions.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir); () }
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally { if (q.isActive) q.stop() }
+    }
+    try {
+      // u1 [1000a, 2000b] deadline max(3600, 3800)=3800; u2 [3000a]
+      // deadline max(3600, 4800)=4800; run-1 watermark 3000-600=2400 —
+      // below both, so run 1 emits NOTHING.
+      Seq((1L, t(1000), "a"), (1L, t(2000), "b"), (2L, t(3000), "a"))
+        .toDF("user_id", "ts", "cat")
+        .repartition(1).write.mode("append").parquet(srcDir)
+      run()
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(outDir)) ||
+        spark.read.parquet(outDir).isEmpty,
+        "run 1 must close nothing — both deadlines exceed its watermark")
+      // u1's 2500 is admissible (≥ the recovered 2400 watermark) and
+      // merges to [1000,2500] (n=3, types {a,b}); u3's 20000 pushes the
+      // watermark to 19400, firing the re-armed 4300 and recovered 4800
+      // timers; u3 stays open (deadline 21800).
+      Seq((1L, t(2500), "a"), (3L, t(20000), "a"))
+        .toDF("user_id", "ts", "cat")
+        .repartition(1).write.mode("append").parquet(srcDir)
+      run()
+      val out = spark.read.parquet(outDir)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(out == Set((1L, 1000L, 2500L, 3L, 2L), (2L, 3000L, 3000L, 1L, 1L)),
+        s"recovered state must merge and fire across the restart; got $out")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
     }
   }
 
@@ -764,9 +845,10 @@ class StreamingSpec extends SparkSpec {
   /** Batch replica of the t17 semantics, shared by the fixture-equality
     * and arrival-shuffle tests: per-user gaps-and-islands over floored
     * epoch seconds splitting on gap OR round-window change; emitted =
-    * all but each user's last session, plus the last iff its close
-    * deadline — `max(windowEnd, end + gap)` (idle AND window elapsed) —
-    * precedes the final watermark (exact ms). */
+    * every session whose close deadline — `max(windowEnd, end + gap)`
+    * (idle AND window elapsed) — STRICTLY precedes the final watermark
+    * (exact ms; the armed timer carries `deadline·1000 + 1`). One
+    * uniform rule, no per-arrival case: timers are the only close path. */
   private def t17BatchReplica(ev: Seq[(Long, Long, String)], maxMs: Long,
       gap: Long = 1800L, round: Long = 3600L): Set[(Long, Long, Long, Long, Long)] =
     ev.groupBy(_._1).toSeq.flatMap { case (u, es0) =>
@@ -779,10 +861,10 @@ class StreamingSpec extends SparkSpec {
           chunks += scala.collection.mutable.ArrayBuffer.empty
         chunks.last += e
       }
-      val sess = chunks.map(c => (u, c.map(_._2).min, c.map(_._2).max,
-        c.size.toLong, c.map(_._3).distinct.size.toLong))
-      sess.dropRight(1) ++ sess.lastOption.filter(s =>
-        math.max((s._3 / round + 1) * round, s._3 + gap) * 1000 <= maxMs - 600000L)
+      chunks.map(c => (u, c.map(_._2).min, c.map(_._2).max,
+          c.size.toLong, c.map(_._3).distinct.size.toLong))
+        .filter(s =>
+          math.max((s._3 / round + 1) * round, s._3 + gap) * 1000 < maxMs - 600000L)
     }.toSet
 
   test("t17: the declared idle-close stream equals batch sessionization + the flush rule") {
@@ -801,32 +883,35 @@ class StreamingSpec extends SparkSpec {
       "the fixture must exercise multi-event sessions")
   }
 
-  test("T17 property: arrival shuffles within the watermark emit the same session set") {
+  test("T17 property: ANY watermark-admissible arrival order emits the same session set") {
     def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     // The class of bug hand-built fixtures can't enumerate: out-of-order
     // arrivals inside the watermark exercising the merge/re-arm path in
     // arbitrary interleavings. Jittered-sort shuffles (sort by
-    // `ts + jitter`, jitter < 500 s) are sound by construction, on two
-    // counts. Watermark: any event fed after another is at most 500 s
-    // older — inside the 600-s delay — so nothing is dropped as late and
-    // no timer can fire before a session's last event lands (the open
-    // deadline is ≥ last + gap ≥ any pending same-session event, while
-    // the watermark stays ≥ 100 s behind it). Closure: stream == batch
-    // requires that no inversion cross a SESSION boundary — a gap
-    // boundary is safe (> 1800 s wide vs the 500-s jitter), but a
-    // round-WINDOW boundary can separate events arbitrarily close in
-    // time, so the generator keeps epochs ≥ 700 s away from window
-    // edges (per-window bands [w·3600+700, w·3600+2900]); adjacent
-    // bands are still only 1400 s apart — under the gap, so the window
-    // split itself IS exercised — while 1400 > jitter keeps every
-    // inversion inside one session.
+    // `ts + jitter`, jitter < 500 s) keep every event admissible: any
+    // event fed after another is at most 500 s older — inside the 600-s
+    // delay — so nothing is dropped as late. That is the ONLY
+    // precondition the pure-timer design needs: an event that could
+    // merge into a session satisfies `es·1000 < deadline` (it is inside
+    // the session's window and within gap of its last event, and the
+    // armed timer carries `deadline·1000 + 1`), so by the time the
+    // monotone watermark passes the deadline and fires the close, such
+    // an event would already be late — an admissible order can never
+    // reopen a fired session. In particular inversions may cross gap
+    // AND round-window session boundaries freely (epochs are uniform
+    // over three windows, no edge bands), which the previous
+    // arrival-emitting design could not survive.
+    var sawWindowCrossingInversion = false
     (1 to 3).foreach { seed =>
       val rnd = new scala.util.Random(9100L + seed)
       val events = (0 until 4).flatMap { u =>
-        (0 until 20).map { _ =>
-          (u.toLong, rnd.nextInt(3) * 3600L + 700L + rnd.nextInt(2200).toLong,
-            Seq("a", "b", "c")(rnd.nextInt(3)))
-        }
+        // 14 uniform epochs + 6 within ±250 s of a window edge: edge-
+        // hugging pairs are the ones a 500-s jitter can invert ACROSS
+        // the boundary, which uniform draws almost never produce
+        val epochs = (0 until 14).map(_ => rnd.nextInt(3 * 3600).toLong) ++
+          Seq(3600L, 7200L).flatMap(e =>
+            (0 until 3).map(_ => e - 250L + rnd.nextInt(500)))
+        epochs.map(es => (u.toLong, es, Seq("a", "b", "c")(rnd.nextInt(3))))
       }
       // precomputed keys: sortBy would re-invoke an inline rnd per
       // comparison, voiding both determinism and the 500-s bound
@@ -842,6 +927,15 @@ class StreamingSpec extends SparkSpec {
         s.zip(s.tail).exists(p => p._2 - p._1 <= 1800L &&
           p._1 / 3600 != p._2 / 3600)
       }, s"seed $seed exercises no window-boundary split")
+      // does the shuffle invert a SAME-USER pair across a window
+      // boundary? — the case the old band-hack generator had to exclude
+      // because arrival-path emission could not survive it; asserted
+      // across the seeds after the loop (not every seed draws one)
+      sawWindowCrossingInversion ||= shuffled.combinations(2).exists {
+        case Seq(a, b) =>
+          a._1 == b._1 && a._2 > b._2 && a._2 / 3600 != b._2 / 3600
+        case _ => false
+      }
       val expected = t17BatchReplica(events, events.map(_._2).max * 1000L)
       withT17Stream(s"t17p${seed}_tws_sink") { (feed, rowsF) =>
         shuffled.grouped(10).foreach(b =>
@@ -850,5 +944,8 @@ class StreamingSpec extends SparkSpec {
           s"shuffled arrival order (seed $seed) changed the emitted session set")
       }
     }
+    assert(sawWindowCrossingInversion,
+      "no seed produced a same-user window-crossing inversion — the " +
+        "property no longer exercises the case the band-hack excluded")
   }
 }
