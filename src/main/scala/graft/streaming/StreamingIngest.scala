@@ -595,8 +595,10 @@ object StreamingIngest {
     * path, so every round window gets its OWN writer): a session can
     * never span a window boundary, which is what bounds a never-idle
     * key's open-session state. Always returns at least one (possibly
-    * empty) chunk — [[IdleSessionProcessor]] keeps EVERY chunk open
-    * until its close timer fires. */
+    * empty) chunk. This is the REFERENCE semantics the specs pin;
+    * [[IdleSessionProcessor]] executes the equivalent
+    * [[mergeSessionAggs]] sweep over aggregates (property-pinned equal
+    * for every admissible split) so it never has to store events. */
   private[graft] def sessionChunks(events: Seq[(Long, String)], gapSec: Long,
                                    roundSec: Long): Seq[Seq[(Long, String)]] = {
     val chunks = scala.collection.mutable.ArrayBuffer(
@@ -610,6 +612,36 @@ object StreamingIngest {
     chunks.map(_.toSeq).toSeq
   }
 
+  /** [[sessionChunks]] restated over mergeable session AGGREGATES
+    * `(start, last, n, categories)` — min/max/sum/union — which is what
+    * lets [[IdleSessionProcessor]] hold O(open sessions) state instead
+    * of O(events): adding events can never SPLIT an existing session
+    * (a gap only shrinks when events are added, and no session spans a
+    * round window), only bridge adjacent ones or land inside one, and
+    * both outcomes are decided by interval endpoints alone. Items are
+    * open sessions and/or single events (`(es, es, 1, Set(cat))`);
+    * sweep in start order, merging `next` into the accumulator iff
+    * `next.start − acc.last ≤ gap` and both sit in one round window
+    * (the adjacent-event pair across the boundary is exactly
+    * `(acc.last, next.start)`; an item overlapping the accumulator has
+    * non-positive distance and is inside its window, so it always
+    * merges). The seeded property pins this equal to [[sessionChunks]]
+    * aggregates for every time-split of the event set. */
+  private[graft] def mergeSessionAggs(
+      items: Seq[(Long, Long, Long, Set[String])], gapSec: Long,
+      roundSec: Long): Seq[(Long, Long, Long, Set[String])] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Set[String])]
+    items.sortBy(it => (it._1, it._2)).foreach { it =>
+      if (out.nonEmpty && it._1 - out.last._2 <= gapSec &&
+          it._1 / roundSec == out.last._2 / roundSec) {
+        val a = out.last
+        out(out.size - 1) =
+          (a._1, math.max(a._2, it._2), a._3 + it._3, a._4 ++ it._4)
+      } else out += it
+    }
+    out.toSeq
+  }
+
   /** The per-key state machine of [[idleCloseSessions]] — the reference's
     * idle-close done the way the reference actually does it: ONLY a timer
     * fires a close. The reference's idle scan (`IdleWriterRemoveThread`,
@@ -620,23 +652,50 @@ object StreamingIngest {
     * every session waits for the watermark to pass its close deadline.
     * Per key it composes the full typed-state surface:
     *
-    *  - `ListState[(epoch, category)]` — every open session's events (the
-    *    reference's open writers + their buffered batches), read only by
-    *    the ARRIVAL path's re-sessionization;
-    *  - `MapState[start → (last, n)]` — per open session's bounds (the
-    *    reference's per-writer `TimestampCount`), so a timer close emits
-    *    without rescanning the buffered list;
-    *  - `MapState[(start, category) → count]` — per open session's
-    *    per-category tallies (the reference's per-writer counters),
-    *    rebuilt on arrival and READ by the timer path to emit `n_types`;
-    *  - one event-time timer per DISTINCT deadline
-    *    `max(windowEnd, lastEvent + gap)·1000 + 1` — re-armed by set
-    *    difference on every arrival that changes a session's deadline,
-    *    fired by the engine when the WATERMARK passes it
+    *  - a session is a MERGEABLE AGGREGATE `(start, last, n,
+    *    categories)` — min/max/sum/union ([[mergeSessionAggs]]) — and
+    *    NOTHING ELSE is stored: arriving events can only land inside a
+    *    session or bridge adjacent ones, never split one, so no event
+    *    needs to be kept. This matches the reference exactly: an open
+    *    `HiveBatchedWriter` holds only its `TimestampCount` + counters
+    *    while the events themselves stream to ORC — the writer state IS
+    *    an aggregate. (Two earlier cuts stored the open events in a
+    *    ListState and re-sessionized them per arrival: eager per-fire
+    *    list rewrites cost 6× at sf0.1, a lazy compaction floor still
+    *    3.5× — per-key state O(events) loses to O(sessions) at every
+    *    scale. The category set rides in state as a `U+0001`-joined
+    *    sorted string — category names are external header values that
+    *    never contain control chars.);
+    *  - `ValueState[frontier]` — the LATEST open session, the only one
+    *    an in-order stream can ever touch: an arrival whose events all
+    *    sit at or above `frontier.start` cannot reach any earlier
+    *    session (merging or bridging below it would need an older
+    *    event), so the common append-shaped batch costs O(1) state
+    *    reads and never scans the map;
+    *  - `MapState[start → (last, n, categories)]` — PARKED sessions:
+    *    closed-but-unfired predecessors of the frontier (the reference's
+    *    idle-candidate writers awaiting the scan). Each session is
+    *    written here exactly once, when the frontier rolls past it, and
+    *    scanned only by the timer path (or by the rare
+    *    below-the-frontier arrival, which falls back to a full sweep);
+    *  - ONE event-time timer per key, armed at the MINIMUM open
+    *    deadline `max(windowEnd, lastEvent + gap)·1000 + 1` (deadlines
+    *    are monotone in session start order, so the earliest session
+    *    always expires first — the armed deadline is the oldest PARKED
+    *    session's, or the frontier's when nothing is parked) — re-armed
+    *    when an arrival changes the minimum (an append-shaped batch with
+    *    parked sessions never does: parked deadlines only drain, new
+    *    ones are larger), fired by the engine when the WATERMARK passes it
     *    ([[TimerStateImpl]] expires `ts <= watermarkForEviction`; the
     *    `+ 1` makes the fire rule STRICT — `deadline·1000 < watermark` —
     *    which is what makes the order-invariance theorem below airtight
-    *    at the `es = last + gap` boundary). The `max` is the reference's
+    *    at the `es = last + gap` boundary). One fire drains EVERY
+    *    session whose deadline the eviction watermark passed
+    *    (`TimerValues.getCurrentWatermarkInMs` carries exactly the
+    *    watermark that expired the timer — verified in
+    *    `TransformWithStateExec.handleTimerRows` bytecode) and re-arms
+    *    at the next minimum, so timer invocations scale with keys ×
+    *    batches, not with sessions. The `max` is the reference's
     *    FULL close predicate (`HiveBatchedWriter.scala:62`: `now >
     *    minFinishedTimestamp && now - lastWrite >= idleTimeout`, with
     *    `minFinishedTimestamp` = the partition window's start + the
@@ -646,19 +705,23 @@ object StreamingIngest {
     *
     * The round window bounds state even so: the reference routes each
     * event into its WINDOW's writer (`HiveBatchedSink.scala:311-312`),
-    * so [[sessionChunks]] splits at window boundaries, and a session
-    * older than `round + gap + watermark delay` behind the stream's max
-    * event time has necessarily fired its timer — the `ListState`, the
-    * `MapState`s, and the per-arrival re-sessionization scan hold at
-    * most ~two round windows of events per key even for one that never
-    * goes idle (heartbeats at under `gap` spacing).
+    * so sessions split at window boundaries, and a session older than
+    * `round + gap + watermark delay` behind the stream's max event time
+    * has necessarily fired its timer — open sessions span at most ~two
+    * round windows per key even for one that never goes idle
+    * (heartbeats at under `gap` spacing), and each costs ~40 bytes of
+    * aggregate, not its events.
     *
-    * Arrival path: merge the open events with the batch's, re-sessionize
-    * (sort + split on `gap` OR window change), rebuild the bounds/tally
-    * maps, re-arm timers by deadline-set difference, emit nothing. Timer
-    * path: emit EVERY session whose deadline equals the fired timestamp
-    * (two same-window idle sessions share `windowEnd + 1`), drop their
-    * state, keep the rest. Emission is therefore invariant across ALL
+    * Arrival path: if every batch event sits at or above the frontier's
+    * start (the append shape), sweep just the frontier + the batch
+    * through [[mergeSessionAggs]], park all but the last result, move
+    * the timer only when the armed minimum moved; otherwise fall back
+    * to the full sweep over parked ∪ frontier ∪ batch with a diff
+    * rewrite. Emit nothing either way. Timer path: emit EVERY session
+    * whose deadline the eviction watermark passed — the due prefix of
+    * the parked queue, plus the frontier once nothing is parked —
+    * re-arm at the next minimum; each parked entry is scanned O(1)
+    * times across its lifetime. Emission is invariant across ALL
     * watermark-admissible arrival orders — not just closure-ordered
     * ones: an event that could merge into a session has
     * `es ≤ last + gap` and `es < windowEnd`, so `es·1000 <
@@ -677,20 +740,18 @@ object StreamingIngest {
   private[graft] class IdleSessionProcessor(gapSec: Long, roundSec: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Long, String), (Long, Long, Long, Long, Long)] {
-    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
-      MapState, OutputMode, TimeMode, TimerValues, TTLConfig}
-    @transient private var open: ListState[(Long, String)] = _
-    @transient private var bounds: MapState[Long, (Long, Long)] = _
-    @transient private var typeCounts: MapState[(Long, String), Long] = _
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState,
+      OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var frontier: ValueState[(Long, Long, Long, String)] = _
+    @transient private var parked: MapState[Long, (Long, Long, String)] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      open = getHandle.getListState[(Long, String)]("open",
-        org.apache.spark.sql.Encoders.product[(Long, String)], TTLConfig.NONE)
-      bounds = getHandle.getMapState[Long, (Long, Long)]("bounds",
+      frontier = getHandle.getValueState[(Long, Long, Long, String)]("frontier",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long, String)],
+        TTLConfig.NONE)
+      parked = getHandle.getMapState[Long, (Long, Long, String)]("parked",
         org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
-      typeCounts = getHandle.getMapState[(Long, String), Long]("typeCounts",
-        org.apache.spark.sql.Encoders.product[(Long, String)],
-        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.product[(Long, Long, String)],
+        TTLConfig.NONE)
     }
     /** The close deadline of an open session whose last event is `last`:
       * idle for `gap` AND the session's round window elapsed — the
@@ -698,98 +759,143 @@ object StreamingIngest {
       * the engine's `ts <= watermark` fire becomes strictly-past. */
     private def deadlineMs(last: Long): Long =
       math.max((last / roundSec + 1) * roundSec, last + gapSec) * 1000 + 1
+    private val Sep = "\u0001"
+    private def toAgg(s: Long, l: Long, n: Long, t: String) =
+      (s, l, n, t.split(Sep, -1).toSet)
+    /** Park every merged session but the last, set the last as the
+      * frontier. Parked starts only ever grow, so each session is
+      * written to the map exactly once (the rare full-sweep fallback
+      * rewrites idempotently). */
+    private def publish(merged: Seq[(Long, Long, Long, Set[String])]): Unit = {
+      merged.dropRight(1).foreach { case (s, l, n, t) =>
+        parked.updateValue(s, (l, n, t.toSeq.sorted.mkString(Sep))) }
+      val f = merged.last
+      frontier.update((f._1, f._2, f._3, f._4.toSeq.sorted.mkString(Sep)))
+    }
     override def handleInputRows(user: Long, rows: Iterator[(Long, Long, String)],
                                  timerValues: TimerValues): Iterator[(Long, Long, Long, Long, Long)] = {
-      val prior = if (open.exists()) open.get().toSeq else Seq.empty
-      val batch = rows.map(r => (r._2, r._3)).toArray
-      val chunks = StreamingIngest.sessionChunks(
-        prior ++ batch, gapSec, roundSec)
-      // re-arm by set difference: deadlines are shared when two idle
-      // sessions sit in one window, so compare DISTINCT deadline sets
-      // (a fired timer's sessions left `bounds` in handleExpiredTimer,
-      // keeping the old set in sync with the timers actually armed)
-      val oldBounds = bounds.iterator().toList
-      val oldDeadlines = oldBounds.iterator.map(b => deadlineMs(b._2._1)).toSet
-      val newBounds = chunks.map(c => (c.head._1, (c.last._1, c.size.toLong)))
-      val newDeadlines = newBounds.iterator.map(b => deadlineMs(b._2._1)).toSet
-      (oldDeadlines -- newDeadlines).foreach(getHandle.deleteTimer)
-      (newDeadlines -- oldDeadlines).foreach(getHandle.registerTimer)
-      // the list is an unordered bag (re-sessionization sorts), so the
-      // arrival path APPENDS the batch — O(batch) state writes, never a
-      // full rewrite; the rare timer fire compacts it
-      open.appendList(batch)
-      // diff the per-session bookkeeping: an unchanged (start, last, n)
-      // triple proves the session's event multiset is unchanged (events
-      // are only ever ADDED, chunks are contiguous in sorted order, and
-      // equal counts over a superset pin equality), so only sessions the
-      // batch actually touched pay Map-state writes
-      val oldMap = oldBounds.toMap
-      val changed = newBounds.filter { case (s, v) => !oldMap.get(s).contains(v) }
-      val newStarts = newBounds.iterator.map(_._1).toSet
-      val staleStarts = oldMap.keySet.diff(newStarts) ++ changed.iterator.map(_._1)
-      staleStarts.diff(newStarts).foreach(bounds.removeKey)
-      changed.foreach { case (s, v) => bounds.updateValue(s, v) }
-      typeCounts.keys().toList.filter(k => staleStarts(k._1))
-        .foreach(typeCounts.removeKey)
-      chunks.withFilter(c => changed.exists(_._1 == c.head._1))
-        .foreach(c => c.groupBy(_._2).foreach { case (cat, es) =>
-          typeCounts.updateValue((c.head._1, cat), es.size.toLong) })
+      val batch = rows.map(r => (r._2, r._2, 1L, Set(r._3))).toList
+      val fr = if (frontier.exists()) Some(frontier.get()) else None
+      fr match {
+        case None =>
+          // fresh key (nothing parked, by the frontier invariant): sweep
+          // the batch, arm the minimum — the first merged session
+          val merged = StreamingIngest.mergeSessionAggs(batch, gapSec, roundSec)
+          publish(merged)
+          getHandle.registerTimer(deadlineMs(merged.head._2))
+        case Some((fs, fl, fn, ft)) if batch.forall(_._1 >= fs) =>
+          // append shape — the overwhelmingly common arrival: no event
+          // can reach below the frontier's start, so parked sessions are
+          // untouchable and the sweep is frontier + batch only, O(1)
+          // state reads, no map scan. The armed timer is the oldest
+          // PARKED deadline (untouched here) unless nothing is parked,
+          // in which case it tracks the possibly-moved minimum.
+          val parkedBefore = parked.exists()
+          val merged = StreamingIngest.mergeSessionAggs(
+            toAgg(fs, fl, fn, ft) +: batch, gapSec, roundSec)
+          publish(merged)
+          if (!parkedBefore) {
+            val newMin = deadlineMs(merged.head._2)
+            if (newMin != deadlineMs(fl)) {
+              getHandle.deleteTimer(deadlineMs(fl))
+              getHandle.registerTimer(newMin)
+            }
+          }
+        case Some((fs, fl, fn, ft)) =>
+          // out-of-order below the frontier (rare): full sweep over
+          // parked ++ frontier ++ batch with a diff of the parked keys
+          val entries = parked.iterator().toList
+          val items = entries.map { case (s, (l, n, t)) => toAgg(s, l, n, t) } ++
+            (toAgg(fs, fl, fn, ft) +: batch)
+          val merged = StreamingIngest.mergeSessionAggs(items, gapSec, roundSec)
+          val oldMin = entries.iterator.map(e => deadlineMs(e._2._1)).minOption
+            .getOrElse(deadlineMs(fl))
+          val newStarts = merged.iterator.map(_._1).toSet
+          entries.iterator.map(_._1).filterNot(newStarts)
+            .foreach(parked.removeKey)
+          publish(merged)
+          val newMin = deadlineMs(merged.head._2)
+          if (newMin != oldMin) {
+            getHandle.deleteTimer(oldMin)
+            getHandle.registerTimer(newMin)
+          }
+      }
       Iterator.empty
     }
     override def handleExpiredTimer(user: Long, timerValues: TimerValues,
                                     expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long, Long)] = {
-      val ts = expiredTimerInfo.getExpiryTimeInMs()
-      val entries = bounds.iterator().toList
-      val due = entries.filter(e => deadlineMs(e._2._1) == ts)
-      if (due.isEmpty) {
-        // a deadline no live session owns is stale — defensive: the
-        // arrival re-arm deletes replaced deadlines, so this only guards
-        // engine-level surprises (e.g. a timer surviving recovery).
-        // Re-arm every live deadline (registerTimer is idempotent) so
-        // the open sessions still close and their state drains — in
-        // event-time mode no TTL could otherwise reclaim it.
-        entries.iterator.map(e => deadlineMs(e._2._1)).toSet
-          .foreach(getHandle.registerTimer)
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val entries = parked.iterator().toList
+      val dueP = entries.filter(e => deadlineMs(e._2._1) <= wm)
+      val restP = entries.length - dueP.length
+      val fr = if (frontier.exists()) Some(frontier.get()) else None
+      // the frontier may close only after every parked predecessor has
+      // (deadlines are monotone in session order)
+      val frDue = restP == 0 &&
+        fr.exists { case (_, fl, _, _) => deadlineMs(fl) <= wm }
+      if (dueP.isEmpty && !frDue) {
+        // nothing expired under this watermark — defensive (the armed
+        // timer is always the minimum open deadline, which the expiring
+        // watermark passed); re-arm the true minimum so the open
+        // sessions still close and their state drains even after an
+        // engine-level surprise (e.g. a timer surviving recovery) — in
+        // event-time mode no TTL could otherwise reclaim it
+        (entries.iterator.map(e => deadlineMs(e._2._1)) ++
+          fr.iterator.map { case (_, fl, _, _) => deadlineMs(fl) })
+          .minOption.foreach(getHandle.registerTimer)
         Iterator.empty
       } else {
-        // the timer path emits entirely from the Map bookkeeping — the
-        // buffered event list is pruned by bounds, never rescanned.
-        // Sessions are time-disjoint, so a session's events are exactly
-        // the open entries inside [start, last].
-        val remaining = (if (open.exists()) open.get() else Iterator.empty)
-          .filterNot(ev => due.exists(d => ev._1 >= d._1 && ev._1 <= d._2._1))
-          .toArray
-        if (remaining.isEmpty) open.clear() else open.put(remaining)
-        val dueStarts = due.iterator.map(_._1).toSet
-        val dueTypeKeys = typeCounts.keys().toList.filter(k => dueStarts(k._1))
-        due.foreach(d => bounds.removeKey(d._1))
-        dueTypeKeys.foreach(typeCounts.removeKey)
-        due.sortBy(_._1).iterator.map { case (s, (l, n)) =>
-          (user, s, l, n, dueTypeKeys.count(_._1 == s).toLong) }
+        // emit straight off the aggregates — O(due) writes; each parked
+        // entry is scanned O(1) times across its lifetime. The engine
+        // already deleted the fired timer; arm the next minimum if any
+        // session remains.
+        dueP.foreach(d => parked.removeKey(d._1))
+        if (frDue) frontier.clear()
+        val nextMin =
+          if (restP > 0)
+            entries.iterator.map(e => deadlineMs(e._2._1)).filter(_ > wm).minOption
+          else if (!frDue) fr.map { case (_, fl, _, _) => deadlineMs(fl) }
+          else None
+        nextMin.foreach(getHandle.registerTimer)
+        val dueRows = dueP.map { case (s, (l, n, t)) => (s, l, n, t) } ++
+          (if (frDue) fr.toList else Nil)
+        dueRows.sortBy(_._1).iterator.map { case (s, l, n, t) =>
+          (user, s, l, n, t.split(Sep, -1).length.toLong) }
       }
     }
   }
 
-  /** The processing-time half of the T10 state surface: a ValueState with
-    * a real TTL (Spark 4.1 allows TTL only in `TimeMode.ProcessingTime`)
-    * holding a per-key running count. Emits `(key, countSinceExpiry)` per
-    * batch — after the TTL elapses with no re-write, the state reads as
-    * absent and the count restarts, which is what the TTL spec asserts
-    * across two runs of one checkpoint separated by a sleep. Spec-only:
-    * wall-clock-dependent by nature, so it never carries a hash oracle. */
+  /** The processing-time half of the T10 state surface: a ValueState
+    * running count AND a ListState per-batch history, both under a real
+    * TTL (Spark 4.1 allows TTL only in `TimeMode.ProcessingTime`, so
+    * this processor is where the Value+List TTL API lives — the
+    * event-time [[IdleSessionProcessor]] may not configure it). Emits
+    * `(key, countSinceExpiry, historyLen)` per batch — after the TTL
+    * elapses with no re-write, the value reads as absent and the count
+    * restarts, and the history's expired entries stop counting (ListState
+    * TTL expires each appended entry on its own clock), which is what
+    * the TTL spec asserts across two runs of one checkpoint separated by
+    * a sleep. Spec-only: wall-clock-dependent by nature, so it never
+    * carries a hash oracle. */
   private[graft] class TtlCacheProcessor(ttl: java.time.Duration)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
-        Long, (Long, Long), (Long, Long)] {
-    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+        Long, (Long, Long), (Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
     @transient private var count: ValueState[Long] = _
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    @transient private var hist: ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       count = getHandle.getValueState[Long]("count",
         org.apache.spark.sql.Encoders.scalaLong, TTLConfig(ttl))
+      hist = getHandle.getListState[Long]("hist",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig(ttl))
+    }
     override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
-                                 timerValues: TimerValues): Iterator[(Long, Long)] = {
-      val n = (if (count.exists()) count.get() else 0L) + rows.size
+                                 timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      val batchN = rows.size.toLong
+      val n = (if (count.exists()) count.get() else 0L) + batchN
       count.update(n)
-      Iterator.single((key, n))
+      hist.appendValue(batchN)
+      Iterator.single((key, n, hist.get().size.toLong))
     }
   }
 

@@ -294,11 +294,10 @@ class PropertySpec extends SparkSpec {
           c2.head._1 / round != c1.last._1 / round)
         case _ => ()
       }
-      // THE streaming theorem the processor rests on: for any
-      // time-ordered split (a file/batch boundary), sessionizing the
-      // earlier part, carrying only its OPEN chunk forward, and
-      // sessionizing again with the later part reproduces the one-shot
-      // batch chunks exactly
+      // the incremental==batch theorem for time-ordered splits (a
+      // file/batch boundary): sessionizing the earlier part, carrying
+      // only its OPEN chunk forward, and sessionizing again with the
+      // later part reproduces the one-shot batch chunks exactly
       Seq(1, sorted.size / 3, sorted.size / 2, sorted.size - 1, sorted.size)
         .foreach { cut =>
           val (earlier, later) = sorted.splitAt(cut)
@@ -307,6 +306,44 @@ class PropertySpec extends SparkSpec {
           assert(first.dropRight(1) ++ second == chunks,
             s"incremental processing diverged at cut $cut (seed round $i)")
         }
+    }
+  }
+
+  test("t17 mergeSessionAggs: the aggregate sweep equals sessionChunks aggregates for EVERY split, ordered or not") {
+    import graft.streaming.StreamingIngest.{mergeSessionAggs, sessionChunks}
+    // THE theorem IdleSessionProcessor rests on: a session is a
+    // mergeable aggregate. Sweeping prior OPEN-SESSION aggregates
+    // together with new single-event items reproduces the from-scratch
+    // sessionization — for ARBITRARY partitions of the event set, not
+    // just time-ordered prefixes, which is exactly the out-of-order
+    // arrival reality the processor faces (a batch may land events
+    // inside, between, before, or bridging existing open sessions).
+    def aggs(chunks: Seq[Seq[(Long, String)]]): Seq[(Long, Long, Long, Set[String])] =
+      chunks.filter(_.nonEmpty)
+        .map(c => (c.head._1, c.last._1, c.size.toLong, c.iterator.map(_._2).toSet))
+    def singles(ev: Seq[(Long, String)]): Seq[(Long, Long, Long, Set[String])] =
+      ev.map(e => (e._1, e._1, 1L, Set(e._2)))
+    val gap = 100L
+    val round = 500L
+    val evGen = Gen.listOfN(120,
+      Gen.zip(Gen.choose(0L, 3000L), Gen.oneOf("a", "b", "c")))
+    (1 to 25).foreach { i =>
+      val all = evGen.pureApply(Gen.Parameters.default,
+        org.scalacheck.rng.Seed(6400L + i))
+      val expected = aggs(sessionChunks(all, gap, round))
+      // one-shot: the sweep over singles IS the sessionizer's aggregate
+      assert(mergeSessionAggs(singles(all), gap, round) == expected,
+        s"one-shot sweep diverged (seed round $i)")
+      // arbitrary unordered splits: earlier part pre-aggregated (the
+      // processor's open state), later part fed as raw events
+      Seq(0.25, 0.5, 0.75).zipWithIndex.foreach { case (frac, j) =>
+        val rnd = new scala.util.Random(7100L + i * 10 + j)
+        val (a, b) = all.partition(_ => rnd.nextDouble() < frac)
+        val swept = mergeSessionAggs(
+          aggs(sessionChunks(a, gap, round)) ++ singles(b), gap, round)
+        assert(swept == expected,
+          s"aggregate sweep diverged (seed round $i, split $j)")
+      }
     }
   }
 }

@@ -590,10 +590,11 @@ class StreamingSpec extends SparkSpec {
     withT17Stream("t17_tws_sink") { (feed, rowsF) =>
       def rows = rowsF()
       // batch 1 — user 5: THREE sessions land in one batch; NONE closes
-      // on arrival (the reference's idle scan is the sole closer) — all
-      // three arm timers: [100] deadline max(3600, 1900)=3600, [2000]
-      // deadline max(3600, 3800)=3800, [4300] deadline max(7200,
-      // 6100)=7200. User 7: one open two-category session (deadline
+      // on arrival (the reference's idle scan is the sole closer) —
+      // deadlines [100]→max(3600, 1900)=3600, [2000]→max(3600,
+      // 3800)=3800, [4300]→max(7200, 6100)=7200, the key's single
+      // timer arming at the 3600 minimum. User 7: one open
+      // two-category session (deadline
       // max(3600, 3800)=3800); user 9: one open single-event session
       // (deadline max(3600, 2800)=3600 — the round-window floor binds).
       // The post-batch watermark is 4300-600=3700, so the no-data
@@ -794,7 +795,7 @@ class StreamingSpec extends SparkSpec {
     // Trigger.Once bounds the run. The memory sink is per-run, so each
     // run's emissions read in isolation.
     def scenario(ttl: java.time.Duration, tag: String,
-                 sleepMs: Long): Set[(Long, Long, Long)] = {
+                 sleepMs: Long): Set[(Long, Long, Long, Long)] = {
       val srcDir = graft.Tables.scratchDir(s"graft_ttl_${tag}_src").toString
       val ck = graft.Tables.scratchDir(s"graft_ttl_${tag}_ck").toString
       val outDir = graft.Tables.scratchDir(s"graft_ttl_${tag}_out").toString + "/out"
@@ -804,7 +805,7 @@ class StreamingSpec extends SparkSpec {
           .transformWithState(new StreamingIngest.TtlCacheProcessor(ttl),
             org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
             org.apache.spark.sql.streaming.OutputMode.Append())
-          .toDF("user_id", "n")
+          .toDF("user_id", "n", "hist_len")
         @annotation.nowarn("cat=deprecation") // Once is the only bounded
         // trigger under ProcessingTime time-mode (see scenario comment);
         // foreachBatch→parquet because the memory sink refuses
@@ -826,16 +827,18 @@ class StreamingSpec extends SparkSpec {
       Seq((1L, 0L)).toDF("user_id", "v")
         .repartition(1).write.mode("append").parquet(srcDir)
       run()
-      spark.read.parquet(outDir).as[(Long, Long, Long)].collect().toSet
+      spark.read.parquet(outDir).as[(Long, Long, Long, Long)].collect().toSet
     }
     try {
-      // 1-s TTL + 2.5-s idle: run 2 reads EXPIRED state and the count
-      // restarts — (1,2) then (1,1), never (1,3)
+      // 1-s TTL + 2.5-s idle: run 2 reads EXPIRED state — the count
+      // restarts AND the run-1 history entry stops counting (ListState
+      // TTL expires per appended entry), so both runs see history len 1
       assert(scenario(java.time.Duration.ofSeconds(1), "short", 2500L) ==
-        Set((1L, 2L, 0L), (1L, 1L, 1L)))
-      // 1-h TTL control on the same shape: state survives, count continues
+        Set((1L, 2L, 1L, 0L), (1L, 1L, 1L, 1L)))
+      // 1-h TTL control on the same shape: value continues (2→3) and the
+      // history keeps both batches' entries
       assert(scenario(java.time.Duration.ofHours(1), "long", 0L) ==
-        Set((1L, 2L, 0L), (1L, 3L, 1L)))
+        Set((1L, 2L, 1L, 0L), (1L, 3L, 2L, 1L)))
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
