@@ -26,33 +26,36 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     Tables.ensureParquetConf(spark)
     Tables.registerScratchReaper()
+    val subset = sys.env.get("SPARK_GRAFT_ONLY").exists(_.trim.nonEmpty)
     // Force-cold index cache for the artifact of record: a full bench run
     // evicts any pre-existing durable index cache BEFORE anything touches
     // it, so `index_cache: "cold"` holds for the driver-run artifact and
     // the committed one alike, and every `index_build` second below is a
     // genuine from-scratch build. Relocate-then-delete: the atomic rename
     // guarantees no later lookup can read a half-deleted entry even if
-    // the recursive delete is interrupted. Opt out for local warm-cache
-    // profiling with SPARK_GRAFT_WARM_INDEX_CACHE=1 (the artifact then
-    // honestly stamps "warm"); SPARK_GRAFT_ONLY subsets never evict —
-    // profiling one query should not destroy the shared cache.
+    // the recursive delete is interrupted. The root is resolved through
+    // the SAME Hadoop FileSystem DfCache serves entries from — a
+    // non-local GRAFT_INDEX_CACHE (hdfs://, s3a://) previously made the
+    // java.io.File eviction a silent no-op while the stamp said "cold".
+    // Opt out for local warm-cache profiling with
+    // SPARK_GRAFT_WARM_INDEX_CACHE=1 (the artifact then honestly stamps
+    // "warm"); SPARK_GRAFT_ONLY subsets never evict — profiling one
+    // query should not destroy the shared cache.
+    val cacheRoot = new org.apache.hadoop.fs.Path(graft.operators.DfCache.indexCacheRoot)
+    val cacheFs = cacheRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     locally {
-      val root = new java.io.File(graft.operators.DfCache.indexCacheRoot)
-      val subset = sys.env.get("SPARK_GRAFT_ONLY").exists(_.trim.nonEmpty)
       val keepWarm = sys.env.get("SPARK_GRAFT_WARM_INDEX_CACHE").exists(_.trim.nonEmpty)
-      if (!subset && !keepWarm && Option(root.listFiles()).exists(_.nonEmpty)) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
-        }
-        val stale = new java.io.File(root.getParentFile,
-          root.getName + "_stale_" + ProcessHandle.current().pid())
-        if (root.renameTo(stale)) rm(stale)
-        else Option(root.listFiles()).toSeq.flatten.foreach { entry =>
+      if (!subset && !keepWarm && cacheFs.exists(cacheRoot) &&
+          cacheFs.listStatus(cacheRoot).nonEmpty) {
+        val stale = new org.apache.hadoop.fs.Path(cacheRoot.getParent,
+          cacheRoot.getName + "_stale_" + ProcessHandle.current().pid())
+        if (cacheFs.rename(cacheRoot, stale)) { cacheFs.delete(stale, true); () }
+        else cacheFs.listStatus(cacheRoot).foreach { entry =>
           // non-atomic fallback: unpublish each entry FIRST (DfCache's
           // visibility marker is _SUCCESS), so a kill mid-delete can
           // never leave a published-looking entry with missing files
-          new java.io.File(entry, "_SUCCESS").delete()
-          rm(entry)
+          cacheFs.delete(new org.apache.hadoop.fs.Path(entry.getPath, "_SUCCESS"), false)
+          cacheFs.delete(entry.getPath, true)
         }
       }
     }
@@ -217,13 +220,11 @@ object Bench {
     // existed (only possible under SPARK_GRAFT_WARM_INDEX_CACHE=1
     // profiling; the per-index lines then list only what was missing);
     // "in-band" = SPARK_GRAFT_ONLY profiling, no prebuild at all.
-    val indexCacheRoot = new java.io.File(graft.operators.DfCache.indexCacheRoot)
     val indexCacheState =
-      if (sys.env.get("SPARK_GRAFT_ONLY").exists(_.trim.nonEmpty)) "in-band"
-      else if (Option(indexCacheRoot.listFiles()).exists(_.nonEmpty)) "warm"
+      if (subset) "in-band"
+      else if (cacheFs.exists(cacheRoot) && cacheFs.listStatus(cacheRoot).nonEmpty) "warm"
       else "cold"
-    val indexBuild: Map[String, Double] = if (
-      sys.env.get("SPARK_GRAFT_ONLY").exists(_.trim.nonEmpty)) Map.empty else {
+    val indexBuild: Map[String, Double] = if (subset) Map.empty else {
       import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
       // builders without a DfCache ledger entry report their own wall time
       val manual = scala.collection.mutable.Map.empty[String, Double]
@@ -332,11 +333,18 @@ object Bench {
     val ib = indexBuild.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val ibTotal = r3(indexBuild.values.sum)
+    // Provenance stamp: the git SHA (+ dirty flag) of the tree this
+    // binary was built from, so a committed record is mechanically
+    // checkable against the code it measured — a record taken on a
+    // dirty tree can never masquerade as HEAD's.
+    val (gitSha, gitDirty) = gitStamp()
+    val prov = s""""git":"$gitSha","git_dirty":$gitDirty,"subset":$subset"""
     val fullJson =
-      s"""{"bench_total_sec":${r3(total)},"single_shot_total_sec":${r3(totalFirst)},"unit":"sec","reps":$reps,"protocol":"$protocol","queries":$allQs,"queries_min":$allMins,"index_build":$ib,"index_build_total_sec":$ibTotal,"index_cache":"$indexCacheState","failed":$failed,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      s"""{"bench_total_sec":${r3(total)},"single_shot_total_sec":${r3(totalFirst)},"unit":"sec","reps":$reps,"protocol":"$protocol",$prov,"queries":$allQs,"queries_min":$allMins,"index_build":$ib,"index_build_total_sec":$ibTotal,"index_cache":"$indexCacheState","failed":$failed,"sf":"$sfDir"}"""
+    val artifact = artifactFileName(subset)
+    try java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       (fullJson + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e") }
+    catch { case e: Throwable => System.err.println(s"[bench] $artifact write failed: $e") }
     // The ONE stdout JSON line stays under ~1,600 chars so a 2,000-char
     // tail always holds it whole: the 45 costliest queries (3 dp,
     // alphabetical for round-over-round diffing) plus an explicit
@@ -347,7 +355,32 @@ object Bench {
     val qs = top.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val om = s"""{"n":${omitted.size},"sec":${r3(omitted.map(_._2).sum)}}"""
-    println(s"""{"metric":"total","value":${r3(total)},"single_shot_total_sec":${r3(totalFirst)},"unit":"sec","reps":$reps,"protocol":"$protocol","queries":$qs,"omitted":$om,"index_build":$ib,"index_build_total_sec":$ibTotal,"index_cache":"$indexCacheState","failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"single_shot_total_sec":${r3(totalFirst)},"unit":"sec","reps":$reps,"protocol":"$protocol",$prov,"queries":$qs,"omitted":$om,"index_build":$ib,"index_build_total_sec":$ibTotal,"index_cache":"$indexCacheState","failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Which file a run's full-precision JSON lands in. A SPARK_GRAFT_ONLY
+    * subset run writes `BENCH_SUBSET.json`, NEVER the full-run artifact
+    * of record — round 11's end-of-round snapshot clobbered a certified
+    * 175-query `BENCH_LOCAL.json` with a one-query profiling run, and
+    * this split makes that slip structurally impossible. Pure so the
+    * spec can pin both branches. */
+  private[graft] def artifactFileName(subset: Boolean): String =
+    if (subset) "BENCH_SUBSET.json" else "BENCH_LOCAL.json"
+
+  /** `(sha, dirty)` of the working tree the benched classes were built
+    * from — `("unknown", false)` outside a git checkout (e.g. a deployed
+    * jar), never a throw: provenance must not fail the bench. */
+  private[graft] def gitStamp(): (String, Boolean) = {
+    def run(cmd: String*): Option[String] =
+      try {
+        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+        if (p.waitFor() == 0) Some(out) else None
+      } catch { case _: Throwable => None }
+    val sha = run("git", "rev-parse", "HEAD").getOrElse("unknown")
+    val dirty = sha != "unknown" &&
+      run("git", "status", "--porcelain").exists(_.nonEmpty)
+    (sha, dirty)
   }
 }

@@ -230,11 +230,15 @@ object Similarity {
     * score every training vector per partition with the SAME JVM
     * arithmetic as the driver trainer ([[assignCellLocal]] with hoisted
     * IEEE-deterministic norms, [[roundMicrosLocal]] fixed-point
-    * accumulation), combine map-side into K×(dim+1) partial longs per
-    * partition, and reduce with an exact order-independent long-sum
-    * `groupBy(cell, d)` — so the collected per-round aggregate is
-    * bounded metadata (K×65 longs) and the new centroids, computed with
-    * the same `floorDiv / 1e6` rule, are BIT-IDENTICAL to the driver
+    * accumulation), combine map-side into one packed `[n, sums…]` long
+    * array per TOUCHED cell per partition, and reduce with an exact
+    * order-independent element-wise long-sum `reduceByKey(cell)` — one
+    * packed row per cell, streamed to the driver partition-at-a-time
+    * (`toLocalIterator`), so per-round driver memory is the K×65-long
+    * aggregate itself (the same order as the centroid matrix the driver
+    * must hold anyway) with no boxed-Row transient, honest at the
+    * 2^20-cell policy ceiling. The new centroids, computed with the
+    * same `floorDiv / 1e6` rule, are BIT-IDENTICAL to the driver
     * trainer on the same sample (differential-spec-pinned). Seeding is
     * the driver rule verbatim: the K lowest vec_ids, fetched with a
     * bounded `orderBy(vec_id).limit(K)`. No round-over-round lineage:
@@ -279,26 +283,34 @@ object Similarity {
           i = 0
           while (i < dim) { slot(i + 1) += roundMicrosLocal(v(i)); i += 1 }
         }
-        acc.iterator.flatMap { case (c, slot) =>
-          Iterator.single((c.toInt, -1, slot(0))) ++
-            (0 until dim).iterator.map(i => (c.toInt, i, slot(i + 1)))
-        }
-      }.toDF("cell", "d", "v")
-      // K×(dim+1) longs of bounded metadata, landed in a primitive-keyed
-      // LongMap (no boxed-tuple keys — at 2^20 cells the boxed form is
-      // multiple GB of driver heap for the same information)
-      val agg = scala.collection.mutable.LongMap.empty[Long]
-      partial.groupBy(col("cell"), col("d"))
-        .agg(sum(col("v")).as("s"))
-        .collect().foreach(r => agg(r.getInt(0).toLong * (dim + 2) +
-          (r.getInt(1) + 1)) = r.getLong(2))
+        acc.iterator.map { case (c, slot) => (c.toInt, slot) }
+      }
+      // ONE packed row per touched cell — `cell → [n, sum_0 … sum_63]` —
+      // reduced with an element-wise exact long-sum (commutative +
+      // associative, so order-independent like the previous per-scalar
+      // groupBy), then streamed to the driver partition-at-a-time with
+      // toLocalIterator. Per-round driver transport is therefore K packed
+      // primitive arrays (~520 B each, one partition in flight), not the
+      // K×65 boxed three-field Rows a collect() materialized at once —
+      // at the 2^20-cell policy ceiling that is ~550 MB of steady LongMap
+      // (the same order as the K×64 centroid matrix the driver must hold
+      // anyway) instead of multi-GB of transient Row debris.
+      val reduced = partial.rdd.reduceByKey { (a, b) =>
+        val out = Array.ofDim[Long](dim + 1)
+        var i = 0
+        while (i < dim + 1) { out(i) = a(i) + b(i); i += 1 }
+        out
+      }
+      val agg = scala.collection.mutable.LongMap.empty[Array[Long]]
+      reduced.toLocalIterator.foreach { case (c, slot) => agg(c.toLong) = slot }
       bc.destroy()
       cents = cents.indices.map { c =>
-        val nc = agg.getOrElse(c.toLong * (dim + 2), 0L)
-        if (nc == 0L) cents(c) // empty cells keep their previous centroid
-        else (0 until dim).map(i =>
-          math.floorDiv(agg.getOrElse(c.toLong * (dim + 2) + i + 1, 0L), nc)
-            .toDouble / 1e6)
+        agg.get(c.toLong) match {
+          case None | Some(Array(0L, _*)) => cents(c) // empty cell keeps its centroid
+          case Some(slot) =>
+            (0 until dim).map(i =>
+              math.floorDiv(slot(i + 1), slot(0)).toDouble / 1e6)
+        }
       }
     }
     cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")

@@ -665,7 +665,9 @@ object StreamingIngest {
     *    3.5× — per-key state O(events) loses to O(sessions) at every
     *    scale. The category set rides in state as a `U+0001`-joined
     *    sorted string — category names are external header values that
-    *    never contain control chars.);
+    *    never contain control chars, and an arrival carrying the
+    *    separator is REFUSED loudly rather than silently corrupting
+    *    `n_types`.);
     *  - `ValueState[frontier]` — the LATEST open session, the only one
     *    an in-order stream can ever touch: an arrival whose events all
     *    sit at or above `frontier.start` cannot reach any earlier
@@ -740,6 +742,11 @@ object StreamingIngest {
   private[graft] class IdleSessionProcessor(gapSec: Long, roundSec: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Long, String), (Long, Long, Long, Long, Long)] {
+    // a non-positive round window would surface as an ArithmeticException
+    // (or nonsense negative-window sessions) deep inside the deadline
+    // arithmetic — refuse at construction, where the config typo is visible
+    require(roundSec > 0, s"roundSec must be positive, got $roundSec")
+    require(gapSec >= 0, s"gapSec must be non-negative, got $gapSec")
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState,
       OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
     @transient private var frontier: ValueState[(Long, Long, Long, String)] = _
@@ -774,7 +781,14 @@ object StreamingIngest {
     }
     override def handleInputRows(user: Long, rows: Iterator[(Long, Long, String)],
                                  timerValues: TimerValues): Iterator[(Long, Long, Long, Long, Long)] = {
-      val batch = rows.map(r => (r._2, r._2, 1L, Set(r._3))).toList
+      val batch = rows.map { r =>
+        // the state encoding joins the category set on U+0001 — a category
+        // carrying the separator would silently corrupt n_types, so refuse
+        // it loudly (the quoteValue discipline), not document-and-hope
+        require(!r._3.contains(Sep),
+          s"category contains the U+0001 state separator: ${r._3.take(64)}")
+        (r._2, r._2, 1L, Set(r._3))
+      }.toList
       val fr = if (frontier.exists()) Some(frontier.get()) else None
       fr match {
         case None =>
@@ -933,29 +947,45 @@ object StreamingIngest {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     graft.Tables.ensureParquetConf(spark)
+    // GRAFT_T17_PROFILE=1: per-phase wall times + per-micro-batch engine
+    // durations to stderr — profiling hooks only, zero work when unset
+    val profile = sys.env.get("GRAFT_T17_PROFILE").exists(_.trim.nonEmpty)
+    var tMark = System.nanoTime()
+    def lap(tag: String): Unit = if (profile) {
+      val now = System.nanoTime()
+      System.err.println(f"[t17] $tag%-10s ${(now - tMark) / 1e9}%.3f s")
+      tMark = now
+    }
     val qn = "graft_t17_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    // one projection serves the bounds scan AND the three tercile
-    // landings (four jobs otherwise re-read the fixture parquet)
     val ev = graft.Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"),
         coalesce(col("event_type"), lit("no_category")).as("cat"),
         Times.epochSeconds(col("ts")).as("es"))
-      .persist()
     val root = graft.Tables.scratchDir("graft_t17")
     val srcDir = root.resolve("src")
     java.nio.file.Files.createDirectories(srcDir)
-    try {
+    locally {
       val bounds = ev.agg(min(col("es")), max(col("es"))).head()
       val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
       val (cut1, cut2) = (mn + (mx - mn) / 3, mn + 2 * ((mx - mn) / 3))
-      val cols = Seq(col("user_id"), col("ts"), col("cat"))
-      landArrivalFile(ev.where(col("es") <= cut1).select(cols: _*),
-        root, srcDir, "a_first.parquet", 1000000000000L)
-      landArrivalFile(ev.where(col("es") > cut1 && col("es") <= cut2).select(cols: _*),
-        root, srcDir, "b_second.parquet", 1000000060000L)
-      landArrivalFile(ev.where(col("es") > cut2).select(cols: _*),
-        root, srcDir, "c_third.parquet", 1000000120000L)
-    } finally { ev.unpersist(); () }
+      // ONE dynamic-partition write lands all three tercile files (the
+      // previous three filtered coalesce(1) writes paid three job
+      // round-trips over the same 2 MB scan — profiled at ~0.6 s of pure
+      // scheduling); the single task writes the three arrival dirs in
+      // order and the files are moved into place with ordered mtimes
+      val tmp = root.resolve("land_tmp")
+      ev.select(col("user_id"), col("ts"), col("cat"),
+          when(col("es") <= cut1, "a_first").when(col("es") <= cut2, "b_second")
+            .otherwise("c_third").as("arrival"))
+        .coalesce(1).write.mode("overwrite")
+        .partitionBy("arrival").parquet(tmp.toString)
+      Seq("a_first" -> 1000000000000L, "b_second" -> 1000000060000L,
+          "c_third" -> 1000000120000L).foreach { case (tag, mtimeMs) =>
+        moveLandedPart(tmp.resolve(s"arrival=$tag"),
+          srcDir.resolve(s"$tag.parquet"), mtimeMs)
+      }
+    }
+    lap("land")
     val schema = spark.read.parquet(srcDir.toString).schema
     val sessions = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
@@ -970,7 +1000,13 @@ object StreamingIngest {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try withStatePartitions(spark, 2) {
+    // 8 state partitions, not t10's 2: this operator writes ~one state row
+    // per EVENT (nearly every event is its own window-split session at the
+    // fixture's spacing), so per-key RocksDB work dominates addBatch and
+    // parallelism wins until the per-store instance floor bites (profiled
+    // at sf0.1: 2→8 partitions cuts the stream phase ~25%; 16 regresses —
+    // the same partitions-sized-to-state-volume knob a cluster run turns)
+    try withStatePartitions(spark, 8) {
       withScratchCheckpoint { ck =>
         val q = sessions.writeStream
           .format("memory").queryName(qn)
@@ -979,12 +1015,22 @@ object StreamingIngest {
           .trigger(Trigger.AvailableNow())
           .start()
         try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+        if (profile) q.recentProgress.foreach { p =>
+          System.err.println(s"[t17] batch ${p.batchId}: ${p.durationMs} " +
+            s"rows=${p.numInputRows} " +
+            p.stateOperators.map(s => s"state(rowsUpd=${s.numRowsUpdated}," +
+              s"rowsRemoved=${s.numRowsRemoved},commitMs=${s.commitTimeMs})")
+              .mkString(" "))
+        }
       }
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
-    drainMemorySink(spark, qn)(_.orderBy(col("user_id"), col("session_start")))
+    lap("stream")
+    val out = drainMemorySink(spark, qn)(_.orderBy(col("user_id"), col("session_start")))
+    lap("drain")
+    out
   }
 
   /** T2 — sessionization: the idle-close semantics (a writer closes after
@@ -1334,18 +1380,25 @@ object StreamingIngest {
   private def landArrivalFile(df: DataFrame, root: java.nio.file.Path,
                               srcDir: java.nio.file.Path, name: String,
                               mtimeMs: Long): Unit = {
-    import java.nio.file.{Files, StandardCopyOption}
     val tmp = root.resolve(name + "_tmp")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    moveLandedPart(tmp, srcDir.resolve(name), mtimeMs)
+  }
+
+  /** Move the single part file out of a written dir to `dest` and stamp
+    * its mtime — the arrival-order contract the file stream source reads. */
+  private def moveLandedPart(writtenDir: java.nio.file.Path,
+                             dest: java.nio.file.Path, mtimeMs: Long): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
     // Files.list holds a directory handle until closed — leak one per
     // landed arrival file otherwise
-    val listing = Files.list(tmp)
+    val listing = Files.list(writtenDir)
     val part =
       try listing.filter(p =>
         p.getFileName.toString.endsWith(".parquet")).findFirst().get()
       finally listing.close()
-    Files.move(part, srcDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
-    Files.setLastModifiedTime(srcDir.resolve(name),
+    Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(dest,
       java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
   }
 

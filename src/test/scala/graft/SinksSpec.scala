@@ -190,4 +190,17 @@ class SinksSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
     }
   }
+
+  test("bench artifacts: a subset run can never clobber the full-run record; provenance stamps resolve") {
+    // the r11 slip: a SPARK_GRAFT_ONLY profiling run overwrote the
+    // certified 175-query BENCH_LOCAL.json — the artifact router makes
+    // that structurally impossible
+    assert(Bench.artifactFileName(subset = true) == "BENCH_SUBSET.json")
+    assert(Bench.artifactFileName(subset = false) == "BENCH_LOCAL.json")
+    // the git stamp must resolve inside this checkout (40-hex sha) and
+    // never throw; a record is thereby pinned to the code it measured
+    val (sha, _) = Bench.gitStamp()
+    assert(sha == "unknown" || sha.matches("[0-9a-f]{40}"),
+      s"git stamp must be a full sha or an honest unknown, got $sha")
+  }
 }

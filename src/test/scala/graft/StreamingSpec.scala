@@ -672,6 +672,76 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("T17 soak: a never-idle key's state stays within the two-window bound across many rounds") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // The Scaladoc's boundedness argument (StreamingIngest.scala: open
+    // sessions span at most ~two round windows per key, even for a key
+    // that NEVER goes idle), pinned as an invariant: heartbeats at 600-s
+    // spacing (far under the 1800-s gap) stream across ten 3600-s round
+    // windows in six sequential AvailableNow runs over one checkpoint,
+    // and after EVERY run the checkpoint's own state (read back through
+    // the statestore data source — the same bytes RocksDB committed, not
+    // a processor-side counter) must hold exactly the replica's open
+    // sessions: those whose `max(windowEnd, last+gap)` deadline the final
+    // watermark has not strictly passed. With watermark delay 600 s a
+    // window's session fires once the stream is ~2400 s past its end, so
+    // the open set can never exceed two windows (parked ≤ 2 with the
+    // frontier, regardless of how many windows have streamed by).
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val srcDir = graft.Tables.scratchDir("graft_t17soak_src").toString
+    val ck = graft.Tables.scratchDir("graft_t17soak_ck").toString
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts", TimestampType), StructField("cat", StringType)))
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    def run(): Unit = {
+      val sessions = spark.readStream.schema(schema).parquet(srcDir)
+        .withWatermark("ts", "10 minutes")
+        .select(col("user_id"),
+          graft.functions.Times.epochSeconds(col("ts")).as("es"), col("cat"))
+        .as[(Long, Long, String)].groupByKey(_._1)
+        .transformWithState(new StreamingIngest.IdleSessionProcessor(1800L, 3600L),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF("user_id", "session_start", "session_end", "n_events", "n_types")
+      val q = sessions.writeStream.format("noop")
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally { if (q.isActive) q.stop() }
+    }
+    def stateCount(name: String): Long =
+      spark.read.format("statestore").option("path", ck)
+        .option("stateVarName", name).load().count()
+    val all = (0L to 36000L by 600L).map(es => (7L, es, "a"))
+    try {
+      all.grouped(11).zipWithIndex.foreach { case (chunk, i) =>
+        chunk.map { case (u, es, c) => (u, t(es), c) }
+          .toDF("user_id", "ts", "cat")
+          .repartition(1).write.mode("append").parquet(srcDir)
+        run()
+        // replica of the flush rule over everything fed so far: open =
+        // sessions whose deadline the final watermark has NOT passed
+        val fed = all.take((i + 1) * 11)
+        val maxMs = fed.map(_._2).max * 1000L
+        val open = fed.groupBy(e => e._2 / 3600).values.map(_.map(_._2))
+          .count(w => math.max((w.max / 3600 + 1) * 3600, w.max + 1800) * 1000 >=
+            maxMs - 600000L)
+        val parked = stateCount("parked")
+        val frontier = stateCount("frontier")
+        assert(parked + frontier == open.toLong,
+          s"run $i: checkpoint holds ${parked}+${frontier} open sessions, replica says $open")
+        assert(parked <= 2 && frontier <= 1,
+          s"run $i: never-idle state outgrew the two-window bound ($parked parked)")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("T17: sessions spanning micro-batches extend instead of closing; deadline re-arms") {
     def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     withT17Stream("t17b_tws_sink") { (feed, rowsF) =>

@@ -5,14 +5,34 @@ gains `approx_floor_ok` (did the measured quality clear its pinned
 bound?) plus the measured metric values, so the one correctness artifact
 carries the whole story — hash-oracled rows AND floor-checked rows.
 
-Usage: python3 tools/merge_floors.py CORRECTNESS_rN.json [APPROX_QUALITY.json] [-o out.json]
-Default quality file: APPROX_QUALITY.json next to this repo's root.
-Default output: stdout.
+Zero-arg mode (the per-round ritual): discovers the HIGHEST-numbered
+CORRECTNESS_r{N}.json in the repo root and writes
+CORRECTNESS_r{N}_merged.json next to it — the merged artifact tracks the
+round number automatically instead of being hand-assembled once.
+
+Usage: python3 tools/merge_floors.py [CORRECTNESS_rN.json] [APPROX_QUALITY.json] [-o out.json]
+Default correctness file: latest CORRECTNESS_r*.json in the repo root.
+Default quality file: APPROX_QUALITY.json in the repo root.
+Default output: <correctness>_merged.json in zero-arg mode, else stdout.
 """
 import argparse
 import json
+import re
 import sys
 from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def latest_correctness() -> Path:
+    rounds = {}
+    for p in REPO.glob("CORRECTNESS_r*.json"):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
+        if m:
+            rounds[int(m.group(1))] = p
+    if not rounds:
+        raise SystemExit("no CORRECTNESS_r{N}.json found in " + str(REPO))
+    return rounds[max(rounds)]
 
 
 def merge(correctness: dict, quality: dict) -> dict:
@@ -34,21 +54,25 @@ def merge(correctness: dict, quality: dict) -> dict:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("correctness")
+    ap.add_argument("correctness", nargs="?", default=None)
     ap.add_argument("quality", nargs="?",
-                    default=str(Path(__file__).resolve().parent.parent
-                                / "APPROX_QUALITY.json"))
+                    default=str(REPO / "APPROX_QUALITY.json"))
     ap.add_argument("-o", "--out", default=None)
     args = ap.parse_args()
-    merged = merge(json.loads(Path(args.correctness).read_text()),
+    auto = args.correctness is None
+    src = latest_correctness() if auto else Path(args.correctness)
+    out = args.out
+    if auto and out is None:
+        out = str(src.with_name(src.stem + "_merged.json"))
+    merged = merge(json.loads(src.read_text()),
                    json.loads(Path(args.quality).read_text()))
     text = json.dumps(merged, indent=2) + "\n"
-    if args.out:
-        Path(args.out).write_text(text)
+    if out:
+        Path(out).write_text(text)
         no_oracle = [n for n, r in merged.items() if r.get("err") == "no_oracle"]
         ok = sum(1 for n in no_oracle if merged[n].get("approx_floor_ok"))
-        print(f"merged {len(no_oracle)} no-oracle rows "
-              f"({ok} floor-ok) -> {args.out}")
+        print(f"merged {src.name}: {len(no_oracle)} no-oracle rows "
+              f"({ok} floor-ok) -> {out}")
     else:
         sys.stdout.write(text)
     return 0
