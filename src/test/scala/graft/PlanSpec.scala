@@ -7,10 +7,12 @@ package graft
   * see. This spec walks every declared query's executed plan and rejects
   * the scale-killer operators outright, with a short allowlist for the
   * places they are provably bounded:
-  *  - `w4_ntile_rank` keeps the global-order Window as the exact oracle
-  *    form; `w4b_ntile_scalable` is the declared scale path.
   *  - `x6c_centroid_matrix` is an all-pairs join *after* aggregation to
   *    ≤ n_clusters rows — quadratic in a constant, not in the data.
+  * (`w4_ntile_rank` used to hold the one data-sized allowlist slot as the
+  * exact-oracle global-window form; it now runs on the shared two-phase
+  * row-number engine and plans clean — the retired form survives only as
+  * `Relational.ntileRankGlobalWindow`, differentially pinned in spec.)
   */
 class PlanSpec extends SparkSpec {
 
@@ -20,7 +22,6 @@ class PlanSpec extends SparkSpec {
   // in the oracle) — ≤ 64k² candidate pairs regardless of corpus size;
   // the production pass (x69) joins on cell and stays off this list.
   private val allowNestedLoop = Set("x6c_centroid_matrix", "x69b_semantic_blocking_recall")
-  // w4: global-order Window kept as the exact oracle form.
   // x32: ungrouped global aggregate — the exchange carries ONE partial-agg
   // row per map partition (bounded metadata), never row data; the row
   // expansion happens before the partial agg, map-side.
@@ -35,7 +36,7 @@ class PlanSpec extends SparkSpec {
   // x69b: ungrouped 3-integer rollup — the exchange carries one partial
   // count row per map partition over the bounded audit pair set.
   private val allowSinglePartition =
-    Set("w4_ntile_rank", "x32_column_profile", "a12_hll_sketch_union",
+    Set("x32_column_profile", "a12_hll_sketch_union",
       "x29_hybrid_rrf", "x64_funnel_steps", "x69b_semantic_blocking_recall")
 
   test("no Cartesian product in any declared query") {

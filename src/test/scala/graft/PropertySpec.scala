@@ -60,6 +60,19 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("w4: the scalable two-phase ntile+dense_rank equals the retired global-window form") {
+    // the declared w4 now runs on the shared row-number engine (no
+    // single-partition Window); the exhibit keeps the built-in
+    // ntile()/dense_rank() semantics as the differential reference —
+    // including drnk ≡ rn, which holds structurally because the sort key
+    // ends in the unique c_custkey tiebreak
+    val scalable = graft.operators.Relational.ntileRank(spark, sf).collect().toSeq
+    val exhibit = graft.operators.Relational.ntileRankGlobalWindow(spark, sf)
+      .collect().toSeq
+    assert(scalable.map(_.toSeq) == exhibit.map(_.toSeq),
+      "two-phase w4 diverged from the global-window reference form")
+  }
+
   test("∀token lists: native ShingleHashes = HOF chain (hostile alphabet, all widths)") {
     val tok = Gen.oneOf(
       Gen.alphaNumStr.map(_.take(6)),
