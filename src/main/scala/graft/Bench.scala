@@ -379,8 +379,19 @@ object Bench {
         if (p.waitFor() == 0) Some(out) else None
       } catch { case _: Throwable => None }
     val sha = run("git", "rev-parse", "HEAD").getOrElse("unknown")
-    val dirty = sha != "unknown" &&
-      run("git", "status", "--porcelain").exists(_.nonEmpty)
+    val dirty = sha != "unknown" && run("git", "status", "--porcelain")
+      .exists(out => dirtyLines(out.linesIterator.toSeq))
     (sha, dirty)
   }
+
+  /** Does a porcelain status listing show REAL dirt — anything that could
+    * have influenced the built classes? The bench's own output artifacts
+    * are excluded: a back-to-back re-run would otherwise read its
+    * predecessor's record as tree dirt and stamp itself dirty forever. */
+  private[graft] def dirtyLines(statusLines: Seq[String]): Boolean =
+    statusLines.exists { l =>
+      val path = l.drop(3).trim
+      l.trim.nonEmpty &&
+        path != "BENCH_LOCAL.json" && path != "BENCH_SUBSET.json"
+    }
 }

@@ -216,6 +216,13 @@ object SparkEntry {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+    // a typo'd name must be LOUD: a silent empty selection benches nothing
+    // and reports a passing 0.0 s total
+    only.foreach(names => names.diff(queries.keySet) match {
+      case miss if miss.nonEmpty => System.err.println(
+        s"[graft] SPARK_GRAFT_ONLY names no declared query: ${miss.toSeq.sorted.mkString(", ")}")
+      case _ =>
+    })
     queries.filter { case (name, _) => only.forall(_.contains(name)) }
   }
 

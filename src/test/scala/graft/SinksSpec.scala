@@ -202,5 +202,12 @@ class SinksSpec extends SparkSpec {
     val (sha, _) = Bench.gitStamp()
     assert(sha == "unknown" || sha.matches("[0-9a-f]{40}"),
       s"git stamp must be a full sha or an honest unknown, got $sha")
+    // the dirty flag tracks dirt that could have influenced the BUILD:
+    // the bench's own record files are excluded (a re-run must not read
+    // its predecessor's output as tree dirt), source modifications count
+    assert(!Bench.dirtyLines(Seq(" M BENCH_LOCAL.json", "?? BENCH_SUBSET.json")))
+    assert(Bench.dirtyLines(Seq(" M BENCH_LOCAL.json", " M src/main/scala/graft/Bench.scala")))
+    assert(Bench.dirtyLines(Seq("?? src/main/scala/graft/New.scala")))
+    assert(!Bench.dirtyLines(Nil))
   }
 }
