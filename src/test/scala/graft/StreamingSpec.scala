@@ -742,6 +742,67 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("T4 soak: stream-stream join state evicts beyond the interval+watermark horizon") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // The Scaladoc's boundedness claim (each side retains only
+    // ~interval+watermark of history, so state is bounded regardless of
+    // stream length — the 100 TB property), pinned by reading the join's
+    // own buffered state back through the statestore source: six
+    // one-hour chunks of a steady two-user click/error stream arrive in
+    // six sequential AvailableNow runs over one checkpoint; by the end
+    // the stream has fed 6 h of events, but the buffered rows must
+    // plateau at the ~40-min horizon (1800 s interval + 600 s watermark),
+    // not grow with the feed.
+    val srcDir = graft.Tables.scratchDir("graft_t4soak_src").toString
+    val ck = graft.Tables.scratchDir("graft_t4soak_ck").toString
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("ts", TimestampType)))
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    def run(): Unit = {
+      val src = spark.readStream.schema(schema).parquet(srcDir)
+      val clicks = src.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+      val errors = src.where(col("event_type") === "error")
+        .select(col("event_id").as("error_id"),
+          col("user_id").as("err_user_id"), col("ts").as("error_ts"))
+        .withWatermark("error_ts", "10 minutes")
+      val joined = clicks.join(errors,
+        col("user_id") === col("err_user_id") &&
+          col("error_ts") >= col("click_ts") &&
+          col("error_ts") <= col("click_ts") + expr("INTERVAL 1800 seconds"))
+      val q = joined.writeStream.format("noop")
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally { if (q.isActive) q.stop() }
+    }
+    def buffered: Long = Seq("left", "right").map(side =>
+      spark.read.format("statestore").option("path", ck)
+        .option("joinSide", side).load().count()).sum
+    val counts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    (0 until 6).foreach { k =>
+      // one event per 10 s per user, clicks/errors alternating per slot
+      val evs = ((k * 3600L) until ((k + 1) * 3600L) by 10L).flatMap(s =>
+        Seq(1L, 2L).map(u =>
+          (s * 10 + u, u, if ((s / 10) % 2 == 0) "click" else "error", t(s))))
+      evs.toDF("event_id", "user_id", "event_type", "ts")
+        .repartition(1).write.mode("append").parquet(srcDir)
+      run()
+      counts += buffered
+    }
+    // the horizon fills during chunk 1; every later chunk must stay at
+    // that plateau (generous 1.5x for batch-boundary eviction lag), far
+    // below the 6 h of rows the stream has fed by the end
+    val plateau = counts(1)
+    assert(counts.drop(2).forall(c => c <= plateau * 3 / 2),
+      s"join state grew past the interval+watermark horizon: $counts")
+    assert(counts.last < 6 * 720 / 3,
+      s"retained rows track the feed, not the horizon: $counts")
+  }
+
   test("T17: sessions spanning micro-batches extend instead of closing; deadline re-arms") {
     def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     withT17Stream("t17b_tws_sink") { (feed, rowsF) =>
