@@ -380,18 +380,33 @@ object Bench {
       } catch { case _: Throwable => None }
     val sha = run("git", "rev-parse", "HEAD").getOrElse("unknown")
     val dirty = sha != "unknown" && run("git", "status", "--porcelain")
-      .exists(out => dirtyLines(out.linesIterator.toSeq))
+      .exists { out =>
+        val dirt = dirtLines(out.linesIterator.toSeq)
+        // self-diagnosing: a dirty stamp names its dirt, so a "why is my
+        // clean tree dirty?" hunt reads the bench log, not the source
+        if (dirt.nonEmpty)
+          System.err.println(s"[bench] git_dirty because of: ${dirt.mkString(", ")}")
+        dirt.nonEmpty
+      }
     (sha, dirty)
   }
 
-  /** Does a porcelain status listing show REAL dirt — anything that could
-    * have influenced the built classes? The bench's own output artifacts
+  /** The porcelain status lines that are REAL dirt — anything that could
+    * have influenced the built classes. The bench's own output artifacts
     * are excluded: a back-to-back re-run would otherwise read its
-    * predecessor's record as tree dirt and stamp itself dirty forever. */
-  private[graft] def dirtyLines(statusLines: Seq[String]): Boolean =
-    statusLines.exists { l =>
-      val path = l.drop(3).trim
+    * predecessor's record as tree dirt and stamp itself dirty forever.
+    * Tolerates lines whose leading status column was eaten by an
+    * upstream `.trim` (the whole-output trim in [[gitStamp]] strips the
+    * first line's leading space, so ` M FILE` arrives as `M FILE`):
+    * the path is everything after the first whitespace run of the
+    * trimmed line, not a fixed 3-char offset. */
+  private[graft] def dirtLines(statusLines: Seq[String]): Seq[String] =
+    statusLines.filter { l =>
+      val path = l.trim.dropWhile(!_.isWhitespace).trim
       l.trim.nonEmpty &&
         path != "BENCH_LOCAL.json" && path != "BENCH_SUBSET.json"
     }
+
+  private[graft] def dirtyLines(statusLines: Seq[String]): Boolean =
+    dirtLines(statusLines).nonEmpty
 }

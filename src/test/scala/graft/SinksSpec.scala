@@ -209,5 +209,15 @@ class SinksSpec extends SparkSpec {
     assert(Bench.dirtyLines(Seq(" M BENCH_LOCAL.json", " M src/main/scala/graft/Bench.scala")))
     assert(Bench.dirtyLines(Seq("?? src/main/scala/graft/New.scala")))
     assert(!Bench.dirtyLines(Nil))
+    // gitStamp trims the WHOLE porcelain output before splitting lines,
+    // so the first line arrives with its leading status-column space
+    // eaten (` M FILE` → `M FILE`). Round 12 found this stamping a tree
+    // dirty whose only dirt was the excluded record file — the exclusion
+    // must hold for the trimmed shape too, for every status column width
+    assert(!Bench.dirtyLines(Seq("M BENCH_LOCAL.json")))
+    assert(!Bench.dirtyLines(Seq("?? BENCH_SUBSET.json".trim)))
+    assert(Bench.dirtyLines(Seq("M src/main/scala/graft/Bench.scala")))
+    // and the diagnostic names exactly the offending lines
+    assert(Bench.dirtLines(Seq("M BENCH_LOCAL.json", " M build.sbt")) == Seq(" M build.sbt"))
   }
 }
