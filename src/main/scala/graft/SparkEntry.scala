@@ -177,6 +177,10 @@ object SparkEntry {
     "x71_unigram_surprisal" -> (TextAnalysis.unigramSurprisal _),
     "x71b_bigram_surprisal" -> (TextAnalysis.bigramSurprisal _),
     "x68_snapshot_diff" -> (Dedup.snapshotDiff _),
+    // round 12: corpus maintenance — delete propagation + incremental
+    // aggregate (materialized-view) maintenance
+    "x75_delete_propagation" -> ((s, d) => Ingest.deletePropagation(s, d)),
+    "x76_agg_delta_merge" -> ((s, d) => Counters.aggDeltaMerge(s, d)),
     "x28_temperature_mixture" -> ((s, d) => TextAnalysis.temperatureMixture(s, d)),
     "x26_quality_filter" -> (TextAnalysis.qualityFilter _),
     "x27_token_entropy" -> (TextAnalysis.tokenEntropy _),

@@ -101,6 +101,78 @@ object Ingest {
       .orderBy(col("logday"))
   }
 
+  /** X75 — delete propagation (right-to-be-forgotten) over a partitioned
+    * corpus: a tombstone list is applied to the landed table by rewriting
+    * ONLY the partitions that contain a tombstoned row — the untouched
+    * partitions keep their exact files (spec-pinned by mtime+path
+    * identity), which is the whole economics of a delete pass at 100 TB:
+    * cost scales with the partitions the delete list touches, never with
+    * the corpus. The reference has no delete story at all (append-only
+    * sink); this is the maintenance operator its landed tables would need
+    * the day a deletion obligation arrives.
+    *
+    * Mechanics: land `documents` partitioned by `source`; the tombstone
+    * predicate (`polyHash(doc_id) % 40 == 0` — a stand-in for the real
+    * request list, chosen so the fixture has both dirty and clean
+    * partitions); collect the DIRTY partition keys (bounded: ≤ the
+    * partition count, the same O(metadata) class as j11's skew-key
+    * fetch); stage the dirty partitions' survivors, then swap them in
+    * with dynamic partition overwrite. A partition whose rows ALL die
+    * produces no staged rows — dynamic overwrite would silently leave its
+    * old files, so fully-emptied partitions are dropped explicitly.
+    * Output is the per-partition delete accounting (the audit artifact a
+    * deletion obligation requires); the oracle restates it data-only. */
+  def deletePropagation(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = Tables.scratchDir("graft_delprop_").toString
+    val docs = Tables.documents(spark, sfDir)
+    docs.write.mode("overwrite").partitionBy("source").parquet(out)
+    deletePropagationOn(spark, out,
+      graft.functions.TextFns.polyHash(col("doc_id").cast("string")) % 40 === 0,
+      docs.groupBy(col("source")).agg(count(lit(1)).as("rows_before")))
+  }
+
+  /** [[deletePropagation]]'s rewrite applied to an existing
+    * `source=`-partitioned parquet table — the spec entry point (hand
+    * fixtures pin the untouched-files and emptied-partition invariants). */
+  private[graft] def deletePropagationOn(spark: SparkSession, out: String,
+      tomb: org.apache.spark.sql.Column, before: DataFrame): DataFrame = {
+    val landed = spark.read.parquet(out)
+    val dirty = landed.where(tomb).select(col("source")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (dirty.nonEmpty) {
+      val stage = Tables.scratchDir("graft_delprop_stage_").toString
+      landed.where(col("source").isin(dirty: _*) && !tomb)
+        .write.mode("overwrite").partitionBy("source").parquet(stage)
+      spark.read.parquet(stage)
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("source").parquet(out)
+      // fully-emptied partitions: nothing staged, so nothing overwrote
+      // them — drop the partition dir (bounded: ⊆ the dirty keys)
+      val staged = spark.read.parquet(stage).select(col("source")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val emptied = dirty.filterNot(staged)
+      emptied.foreach { s =>
+        fs.delete(new org.apache.hadoop.fs.Path(out, s"source=$s"), true); ()
+      }
+      // the dynamic overwrite refreshes Spark's file-listing cache itself
+      // (InsertIntoHadoopFsRelationCommand), but the manual partition
+      // drops bypass Spark — without an explicit refresh the read-back
+      // below serves the STALE listing and fails on the deleted files
+      if (emptied.nonEmpty) spark.catalog.refreshByPath(out)
+    }
+    val after = spark.read.parquet(out)
+      .groupBy(col("source")).agg(count(lit(1)).as("rows_after"))
+    before.join(after, Seq("source"), "left")
+      .select(col("source"), col("rows_before"),
+        (col("rows_before") - coalesce(col("rows_after"), lit(0L))).as("rows_deleted"),
+        coalesce(col("rows_after"), lit(0L)).as("rows_after"),
+        when(coalesce(col("rows_after"), lit(0L)) < col("rows_before"), lit(1L))
+          .otherwise(lit(0L)).as("rewritten"))
+      .orderBy(col("source"))
+  }
+
   /** The same per-partition accounting computed directly on the source —
     * what the DuckDB oracle can express (no file side effects). */
   def partitionCounts(spark: SparkSession, sfDir: String): DataFrame =

@@ -15,6 +15,22 @@ object CorpusOracles {
     // matrix is ALL unordered source pairs (mass × mass) so a pair with
     // fully disjoint vocabularies — the maximum-divergence case — still
     // appears, its shared-term sums coalesced to 0.
+    // x75: the delete-propagation audit, restated data-only — per
+    // partition key: row counts before/after the tombstone pass, the
+    // deleted count, and whether the partition needed a rewrite. The
+    // file-level invariants (clean partitions keep their exact files,
+    // fully-emptied partitions are dropped) are spec-pinned in
+    // IngestSpec; the oracle pins the accounting.
+    "x75_delete_propagation" ->
+      s"""WITH d AS (SELECT source,
+            CASE WHEN ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 40 = 0
+                 THEN 1 ELSE 0 END AS tomb
+          FROM documents)
+          SELECT source, count(*) AS rows_before,
+            CAST(sum(tomb) AS BIGINT) AS rows_deleted,
+            CAST(count(*) - sum(tomb) AS BIGINT) AS rows_after,
+            CAST(CASE WHEN sum(tomb) > 0 THEN 1 ELSE 0 END AS BIGINT) AS rewritten
+          FROM d GROUP BY source ORDER BY source""",
     "x74_source_divergence" ->
       s"""WITH t0 AS (SELECT source, unnest($toks) AS w FROM documents),
           occ AS (SELECT source, ${polyHashSql("w")} AS h FROM t0),

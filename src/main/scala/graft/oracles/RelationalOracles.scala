@@ -21,6 +21,21 @@ object RelationalOracles {
           count(DISTINCT coalesce(event_type, 'no_category')) AS n_categories,
           CAST(floor(max(epoch(ts))) AS BIGINT) AS max_epoch
           FROM events GROUP BY 1 ORDER BY 1""",
+    // x76: incremental view maintenance — the oracle IS the full
+    // recompute, so hash equality states merged(base, delta) ≡
+    // recomputed(all) exactly. All-integer state: counts, max-epoch,
+    // per-row micro-scaled value sums (floor(v·1e6 + 0.5), the x6c
+    // discipline) so partial-aggregate merging is order-free on both
+    // engines; SUM promoted back to BIGINT from DuckDB's HUGEINT.
+    "x76_agg_delta_merge" ->
+      s"""WITH e AS (SELECT coalesce(event_type, 'no_category') AS category,
+            ${epochS("ts")} AS es,
+            CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_micro
+          FROM events)
+          SELECT category, es - (es % 300) AS bucket,
+            count(*) AS n_events, max(es) AS max_es,
+            CAST(sum(v_micro) AS BIGINT) AS sum_value_micro
+          FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
     "p1_serde_parse" ->
       """SELECT event_id, event_type,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

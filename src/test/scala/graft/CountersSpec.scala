@@ -171,6 +171,39 @@ class CountersSpec extends SparkSpec {
     assert(got(("i", 4)) == 0L, "exactly kσ at 1e10 scale must not flag")
   }
 
+  test("x76: merged base+delta aggregate equals the monolithic recompute row-for-row") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{Headers, Times}
+    val merged = operators.Counters.aggDeltaMerge(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // the monolithic form: one aggregate over ALL events, no split, no
+    // stored base, no merge — what the incremental path must reproduce
+    val full = Tables.events(spark, sf)
+      .select(Headers.categoryOrDefault(col("event_type")).as("category"),
+        Times.epochSeconds(col("ts")).as("es"),
+        floor(col("value") * 1000000L + lit(0.5)).cast("long").as("v_micro"))
+      .groupBy(col("category"), (col("es") - (col("es") % 300L)).as("bucket"))
+      .agg(count(lit(1)).as("n"), max(col("es")).as("mx"),
+        sum(col("v_micro")).as("sv"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(merged == full)
+    // the fixture must actually split: both sides of the cut non-empty,
+    // or the merge never exercised (guards a degenerate cut)
+    val es = Tables.events(spark, sf)
+      .select(Times.epochSeconds(col("ts")).as("es"))
+      .agg(min(col("es")), max(col("es"))).head()
+    val cut = es.getLong(0) + 2 * ((es.getLong(1) - es.getLong(0)) / 3)
+    val sides = Tables.events(spark, sf)
+      .select(Times.epochSeconds(col("ts")).as("es"))
+      .agg(sum(when(col("es") < cut, 1L).otherwise(0L)),
+        sum(when(col("es") >= cut, 1L).otherwise(0L))).head()
+    assert(sides.getLong(0) > 0 && sides.getLong(1) > 0,
+      s"degenerate cut: base=${sides.getLong(0)} delta=${sides.getLong(1)}")
+  }
+
   test("x22b sketch quantiles track the exact form (a7b pattern for percentiles)") {
     val exact = operators.TextAnalysis.lengthQuantiles(spark, sf).collect()
       .map(r => r.getString(0) -> Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap

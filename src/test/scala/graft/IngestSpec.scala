@@ -127,6 +127,66 @@ class IngestSpec extends SparkSpec {
     assert(spark.read.orc(out).select("logday").distinct().count() == days.size - 2)
   }
 
+  test("x75: delete propagation rewrites only dirty partitions, drops emptied ones") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val out = graft.Tables.scratchDir("graft_delprop_spec").toString
+    // A: tombstones + survivors; B: clean; C: every row tombstoned
+    Seq(
+      (2L, "keep a1", "A"), (4L, "kill a2", "A"), (5L, "keep a3", "A"),
+      (7L, "keep b1", "B"), (9L, "keep b2", "B"),
+      (6L, "kill c1", "C"), (8L, "kill c2", "C"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").partitionBy("source").parquet(out)
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(src: String): Seq[(String, Long, Long)] =
+      fs.listStatus(new Path(out, s"source=$src")).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(st => (st.getPath.toString, st.getModificationTime, st.getLen))
+        .sortBy(_._1)
+    val cleanBefore = files("B")
+    assert(cleanBefore.nonEmpty)
+    val tomb = col("text").startsWith("kill")
+    // independent of the landed files — a lazy scan of `out` here would
+    // execute AFTER the rewrite and read a listing that no longer exists
+    // (the declared query's `before` comes from the source table)
+    val before = Seq(("A", 3L), ("B", 2L), ("C", 2L))
+      .toDF("source", "rows_before")
+    val acct = Ingest.deletePropagationOn(spark, out, tomb, before)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(acct("A") == ((3L, 1L, 2L, 1L)))
+    assert(acct("B") == ((2L, 0L, 2L, 0L)))
+    assert(acct("C") == ((2L, 2L, 0L, 1L)))
+    // the clean partition kept its EXACT files — path, mtime, length
+    assert(files("B") == cleanBefore,
+      "clean partition was rewritten: the delete pass must not touch it")
+    // the fully-emptied partition directory is gone
+    assert(!fs.exists(new Path(out, "source=C")))
+    // the dirty partition holds exactly its survivors
+    val left = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+    assert(left.toSeq == Seq(2L, 5L, 7L, 9L))
+  }
+
+  test("x75: declared-query accounting matches an independent JVM replica") {
+    val acct = Ingest.deletePropagation(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.groupBy(_._2).map { case (src, rows) =>
+      val dead = rows.count { case (id, _) =>
+        graft.functions.TextFns.polyHashLocal(id.toString) % 40 == 0 }
+      src -> ((rows.size.toLong, dead.toLong, (rows.size - dead).toLong,
+        if (dead > 0) 1L else 0L))
+    }
+    assert(acct == expected)
+    // the fixture must exercise BOTH branches or the spec proves nothing
+    assert(expected.values.exists(_._4 == 1L), "no dirty partition in fixture")
+    assert(expected.values.exists(_._4 == 0L), "no clean partition in fixture")
+  }
+
   test("landing layout is partition-pruned on read") {
     val out = graft.Tables.scratchDir("graft_prune").toString
     Ingest.land(spark, sf, out)
