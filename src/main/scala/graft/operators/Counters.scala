@@ -428,24 +428,32 @@ object Counters {
     * relations, whose size is O(groups), not O(events). The cut is one
     * bounded 1-row stats fetch (the x20 literal-reentry idiom). */
   def aggDeltaMerge(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
-      .select(Headers.categoryOrDefault(col("event_type")).as("category"),
-        Times.epochSeconds(col("ts")).as("es"),
-        floor(col("value") * 1000000L + lit(0.5)).cast("long").as("v_micro"))
-    val bounds = ev.agg(min(col("es")), max(col("es"))).head()
+    val raw = Tables.events(spark, sfDir)
+    val bounds = raw.agg(min(Times.epochSeconds(col("ts"))),
+      max(Times.epochSeconds(col("ts")))).head()
     val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
     val cut = mn + 2 * ((mx - mn) / 3) // integer arithmetic — both dialects agree
     def partial(rows: DataFrame): DataFrame = rows
+      .select(Headers.categoryOrDefault(col("event_type")).as("category"),
+        Times.epochSeconds(col("ts")).as("es"),
+        floor(col("value") * 1000000L + lit(0.5)).cast("long").as("v_micro"))
       .groupBy(col("category"),
         (col("es") - (col("es") % 300L)).as("bucket"))
       .agg(count(lit(1)).as("n_events"), max(col("es")).as("max_es"),
         sum(col("v_micro")).as("sum_value_micro"))
+    // the cut is filtered on the RAW ts column, not the derived epoch:
+    // `floor(epoch(ts)) ⋛ cut ⟺ ts ⋛ timestamp(cut)` for an integer cut,
+    // and only the raw-column form reaches the parquet scan as a pushed
+    // predicate — the delta scan reading just the delta is the operator's
+    // entire economics (best-effort per dialect: the nanos-as-long
+    // fixture shape derives ts, which no engine can push)
+    val cutTs = timestamp_seconds(lit(cut))
     // the maintained artifact: the pre-cut aggregate lives in storage and
     // is READ, not recomputed — the whole point of the operator
     val store = graft.Tables.scratchDir("graft_aggview_").toString
-    partial(ev.where(col("es") < cut)).write.mode("overwrite").parquet(store)
+    partial(raw.where(col("ts") < cutTs)).write.mode("overwrite").parquet(store)
     val base = spark.read.parquet(store)
-    val delta = partial(ev.where(col("es") >= cut))
+    val delta = partial(raw.where(col("ts") >= cutTs))
     base.unionByName(delta)
       .groupBy(col("category"), col("bucket"))
       .agg(sum(col("n_events")).as("n_events"), max(col("max_es")).as("max_es"),
