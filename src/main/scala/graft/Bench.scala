@@ -341,7 +341,7 @@ object Bench {
     val prov = s""""git":"$gitSha","git_dirty":$gitDirty,"subset":$subset"""
     val fullJson =
       s"""{"bench_total_sec":${r3(total)},"single_shot_total_sec":${r3(totalFirst)},"unit":"sec","reps":$reps,"protocol":"$protocol",$prov,"queries":$allQs,"queries_min":$allMins,"index_build":$ib,"index_build_total_sec":$ibTotal,"index_cache":"$indexCacheState","failed":$failed,"sf":"$sfDir"}"""
-    val artifact = artifactFileName(subset)
+    val artifact = artifactFileName(subset, gitDirty)
     try java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] $artifact write failed: $e") }
@@ -363,10 +363,17 @@ object Bench {
     * subset run writes `BENCH_SUBSET.json`, NEVER the full-run artifact
     * of record — round 11's end-of-round snapshot clobbered a certified
     * 175-query `BENCH_LOCAL.json` with a one-query profiling run, and
-    * this split makes that slip structurally impossible. Pure so the
-    * spec can pin both branches. */
-  private[graft] def artifactFileName(subset: Boolean): String =
-    if (subset) "BENCH_SUBSET.json" else "BENCH_LOCAL.json"
+    * this split makes that slip structurally impossible. Likewise a
+    * full run on a DIRTY tree writes `BENCH_DIRTY.json`: round 12's
+    * driver run (dirty by its own untracked round artifacts, on a
+    * loaded host) landed in `BENCH_LOCAL.json` and was then committed
+    * over the certified clean cold record. Only a clean-tree full run
+    * may touch the artifact of record. Pure so the spec can pin all
+    * three branches. */
+  private[graft] def artifactFileName(subset: Boolean, dirty: Boolean = false): String =
+    if (subset) "BENCH_SUBSET.json"
+    else if (dirty) "BENCH_DIRTY.json"
+    else "BENCH_LOCAL.json"
 
   /** `(sha, dirty)` of the working tree the benched classes were built
     * from — `("unknown", false)` outside a git checkout (e.g. a deployed
@@ -404,7 +411,8 @@ object Bench {
     statusLines.filter { l =>
       val path = l.trim.dropWhile(!_.isWhitespace).trim
       l.trim.nonEmpty &&
-        path != "BENCH_LOCAL.json" && path != "BENCH_SUBSET.json"
+        path != "BENCH_LOCAL.json" && path != "BENCH_SUBSET.json" &&
+        path != "BENCH_DIRTY.json"
     }
 
   private[graft] def dirtyLines(statusLines: Seq[String]): Boolean =

@@ -197,6 +197,12 @@ class SinksSpec extends SparkSpec {
     // that structurally impossible
     assert(Bench.artifactFileName(subset = true) == "BENCH_SUBSET.json")
     assert(Bench.artifactFileName(subset = false) == "BENCH_LOCAL.json")
+    // the r12 slip: a full run on a dirty tree (driver round artifacts
+    // untracked, loaded host) landed in BENCH_LOCAL.json and was then
+    // committed over the certified clean cold record — dirty full runs
+    // now route to a side artifact, only clean+full touches the record
+    assert(Bench.artifactFileName(subset = false, dirty = true) == "BENCH_DIRTY.json")
+    assert(Bench.artifactFileName(subset = true, dirty = true) == "BENCH_SUBSET.json")
     // the git stamp must resolve inside this checkout (40-hex sha) and
     // never throw; a record is thereby pinned to the code it measured
     val (sha, _) = Bench.gitStamp()
