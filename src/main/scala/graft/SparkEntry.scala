@@ -181,6 +181,9 @@ object SparkEntry {
     // aggregate (materialized-view) maintenance
     "x75_delete_propagation" -> ((s, d) => Ingest.deletePropagation(s, d)),
     "x76_agg_delta_merge" -> ((s, d) => Counters.aggDeltaMerge(s, d)),
+    // round 13: the maintenance story completed — retraction folding,
+    // streaming delete propagation, maintained retrieval stats
+    "x77_agg_retract_merge" -> ((s, d) => Maintenance.aggRetractMerge(s, d)),
     "x28_temperature_mixture" -> ((s, d) => TextAnalysis.temperatureMixture(s, d)),
     "x26_quality_filter" -> (TextAnalysis.qualityFilter _),
     "x27_token_entropy" -> (TextAnalysis.tokenEntropy _),

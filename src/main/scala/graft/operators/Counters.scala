@@ -423,37 +423,34 @@ object Counters {
     * correctness statement of incremental view maintenance itself.
     * Scale posture: the base artifact is read back from storage (never
     * recomputed — here a per-invocation scratch dir, deployment-mapped to
-    * the view's table); the delta scan carries `es >= cut` into the
-    * parquet scan; the merge groupBy shuffles only the two partial
+    * the view's table); the source is the DAY-PARTITIONED landing
+    * ([[Maintenance.landEventsByDay]] — in deployment, the table the
+    * ingest path already maintains), so the delta cut reaches the scan as
+    * PARTITION pruning (`PartitionFilters` on `logday`, PlanSpec-pinned)
+    * plus an exact `es` refinement — robust to the fixture's nanos-as-long
+    * `ts`, whose derived timestamp no engine can push (the round-12 form's
+    * conceded fallback). The merge groupBy shuffles only the two partial
     * relations, whose size is O(groups), not O(events). The cut is one
     * bounded 1-row stats fetch (the x20 literal-reentry idiom). */
   def aggDeltaMerge(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = Tables.events(spark, sfDir)
-    val bounds = raw.agg(min(Times.epochSeconds(col("ts"))),
-      max(Times.epochSeconds(col("ts")))).head()
+    val src = spark.read.parquet(Maintenance.landEventsByDay(spark, sfDir))
+    val bounds = src.agg(min(col("es")), max(col("es"))).head()
     val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
     val cut = mn + 2 * ((mx - mn) / 3) // integer arithmetic — both dialects agree
-    def partial(rows: DataFrame): DataFrame = rows
-      .select(Headers.categoryOrDefault(col("event_type")).as("category"),
-        Times.epochSeconds(col("ts")).as("es"),
-        floor(col("value") * 1000000L + lit(0.5)).cast("long").as("v_micro"))
-      .groupBy(col("category"),
-        (col("es") - (col("es") % 300L)).as("bucket"))
-      .agg(count(lit(1)).as("n_events"), max(col("es")).as("max_es"),
-        sum(col("v_micro")).as("sum_value_micro"))
-    // the cut is filtered on the RAW ts column, not the derived epoch:
-    // `floor(epoch(ts)) ⋛ cut ⟺ ts ⋛ timestamp(cut)` for an integer cut,
-    // and only the raw-column form reaches the parquet scan as a pushed
-    // predicate — the delta scan reading just the delta is the operator's
-    // entire economics (best-effort per dialect: the nanos-as-long
-    // fixture shape derives ts, which no engine can push)
-    val cutTs = timestamp_seconds(lit(cut))
+    // day-granular partition cut + exact es refinement: `es >= cut` implies
+    // `logday >= day(cut)` (and dually for the base side), so the redundant
+    // logday conjunct changes no row, only prunes partitions
+    val cutDay = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(cut)).toLong
     // the maintained artifact: the pre-cut aggregate lives in storage and
     // is READ, not recomputed — the whole point of the operator
     val store = graft.Tables.scratchDir("graft_aggview_").toString
-    partial(raw.where(col("ts") < cutTs)).write.mode("overwrite").parquet(store)
+    Maintenance.partial(src.where(col("logday") <= cutDay && col("es") < cut))
+      .write.mode("overwrite").parquet(store)
     val base = spark.read.parquet(store)
-    val delta = partial(raw.where(col("ts") >= cutTs))
+    val delta = Maintenance.partial(
+      src.where(col("logday") >= cutDay && col("es") >= cut))
     base.unionByName(delta)
       .groupBy(col("category"), col("bucket"))
       .agg(sum(col("n_events")).as("n_events"), max(col("max_es")).as("max_es"),

@@ -135,13 +135,20 @@ object Ingest {
     * `source=`-partitioned parquet table — the spec entry point (hand
     * fixtures pin the untouched-files and emptied-partition invariants). */
   private[graft] def deletePropagationOn(spark: SparkSession, out: String,
-      tomb: org.apache.spark.sql.Column, before: DataFrame): DataFrame = {
+      tomb: org.apache.spark.sql.Column, before: DataFrame,
+      gate: Int = Maintenance.keyGateDefault): DataFrame = {
     val landed = spark.read.parquet(out)
-    val dirty = landed.where(tomb).select(col("source")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+    // the dirty keys are needed driver-side regardless (the per-partition
+    // fs swap/drop below is inherently a driver loop, O(dirty partitions)
+    // — the operator's own cost model); what must NOT scale with them is
+    // the compiled PREDICATE, so the staging restriction goes through the
+    // gated isin/broadcast-semi-join helper (VERDICT r12 #5)
+    val dirtyDf = landed.where(tomb).select(col("source")).distinct()
+    val dirty = dirtyDf.collect().map(_.getString(0)).toSeq.sorted
     if (dirty.nonEmpty) {
       val stage = Tables.scratchDir("graft_delprop_stage_").toString
-      landed.where(col("source").isin(dirty: _*) && !tomb)
+      Maintenance.restrictToKeys(landed, "source", dirtyDf, dirty, gate)
+        .where(!tomb)
         .write.mode("overwrite").partitionBy("source").parquet(stage)
       spark.read.parquet(stage)
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")

@@ -36,6 +36,24 @@ object RelationalOracles {
             count(*) AS n_events, max(es) AS max_es,
             CAST(sum(v_micro) AS BIGINT) AS sum_value_micro
           FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
+    // x77: IVM under retraction — the oracle is the monolithic recompute
+    // AFTER deletes (retention cut on the oldest tenth + scattered ~4%
+    // hash tombstones), so hash equality states merged(stored, −delta) ≡
+    // recomputed(survivors) exactly; same all-integer state as x76.
+    "x77_agg_retract_merge" ->
+      s"""WITH e AS (SELECT coalesce(event_type, 'no_category') AS category,
+            ${epochS("ts")} AS es,
+            CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_micro,
+            event_id
+          FROM events),
+          b AS (SELECT min(es) AS mn, max(es) AS mx FROM e),
+          keep AS (SELECT e.* FROM e, b
+            WHERE NOT (es < mn + (mx - mn) // 10
+              OR ${polyHashSql("CAST(event_id AS VARCHAR)")} % 23 = 0))
+          SELECT category, es - (es % 300) AS bucket,
+            count(*) AS n_events, max(es) AS max_es,
+            CAST(sum(v_micro) AS BIGINT) AS sum_value_micro
+          FROM keep GROUP BY 1, 2 ORDER BY 1, 2""",
     "p1_serde_parse" ->
       """SELECT event_id, event_type,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

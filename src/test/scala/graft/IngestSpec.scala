@@ -187,6 +187,29 @@ class IngestSpec extends SparkSpec {
     assert(expected.values.exists(_._4 == 0L), "no clean partition in fixture")
   }
 
+  test("x75: gated dirty-key restriction — literal-isin and semi-join sides rewrite identically") {
+    import spark.implicits._
+    // VERDICT r12 #5: past the gate the dirty-partition restriction runs
+    // as a broadcast semi-join, never a key-list-sized predicate; both
+    // representations must produce byte-identical delete passes
+    def run(gate: Int): (Map[String, (Long, Long, Long, Long)], Seq[Long]) = {
+      val out = graft.Tables.scratchDir("graft_delprop_gate").toString
+      Seq(
+        (2L, "keep a1", "A"), (4L, "kill a2", "A"), (5L, "keep a3", "A"),
+        (7L, "keep b1", "B"), (9L, "keep b2", "B"),
+        (6L, "kill c1", "C"), (8L, "kill c2", "C"))
+        .toDF("doc_id", "text", "source")
+        .write.mode("overwrite").partitionBy("source").parquet(out)
+      val before = Seq(("A", 3L), ("B", 2L), ("C", 2L)).toDF("source", "rows_before")
+      val acct = Ingest.deletePropagationOn(spark, out,
+        col("text").startsWith("kill"), before, gate = gate)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      (acct, spark.read.parquet(out).select("doc_id").as[Long].collect().sorted.toSeq)
+    }
+    assert(run(0) == run(1024))
+  }
+
   test("landing layout is partition-pruned on read") {
     val out = graft.Tables.scratchDir("graft_prune").toString
     Ingest.land(spark, sf, out)

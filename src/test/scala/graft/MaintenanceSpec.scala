@@ -1,0 +1,109 @@
+package graft
+
+import graft.operators.Maintenance
+import org.apache.spark.sql.functions._
+
+/** X77 retraction folding — the IVM-under-deletes semantics, pinned on
+  * hand fixtures where every edge is constructed, plus an independent JVM
+  * replica of the declared query (the DuckDB oracle is the monolithic
+  * recompute; this replica removes the remaining shared-engine doubt). */
+class MaintenanceSpec extends SparkSpec {
+
+  /** Fixture: four buckets exercising every fold edge.
+    *   A ("a", bucket 0, day 19700101): 3 rows, the MAX row dies → carrier
+    *     death with survivors (max must be re-derived, not folded);
+    *   B ("a", bucket 300, same day): 2 rows, a non-max row dies → carrier
+    *     survives (folded max must be kept WITHOUT any rescan);
+    *   C ("b", bucket 0, same day): every row dies → the bucket leaves the
+    *     aggregate entirely;
+    *   D ("b", bucket 172800, day 19700103): untouched — its DAY must not
+    *     be rescanned. */
+  private val rows = Seq(
+    (1L, "a", 10L, 1L), (2L, "a", 20L, 2L), (3L, "a", 290L, 3L),
+    (4L, "a", 310L, 5L), (5L, "a", 350L, 6L),
+    (6L, "b", 100L, 7L), (7L, "b", 150L, 8L),
+    (8L, "b", 172830L, 9L))
+  private val doomedIds = Seq(3L, 4L, 6L, 7L)
+
+  private def landFixture(): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val out = Tables.scratchDir("graft_retract_spec").toString
+    rows.toDF("event_id", "category", "es", "v_micro")
+      .withColumn("logday", Maintenance.dayOfEpoch(col("es")))
+      .write.mode("overwrite").partitionBy("logday").parquet(out)
+    spark.read.parquet(out)
+  }
+
+  private def foldedMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+  test("x77 fold: carrier-death re-derives, carrier-survival folds, bucket-death drops") {
+    val src = landFixture()
+    val tomb = col("event_id").isin(doomedIds: _*)
+    val result = Maintenance.aggRetractMergeOn(spark, src,
+      Maintenance.partial(src), tomb)
+    assert(foldedMap(result) == Map(
+      ("a", 0L) -> ((2L, 20L, 3L)),      // A: max re-derived 290→20, sums folded
+      ("a", 300L) -> ((1L, 350L, 6L)),   // B: stored max kept, count/sum folded
+      ("b", 172800L) -> ((1L, 172830L, 9L)))) // D: untouched; C: gone
+  }
+
+  test("x77 rescan is partition-pruned to the dirty buckets' days only") {
+    val src = landFixture()
+    val tomb = col("event_id").isin(doomedIds: _*)
+    val plan = Maintenance.aggRetractMergeOn(spark, src,
+      Maintenance.partial(src), tomb)
+      .queryExecution.executedPlan.toString
+    val segs = "PartitionFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
+    // only bucket A is max-dirty → the re-derivation scan prunes to A's
+    // day; D's clean day must appear in NO partition filter (i.e. the only
+    // day-literal-carrying scan is the dirty-day one)
+    assert(segs.exists(_.contains("19700101")),
+      s"dirty day not pushed into the rescan's partition filters:\n$plan")
+    assert(!segs.exists(_.contains("19700103")),
+      s"clean day appears in a partition filter — rescan is not dirty-only:\n$plan")
+  }
+
+  test("x77 gated bucket-day restriction: literal-isin and semi-join sides fold identically") {
+    val src = landFixture()
+    val tomb = col("event_id").isin(doomedIds: _*)
+    val base = Maintenance.partial(src)
+    val viaIsin = foldedMap(Maintenance.aggRetractMergeOn(spark, src, base, tomb, gate = 1024))
+    val viaSemi = foldedMap(Maintenance.aggRetractMergeOn(spark, src, base, tomb, gate = 0))
+    assert(viaIsin == viaSemi)
+  }
+
+  test("x77 declared query matches an independent JVM replica; fixture exercises both tombstone legs") {
+    val merged = foldedMap(Maintenance.aggRetractMerge(spark, sf))
+    val ev = Tables.events(spark, sf)
+      .select(graft.functions.Headers.categoryOrDefault(col("event_type")).as("category"),
+        graft.functions.Times.epochSeconds(col("ts")).as("es"),
+        floor(col("value") * 1000000L + lit(0.5)).cast("long").as("v_micro"),
+        col("event_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val mn = ev.map(_._2).min
+    val mx = ev.map(_._2).max
+    val cutLo = mn + (mx - mn) / 10L
+    def doomed(es: Long, id: Long): Boolean =
+      es < cutLo || graft.functions.TextFns.polyHashLocal(id.toString) % 23 == 0
+    val keep = ev.filterNot { case (_, es, _, id) => doomed(es, id) }
+    val expected = keep.groupBy { case (c, es, _, _) => (c, es - es % 300L) }
+      .map { case (k, g) =>
+        k -> ((g.length.toLong, g.map(_._2).max, g.map(_._3).sum)) }
+    assert(merged == expected)
+    // both tombstone legs and both carrier outcomes must actually occur,
+    // or the fixture proves nothing
+    assert(ev.exists { case (_, es, _, _) => es < cutLo }, "retention leg empty")
+    assert(ev.exists { case (_, es, _, id) =>
+      es >= cutLo && graft.functions.TextFns.polyHashLocal(id.toString) % 23 == 0 },
+      "scattered leg empty")
+    val deadGroups = ev.groupBy { case (c, es, _, _) => (c, es - es % 300L) }
+      .filter { case (_, g) => g.exists { case (_, es, _, id) => doomed(es, id) } }
+    assert(deadGroups.exists { case (k, _) => !expected.contains(k) },
+      "no fully-retracted bucket in fixture")
+    assert(deadGroups.exists { case (k, _) => expected.contains(k) },
+      "no partially-retracted bucket in fixture")
+  }
+}

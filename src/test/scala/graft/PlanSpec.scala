@@ -76,6 +76,23 @@ class PlanSpec extends SparkSpec {
       "IVF index must be read partition-pruned from disk, not via a full cached relation")
   }
 
+  test("x76/x77: maintenance cuts reach the landed scan as PARTITION filters") {
+    // the maintained view's source is landed day-partitioned precisely so
+    // the delta cut (x76) and the dirty-bucket max re-derivation (x77)
+    // prune directories instead of reading history — the VERDICT r12 ask
+    // (the raw fixture's nanos-as-long ts admits no pushdown at all)
+    def partitionFilterSegs(plan: String): Seq[String] =
+      "PartitionFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
+    val p76 = SparkEntry.queries("x76_agg_delta_merge")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(partitionFilterSegs(p76).exists(s => s.contains("logday") && s.contains(">=")),
+      s"x76 delta cut did not reach the partition filters:\n$p76")
+    val p77 = SparkEntry.queries("x77_agg_retract_merge")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(partitionFilterSegs(p77).exists(_.contains("logday")),
+      s"x77 max re-derivation scan is not day-pruned:\n$p77")
+  }
+
   test("x6g: IVF-PQ probe is partition-pruned AND reads stored codes, not embeddings") {
     val plan = SparkEntry.queries("x6g_ivfpq_topk")(spark, sf)
       .queryExecution.executedPlan.toString
