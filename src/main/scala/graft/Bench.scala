@@ -250,7 +250,11 @@ object Bench {
         // x43/x48's shared co-occurrence pair table
         "cooc_pairs" -> (() => { TextAnalysis.cooccurrenceLift(spark, sfDir); () }),
         // x54/x56's winnowing span-fingerprint table
-        "subdup_spans" -> (() => { TextAnalysis.spanIndex(spark, sfDir); () }))
+        "subdup_spans" -> (() => { TextAnalysis.spanIndex(spark, sfDir); () }),
+        // x20/x29's maintained BM25 corpus stats (vocab df + scalars)
+        "bm25_stats" -> (() => {
+          graft.operators.Search.bm25TermDf(spark, sfDir)
+          graft.operators.Search.bm25Scalars(spark, sfDir); () }))
       builders.foreach { case (name, f) =>
         try f() catch { case e: Throwable =>
           System.err.println(s"[bench] index prebuild $name failed: ${e.getMessage}")

@@ -184,6 +184,7 @@ object SparkEntry {
     // round 13: the maintenance story completed — retraction folding,
     // streaming delete propagation, maintained retrieval stats
     "x77_agg_retract_merge" -> ((s, d) => Maintenance.aggRetractMerge(s, d)),
+    "x78_bm25_append" -> ((s, d) => Search.bm25AppendTopK(s, d)),
     "x28_temperature_mixture" -> ((s, d) => TextAnalysis.temperatureMixture(s, d)),
     "x26_quality_filter" -> (TextAnalysis.qualityFilter _),
     "x27_token_entropy" -> (TextAnalysis.tokenEntropy _),

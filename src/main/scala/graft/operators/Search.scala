@@ -32,28 +32,82 @@ object Search {
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
 
+  /** The per-doc term-frequency pass: codegen'd filter counts fused with
+    * the scan (no posting-list explode). */
+  private def tfPass(docs: DataFrame, terms: Seq[String]): DataFrame = docs
+    .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+    .select(col("doc_id") +: size(col("tk")).cast("double").as("dl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        size(filter(col("tk"), w => w === lit(t))).cast("double").as(s"tf$i")
+      }: _*)
+
+  /** The MAINTAINED per-term document-frequency table (term → df over the
+    * whole vocabulary) — BM25's corpus statistic as a stored artifact
+    * (VERDICT r12 #6), not a per-query recompute: built once per corpus
+    * version through the durable index cache (the ivfPqIndex discipline),
+    * probed at query time for the bounded query-term set. df is a group
+    * count, so appends FOLD by addition ([[bm25FoldTermDf]]) — a delta
+    * batch updates the artifact without rescanning the corpus. */
+  private[graft] def bm25TermDf(spark: SparkSession, sfDir: String): DataFrame =
+    DfCache.memoizeDisk(spark, s"bm25_df:$sfDir",
+      Seq(s"$sfDir/documents.parquet")) {
+      bm25TermDfOf(Tables.documents(spark, sfDir))
+    }
+
+  /** [[bm25TermDf]]'s build over any `documents`-shaped slice. */
+  private[graft] def bm25TermDfOf(docs: DataFrame): DataFrame = docs
+    .select(explode(array_distinct(TextFns.tokens(col("text")))).as("term"))
+    .groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+  /** The maintained scalar stats (corpus size, total token length): one
+    * row, both values long group-sums, so appends fold by addition. avgdl
+    * is DERIVED at query time (total_len / n_docs) — a sum of
+    * integer-valued doubles is exact in FP, so the derived value is
+    * bit-equal to the inline `avg(dl)` the oracle computes. */
+  private[graft] def bm25Scalars(spark: SparkSession, sfDir: String): DataFrame =
+    DfCache.memoizeDisk(spark, s"bm25_scalars:$sfDir",
+      Seq(s"$sfDir/documents.parquet")) {
+      bm25ScalarsOf(Tables.documents(spark, sfDir))
+    }
+
+  /** [[bm25Scalars]]'s build over any `documents`-shaped slice. */
+  private[graft] def bm25ScalarsOf(docs: DataFrame): DataFrame = docs
+    .select(size(TextFns.tokens(col("text"))).cast("long").as("dl"))
+    .agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("total_len"))
+
+  /** Fold an append batch's stats into the stored artifact — pure state
+    * merges (df/count/length sums), O(vocabulary + 1), never a corpus
+    * rescan; append ≡ rebuild is spec-pinned (SearchSpec). */
+  private[graft] def bm25FoldTermDf(base: DataFrame, delta: DataFrame): DataFrame =
+    base.unionByName(delta).groupBy(col("term")).agg(sum(col("df")).as("df"))
+
+  private[graft] def bm25FoldScalars(base: DataFrame, delta: DataFrame): DataFrame =
+    base.unionByName(delta)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_len")).as("total_len"))
+
   /** The full scored set behind [[bm25TopK]] (every doc with bm25 > 0) —
-    * the candidate-generation leg reused by [[hybridTopK]]. */
+    * the candidate-generation leg reused by [[hybridTopK]]. Corpus stats
+    * come from the MAINTAINED artifacts; the query-time driver values are
+    * one scalar row plus ≤ |terms| df rows, inlined as codegen literals
+    * (for a bounded term set, literals fused into the scan beat a
+    * broadcast join — the x6 probe-vector idiom). */
   private[graft] def bm25Scored(spark: SparkSession, sfDir: String,
                                 terms: Seq[String] = Seq("spark", "join", "window"),
-                                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tf = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
-      .select(col("doc_id") +: size(col("tk")).cast("double").as("dl") +:
-        terms.zipWithIndex.map { case (t, i) =>
-          size(filter(col("tk"), w => w === lit(t))).cast("double").as(s"tf$i")
-        }: _*)
-    // one aggregate row: corpus size, mean doc length, per-term doc freq.
-    // dl/tf are integer-valued doubles, so the sums are order-independent
-    // (exact in FP) and the derived literals are bit-stable across runs.
-    val statsRow = tf.agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      avg(col("dl")).as("avgdl") +:
-        terms.indices.map(i =>
-          sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i")): _*).head()
-    val nDocs = statsRow.getDouble(0)
-    // empty corpus → avgdl is null and no doc can score; return the empty
-    // result with the right schema instead of NPE-ing on the null fetch
+                                k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25ScoredAgainst(tfPass(Tables.documents(spark, sfDir), terms), terms,
+      bm25TermDf(spark, sfDir), bm25Scalars(spark, sfDir), k1, b)
+
+  /** Score a term-frequency pass against explicit stats tables — shared by
+    * the maintained-artifact path ([[bm25Scored]]) and the append-fold
+    * path ([[bm25AppendTopK]]). */
+  private[graft] def bm25ScoredAgainst(tf: DataFrame, terms: Seq[String],
+      termDf: DataFrame, scalars: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val sc = scalars.head()
+    val nDocs = sc.getLong(0).toDouble
+    // empty corpus → no doc can score; return the empty result with the
+    // right schema instead of dividing by a zero avgdl
     if (nDocs == 0.0) {
       return tf.select(
         col("doc_id") +:
@@ -62,11 +116,14 @@ object Search {
           lit(0.0).as("bm25"): _*)
         .limit(0)
     }
-    val avgdl = statsRow.getDouble(1)
+    val avgdl = sc.getLong(1).toDouble / nDocs
+    // bounded probe of the vocabulary-sized artifact: ≤ |terms| rows
+    val dfByTerm = termDf.where(col("term").isin(terms: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // Per-term BM25 contribution, parenthesized identically to the oracle
     // SQL so the FP result is bit-equal cross-engine before rounding.
     def contrib(i: Int): Column = {
-      val df = statsRow.getDouble(2 + i)
+      val df = dfByTerm.getOrElse(terms(i), 0L).toDouble
       lit(math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))) *
         (col(s"tf$i") * lit(k1 + 1)) /
         (col(s"tf$i") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl)))
@@ -77,6 +134,26 @@ object Search {
             col(s"tf$i").cast("long").as(s"tf_$t") } :+
           round(terms.indices.map(contrib).reduce(_ + _), 6).as("bm25"): _*)
       .where(col("bm25") > 0)
+  }
+
+  /** X78 — BM25 over APPEND-FOLDED stats: the corpus lands as two batches
+    * (even/odd doc_id, the x6h discipline); the second batch's stats fold
+    * into the first's by pure state merge — no rescan of already-counted
+    * documents — and the query scores against the folded artifact. The
+    * oracle is x20's monolithic-stats query verbatim: hash equality states
+    * fold(stats(A), stats(B)) ≡ stats(A ∪ B) end-to-end through the
+    * scoring arithmetic. */
+  def bm25AppendTopK(spark: SparkSession, sfDir: String,
+                     terms: Seq[String] = Seq("spark", "join", "window"),
+                     k: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val batchA = docs.where(pmod(col("doc_id"), lit(2L)) === 0L)
+    val batchB = docs.where(pmod(col("doc_id"), lit(2L)) =!= 0L)
+    val termDf = bm25FoldTermDf(bm25TermDfOf(batchA), bm25TermDfOf(batchB))
+    val scalars = bm25FoldScalars(bm25ScalarsOf(batchA), bm25ScalarsOf(batchB))
+    bm25ScoredAgainst(tfPass(docs, terms), terms, termDf, scalars)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
   }
 
   /** X29 — hybrid retrieval: BM25 keyword leg + embedding-cosine leg,

@@ -8,6 +8,33 @@ package graft.oracles
 object TextOracles {
   import OracleDefs._
 
+  /** x20's BM25 top-k, shared verbatim by x78 (whose Spark side scores
+    * against append-FOLDED stats — the monolithic oracle is exactly the
+    * fold-correctness statement). */
+  private val bm25TopKSql: String =
+    s"""WITH d AS (SELECT doc_id, CAST(len($toks) AS DOUBLE) AS dl,
+          CAST(len(list_filter($toks, w -> w = 'spark')) AS DOUBLE) AS tf0,
+          CAST(len(list_filter($toks, w -> w = 'join')) AS DOUBLE) AS tf1,
+          CAST(len(list_filter($toks, w -> w = 'window')) AS DOUBLE) AS tf2
+          FROM documents),
+        s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+          SUM(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+          SUM(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+          SUM(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+          FROM d),
+        scored AS (SELECT doc_id,
+          CAST(tf0 AS BIGINT) AS tf_spark, CAST(tf1 AS BIGINT) AS tf_join,
+          CAST(tf2 AS BIGINT) AS tf_window,
+          round(ln(1 + (n_docs - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2)
+                  / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+              + ln(1 + (n_docs - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2)
+                  / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+              + ln(1 + (n_docs - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2)
+                  / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
+          FROM d, s)
+        SELECT * FROM scored WHERE bm25 > 0
+        ORDER BY bm25 DESC, doc_id LIMIT 10"""
+
   private[graft] def sql: Map[String, String] = Map(
     "x7_lang_id" ->
       s"""WITH scored AS (SELECT doc_id, lang AS labeled_lang,
@@ -281,29 +308,11 @@ object TextOracles {
                      FROM scored)
           SELECT lang, CAST(rnk AS BIGINT) AS rnk, term, tfidf
           FROM ranked WHERE rnk <= 5 ORDER BY lang, rnk""",
-    "x20_bm25_topk" ->
-      s"""WITH d AS (SELECT doc_id, CAST(len($toks) AS DOUBLE) AS dl,
-            CAST(len(list_filter($toks, w -> w = 'spark')) AS DOUBLE) AS tf0,
-            CAST(len(list_filter($toks, w -> w = 'join')) AS DOUBLE) AS tf1,
-            CAST(len(list_filter($toks, w -> w = 'window')) AS DOUBLE) AS tf2
-            FROM documents),
-          s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
-            SUM(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
-            SUM(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
-            SUM(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
-            FROM d),
-          scored AS (SELECT doc_id,
-            CAST(tf0 AS BIGINT) AS tf_spark, CAST(tf1 AS BIGINT) AS tf_join,
-            CAST(tf2 AS BIGINT) AS tf_window,
-            round(ln(1 + (n_docs - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2)
-                    / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-                + ln(1 + (n_docs - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2)
-                    / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-                + ln(1 + (n_docs - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2)
-                    / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
-            FROM d, s)
-          SELECT * FROM scored WHERE bm25 > 0
-          ORDER BY bm25 DESC, doc_id LIMIT 10""",
+    "x20_bm25_topk" -> bm25TopKSql,
+    // x78: BM25 over append-folded stats — same monolithic oracle as x20:
+    // hash equality states fold(stats(A), stats(B)) ≡ stats(A ∪ B) through
+    // the full scoring arithmetic
+    "x78_bm25_append" -> bm25TopKSql,
     // both legs rank by ROUNDED score with id tie-break, so candidate
     // cutoffs and ranks agree cross-engine; RRF = sum of 1/(60+rank)
     "x29_hybrid_rrf" ->

@@ -74,6 +74,25 @@ class MaintenanceSpec extends SparkSpec {
     assert(viaIsin == viaSemi)
   }
 
+  test("x78 fold: append-folded BM25 stats equal the monolithic rebuild exactly") {
+    import graft.operators.Search
+    val docs = Tables.documents(spark, sf)
+    val a = docs.where(pmod(col("doc_id"), lit(2L)) === 0L)
+    val b = docs.where(pmod(col("doc_id"), lit(2L)) =!= 0L)
+    // the fold touches only the two stats tables — append ≡ rebuild is
+    // what licenses never rescanning already-counted documents
+    val folded = Search.bm25FoldTermDf(Search.bm25TermDfOf(a), Search.bm25TermDfOf(b))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mono = Search.bm25TermDfOf(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(folded == mono)
+    val fs = Search.bm25FoldScalars(Search.bm25ScalarsOf(a), Search.bm25ScalarsOf(b)).head()
+    val ms = Search.bm25ScalarsOf(docs).head()
+    assert((fs.getLong(0), fs.getLong(1)) == ((ms.getLong(0), ms.getLong(1))))
+    assert(a.limit(1).count() > 0 && b.limit(1).count() > 0,
+      "a degenerate batch split exercises no fold")
+  }
+
   test("x77 declared query matches an independent JVM replica; fixture exercises both tombstone legs") {
     val merged = foldedMap(Maintenance.aggRetractMerge(spark, sf))
     val ev = Tables.events(spark, sf)
