@@ -104,6 +104,7 @@ object SparkEntry {
     "t15_stream_semantic_dedup" -> ((s, d) => StreamingIngest.streamSemanticDedup(s, d)),
     "t16_stream_anomaly_flags" -> (StreamingIngest.streamAnomalyFlags _),
     "t17_stream_idle_close" -> ((s, d) => StreamingIngest.idleCloseSessions(s, d)),
+    "t18_stream_delete_propagation" -> (StreamingIngest.streamDeletePropagation _),
     // M5 — [EXT] LLM-pipeline operators
     "x1_dedup_exact" -> (Dedup.exactDedup _),
     "x2_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),

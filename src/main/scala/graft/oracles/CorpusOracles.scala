@@ -9,6 +9,20 @@ object CorpusOracles {
   import OracleDefs._
   import graft.operators.{Graphs, Layout, Profile}
 
+  /** x75's delete-propagation audit, shared verbatim by t18 (whose Spark
+    * side applies the SAME tombstone set as a two-micro-batch stream —
+    * the common oracle is the streaming-converges-to-one-shot theorem). */
+  private val deletePropagationSql: String =
+    s"""WITH d AS (SELECT source,
+          CASE WHEN ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 40 = 0
+               THEN 1 ELSE 0 END AS tomb
+        FROM documents)
+        SELECT source, count(*) AS rows_before,
+          CAST(sum(tomb) AS BIGINT) AS rows_deleted,
+          CAST(count(*) - sum(tomb) AS BIGINT) AS rows_after,
+          CAST(CASE WHEN sum(tomb) > 0 THEN 1 ELSE 0 END AS BIGINT) AS rewritten
+        FROM d GROUP BY source ORDER BY source"""
+
   private[graft] def sql: Map[String, String] = Map(
     // x74: the union-sum identity over one inner join; every term exact
     // integer ppm (c*1e6 // t, floors on positive operands). The pair
@@ -21,16 +35,11 @@ object CorpusOracles {
     // file-level invariants (clean partitions keep their exact files,
     // fully-emptied partitions are dropped) are spec-pinned in
     // IngestSpec; the oracle pins the accounting.
-    "x75_delete_propagation" ->
-      s"""WITH d AS (SELECT source,
-            CASE WHEN ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 40 = 0
-                 THEN 1 ELSE 0 END AS tomb
-          FROM documents)
-          SELECT source, count(*) AS rows_before,
-            CAST(sum(tomb) AS BIGINT) AS rows_deleted,
-            CAST(count(*) - sum(tomb) AS BIGINT) AS rows_after,
-            CAST(CASE WHEN sum(tomb) > 0 THEN 1 ELSE 0 END AS BIGINT) AS rewritten
-          FROM d GROUP BY source ORDER BY source""",
+    "x75_delete_propagation" -> deletePropagationSql,
+    // t18: x75's accounting restated over the corpus AFTER the streaming
+    // tombstone loop — crash-restore and replay invariants are spec-pinned
+    // in StreamingSpec; the oracle pins final-state convergence.
+    "t18_stream_delete_propagation" -> deletePropagationSql,
     "x74_source_divergence" ->
       s"""WITH t0 AS (SELECT source, unnest($toks) AS w FROM documents),
           occ AS (SELECT source, ${polyHashSql("w")} AS h FROM t0),

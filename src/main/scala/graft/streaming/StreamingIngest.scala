@@ -1181,6 +1181,150 @@ object StreamingIngest {
     fs.delete(staging, true)
   }
 
+  /** One micro-batch of the streaming delete-propagation loop (T18 —
+    * x75 as an operational stream): apply a batch of tombstone keys
+    * `(doc_id, source)` to a `source=`-partitioned corpus by rewriting
+    * ONLY the partitions the batch touches. Replay-idempotent and
+    * crash-safe under `foreachBatch`'s at-least-once contract:
+    *  - staging is TAG-scoped (`batch=<runId>-<batchId>`), so a replayed
+    *    attempt clobbers its own half-done staging, never another batch's;
+    *  - the anti-join itself is idempotent (re-deleting absent keys is a
+    *    no-op), so a replay over an already-swapped corpus stages
+    *    byte-identical survivors and the re-swap converges;
+    *  - the swap is [[graft.sources.Landing.compactPartitions]]'s
+    *    retire-to-trash / publish-from-staging rename pair, with crash
+    *    recovery FIRST: a partition stranded in trash with no live dir
+    *    (death between the two renames) is restored before anything else
+    *    touches the tree, so the corpus is READABLE at every instant;
+    *  - a fully-emptied partition publishes an EMPTY staged dir rather
+    *    than skipping the publish — live always exists after a publish,
+    *    which is what keeps the restore rule unambiguous (it can never
+    *    mistake an intentional drop for a crashed swap); fileless dirs
+    *    are swept only after the batch's trash is gone.
+    * Cost is O(batch keys + dirty partitions' rows), never O(corpus) —
+    * x75's economics, held per micro-batch. Reference anchor: the
+    * late-arrival partition re-open (`HiveBatchedSink.scala:318-322`) —
+    * the same rewrite-a-landed-partition-after-the-fact shape. */
+  private[graft] def deleteBatch(batch: DataFrame, batchTag: String,
+                                 corpusDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val spark = batch.sparkSession
+    val root = new Path(corpusDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagingRoot = new Path(root.getParent, "." + root.getName + "_delprop_staging")
+    val staging = new Path(stagingRoot, s"batch=$batchTag")
+    val trash = new Path(root.getParent, "." + root.getName + "_delprop_trash")
+    // crash recovery FIRST (the compaction discipline): restore any trash
+    // partition whose live dir is missing — death between the two renames
+    // left the only copy there; deleting trash up-front would destroy it
+    if (fs.exists(trash)) fs.listStatus(trash).foreach { d =>
+      val live = new Path(root, d.getPath.getName)
+      if (d.isDirectory && !fs.exists(live))
+        require(fs.rename(d.getPath, live),
+          s"could not restore ${d.getPath.getName} from interrupted delete swap")
+    }
+    fs.delete(trash, true)
+    val keys = batch.select(col("doc_id"), col("source")).distinct().persist()
+    try {
+      val dirtyDf = keys.select(col("source")).distinct()
+      val dirty = dirtyDf.collect().map(_.getString(0)).toSeq.sorted
+      if (dirty.nonEmpty) {
+        // survivors of the dirty partitions only: partition-pruned read
+        // (gated isin/semi-join — Maintenance.restrictToKeys), one anti
+        // hash-join against the batch's key set
+        graft.operators.Maintenance
+          .restrictToKeys(spark.read.parquet(corpusDir), "source", dirtyDf,
+            dirty, graft.operators.Maintenance.keyGateDefault)
+          .join(broadcast(keys.select(col("doc_id")).distinct()),
+            Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").partitionBy("source").parquet(staging.toString)
+        fs.mkdirs(trash)
+        dirty.foreach { s =>
+          val dirName = "source=" + ExternalCatalogUtils.escapePathName(s)
+          val live = new Path(root, dirName)
+          val staged = new Path(staging, dirName)
+          // an all-rows-dead partition staged nothing: publish an EMPTY
+          // dir so live keeps existing (see contract above)
+          if (!fs.exists(staged)) fs.mkdirs(staged)
+          if (fs.exists(live))
+            require(fs.rename(live, new Path(trash, dirName)),
+              s"delete propagation could not retire $dirName")
+          require(fs.rename(staged, live),
+            s"delete propagation could not publish $dirName (old data in $trash)")
+        }
+        fs.delete(trash, true)
+        fs.delete(staging, true)
+        // only after the batch is fully published: sweep the fileless dirs
+        // the empty-publish rule left behind (bounded: ⊆ dirty keys), then
+        // drop the stale file listing the manual renames bypassed
+        dirty.foreach { s =>
+          val live = new Path(root, "source=" + ExternalCatalogUtils.escapePathName(s))
+          if (fs.exists(live) && fs.listStatus(live).isEmpty) {
+            fs.delete(live, true); ()
+          }
+        }
+        spark.catalog.refreshByPath(corpusDir)
+      }
+    } finally { keys.unpersist(); () }
+  }
+
+  /** Drive a tombstone-key stream into [[deleteBatch]] — the continuous
+    * right-to-be-forgotten loop over a landed corpus. */
+  def deleteStream(tombs: DataFrame, corpusDir: String, checkpoint: String): Unit = {
+    val run = runId(checkpoint, tombs.sparkSession.sessionState.newHadoopConf())
+    val q = tombs.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        deleteBatch(b, s"$run-$id", corpusDir); ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+  }
+
+  /** T18 — [[deleteStream]] under the driver's oracle gate: land
+    * `documents` partitioned by source, stream x75's tombstone set at it
+    * as TWO genuinely separate micro-batches (t14's ordered-mtime arrival
+    * files, `maxFilesPerTrigger = 1`), then restate x75's per-partition
+    * delete accounting over the FINAL corpus state — the oracle is x75's
+    * verbatim, so the green hash states that the streaming loop converges
+    * to exactly the one-shot pass's corpus. */
+  def streamDeletePropagation(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.Files
+    graft.Tables.ensureParquetConf(spark)
+    val docs = graft.Tables.documents(spark, sfDir)
+    val root = graft.Tables.scratchDir("graft_t18")
+    val corpus = root.resolve("corpus").toString
+    docs.write.mode("overwrite").partitionBy("source").parquet(corpus)
+    val tomb = docs
+      .where(graft.functions.TextFns.polyHash(col("doc_id").cast("string")) % 40 === 0)
+      .select(col("doc_id"), col("source"))
+    val srcDir = root.resolve("src")
+    Files.createDirectories(srcDir)
+    val half = pmod(graft.functions.TextFns.polyHash(col("doc_id").cast("string")), lit(2L))
+    landArrivalFile(tomb.where(half === 0), root, srcDir, "a_first.parquet",
+      1000000000000L)
+    landArrivalFile(tomb.where(half === 1), root, srcDir, "b_second.parquet",
+      1000000060000L)
+    withScratchCheckpoint { ck =>
+      deleteStream(
+        spark.readStream.schema(tomb.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir.toString),
+        corpus, ck)
+    }
+    val after = spark.read.parquet(corpus)
+      .groupBy(col("source")).agg(count(lit(1)).as("rows_after"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("rows_before"))
+      .join(after, Seq("source"), "left")
+      .select(col("source"), col("rows_before"),
+        (col("rows_before") - coalesce(col("rows_after"), lit(0L))).as("rows_deleted"),
+        coalesce(col("rows_after"), lit(0L)).as("rows_after"),
+        when(coalesce(col("rows_after"), lit(0L)) < col("rows_before"), lit(1L))
+          .otherwise(lit(0L)).as("rewritten"))
+      .orderBy(col("source"))
+  }
+
   /** One micro-batch of the streaming cross-run dedup loop (the streaming
     * form of `Dedup.dedupAgainstIndex` — x16's operational mode fed by a
     * continuously-arriving crawl). Replay-idempotent under `foreachBatch`'s

@@ -1082,4 +1082,39 @@ class StreamingSpec extends SparkSpec {
       "no seed produced a same-user window-crossing inversion — the " +
         "property no longer exercises the case the band-hack excluded")
   }
+
+  test("t18 deleteBatch: replay clobbers itself, a crashed swap restores, emptied partitions drop") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val root = Tables.scratchDir("graft_t18_spec")
+    val corpus = root.resolve("corpus").toString
+    Seq((1L, "keep1", "A"), (2L, "dead1", "A"), (3L, "keep2", "B"),
+        (4L, "dead2", "C"), (5L, "dead3", "C"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").partitionBy("source").parquet(corpus)
+    val fs = new Path(corpus).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def state(): Set[(Long, String)] = spark.read.parquet(corpus)
+      .select(col("doc_id"), col("source")).as[(Long, String)].collect().toSet
+    val tombs = Seq((2L, "A"), (4L, "C"), (5L, "C")).toDF("doc_id", "source")
+    StreamingIngest.deleteBatch(tombs, "run-0", corpus)
+    val expected = Set((1L, "A"), (3L, "B"))
+    assert(state() == expected)
+    // the fully-emptied partition's dir is gone, the untouched one intact
+    assert(!fs.exists(new Path(corpus, "source=C")))
+    assert(fs.exists(new Path(corpus, "source=B")))
+    // replay (foreachBatch's at-least-once): same tag, same keys, over the
+    // already-swapped corpus — must converge to the identical state
+    StreamingIngest.deleteBatch(tombs, "run-0", corpus)
+    assert(state() == expected)
+    // crash simulation: a death between retire and publish leaves the
+    // partition's only copy in the trash dir and nothing live — the next
+    // batch must restore it BEFORE touching the tree
+    val trash = new Path(new Path(corpus).getParent, ".corpus_delprop_trash")
+    fs.mkdirs(trash)
+    require(fs.rename(new Path(corpus, "source=B"), new Path(trash, "source=B")))
+    StreamingIngest.deleteBatch(Seq((1L, "A")).toDF("doc_id", "source"), "run-1", corpus)
+    // B restored from the stranded trash; A's last row deleted → A dropped
+    assert(state() == Set((3L, "B")))
+    assert(!fs.exists(new Path(corpus, "source=A")))
+  }
 }
