@@ -254,7 +254,10 @@ object Bench {
         // x20/x29's maintained BM25 corpus stats (vocab df + scalars)
         "bm25_stats" -> (() => {
           graft.operators.Search.bm25TermDf(spark, sfDir)
-          graft.operators.Search.bm25Scalars(spark, sfDir); () }))
+          graft.operators.Search.bm25Scalars(spark, sfDir); () }),
+        // x76/x77's day-partitioned landing of the maintained view source
+        "event_landing" -> (() => {
+          graft.operators.Maintenance.landedEvents(spark, sfDir); () }))
       builders.foreach { case (name, f) =>
         try f() catch { case e: Throwable =>
           System.err.println(s"[bench] index prebuild $name failed: ${e.getMessage}")

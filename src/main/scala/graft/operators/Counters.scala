@@ -433,7 +433,7 @@ object Counters {
     * relations, whose size is O(groups), not O(events). The cut is one
     * bounded 1-row stats fetch (the x20 literal-reentry idiom). */
   def aggDeltaMerge(spark: SparkSession, sfDir: String): DataFrame = {
-    val src = spark.read.parquet(Maintenance.landEventsByDay(spark, sfDir))
+    val src = Maintenance.landedEvents(spark, sfDir)
     val bounds = src.agg(min(col("es")), max(col("es"))).head()
     val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
     val cut = mn + 2 * ((mx - mn) / 3) // integer arithmetic — both dialects agree

@@ -34,20 +34,21 @@ object Maintenance {
     * physical ts encoding. Columns are exactly the maintained aggregate's
     * inputs, micro-scaled at landing (`floor(v·1e6 + 0.5)` per ROW) so all
     * downstream state is exact longs and partial merges are order-free.
-    * Per-invocation scratch here; in deployment this IS the landed table
-    * the ingest path (S3/S4) already maintains. */
-  private[graft] def landEventsByDay(spark: SparkSession, sfDir: String): String = {
-    val out = Tables.scratchDir("graft_evland_").toString
-    Tables.events(spark, sfDir)
-      .select(
-        col("event_id"),
-        Headers.categoryOrDefault(col("event_type")).as("category"),
-        Times.epochSeconds(col("ts")).as("es"),
-        floor(col("value") * 1000000L + lit(0.5)).cast("long").as("v_micro"))
-      .withColumn("logday", dayOfEpoch(col("es")))
-      .write.mode("overwrite").partitionBy("logday").parquet(out)
-    out
-  }
+    * Maintained through the durable index cache (built once per corpus
+    * version, `sessionCache = false` so the logday partition filter prunes
+    * DIRECTORIES at the scan, not an in-memory relation) — in deployment
+    * this IS the landed table the ingest path (S3/S4) already maintains. */
+  private[graft] def landedEvents(spark: SparkSession, sfDir: String): DataFrame =
+    DfCache.memoizeDisk(spark, s"evland:$sfDir", Seq(s"$sfDir/events.parquet"),
+      partitionBy = Seq("logday"), sessionCache = false) {
+      Tables.events(spark, sfDir)
+        .select(
+          col("event_id"),
+          Headers.categoryOrDefault(col("event_type")).as("category"),
+          Times.epochSeconds(col("ts")).as("es"),
+          floor(col("value") * 1000000L + lit(0.5)).cast("long").as("v_micro"))
+        .withColumn("logday", dayOfEpoch(col("es")))
+    }
 
   /** The maintained aggregate over any slice of the landed source: all
     * state mergeable and exact (count, max, long micro-sums). */
@@ -101,8 +102,7 @@ object Maintenance {
     * is the IVM-under-retraction theorem merged(stored, −delta) ≡
     * recomputed(survivors). */
   def aggRetractMerge(spark: SparkSession, sfDir: String): DataFrame = {
-    val land = landEventsByDay(spark, sfDir)
-    val src = spark.read.parquet(land)
+    val src = landedEvents(spark, sfDir)
     val bounds = src.agg(min(col("es")), max(col("es"))).head()
     val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
     val cutLo = mn + (mx - mn) / 10L // integer arithmetic — both dialects agree
