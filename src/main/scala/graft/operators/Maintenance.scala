@@ -121,11 +121,18 @@ object Maintenance {
   private[graft] def aggRetractMergeOn(spark: SparkSession, src: DataFrame,
       base: DataFrame, tomb: Column,
       gate: Int = keyGateDefault): DataFrame = {
-    // the retraction delta: negative mergeable state from the doomed rows
-    val retr = partial(src.where(tomb))
+    // the retraction delta: negative mergeable state from the doomed rows,
+    // MATERIALIZED once (O(touched groups)) — three downstream legs read
+    // it (fold, dirty-bucket build, rescan semi-join), and without the
+    // materialization each would re-run the doomed-row scan; in deployment
+    // this artifact is the delete batch's ledger entry anyway
+    val retrStore = Tables.scratchDir("graft_retract_delta_").toString
+    partial(src.where(tomb))
       .withColumnRenamed("n_events", "d_n")
       .withColumnRenamed("max_es", "d_max")
       .withColumnRenamed("sum_value_micro", "d_sum")
+      .write.mode("overwrite").parquet(retrStore)
+    val retr = spark.read.parquet(retrStore)
     // fold −count/−sum; flag buckets whose max-carrier died. retr's groups
     // are a subset of base's (doomed ⊆ landed), so a left join is total.
     val folded = base.join(retr, Seq("category", "bucket"), "left")
