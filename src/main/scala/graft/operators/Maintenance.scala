@@ -120,14 +120,34 @@ object Maintenance {
     * the dirty-days-only rescan invariant). */
   private[graft] def aggRetractMergeOn(spark: SparkSession, src: DataFrame,
       base: DataFrame, tomb: Column,
+      gate: Int = keyGateDefault): DataFrame =
+    retractFold(spark, base, src.where(tomb), src.where(!tomb), gate)
+
+  /** The fold with the tombstones given as a KEY TABLE (`event_id` rows)
+    * instead of a predicate — the streaming form (t19): a delete request
+    * arrives as keys, so doomed/kept are one broadcast semi/anti hash-join
+    * each, never a compiled key-list predicate. */
+  private[graft] def aggRetractMergeKeys(spark: SparkSession, src: DataFrame,
+      base: DataFrame, keys: DataFrame,
       gate: Int = keyGateDefault): DataFrame = {
+    val k = broadcast(keys.select(col("event_id")).distinct())
+    retractFold(spark, base,
+      src.join(k, Seq("event_id"), "leftsemi"),
+      src.join(k, Seq("event_id"), "leftanti"), gate)
+  }
+
+  /** The retraction fold over (stored aggregate, doomed rows, kept rows).
+    * `doomed` and `kept` must partition `src`: every row is in exactly one
+    * of them. */
+  private def retractFold(spark: SparkSession, base: DataFrame,
+      doomed: DataFrame, kept: DataFrame, gate: Int): DataFrame = {
     // the retraction delta: negative mergeable state from the doomed rows,
     // MATERIALIZED once (O(touched groups)) — three downstream legs read
     // it (fold, dirty-bucket build, rescan semi-join), and without the
     // materialization each would re-run the doomed-row scan; in deployment
     // this artifact is the delete batch's ledger entry anyway
     val retrStore = Tables.scratchDir("graft_retract_delta_").toString
-    partial(src.where(tomb))
+    partial(doomed)
       .withColumnRenamed("n_events", "d_n")
       .withColumnRenamed("max_es", "d_max")
       .withColumnRenamed("sum_value_micro", "d_sum")
@@ -155,8 +175,7 @@ object Maintenance {
     val dirtyDays = dirtyMax.select(dayOfEpoch(col("bucket")).as("logday"))
       .distinct()
     val dayVals = dirtyDays.collect().map(_.getLong(0)).toSeq.sorted
-    val rederived = restrictToKeys(src, "logday", dirtyDays, dayVals, gate)
-      .where(!tomb)
+    val rederived = restrictToKeys(kept, "logday", dirtyDays, dayVals, gate)
       .withColumn("bucket", col("es") - (col("es") % 300L))
       .join(broadcast(dirtyMax.select(col("category"), col("bucket"))),
         Seq("category", "bucket"), "leftsemi")

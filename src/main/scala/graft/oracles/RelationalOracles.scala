@@ -8,6 +8,22 @@ package graft.oracles
 object RelationalOracles {
   import OracleDefs._
 
+  /** x77's monolithic-recompute-after-deletes, shared verbatim by t19. */
+  private val aggRetractSql: String =
+    s"""WITH e AS (SELECT coalesce(event_type, 'no_category') AS category,
+          ${epochS("ts")} AS es,
+          CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_micro,
+          event_id
+        FROM events),
+        b AS (SELECT min(es) AS mn, max(es) AS mx FROM e),
+        keep AS (SELECT e.* FROM e, b
+          WHERE NOT (es < mn + (mx - mn) // 10
+            OR ${polyHashSql("CAST(event_id AS VARCHAR)")} % 23 = 0))
+        SELECT category, es - (es % 300) AS bucket,
+          count(*) AS n_events, max(es) AS max_es,
+          CAST(sum(v_micro) AS BIGINT) AS sum_value_micro
+        FROM keep GROUP BY 1, 2 ORDER BY 1, 2"""
+
   private[graft] def sql: Map[String, String] = Map(
     "q_ingest_partition_counts" ->
       s"""SELECT ${logdateS("ts")} AS logdate, count(*) AS n_events,
@@ -40,20 +56,12 @@ object RelationalOracles {
     // AFTER deletes (retention cut on the oldest tenth + scattered ~4%
     // hash tombstones), so hash equality states merged(stored, −delta) ≡
     // recomputed(survivors) exactly; same all-integer state as x76.
-    "x77_agg_retract_merge" ->
-      s"""WITH e AS (SELECT coalesce(event_type, 'no_category') AS category,
-            ${epochS("ts")} AS es,
-            CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_micro,
-            event_id
-          FROM events),
-          b AS (SELECT min(es) AS mn, max(es) AS mx FROM e),
-          keep AS (SELECT e.* FROM e, b
-            WHERE NOT (es < mn + (mx - mn) // 10
-              OR ${polyHashSql("CAST(event_id AS VARCHAR)")} % 23 = 0))
-          SELECT category, es - (es % 300) AS bucket,
-            count(*) AS n_events, max(es) AS max_es,
-            CAST(sum(v_micro) AS BIGINT) AS sum_value_micro
-          FROM keep GROUP BY 1, 2 ORDER BY 1, 2""",
+    "x77_agg_retract_merge" -> aggRetractSql,
+    // t19: the same tombstone set applied as a two-micro-batch STREAM that
+    // maintains corpus and stored view together — x77's oracle verbatim,
+    // so the green hash states the incremental loop converges to the
+    // one-shot retraction.
+    "t19_stream_retract_view" -> aggRetractSql,
     "p1_serde_parse" ->
       """SELECT event_id, event_type,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

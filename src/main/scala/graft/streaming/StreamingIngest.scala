@@ -1206,7 +1206,9 @@ object StreamingIngest {
     * late-arrival partition re-open (`HiveBatchedSink.scala:318-322`) —
     * the same rewrite-a-landed-partition-after-the-fact shape. */
   private[graft] def deleteBatch(batch: DataFrame, batchTag: String,
-                                 corpusDir: String): Unit = {
+                                 corpusDir: String,
+                                 keyCol: String = "doc_id",
+                                 partCol: String = "source"): Unit = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val spark = batch.sparkSession
@@ -1225,33 +1227,34 @@ object StreamingIngest {
           s"could not restore ${d.getPath.getName} from interrupted delete swap")
     }
     fs.delete(trash, true)
-    val keys = batch.select(col("doc_id"), col("source")).distinct().persist()
+    val keys = batch.select(col(keyCol), col(partCol)).distinct().persist()
     try {
-      val dirtyDf = keys.select(col("source")).distinct()
-      val dirty = dirtyDf.collect().map(_.getString(0)).toSeq.sorted
+      val dirtyDf = keys.select(col(partCol)).distinct()
+      val dirty = dirtyDf.collect().map(_.get(0)).toSeq.sortBy(_.toString)
       if (dirty.nonEmpty) {
+        def dirName(v: Any): String =
+          partCol + "=" + ExternalCatalogUtils.escapePathName(v.toString)
         // survivors of the dirty partitions only: partition-pruned read
         // (gated isin/semi-join — Maintenance.restrictToKeys), one anti
         // hash-join against the batch's key set
         graft.operators.Maintenance
-          .restrictToKeys(spark.read.parquet(corpusDir), "source", dirtyDf,
+          .restrictToKeys(spark.read.parquet(corpusDir), partCol, dirtyDf,
             dirty, graft.operators.Maintenance.keyGateDefault)
-          .join(broadcast(keys.select(col("doc_id")).distinct()),
-            Seq("doc_id"), "left_anti")
-          .write.mode("overwrite").partitionBy("source").parquet(staging.toString)
+          .join(broadcast(keys.select(col(keyCol)).distinct()),
+            Seq(keyCol), "left_anti")
+          .write.mode("overwrite").partitionBy(partCol).parquet(staging.toString)
         fs.mkdirs(trash)
         dirty.foreach { s =>
-          val dirName = "source=" + ExternalCatalogUtils.escapePathName(s)
-          val live = new Path(root, dirName)
-          val staged = new Path(staging, dirName)
+          val live = new Path(root, dirName(s))
+          val staged = new Path(staging, dirName(s))
           // an all-rows-dead partition staged nothing: publish an EMPTY
           // dir so live keeps existing (see contract above)
           if (!fs.exists(staged)) fs.mkdirs(staged)
           if (fs.exists(live))
-            require(fs.rename(live, new Path(trash, dirName)),
-              s"delete propagation could not retire $dirName")
+            require(fs.rename(live, new Path(trash, dirName(s))),
+              s"delete propagation could not retire ${dirName(s)}")
           require(fs.rename(staged, live),
-            s"delete propagation could not publish $dirName (old data in $trash)")
+            s"delete propagation could not publish ${dirName(s)} (old data in $trash)")
         }
         fs.delete(trash, true)
         fs.delete(staging, true)
@@ -1259,7 +1262,7 @@ object StreamingIngest {
         // the empty-publish rule left behind (bounded: ⊆ dirty keys), then
         // drop the stale file listing the manual renames bypassed
         dirty.foreach { s =>
-          val live = new Path(root, "source=" + ExternalCatalogUtils.escapePathName(s))
+          val live = new Path(root, dirName(s))
           if (fs.exists(live) && fs.listStatus(live).isEmpty) {
             fs.delete(live, true); ()
           }
@@ -1323,6 +1326,156 @@ object StreamingIngest {
         when(coalesce(col("rows_after"), lit(0L)) < col("rows_before"), lit(1L))
           .otherwise(lit(0L)).as("rewritten"))
       .orderBy(col("source"))
+  }
+
+  /** The `_LATEST` pointer of a maintained-view directory: names the
+    * current snapshot dir ("base" or "batch=<tag>"). A torn pointer (death
+    * mid-write) is always repaired before any read: the only reader is the
+    * NEXT batch's fold, which cannot run until this batch commits, and a
+    * replay of THIS batch rewrites the pointer without reading it (its
+    * fold is skipped on the publish marker). */
+  private def readViewPointer(fs: org.apache.hadoop.fs.FileSystem,
+                              viewRoot: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(new org.apache.hadoop.fs.Path(viewRoot, "_LATEST"))
+    try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+  }
+
+  private def writeViewPointer(fs: org.apache.hadoop.fs.FileSystem,
+                               viewRoot: org.apache.hadoop.fs.Path,
+                               snapName: String): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(viewRoot, "_LATEST"), true)
+    try out.write(snapName.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Initialize a maintained aggregate view over a day-partitioned events
+    * corpus: the "base" snapshot is the full aggregate, and `_LATEST`
+    * points at it. */
+  private[graft] def initRetractView(spark: SparkSession, corpusDir: String,
+                                     viewDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val viewRoot = new Path(viewDir)
+    val fs = viewRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.operators.Maintenance.partial(spark.read.parquet(corpusDir))
+      .write.mode("overwrite").parquet(new Path(viewRoot, "base").toString)
+    writeViewPointer(fs, viewRoot, "base")
+  }
+
+  /** The view's current contents (via the `_LATEST` pointer). */
+  private[graft] def readRetractView(spark: SparkSession, viewDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val viewRoot = new Path(viewDir)
+    val fs = viewRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(new Path(viewRoot, readViewPointer(fs, viewRoot)).toString)
+  }
+
+  /** One micro-batch of the streaming retraction-view loop (T19 = t18 ∘
+    * x77): a batch of tombstone keys `(event_id, logday)` is folded OUT of
+    * the stored aggregate view AND deleted from the day-partitioned
+    * corpus, in that order. Exactly-once for the VIEW comes from
+    * snapshot-per-batch publish markers: the fold's output lands as
+    * `batch=<tag>` next to its predecessor and is published by atomic
+    * rename (marker inside), so a replay whose snapshot already published
+    * SKIPS the fold — this matters because the fold is only correct
+    * against the PRE-delete corpus (the max repair rescans surviving
+    * rows), and a replay arrives after the corpus delete may have run.
+    * The corpus delete itself is [[deleteBatch]] (idempotent, crash-safe
+    * swaps). Order of operations per batch: fold+publish → move `_LATEST`
+    * → delete corpus partitions; every prefix of that sequence replays to
+    * the same end state, and the view is never behind the corpus (it
+    * leads it within a batch, by at most the batch). Each snapshot is
+    * O(groups) — the x76/x77 stored-aggregate envelope — so the per-batch
+    * cost is O(batch keys + touched groups + dirty buckets' rows). */
+  private[graft] def retractViewBatch(batch: DataFrame, batchTag: String,
+                                      corpusDir: String, viewDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val viewRoot = new Path(viewDir)
+    val fs = viewRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = new Path(viewRoot, s"batch=$batchTag")
+    val keys = batch.select(col("event_id"), col("logday")).distinct().persist()
+    try {
+      if (keys.limit(1).count() > 0) {
+        if (!fs.exists(new Path(snap, "_SUCCESS"))) {
+          val base = spark.read.parquet(
+            new Path(viewRoot, readViewPointer(fs, viewRoot)).toString)
+          val folded = graft.operators.Maintenance.aggRetractMergeKeys(
+            spark, spark.read.parquet(corpusDir), base, keys)
+          val tmp = new Path(viewRoot, s".tmp_${java.util.UUID.randomUUID()}")
+          folded.write.mode("overwrite").parquet(tmp.toString)
+          val marker = new Path(tmp, "_SUCCESS")
+          if (!fs.exists(marker)) fs.create(marker, true).close()
+          if (!fs.rename(tmp, snap)) {
+            // rename refused: a concurrent publisher won (marker present —
+            // discard ours), or a markerless partial attempt occupies the
+            // slot — replace it rather than strand the batch
+            if (fs.exists(new Path(snap, "_SUCCESS"))) fs.delete(tmp, true)
+            else {
+              fs.delete(snap, true)
+              require(fs.rename(tmp, snap),
+                s"could not publish view snapshot $snap")
+            }
+          }
+        }
+        writeViewPointer(fs, viewRoot, s"batch=$batchTag")
+        deleteBatch(batch, batchTag, corpusDir,
+          keyCol = "event_id", partCol = "logday")
+      }
+    } finally { keys.unpersist(); () }
+  }
+
+  /** Drive a tombstone-key stream into [[retractViewBatch]] — the
+    * continuous form of x77: corpus AND stored aggregate maintained
+    * together under deletes. */
+  def retractViewStream(tombs: DataFrame, corpusDir: String, viewDir: String,
+                        checkpoint: String): Unit = {
+    val run = runId(checkpoint, tombs.sparkSession.sessionState.newHadoopConf())
+    val q = tombs.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        retractViewBatch(b, s"$run-$id", corpusDir, viewDir); ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+  }
+
+  /** T19 — [[retractViewStream]] under the driver's oracle gate: copy the
+    * day-partitioned landing, initialize the stored aggregate view, stream
+    * x77's tombstone set at it as TWO micro-batches (ordered-mtime arrival
+    * files), and return the FINAL view. The oracle is x77's verbatim (the
+    * monolithic recompute after deletes), so the green hash states that
+    * the incremental streaming loop — two folds, two partition-pruned max
+    * repairs, two corpus swaps — converges to the one-shot retraction. */
+  def streamRetractView(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.Files
+    graft.Tables.ensureParquetConf(spark)
+    val landed = graft.operators.Maintenance.landedEvents(spark, sfDir)
+    val root = graft.Tables.scratchDir("graft_t19")
+    // a PRIVATE copy of the landing: the stream mutates its corpus, and
+    // the durable-cache artifact is shared by x76/x77
+    val corpus = root.resolve("corpus").toString
+    landed.write.mode("overwrite").partitionBy("logday").parquet(corpus)
+    val view = root.resolve("view").toString
+    initRetractView(spark, corpus, view)
+    val bounds = landed.agg(min(col("es")), max(col("es"))).head()
+    val cutLo = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 10L
+    val tomb = landed.where(col("es") < cutLo ||
+        graft.functions.TextFns.polyHash(col("event_id").cast("string")) % 23 === 0)
+      .select(col("event_id"), col("logday"))
+    val srcDir = root.resolve("src")
+    Files.createDirectories(srcDir)
+    val half = pmod(graft.functions.TextFns.polyHash(col("event_id").cast("string")), lit(2L))
+    landArrivalFile(tomb.where(half === 0), root, srcDir, "a_first.parquet",
+      1000000000000L)
+    landArrivalFile(tomb.where(half === 1), root, srcDir, "b_second.parquet",
+      1000000060000L)
+    withScratchCheckpoint { ck =>
+      retractViewStream(
+        spark.readStream.schema(tomb.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir.toString),
+        corpus, view, ck)
+    }
+    readRetractView(spark, view).orderBy(col("category"), col("bucket"))
   }
 
   /** One micro-batch of the streaming cross-run dedup loop (the streaming

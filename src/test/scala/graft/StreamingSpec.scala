@@ -1117,4 +1117,68 @@ class StreamingSpec extends SparkSpec {
     assert(state() == Set((3L, "B")))
     assert(!fs.exists(new Path(corpus, "source=A")))
   }
+
+  test("t19 retractViewBatch: fold+publish+swap per batch; replay converges; a partial snapshot is rebuilt") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val root = Tables.scratchDir("graft_t19_spec")
+    val corpus = root.resolve("corpus").toString
+    val view = root.resolve("view").toString
+    // MaintenanceSpec's fixture shape: A carrier-death, B carrier-survival,
+    // C bucket-death, D on its own day
+    Seq((1L, "a", 10L, 1L, 19700101L), (2L, "a", 20L, 2L, 19700101L),
+        (3L, "a", 290L, 3L, 19700101L),
+        (4L, "a", 310L, 5L, 19700101L), (5L, "a", 350L, 6L, 19700101L),
+        (6L, "b", 100L, 7L, 19700101L), (7L, "b", 150L, 8L, 19700101L),
+        (8L, "b", 172830L, 9L, 19700103L))
+      .toDF("event_id", "category", "es", "v_micro", "logday")
+      .write.mode("overwrite").partitionBy("logday").parquet(corpus)
+    StreamingIngest.initRetractView(spark, corpus, view)
+    val fs = new Path(view).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def viewMap(): Map[(String, Long), (Long, Long, Long)] =
+      StreamingIngest.readRetractView(spark, view).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def corpusIds(): Set[Long] = spark.read.parquet(corpus)
+      .select(col("event_id")).as[Long].collect().toSet
+    // batch 1: A's carrier dies, B's non-carrier dies
+    val b1 = Seq((3L, 19700101L), (4L, 19700101L)).toDF("event_id", "logday")
+    StreamingIngest.retractViewBatch(b1, "r-0", corpus, view)
+    assert(viewMap() == Map(
+      ("a", 0L) -> ((2L, 20L, 3L)), ("a", 300L) -> ((1L, 350L, 6L)),
+      ("b", 0L) -> ((2L, 150L, 15L)), ("b", 172800L) -> ((1L, 172830L, 9L))))
+    assert(corpusIds() == Set(1L, 2L, 5L, 6L, 7L, 8L))
+    // batch 2: bucket C dies entirely
+    val b2 = Seq((6L, 19700101L), (7L, 19700101L)).toDF("event_id", "logday")
+    StreamingIngest.retractViewBatch(b2, "r-1", corpus, view)
+    val afterB2 = Map(
+      ("a", 0L) -> ((2L, 20L, 3L)), ("a", 300L) -> ((1L, 350L, 6L)),
+      ("b", 172800L) -> ((1L, 172830L, 9L)))
+    assert(viewMap() == afterB2)
+    assert(corpusIds() == Set(1L, 2L, 5L, 8L))
+    // replay of batch 2 (at-least-once): the published snapshot marker
+    // skips the fold — which would otherwise be WRONG, because the corpus
+    // delete already ran — and the re-delete is a no-op
+    StreamingIngest.retractViewBatch(b2, "r-1", corpus, view)
+    assert(viewMap() == afterB2)
+    assert(corpusIds() == Set(1L, 2L, 5L, 8L))
+    // a crashed publish left a markerless partial snapshot dir: the batch
+    // must replace it, not read it or strand on it
+    fs.mkdirs(new Path(view, "batch=r-2"))
+    val b3 = Seq((8L, 19700103L)).toDF("event_id", "logday")
+    StreamingIngest.retractViewBatch(b3, "r-2", corpus, view)
+    assert(viewMap() == Map(
+      ("a", 0L) -> ((2L, 20L, 3L)), ("a", 300L) -> ((1L, 350L, 6L))))
+    assert(corpusIds() == Set(1L, 2L, 5L))
+    // D's day partition dropped with its last row
+    assert(!fs.exists(new Path(corpus, "logday=19700103")))
+  }
+
+  test("t19 streaming view equals the one-shot x77 retraction") {
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(m(StreamingIngest.streamRetractView(spark, sf)) ==
+      m(graft.operators.Maintenance.aggRetractMerge(spark, sf)))
+  }
 }
