@@ -70,8 +70,22 @@ private[graft] object DfCache {
                   partitionBy: Seq[String] = Nil, sessionCache: Boolean = true)
                  (build: => DataFrame): DataFrame =
     if (sessionCache)
-      memoize(spark, key) { loadOrBuild(spark, key, sources, partitionBy)(build) }
-    else loadOrBuild(spark, key, sources, partitionBy)(build)
+      memoize(spark, key) {
+        spark.read.parquet(ensureDir(spark, key, sources, partitionBy)(build))
+      }
+    else spark.read.parquet(ensureDir(spark, key, sources, partitionBy)(build))
+
+  /** The published artifact DIRECTORY for `key` (building it first if
+    * absent) — for fixtures that need a private MUTABLE copy of a durable
+    * artifact (t18/t19 stream loops rewrite their corpus in place): a
+    * filesystem copy of the published dir is one metadata-speed pass,
+    * where re-encoding through a dynamic-partition Spark write would pay
+    * a full shuffle+write per call. */
+  private[graft] def materializedDir(spark: SparkSession, key: String,
+                                     sources: Seq[String],
+                                     partitionBy: Seq[String] = Nil)
+                                    (build: => DataFrame): String =
+    ensureDir(spark, key, sources, partitionBy)(build)
 
   private def sha(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
@@ -133,9 +147,9 @@ private[graft] object DfCache {
       sys.env.getOrElse("GRAFT_INDEX_CACHE",
         sys.props("java.io.tmpdir") + "/graft_index_cache"))
 
-  private def loadOrBuild(spark: SparkSession, key: String, sources: Seq[String],
-                          partitionBy: Seq[String])
-                         (build: => DataFrame): DataFrame = {
+  private def ensureDir(spark: SparkSession, key: String, sources: Seq[String],
+                        partitionBy: Seq[String])
+                       (build: => DataFrame): String = {
     import org.apache.hadoop.fs.Path
     val root = new Path(indexCacheRoot)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -143,7 +157,7 @@ private[graft] object DfCache {
     val dir = new Path(root, s"${slug}_${fingerprint(spark, sources)}")
     // _SUCCESS is the visibility marker: a crashed writer never produced
     // one (rename publishes the whole dir including the marker atomically)
-    if (fs.exists(new Path(dir, "_SUCCESS"))) spark.read.parquet(dir.toString)
+    if (fs.exists(new Path(dir, "_SUCCESS"))) dir.toString
     else {
       if (fs.exists(root))
         fs.listStatus(root)
@@ -194,7 +208,7 @@ private[graft] object DfCache {
         if (stack.nonEmpty) stack.push(stack.pop() + wall)
         buildLog.put(key, wall - childSum)
       } catch { case e: Throwable => stack.pop(); throw e }
-      spark.read.parquet(dir.toString)
+      dir.toString
     }
   }
 }

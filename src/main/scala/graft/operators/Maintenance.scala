@@ -39,8 +39,16 @@ object Maintenance {
     * DIRECTORIES at the scan, not an in-memory relation) — in deployment
     * this IS the landed table the ingest path (S3/S4) already maintains. */
   private[graft] def landedEvents(spark: SparkSession, sfDir: String): DataFrame =
-    DfCache.memoizeDisk(spark, s"evland:$sfDir", Seq(s"$sfDir/events.parquet"),
-      partitionBy = Seq("logday"), sessionCache = false) {
+    spark.read.parquet(landedEventsDir(spark, sfDir))
+
+  /** The landed source's published DIRECTORY — t19's fixture copies it
+    * wholesale (its stream deletes from the corpus in place, so each run
+    * needs a private copy; a filesystem copy of the published partition
+    * tree is metadata-speed, vs re-encoding 30+ day partitions through a
+    * dynamic-partition write per bench rep). */
+  private[graft] def landedEventsDir(spark: SparkSession, sfDir: String): String =
+    DfCache.materializedDir(spark, s"evland:$sfDir", Seq(s"$sfDir/events.parquet"),
+      partitionBy = Seq("logday")) {
       Tables.events(spark, sfDir)
         .select(
           col("event_id"),
@@ -48,6 +56,29 @@ object Maintenance {
           Times.epochSeconds(col("ts")).as("es"),
           floor(col("value") * 1000000L + lit(0.5)).cast("long").as("v_micro"))
         .withColumn("logday", dayOfEpoch(col("es")))
+    }
+
+  /** The documents corpus landed source-partitioned, as a durable
+    * artifact — t18's fixture copies it (its delete stream rewrites
+    * partitions in place). In deployment this IS the landed corpus the
+    * ingest path maintains. */
+  private[graft] def landedDocsDir(spark: SparkSession, sfDir: String): String =
+    DfCache.materializedDir(spark, s"docland:$sfDir",
+      Seq(s"$sfDir/documents.parquet"), partitionBy = Seq("source")) {
+      Tables.documents(spark, sfDir)
+    }
+
+  /** The maintained aggregate as a DURABLE artifact (the deployment
+    * truth: the stored view persists across processes; x76/x77/t19 read
+    * it back, they never recompute it inside the fold). `sessionCache =
+    * false`: reads must hit the stored parquet, not an in-memory
+    * relation, or "stored, read back" would be vacuous. Built once per
+    * corpus version — the build cost lands on the index-build ledger,
+    * not inside any fold's query time. */
+  private[graft] def storedAggDir(spark: SparkSession, sfDir: String): String =
+    DfCache.materializedDir(spark, s"evagg:$sfDir", Seq(s"$sfDir/events.parquet")) {
+      // one file: O(groups) rows, re-read whole by every fold
+      partial(landedEvents(spark, sfDir)).coalesce(1)
     }
 
   /** The maintained aggregate over any slice of the landed source: all
@@ -103,16 +134,41 @@ object Maintenance {
     * recomputed(survivors). */
   def aggRetractMerge(spark: SparkSession, sfDir: String): DataFrame = {
     val src = landedEvents(spark, sfDir)
-    val bounds = src.agg(min(col("es")), max(col("es"))).head()
-    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
-    val cutLo = mn + (mx - mn) / 10L // integer arithmetic — both dialects agree
-    val tomb = col("es") < cutLo ||
-      TextFns.polyHash(col("event_id").cast("string")) % 23 === 0
+    val (mn, d) = historyBounds(src)
     // the maintained artifact: stored, READ back, never recomputed
-    val store = Tables.scratchDir("graft_aggview_r_").toString
-    partial(src).write.mode("overwrite").parquet(store)
-    aggRetractMergeOn(spark, src, spark.read.parquet(store), tomb)
+    aggRetractMergeOn(spark, src,
+      spark.read.parquet(storedAggDir(spark, sfDir)), x77Tombstones(mn, d))
   }
+
+  /** `(min(es), tenth-of-range)` of the landed history — the shared basis
+    * of every retention-cut fixture; integer arithmetic so both dialects
+    * (Spark, DuckDB `//`) agree bit-for-bit. */
+  private[graft] def historyBounds(src: DataFrame): (Long, Long) = {
+    val b = src.agg(min(col("es")), max(col("es"))).head()
+    (b.getLong(0), (b.getLong(1) - b.getLong(0)) / 10L)
+  }
+
+  /** x77's tombstone set: a retention cut (the oldest tenth — whole
+    * buckets and whole day partitions die) plus a scattered ~4% hash
+    * predicate over ALL of history (every day dirty — the worst case for
+    * a partition-pruned design, kept deliberately adversarial for the
+    * one-shot fold). */
+  private[graft] def x77Tombstones(mn: Long, d: Long): Column =
+    col("es") < mn + d ||
+      TextFns.polyHash(col("event_id").cast("string")) % 23 === 0
+
+  /** t19's tombstone set: the same retention cut, but the scattered hash
+    * deletes are confined to a two-tenths DAY BAND of history — the
+    * operational delete-stream shape (a GDPR batch names bounded
+    * partitions), and the shape that makes the partition economics
+    * OBSERVABLE: most day partitions are clean, so the per-micro-batch
+    * swap provably rewrites only the dirty ~30% and the max repair's
+    * `PartitionFilters` prune real directories instead of vacuously
+    * matching all of them. */
+  private[graft] def t19Tombstones(mn: Long, d: Long): Column =
+    col("es") < mn + d ||
+      (TextFns.polyHash(col("event_id").cast("string")) % 23 === 0 &&
+        col("es") >= mn + 4L * d && col("es") < mn + 6L * d)
 
   /** [[aggRetractMerge]]'s fold applied to an explicit (source, stored
     * aggregate, tombstone predicate) triple — the spec entry point (hand
@@ -128,11 +184,25 @@ object Maintenance {
     * arrives as keys, so doomed/kept are one broadcast semi/anti hash-join
     * each, never a compiled key-list predicate. */
   private[graft] def aggRetractMergeKeys(spark: SparkSession, src: DataFrame,
-      base: DataFrame, keys: DataFrame,
+      base: DataFrame, keys: DataFrame, keyDayVals: Seq[Any],
       gate: Int = keyGateDefault): DataFrame = {
     val k = broadcast(keys.select(col("event_id")).distinct())
+    // delete requests arrive PARTITION-KEYED (x75's model: each tombstone
+    // names its row's logday), so the doomed-row fetch partition-prunes to
+    // the keys' days before the semi-join probes within them — the scan
+    // never touches a clean day. `keyDayVals` is the caller's collected
+    // distinct-day list (native-typed — partition-type inference may read
+    // `logday` back as int, and a cast would sit on the partition column
+    // and defeat the pruning this exists for). `kept` needs no pruning
+    // here: its only consumer is the max repair, which restricts to the
+    // dirty buckets' days itself (a filter that pushes through the
+    // anti-join to the scan), and dirty days ⊆ key days anyway — a 300 s
+    // bucket nests inside its day (86400 % 300 == 0), so a dirty bucket's
+    // surviving carrier lives in the same (keyed) day its doomed rows did.
     retractFold(spark, base,
-      src.join(k, Seq("event_id"), "leftsemi"),
+      restrictToKeys(src, "logday", keys.select(col("logday")).distinct(),
+        keyDayVals, gate)
+        .join(k, Seq("event_id"), "leftsemi"),
       src.join(k, Seq("event_id"), "leftanti"), gate)
   }
 
@@ -151,6 +221,10 @@ object Maintenance {
       .withColumnRenamed("n_events", "d_n")
       .withColumnRenamed("max_es", "d_max")
       .withColumnRenamed("sum_value_micro", "d_sum")
+      // one file: the delta is O(touched groups) — a 32-way write of a
+      // few-thousand-row ledger entry is pure small-file churn, and every
+      // downstream leg re-reads it
+      .coalesce(1)
       .write.mode("overwrite").parquet(retrStore)
     val retr = spark.read.parquet(retrStore)
     // fold −count/−sum; flag buckets whose max-carrier died. retr's groups

@@ -8,8 +8,10 @@ package graft.oracles
 object RelationalOracles {
   import OracleDefs._
 
-  /** x77's monolithic-recompute-after-deletes, shared verbatim by t19. */
-  private val aggRetractSql: String =
+  /** Monolithic recompute-after-deletes over the maintained aggregate's
+    * inputs, parameterized by the tombstone predicate (rendered over
+    * columns `es`, `event_id` and scalars `mn`, `mx`). */
+  private def aggRetractSqlWith(tombSql: String): String =
     s"""WITH e AS (SELECT coalesce(event_type, 'no_category') AS category,
           ${epochS("ts")} AS es,
           CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_micro,
@@ -17,12 +19,24 @@ object RelationalOracles {
         FROM events),
         b AS (SELECT min(es) AS mn, max(es) AS mx FROM e),
         keep AS (SELECT e.* FROM e, b
-          WHERE NOT (es < mn + (mx - mn) // 10
-            OR ${polyHashSql("CAST(event_id AS VARCHAR)")} % 23 = 0))
+          WHERE NOT ($tombSql))
         SELECT category, es - (es % 300) AS bucket,
           count(*) AS n_events, max(es) AS max_es,
           CAST(sum(v_micro) AS BIGINT) AS sum_value_micro
         FROM keep GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** x77's tombstones: retention cut + scatter over ALL of history. */
+  private val aggRetractSql: String = aggRetractSqlWith(
+    s"""es < mn + (mx - mn) // 10
+        OR ${polyHashSql("CAST(event_id AS VARCHAR)")} % 23 = 0""")
+
+  /** t19's tombstones: the same cut, scatter confined to the [4/10, 6/10)
+    * day band (`Maintenance.t19Tombstones` — same integer arithmetic). */
+  private val t19RetractSql: String = aggRetractSqlWith(
+    s"""es < mn + (mx - mn) // 10
+        OR (${polyHashSql("CAST(event_id AS VARCHAR)")} % 23 = 0
+            AND es >= mn + 4 * ((mx - mn) // 10)
+            AND es < mn + 6 * ((mx - mn) // 10))""")
 
   private[graft] def sql: Map[String, String] = Map(
     "q_ingest_partition_counts" ->
@@ -57,11 +71,11 @@ object RelationalOracles {
     // hash tombstones), so hash equality states merged(stored, −delta) ≡
     // recomputed(survivors) exactly; same all-integer state as x76.
     "x77_agg_retract_merge" -> aggRetractSql,
-    // t19: the same tombstone set applied as a two-micro-batch STREAM that
-    // maintains corpus and stored view together — x77's oracle verbatim,
-    // so the green hash states the incremental loop converges to the
-    // one-shot retraction.
-    "t19_stream_retract_view" -> aggRetractSql,
+    // t19: a DAY-BANDED tombstone set applied as a two-micro-batch STREAM
+    // that maintains corpus and stored view together — the oracle is the
+    // monolithic recompute after those deletes, so the green hash states
+    // the incremental loop converges to the one-shot retraction.
+    "t19_stream_retract_view" -> t19RetractSql,
     "p1_serde_parse" ->
       """SELECT event_id, event_type,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

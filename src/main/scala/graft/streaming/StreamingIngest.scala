@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.functions.{Headers, Times}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -1208,7 +1208,8 @@ object StreamingIngest {
   private[graft] def deleteBatch(batch: DataFrame, batchTag: String,
                                  corpusDir: String,
                                  keyCol: String = "doc_id",
-                                 partCol: String = "source"): Unit = {
+                                 partCol: String = "source",
+                                 knownDirty: Option[Seq[Any]] = None): Unit = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val spark = batch.sparkSession
@@ -1230,7 +1231,11 @@ object StreamingIngest {
     val keys = batch.select(col(keyCol), col(partCol)).distinct().persist()
     try {
       val dirtyDf = keys.select(col(partCol)).distinct()
-      val dirty = dirtyDf.collect().map(_.get(0)).toSeq.sortBy(_.toString)
+      // a caller that already collected the batch's partition set (t19's
+      // one-round-trip discipline) passes it in; the anti-join still runs
+      // against the full key table either way
+      val dirty = knownDirty.getOrElse(
+        dirtyDf.collect().map(_.get(0)).toSeq.sortBy(_.toString))
       if (dirty.nonEmpty) {
         def dirName(v: Any): String =
           partCol + "=" + ExternalCatalogUtils.escapePathName(v.toString)
@@ -1298,18 +1303,19 @@ object StreamingIngest {
     graft.Tables.ensureParquetConf(spark)
     val docs = graft.Tables.documents(spark, sfDir)
     val root = graft.Tables.scratchDir("graft_t18")
+    // the stream deletes from its corpus in place — take a PRIVATE copy of
+    // the durable source-partitioned landing (metadata-speed fs copy, not
+    // a per-run dynamic-partition re-encode)
     val corpus = root.resolve("corpus").toString
-    docs.write.mode("overwrite").partitionBy("source").parquet(corpus)
+    copyDir(spark, graft.operators.Maintenance.landedDocsDir(spark, sfDir), corpus)
     val tomb = docs
       .where(graft.functions.TextFns.polyHash(col("doc_id").cast("string")) % 40 === 0)
       .select(col("doc_id"), col("source"))
     val srcDir = root.resolve("src")
     Files.createDirectories(srcDir)
     val half = pmod(graft.functions.TextFns.polyHash(col("doc_id").cast("string")), lit(2L))
-    landArrivalFile(tomb.where(half === 0), root, srcDir, "a_first.parquet",
-      1000000000000L)
-    landArrivalFile(tomb.where(half === 1), root, srcDir, "b_second.parquet",
-      1000000060000L)
+    landArrivalSplits(tomb, root, srcDir,
+      Seq("a_first.parquet" -> (half === 0), "b_second.parquet" -> (half === 1)))
     withScratchCheckpoint { ck =>
       deleteStream(
         spark.readStream.schema(tomb.schema)
@@ -1326,6 +1332,21 @@ object StreamingIngest {
         when(coalesce(col("rows_after"), lit(0L)) < col("rows_before"), lit(1L))
           .otherwise(lit(0L)).as("rewritten"))
       .orderBy(col("source"))
+  }
+
+  /** Recursive filesystem copy of a published artifact dir — fixture
+    * setup for the mutating stream loops (t18/t19 need private corpus /
+    * view copies per run; copying bytes is metadata-speed next to
+    * re-encoding a partition tree through a Spark write). */
+  private def copyDir(spark: SparkSession, src: String, dst: String): Unit = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val s = new Path(src); val d = new Path(dst)
+    val fs = s.getFileSystem(conf)
+    val dfs = d.getFileSystem(conf)
+    if (dfs.exists(d)) dfs.delete(d, true)
+    require(FileUtil.copy(fs, s, dfs, d, false, true, conf),
+      s"could not copy $src to $dst")
   }
 
   /** The `_LATEST` pointer of a maintained-view directory: names the
@@ -1394,14 +1415,24 @@ object StreamingIngest {
     val snap = new Path(viewRoot, s"batch=$batchTag")
     val keys = batch.select(col("event_id"), col("logday")).distinct().persist()
     try {
-      if (keys.limit(1).count() > 0) {
+      t19Lap(s"b:$batchTag keys")
+      // ONE driver round-trip serves as the emptiness gate, the fold's
+      // partition-prune list, and the corpus delete's dirty set
+      val dayVals = keys.select(col("logday")).distinct()
+        .collect().map(_.get(0)).toSeq.sortBy(_.toString)
+      if (dayVals.nonEmpty) {
+        t19Lap(s"b:$batchTag nonempty")
         if (!fs.exists(new Path(snap, "_SUCCESS"))) {
           val base = spark.read.parquet(
             new Path(viewRoot, readViewPointer(fs, viewRoot)).toString)
           val folded = graft.operators.Maintenance.aggRetractMergeKeys(
-            spark, spark.read.parquet(corpusDir), base, keys)
+            spark, spark.read.parquet(corpusDir), base, keys, dayVals)
+          t19Lap(s"b:$batchTag foldplan")
           val tmp = new Path(viewRoot, s".tmp_${java.util.UUID.randomUUID()}")
-          folded.write.mode("overwrite").parquet(tmp.toString)
+          // one file: a snapshot is O(groups) — single-task write, and
+          // the next batch's fold reads the whole thing anyway
+          folded.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          t19Lap(s"b:$batchTag foldwrite")
           val marker = new Path(tmp, "_SUCCESS")
           if (!fs.exists(marker)) fs.create(marker, true).close()
           if (!fs.rename(tmp, snap)) {
@@ -1417,8 +1448,11 @@ object StreamingIngest {
           }
         }
         writeViewPointer(fs, viewRoot, s"batch=$batchTag")
+        t19Lap(s"b:$batchTag publish")
         deleteBatch(batch, batchTag, corpusDir,
-          keyCol = "event_id", partCol = "logday")
+          keyCol = "event_id", partCol = "logday",
+          knownDirty = Some(dayVals))
+        t19Lap(s"b:$batchTag delete")
       }
     } finally { keys.unpersist(); () }
   }
@@ -1440,41 +1474,65 @@ object StreamingIngest {
   }
 
   /** T19 — [[retractViewStream]] under the driver's oracle gate: copy the
-    * day-partitioned landing, initialize the stored aggregate view, stream
-    * x77's tombstone set at it as TWO micro-batches (ordered-mtime arrival
-    * files), and return the FINAL view. The oracle is x77's verbatim (the
-    * monolithic recompute after deletes), so the green hash states that
-    * the incremental streaming loop — two folds, two partition-pruned max
-    * repairs, two corpus swaps — converges to the one-shot retraction. */
+    * day-partitioned landing and the stored aggregate (filesystem copies
+    * of the durable artifacts), stream the t19 tombstone set at it as TWO
+    * micro-batches (ordered-mtime arrival files), and return the FINAL
+    * view. Tombstones are the retention cut plus a DAY-BANDED scatter
+    * ([[graft.operators.Maintenance.t19Tombstones]]) — the operational
+    * delete-batch shape, under which most day partitions stay clean and
+    * the per-batch swap/repair economics are observable instead of
+    * degenerate. The oracle is the monolithic recompute after these
+    * deletes, so the green hash states that the incremental streaming
+    * loop — two folds, two partition-pruned max repairs, two corpus
+    * swaps — converges to the one-shot retraction. */
+  // GRAFT_T19_PROFILE=1: per-phase wall times to stderr — profiling hook
+  // only, zero work when unset (the t17 discipline)
+  private val t19Profile = sys.env.get("GRAFT_T19_PROFILE").exists(_.trim.nonEmpty)
+  private val t19Mark = new ThreadLocal[java.lang.Long] {
+    override def initialValue() = java.lang.Long.valueOf(System.nanoTime())
+  }
+  private def t19Lap(tag: String): Unit = if (t19Profile) {
+    val now = System.nanoTime()
+    System.err.println(f"[t19] $tag%-14s ${(now - t19Mark.get) / 1e9}%.3f s")
+    t19Mark.set(now)
+  }
+
   def streamRetractView(spark: SparkSession, sfDir: String): DataFrame = {
     import java.nio.file.Files
     graft.Tables.ensureParquetConf(spark)
+    t19Lap("start")
     val landed = graft.operators.Maintenance.landedEvents(spark, sfDir)
     val root = graft.Tables.scratchDir("graft_t19")
-    // a PRIVATE copy of the landing: the stream mutates its corpus, and
-    // the durable-cache artifact is shared by x76/x77
+    // a PRIVATE copy of the landing AND of the stored aggregate: the
+    // stream mutates both, and the durable-cache artifacts are shared by
+    // x76/x77 — filesystem copies, not per-run Spark re-encodes
     val corpus = root.resolve("corpus").toString
-    landed.write.mode("overwrite").partitionBy("logday").parquet(corpus)
+    copyDir(spark, graft.operators.Maintenance.landedEventsDir(spark, sfDir), corpus)
     val view = root.resolve("view").toString
-    initRetractView(spark, corpus, view)
-    val bounds = landed.agg(min(col("es")), max(col("es"))).head()
-    val cutLo = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 10L
-    val tomb = landed.where(col("es") < cutLo ||
-        graft.functions.TextFns.polyHash(col("event_id").cast("string")) % 23 === 0)
+    copyDir(spark, graft.operators.Maintenance.storedAggDir(spark, sfDir),
+      new org.apache.hadoop.fs.Path(view, "base").toString)
+    writeViewPointer(
+      new org.apache.hadoop.fs.Path(view)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(view), "base")
+    t19Lap("copy")
+    val (mn, d) = graft.operators.Maintenance.historyBounds(landed)
+    val tomb = landed
+      .where(graft.operators.Maintenance.t19Tombstones(mn, d))
       .select(col("event_id"), col("logday"))
     val srcDir = root.resolve("src")
     Files.createDirectories(srcDir)
     val half = pmod(graft.functions.TextFns.polyHash(col("event_id").cast("string")), lit(2L))
-    landArrivalFile(tomb.where(half === 0), root, srcDir, "a_first.parquet",
-      1000000000000L)
-    landArrivalFile(tomb.where(half === 1), root, srcDir, "b_second.parquet",
-      1000000060000L)
+    landArrivalSplits(tomb, root, srcDir,
+      Seq("a_first.parquet" -> (half === 0), "b_second.parquet" -> (half === 1)))
+    t19Lap("land")
     withScratchCheckpoint { ck =>
       retractViewStream(
         spark.readStream.schema(tomb.schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir.toString),
         corpus, view, ck)
     }
+    t19Lap("stream")
     readRetractView(spark, view).orderBy(col("category"), col("bucket"))
   }
 
@@ -1680,6 +1738,34 @@ object StreamingIngest {
     val tmp = root.resolve(name + "_tmp")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     moveLandedPart(tmp, srcDir.resolve(name), mtimeMs)
+  }
+
+  /** Land a two-way split of `df` as two ordered-mtime arrival files with
+    * ONE dynamic-partition write (the t17 profiling lesson: two filtered
+    * `coalesce(1)` writes pay two job round-trips over the same scan —
+    * ~0.6 s of pure scheduling at bench scale). `splits` maps each
+    * arrival-file name to its predicate; mtimes ascend in `splits` order.
+    * A split that matched no rows (degenerate tiny-SF fixtures) lands an
+    * empty file so the arrival contract — one file per split — holds. */
+  private def landArrivalSplits(df: DataFrame, root: java.nio.file.Path,
+                                srcDir: java.nio.file.Path,
+                                splits: Seq[(String, Column)]): Unit = {
+    val tmp = root.resolve("land_tmp")
+    df.withColumn("arrival",
+        splits.tail.foldLeft(when(splits.head._2, splits.head._1)) {
+          case (acc, (name, pred)) => acc.when(pred, name)
+        })
+      .where(col("arrival").isNotNull)
+      .coalesce(1).write.mode("overwrite")
+      .partitionBy("arrival").parquet(tmp.toString)
+    splits.zipWithIndex.foreach { case ((name, _), i) =>
+      val mtimeMs = 1000000000000L + 60000L * i
+      val dir = tmp.resolve(s"arrival=$name")
+      if (java.nio.file.Files.isDirectory(dir))
+        moveLandedPart(dir, srcDir.resolve(name), mtimeMs)
+      else // empty split: land a schema-only file the slow way
+        landArrivalFile(df.where(lit(false)), root, srcDir, name, mtimeMs)
+    }
   }
 
   /** Move the single part file out of a written dir to `dest` and stamp

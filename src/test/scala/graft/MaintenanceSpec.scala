@@ -74,6 +74,24 @@ class MaintenanceSpec extends SparkSpec {
     assert(viaIsin == viaSemi)
   }
 
+  test("keyed fold equals predicate fold; its doomed fetch prunes to the keys' days") {
+    import spark.implicits._
+    val src = landFixture()
+    val keys = doomedIds.map(id => (id, 19700101L)).toDF("event_id", "logday")
+    val viaKeys = Maintenance.aggRetractMergeKeys(spark, src,
+      Maintenance.partial(src), keys, Seq(19700101L))
+    assert(foldedMap(viaKeys) == foldedMap(Maintenance.aggRetractMergeOn(
+      spark, src, Maintenance.partial(src), col("event_id").isin(doomedIds: _*))))
+    // the doomed-row fetch must partition-prune to the keyed day; D's
+    // clean day may appear in no partition filter anywhere in the plan
+    val plan = viaKeys.queryExecution.executedPlan.toString
+    val segs = "PartitionFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
+    assert(segs.exists(_.contains("19700101")),
+      s"keyed day not pushed into the doomed fetch's partition filters:\n$plan")
+    assert(!segs.exists(_.contains("19700103")),
+      s"clean day appears in a partition filter — doomed fetch is not key-day-pruned:\n$plan")
+  }
+
   test("x78 fold: append-folded BM25 stats equal the monolithic rebuild exactly") {
     import graft.operators.Search
     val docs = Tables.documents(spark, sf)

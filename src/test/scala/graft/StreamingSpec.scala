@@ -1142,12 +1142,19 @@ class StreamingSpec extends SparkSpec {
     def corpusIds(): Set[Long] = spark.read.parquet(corpus)
       .select(col("event_id")).as[Long].collect().toSet
     // batch 1: A's carrier dies, B's non-carrier dies
+    def fileIdents(day: String): Set[(String, Long, Long)] =
+      fs.listStatus(new Path(corpus, day)).map(s =>
+        (s.getPath.toString, s.getLen, s.getModificationTime)).toSet
+    val cleanDayBefore = fileIdents("logday=19700103")
     val b1 = Seq((3L, 19700101L), (4L, 19700101L)).toDF("event_id", "logday")
     StreamingIngest.retractViewBatch(b1, "r-0", corpus, view)
     assert(viewMap() == Map(
       ("a", 0L) -> ((2L, 20L, 3L)), ("a", 300L) -> ((1L, 350L, 6L)),
       ("b", 0L) -> ((2L, 150L, 15L)), ("b", 172800L) -> ((1L, 172830L, 9L))))
     assert(corpusIds() == Set(1L, 2L, 5L, 6L, 7L, 8L))
+    // the clean day's partition kept its exact files (path+len+mtime):
+    // the swap rewrote only the keyed day
+    assert(fileIdents("logday=19700103") == cleanDayBefore)
     // batch 2: bucket C dies entirely
     val b2 = Seq((6L, 19700101L), (7L, 19700101L)).toDF("event_id", "logday")
     StreamingIngest.retractViewBatch(b2, "r-1", corpus, view)
@@ -1174,11 +1181,16 @@ class StreamingSpec extends SparkSpec {
     assert(!fs.exists(new Path(corpus, "logday=19700103")))
   }
 
-  test("t19 streaming view equals the one-shot x77 retraction") {
+  test("t19 streaming view equals the one-shot retraction over the same tombstones") {
+    import graft.operators.Maintenance
     def m(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getLong(1)) ->
         (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
-    assert(m(StreamingIngest.streamRetractView(spark, sf)) ==
-      m(graft.operators.Maintenance.aggRetractMerge(spark, sf)))
+    val src = Maintenance.landedEvents(spark, sf)
+    val (mn, d) = Maintenance.historyBounds(src)
+    val oneShot = Maintenance.aggRetractMergeOn(spark, src,
+      spark.read.parquet(Maintenance.storedAggDir(spark, sf)),
+      Maintenance.t19Tombstones(mn, d))
+    assert(m(StreamingIngest.streamRetractView(spark, sf)) == m(oneShot))
   }
 }
