@@ -187,6 +187,7 @@ object SparkEntry {
     // streaming delete propagation, maintained retrieval stats
     "x77_agg_retract_merge" -> ((s, d) => Maintenance.aggRetractMerge(s, d)),
     "x78_bm25_append" -> ((s, d) => Search.bm25AppendTopK(s, d)),
+    "x79_agg_upsert_merge" -> ((s, d) => Maintenance.aggUpsertMerge(s, d)),
     "x28_temperature_mixture" -> ((s, d) => TextAnalysis.temperatureMixture(s, d)),
     "x26_quality_filter" -> (TextAnalysis.qualityFilter _),
     "x27_token_entropy" -> (TextAnalysis.tokenEntropy _),

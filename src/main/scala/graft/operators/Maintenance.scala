@@ -206,6 +206,124 @@ object Maintenance {
       src.join(k, Seq("event_id"), "leftanti"), gate)
   }
 
+  /** Day key of a driver-side epoch-seconds scalar (the literal twin of
+    * [[dayOfEpoch]] — same UTC yyyyMMdd rendering). */
+  private[graft] def dayLitOfEpoch(es: Long): Long =
+    java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(es)).toLong
+
+  /** X79 — the full UPSERT fold: one batch carrying both INSERTS (late
+    * arrivals past the stored aggregate's cut — x76's delta) and DELETES
+    * (tombstones inside stored history — x77's retraction) folds into the
+    * stored aggregate in a single pass. This is the complete IVM algebra
+    * over the mergeable state: count/sum fold additively in both
+    * directions; `max` needs a rescan ONLY for buckets where the stored
+    * carrier died AND no insert reaches the stored max — an arriving
+    * insert ≥ the old max REPAIRS the bucket for free (`greatest` of the
+    * fold), so the dirty set here is strictly tighter than x77's. The
+    * reference's bookkeeping upsert
+    * (`dao/HiveSinkDetailDao.scala:73-98`) is exactly this maintained
+    * per-(name, logdate) row, without the deletion leg.
+    *
+    * The oracle is the monolithic recompute over (corpus survivors ∪
+    * inserts) — hash equality states fold(S, +Δᵢ, −Δd) ≡
+    * recompute((C \ D) ∪ I). */
+  def aggUpsertMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = landedEvents(spark, sfDir)
+    val b = src.agg(min(col("es")), max(col("es"))).head()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val cut = mn + 2L * ((mx - mn) / 3L) // the recent third arrives as inserts
+    val cutDay = dayLitOfEpoch(cut)
+    // day-granular partition cut + exact es refinement (x76's discipline:
+    // the redundant logday conjunct changes no row, only prunes partitions)
+    val corpus = src.where(col("logday") <= cutDay && col("es") < cut)
+    val inserts = src.where(col("logday") >= cutDay && col("es") >= cut)
+    val tomb = x77Tombstones(mn, (mx - mn) / 10L) // applies to CORPUS rows only
+    // the maintained artifact: stored, READ back, never recomputed
+    val store = Tables.scratchDir("graft_aggview_u_").toString
+    partial(corpus).coalesce(1).write.mode("overwrite").parquet(store)
+    upsertFold(spark, spark.read.parquet(store), partial(inserts),
+      corpus.where(tomb), corpus.where(!tomb), keyGateDefault)
+  }
+
+  /** The upsert fold over (stored aggregate, insert partial-aggregate,
+    * doomed rows, kept rows). `doomed` and `kept` must partition the
+    * stored aggregate's input; `insPartial` is [[partial]] of the insert
+    * rows (disjoint from that input). */
+  private[graft] def upsertFold(spark: SparkSession, base: DataFrame,
+      insPartial: DataFrame, doomed: DataFrame, kept: DataFrame,
+      gate: Int): DataFrame = {
+    // both deltas materialized once (retractFold's ledger-entry
+    // rationale): the fold below feeds THREE consumers (clean leg, dirty
+    // set, repaired leg), so an unmaterialized delta would re-run its
+    // source scan per leg — the plan showed the insert partial-aggregate
+    // recomputed 3× before this
+    val retrStore = Tables.scratchDir("graft_upsert_delta_").toString
+    partial(doomed)
+      .withColumnRenamed("n_events", "d_n")
+      .withColumnRenamed("max_es", "d_max")
+      .withColumnRenamed("sum_value_micro", "d_sum")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(retrStore)
+    val retr = spark.read.parquet(retrStore)
+    val insStore = Tables.scratchDir("graft_upsert_ins_").toString
+    insPartial
+      .withColumnRenamed("n_events", "i_n")
+      .withColumnRenamed("max_es", "i_max")
+      .withColumnRenamed("sum_value_micro", "i_sum")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(insStore)
+    val ins = spark.read.parquet(insStore)
+    // fold the retraction into the stored state (left: doomed ⊆ stored),
+    // then the inserts (full outer: inserts may open NEW groups)
+    val joined = base.join(retr, Seq("category", "bucket"), "left")
+      .select(col("category"), col("bucket"),
+        (col("n_events") - coalesce(col("d_n"), lit(0L))).as("old_n"),
+        col("max_es"), col("d_max"),
+        (col("sum_value_micro") - coalesce(col("d_sum"), lit(0L))).as("old_sum"))
+      .join(ins, Seq("category", "bucket"), "full_outer")
+      .select(col("category"), col("bucket"),
+        (coalesce(col("old_n"), lit(0L)) + coalesce(col("i_n"), lit(0L)))
+          .as("n_events"),
+        (coalesce(col("old_sum"), lit(0L)) + coalesce(col("i_sum"), lit(0L)))
+          .as("sum_value_micro"),
+        col("max_es"), col("d_max"), col("i_max"),
+        coalesce(col("old_n"), lit(0L)).as("old_n"))
+      .where(col("n_events") > 0) // fully-gone buckets leave the view
+    val oldAlive = col("old_n") > 0
+    // rescan ONLY when the stored carrier died among still-alive old rows
+    // AND no insert reaches the stored max — an insert ≥ max repairs the
+    // bucket algebraically
+    val dirtyCond = oldAlive && col("d_max").isNotNull &&
+      col("d_max") === col("max_es") &&
+      (col("i_max").isNull || col("i_max") < col("max_es"))
+    val outCols = Seq(col("category"), col("bucket"), col("n_events"),
+      col("max_es"), col("sum_value_micro"))
+    // clean legs in ONE expression: a dead old side contributes nothing
+    // (`when` nulls max_es out of the greatest); `greatest` skips nulls
+    val clean = joined.where(!dirtyCond)
+      .withColumn("max_es",
+        greatest(when(oldAlive, col("max_es")), col("i_max")))
+      .select(outCols: _*)
+    val dirtyMax = joined.where(dirtyCond)
+    val dirtyDays = dirtyMax.select(dayOfEpoch(col("bucket")).as("logday"))
+      .distinct()
+    val dayVals = dirtyDays.collect().map(_.getLong(0)).toSeq.sorted
+    val rederived = restrictToKeys(kept, "logday", dirtyDays, dayVals, gate)
+      .withColumn("bucket", col("es") - (col("es") % 300L))
+      .join(broadcast(dirtyMax.select(col("category"), col("bucket"))),
+        Seq("category", "bucket"), "leftsemi")
+      .groupBy(col("category"), col("bucket"))
+      .agg(max(col("es")).as("re_max"))
+    // dirty ⇒ old rows survive ⇒ the inner join is total; the rescanned
+    // old max can still lose to an insert below the OLD stored max
+    val repaired = dirtyMax.join(rederived, Seq("category", "bucket"))
+      .withColumn("max_es", greatest(col("re_max"), col("i_max")))
+      .select(outCols: _*)
+    clean.unionByName(repaired).orderBy(col("category"), col("bucket"))
+  }
+
   /** The retraction fold over (stored aggregate, doomed rows, kept rows).
     * `doomed` and `kept` must partition `src`: every row is in exactly one
     * of them. */

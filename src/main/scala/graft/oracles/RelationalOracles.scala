@@ -71,6 +71,15 @@ object RelationalOracles {
     // hash tombstones), so hash equality states merged(stored, −delta) ≡
     // recomputed(survivors) exactly; same all-integer state as x76.
     "x77_agg_retract_merge" -> aggRetractSql,
+    // x79: the full upsert fold — one batch carries both inserts (the
+    // recent third of history, x76's delta) and deletes (x77's tombstones
+    // inside stored history); the oracle is the monolithic recompute over
+    // (corpus survivors ∪ inserts), so hash equality states
+    // fold(S, +Δi, −Δd) ≡ recompute((C \ D) ∪ I).
+    "x79_agg_upsert_merge" -> aggRetractSqlWith(
+      s"""es < mn + 2 * ((mx - mn) // 3)
+          AND (es < mn + (mx - mn) // 10
+            OR ${polyHashSql("CAST(event_id AS VARCHAR)")} % 23 = 0)"""),
     // t19: a DAY-BANDED tombstone set applied as a two-micro-batch STREAM
     // that maintains corpus and stored view together — the oracle is the
     // monolithic recompute after those deletes, so the green hash states

@@ -92,6 +92,78 @@ class MaintenanceSpec extends SparkSpec {
       s"clean day appears in a partition filter — doomed fetch is not key-day-pruned:\n$plan")
   }
 
+  test("x79 upsert fold: every insert×delete edge — revive, new group, repair-by-insert, rescan") {
+    import spark.implicits._
+    val src = landFixture()
+    val tomb = col("event_id").isin(doomedIds: _*)
+    // inserts: A gets es=15 (below A's stored max — carrier died, insert
+    // does NOT dominate → rescan gives max(20,15)=20); B gets es=320
+    // (carrier survived → pure fold, max stays 350); C was fully
+    // retracted, es=120 revives it insert-only; (a,600) is a NEW group
+    val inserts = Seq((101L, "a", 15L, 10L), (102L, "a", 320L, 11L),
+        (103L, "b", 120L, 12L), (104L, "a", 610L, 13L))
+      .toDF("event_id", "category", "es", "v_micro")
+    val result = Maintenance.upsertFold(spark, Maintenance.partial(src),
+      Maintenance.partial(inserts),
+      src.where(tomb), src.where(!tomb), gate = 1024)
+    assert(foldedMap(result) == Map(
+      ("a", 0L) -> ((3L, 20L, 13L)),       // A: rescan, +insert fold
+      ("a", 300L) -> ((2L, 350L, 17L)),    // B: carrier survived
+      ("a", 600L) -> ((1L, 610L, 13L)),    // new group from insert
+      ("b", 0L) -> ((1L, 120L, 12L)),      // C revived insert-only
+      ("b", 172800L) -> ((1L, 172830L, 9L)))) // D untouched
+  }
+
+  test("x79 an insert at/above the dead carrier's max repairs the bucket WITHOUT rescan") {
+    import spark.implicits._
+    val out = Tables.scratchDir("graft_upsert_spec").toString
+    // one bucket, on its own day: carrier (es=60) dies, insert es=299
+    // dominates the stored max — the dirty set must be EMPTY, so no
+    // partition filter may name the day
+    Seq((1L, "c", 50L, 1L), (2L, "c", 60L, 2L))
+      .toDF("event_id", "category", "es", "v_micro")
+      .withColumn("logday", Maintenance.dayOfEpoch(col("es")))
+      .write.mode("overwrite").partitionBy("logday").parquet(out)
+    val src = spark.read.parquet(out)
+    val inserts = Seq((10L, "c", 299L, 5L))
+      .toDF("event_id", "category", "es", "v_micro")
+    val tomb = col("event_id") === 2L
+    val result = Maintenance.upsertFold(spark, Maintenance.partial(src),
+      Maintenance.partial(inserts), src.where(tomb), src.where(!tomb),
+      gate = 1024)
+    assert(foldedMap(result) == Map(("c", 0L) -> ((2L, 299L, 6L))))
+    val plan = result.queryExecution.executedPlan.toString
+    val segs = "PartitionFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
+    assert(!segs.exists(_.contains("19700101")),
+      s"insert-dominated carrier death still triggered a rescan:\n$plan")
+  }
+
+  test("x79 declared query matches an independent JVM replica") {
+    val merged = foldedMap(Maintenance.aggUpsertMerge(spark, sf))
+    val ev = Tables.events(spark, sf)
+      .select(graft.functions.Headers.categoryOrDefault(col("event_type")).as("category"),
+        graft.functions.Times.epochSeconds(col("ts")).as("es"),
+        floor(col("value") * 1000000L + lit(0.5)).cast("long").as("v_micro"),
+        col("event_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val mn = ev.map(_._2).min
+    val mx = ev.map(_._2).max
+    val cut = mn + 2L * ((mx - mn) / 3L)
+    val cutLo = mn + (mx - mn) / 10L
+    def deleted(es: Long, id: Long): Boolean =
+      es < cut && (es < cutLo ||
+        graft.functions.TextFns.polyHashLocal(id.toString) % 23 == 0)
+    val keep = ev.filterNot { case (_, es, _, id) => deleted(es, id) }
+    val expected = keep.groupBy { case (c, es, _, _) => (c, es - es % 300L) }
+      .map { case (k, g) =>
+        k -> ((g.length.toLong, g.map(_._2).max, g.map(_._3).sum)) }
+    assert(merged == expected)
+    // the fixture must exercise genuine inserts and genuine deletes
+    assert(ev.exists { case (_, es, _, _) => es >= cut }, "insert leg empty")
+    assert(ev.exists { case (_, es, _, id) => deleted(es, id) }, "delete leg empty")
+  }
+
   test("x78 fold: append-folded BM25 stats equal the monolithic rebuild exactly") {
     import graft.operators.Search
     val docs = Tables.documents(spark, sf)
