@@ -125,6 +125,7 @@ object SparkEntry {
     "x6f_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
     "x6g_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "x6h_ivfpq_append_topk" -> ((s, d) => Similarity.ivfPqAppendTopK(s, d)),
+    "x80_ann_delete_topk" -> ((s, d) => Similarity.ivfDeleteTopK(s, d)),
     "x69_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "x69b_semantic_blocking_recall" -> ((s, d) => Similarity.semanticBlockingRecall(s, d)),
     "x72_cell_drift" -> (Similarity.cellDrift _),

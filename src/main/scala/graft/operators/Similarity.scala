@@ -373,20 +373,98 @@ object Similarity {
     * 1.0 at sf0.1, scanning ~25% of the corpus (APPROX_QUALITY floors it
     * at 0.85). */
   def ivfTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L,
-              k: Int = 10, nprobe: Int = 4): DataFrame = {
+              k: Int = 10, nprobe: Int = 4): DataFrame =
+    ivfProbe(spark, sfDir, ivfAssignment(spark, sfDir), queryId, k, nprobe)
+
+  /** The x6b probe over ANY cell-partitioned IVF assignment index
+    * DataFrame (the monolithic [[ivfAssignment]] memo or an
+    * [[ivfCellDelete]]-maintained copy): nprobe cells by frozen-centroid
+    * cosine, exact cosine rank over the pruned cells' vectors. */
+  private[graft] def ivfProbe(spark: SparkSession, sfDir: String,
+      index: DataFrame, queryId: Long, k: Int, nprobe: Int): DataFrame = {
     val q = probeVec(spark, sfDir, queryId)
     val probed = ivfCentroids(spark, sfDir)
       .select(col("cell"), VectorFns.cosine(col("centroid"), q).as("csim"))
       .orderBy(col("csim").desc, col("cell"))
       .limit(nprobe)
       .select(col("cell")).collect().map(_.getInt(0)).toSeq
-    ivfAssignment(spark, sfDir)
+    index
       .where(col("cell").isin(probed: _*)) // partition pruning at the scan
       .where(col("vec_id") =!= queryId)
       .select(col("vec_id"), col("label").cast("long").as("label"),
         round(VectorFns.cosine(col("embedding"), q), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** X80's tombstone set: a ~9% id-hash sample (modulus chosen so the fixture deletion reaches the probed top-k at both gate SFs), never the probe vector —
+    * a stand-in for the real deletion-request list (x75's discipline). */
+  private[graft] def x80Tombstone: Column =
+    graft.functions.TextFns.polyHash(col("vec_id").cast("string")) % 11 === 0 &&
+      col("vec_id") =!= 0L
+
+  /** Apply a tombstone predicate to a cell-partitioned ANN index dir by
+    * rewriting ONLY the cells that contain a doomed vector — x75's
+    * dirty-partition economics applied to the index artifact. Clean cells
+    * keep their exact files (spec-pinned); a cell whose vectors ALL die is
+    * dropped explicitly (dynamic overwrite would leave its stale files)
+    * and the listing cache refreshed. The staging restriction goes through
+    * the gated isin/semi-join helper, so the compiled predicate never
+    * scales with the dirty-cell count. Returns the dirty cell ids
+    * (bounded by K — the same O(metadata) class as x75's partition keys).
+    * Replay-idempotent: a second application finds no doomed rows, so the
+    * dirty set is empty and no file is touched. */
+  private[graft] def ivfCellDelete(spark: SparkSession, idxDir: String,
+      tomb: Column, gate: Int = Maintenance.keyGateDefault): Seq[Int] = {
+    val idx = spark.read.parquet(idxDir)
+    val dirtyDf = idx.where(tomb).select(col("cell")).distinct()
+    val dirty = dirtyDf.collect().map(_.getInt(0)).toSeq.sorted
+    if (dirty.nonEmpty) {
+      val stage = Tables.scratchDir("graft_x80_stage_").toString
+      Maintenance.restrictToKeys(idx, "cell", dirtyDf, dirty, gate)
+        .where(!tomb)
+        .write.mode("overwrite").partitionBy("cell").parquet(stage)
+      spark.read.parquet(stage)
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(idxDir)
+      // fully-emptied cells: nothing staged, nothing overwrote them
+      val staged = spark.read.parquet(stage).select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val fs = new org.apache.hadoop.fs.Path(idxDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val emptied = dirty.filterNot(staged)
+      emptied.foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(idxDir, s"cell=$c"), true); ()
+      }
+      // the manual drops bypass Spark's file-listing cache (x75's lesson)
+      if (emptied.nonEmpty) spark.catalog.refreshByPath(idxDir)
+    }
+    dirty
+  }
+
+  /** X80 — the x6b probe served from an IVF index maintained under
+    * DELETES: the delete twin of [[ivfPqAppend]]/x6h, closing the index
+    * leg of the corpus-maintenance story (corpus x75/t18, aggregates
+    * x77/x79/t19, retrieval stats x78 — and now the ANN index). The
+    * corpus assignment lands as a cell-partitioned index copy, the
+    * tombstones rewrite ONLY their cells ([[ivfCellDelete]]), the
+    * quantizer stays FROZEN (production discipline: deletes never
+    * retrain — so the surviving vectors' cells cannot move, which is
+    * what makes the dirty-cell rewrite sound), and the probe reads the
+    * maintained index with the same nprobe partition pruning. The oracle
+    * is x6b's full retraining chain with the tombstones filtered from the
+    * final rank: hash equality states that the dirty-cell rewrite ≡ a
+    * rebuild from survivors under the frozen quantizer. Reference anchor:
+    * the partition-rewrite-after-the-fact shape of
+    * `HiveBatchedSink.scala:318-322` (re-opened partitions), applied to
+    * an index artifact. */
+  def ivfDeleteTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                    k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val idxDir = Tables.scratchDir("graft_x80_idx").toString + "/idx"
+    ivfAssignment(spark, sfDir)
+      .write.mode("overwrite").partitionBy("cell").parquet(idxDir)
+    ivfCellDelete(spark, idxDir, x80Tombstone)
+    ivfProbe(spark, sfDir, spark.read.parquet(idxDir), queryId, k, nprobe)
   }
 
   /** X6e — SQ8 quantized top-k: corpus-global per-DIMENSION affine int8

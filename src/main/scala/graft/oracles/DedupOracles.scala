@@ -151,6 +151,21 @@ object DedupOracles {
           JOIN probed p ON p.cell = asg.cell, qv
           WHERE e.vec_id <> 0
           ORDER BY cosine DESC, e.vec_id LIMIT 10""",
+    // x80: the x6b chain with the tombstones filtered from the final
+    // rank — the quantizer TRAINS ON THE FULL CORPUS (frozen at delete
+    // time, so doomed vectors legitimately shaped it) and only the rank
+    // leg excludes them; hash equality states the dirty-cell rewrite ≡
+    // a rebuild from survivors under the frozen quantizer.
+    "x80_ann_delete_topk" ->
+      s"""WITH $ivfChainSql
+          SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+            round(${cosineD("e.embedding", "qe")}, 6) AS cosine
+          FROM embeddings e
+          JOIN asg ON asg.vec_id = e.vec_id
+          JOIN probed p ON p.cell = asg.cell, qv
+          WHERE e.vec_id <> 0
+            AND NOT (${polyHashSql("CAST(e.vec_id AS VARCHAR)")} % 11 = 0)
+          ORDER BY cosine DESC, e.vec_id LIMIT 10""",
     // x69: SemDeDup — the coarse quantizer retrains via the x6b chain
     // (bit-identical cells), then the within-cell pair test restates x5's
     // 6-dp rounded cosine; every output column is an integer count

@@ -813,6 +813,70 @@ class DedupSimilaritySpec extends SparkSpec {
       s"cell filter did not reach PartitionFilters through the batch layer:\n$plan")
   }
 
+  test("ivfCellDelete: clean cells keep their exact files, doomed rows leave dirty cells, " +
+      "an all-doomed cell's dir is dropped, and a replay touches nothing") {
+    val idxDir = graft.Tables.scratchDir("graft_x80_spec_").toString + "/idx"
+    // cell 0 clean; cell 1 partially doomed; cell 2 fully doomed
+    Seq((1L, 0, Seq(1f, 0f), 0), (2L, 0, Seq(0f, 1f), 0),
+        (3L, 1, Seq(1f, 1f), 1), (4L, 1, Seq(1f, 2f), 1),
+        (5L, 2, Seq(2f, 1f), 2))
+      .toDF("vec_id", "label", "embedding", "cell")
+      .write.partitionBy("cell").parquet(idxDir)
+    def files(): Map[String, (Long, Long)] = {
+      val fs = new org.apache.hadoop.fs.Path(idxDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(idxDir), true)
+      val b = Map.newBuilder[String, (Long, Long)]
+      while (it.hasNext) { val s = it.next()
+        if (s.getPath.getName.endsWith(".parquet"))
+          b += s.getPath.toString -> ((s.getLen, s.getModificationTime)) }
+      b.result()
+    }
+    val before = files()
+    val tomb = col("vec_id").isin(4L, 5L)
+    val dirty = Similarity.ivfCellDelete(spark, idxDir, tomb)
+    assert(dirty == Seq(1, 2), s"dirty set: $dirty")
+    val after = files()
+    // the clean cell's files survive byte-identical (path+len+mtime)
+    val cleanBefore = before.filter(_._1.contains("cell=0"))
+    assert(cleanBefore.nonEmpty && cleanBefore.forall { case (p, m) => after.get(p).contains(m) },
+      "clean cell 0's files were rewritten")
+    // the all-doomed cell's directory is gone
+    assert(!after.keys.exists(_.contains("cell=2")), "emptied cell 2 still has files")
+    // surviving rows exactly
+    val rows = spark.read.parquet(idxDir).select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rows == Set((1L, 0), (2L, 0), (3L, 1)))
+    // replay: no doomed rows remain, so nothing may be touched
+    assert(Similarity.ivfCellDelete(spark, idxDir, tomb).isEmpty)
+    assert(files() == after, "a replayed delete with an empty dirty set rewrote files")
+  }
+
+  test("x80: the maintained index's probe equals a rebuild from survivors under the frozen quantizer") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val maintained = rows(Similarity.ivfDeleteTopK(spark, sf))
+    val rebuilt = rows(Similarity.ivfProbe(spark, sf,
+      Similarity.ivfAssignment(spark, sf).where(!Similarity.x80Tombstone),
+      queryId = 0L, k = 10, nprobe = 4))
+    assert(maintained == rebuilt, "dirty-cell rewrite diverged from the survivor rebuild")
+    // the fixture must exercise a genuine deletion: no tombstoned id in the
+    // result, and the tombstone set is non-empty in the probed region
+    val doomed = Similarity.ivfAssignment(spark, sf)
+      .where(Similarity.x80Tombstone).count()
+    assert(doomed > 0, "tombstone set empty — the delete leg is untested")
+    val doomedIds = Similarity.ivfAssignment(spark, sf)
+      .where(Similarity.x80Tombstone).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(!maintained.exists(r => doomedIds(r._1)), "a deleted vector is still retrievable")
+    // the maintained copy is still a cell-partitioned index: the probe's
+    // nprobe restriction must reach it as PartitionFilters, not a scan
+    val plan = Similarity.ivfDeleteTopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell#"),
+      s"x80 probe does not partition-prune the maintained index:\n$plan")
+  }
+
   test("x54 winnowing: a shared passage at MIS-ALIGNED offsets is found in both " +
     "docs, a unique doc reports zero, and the coverage invariants hold") {
     import spark.implicits._
