@@ -86,6 +86,30 @@ object Search {
     base.unionByName(delta)
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_len")).as("total_len"))
 
+  /** RETRACT a delete batch's stats from the stored artifact — the delete
+    * twin of [[bm25FoldTermDf]]: df is a group count, so subtraction is
+    * exact, and a term whose df reaches zero leaves the vocabulary table
+    * (artifact hygiene — a dead term must not linger as a zero row).
+    * `doomedDelta` is [[bm25TermDfOf]] of the DELETED docs only, so the
+    * fold is O(vocabulary + delete batch), never a corpus rescan. */
+  private[graft] def bm25RetractTermDf(base: DataFrame, doomedDelta: DataFrame): DataFrame =
+    base.join(doomedDelta.withColumnRenamed("df", "d_df"), Seq("term"), "left")
+      .select(col("term"), (col("df") - coalesce(col("d_df"), lit(0L))).as("df"))
+      .where(col("df") > 0)
+
+  /** [[bm25RetractTermDf]]'s scalar sibling: both stats tables are ONE
+    * bounded row, so the subtraction runs driver-side (O(1) metadata —
+    * the same class as the probe-vector collects) and returns a literal
+    * single-row frame. Long sums subtract exactly, so the derived avgdl
+    * is bit-equal to the survivor-corpus recompute. */
+  private[graft] def bm25RetractScalars(spark: SparkSession, base: DataFrame,
+      doomedDelta: DataFrame): DataFrame = {
+    import spark.implicits._
+    val b = base.head(); val d = doomedDelta.head()
+    Seq((b.getLong(0) - d.getLong(0), b.getLong(1) - d.getLong(1)))
+      .toDF("n_docs", "total_len")
+  }
+
   /** The full scored set behind [[bm25TopK]] (every doc with bm25 > 0) —
     * the candidate-generation leg reused by [[hybridTopK]]. Corpus stats
     * come from the MAINTAINED artifacts; the query-time driver values are
@@ -152,6 +176,41 @@ object Search {
     val termDf = bm25FoldTermDf(bm25TermDfOf(batchA), bm25TermDfOf(batchB))
     val scalars = bm25FoldScalars(bm25ScalarsOf(batchA), bm25ScalarsOf(batchB))
     bm25ScoredAgainst(tfPass(docs, terms), terms, termDf, scalars)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** X81's tombstone set: a ~9% id-hash sample of the corpus (modulus
+    * chosen so the fixture deletion evicts a top-k document at both gate
+    * SFs — and shifts every survivor's score through n_docs/avgdl). */
+  private[graft] def x81Tombstone: Column =
+    TextFns.polyHash(col("doc_id").cast("string")) % 11 === 0
+
+  /** X81 — BM25 over RETRACTION-folded stats: the delete twin of x78,
+    * closing the retrieval-stats leg of the corpus-maintenance story. A
+    * delete batch's stats (df per term, doc count, length sum — all
+    * group-homomorphisms) SUBTRACT from the stored artifacts
+    * ([[bm25TermDf]]/[[bm25Scalars]], READ back, never recomputed)
+    * without rescanning the surviving corpus; terms whose df reaches
+    * zero leave the vocabulary. Deletes move the ranking two ways — a
+    * doomed doc vanishes from the candidates, and every survivor's
+    * score shifts through n_docs/avgdl/df — so the oracle (x20's
+    * monolithic query restated over the survivor corpus) exercises the
+    * whole arithmetic: hash equality states
+    * retract(stats(C), stats(D)) ≡ stats(C \ D) through the scoring.
+    * Reference anchor: the bookkeeping delete-then-reinsert update shape
+    * of `dao/HiveSinkDetailDao.scala:73-98`, generalized to a
+    * subtractive fold. */
+  def bm25DeleteTopK(spark: SparkSession, sfDir: String,
+                     terms: Seq[String] = Seq("spark", "join", "window"),
+                     k: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val doomed = docs.where(x81Tombstone)
+    val termDf = bm25RetractTermDf(bm25TermDf(spark, sfDir), bm25TermDfOf(doomed))
+    val scalars = bm25RetractScalars(spark, bm25Scalars(spark, sfDir),
+      bm25ScalarsOf(doomed))
+    bm25ScoredAgainst(tfPass(docs.where(!x81Tombstone), terms), terms,
+        termDf, scalars)
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
   }

@@ -8,15 +8,17 @@ package graft.oracles
 object TextOracles {
   import OracleDefs._
 
-  /** x20's BM25 top-k, shared verbatim by x78 (whose Spark side scores
-    * against append-FOLDED stats — the monolithic oracle is exactly the
-    * fold-correctness statement). */
-  private val bm25TopKSql: String =
+  /** x20's BM25 top-k over an optionally-restricted corpus: shared
+    * verbatim by x78 (append-FOLDED stats) and, with the tombstone
+    * survivors as the corpus, by x81 (retraction-folded stats) — the
+    * monolithic oracle is exactly the fold-correctness statement in both
+    * directions. Restricting the `d` CTE restricts stats AND scoring. */
+  private def bm25TopKSqlOver(where: String): String =
     s"""WITH d AS (SELECT doc_id, CAST(len($toks) AS DOUBLE) AS dl,
           CAST(len(list_filter($toks, w -> w = 'spark')) AS DOUBLE) AS tf0,
           CAST(len(list_filter($toks, w -> w = 'join')) AS DOUBLE) AS tf1,
           CAST(len(list_filter($toks, w -> w = 'window')) AS DOUBLE) AS tf2
-          FROM documents),
+          FROM documents$where),
         s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
           SUM(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
           SUM(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
@@ -34,6 +36,14 @@ object TextOracles {
           FROM d, s)
         SELECT * FROM scored WHERE bm25 > 0
         ORDER BY bm25 DESC, doc_id LIMIT 10"""
+
+  private val bm25TopKSql: String = bm25TopKSqlOver("")
+
+  /** x81: the same query over the tombstone SURVIVORS — the oracle IS the
+    * monolithic recompute after deletes, so the green hash states
+    * retract(stats(C), stats(D)) ≡ stats(C \ D) through the scoring. */
+  private val bm25DeleteSql: String = bm25TopKSqlOver(
+    s" WHERE NOT (${polyHashSql("CAST(doc_id AS VARCHAR)")} % 11 = 0)")
 
   private[graft] def sql: Map[String, String] = Map(
     "x7_lang_id" ->
@@ -313,6 +323,7 @@ object TextOracles {
     // hash equality states fold(stats(A), stats(B)) ≡ stats(A ∪ B) through
     // the full scoring arithmetic
     "x78_bm25_append" -> bm25TopKSql,
+    "x81_bm25_delete" -> bm25DeleteSql,
     // both legs rank by ROUNDED score with id tie-break, so candidate
     // cutoffs and ranks agree cross-engine; RRF = sum of 1/(60+rank)
     "x29_hybrid_rrf" ->

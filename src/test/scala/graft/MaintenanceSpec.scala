@@ -183,6 +183,33 @@ class MaintenanceSpec extends SparkSpec {
       "a degenerate batch split exercises no fold")
   }
 
+  test("x81 retract fold: subtracted BM25 stats equal the survivor rebuild; dead terms leave the vocabulary") {
+    import graft.operators.Search
+    val docs = Tables.documents(spark, sf)
+    val doomed = docs.where(Search.x81Tombstone)
+    val kept = docs.where(!Search.x81Tombstone)
+    val folded = Search.bm25RetractTermDf(Search.bm25TermDfOf(docs),
+        Search.bm25TermDfOf(doomed))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mono = Search.bm25TermDfOf(kept)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(folded == mono)
+    val fs = Search.bm25RetractScalars(spark, Search.bm25ScalarsOf(docs),
+      Search.bm25ScalarsOf(doomed)).head()
+    val ms = Search.bm25ScalarsOf(kept).head()
+    assert((fs.getLong(0), fs.getLong(1)) == ((ms.getLong(0), ms.getLong(1))))
+    assert(doomed.limit(1).count() > 0, "empty tombstone set exercises no retraction")
+    // zero-df hygiene on a hand fixture: the only doc carrying a term dies
+    import spark.implicits._
+    val hand = Seq((1L, "zebra apple"), (2L, "apple pear"))
+      .toDF("doc_id", "text")
+    val retr = Search.bm25RetractTermDf(Search.bm25TermDfOf(hand),
+        Search.bm25TermDfOf(hand.where(col("doc_id") === 1L)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(retr == Map("apple" -> 1L, "pear" -> 1L),
+      s"dead term lingered or survivor miscounted: $retr")
+  }
+
   test("x77 declared query matches an independent JVM replica; fixture exercises both tombstone legs") {
     val merged = foldedMap(Maintenance.aggRetractMerge(spark, sf))
     val ev = Tables.events(spark, sf)
