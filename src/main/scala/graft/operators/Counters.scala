@@ -424,7 +424,7 @@ object Counters {
     * Scale posture: the base artifact is read back from storage (never
     * recomputed — here a per-invocation scratch dir, deployment-mapped to
     * the view's table); the source is the DAY-PARTITIONED landing
-    * ([[Maintenance.landEventsByDay]] — in deployment, the table the
+    * ([[Maintenance.landedEvents]] — in deployment, the table the
     * ingest path already maintains), so the delta cut reaches the scan as
     * PARTITION pruning (`PartitionFilters` on `logday`, PlanSpec-pinned)
     * plus an exact `es` refinement — robust to the fixture's nanos-as-long
@@ -440,9 +440,7 @@ object Counters {
     // day-granular partition cut + exact es refinement: `es >= cut` implies
     // `logday >= day(cut)` (and dually for the base side), so the redundant
     // logday conjunct changes no row, only prunes partitions
-    val cutDay = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
-      .withZone(java.time.ZoneOffset.UTC)
-      .format(java.time.Instant.ofEpochSecond(cut)).toLong
+    val cutDay = Maintenance.dayLitOfEpoch(cut)
     // the maintained artifact: the pre-cut aggregate lives in storage and
     // is READ, not recomputed — the whole point of the operator
     val store = graft.Tables.scratchDir("graft_aggview_").toString

@@ -20,9 +20,17 @@ import org.apache.spark.sql.functions._
 object Maintenance {
 
   /** Day key (yyyyMMdd, as a long so Spark's partition-type inference and
-    * our literals agree) of an epoch-seconds value. */
+    * our literals agree) of an epoch-seconds value. Computed as DATE
+    * arithmetic from a floored epoch-day — `timestamp_seconds` +
+    * `date_format` would render in the SESSION timezone, silently
+    * disagreeing with the UTC driver-side literal twin
+    * ([[dayLitOfEpoch]]) on any externally built session not pinned to
+    * UTC; date-typed formatting has no timezone to disagree about. */
   private[graft] def dayOfEpoch(es: Column): Column =
-    date_format(timestamp_seconds(es), "yyyyMMdd").cast("long")
+    date_format(
+      date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+        floor(es.cast("double") / lit(86400d)).cast("int")),
+      "yyyyMMdd").cast("long")
 
   /** Land the maintained view's SOURCE time-partitioned by day — the
     * deployment shape ask: the fixture's `events.parquet` carries a
@@ -254,27 +262,13 @@ object Maintenance {
   private[graft] def upsertFold(spark: SparkSession, base: DataFrame,
       insPartial: DataFrame, doomed: DataFrame, kept: DataFrame,
       gate: Int): DataFrame = {
-    // both deltas materialized once (retractFold's ledger-entry
+    // both deltas materialized once ([[materializeDelta]]'s ledger-entry
     // rationale): the fold below feeds THREE consumers (clean leg, dirty
     // set, repaired leg), so an unmaterialized delta would re-run its
     // source scan per leg — the plan showed the insert partial-aggregate
     // recomputed 3× before this
-    val retrStore = Tables.scratchDir("graft_upsert_delta_").toString
-    partial(doomed)
-      .withColumnRenamed("n_events", "d_n")
-      .withColumnRenamed("max_es", "d_max")
-      .withColumnRenamed("sum_value_micro", "d_sum")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(retrStore)
-    val retr = spark.read.parquet(retrStore)
-    val insStore = Tables.scratchDir("graft_upsert_ins_").toString
-    insPartial
-      .withColumnRenamed("n_events", "i_n")
-      .withColumnRenamed("max_es", "i_max")
-      .withColumnRenamed("sum_value_micro", "i_sum")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(insStore)
-    val ins = spark.read.parquet(insStore)
+    val retr = materializeDelta(spark, partial(doomed), "d", "graft_upsert_delta_")
+    val ins = materializeDelta(spark, insPartial, "i", "graft_upsert_ins_")
     // fold the retraction into the stored state (left: doomed ⊆ stored),
     // then the inserts (full outer: inserts may open NEW groups)
     val joined = base.join(retr, Seq("category", "bucket"), "left")
@@ -307,7 +301,15 @@ object Maintenance {
         greatest(when(oldAlive, col("max_es")), col("i_max")))
       .select(outCols: _*)
     val dirtyMax = joined.where(dirtyCond)
-    val dirtyDays = dirtyMax.select(dayOfEpoch(col("bucket")).as("logday"))
+    // A bucket's day span under truncated `%`: b > 0 holds es ∈ [b, b+300)
+    // — one UTC day, since 86400 % 300 == 0 — but b ≤ 0 holds
+    // es ∈ (b−300, b], which straddles the midnight AT b, so those
+    // buckets' repairs must also read day(b−1) (pre-1970 data; for the
+    // positive era the branch adds nothing).
+    val dirtyDays = dirtyMax.select(explode(array(
+        dayOfEpoch(col("bucket")),
+        dayOfEpoch(when(col("bucket") <= 0L, col("bucket") - 1L)
+          .otherwise(col("bucket"))))).as("logday"))
       .distinct()
     val dayVals = dirtyDays.collect().map(_.getLong(0)).toSeq.sorted
     val rederived = restrictToKeys(kept, "logday", dirtyDays, dayVals, gate)
@@ -324,27 +326,32 @@ object Maintenance {
     clean.unionByName(repaired).orderBy(col("category"), col("bucket"))
   }
 
+  /** Materialize a partial-aggregate delta ONCE as its own O(touched
+    * groups) scratch artifact, columns renamed to `<prefix>_{n,max,sum}`.
+    * The folds read their deltas from several legs (fold, dirty-bucket
+    * build, rescan semi-join) — without materialization each leg re-runs
+    * the delta's source scan; in deployment this artifact is the batch's
+    * ledger entry anyway. One file: the delta is O(touched groups) — a
+    * 32-way write of a few-thousand-row ledger entry is pure small-file
+    * churn, and every downstream leg re-reads it. */
+  private def materializeDelta(spark: SparkSession, partialAgg: DataFrame,
+      prefix: String, dirTag: String): DataFrame = {
+    val store = Tables.scratchDir(dirTag).toString
+    partialAgg
+      .withColumnRenamed("n_events", s"${prefix}_n")
+      .withColumnRenamed("max_es", s"${prefix}_max")
+      .withColumnRenamed("sum_value_micro", s"${prefix}_sum")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(store)
+    spark.read.parquet(store)
+  }
+
   /** The retraction fold over (stored aggregate, doomed rows, kept rows).
     * `doomed` and `kept` must partition `src`: every row is in exactly one
     * of them. */
   private def retractFold(spark: SparkSession, base: DataFrame,
       doomed: DataFrame, kept: DataFrame, gate: Int): DataFrame = {
-    // the retraction delta: negative mergeable state from the doomed rows,
-    // MATERIALIZED once (O(touched groups)) — three downstream legs read
-    // it (fold, dirty-bucket build, rescan semi-join), and without the
-    // materialization each would re-run the doomed-row scan; in deployment
-    // this artifact is the delete batch's ledger entry anyway
-    val retrStore = Tables.scratchDir("graft_retract_delta_").toString
-    partial(doomed)
-      .withColumnRenamed("n_events", "d_n")
-      .withColumnRenamed("max_es", "d_max")
-      .withColumnRenamed("sum_value_micro", "d_sum")
-      // one file: the delta is O(touched groups) — a 32-way write of a
-      // few-thousand-row ledger entry is pure small-file churn, and every
-      // downstream leg re-reads it
-      .coalesce(1)
-      .write.mode("overwrite").parquet(retrStore)
-    val retr = spark.read.parquet(retrStore)
+    val retr = materializeDelta(spark, partial(doomed), "d", "graft_retract_delta_")
     // fold −count/−sum; flag buckets whose max-carrier died. retr's groups
     // are a subset of base's (doomed ⊆ landed), so a left join is total.
     val folded = base.join(retr, Seq("category", "bucket"), "left")
@@ -364,7 +371,15 @@ object Maintenance {
     // PartitionFilters on the landed scan (bounded metadata, the x75
     // dirty-partition class); bucket membership → broadcast semi-join
     // (never a driver-sized predicate, VERDICT r12 #5's discipline).
-    val dirtyDays = dirtyMax.select(dayOfEpoch(col("bucket")).as("logday"))
+    // A bucket's day span under truncated `%`: b > 0 holds es ∈ [b, b+300)
+    // — one UTC day, since 86400 % 300 == 0 — but b ≤ 0 holds
+    // es ∈ (b−300, b], which straddles the midnight AT b, so those
+    // buckets' repairs must also read day(b−1) (pre-1970 data; for the
+    // positive era the branch adds nothing).
+    val dirtyDays = dirtyMax.select(explode(array(
+        dayOfEpoch(col("bucket")),
+        dayOfEpoch(when(col("bucket") <= 0L, col("bucket") - 1L)
+          .otherwise(col("bucket"))))).as("logday"))
       .distinct()
     val dayVals = dirtyDays.collect().map(_.getLong(0)).toSeq.sorted
     val rederived = restrictToKeys(kept, "logday", dirtyDays, dayVals, gate)

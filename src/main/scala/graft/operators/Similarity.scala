@@ -427,11 +427,15 @@ object Similarity {
       spark.read.parquet(stage)
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("cell").parquet(idxDir)
-      // fully-emptied cells: nothing staged, nothing overwrote them
-      val staged = spark.read.parquet(stage).select(col("cell")).distinct()
-        .collect().map(_.getInt(0)).toSet
+      // fully-emptied cells: nothing staged, nothing overwrote them. The
+      // staged-cell set is the staging dir's partition listing — free
+      // metadata, no second scan of the survivor rows
       val fs = new org.apache.hadoop.fs.Path(idxDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val staged = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath.getName).collect {
+          case n if n.startsWith("cell=") => n.stripPrefix("cell=").toInt
+        }.toSet
       val emptied = dirty.filterNot(staged)
       emptied.foreach { c =>
         fs.delete(new org.apache.hadoop.fs.Path(idxDir, s"cell=$c"), true); ()

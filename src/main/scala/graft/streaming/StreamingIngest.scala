@@ -1423,8 +1423,7 @@ object StreamingIngest {
       if (dayVals.nonEmpty) {
         t19Lap(s"b:$batchTag nonempty")
         if (!fs.exists(new Path(snap, "_SUCCESS"))) {
-          val base = spark.read.parquet(
-            new Path(viewRoot, readViewPointer(fs, viewRoot)).toString)
+          val base = readRetractView(spark, viewDir)
           val folded = graft.operators.Maintenance.aggRetractMergeKeys(
             spark, spark.read.parquet(corpusDir), base, keys, dayVals)
           t19Lap(s"b:$batchTag foldplan")
@@ -1449,6 +1448,28 @@ object StreamingIngest {
         }
         writeViewPointer(fs, viewRoot, s"batch=$batchTag")
         t19Lap(s"b:$batchTag publish")
+        // GC: the pointer now names this batch's snapshot, so THIS RUN's
+        // earlier snapshots can never be read again (foreachBatch replays
+        // only the last uncommitted batch, and cross-run readers resolve
+        // through the pointer) — without this sweep the view root grows
+        // by one O(groups) snapshot per micro-batch forever. Orphaned
+        // `.tmp_*` dirs (a crash between write and rename) go the same
+        // way; other runs' snapshots, `base`, and the pointer target are
+        // never touched.
+        val cut = batchTag.lastIndexOf('-')
+        val parsed = cut > 0 && batchTag.substring(cut + 1).nonEmpty &&
+          batchTag.substring(cut + 1).forall(_.isDigit)
+        fs.listStatus(viewRoot).foreach { st =>
+          val n = st.getPath.getName
+          val superseded = parsed && {
+            val runPrefix = s"batch=${batchTag.substring(0, cut + 1)}"
+            val rest = n.stripPrefix(runPrefix)
+            n.startsWith(runPrefix) && rest.nonEmpty && rest.forall(_.isDigit) &&
+              rest.toLong < batchTag.substring(cut + 1).toLong
+          }
+          if (n.startsWith(".tmp_") || superseded) { fs.delete(st.getPath, true); () }
+        }
+        t19Lap(s"b:$batchTag gc")
         deleteBatch(batch, batchTag, corpusDir,
           keyCol = "event_id", partCol = "logday",
           knownDirty = Some(dayVals))

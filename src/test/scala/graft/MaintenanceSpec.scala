@@ -183,6 +183,23 @@ class MaintenanceSpec extends SparkSpec {
       "a degenerate batch split exercises no fold")
   }
 
+  test("pre-1970 midnight-straddling bucket: the max repair reads BOTH days (truncated-% day band)") {
+    import spark.implicits._
+    // under truncated `%`, bucket 0 holds es ∈ (−300, 300): the kept row
+    // es=−10 lives in day 19691231 while the doomed carrier es=10 lives in
+    // 19700101 — a repair pruned to the bucket's OWN day only would find
+    // no survivor and silently drop the bucket from the view
+    val src = Seq((1L, "neg", -10L, 5L), (2L, "neg", 10L, 7L))
+      .toDF("event_id", "category", "es", "v_micro")
+      .withColumn("logday", Maintenance.dayOfEpoch(col("es")))
+    val tomb = col("event_id") === 2L
+    val noInserts = Maintenance.partial(src.where(lit(false)))
+    val result = Maintenance.upsertFold(spark, Maintenance.partial(src),
+      noInserts, src.where(tomb), src.where(!tomb), gate = 1024)
+    assert(foldedMap(result) == Map(("neg", 0L) -> ((1L, -10L, 5L))),
+      "the day-pruned rescan missed the pre-midnight survivor")
+  }
+
   test("x81 retract fold: subtracted BM25 stats equal the survivor rebuild; dead terms leave the vocabulary") {
     import graft.operators.Search
     val docs = Tables.documents(spark, sf)

@@ -1170,8 +1170,10 @@ class StreamingSpec extends SparkSpec {
     assert(viewMap() == afterB2)
     assert(corpusIds() == Set(1L, 2L, 5L, 8L))
     // a crashed publish left a markerless partial snapshot dir: the batch
-    // must replace it, not read it or strand on it
+    // must replace it, not read it or strand on it; a crashed WRITE left
+    // an orphan .tmp_ dir: the next batch's GC must sweep it
     fs.mkdirs(new Path(view, "batch=r-2"))
+    fs.mkdirs(new Path(view, ".tmp_orphaned-crash-attempt"))
     val b3 = Seq((8L, 19700103L)).toDF("event_id", "logday")
     StreamingIngest.retractViewBatch(b3, "r-2", corpus, view)
     assert(viewMap() == Map(
@@ -1179,6 +1181,11 @@ class StreamingSpec extends SparkSpec {
     assert(corpusIds() == Set(1L, 2L, 5L))
     // D's day partition dropped with its last row
     assert(!fs.exists(new Path(corpus, "logday=19700103")))
+    // snapshot GC: superseded same-run snapshots and tmp orphans are gone —
+    // the view root holds exactly base, the live snapshot, and the pointer
+    val names = fs.listStatus(new Path(view)).map(_.getPath.getName).toSet
+    assert(names == Set("base", "batch=r-2", "_LATEST"),
+      s"view root not GC'd to the live set: $names")
   }
 
   test("t19 streaming view equals the one-shot retraction over the same tombstones") {
