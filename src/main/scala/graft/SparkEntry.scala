@@ -106,6 +106,7 @@ object SparkEntry {
     "t17_stream_idle_close" -> ((s, d) => StreamingIngest.idleCloseSessions(s, d)),
     "t18_stream_delete_propagation" -> (StreamingIngest.streamDeletePropagation _),
     "t19_stream_retract_view" -> (StreamingIngest.streamRetractView _),
+    "t20_stream_index_delete" -> (StreamingIngest.streamIndexDelete _),
     // M5 — [EXT] LLM-pipeline operators
     "x1_dedup_exact" -> (Dedup.exactDedup _),
     "x2_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),

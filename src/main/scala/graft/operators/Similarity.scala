@@ -417,18 +417,41 @@ object Similarity {
   private[graft] def ivfCellDelete(spark: SparkSession, idxDir: String,
       tomb: Column, gate: Int = Maintenance.keyGateDefault): Seq[Int] = {
     val idx = spark.read.parquet(idxDir)
-    val dirtyDf = idx.where(tomb).select(col("cell")).distinct()
-    val dirty = dirtyDf.collect().map(_.getInt(0)).toSeq.sorted
+    cellSwapCore(spark, idxDir, idx.where(tomb).select(col("cell")).distinct(),
+      (dirtyDf, dirty) =>
+        Maintenance.restrictToKeys(idx, "cell", dirtyDf, dirty, gate)
+          .where(!tomb))
+  }
+
+  /** [[ivfCellDelete]] driven by an explicit tombstone KEY table instead
+    * of a predicate — the streaming micro-batch form (t20): the dirty
+    * cells come from a broadcast semi-join of the batch's keys against
+    * the index, survivors from the anti-join. Idempotent WITHOUT markers
+    * (unlike t19's fold): a replayed batch's keys are already absent, so
+    * the dirty set is empty and no file is touched. */
+  private[graft] def ivfCellDeleteKeys(spark: SparkSession, idxDir: String,
+      keys: DataFrame, gate: Int = Maintenance.keyGateDefault): Seq[Int] = {
+    val idx = spark.read.parquet(idxDir)
+    val k = broadcast(keys.select(col("vec_id")).distinct())
+    cellSwapCore(spark, idxDir,
+      idx.join(k, Seq("vec_id"), "leftsemi").select(col("cell")).distinct(),
+      (dirtyDf, dirty) =>
+        Maintenance.restrictToKeys(idx, "cell", dirtyDf, dirty, gate)
+          .join(k, Seq("vec_id"), "leftanti"))
+  }
+
+  /** The shared dirty-cell partition swap: collect the dirty cell ids
+    * (bounded by K), stage those cells' survivors, dynamic-overwrite them
+    * in, drop fully-emptied cell dirs, refresh the listing cache. */
+  private def cellSwapCore(spark: SparkSession, idxDir: String,
+      dirtyCells: DataFrame,
+      stageRows: (DataFrame, Seq[Int]) => DataFrame): Seq[Int] = {
+    val dirty = dirtyCells.collect().map(_.getInt(0)).toSeq.sorted
     if (dirty.nonEmpty) {
       val stage = Tables.scratchDir("graft_x80_stage_").toString
-      Maintenance.restrictToKeys(idx, "cell", dirtyDf, dirty, gate)
-        .where(!tomb)
+      stageRows(dirtyCells, dirty)
         .write.mode("overwrite").partitionBy("cell").parquet(stage)
-      spark.read.parquet(stage)
-        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cell").parquet(idxDir)
-      // fully-emptied cells: nothing staged, nothing overwrote them. The
-      // staged-cell set is the staging dir's partition listing — free
+      // the staged-cell set is the staging dir's partition listing — free
       // metadata, no second scan of the survivor rows
       val fs = new org.apache.hadoop.fs.Path(idxDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -436,6 +459,13 @@ object Similarity {
         .map(_.getPath.getName).collect {
           case n if n.startsWith("cell=") => n.stripPrefix("cell=").toInt
         }.toSet
+      // every dirty cell emptied → nothing to overwrite (and a zero-file
+      // staging dir has no schema to read); the drop loop below handles it
+      if (staged.nonEmpty)
+        spark.read.parquet(stage)
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cell").parquet(idxDir)
+      // fully-emptied cells: nothing staged, nothing overwrote them
       val emptied = dirty.filterNot(staged)
       emptied.foreach { c =>
         fs.delete(new org.apache.hadoop.fs.Path(idxDir, s"cell=$c"), true); ()

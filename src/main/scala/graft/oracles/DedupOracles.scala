@@ -8,6 +8,22 @@ package graft.oracles
 object DedupOracles {
   import OracleDefs._
 
+  /** x80/t20: the x6b chain with the tombstones filtered from the final
+    * rank — the quantizer TRAINS ON THE FULL CORPUS (frozen at delete
+    * time, so doomed vectors legitimately shaped it) and only the rank
+    * leg excludes them; hash equality states the dirty-cell rewrite ≡
+    * a rebuild from survivors under the frozen quantizer. */
+  private lazy val annDeleteTopKSql: String =
+    s"""WITH $ivfChainSql
+        SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+          round(${cosineD("e.embedding", "qe")}, 6) AS cosine
+        FROM embeddings e
+        JOIN asg ON asg.vec_id = e.vec_id
+        JOIN probed p ON p.cell = asg.cell, qv
+        WHERE e.vec_id <> 0
+          AND NOT (${polyHashSql("CAST(e.vec_id AS VARCHAR)")} % 11 = 0)
+        ORDER BY cosine DESC, e.vec_id LIMIT 10"""
+
   private[graft] def sql: Map[String, String] = Map(
     "x1_dedup_exact" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies,
@@ -151,21 +167,11 @@ object DedupOracles {
           JOIN probed p ON p.cell = asg.cell, qv
           WHERE e.vec_id <> 0
           ORDER BY cosine DESC, e.vec_id LIMIT 10""",
-    // x80: the x6b chain with the tombstones filtered from the final
-    // rank — the quantizer TRAINS ON THE FULL CORPUS (frozen at delete
-    // time, so doomed vectors legitimately shaped it) and only the rank
-    // leg excludes them; hash equality states the dirty-cell rewrite ≡
-    // a rebuild from survivors under the frozen quantizer.
-    "x80_ann_delete_topk" ->
-      s"""WITH $ivfChainSql
-          SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
-            round(${cosineD("e.embedding", "qe")}, 6) AS cosine
-          FROM embeddings e
-          JOIN asg ON asg.vec_id = e.vec_id
-          JOIN probed p ON p.cell = asg.cell, qv
-          WHERE e.vec_id <> 0
-            AND NOT (${polyHashSql("CAST(e.vec_id AS VARCHAR)")} % 11 = 0)
-          ORDER BY cosine DESC, e.vec_id LIMIT 10""",
+    "x80_ann_delete_topk" -> annDeleteTopKSql,
+    // t20: the same rewrite applied as a two-micro-batch STREAM — the
+    // oracle is x80's verbatim, so the green hash states streaming
+    // micro-batch swaps converge to the one-shot dirty-cell rewrite
+    "t20_stream_index_delete" -> annDeleteTopKSql,
     // x69: SemDeDup — the coarse quantizer retrains via the x6b chain
     // (bit-identical cells), then the within-cell pair test restates x5's
     // 6-dp rounded cosine; every output column is an integer count

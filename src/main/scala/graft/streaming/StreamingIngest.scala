@@ -1557,6 +1557,50 @@ object StreamingIngest {
     readRetractView(spark, view).orderBy(col("category"), col("bucket"))
   }
 
+  /** T20 — the x80 dirty-cell index rewrite as an OPERATIONAL LOOP: a
+    * stream of vec_id tombstones applied to the cell-partitioned ANN
+    * index in `foreachBatch`, one `ivfCellDeleteKeys` swap per
+    * micro-batch. Unlike t19's fold, no publish marker is needed —
+    * deleting keys from an index is idempotent by construction (a
+    * replayed batch's keys are already absent, so the dirty set is empty
+    * and no file is touched), which is the t18 corpus-delete discipline
+    * with an even simpler replay argument. The final probe is x6b's over
+    * the maintained index; the oracle is x80's verbatim — the green hash
+    * states that N micro-batch swaps converge to the one-shot dirty-cell
+    * rewrite, i.e. streaming ≡ batch for index maintenance. With t18
+    * (corpus) and t19 (stored view), every maintained artifact class
+    * with a delete path now also has its streaming form. */
+  def streamIndexDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.operators.Similarity
+    graft.Tables.ensureParquetConf(spark)
+    val root = graft.Tables.scratchDir("graft_t20")
+    val idxDir = root.resolve("idx").toString
+    Similarity.ivfAssignment(spark, sfDir)
+      .write.mode("overwrite").partitionBy("cell").parquet(idxDir)
+    val tombs = Similarity.ivfAssignment(spark, sfDir)
+      .where(Similarity.x80Tombstone).select(col("vec_id"))
+    val srcDir = root.resolve("src")
+    Files.createDirectories(srcDir)
+    landArrivalSplits(tombs, root, srcDir,
+      Seq("a_first.parquet" -> (pmod(col("vec_id"), lit(2L)) === 0L),
+        "b_second.parquet" -> (pmod(col("vec_id"), lit(2L)) === 1L)))
+    withScratchCheckpoint { ck =>
+      val q = spark.readStream.schema(tombs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          Similarity.ivfCellDeleteKeys(spark, idxDir, b); ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally { if (q.isActive) q.stop() }
+    }
+    Similarity.ivfProbe(spark, sfDir, spark.read.parquet(idxDir),
+      queryId = 0L, k = 10, nprobe = 4)
+  }
+
   /** One micro-batch of the streaming cross-run dedup loop (the streaming
     * form of `Dedup.dedupAgainstIndex` — x16's operational mode fed by a
     * continuously-arriving crawl). Replay-idempotent under `foreachBatch`'s

@@ -850,6 +850,15 @@ class DedupSimilaritySpec extends SparkSpec {
     // replay: no doomed rows remain, so nothing may be touched
     assert(Similarity.ivfCellDelete(spark, idxDir, tomb).isEmpty)
     assert(files() == after, "a replayed delete with an empty dirty set rewrote files")
+    // the key-table form (t20's micro-batch entry): deleting vec 3 by key
+    // dirties only cell 1, and replaying the key batch touches nothing
+    val keys = Seq(3L).toDF("vec_id")
+    assert(Similarity.ivfCellDeleteKeys(spark, idxDir, keys) == Seq(1))
+    assert(!spark.read.parquet(idxDir).select(col("vec_id"))
+      .collect().map(_.getLong(0)).contains(3L))
+    val afterKeys = files()
+    assert(Similarity.ivfCellDeleteKeys(spark, idxDir, keys).isEmpty)
+    assert(files() == afterKeys, "a replayed key batch rewrote files")
   }
 
   test("x80: the maintained index's probe equals a rebuild from survivors under the frozen quantizer") {

@@ -1188,6 +1188,17 @@ class StreamingSpec extends SparkSpec {
       s"view root not GC'd to the live set: $names")
   }
 
+  test("t20 streaming index delete equals the one-shot dirty-cell rewrite") {
+    import graft.operators.Similarity
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // two micro-batch swaps must converge to x80's one-shot rewrite —
+    // which is itself spec-pinned equal to the survivor rebuild
+    assert(rows(StreamingIngest.streamIndexDelete(spark, sf)) ==
+      rows(Similarity.ivfDeleteTopK(spark, sf)),
+      "streaming index maintenance diverged from the one-shot rewrite")
+  }
+
   test("t19 streaming view equals the one-shot retraction over the same tombstones") {
     import graft.operators.Maintenance
     def m(df: org.apache.spark.sql.DataFrame) = df.collect()
