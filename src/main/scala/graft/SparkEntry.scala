@@ -190,6 +190,7 @@ object SparkEntry {
     "x77_agg_retract_merge" -> ((s, d) => Maintenance.aggRetractMerge(s, d)),
     "x78_bm25_append" -> ((s, d) => Search.bm25AppendTopK(s, d)),
     "x81_bm25_delete" -> ((s, d) => Search.bm25DeleteTopK(s, d)),
+    "x82_bm25_upsert" -> ((s, d) => Search.bm25UpsertTopK(s, d)),
     "x79_agg_upsert_merge" -> ((s, d) => Maintenance.aggUpsertMerge(s, d)),
     "x28_temperature_mixture" -> ((s, d) => TextAnalysis.temperatureMixture(s, d)),
     "x26_quality_filter" -> (TextAnalysis.qualityFilter _),

@@ -215,6 +215,54 @@ object Search {
       .limit(k)
   }
 
+  /** X82's insert split: a third of the corpus arrives as the insert
+    * batch; the stored two-thirds carry x81's tombstones. */
+  private[graft] def x82IsInsert: Column =
+    TextFns.polyHash(col("doc_id").cast("string")) % 3 === 2
+
+  /** X82 — BM25 over UPSERT-folded stats, completing the retrieval-stats
+    * maintenance algebra the way x79 completed the aggregate's: ONE
+    * maintenance pass carries both an insert batch (x78's append fold)
+    * and a delete batch inside stored history (x81's retraction), and
+    * the stored artifacts — materialized once and READ back, never
+    * recomputed — absorb both by pure state arithmetic:
+    * df' = df − df(doomed) + df(inserts), likewise the scalars. All
+    * state is group counts/long sums, so the composition is exact and
+    * order-free; zero-df terms leave the vocabulary. The oracle is
+    * x20's monolithic query over (stored survivors ∪ inserts), so the
+    * green hash states
+    * fold(retract(stats(S), stats(D)), stats(I)) ≡ stats((S \ D) ∪ I)
+    * through the scoring arithmetic — the reference's bookkeeping
+    * upsert (`dao/HiveSinkDetailDao.scala:73-98`) generalized to
+    * retrieval statistics. */
+  def bm25UpsertTopK(spark: SparkSession, sfDir: String,
+                     terms: Seq[String] = Seq("spark", "join", "window"),
+                     k: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val stored = docs.where(!x82IsInsert)
+    val inserts = docs.where(x82IsInsert)
+    val doomed = stored.where(x81Tombstone)
+    // the stored artifacts (scratch twins of the durable x78 memos: this
+    // fixture's stored corpus is a SPLIT of the full table, so the
+    // full-corpus memos are the wrong base here)
+    val store = Tables.scratchDir("graft_x82_stats_").toString
+    bm25TermDfOf(stored).coalesce(1)
+      .write.mode("overwrite").parquet(s"$store/df")
+    bm25ScalarsOf(stored).coalesce(1)
+      .write.mode("overwrite").parquet(s"$store/scalars")
+    val termDf = bm25FoldTermDf(
+      bm25RetractTermDf(spark.read.parquet(s"$store/df"), bm25TermDfOf(doomed)),
+      bm25TermDfOf(inserts))
+    val scalars = bm25FoldScalars(
+      bm25RetractScalars(spark, spark.read.parquet(s"$store/scalars"),
+        bm25ScalarsOf(doomed)),
+      bm25ScalarsOf(inserts))
+    bm25ScoredAgainst(tfPass(docs.where(x82IsInsert || !x81Tombstone), terms),
+        terms, termDf, scalars)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** X29 — hybrid retrieval: BM25 keyword leg + embedding-cosine leg,
     * fused by reciprocal-rank fusion (RRF, Cormack et al. '09 —
     * Σ 1/(rrfK + rank), the standard score-free fusion every

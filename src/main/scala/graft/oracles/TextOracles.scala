@@ -45,6 +45,14 @@ object TextOracles {
   private val bm25DeleteSql: String = bm25TopKSqlOver(
     s" WHERE NOT (${polyHashSql("CAST(doc_id AS VARCHAR)")} % 11 = 0)")
 
+  /** x82: the same query over (stored survivors ∪ inserts) — a doc
+    * survives if it is an insert (hash%3 = 2, exempt from tombstones) or
+    * a stored doc missing the x81 tombstone; the monolithic recompute
+    * over that set is the upsert-fold correctness statement. */
+  private val bm25UpsertSql: String = bm25TopKSqlOver(
+    s""" WHERE ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 3 = 2
+            OR NOT (${polyHashSql("CAST(doc_id AS VARCHAR)")} % 11 = 0)""")
+
   private[graft] def sql: Map[String, String] = Map(
     "x7_lang_id" ->
       s"""WITH scored AS (SELECT doc_id, lang AS labeled_lang,
@@ -324,6 +332,7 @@ object TextOracles {
     // the full scoring arithmetic
     "x78_bm25_append" -> bm25TopKSql,
     "x81_bm25_delete" -> bm25DeleteSql,
+    "x82_bm25_upsert" -> bm25UpsertSql,
     // both legs rank by ROUNDED score with id tie-break, so candidate
     // cutoffs and ranks agree cross-engine; RRF = sum of 1/(60+rank)
     "x29_hybrid_rrf" ->

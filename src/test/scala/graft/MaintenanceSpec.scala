@@ -227,6 +227,31 @@ class MaintenanceSpec extends SparkSpec {
       s"dead term lingered or survivor miscounted: $retr")
   }
 
+  test("x82 upsert fold: retract-then-append composition equals the monolithic survivor-plus-insert rebuild") {
+    import graft.operators.Search
+    val docs = Tables.documents(spark, sf)
+    val stored = docs.where(!Search.x82IsInsert)
+    val inserts = docs.where(Search.x82IsInsert)
+    val doomed = stored.where(Search.x81Tombstone)
+    val target = docs.where(Search.x82IsInsert || !Search.x81Tombstone)
+    val folded = Search.bm25FoldTermDf(
+        Search.bm25RetractTermDf(Search.bm25TermDfOf(stored), Search.bm25TermDfOf(doomed)),
+        Search.bm25TermDfOf(inserts))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mono = Search.bm25TermDfOf(target)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(folded == mono)
+    val fs = Search.bm25FoldScalars(
+      Search.bm25RetractScalars(spark, Search.bm25ScalarsOf(stored),
+        Search.bm25ScalarsOf(doomed)),
+      Search.bm25ScalarsOf(inserts)).head()
+    val ms = Search.bm25ScalarsOf(target).head()
+    assert((fs.getLong(0), fs.getLong(1)) == ((ms.getLong(0), ms.getLong(1))))
+    // all three legs must be genuinely exercised
+    assert(doomed.limit(1).count() > 0, "delete leg empty")
+    assert(inserts.limit(1).count() > 0, "insert leg empty")
+  }
+
   test("x77 declared query matches an independent JVM replica; fixture exercises both tombstone legs") {
     val merged = foldedMap(Maintenance.aggRetractMerge(spark, sf))
     val ev = Tables.events(spark, sf)
