@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * history touch partition-pruned.
   *
   * The reference's closest surface is its bookkeeping upsert
-  * (`/root/reference/src/main/scala/com/dtstack/flume/dao/HiveSinkDetailDao.scala:73-98`),
+  * (`/root/reference/src/main/scala/org/apache/flume/sink/hive/batched/dao/HiveSinkDetailDao.scala:73-98`),
   * which maintains a mutable per-(name, logdate) aggregate row as batches
   * land; these operators generalize that to a full materialized aggregate
   * kept consistent under both appends (x76) and deletions (x77) without
@@ -207,12 +207,33 @@ object Maintenance {
     // anti-join to the scan), and dirty days ⊆ key days anyway — a 300 s
     // bucket nests inside its day (86400 % 300 == 0), so a dirty bucket's
     // surviving carrier lives in the same (keyed) day its doomed rows did.
-    retractFold(spark, base,
-      restrictToKeys(src, "logday", keys.select(col("logday")).distinct(),
-        keyDayVals, gate)
-        .join(k, Seq("event_id"), "leftsemi"),
+    val doomed = restrictToKeys(src, "logday",
+        keys.select(col("logday")).distinct(), keyDayVals, gate)
+      .join(k, Seq("event_id"), "leftsemi")
+    // PRECONDITION (each key's logday matches its row's real partition)
+    // made checkable, not just stated: a key claiming the wrong day is
+    // excluded from `kept` by the anti-join yet never fetched as doomed —
+    // count/sum would keep the row while the corpus delete (pruned to the
+    // claimed days) misses it, a SILENT divergence. The check costs one
+    // unpruned semi-join count, so it is opt-in (spec/debug path), not on
+    // the hot fold.
+    if (validateKeyDays) {
+      val pruned = doomed.count()
+      val full = src.join(k, Seq("event_id"), "leftsemi").count()
+      require(pruned == full,
+        s"tombstone keys claim logdays that miss ${full - pruned} of their " +
+          s"rows (pruned doomed fetch $pruned vs unpruned $full) — a key's " +
+          "logday must match its row's partition")
+    }
+    retractFold(spark, base, doomed,
       src.join(k, Seq("event_id"), "leftanti"), gate)
   }
+
+  /** Opt-in (`-Dgraft.maintenance.validateKeyDays=true`) precondition
+    * check for [[aggRetractMergeKeys]]: verifies each tombstone key's
+    * claimed logday covers its row, at the cost of one unpruned scan. */
+  private[graft] def validateKeyDays: Boolean =
+    java.lang.Boolean.getBoolean("graft.maintenance.validateKeyDays")
 
   /** Day key of a driver-side epoch-seconds scalar (the literal twin of
     * [[dayOfEpoch]] — same UTC yyyyMMdd rendering). */

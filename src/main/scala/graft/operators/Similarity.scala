@@ -442,7 +442,17 @@ object Similarity {
 
   /** The shared dirty-cell partition swap: collect the dirty cell ids
     * (bounded by K), stage those cells' survivors, dynamic-overwrite them
-    * in, drop fully-emptied cell dirs, refresh the listing cache. */
+    * in, drop fully-emptied cell dirs, refresh the listing cache.
+    *
+    * SINGLE-WRITER, NO-CONCURRENT-READER contract: the swap is not atomic
+    * for readers — between the dynamic overwrite of staged cells and the
+    * manual deletion of fully-emptied cell dirs, a concurrent probe would
+    * see doomed vectors in the emptied cells, and a crash in that window
+    * leaves those stale files until a later batch re-dirties the same
+    * cells. The maintenance loop (t20) runs batches serially and probes
+    * between batches, which satisfies the contract; serving probes
+    * CONCURRENTLY with maintenance would need t18's retire-to-trash /
+    * publish-from-staging rename pair per cell dir instead. */
   private def cellSwapCore(spark: SparkSession, idxDir: String,
       dirtyCells: DataFrame,
       stageRows: (DataFrame, Seq[Int]) => DataFrame): Seq[Int] = {

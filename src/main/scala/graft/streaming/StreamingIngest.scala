@@ -1221,11 +1221,23 @@ object StreamingIngest {
     // crash recovery FIRST (the compaction discipline): restore any trash
     // partition whose live dir is missing — death between the two renames
     // left the only copy there; deleting trash up-front would destroy it
-    if (fs.exists(trash)) fs.listStatus(trash).foreach { d =>
-      val live = new Path(root, d.getPath.getName)
-      if (d.isDirectory && !fs.exists(live))
-        require(fs.rename(d.getPath, live),
-          s"could not restore ${d.getPath.getName} from interrupted delete swap")
+    if (fs.exists(trash)) {
+      var restored = false
+      fs.listStatus(trash).foreach { d =>
+        val live = new Path(root, d.getPath.getName)
+        if (d.isDirectory && !fs.exists(live)) {
+          require(fs.rename(d.getPath, live),
+            s"could not restore ${d.getPath.getName} from interrupted delete swap")
+          restored = true
+        }
+      }
+      // invalidate any CACHED relation over the corpus BEFORE the survivor
+      // read below: a read cached while the partition sat in trash (e.g. a
+      // monitoring query between restart and first batch) would be
+      // substituted by the cache manager into the survivor plan, and a
+      // batch whose dirty set includes the restored partition would then
+      // stage zero survivors and publish it EMPTY — silent data loss
+      if (restored) spark.catalog.refreshByPath(corpusDir)
     }
     fs.delete(trash, true)
     val keys = batch.select(col(keyCol), col(partCol)).distinct().persist()
@@ -1262,7 +1274,12 @@ object StreamingIngest {
             s"delete propagation could not publish ${dirName(s)} (old data in $trash)")
         }
         fs.delete(trash, true)
-        fs.delete(staging, true)
+        // sweep the WHOLE staging root, not just this batch's tag: a
+        // wiped-checkpoint restart mints a new runId, so a crashed batch's
+        // `batch=<old-tag>` staging would otherwise accumulate forever
+        // (this batch is fully published, and deleteBatch is single-writer
+        // per corpus — foreachBatch runs batches serially)
+        fs.delete(stagingRoot, true)
         // only after the batch is fully published: sweep the fileless dirs
         // the empty-publish rule left behind (bounded: ⊆ dirty keys), then
         // drop the stale file listing the manual renames bypassed
@@ -1427,48 +1444,16 @@ object StreamingIngest {
           val folded = graft.operators.Maintenance.aggRetractMergeKeys(
             spark, spark.read.parquet(corpusDir), base, keys, dayVals)
           t19Lap(s"b:$batchTag foldplan")
-          val tmp = new Path(viewRoot, s".tmp_${java.util.UUID.randomUUID()}")
-          // one file: a snapshot is O(groups) — single-task write, and
-          // the next batch's fold reads the whole thing anyway
-          folded.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          t19Lap(s"b:$batchTag foldwrite")
-          val marker = new Path(tmp, "_SUCCESS")
-          if (!fs.exists(marker)) fs.create(marker, true).close()
-          if (!fs.rename(tmp, snap)) {
-            // rename refused: a concurrent publisher won (marker present —
-            // discard ours), or a markerless partial attempt occupies the
-            // slot — replace it rather than strand the batch
-            if (fs.exists(new Path(snap, "_SUCCESS"))) fs.delete(tmp, true)
-            else {
-              fs.delete(snap, true)
-              require(fs.rename(tmp, snap),
-                s"could not publish view snapshot $snap")
-            }
+          publishSnapshot(fs, viewRoot, snap) { tmp =>
+            // one file: a snapshot is O(groups) — single-task write, and
+            // the next batch's fold reads the whole thing anyway
+            folded.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            t19Lap(s"b:$batchTag foldwrite")
           }
         }
         writeViewPointer(fs, viewRoot, s"batch=$batchTag")
         t19Lap(s"b:$batchTag publish")
-        // GC: the pointer now names this batch's snapshot, so THIS RUN's
-        // earlier snapshots can never be read again (foreachBatch replays
-        // only the last uncommitted batch, and cross-run readers resolve
-        // through the pointer) — without this sweep the view root grows
-        // by one O(groups) snapshot per micro-batch forever. Orphaned
-        // `.tmp_*` dirs (a crash between write and rename) go the same
-        // way; other runs' snapshots, `base`, and the pointer target are
-        // never touched.
-        val cut = batchTag.lastIndexOf('-')
-        val parsed = cut > 0 && batchTag.substring(cut + 1).nonEmpty &&
-          batchTag.substring(cut + 1).forall(_.isDigit)
-        fs.listStatus(viewRoot).foreach { st =>
-          val n = st.getPath.getName
-          val superseded = parsed && {
-            val runPrefix = s"batch=${batchTag.substring(0, cut + 1)}"
-            val rest = n.stripPrefix(runPrefix)
-            n.startsWith(runPrefix) && rest.nonEmpty && rest.forall(_.isDigit) &&
-              rest.toLong < batchTag.substring(cut + 1).toLong
-          }
-          if (n.startsWith(".tmp_") || superseded) { fs.delete(st.getPath, true); () }
-        }
+        gcSnapshots(fs, viewRoot, batchTag)
         t19Lap(s"b:$batchTag gc")
         deleteBatch(batch, batchTag, corpusDir,
           keyCol = "event_id", partCol = "logday",
@@ -1476,6 +1461,57 @@ object StreamingIngest {
         t19Lap(s"b:$batchTag delete")
       }
     } finally { keys.unpersist(); () }
+  }
+
+  /** Race-safe snapshot publish under a maintained-artifact root: `write`
+    * fills a fresh `.tmp_*` dir, a `_SUCCESS` marker seals it (Spark's
+    * parquet commit usually wrote one already), and ONE rename publishes
+    * it as `snap`. A refused rename means either a concurrent publisher
+    * won (marker present — ours is discarded) or a markerless partial
+    * attempt occupies the slot (replaced rather than stranding the
+    * batch). Shared by the t19 view fold and the t21 stats fold. */
+  private def publishSnapshot(fs: org.apache.hadoop.fs.FileSystem,
+                              root: org.apache.hadoop.fs.Path,
+                              snap: org.apache.hadoop.fs.Path)
+                             (write: org.apache.hadoop.fs.Path => Unit): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(root, s".tmp_${java.util.UUID.randomUUID()}")
+    write(tmp)
+    val marker = new Path(tmp, "_SUCCESS")
+    if (!fs.exists(marker)) fs.create(marker, true).close()
+    if (!fs.rename(tmp, snap)) {
+      if (fs.exists(new Path(snap, "_SUCCESS"))) fs.delete(tmp, true)
+      else {
+        fs.delete(snap, true)
+        require(fs.rename(tmp, snap), s"could not publish snapshot $snap")
+      }
+    }
+  }
+
+  /** GC a maintained-artifact root after the `_LATEST` pointer moved to
+    * `batch=<batchTag>`: THIS RUN's earlier snapshots can never be read
+    * again (foreachBatch replays only the last uncommitted batch, and
+    * cross-run readers resolve through the pointer) — without this sweep
+    * the root grows by one snapshot per micro-batch forever. Orphaned
+    * `.tmp_*` dirs (a crash between write and rename) go the same way;
+    * other runs' snapshots, `base`, and the pointer target are never
+    * touched. Shared by the t19 view loop and the t21 stats loop. */
+  private def gcSnapshots(fs: org.apache.hadoop.fs.FileSystem,
+                          root: org.apache.hadoop.fs.Path,
+                          batchTag: String): Unit = {
+    val cut = batchTag.lastIndexOf('-')
+    val parsed = cut > 0 && batchTag.substring(cut + 1).nonEmpty &&
+      batchTag.substring(cut + 1).forall(_.isDigit)
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      val superseded = parsed && {
+        val runPrefix = s"batch=${batchTag.substring(0, cut + 1)}"
+        val rest = n.stripPrefix(runPrefix)
+        n.startsWith(runPrefix) && rest.nonEmpty && rest.forall(_.isDigit) &&
+          rest.toLong < batchTag.substring(cut + 1).toLong
+      }
+      if (n.startsWith(".tmp_") || superseded) { fs.delete(st.getPath, true); () }
+    }
   }
 
   /** Drive a tombstone-key stream into [[retractViewBatch]] — the

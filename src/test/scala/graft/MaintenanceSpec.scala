@@ -92,6 +92,30 @@ class MaintenanceSpec extends SparkSpec {
       s"clean day appears in a partition filter — doomed fetch is not key-day-pruned:\n$plan")
   }
 
+  test("keyed fold validateKeyDays: a key with a wrong logday is caught, a correct one passes") {
+    import spark.implicits._
+    val src = landFixture()
+    sys.props("graft.maintenance.validateKeyDays") = "true"
+    try {
+      // correct claims pass (same result as the unvalidated path)
+      val good = doomedIds.map(id => (id, 19700101L)).toDF("event_id", "logday")
+      val ok = Maintenance.aggRetractMergeKeys(spark, src,
+        Maintenance.partial(src), good, Seq(19700101L))
+      assert(foldedMap(ok) == foldedMap(Maintenance.aggRetractMergeOn(
+        spark, src, Maintenance.partial(src), col("event_id").isin(doomedIds: _*))))
+      // key 8 (D's row, day 19700103) claims day 19700101: its real day is
+      // outside the claimed set, so the pruned doomed fetch misses the row
+      // — without the check, count/sum would silently keep it in the view
+      // while the day-pruned corpus delete misses it
+      val bad = Seq((8L, 19700101L)).toDF("event_id", "logday")
+      val ex = intercept[IllegalArgumentException] {
+        Maintenance.aggRetractMergeKeys(spark, src,
+          Maintenance.partial(src), bad, Seq(19700101L)).collect()
+      }
+      assert(ex.getMessage.contains("logday"))
+    } finally { sys.props -= "graft.maintenance.validateKeyDays"; () }
+  }
+
   test("x79 upsert fold: every insert×delete edge — revive, new group, repair-by-insert, rescan") {
     import spark.implicits._
     val src = landFixture()

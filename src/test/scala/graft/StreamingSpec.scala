@@ -1112,10 +1112,27 @@ class StreamingSpec extends SparkSpec {
     val trash = new Path(new Path(corpus).getParent, ".corpus_delprop_trash")
     fs.mkdirs(trash)
     require(fs.rename(new Path(corpus, "source=B"), new Path(trash, "source=B")))
-    StreamingIngest.deleteBatch(Seq((1L, "A")).toDF("doc_id", "source"), "run-1", corpus)
-    // B restored from the stranded trash; A's last row deleted → A dropped
-    assert(state() == Set((3L, "B")))
-    assert(!fs.exists(new Path(corpus, "source=A")))
+    // an abandoned staging tree from a crashed run whose runId will never
+    // recur (wiped checkpoint) — the next successful batch must sweep it
+    val stagingRoot = new Path(new Path(corpus).getParent, ".corpus_delprop_staging")
+    fs.mkdirs(new Path(stagingRoot, "batch=dead-run-7"))
+    // poison the relation cache while B sits in trash (a monitoring read
+    // cached between restart and first batch): the cache manager will
+    // substitute this stale relation into any later plan over the same
+    // path, so the restore must refreshByPath BEFORE the survivor read, or
+    // the batch below — whose dirty set includes B — would stage zero
+    // B-survivors and publish an empty B
+    val monitor = spark.read.parquet(corpus).cache()
+    try {
+      monitor.count()
+      StreamingIngest.deleteBatch(
+        Seq((1L, "A"), (99L, "B")).toDF("doc_id", "source"), "run-1", corpus)
+      // B restored from the stranded trash AND its survivor kept despite
+      // the stale cached relation; A's last row deleted → A dropped
+      assert(state() == Set((3L, "B")))
+      assert(!fs.exists(new Path(corpus, "source=A")))
+      assert(!fs.exists(stagingRoot), "abandoned staging trees must be swept")
+    } finally { monitor.unpersist(); () }
   }
 
   test("t19 retractViewBatch: fold+publish+swap per batch; replay converges; a partial snapshot is rebuilt") {
