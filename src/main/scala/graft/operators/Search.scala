@@ -34,7 +34,7 @@ object Search {
 
   /** The per-doc term-frequency pass: codegen'd filter counts fused with
     * the scan (no posting-list explode). */
-  private def tfPass(docs: DataFrame, terms: Seq[String]): DataFrame = docs
+  private[graft] def tfPass(docs: DataFrame, terms: Seq[String]): DataFrame = docs
     .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
     .select(col("doc_id") +: size(col("tk")).cast("double").as("dl") +:
       terms.zipWithIndex.map { case (t, i) =>

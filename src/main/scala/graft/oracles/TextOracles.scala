@@ -333,6 +333,10 @@ object TextOracles {
     "x78_bm25_append" -> bm25TopKSql,
     "x81_bm25_delete" -> bm25DeleteSql,
     "x82_bm25_upsert" -> bm25UpsertSql,
+    // t21: x82's upsert fold as a micro-batch STREAM over the stored
+    // stats artifacts — the oracle is x82's verbatim, so the green hash
+    // states the streamed folds converge to the one-shot upsert fold
+    "t21_stream_bm25_stats" -> bm25UpsertSql,
     // both legs rank by ROUNDED score with id tie-break, so candidate
     // cutoffs and ranks agree cross-engine; RRF = sum of 1/(60+rank)
     "x29_hybrid_rrf" ->

@@ -1637,6 +1637,151 @@ object StreamingIngest {
       queryId = 0L, k = 10, nprobe = 4)
   }
 
+  /** Initialize the maintained BM25-stats artifacts (per-term df table +
+    * scalar n_docs/total_len row — `Search.bm25TermDf`/`bm25Scalars` as
+    * a VERSIONED store): the "base" snapshot holds both, `_LATEST` points
+    * at it. Snapshot layout: `<root>/<snap>/{df,scalars}/` parquet. */
+  private[graft] def initBm25Stats(spark: SparkSession, docs: DataFrame,
+                                   statsDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(statsDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = new Path(root, "base")
+    graft.operators.Search.bm25TermDfOf(docs).coalesce(1)
+      .write.mode("overwrite").parquet(new Path(base, "df").toString)
+    graft.operators.Search.bm25ScalarsOf(docs).coalesce(1)
+      .write.mode("overwrite").parquet(new Path(base, "scalars").toString)
+    writeViewPointer(fs, root, "base")
+  }
+
+  /** The current stats artifacts `(termDf, scalars)` via `_LATEST`. */
+  private[graft] def readBm25Stats(spark: SparkSession,
+                                   statsDir: String): (DataFrame, DataFrame) = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(statsDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = new Path(root, readViewPointer(fs, root))
+    (spark.read.parquet(new Path(snap, "df").toString),
+      spark.read.parquet(new Path(snap, "scalars").toString))
+  }
+
+  /** One micro-batch of the streaming BM25-stats maintenance loop (T21 —
+    * x82's upsert fold as an operational stream, closing the last
+    * maintained-artifact class without one: corpus has t18, stored
+    * aggregates t19, the ANN index t20). A batch carries ops rows
+    * `(doc_id, op ∈ {I,D}, text)`: inserts arrive with their text, delete
+    * requests as keys whose doomed rows are fetched from the landed corpus
+    * by one broadcast semi-join (x75's keyed-delete model). The fold is
+    * pure state arithmetic — df' = df − df(doomed) + df(inserts), likewise
+    * the scalar counts/sums — O(vocabulary + batch), never a corpus
+    * rescan; zero-df terms leave the vocabulary.
+    *
+    * Exactly-once via t19's snapshot-marker discipline, and for the same
+    * reason: the fold READS PRIOR STATE (the `_LATEST` target), so a
+    * replayed batch that re-ran the fold would fold its own output into
+    * itself and double-count — the `_SUCCESS` marker makes the replay
+    * skip straight to the (idempotent) pointer move and GC. Reference
+    * anchor: the per-close counter upsert loop
+    * (`callback/UpdateSinkDetailCallback.scala:29-58`) — continuously
+    * folding statistics into a stored table IS its job. */
+  private[graft] def bm25StatsBatch(batch: DataFrame, batchTag: String,
+                                    corpusDocs: DataFrame,
+                                    statsDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.operators.Search
+    val spark = batch.sparkSession
+    val root = new Path(statsDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = new Path(root, s"batch=$batchTag")
+    if (batch.isEmpty) return
+    if (!fs.exists(new Path(snap, "_SUCCESS"))) {
+      val (baseDf, baseSc) = readBm25Stats(spark, statsDir)
+      val inserts = batch.where(col("op") === "I")
+        .select(col("doc_id"), col("text"))
+      val doomed = corpusDocs.join(
+        broadcast(batch.where(col("op") === "D").select(col("doc_id")).distinct()),
+        Seq("doc_id"), "leftsemi")
+      val newDf = Search.bm25FoldTermDf(
+        Search.bm25RetractTermDf(baseDf, Search.bm25TermDfOf(doomed)),
+        Search.bm25TermDfOf(inserts))
+      val newSc = Search.bm25FoldScalars(
+        Search.bm25RetractScalars(spark, baseSc, Search.bm25ScalarsOf(doomed)),
+        Search.bm25ScalarsOf(inserts))
+      publishSnapshot(fs, root, snap) { tmp =>
+        // O(vocabulary) + O(1) rows — single-file artifacts, the x78 shape
+        newDf.coalesce(1).write.mode("overwrite")
+          .parquet(new Path(tmp, "df").toString)
+        newSc.coalesce(1).write.mode("overwrite")
+          .parquet(new Path(tmp, "scalars").toString)
+        // the sub-artifact writes each leave their own parquet _SUCCESS;
+        // the SNAPSHOT-level marker below is the one the replay skip keys
+        // on, so it must only appear once both sub-artifacts are complete
+      }
+    }
+    writeViewPointer(fs, root, s"batch=$batchTag")
+    gcSnapshots(fs, root, batchTag)
+  }
+
+  /** Drive an ops stream `(doc_id, op, text)` into [[bm25StatsBatch]] —
+    * the continuous form of x82: retrieval statistics maintained under
+    * both inserts and deletes, one fold per micro-batch. */
+  def bm25StatsStream(ops: DataFrame, corpusDocs: DataFrame, statsDir: String,
+                      checkpoint: String): Unit = {
+    val run = runId(checkpoint, ops.sparkSession.sessionState.newHadoopConf())
+    val q = ops.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        bm25StatsBatch(b, s"$run-$id", corpusDocs, statsDir); ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try { q.awaitTermination() } finally { if (q.isActive) q.stop() }
+  }
+
+  /** T21 — [[bm25StatsStream]] under the driver's oracle gate: the stats
+    * artifacts initialize over x82's stored two-thirds split, then ONE ops
+    * stream delivering x82's insert third and x81's tombstones arrives as
+    * TWO micro-batches (ordered-mtime arrival files, each batch a genuine
+    * I+D mix), and the final query scores the final corpus against the
+    * STREAMED artifacts. The oracle is x20's monolithic query over
+    * (stored survivors ∪ inserts) — x82's verbatim — so the green hash
+    * states that N micro-batch folds converge to the one-shot upsert
+    * fold: streaming ≡ batch for retrieval-stats maintenance. */
+  def streamBm25Stats(spark: SparkSession, sfDir: String,
+                      terms: Seq[String] = Seq("spark", "join", "window"),
+                      k: Int = 10): DataFrame = {
+    import java.nio.file.Files
+    import graft.operators.Search
+    graft.Tables.ensureParquetConf(spark)
+    val docs = graft.Tables.documents(spark, sfDir)
+    val stored = docs.where(!Search.x82IsInsert)
+    val root = graft.Tables.scratchDir("graft_t21")
+    val statsDir = root.resolve("stats").toString
+    initBm25Stats(spark, stored, statsDir)
+    val ops = docs.where(Search.x82IsInsert)
+      .select(col("doc_id"), lit("I").as("op"), col("text"))
+      .unionByName(stored.where(Search.x81Tombstone)
+        .select(col("doc_id"), lit("D").as("op"),
+          lit(null).cast("string").as("text")))
+    val srcDir = root.resolve("src")
+    Files.createDirectories(srcDir)
+    val half = pmod(graft.functions.TextFns.polyHash(col("doc_id").cast("string")), lit(2L))
+    landArrivalSplits(ops, root, srcDir,
+      Seq("a_first.parquet" -> (half === 0), "b_second.parquet" -> (half === 1)))
+    withScratchCheckpoint { ck =>
+      bm25StatsStream(
+        spark.readStream.schema(ops.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir.toString),
+        stored, statsDir, ck)
+    }
+    val (termDf, scalars) = readBm25Stats(spark, statsDir)
+    Search.bm25ScoredAgainst(
+        Search.tfPass(docs.where(Search.x82IsInsert || !Search.x81Tombstone),
+          terms), terms, termDf, scalars)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** One micro-batch of the streaming cross-run dedup loop (the streaming
     * form of `Dedup.dedupAgainstIndex` — x16's operational mode fed by a
     * continuously-arriving crawl). Replay-idempotent under `foreachBatch`'s

@@ -1205,6 +1205,64 @@ class StreamingSpec extends SparkSpec {
       s"view root not GC'd to the live set: $names")
   }
 
+  test("t21 bm25StatsBatch: fold per batch; replay skips the fold; a partial snapshot is rebuilt") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    import graft.operators.Search
+    val root = Tables.scratchDir("graft_t21_spec")
+    val statsDir = root.resolve("stats").toString
+    val corpus = Seq(
+      (1L, "spark join window"), (2L, "spark spark filter"),
+      (3L, "window scan"), (4L, "join join join window"))
+      .toDF("doc_id", "text")
+    StreamingIngest.initBm25Stats(spark, corpus, statsDir)
+    val fs = new Path(statsDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dfMap(): Map[String, Long] = {
+      val (d, _) = StreamingIngest.readBm25Stats(spark, statsDir)
+      d.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    def scRow(): (Long, Long) = {
+      val (_, s) = StreamingIngest.readBm25Stats(spark, statsDir)
+      val r = s.head(); (r.getLong(0), r.getLong(1))
+    }
+    assert(dfMap() == Map("spark" -> 2L, "join" -> 2L, "window" -> 3L,
+      "filter" -> 1L, "scan" -> 1L))
+    assert(scRow() == ((4L, 12L)))
+    // batch 1: insert doc 5, delete doc 2 ("filter" must leave the vocab;
+    // "spark"'s df must NOT change — lost from 2, gained by 5)
+    val b1 = Seq((5L, "I", "spark rerank"), (2L, "D", null))
+      .toDF("doc_id", "op", "text")
+    StreamingIngest.bm25StatsBatch(b1, "r-0", corpus, statsDir)
+    val afterB1 = Map("spark" -> 2L, "join" -> 2L, "window" -> 3L,
+      "scan" -> 1L, "rerank" -> 1L)
+    assert(dfMap() == afterB1)
+    assert(scRow() == ((4L, 11L))) // 12 − 3 (doc 2) + 2 (doc 5)
+    // replay (at-least-once): the snapshot marker must SKIP the fold — a
+    // re-run would fold the batch into its own output and double-count
+    StreamingIngest.bm25StatsBatch(b1, "r-0", corpus, statsDir)
+    assert(dfMap() == afterB1)
+    assert(scRow() == ((4L, 11L)))
+    // a crashed publish left a markerless partial snapshot dir: the batch
+    // must replace it; a crashed write left an orphan .tmp_: GC sweeps it
+    fs.mkdirs(new Path(statsDir, "batch=r-1"))
+    fs.mkdirs(new Path(statsDir, ".tmp_orphaned-crash-attempt"))
+    val b2 = Seq((1L, "D", null), (4L, "D", null)).toDF("doc_id", "op", "text")
+    StreamingIngest.bm25StatsBatch(b2, "r-1", corpus, statsDir)
+    assert(dfMap() == Map("spark" -> 1L, "window" -> 1L, "scan" -> 1L,
+      "rerank" -> 1L)) // "join" df hit zero and left the vocabulary
+    assert(scRow() == ((2L, 4L)))
+    // the folded artifacts equal the monolithic rebuild over the final
+    // corpus — the t21 convergence statement, here as a unit check
+    val finalCorpus = Seq((3L, "window scan"),
+      (5L, "spark rerank")).toDF("doc_id", "text")
+    assert(dfMap() == Search.bm25TermDfOf(finalCorpus).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    // GC: superseded same-run snapshots and tmp orphans are gone
+    val names = fs.listStatus(new Path(statsDir)).map(_.getPath.getName).toSet
+    assert(names == Set("base", "batch=r-1", "_LATEST"),
+      s"stats root not GC'd to the live set: $names")
+  }
+
   test("t20 streaming index delete equals the one-shot dirty-cell rewrite") {
     import graft.operators.Similarity
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
