@@ -833,6 +833,130 @@ object Similarity {
     ivfPqProbe(spark, sfDir, grown, queryId, k, nprobe)
   }
 
+  /** Apply a tombstone KEY table to a BATCH-LAYERED index
+    * (`batch=<tag>/cell=<c>/` — the [[ivfPqAppend]] artifact) by
+    * rewriting ONLY the (batch, cell) leaf partitions that hold a doomed
+    * vector — x80's dirty-cell economics addressed one level deeper. The
+    * dirty set comes from one broadcast semi-join of the keys against
+    * the index; under `gate` pairs the staging restriction compiles to a
+    * per-pair conjunction disjunction (which partition-prunes BOTH
+    * directory levels at the scan), past it the SAME restriction runs as
+    * a broadcast semi-join on the pair. Survivors stage under a
+    * two-level `partitionBy`, dynamic overwrite replaces exactly the
+    * staged leaves, fully-emptied leaves are dropped explicitly, and the
+    * listing cache refreshed. Clean layers — every (batch, cell) the
+    * batch doesn't touch — keep their exact files (spec-pinned), so a
+    * delete against a grown index never re-encodes or rewrites history
+    * it didn't touch. Replay-idempotent without markers (t20's
+    * argument): a replayed batch's keys are already absent, the dirty
+    * set is empty, no file is touched. Same single-writer /
+    * no-concurrent-reader contract as [[cellSwapCore]]. Returns the
+    * dirty (batch, cell) pairs — bounded by layers × K, the same
+    * O(metadata) class as x75's partition keys. */
+  private[graft] def ivfPqLayerDeleteKeys(spark: SparkSession, idxDir: String,
+      keys: DataFrame,
+      gate: Int = Maintenance.keyGateDefault): Seq[(String, Int)] = {
+    val idx = spark.read.parquet(idxDir)
+    val k = broadcast(keys.select(col("vec_id")).distinct())
+    val dirtyDf = idx.join(k, Seq("vec_id"), "leftsemi")
+      .select(col("batch"), col("cell")).distinct()
+    val dirty = dirtyDf.collect().map(r => (r.getString(0), r.getInt(1)))
+      .toSeq.sorted
+    if (dirty.nonEmpty) {
+      val restricted =
+        if (dirty.size <= gate)
+          idx.where(dirty.map { case (b, c) =>
+            col("batch") === b && col("cell") === c }.reduce(_ || _))
+        else idx.join(broadcast(dirtyDf), Seq("batch", "cell"), "leftsemi")
+      val stage = Tables.scratchDir("graft_x83_stage_").toString
+      restricted.join(k, Seq("vec_id"), "leftanti")
+        .write.mode("overwrite").partitionBy("batch", "cell").parquet(stage)
+      val fs = new org.apache.hadoop.fs.Path(idxDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // the staged-pair set is the staging dir's two-level partition
+      // listing — free metadata, no second scan of the survivor rows
+      val staged = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .flatMap { b =>
+          fs.listStatus(b.getPath).map(_.getPath.getName).collect {
+            case n if n.startsWith("cell=") =>
+              (b.getPath.getName.stripPrefix("batch="),
+                n.stripPrefix("cell=").toInt)
+          }
+        }.toSet
+      if (staged.nonEmpty)
+        spark.read.parquet(stage)
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch", "cell").parquet(idxDir)
+      val emptied = dirty.filterNot(staged)
+      emptied.foreach { case (b, c) =>
+        fs.delete(new org.apache.hadoop.fs.Path(idxDir, s"batch=$b/cell=$c"),
+          true); ()
+      }
+      if (emptied.nonEmpty) spark.catalog.refreshByPath(idxDir)
+    }
+    dirty
+  }
+
+  /** X83 — the x6g probe served from an incrementally-grown index
+    * maintained under DELETES: x6h's two [[ivfPqAppend]] batches land the
+    * layered `batch=<tag>/cell=<c>` artifact, then a tombstone batch
+    * leaves it through [[ivfPqLayerDeleteKeys]] — the composition the
+    * flat-index delete (x80/t20) couldn't reach, closing the last open
+    * maintenance symmetry: the APPEND-maintained index now also folds
+    * deletes. Both quantizers stay FROZEN (they trained on the full
+    * corpus — production discipline, and what makes the dirty-leaf
+    * rewrite ≡ a survivor rebuild). The oracle is x6g's full retraining
+    * chain with the tombstones excluded from the CANDIDATE set (not just
+    * the final rank: dropping index rows changes which 50 survivors
+    * reach the ADC shortlist), so hash equality states the layered
+    * dirty-leaf rewrite converges to the survivor index end-to-end
+    * through shortlist and rerank. Reference anchor: the late-arrival
+    * partition re-open (`HiveBatchedSink.scala:318-322`) applied to a
+    * layered index artifact. */
+  def ivfPqDeleteTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                      k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val idx = Tables.scratchDir("graft_x83_idx").toString + "/idx"
+    val vecs = Tables.embeddings(spark, sfDir)
+    ivfPqAppend(spark, sfDir, vecs.where(pmod(col("vec_id"), lit(2L)) === 0L),
+      idx, "base")
+    ivfPqAppend(spark, sfDir, vecs.where(pmod(col("vec_id"), lit(2L)) === 1L),
+      idx, "grow")
+    ivfPqLayerDeleteKeys(spark, idx, vecs.where(x80Tombstone).select(col("vec_id")))
+    ivfPqProbe(spark, sfDir, spark.read.parquet(idx), queryId, k, nprobe)
+  }
+
+  /** X84 — the full index UPSERT: ONE maintenance pass carries an insert
+    * batch (landed as a new `batch=<tag>` layer, x6h's append) and a
+    * tombstone batch (propagated through the stored layers' dirty
+    * (batch, cell) leaves, x83's delete) — x79's capstone shape for the
+    * index artifact. Tombstones naming vectors of the INCOMING batch
+    * cancel before landing (one broadcast anti-join — the analog of
+    * x79's insert-repairs tightening: the row never lands, so no leaf is
+    * dirtied on its account), then the remaining deletes address stored
+    * history. Final state ≡ ((stored ∪ inserts) \ doomed) under the
+    * frozen quantizers, which is x83's final state — so x83's oracle
+    * carries over VERBATIM, and the two green hashes state that the
+    * delete-after-append and upsert-in-one-pass operational paths
+    * converge to the same survivor index. */
+  def ivfPqUpsertTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                      k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val idx = Tables.scratchDir("graft_x84_idx").toString + "/idx"
+    val vecs = Tables.embeddings(spark, sfDir)
+    val tombs = vecs.where(x80Tombstone).select(col("vec_id"))
+    // stored history: the even half, landed as the base layer
+    ivfPqAppend(spark, sfDir, vecs.where(pmod(col("vec_id"), lit(2L)) === 0L),
+      idx, "base")
+    // ONE upsert pass: land the insert batch net of its own tombstones,
+    // then fold the deletes through the stored layers
+    ivfPqAppend(spark, sfDir,
+      vecs.where(pmod(col("vec_id"), lit(2L)) === 1L)
+        .join(broadcast(tombs), Seq("vec_id"), "leftanti"),
+      idx, "grow")
+    ivfPqLayerDeleteKeys(spark, idx, tombs)
+    ivfPqProbe(spark, sfDir, spark.read.parquet(idx), queryId, k, nprobe)
+  }
+
   /** X6f — product-quantization shortlist + exact rerank, the production
     * PQ query shape (FAISS's ADC): each vector is [[PqSub]] 4-bit codeword
     * ids (16 B — 16× narrower than the float vector), the probe stays

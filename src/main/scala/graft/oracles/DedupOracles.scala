@@ -13,6 +13,13 @@ object DedupOracles {
     * time, so doomed vectors legitimately shaped it) and only the rank
     * leg excludes them; hash equality states the dirty-cell rewrite ≡
     * a rebuild from survivors under the frozen quantizer. */
+  /** x83/x84: the x6g retraining chain with the x80 tombstone set
+    * excluded from the candidate leg (quantizers train on the full
+    * corpus — frozen at maintenance time). */
+  private lazy val ivfPqDeleteOracleSql: String = ivfPqOracleSqlWhere(
+    s"""
+              AND NOT (${polyHashSql("CAST(c.vec_id AS VARCHAR)")} % 11 = 0)""")
+
   private lazy val annDeleteTopKSql: String =
     s"""WITH $ivfChainSql
         SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
@@ -237,6 +244,13 @@ object DedupOracles {
     // quantizers make the grown index bit-identical to the rebuild
     // (spec-pinned), so x6g's oracle carries over verbatim
     "x6h_ivfpq_append_topk" -> ivfPqOracleSql,
+    // x83/x84: the grown index maintained under deletes (x83) / one
+    // upsert pass (x84) — tombstones leave the CANDIDATE set before the
+    // ADC shortlist (the index no longer holds them), quantizers stay
+    // frozen on the full corpus; both paths converge to the same
+    // survivor index, so one oracle serves both
+    "x83_ivfpq_layer_delete" -> ivfPqDeleteOracleSql,
+    "x84_ivfpq_upsert" -> ivfPqDeleteOracleSql,
     "x6d_batch_topk" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
             FROM embeddings WHERE vec_id < 10),

@@ -183,7 +183,10 @@ object OracleDefs {
 
   // The composed x6g/x6h replay over both retrained quantizers:
   // cell-pruned candidates, ADC shortlist-50, exact integer-L2 rerank.
-  private[graft] lazy val ivfPqOracleSql: String =
+  // `candExtra` injects an additional candidate-set predicate — x83/x84
+  // exclude tombstoned vectors HERE (not at the final rank: dropping
+  // index rows changes which 50 survivors reach the shortlist).
+  private[graft] def ivfPqOracleSqlWhere(candExtra: String): String =
     s"""WITH $pqChainSql,
           $ivfChainSql,
           cand AS MATERIALIZED (
@@ -191,7 +194,7 @@ object OracleDefs {
             JOIN asg a ON a.vec_id = c.vec_id
             JOIN probed p ON p.cell = a.cell
             JOIN cdq ON cdq.s = c.s AND cdq.cid = c.cid
-            WHERE c.vec_id <> 0
+            WHERE c.vec_id <> 0$candExtra
             GROUP BY 1 ORDER BY SUM(cdq.d), c.vec_id LIMIT 50),
           exact AS (
             SELECT u.vec_id, CAST(SUM((u.v - q.v) * (u.v - q.v)) AS BIGINT) AS l2_dist
@@ -200,6 +203,8 @@ object OracleDefs {
             GROUP BY 1)
           SELECT vec_id, l2_dist FROM exact
           ORDER BY l2_dist, vec_id LIMIT 10"""
+
+  private[graft] lazy val ivfPqOracleSql: String = ivfPqOracleSqlWhere("")
 
   // Shared by a2e (batch, no filter) and t16 (stream — the timeline CTE
   // additionally carries t1b's watermark flush rule; sound to push inside

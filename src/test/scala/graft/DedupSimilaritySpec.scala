@@ -861,6 +861,86 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(files() == afterKeys, "a replayed key batch rewrote files")
   }
 
+  test("ivfPqLayerDeleteKeys: clean (batch, cell) leaves keep their exact files, an " +
+      "all-doomed leaf drops, gate sides agree, and a replay touches nothing") {
+    import spark.implicits._
+    def mk(tag: String): String = {
+      val idxDir = graft.Tables.scratchDir(s"graft_x83_spec_$tag").toString + "/idx"
+      // base layer: cell 0 clean, cell 1 partially doomed, cell 2 fully
+      // doomed; grow layer: cell 0 partially doomed, cell 1 clean — the
+      // same CELL is dirty in one layer and clean in the other, which is
+      // exactly what the flat x80 swap cannot address
+      Seq(("base", 1L, 0), ("base", 2L, 0), ("base", 3L, 1), ("base", 4L, 1),
+          ("base", 5L, 2), ("grow", 6L, 0), ("grow", 7L, 0), ("grow", 8L, 1))
+        .toDF("batch", "vec_id", "cell")
+        .write.partitionBy("batch", "cell").parquet(idxDir)
+      idxDir
+    }
+    def files(idxDir: String): Map[String, (Long, Long)] = {
+      val fs = new org.apache.hadoop.fs.Path(idxDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(idxDir), true)
+      val b = Map.newBuilder[String, (Long, Long)]
+      while (it.hasNext) { val s = it.next()
+        if (s.getPath.getName.endsWith(".parquet"))
+          b += s.getPath.toString -> ((s.getLen, s.getModificationTime)) }
+      b.result()
+    }
+    def rows(idxDir: String): Set[(String, Long, Int)] =
+      spark.read.parquet(idxDir).select(col("batch"), col("vec_id"), col("cell"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val keys = Seq(4L, 5L, 6L).toDF("vec_id")
+    val survivors = Set(("base", 1L, 0), ("base", 2L, 0), ("base", 3L, 1),
+      ("grow", 7L, 0), ("grow", 8L, 1))
+    val idxDir = mk("isin")
+    val before = files(idxDir)
+    val dirty = Similarity.ivfPqLayerDeleteKeys(spark, idxDir, keys)
+    assert(dirty == Seq(("base", 1), ("base", 2), ("grow", 0)), s"dirty: $dirty")
+    val after = files(idxDir)
+    // clean leaves keep their exact files — including cell 0 of base and
+    // cell 1 of grow, the leaves sharing a CELL id with a dirty leaf of
+    // the OTHER layer
+    val clean = before.filter { case (p, _) =>
+      p.contains("batch=base/cell=0") || p.contains("batch=grow/cell=1") }
+    assert(clean.nonEmpty && clean.forall { case (p, m) => after.get(p).contains(m) },
+      "a clean (batch, cell) leaf was rewritten")
+    // the all-doomed leaf's dir is gone; its cell survives in the OTHER layer
+    assert(!after.keys.exists(_.contains("batch=base/cell=2")))
+    assert(rows(idxDir) == survivors)
+    // replay: keys already absent → empty dirty set, no file touched
+    assert(Similarity.ivfPqLayerDeleteKeys(spark, idxDir, keys).isEmpty)
+    assert(files(idxDir) == after, "a replayed layer delete rewrote files")
+    // past the gate the SAME restriction runs as a pair semi-join — the
+    // final state must be identical to the literal-disjunction side
+    val idxDir2 = mk("semi")
+    assert(Similarity.ivfPqLayerDeleteKeys(spark, idxDir2, keys, gate = 0)
+      == Seq(("base", 1), ("base", 2), ("grow", 0)))
+    assert(rows(idxDir2) == survivors)
+  }
+
+  test("x83/x84: layered delete and one-pass upsert converge; no doomed id is retrievable; " +
+      "the probe partition-prunes through the batch layer") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val deleted = rows(Similarity.ivfPqDeleteTopK(spark, sf))
+    val upserted = rows(Similarity.ivfPqUpsertTopK(spark, sf))
+    // two operational paths — delete-after-append vs upsert-in-one-pass —
+    // must land on the same survivor index (the oracle then states both
+    // equal the DuckDB retraining rebuild)
+    assert(deleted == upserted, "x83 and x84 diverged on the same survivor set")
+    val doomedIds = graft.Tables.embeddings(spark, sf)
+      .where(Similarity.x80Tombstone).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(doomedIds.nonEmpty, "tombstone set empty — the delete leg is untested")
+    assert(!deleted.exists(r => doomedIds(r._1)), "a deleted vector is still retrievable")
+    // the maintained layered index still partition-prunes the probe's
+    // nprobe cell restriction through the batch layer
+    val plan = Similarity.ivfPqDeleteTopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell#"),
+      s"x83 probe does not partition-prune the maintained index:\n$plan")
+  }
+
   test("x80: the maintained index's probe equals a rebuild from survivors under the frozen quantizer") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
