@@ -142,7 +142,7 @@ object Maintenance {
     * recomputed(survivors). */
   def aggRetractMerge(spark: SparkSession, sfDir: String): DataFrame = {
     val src = landedEvents(spark, sfDir)
-    val (mn, d) = historyBounds(src)
+    val (mn, d) = historyBoundsLanded(spark, landedEventsDir(spark, sfDir))
     // the maintained artifact: stored, READ back, never recomputed
     aggRetractMergeOn(spark, src,
       spark.read.parquet(storedAggDir(spark, sfDir)), x77Tombstones(mn, d))
@@ -154,6 +154,36 @@ object Maintenance {
   private[graft] def historyBounds(src: DataFrame): (Long, Long) = {
     val b = src.agg(min(col("es")), max(col("es"))).head()
     (b.getLong(0), (b.getLong(1) - b.getLong(0)) / 10L)
+  }
+
+  /** `(min(es), max(es))` computed from the LANDED artifact's layout
+    * instead of a full scan: `dayOfEpoch` is monotone in `es`, so the
+    * global min lives in the numerically-min `logday=` partition and the
+    * max in the max one — two single-partition scans (direct dir reads,
+    * no partition-type round trip) replace a full-history min/max.
+    * Exactly equal to the scan form by the monotonicity argument, so
+    * oracles that recompute the bounds monolithically still hash-match. */
+  private[graft] def minMaxEsLanded(spark: SparkSession,
+                                    landedDir: String): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(landedDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val days = fs.listStatus(root).map(_.getPath.getName)
+      .collect { case n if n.startsWith("logday=") =>
+        n.stripPrefix("logday=").toLong }
+    require(days.nonEmpty, s"no logday= partitions under $landedDir")
+    val mn = spark.read.parquet(s"$landedDir/logday=${days.min}")
+      .agg(min(col("es"))).head().getLong(0)
+    val mx = spark.read.parquet(s"$landedDir/logday=${days.max}")
+      .agg(max(col("es"))).head().getLong(0)
+    (mn, mx)
+  }
+
+  /** [[historyBounds]]'s layout-pruned twin over the landed artifact. */
+  private[graft] def historyBoundsLanded(spark: SparkSession,
+                                         landedDir: String): (Long, Long) = {
+    val (mn, mx) = minMaxEsLanded(spark, landedDir)
+    (mn, (mx - mn) / 10L)
   }
 
   /** x77's tombstone set: a retention cut (the oldest tenth — whole
@@ -260,8 +290,7 @@ object Maintenance {
     * recompute((C \ D) ∪ I). */
   def aggUpsertMerge(spark: SparkSession, sfDir: String): DataFrame = {
     val src = landedEvents(spark, sfDir)
-    val b = src.agg(min(col("es")), max(col("es"))).head()
-    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val (mn, mx) = minMaxEsLanded(spark, landedEventsDir(spark, sfDir))
     val cut = mn + 2L * ((mx - mn) / 3L) // the recent third arrives as inserts
     val cutDay = dayLitOfEpoch(cut)
     // day-granular partition cut + exact es refinement (x76's discipline:

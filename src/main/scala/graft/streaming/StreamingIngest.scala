@@ -1366,6 +1366,38 @@ object StreamingIngest {
       s"could not copy $src to $dst")
   }
 
+  /** [[copyDir]]'s COPY-ON-WRITE form for a partitioned artifact whose
+    * mutable partitions are known up front: child dirs matching `mutable`
+    * are deep-copied (the stream will rewrite them in place), every other
+    * child is SYMLINKED read-only to the shared artifact — the clean
+    * majority of a day-partitioned corpus costs one link each instead of
+    * a byte copy. Sound because the t18/t19 swap machinery only ever
+    * renames/rewrites the dirty partitions (and the scratch reaper,
+    * [[graft.Tables.rmScratch]], never follows links). Local-fs fixture
+    * helper — production corpora are not copied at all. */
+  private def copyDirCow(spark: SparkSession, src: String, dst: String)
+                        (mutable: String => Boolean): Unit = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val s = new Path(src); val d = new Path(dst)
+    val fs = s.getFileSystem(conf)
+    val dfs = d.getFileSystem(conf)
+    if (dfs.exists(d)) dfs.delete(d, true)
+    dfs.mkdirs(d)
+    val srcLocal = src.stripPrefix("file:")
+    val dstLocal = dst.stripPrefix("file:")
+    fs.listStatus(s).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && !mutable(name))
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(dstLocal, name),
+          java.nio.file.Paths.get(srcLocal, name))
+      else
+        require(FileUtil.copy(fs, st.getPath, dfs, new Path(d, name),
+          false, true, conf), s"could not copy $src/$name to $dst")
+    }
+  }
+
   /** The `_LATEST` pointer of a maintained-view directory: names the
     * current snapshot dir ("base" or "batch=<tag>"). A torn pointer (death
     * mid-write) is always repaired before any read: the only reader is the
@@ -1560,11 +1592,29 @@ object StreamingIngest {
     t19Lap("start")
     val landed = graft.operators.Maintenance.landedEvents(spark, sfDir)
     val root = graft.Tables.scratchDir("graft_t19")
+    val (mn, d) = graft.operators.Maintenance.historyBoundsLanded(spark,
+      graft.operators.Maintenance.landedEventsDir(spark, sfDir))
+    // the tombstone set's DAY envelope, analytically from the bounds (no
+    // extra scan): es < mn+d lives in days ≤ day(mn+d); the banded
+    // scatter lives in day(mn+4d)..day(mn+6d) — day() is monotone in es,
+    // so every tombstone's logday falls inside the envelope
+    val cutDay = graft.operators.Maintenance.dayLitOfEpoch(mn + d)
+    val bandLo = graft.operators.Maintenance.dayLitOfEpoch(mn + 4L * d)
+    val bandHi = graft.operators.Maintenance.dayLitOfEpoch(mn + 6L * d)
+    def mutableDay(day: Long): Boolean =
+      day <= cutDay || (day >= bandLo && day <= bandHi)
     // a PRIVATE copy of the landing AND of the stored aggregate: the
     // stream mutates both, and the durable-cache artifacts are shared by
-    // x76/x77 — filesystem copies, not per-run Spark re-encodes
+    // x76/x77 — filesystem copies, not per-run Spark re-encodes. The
+    // landing copy is COPY-ON-WRITE (VERDICT r13 #4): only the day
+    // partitions the stream can ever rewrite are deep-copied; the clean
+    // majority symlink to the shared artifact read-only
     val corpus = root.resolve("corpus").toString
-    copyDir(spark, graft.operators.Maintenance.landedEventsDir(spark, sfDir), corpus)
+    copyDirCow(spark,
+      graft.operators.Maintenance.landedEventsDir(spark, sfDir), corpus) {
+      name => !name.startsWith("logday=") ||
+        mutableDay(name.stripPrefix("logday=").toLong)
+    }
     val view = root.resolve("view").toString
     copyDir(spark, graft.operators.Maintenance.storedAggDir(spark, sfDir),
       new org.apache.hadoop.fs.Path(view, "base").toString)
@@ -1573,8 +1623,11 @@ object StreamingIngest {
         .getFileSystem(spark.sparkContext.hadoopConfiguration),
       new org.apache.hadoop.fs.Path(view), "base")
     t19Lap("copy")
-    val (mn, d) = graft.operators.Maintenance.historyBounds(landed)
     val tomb = landed
+      // redundant day conjunct (x76's discipline: changes no row, only
+      // prunes partitions) — the tombstone SCAN reads only the envelope
+      .where(col("logday") <= cutDay ||
+        (col("logday") >= bandLo && col("logday") <= bandHi))
       .where(graft.operators.Maintenance.t19Tombstones(mn, d))
       .select(col("event_id"), col("logday"))
     val srcDir = root.resolve("src")

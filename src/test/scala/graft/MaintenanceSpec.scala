@@ -92,6 +92,21 @@ class MaintenanceSpec extends SparkSpec {
       s"clean day appears in a partition filter — doomed fetch is not key-day-pruned:\n$plan")
   }
 
+  test("layout-pruned history bounds equal the full-scan form (day() monotone in es)") {
+    import spark.implicits._
+    val out = Tables.scratchDir("graft_bounds_spec").toString
+    // min es NOT the first row written; negative es exercises the
+    // pre-1970 day ordering (day keys still sort with es)
+    Seq((1L, "a", 172830L, 1L), (2L, "a", -50L, 2L), (3L, "b", 10L, 3L),
+        (4L, "b", 90000L, 4L))
+      .toDF("event_id", "category", "es", "v_micro")
+      .withColumn("logday", Maintenance.dayOfEpoch(col("es")))
+      .write.mode("overwrite").partitionBy("logday").parquet(out)
+    val scanned = Maintenance.historyBounds(spark.read.parquet(out))
+    assert(Maintenance.historyBoundsLanded(spark, out) == scanned)
+    assert(Maintenance.minMaxEsLanded(spark, out) == ((-50L, 172830L)))
+  }
+
   test("keyed fold validateKeyDays: a key with a wrong logday is caught, a correct one passes") {
     import spark.implicits._
     val src = landFixture()
