@@ -108,6 +108,7 @@ object SparkEntry {
     "t19_stream_retract_view" -> (StreamingIngest.streamRetractView _),
     "t20_stream_index_delete" -> (StreamingIngest.streamIndexDelete _),
     "t21_stream_bm25_stats" -> ((s, d) => StreamingIngest.streamBm25Stats(s, d)),
+    "t22_stream_index_upsert" -> (StreamingIngest.streamIndexUpsert _),
     // M5 — [EXT] LLM-pipeline operators
     "x1_dedup_exact" -> (Dedup.exactDedup _),
     "x2_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),

@@ -782,7 +782,7 @@ object Similarity {
     * (the monolithic [[ivfPqIndex]] or a [[ivfPqAppend]]-grown one):
     * nprobe cells by centroid cosine, ADC shortlist against the stored
     * codes, exact integer-L2 rerank. */
-  private def ivfPqProbe(spark: SparkSession, sfDir: String, index: DataFrame,
+  private[graft] def ivfPqProbe(spark: SparkSession, sfDir: String, index: DataFrame,
                          queryId: Long, k: Int, nprobe: Int): DataFrame = {
     val q = probeVec(spark, sfDir, queryId)
     val probed = ivfCentroids(spark, sfDir)

@@ -251,6 +251,10 @@ object DedupOracles {
     // survivor index, so one oracle serves both
     "x83_ivfpq_layer_delete" -> ivfPqDeleteOracleSql,
     "x84_ivfpq_upsert" -> ivfPqDeleteOracleSql,
+    // t22: x84's upsert as a micro-batch STREAM — same final survivor
+    // index, so the same oracle; the green hash states streaming
+    // micro-batch upserts converge to the one-shot pass
+    "t22_stream_index_upsert" -> ivfPqDeleteOracleSql,
     "x6d_batch_topk" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
             FROM embeddings WHERE vec_id < 10),

@@ -1690,6 +1690,70 @@ object StreamingIngest {
       queryId = 0L, k = 10, nprobe = 4)
   }
 
+  /** T22 — x84's layered-index UPSERT as an OPERATIONAL LOOP: a stream of
+    * ops rows (op `I` with the raw embedding, op `D` keys) maintains the
+    * batch-layered IVF-PQ index in `foreachBatch` — per micro-batch, the
+    * insert leg (net of same-batch tombstone cancels, x84's pre-cancel)
+    * lands as a new FROZEN-quantizer-encoded `batch=<runId-batchId>`
+    * layer, then the tombstones propagate through every existing layer's
+    * dirty (batch, cell) leaves. Markerless replay idempotence, t20's
+    * argument extended to the upsert: the append overwrites its own
+    * tag-scoped layer byte-for-byte (x16's rule — batch content is
+    * deterministic from checkpointed offsets), and a replayed delete's
+    * keys are already absent, so the dirty set is empty; a crash BETWEEN
+    * append and delete replays both and converges. The final probe is
+    * x6g's over the maintained index; the oracle is x83/x84's verbatim —
+    * the green hash states that N micro-batch upserts converge to the
+    * one-shot upsert pass, i.e. streaming ≡ batch for layered-index
+    * maintenance, closing the streaming leg for the last artifact
+    * class. */
+  def streamIndexUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.operators.Similarity
+    graft.Tables.ensureParquetConf(spark)
+    val root = graft.Tables.scratchDir("graft_t22")
+    val idxDir = root.resolve("idx").toString
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+    // stored history: the even half, landed as the base layer
+    Similarity.ivfPqAppend(spark, sfDir,
+      vecs.where(pmod(col("vec_id"), lit(2L)) === 0L), idxDir, "base")
+    // ops: the odd half arrives as inserts, x80's tombstone set as
+    // deletes — a doomed ODD vector's I and D rows share its arrival
+    // hash, so the same-batch cancel leg is genuinely exercised, while
+    // doomed EVEN vectors exercise the cross-layer delete
+    val ops = vecs.where(pmod(col("vec_id"), lit(2L)) === 1L)
+      .select(col("vec_id"), lit("I").as("op"), col("embedding"))
+      .unionByName(vecs.where(Similarity.x80Tombstone)
+        .select(col("vec_id"), lit("D").as("op"),
+          lit(null).cast("array<float>").as("embedding")))
+    val srcDir = root.resolve("src")
+    Files.createDirectories(srcDir)
+    val half = pmod(graft.functions.TextFns.polyHash(col("vec_id").cast("string")), lit(2L))
+    landArrivalSplits(ops, root, srcDir,
+      Seq("a_first.parquet" -> (half === 0), "b_second.parquet" -> (half === 1)))
+    withScratchCheckpoint { ck =>
+      val run = runId(ck, spark.sessionState.newHadoopConf())
+      val q = spark.readStream.schema(ops.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          val tombs = b.where(col("op") === "D").select(col("vec_id"))
+          Similarity.ivfPqAppend(spark, sfDir,
+            b.where(col("op") === "I").select(col("vec_id"), col("embedding"))
+              .join(broadcast(tombs.distinct()), Seq("vec_id"), "leftanti"),
+            idxDir, s"$run-$id")
+          Similarity.ivfPqLayerDeleteKeys(spark, idxDir, tombs)
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally { if (q.isActive) q.stop() }
+    }
+    Similarity.ivfPqProbe(spark, sfDir, spark.read.parquet(idxDir),
+      queryId = 0L, k = 10, nprobe = 4)
+  }
+
   /** Initialize the maintained BM25-stats artifacts (per-term df table +
     * scalar n_docs/total_len row — `Search.bm25TermDf`/`bm25Scalars` as
     * a VERSIONED store): the "base" snapshot holds both, `_LATEST` points

@@ -1286,4 +1286,33 @@ class StreamingSpec extends SparkSpec {
       Maintenance.t19Tombstones(mn, d))
     assert(m(StreamingIngest.streamRetractView(spark, sf)) == m(oneShot))
   }
+
+  test("t22 streaming index upsert equals the one-shot pass; a crash between append " +
+      "and delete replays to convergence") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val oneShot = rows(Similarity.ivfPqUpsertTopK(spark, sf))
+    // N micro-batch upserts (each an I+D mix, with genuine same-batch
+    // cancels and cross-layer deletes) converge to x84's one-shot pass
+    assert(rows(StreamingIngest.streamIndexUpsert(spark, sf)) == oneShot,
+      "streaming index upsert diverged from the one-shot pass")
+    // crash drill: the batch's append lands, death BEFORE the delete; the
+    // replay re-runs BOTH legs — the append overwrites its own tag layer,
+    // the delete then applies once — and converges to the same state
+    val idx = Tables.scratchDir("graft_t22_crash").toString + "/idx"
+    val vecs = Tables.embeddings(spark, sf)
+    Similarity.ivfPqAppend(spark, sf,
+      vecs.where(pmod(col("vec_id"), lit(2L)) === 0L), idx, "base")
+    val tombs = vecs.where(Similarity.x80Tombstone).select(col("vec_id"))
+    val ins = vecs.where(pmod(col("vec_id"), lit(2L)) === 1L)
+      .join(broadcast(tombs), Seq("vec_id"), "leftanti")
+    Similarity.ivfPqAppend(spark, sf, ins, idx, "b0") // attempt 1: crash after append
+    Similarity.ivfPqAppend(spark, sf, ins, idx, "b0") // replay: both legs
+    Similarity.ivfPqLayerDeleteKeys(spark, idx, tombs)
+    assert(rows(Similarity.ivfPqProbe(spark, sf, spark.read.parquet(idx),
+      queryId = 0L, k = 10, nprobe = 4)) == oneShot,
+      "crash-replay of an upsert batch diverged")
+  }
 }
