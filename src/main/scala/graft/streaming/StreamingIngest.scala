@@ -1797,8 +1797,16 @@ object StreamingIngest {
     * reason: the fold READS PRIOR STATE (the `_LATEST` target), so a
     * replayed batch that re-ran the fold would fold its own output into
     * itself and double-count — the `_SUCCESS` marker makes the replay
-    * skip straight to the (idempotent) pointer move and GC. Reference
-    * anchor: the per-close counter upsert loop
+    * skip straight to the (idempotent) pointer move and GC.
+    *
+    * PRECONDITIONS (the x82 batch contract): ops are unique per batch (a
+    * doc appears at most once as I and once as D), and `corpusDocs` must
+    * cover every doc a tombstone names — in deployment that is the
+    * MAINTAINED landing (t18's loop keeps it current through the same
+    * stream), so a delete aimed at a stream-inserted doc finds its row
+    * there; handing a stale corpus snapshot instead would silently
+    * no-op that delete's stats retraction. Reference anchor: the
+    * per-close counter upsert loop
     * (`callback/UpdateSinkDetailCallback.scala:29-58`) — continuously
     * folding statistics into a stored table IS its job. */
   private[graft] def bm25StatsBatch(batch: DataFrame, batchTag: String,
