@@ -1632,9 +1632,18 @@ object StreamingIngest {
       .select(col("event_id"), col("logday"))
     val srcDir = root.resolve("src")
     Files.createDirectories(srcDir)
-    val half = pmod(graft.functions.TextFns.polyHash(col("event_id").cast("string")), lit(2L))
+    // PARTITION-COHERENT arrival batches (the operational delete-stream
+    // shape, and the r13 hash-split's hidden cost): the retention cut
+    // arrives first, the banded GDPR scatter second, so each batch's
+    // dirty-day set is (near-)disjoint and a day partition is fetched and
+    // rewritten ONCE across the stream — a key-hash split instead spreads
+    // every dirty day across every batch, doubling the doomed fetch, max
+    // repair, and swap I/O for the same final state. Same-day-re-dirtied
+    // batches (replay, overlapping requests) stay spec-pinned on the hand
+    // fixture (its b1/b2 both touch day 19700101).
     landArrivalSplits(tomb, root, srcDir,
-      Seq("a_first.parquet" -> (half === 0), "b_second.parquet" -> (half === 1)))
+      Seq("a_first.parquet" -> (col("logday") <= cutDay),
+        "b_second.parquet" -> (col("logday") > cutDay)))
     t19Lap("land")
     withScratchCheckpoint { ck =>
       retractViewStream(
