@@ -264,7 +264,11 @@ object Bench {
         "stored_agg" -> (() => {
           graft.operators.Maintenance.storedAggDir(spark, sfDir); () }),
         "doc_landing" -> (() => {
-          graft.operators.Maintenance.landedDocsDir(spark, sfDir); () }))
+          graft.operators.Maintenance.landedDocsDir(spark, sfDir); () }),
+        // t21's stored-split BM25 stats (the fixture copies these tiny
+        // artifacts per run; the build is two stored-corpus scans)
+        "t21_stored_stats" -> (() => {
+          graft.streaming.StreamingIngest.t21StoredStatsDirs(spark, sfDir); () }))
       builders.foreach { case (name, f) =>
         try f() catch { case e: Throwable =>
           System.err.println(s"[bench] index prebuild $name failed: ${e.getMessage}")

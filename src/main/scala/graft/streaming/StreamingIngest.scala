@@ -1881,22 +1881,54 @@ object StreamingIngest {
     * (stored survivors ∪ inserts) — x82's verbatim — so the green hash
     * states that N micro-batch folds converge to the one-shot upsert
     * fold: streaming ≡ batch for retrieval-stats maintenance. */
+  /** t21's stored-split stats as DURABLE artifacts — built once per
+    * corpus version (the x78 discipline; the fixture copies the tiny
+    * O(vocab)+O(1) outputs into its private versioned store per run
+    * instead of re-scanning the stored corpus twice per run). */
+  private[graft] def t21StoredStatsDirs(spark: SparkSession,
+                                        sfDir: String): (String, String) = {
+    import graft.operators.{DfCache, Search}
+    val df = DfCache.materializedDir(spark, s"t21df:$sfDir",
+      Seq(s"$sfDir/documents.parquet")) {
+      Search.bm25TermDfOf(
+        graft.Tables.documents(spark, sfDir).where(!Search.x82IsInsert))
+        .coalesce(1)
+    }
+    val sc = DfCache.materializedDir(spark, s"t21sc:$sfDir",
+      Seq(s"$sfDir/documents.parquet")) {
+      Search.bm25ScalarsOf(
+        graft.Tables.documents(spark, sfDir).where(!Search.x82IsInsert))
+        .coalesce(1)
+    }
+    (df, sc)
+  }
+
   def streamBm25Stats(spark: SparkSession, sfDir: String,
                       terms: Seq[String] = Seq("spark", "join", "window"),
                       k: Int = 10): DataFrame = {
     import java.nio.file.Files
+    import org.apache.hadoop.fs.Path
     import graft.operators.Search
     graft.Tables.ensureParquetConf(spark)
     val docs = graft.Tables.documents(spark, sfDir)
     val stored = docs.where(!Search.x82IsInsert)
     val root = graft.Tables.scratchDir("graft_t21")
     val statsDir = root.resolve("stats").toString
-    initBm25Stats(spark, stored, statsDir)
-    val ops = docs.where(Search.x82IsInsert)
-      .select(col("doc_id"), lit("I").as("op"), col("text"))
-      .unionByName(stored.where(Search.x81Tombstone)
-        .select(col("doc_id"), lit("D").as("op"),
-          lit(null).cast("string").as("text")))
+    // base snapshot = filesystem copies of the durable stored-split stats
+    val (dfDir, scDir) = t21StoredStatsDirs(spark, sfDir)
+    copyDir(spark, dfDir, new Path(statsDir, "base/df").toString)
+    copyDir(spark, scDir, new Path(statsDir, "base/scalars").toString)
+    writeViewPointer(new Path(statsDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new Path(statsDir), "base")
+    // ONE scan emits both op legs: inserts carry their text, stored-split
+    // tombstones arrive as keys
+    val ops = docs.select(col("doc_id"),
+        when(Search.x82IsInsert, lit("I"))
+          .when(Search.x81Tombstone, lit("D")).as("op"),
+        when(Search.x82IsInsert, col("text"))
+          .otherwise(lit(null).cast("string")).as("text"))
+      .where(col("op").isNotNull)
     val srcDir = root.resolve("src")
     Files.createDirectories(srcDir)
     val half = pmod(graft.functions.TextFns.polyHash(col("doc_id").cast("string")), lit(2L))
