@@ -131,6 +131,7 @@ object SparkEntry {
     "x80_ann_delete_topk" -> ((s, d) => Similarity.ivfDeleteTopK(s, d)),
     "x83_ivfpq_layer_delete" -> ((s, d) => Similarity.ivfPqDeleteTopK(s, d)),
     "x84_ivfpq_upsert" -> ((s, d) => Similarity.ivfPqUpsertTopK(s, d)),
+    "x85_ivfpq_compact" -> ((s, d) => Similarity.ivfPqCompactTopK(s, d)),
     "x69_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "x69b_semantic_blocking_recall" -> ((s, d) => Similarity.semanticBlockingRecall(s, d)),
     "x72_cell_drift" -> (Similarity.cellDrift _),

@@ -926,6 +926,87 @@ object Similarity {
     ivfPqProbe(spark, sfDir, spark.read.parquet(idx), queryId, k, nprobe)
   }
 
+  /** Compact a batch-layered index's `batch=<tag>` layers into ONE —
+    * the small-layer management every append-maintained artifact needs
+    * at scale (t22 grows a layer per micro-batch; probes then list and
+    * read N small files per cell). Under the FROZEN quantizers a
+    * compaction is a pure re-layout: no row changes, so the probe is
+    * bit-equal before and after (spec-pinned; the declared query carries
+    * x83's oracle through a compaction to state it cross-engine).
+    * Crash-safe by the t18 retire/publish/restore-first discipline,
+    * single-writer contract (the [[cellSwapCore]] note):
+    *  - the compacted layer stages OUTSIDE the index;
+    *  - recovery FIRST: a trash dir with layers but no published
+    *    compacted layer is a death between retire and publish — restore
+    *    the layers before anything reads the tree;
+    *  - then retire every live layer to trash, publish the staged layer
+    *    by one rename, and only then drop the trash.
+    * Cost is one full index read + write — the operator you run in a
+    * maintenance window precisely so that every PROBE afterwards reads
+    * one layer. Returns the number of layers folded. Reference anchor:
+    * the partition compaction pass (`HiveBatchedSink.scala:297-358` and
+    * `compactPartitions`' retire/publish shape) — layer management after
+    * incremental landing IS the reference's core job. */
+  private[graft] def ivfPqCompactLayers(spark: SparkSession, idxDir: String,
+                                        tag: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(idxDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val trash = new Path(root.getParent, "." + root.getName + "_compact_trash")
+    val published = new Path(root, s"batch=$tag")
+    // recovery FIRST: death between retire and publish left the only
+    // copies in trash — restore them before anything reads the tree
+    if (fs.exists(trash) && !fs.exists(published))
+      fs.listStatus(trash).foreach { d =>
+        val live = new Path(root, d.getPath.getName)
+        if (d.isDirectory && !fs.exists(live))
+          require(fs.rename(d.getPath, live),
+            s"could not restore ${d.getPath.getName} from interrupted compaction")
+      }
+    fs.delete(trash, true)
+    val layers = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).sorted
+    if (layers.size <= 1) return layers.size
+    // stage the compacted layer OUTSIDE the index (a stage inside would
+    // double every vector for a concurrent lister)
+    val stage = new Path(Tables.scratchDir("graft_x85_stage_").toString, "layer")
+    spark.read.parquet(idxDir)
+      .drop("batch") // collapsing the layer key is the whole point
+      .write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
+    fs.mkdirs(trash)
+    layers.foreach { n =>
+      require(fs.rename(new Path(root, n), new Path(trash, n)),
+        s"compaction could not retire layer $n")
+    }
+    require(fs.rename(stage, published),
+      s"compaction could not publish batch=$tag (old layers in $trash)")
+    fs.delete(trash, true)
+    spark.catalog.refreshByPath(idxDir)
+    layers.size
+  }
+
+  /** X85 — the x6g probe served through a LAYER COMPACTION: x83's full
+    * maintenance history (two appends, a tombstone batch) runs first,
+    * then the surviving layers fold into one and the probe reads the
+    * compacted index. The oracle is x83's verbatim — the green hash
+    * states compaction is probe-invariant, i.e. re-layout changes no
+    * result — and the spec pins the stronger row-level statement plus
+    * the crash drills. With append (x6h), delete (x83), upsert (x84),
+    * streaming (t22), and now compaction, the layered index has the
+    * complete operational lifecycle. */
+  def ivfPqCompactTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                       k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val idx = Tables.scratchDir("graft_x85_idx").toString + "/idx"
+    val vecs = Tables.embeddings(spark, sfDir)
+    ivfPqAppend(spark, sfDir, vecs.where(pmod(col("vec_id"), lit(2L)) === 0L),
+      idx, "base")
+    ivfPqAppend(spark, sfDir, vecs.where(pmod(col("vec_id"), lit(2L)) === 1L),
+      idx, "grow")
+    ivfPqLayerDeleteKeys(spark, idx, vecs.where(x80Tombstone).select(col("vec_id")))
+    ivfPqCompactLayers(spark, idx, "compacted")
+    ivfPqProbe(spark, sfDir, spark.read.parquet(idx), queryId, k, nprobe)
+  }
+
   /** X84 — the full index UPSERT: ONE maintenance pass carries an insert
     * batch (landed as a new `batch=<tag>` layer, x6h's append) and a
     * tombstone batch (propagated through the stored layers' dirty

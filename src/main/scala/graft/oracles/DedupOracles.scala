@@ -255,6 +255,11 @@ object DedupOracles {
     // index, so the same oracle; the green hash states streaming
     // micro-batch upserts converge to the one-shot pass
     "t22_stream_index_upsert" -> ivfPqDeleteOracleSql,
+    // x85: x83's history followed by a LAYER COMPACTION — still the same
+    // survivor set (compaction is pure re-layout under frozen
+    // quantizers), so the same oracle: the green hash states compaction
+    // is probe-invariant
+    "x85_ivfpq_compact" -> ivfPqDeleteOracleSql,
     "x6d_batch_topk" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
             FROM embeddings WHERE vec_id < 10),

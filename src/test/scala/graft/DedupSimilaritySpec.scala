@@ -941,6 +941,61 @@ class DedupSimilaritySpec extends SparkSpec {
       s"x83 probe does not partition-prune the maintained index:\n$plan")
   }
 
+  test("x85 compaction: probe-invariant re-layout; layers fold to one; crash drills restore or complete") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    // row-level invariance at fixture scale: the compacted probe equals
+    // x83's (same survivor set, one layer instead of two)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows(Similarity.ivfPqCompactTopK(spark, sf)) ==
+      rows(Similarity.ivfPqDeleteTopK(spark, sf)),
+      "compaction changed the probe result")
+    // structural + crash drills on a hand-layered dir
+    def mk(): (String, Path, org.apache.hadoop.fs.FileSystem) = {
+      val idx = graft.Tables.scratchDir("graft_x85_spec").toString + "/idx"
+      Seq(("base", 1L, 0), ("base", 2L, 1), ("grow", 3L, 0), ("grow", 4L, 2))
+        .toDF("batch", "vec_id", "cell")
+        .write.partitionBy("batch", "cell").parquet(idx)
+      val p = new Path(idx)
+      (idx, p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+    }
+    def layers(fs: org.apache.hadoop.fs.FileSystem, p: Path): Seq[String] =
+      fs.listStatus(p).map(_.getPath.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    def contents(idx: String): Set[(Long, Int)] =
+      spark.read.parquet(idx).select(col("vec_id"), col("cell"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val all = Set((1L, 0), (2L, 1), (3L, 0), (4L, 2))
+    val (idx, root, fs) = mk()
+    assert(Similarity.ivfPqCompactLayers(spark, idx, "c0") == 2)
+    assert(layers(fs, root) == Seq("batch=c0"), "layers did not fold to one")
+    assert(contents(idx) == all, "compaction changed the row set")
+    // idempotent re-entry: one layer → nothing to fold
+    assert(Similarity.ivfPqCompactLayers(spark, idx, "c0") == 1)
+    // drill 1 — death between retire and publish: every layer sits in
+    // trash, nothing live; the next compaction must RESTORE before it
+    // reads, then complete
+    val (idx2, root2, fs2) = mk()
+    val trash2 = new Path(root2.getParent, "." + root2.getName + "_compact_trash")
+    fs2.mkdirs(trash2)
+    layers(fs2, root2).foreach { n =>
+      require(fs2.rename(new Path(root2, n), new Path(trash2, n)))
+    }
+    assert(Similarity.ivfPqCompactLayers(spark, idx2, "c0") == 2)
+    assert(layers(fs2, root2) == Seq("batch=c0") && contents(idx2) == all,
+      "retire-crash recovery did not restore and complete")
+    // drill 2 — death between publish and trash delete: the compacted
+    // layer is live, the old layers still in trash; re-entry must drop
+    // the trash WITHOUT restoring (restoring would double every vector)
+    val (idx3, root3, fs3) = mk()
+    assert(Similarity.ivfPqCompactLayers(spark, idx3, "c0") == 2)
+    val trash3 = new Path(root3.getParent, "." + root3.getName + "_compact_trash")
+    fs3.mkdirs(new Path(trash3, "batch=base")) // stranded retired layer
+    assert(Similarity.ivfPqCompactLayers(spark, idx3, "c0") == 1)
+    assert(!fs3.exists(trash3) && contents(idx3) == all,
+      "publish-crash recovery restored retired layers over the live compacted one")
+  }
+
   test("x80: the maintained index's probe equals a rebuild from survivors under the frozen quantizer") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
