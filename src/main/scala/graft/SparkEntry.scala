@@ -109,6 +109,8 @@ object SparkEntry {
     "t20_stream_index_delete" -> (StreamingIngest.streamIndexDelete _),
     "t21_stream_bm25_stats" -> ((s, d) => StreamingIngest.streamBm25Stats(s, d)),
     "t22_stream_index_upsert" -> (StreamingIngest.streamIndexUpsert _),
+    "t23_stream_dedup_index_upsert" -> (StreamingIngest.streamDedupIndexUpsert _),
+    "t24_stream_neardup_index_upsert" -> (StreamingIngest.streamNearDedupIndexUpsert _),
     // M5 — [EXT] LLM-pipeline operators
     "x1_dedup_exact" -> (Dedup.exactDedup _),
     "x2_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -132,6 +134,11 @@ object SparkEntry {
     "x83_ivfpq_layer_delete" -> ((s, d) => Similarity.ivfPqDeleteTopK(s, d)),
     "x84_ivfpq_upsert" -> ((s, d) => Similarity.ivfPqUpsertTopK(s, d)),
     "x85_ivfpq_compact" -> ((s, d) => Similarity.ivfPqCompactTopK(s, d)),
+    "x86_dedup_index_delete" -> (Dedup.dedupIndexDelete _),
+    "x87_dedup_index_upsert" -> (Dedup.dedupIndexUpsert _),
+    "x88_dedup_index_compact" -> (Dedup.dedupIndexCompact _),
+    "x89_neardup_index_upsert" -> (Dedup.nearDedupIndexUpsert _),
+    "x90_neardup_index_compact" -> (Dedup.nearDedupIndexCompact _),
     "x69_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "x69b_semantic_blocking_recall" -> ((s, d) => Similarity.semanticBlockingRecall(s, d)),
     "x72_cell_drift" -> (Similarity.cellDrift _),

@@ -641,12 +641,17 @@ object Dedup {
   /** The operational cross-run form of x16's exact leg: dedup `docs`
     * against a *persisted* fingerprint index directory, then append the
     * survivors' fingerprints back — so the next run (tomorrow's crawl)
-    * sees everything kept today. The index is plain parquet of x10
-    * fingerprints: O(corpus) 8-byte rows, anti-joined (hash join on fp) —
-    * at 100 TB the index stays a few GB and the probe never rescans prior
-    * text. The in-session x16 shows the same semantics oracle-checked;
-    * this is the disk-backed loop a pipeline actually schedules. Near-dup
-    * probing persists the shingle prefix index the same way. */
+    * sees everything kept today. The index is plain parquet of
+    * `(fp, doc_id)` rows — the x10 fingerprint plus its KEEPER's id:
+    * O(corpus) 16-byte rows, anti-joined (hash join on fp) — at 100 TB
+    * the index stays a few GB and the probe never rescans prior text.
+    * The keeper id is what lets a delete batch (doc_id keys, x75's
+    * model) address index rows with ONE index scan
+    * ([[dedupIndexDeleteKeys]]) instead of a corpus scan to re-derive
+    * doomed fingerprints from text. The in-session x16 shows the same
+    * semantics oracle-checked; this is the disk-backed loop a pipeline
+    * actually schedules. Near-dup probing persists the shingle prefix
+    * index the same way. */
   /** Read a `batch=`-partitioned index dir with this invocation's own tag
     * excluded, or `empty` when the index GENUINELY does not exist yet
     * (path missing / no files). Deliberately an existence probe, not an
@@ -708,7 +713,7 @@ object Dedup {
     val survivors = snapshot(spark, probeIndexKeepFirst(withFp, indexDir, batchTag))
     // overwrite of the tag-scoped partition: a retry clobbers its own prior
     // attempt byte-for-byte instead of appending a second copy
-    survivors.select(col("fp")).write.mode("overwrite")
+    survivors.select(col("fp"), col("doc_id")).write.mode("overwrite")
       .parquet(s"$indexDir/batch=$batchTag")
     survivors
   }
@@ -733,6 +738,252 @@ object Dedup {
     dedupAgainstIndex(spark, docs.where(bucket <= 7), idx, "prior")
     dedupAgainstIndex(spark, docs.where(bucket >= 8), idx, "fresh")
       .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The x61/x16 batch split (`polyhash(doc_id) % 10`) — one definition so
+    * the maintenance fixtures (x86/x87/x88/t23) and their oracles can
+    * never drift from the append fixtures. */
+  private[graft] def idxBucket: Column =
+    pmod(TextFns.polyHash(col("doc_id").cast("string")), lit(10L))
+
+  /** The maintenance fixtures' delete-request set: a salted hash so the
+    * doomed docs decorrelate from [[idxBucket]]'s batch split (an unsalted
+    * reuse would delete whole batches). Deliberately drawn from ALL
+    * doc_ids, keepers or not — a key naming a doc the index never kept
+    * (an ingest-time duplicate) must be a structural no-op, and the
+    * fixtures should exercise that path. */
+  private[graft] def idxDoomed: Column =
+    pmod(TextFns.polyHash(concat(lit("d"), col("doc_id").cast("string"))),
+      lit(5L)) === 0L
+
+  /** Apply a tombstone KEY table (`doc_id` rows, x75's delete-request
+    * model) to a batch-layered fingerprint index (the [[dedupAgainstIndex]]
+    * / `StreamingIngest.dedupIndexBatch` artifact) by rewriting ONLY the
+    * `batch=` layers that hold a doomed keeper — the x83 dirty-leaf
+    * economics on the one-level layout. The index stores `(fp, doc_id)`,
+    * so the dirty set is one broadcast semi-join of the keys against the
+    * index itself — O(index), two narrow columns, never the corpus: keys
+    * naming docs the index never kept (ingest-time duplicates, or keys
+    * replayed after their layer was already rewritten) simply match
+    * nothing. Under `gate` layers the survivor fetch is a compiled
+    * partition predicate (prunes at the scan), past it a broadcast
+    * semi-join on the tag. Survivors stage under `partitionBy(batch)`,
+    * dynamic overwrite replaces exactly the staged layers, fully-emptied
+    * layers are dropped explicitly, and the listing cache refreshed.
+    * Clean layers keep their exact files (spec-pinned). Replay-idempotent
+    * without markers (t20's argument): a replayed batch's keys are
+    * already absent, the dirty set is empty, no file is touched. Same
+    * single-writer / no-concurrent-reader contract as the index swaps it
+    * mirrors. Returns the dirty layer tags — bounded by the layer count,
+    * the same O(metadata) class as x75's partition keys.
+    *
+    * Semantics note (the contract a caller must know): deleting a keeper
+    * does NOT resurrect the duplicates it suppressed — they were dropped
+    * at ingest and exist nowhere. The fingerprint leaves the index, so
+    * the NEXT identical document to arrive is admitted fresh. That is
+    * the invariant this fold maintains: index ≡ the fingerprint table of
+    * the currently-live corpus ([[dedupIndexUpsert]]'s oracle states it
+    * cross-engine). Reference anchor: the late-arrival partition re-open
+    * (`/root/reference/src/main/scala/org/apache/flume/sink/hive/batched/HiveBatchedSink.scala:318-322`)
+    * applied to the dedup index artifact. */
+  private[graft] def dedupIndexDeleteKeys(spark: SparkSession, idxDir: String,
+      keys: DataFrame,
+      gate: Int = Maintenance.keyGateDefault): Seq[String] = {
+    val idx = spark.read.parquet(idxDir)
+    val k = broadcast(keys.select(col("doc_id")).distinct())
+    val dirtyDf = idx.join(k, Seq("doc_id"), "leftsemi")
+      .select(col("batch")).distinct()
+    val dirty = dirtyDf.collect().map(_.getString(0)).toSeq.sorted
+    if (dirty.nonEmpty) {
+      val restricted = Maintenance.restrictToKeys(idx, "batch", dirtyDf,
+        dirty, gate)
+      val stage = Tables.scratchDir("graft_dedup_idx_stage_").toString
+      restricted.join(k, Seq("doc_id"), "leftanti")
+        .write.mode("overwrite").partitionBy("batch").parquet(stage)
+      val fs = new org.apache.hadoop.fs.Path(idxDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // the staged-layer set is the staging dir's partition listing —
+      // free metadata, no second scan of the survivor rows
+      val staged = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath.getName).collect {
+          case n if n.startsWith("batch=") => n.stripPrefix("batch=")
+        }.toSet
+      if (staged.nonEmpty)
+        spark.read.parquet(stage)
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch").parquet(idxDir)
+      val emptied = dirty.filterNot(staged)
+      emptied.foreach { t =>
+        fs.delete(new org.apache.hadoop.fs.Path(idxDir, s"batch=$t"), true); ()
+      }
+      if (emptied.nonEmpty) spark.catalog.refreshByPath(idxDir)
+    }
+    dirty
+  }
+
+  /** X86 — delete propagation through the persisted dedup index: x61's
+    * two-batch index builds, then a delete-request batch (doc_id keys)
+    * folds through [[dedupIndexDeleteKeys]] and the query returns the
+    * maintained index itself. The keys deliberately include doc_ids the
+    * index never kept (ingest-time duplicates — structural no-ops) and
+    * doomed keepers in both layers. The oracle recomputes the index
+    * monolithically from the surviving corpus — the green hash states
+    * the dirty-layer rewrite ≡ a full rebuild, i.e. the fold maintains
+    * `index ≡ fingerprints of live corpus` exactly. */
+  def dedupIndexDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val idx = Tables.scratchDir("graft_x86_idx").toString + "/idx"
+    dedupAgainstIndex(spark, docs.where(idxBucket <= 7), idx, "prior")
+    dedupAgainstIndex(spark, docs.where(idxBucket >= 8), idx, "fresh")
+    dedupIndexDeleteKeys(spark, idx, docs.where(idxDoomed).select(col("doc_id")))
+    spark.read.parquet(idx).select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** One upsert pass over the persisted dedup index: fold the delete
+    * keys through the stored layers FIRST, then admit the insert batch
+    * against the post-delete index — so an insert identical to a
+    * just-deleted keeper is ADMITTED (the re-crawl case: yesterday's doc
+    * was retracted, today's identical fetch must land). Delete-first is
+    * load-bearing: the admission probe is order-sensitive, unlike the
+    * ANN index's row-independent fold (x84), which is why the streaming
+    * form's oracle (t23) restates arrival order instead of carrying this
+    * one verbatim. Inserts named by a same-batch delete key cancel before
+    * landing (x84's pre-cancel, one broadcast anti-join). */
+  private[graft] def dedupIndexUpsertKeys(spark: SparkSession, idxDir: String,
+      inserts: DataFrame, keys: DataFrame, batchTag: String): Unit = {
+    dedupIndexDeleteKeys(spark, idxDir, keys)
+    dedupAgainstIndex(spark,
+      inserts.join(broadcast(keys.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "leftanti"),
+      idxDir, batchTag)
+    ()
+  }
+
+  /** X87 — the dedup-index UPSERT (x79/x84's capstone shape for this
+    * artifact): stored history is two layers (buckets ≤5 and 6–7), then
+    * ONE maintenance pass carries the insert batch (buckets ≥8) and the
+    * delete keys through [[dedupIndexUpsertKeys]]. The fixture's doomed
+    * set hits stored keepers (cross-layer delete), insert docs
+    * (same-batch cancel), and never-kept duplicates (no-op) — and any
+    * insert sharing a fingerprint with a deleted keeper exercises the
+    * readmit-after-delete path. Oracle = the monolithic recompute of
+    * `fingerprints of ((stored corpus \ deletes) ∪ admitted inserts)`,
+    * so the hash states the one-pass fold converges to the
+    * delete-then-append composition. */
+  def dedupIndexUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val idx = Tables.scratchDir("graft_x87_idx").toString + "/idx"
+    dedupAgainstIndex(spark, docs.where(idxBucket <= 5), idx, "prior")
+    dedupAgainstIndex(spark, docs.where(idxBucket === 6 || idxBucket === 7),
+      idx, "mid")
+    dedupIndexUpsertKeys(spark, idx,
+      docs.where(idxBucket >= 8).select(col("doc_id"), col("text")),
+      docs.where(idxDoomed).select(col("doc_id")), "ins")
+    spark.read.parquet(idx).select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X88 — the dedup index through a LAYER COMPACTION: x86's full
+    * maintenance history (two appends, a delete batch) runs first, then
+    * the surviving layers fold into one through the shared
+    * [[Maintenance.compactLayers]] core (x85's crash discipline, no
+    * sub-partitioning below the layer key) and the query returns the
+    * compacted index. The oracle is x86's verbatim — the green hash
+    * states compaction is a pure re-layout — and the spec pins the
+    * crash drills on this layout. With append (x61/t14), delete (x86),
+    * upsert (x87), streaming (t23), and compaction, the dedup index now
+    * has the same complete operational lifecycle as the layered ANN
+    * index. */
+  def dedupIndexCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val idx = Tables.scratchDir("graft_x88_idx").toString + "/idx"
+    dedupAgainstIndex(spark, docs.where(idxBucket <= 7), idx, "prior")
+    dedupAgainstIndex(spark, docs.where(idxBucket >= 8), idx, "fresh")
+    dedupIndexDeleteKeys(spark, idx, docs.where(idxDoomed).select(col("doc_id")))
+    Maintenance.compactLayers(spark, idx, "compacted", Seq.empty,
+      "graft_x88_stage_")
+    spark.read.parquet(idx).select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Apply a tombstone KEY table to the NEAR-dup triple index
+    * (`StreamingIngest.nearDedupIndexBatch`'s artifact: `fp/`, `pfx/`,
+    * `sh/`, each `batch=`-layered): one [[dedupIndexDeleteKeys]] swap per
+    * sub-index — every sub-index carries the keeper's `doc_id`, so the
+    * same key column addresses all three and the swap core is shared
+    * verbatim (clean-layer file identity, emptied-layer drops, markerless
+    * replay — all inherited). Removing the doomed keeper's prefix
+    * postings and shingle array is what makes FUTURE near-dups of a
+    * retracted document admissible again: the candidate join can no
+    * longer reach it. Requires a built index (all three sub-dirs exist).
+    * Returns the dirty layer tags per sub-index. */
+  private[graft] def nearDedupIndexDeleteKeys(spark: SparkSession,
+      indexDir: String, keys: DataFrame,
+      gate: Int = Maintenance.keyGateDefault): Map[String, Seq[String]] =
+    Seq("fp", "pfx", "sh").map(sub =>
+      sub -> dedupIndexDeleteKeys(spark, s"$indexDir/$sub", keys, gate)).toMap
+
+  /** X89 — the near-dup index UPSERT: stored history is one
+    * `nearDedupIndexBatch` layer (buckets ≤7 — within a batch only exact
+    * dups collapse, near-dup pairs both enter, the t14 contract), then
+    * ONE maintenance pass folds the delete keys through all three
+    * sub-indexes ([[nearDedupIndexDeleteKeys]], delete-first — x87's
+    * order-is-semantics argument, doubled: BOTH probes are against
+    * post-delete state) and admits the insert batch (buckets ≥8, net of
+    * same-batch cancels) against the maintained index. The query returns
+    * the final `fp/` sub-index — surviving stored keepers plus admitted
+    * inserts — so the green hash witnesses the delete leg (doomed
+    * keepers gone), the exact readmit (an insert sharing a deleted
+    * keeper's fingerprint lands), and the NEAR readmit (an insert within
+    * Jaccard 0.8 of a deleted keeper is admitted because its prefix
+    * postings left the candidate join — the part x86/x87 cannot see).
+    * Oracle = the monolithic recompute: surviving stored keepers ∪
+    * inserts that are neither exact (fp) nor near (rounded J ≥ 0.8)
+    * matches of a SURVIVING keeper. */
+  def nearDedupIndexUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = nearDedupMaintained(spark, sfDir, "graft_x89_idx")
+    spark.read.parquet(s"$idx/fp").select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The x89/x90 shared fixture: one stored layer (buckets ≤7), one
+    * upsert pass (delete keys folded through all three sub-indexes, then
+    * the ≥8 insert batch — net of same-batch cancels — admitted against
+    * the maintained index). Returns the triple index's root. */
+  private def nearDedupMaintained(spark: SparkSession, sfDir: String,
+                                  prefix: String): String = {
+    import graft.streaming.StreamingIngest
+    val docs = Tables.documents(spark, sfDir)
+    val root = Tables.scratchDir(prefix).toString
+    val idx = root + "/idx"
+    val out = root + "/out"
+    StreamingIngest.nearDedupIndexBatch(
+      docs.where(idxBucket <= 7).select(col("doc_id"), col("text")),
+      "prior", idx, out)
+    val keys = docs.where(idxDoomed).select(col("doc_id"))
+    nearDedupIndexDeleteKeys(spark, idx, keys)
+    StreamingIngest.nearDedupIndexBatch(
+      docs.where(idxBucket >= 8).select(col("doc_id"), col("text"))
+        .join(broadcast(keys.distinct()), Seq("doc_id"), "leftanti"),
+      "fresh", idx, out)
+    idx
+  }
+
+  /** X90 — x89's history through a LAYER COMPACTION of all three
+    * sub-indexes (the flat-layout [[Maintenance.compactLayers]], one call
+    * per sub-index): t14-style streams grow one layer per micro-batch in
+    * EACH sub-index, so the probe's three reads each union N small files
+    * until this maintenance pass folds them. Pure re-layout — the oracle
+    * is x89's verbatim, stating cross-engine that compaction changes no
+    * admission decision and no stored row. */
+  def nearDedupIndexCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = nearDedupMaintained(spark, sfDir, "graft_x90_idx")
+    Seq("fp", "pfx", "sh").foreach(sub =>
+      Maintenance.compactLayers(spark, s"$idx/$sub", "compacted", Seq.empty,
+        "graft_x90_stage_"))
+    spark.read.parquet(s"$idx/fp").select(col("doc_id"), col("fp"))
       .orderBy(col("doc_id"))
   }
 

@@ -443,4 +443,73 @@ object Maintenance {
         col("sum_value_micro"))
     clean.unionByName(repaired).orderBy(col("category"), col("bucket"))
   }
+
+  /** Compact a batch-layered artifact's `batch=<tag>` layers into ONE —
+    * the shared core behind the IVF-PQ index compaction (x85,
+    * `Similarity.ivfPqCompactLayers`) and the dedup fingerprint index
+    * compaction (x88, `Dedup.dedupIndexCompact`): every append-maintained
+    * artifact grows a layer per batch (a layer per micro-batch under the
+    * streaming forms), and probes then list and read N small files per
+    * leaf. A compaction is a pure re-layout — no row changes — so readers
+    * are bit-equal before and after (each caller's spec pins that).
+    * `subPartition` is the partition spec BELOW the collapsed layer key
+    * (`Seq("cell")` for the IVF index, empty for the flat dedup index).
+    *
+    * Crash-safe by the t18 retire/publish/restore-first discipline,
+    * single-writer / no-concurrent-reader contract:
+    *  - the compacted layer stages OUTSIDE the artifact root (a stage
+    *    inside would double every row for a concurrent lister);
+    *  - recovery FIRST: a trash dir with layers but no published
+    *    compacted layer is a death between retire and publish — restore
+    *    the layers before anything reads the tree; a trash that coexists
+    *    with the published layer is a death AFTER publish and must be
+    *    dropped WITHOUT restoring (restoring would double every row);
+    *  - then retire every live layer to trash, publish the staged layer
+    *    by one rename, and only then drop the trash.
+    * Cost is one full artifact read + write — the maintenance-window
+    * operator that buys every later probe a one-layer listing. Returns
+    * the number of layers folded. Reference anchor: the partition
+    * compaction pass
+    * (`/root/reference/src/main/scala/org/apache/flume/sink/hive/batched/HiveBatchedSink.scala:297-358`)
+    * — layer management after incremental landing IS the reference's
+    * core job. */
+  private[graft] def compactLayers(spark: SparkSession, idxDir: String,
+      tag: String, subPartition: Seq[String], stagePrefix: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(idxDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val trash = new Path(root.getParent, "." + root.getName + "_compact_trash")
+    val published = new Path(root, s"batch=$tag")
+    // recovery FIRST: death between retire and publish left the only
+    // copies in trash — restore them before anything reads the tree
+    if (fs.exists(trash) && !fs.exists(published))
+      fs.listStatus(trash).foreach { d =>
+        val live = new Path(root, d.getPath.getName)
+        if (d.isDirectory && !fs.exists(live))
+          require(fs.rename(d.getPath, live),
+            s"could not restore ${d.getPath.getName} from interrupted compaction")
+      }
+    fs.delete(trash, true)
+    val layers = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).sorted
+    if (layers.size <= 1) return layers.size
+    // stage the compacted layer OUTSIDE the artifact (a stage inside
+    // would double every row for a concurrent lister)
+    val stage = new Path(Tables.scratchDir(stagePrefix).toString, "layer")
+    val compacted = spark.read.parquet(idxDir)
+      .drop("batch") // collapsing the layer key is the whole point
+    val w = compacted.write.mode("overwrite")
+    (if (subPartition.nonEmpty) w.partitionBy(subPartition: _*) else w)
+      .parquet(stage.toString)
+    fs.mkdirs(trash)
+    layers.foreach { n =>
+      require(fs.rename(new Path(root, n), new Path(trash, n)),
+        s"compaction could not retire layer $n")
+    }
+    require(fs.rename(stage, published),
+      s"compaction could not publish batch=$tag (old layers in $trash)")
+    fs.delete(trash, true)
+    spark.catalog.refreshByPath(idxDir)
+    layers.size
+  }
 }

@@ -934,56 +934,20 @@ object Similarity {
     * bit-equal before and after (spec-pinned; the declared query carries
     * x83's oracle through a compaction to state it cross-engine).
     * Crash-safe by the t18 retire/publish/restore-first discipline,
-    * single-writer contract (the [[cellSwapCore]] note):
-    *  - the compacted layer stages OUTSIDE the index;
-    *  - recovery FIRST: a trash dir with layers but no published
-    *    compacted layer is a death between retire and publish — restore
-    *    the layers before anything reads the tree;
-    *  - then retire every live layer to trash, publish the staged layer
-    *    by one rename, and only then drop the trash.
-    * Cost is one full index read + write — the operator you run in a
-    * maintenance window precisely so that every PROBE afterwards reads
-    * one layer. Returns the number of layers folded. Reference anchor:
-    * the partition compaction pass (`HiveBatchedSink.scala:297-358` and
+    * single-writer contract (the [[cellSwapCore]] note) — the full
+    * argument and the retire/publish/restore-first mechanics live in
+    * the shared core, [[Maintenance.compactLayers]] (x88 compacts the
+    * dedup fingerprint index through the same code). Cost is one full
+    * index read + write — the operator you run in a maintenance window
+    * precisely so that every PROBE afterwards reads one layer. Returns
+    * the number of layers folded. Reference anchor: the partition
+    * compaction pass (`HiveBatchedSink.scala:297-358` and
     * `compactPartitions`' retire/publish shape) — layer management after
     * incremental landing IS the reference's core job. */
   private[graft] def ivfPqCompactLayers(spark: SparkSession, idxDir: String,
-                                        tag: String): Int = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(idxDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val trash = new Path(root.getParent, "." + root.getName + "_compact_trash")
-    val published = new Path(root, s"batch=$tag")
-    // recovery FIRST: death between retire and publish left the only
-    // copies in trash — restore them before anything reads the tree
-    if (fs.exists(trash) && !fs.exists(published))
-      fs.listStatus(trash).foreach { d =>
-        val live = new Path(root, d.getPath.getName)
-        if (d.isDirectory && !fs.exists(live))
-          require(fs.rename(d.getPath, live),
-            s"could not restore ${d.getPath.getName} from interrupted compaction")
-      }
-    fs.delete(trash, true)
-    val layers = fs.listStatus(root).map(_.getPath.getName)
-      .filter(_.startsWith("batch=")).sorted
-    if (layers.size <= 1) return layers.size
-    // stage the compacted layer OUTSIDE the index (a stage inside would
-    // double every vector for a concurrent lister)
-    val stage = new Path(Tables.scratchDir("graft_x85_stage_").toString, "layer")
-    spark.read.parquet(idxDir)
-      .drop("batch") // collapsing the layer key is the whole point
-      .write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
-    fs.mkdirs(trash)
-    layers.foreach { n =>
-      require(fs.rename(new Path(root, n), new Path(trash, n)),
-        s"compaction could not retire layer $n")
-    }
-    require(fs.rename(stage, published),
-      s"compaction could not publish batch=$tag (old layers in $trash)")
-    fs.delete(trash, true)
-    spark.catalog.refreshByPath(idxDir)
-    layers.size
-  }
+                                        tag: String): Int =
+    Maintenance.compactLayers(spark, idxDir, tag, Seq("cell"),
+      "graft_x85_stage_")
 
   /** X85 — the x6g probe served through a LAYER COMPACTION: x83's full
     * maintenance history (two appends, a tombstone batch) runs first,

@@ -20,6 +20,158 @@ object DedupOracles {
     s"""
               AND NOT (${polyHashSql("CAST(c.vec_id AS VARCHAR)")} % 11 = 0)""")
 
+  /** The dedup-index maintenance fixtures' shared derivations, kept
+    * byte-equivalent to `Dedup.idxBucket` / `Dedup.idxDoomed` / t23's
+    * salted arrival hash. */
+  private def idxBk = s"""${polyHashSql("CAST(doc_id AS VARCHAR)")} % 10"""
+  private def idxDoomedSql =
+    s"""${polyHashSql("'d' || CAST(doc_id AS VARCHAR)")} % 5 = 0"""
+  private def idxArrivalSql =
+    s"""${polyHashSql("'a' || CAST(doc_id AS VARCHAR)")} % 2"""
+
+  /** x86/x88: x61's two-batch keeper set minus the keepers the doomed
+    * keys name (a key naming a never-kept duplicate matches no keeper —
+    * the structural no-op both engines share). */
+  private lazy val dedupIndexDeleteSql: String =
+    s"""WITH b AS (SELECT doc_id, ${polyHashSql("text")} AS fp,
+          $idxBk AS bk FROM documents),
+        prior AS (SELECT min(doc_id) AS doc_id, fp FROM b
+                  WHERE bk <= 7 GROUP BY fp),
+        fresh AS (SELECT min(doc_id) AS doc_id, fp FROM b WHERE bk >= 8
+                  AND fp NOT IN (SELECT fp FROM prior) GROUP BY fp),
+        keep AS (SELECT doc_id, fp FROM prior
+                 UNION ALL SELECT doc_id, fp FROM fresh)
+        SELECT doc_id, fp FROM keep
+        WHERE NOT ($idxDoomedSql)
+        ORDER BY doc_id""".stripMargin
+
+  /** x87: stored keepers (two layers, buckets ≤5 / 6–7) survive the
+    * delete keys; inserts (≥8, net of same-batch cancels) are admitted
+    * iff their fingerprint is absent from the POST-delete set. */
+  private lazy val dedupIndexUpsertSql: String =
+    s"""WITH b AS (SELECT doc_id, ${polyHashSql("text")} AS fp,
+          $idxBk AS bk, $idxDoomedSql AS doomed FROM documents),
+        prior AS (SELECT min(doc_id) AS doc_id, fp FROM b
+                  WHERE bk <= 5 GROUP BY fp),
+        mid AS (SELECT min(doc_id) AS doc_id, fp FROM b WHERE bk IN (6, 7)
+                AND fp NOT IN (SELECT fp FROM prior) GROUP BY fp),
+        stored AS (SELECT doc_id, fp FROM prior
+                   UNION ALL SELECT doc_id, fp FROM mid),
+        surv AS (SELECT doc_id, fp FROM stored
+                 WHERE doc_id NOT IN (SELECT doc_id FROM b WHERE doomed)),
+        insk AS (SELECT min(doc_id) AS doc_id, fp FROM b
+                 WHERE bk >= 8 AND NOT doomed
+                   AND fp NOT IN (SELECT fp FROM surv) GROUP BY fp)
+        SELECT doc_id, fp FROM surv
+        UNION ALL SELECT doc_id, fp FROM insk
+        ORDER BY doc_id""".stripMargin
+
+  /** x89/x90: the near-dup triple index's upsert, recomputed
+    * monolithically. Stored keepers are the ≤7 batch's exact-collapse
+    * keepers (within a batch near-dup pairs BOTH enter — the t14
+    * contract) minus the doomed keys; an insert (≥8, not doomed) is
+    * admitted iff its fingerprint is absent from the surviving keepers
+    * AND it is not within rounded Jaccard 0.8 of any SURVIVING keeper —
+    * near-ness to a deleted keeper no longer suppresses. The nf-filter
+    * order vs keeper selection is immaterial: same fp ⇒ same text ⇒
+    * same shingle set ⇒ same near verdict (t14's oracle shape). */
+  private lazy val nearDedupUpsertSql: String =
+    s"""WITH $jaccardPairsCte,
+        b AS (SELECT doc_id, ${polyHashSql("text")} AS fp,
+          $idxBk AS bk, $idxDoomedSql AS doomed FROM documents),
+        pk AS (SELECT min(doc_id) AS doc_id, fp FROM b
+               WHERE bk <= 7 GROUP BY fp),
+        pks AS (SELECT doc_id, fp FROM pk
+                WHERE NOT ($idxDoomedSql)),
+        nf AS (SELECT DISTINCT x.doc_id
+               FROM b x JOIN pairs p ON (p.id1 = x.doc_id OR p.id2 = x.doc_id)
+               JOIN pks ON (CASE WHEN p.id1 = x.doc_id THEN p.id2
+                                 ELSE p.id1 END) = pks.doc_id
+               WHERE x.bk >= 8 AND NOT x.doomed),
+        fk AS (SELECT min(doc_id) AS doc_id, fp FROM b
+               WHERE bk >= 8 AND NOT doomed
+                 AND fp NOT IN (SELECT fp FROM pks) GROUP BY fp)
+        SELECT doc_id, fp FROM pks
+        UNION ALL
+        SELECT doc_id, fp FROM fk WHERE doc_id NOT IN (SELECT doc_id FROM nf)
+        ORDER BY doc_id""".stripMargin
+
+  /** t24: x89's near-dup fold replayed batch-by-batch — the t23 state
+    * chain with a near leg per batch. Batch A's inserts check exact-fp
+    * and near-J against the post-delete stored keepers (s0d); batch B's
+    * against s1d = stored survivors ∪ batch-A admits, minus batch-B
+    * deletes — so a batch-B insert near a batch-A ADMIT is dropped,
+    * while one near a keeper deleted in EITHER batch is admitted. */
+  private lazy val nearDedupStreamSql: String =
+    s"""WITH $jaccardPairsCte,
+        b AS (SELECT doc_id, ${polyHashSql("text")} AS fp,
+          $idxBk AS bk, $idxDoomedSql AS doomed,
+          $idxArrivalSql AS h FROM documents),
+        pk AS (SELECT min(doc_id) AS doc_id, fp FROM b
+               WHERE bk <= 7 GROUP BY fp),
+        s0d AS (SELECT doc_id, fp FROM pk WHERE doc_id NOT IN
+                (SELECT doc_id FROM b WHERE doomed AND h = 0)),
+        nfa AS (SELECT DISTINCT x.doc_id
+                FROM b x JOIN pairs p ON (p.id1 = x.doc_id OR p.id2 = x.doc_id)
+                JOIN s0d ON (CASE WHEN p.id1 = x.doc_id THEN p.id2
+                                  ELSE p.id1 END) = s0d.doc_id
+                WHERE x.bk >= 8 AND x.h = 0 AND NOT x.doomed),
+        keepa AS (SELECT doc_id, fp FROM (
+                  SELECT min(doc_id) AS doc_id, fp FROM b
+                  WHERE bk >= 8 AND h = 0 AND NOT doomed
+                    AND fp NOT IN (SELECT fp FROM s0d) GROUP BY fp)
+                  WHERE doc_id NOT IN (SELECT doc_id FROM nfa)),
+        s1d AS (SELECT doc_id, fp FROM (
+                SELECT doc_id, fp FROM s0d
+                UNION ALL SELECT doc_id, fp FROM keepa)
+                WHERE doc_id NOT IN
+                (SELECT doc_id FROM b WHERE doomed AND h = 1)),
+        nfb AS (SELECT DISTINCT x.doc_id
+                FROM b x JOIN pairs p ON (p.id1 = x.doc_id OR p.id2 = x.doc_id)
+                JOIN s1d ON (CASE WHEN p.id1 = x.doc_id THEN p.id2
+                                  ELSE p.id1 END) = s1d.doc_id
+                WHERE x.bk >= 8 AND x.h = 1 AND NOT x.doomed),
+        keepb AS (SELECT doc_id, fp FROM (
+                  SELECT min(doc_id) AS doc_id, fp FROM b
+                  WHERE bk >= 8 AND h = 1 AND NOT doomed
+                    AND fp NOT IN (SELECT fp FROM s1d) GROUP BY fp)
+                  WHERE doc_id NOT IN (SELECT doc_id FROM nfb))
+        SELECT doc_id, fp FROM s1d
+        UNION ALL SELECT doc_id, fp FROM keepb
+        ORDER BY doc_id""".stripMargin
+
+  /** t23: the x87 fold replayed batch-by-batch over the salted arrival
+    * split — state s0 (stored layers) → delete/admit batch A (h=0) → s1
+    * → delete/admit batch B (h=1). Admission probes the state AS OF the
+    * batch, which is exactly where this diverges from the one-shot
+    * upsert (an insert rejected against a keeper deleted only in the
+    * LATER batch stays dropped). */
+  private lazy val dedupIndexStreamSql: String =
+    s"""WITH b AS (SELECT doc_id, ${polyHashSql("text")} AS fp,
+          $idxBk AS bk, $idxDoomedSql AS doomed,
+          $idxArrivalSql AS h FROM documents),
+        prior AS (SELECT min(doc_id) AS doc_id, fp FROM b
+                  WHERE bk <= 5 GROUP BY fp),
+        mid AS (SELECT min(doc_id) AS doc_id, fp FROM b WHERE bk IN (6, 7)
+                AND fp NOT IN (SELECT fp FROM prior) GROUP BY fp),
+        s0 AS (SELECT doc_id, fp FROM prior
+               UNION ALL SELECT doc_id, fp FROM mid),
+        s0d AS (SELECT doc_id, fp FROM s0 WHERE doc_id NOT IN
+                (SELECT doc_id FROM b WHERE doomed AND h = 0)),
+        insa AS (SELECT min(doc_id) AS doc_id, fp FROM b
+                 WHERE bk >= 8 AND h = 0 AND NOT doomed
+                   AND fp NOT IN (SELECT fp FROM s0d) GROUP BY fp),
+        s1 AS (SELECT doc_id, fp FROM s0d
+               UNION ALL SELECT doc_id, fp FROM insa),
+        s1d AS (SELECT doc_id, fp FROM s1 WHERE doc_id NOT IN
+                (SELECT doc_id FROM b WHERE doomed AND h = 1)),
+        insb AS (SELECT min(doc_id) AS doc_id, fp FROM b
+                 WHERE bk >= 8 AND h = 1 AND NOT doomed
+                   AND fp NOT IN (SELECT fp FROM s1d) GROUP BY fp)
+        SELECT doc_id, fp FROM s1d
+        UNION ALL SELECT doc_id, fp FROM insb
+        ORDER BY doc_id""".stripMargin
+
   private lazy val annDeleteTopKSql: String =
     s"""WITH $ivfChainSql
         SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
@@ -260,6 +412,41 @@ object DedupOracles {
     // quantizers), so the same oracle: the green hash states compaction
     // is probe-invariant
     "x85_ivfpq_compact" -> ivfPqDeleteOracleSql,
+    // x86: the maintained (fp, keeper doc_id) index recomputed
+    // monolithically from the surviving corpus — x61's two-batch keepers
+    // minus the salted doomed set; keys naming never-kept duplicates are
+    // no-ops in both engines. The hash states dirty-layer rewrite ≡ full
+    // rebuild, i.e. the fold maintains index ≡ fingerprints(live corpus).
+    "x86_dedup_index_delete" -> dedupIndexDeleteSql,
+    // x88: x86's history followed by a layer compaction — same rows
+    // (pure re-layout, Maintenance.compactLayers), so x86's oracle
+    // verbatim
+    "x88_dedup_index_compact" -> dedupIndexDeleteSql,
+    // x87: one upsert pass, delete-first — stored keepers (buckets ≤7 in
+    // two layers) minus doomed, then inserts (≥8, net of same-batch
+    // cancels) admitted against the POST-delete fingerprint set, so an
+    // insert matching a just-deleted keeper is readmitted
+    "x87_dedup_index_upsert" -> dedupIndexUpsertSql,
+    // t23: the upsert as TWO arrival-ordered micro-batches — the fold is
+    // order-sensitive (admission probes the index as-of arrival; drops
+    // are permanent), so unlike t20/t22 the oracle restates the
+    // per-batch fold over the same deterministic split instead of
+    // carrying x87's one-shot SQL
+    "t23_stream_dedup_index_upsert" -> dedupIndexStreamSql,
+    // x89: the near-dup TRIPLE index under one upsert pass — surviving
+    // stored keepers plus inserts that are neither exact (fp) nor near
+    // (rounded J ≥ 0.8) matches of a SURVIVING keeper; an insert near a
+    // DELETED keeper is admitted, witnessing the pfx/sh delete legs
+    "x89_neardup_index_upsert" -> nearDedupUpsertSql,
+    // x90: x89 through a per-sub-index layer compaction — pure
+    // re-layout, so x89's oracle verbatim
+    "x90_neardup_index_compact" -> nearDedupUpsertSql,
+    // t24: x89's fold as two arrival-ordered micro-batches — order-
+    // sensitive like t23 (and doubly so: BOTH the fp probe and the near
+    // candidate set evolve), so the oracle restates the per-batch fold;
+    // batch B's near check runs against stored survivors PLUS batch A's
+    // admits
+    "t24_stream_neardup_index_upsert" -> nearDedupStreamSql,
     "x6d_batch_topk" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
             FROM embeddings WHERE vec_id < 10),

@@ -1763,6 +1763,142 @@ object StreamingIngest {
       queryId = 0L, k = 10, nprobe = 4)
   }
 
+  /** T23 — the dedup-index UPSERT as an OPERATIONAL LOOP: a stream of ops
+    * rows (op `I` with the document text, op `D` keys) maintains the
+    * persisted `(fp, doc_id)` fingerprint index in `foreachBatch` — per
+    * micro-batch, `Dedup.dedupIndexUpsertKeys`'s delete-first discipline:
+    * the keys fold through the stored layers' dirty `batch=` partitions,
+    * then the insert leg (net of same-batch cancels) is admitted against
+    * the post-delete index and lands as a new `batch=<runId-batchId>`
+    * layer. Markerless replay idempotence (t22's argument): a replayed
+    * delete's keys are already absent so the dirty set is empty, the
+    * append's probe excludes its own tag and its overwrite clobbers any
+    * partial attempt, and a crash between the legs replays both and
+    * converges.
+    *
+    * UNLIKE every prior streaming-maintenance form, the fold is
+    * ORDER-SENSITIVE: admission depends on what the index held when a
+    * batch arrived. An insert rejected against a keeper that a LATER
+    * batch deletes stays dropped (incremental-dedup drops are permanent —
+    * `dedupIndexBatch`'s contract), so N micro-batches are NOT equivalent
+    * to one monolithic upsert, and the oracle restates the per-batch fold
+    * over the same deterministic arrival split instead of carrying x87's
+    * verbatim. The spec pins the divergence on a hand fixture — the
+    * honest contract, where a hash-match against the one-shot oracle
+    * would only certify that the fixture dodged the collision. */
+  def streamDedupIndexUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.operators.Dedup
+    graft.Tables.ensureParquetConf(spark)
+    val root = graft.Tables.scratchDir("graft_t23")
+    val idxDir = root.resolve("idx").toString
+    val docs = graft.Tables.documents(spark, sfDir)
+    // stored history: x87's two layers (buckets ≤5, 6–7)
+    Dedup.dedupAgainstIndex(spark, docs.where(Dedup.idxBucket <= 5),
+      idxDir, "prior")
+    Dedup.dedupAgainstIndex(spark,
+      docs.where(Dedup.idxBucket === 6 || Dedup.idxBucket === 7),
+      idxDir, "mid")
+    // ops: buckets ≥8 arrive as inserts, the salted doomed set as
+    // deletes — doomed inserts share their arrival hash with their D row
+    // (both hash the same doc_id), so the same-batch cancel leg is
+    // genuinely exercised, while doomed stored keepers exercise the
+    // cross-layer delete
+    val ops = docs.where(Dedup.idxBucket >= 8)
+      .select(col("doc_id"), lit("I").as("op"), col("text"))
+      .unionByName(docs.where(Dedup.idxDoomed)
+        .select(col("doc_id"), lit("D").as("op"),
+          lit(null).cast("string").as("text")))
+    val srcDir = root.resolve("src")
+    Files.createDirectories(srcDir)
+    // SALTED arrival hash: the batch split already derives from
+    // polyhash(doc_id) % 10, and ph % 2 == (ph % 10) % 2 — an unsalted
+    // arrival hash would make arrival exactly bucket parity (every batch-A
+    // insert from bucket 8, every batch-B insert from bucket 9)
+    val half = pmod(graft.functions.TextFns.polyHash(
+      concat(lit("a"), col("doc_id").cast("string"))), lit(2L))
+    landArrivalSplits(ops, root, srcDir,
+      Seq("a_first.parquet" -> (half === 0), "b_second.parquet" -> (half === 1)))
+    withScratchCheckpoint { ck =>
+      val run = runId(ck, spark.sessionState.newHadoopConf())
+      val q = spark.readStream.schema(ops.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          Dedup.dedupIndexUpsertKeys(spark, idxDir,
+            b.where(col("op") === "I").select(col("doc_id"), col("text")),
+            b.where(col("op") === "D").select(col("doc_id")),
+            s"$run-$id")
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally { if (q.isActive) q.stop() }
+    }
+    spark.read.parquet(idxDir).select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** T24 — the NEAR-dup triple index's upsert as an OPERATIONAL LOOP:
+    * t23's shape with the near legs. Per micro-batch of ops rows, the
+    * delete keys fold through all three sub-indexes
+    * (`Dedup.nearDedupIndexDeleteKeys` — fp, prefix postings, shingle
+    * arrays), then the insert leg (net of same-batch cancels) runs
+    * [[nearDedupIndexBatch]] against the post-delete index: exact dups
+    * of surviving keepers drop, near-dups (J ≥ 0.8) of surviving
+    * keepers drop, and near-dups of keepers deleted in THIS OR ANY
+    * EARLIER batch are admitted. Replay is markerless: a replayed
+    * delete's keys are already absent, and the insert leg's four writes
+    * (survivors + three sub-index layers) are all tag-scoped overwrites,
+    * so a crash anywhere between or inside the legs replays both and
+    * converges (spec drill). Order-sensitive like t23 — admission probes
+    * the index as-of arrival — so the oracle restates the per-batch fold
+    * over the salted arrival split; the streaming spec additionally pins
+    * the streamed result against a JVM replica of the two-batch fold. */
+  def streamNearDedupIndexUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.operators.Dedup
+    graft.Tables.ensureParquetConf(spark)
+    val root = graft.Tables.scratchDir("graft_t24")
+    val idxDir = root.resolve("idx").toString
+    val outDir = root.resolve("out").toString
+    val docs = graft.Tables.documents(spark, sfDir)
+    nearDedupIndexBatch(
+      docs.where(Dedup.idxBucket <= 7).select(col("doc_id"), col("text")),
+      "prior", idxDir, outDir)
+    val ops = docs.where(Dedup.idxBucket >= 8)
+      .select(col("doc_id"), lit("I").as("op"), col("text"))
+      .unionByName(docs.where(Dedup.idxDoomed)
+        .select(col("doc_id"), lit("D").as("op"),
+          lit(null).cast("string").as("text")))
+    val srcDir = root.resolve("src")
+    Files.createDirectories(srcDir)
+    val half = pmod(graft.functions.TextFns.polyHash(
+      concat(lit("a"), col("doc_id").cast("string"))), lit(2L))
+    landArrivalSplits(ops, root, srcDir,
+      Seq("a_first.parquet" -> (half === 0), "b_second.parquet" -> (half === 1)))
+    withScratchCheckpoint { ck =>
+      val run = runId(ck, spark.sessionState.newHadoopConf())
+      val q = spark.readStream.schema(ops.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          val keys = b.where(col("op") === "D").select(col("doc_id"))
+          Dedup.nearDedupIndexDeleteKeys(spark, idxDir, keys)
+          nearDedupIndexBatch(
+            b.where(col("op") === "I").select(col("doc_id"), col("text"))
+              .join(broadcast(keys.distinct()), Seq("doc_id"), "leftanti"),
+            s"$run-$id", idxDir, outDir)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally { if (q.isActive) q.stop() }
+    }
+    spark.read.parquet(s"$idxDir/fp").select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Initialize the maintained BM25-stats artifacts (per-term df table +
     * scalar n_docs/total_len row — `Search.bm25TermDf`/`bm25Scalars` as
     * a VERSIONED store): the "base" snapshot holds both, `_LATEST` points
@@ -1965,9 +2101,10 @@ object StreamingIngest {
     *  - survivors and their index entries are written `overwrite` to
     *    tag-scoped paths, so a replay clobbers itself byte-for-byte
     *    (batch content is deterministic from checkpointed offsets).
-    * The index holds one 8-byte hash per kept doc — O(corpus) metadata, a
-    * few GB at 100 TB — and the probe is one anti hash-join; prior text is
-    * never rescanned. Within a batch, x1's min-doc_id keeper rule applies.
+    * The index holds one `(hash, keeper doc_id)` row per kept doc —
+    * O(corpus) metadata, a few GB at 100 TB — and the probe is one anti
+    * hash-join; prior text is never rescanned. Within a batch, x1's
+    * min-doc_id keeper rule applies.
     * `batch` must not pre-exist as an input column: it is the index/output
     * partition key (tag-scoped paths are what make replays overwrite). */
   private[graft] def dedupIndexBatch(batch: DataFrame, batchTag: String,
@@ -1979,7 +2116,10 @@ object StreamingIngest {
     survivors.persist()
     try {
       survivors.drop("fp").write.mode("overwrite").parquet(s"$outDir/batch=$batchTag")
-      survivors.select(col("fp")).write.mode("overwrite").parquet(s"$indexDir/batch=$batchTag")
+      // (fp, doc_id) — the keeper id is what lets the delete fold (x86/t23)
+      // address index rows by key without a corpus scan
+      survivors.select(col("fp"), col("doc_id")).write.mode("overwrite")
+        .parquet(s"$indexDir/batch=$batchTag")
     } finally survivors.unpersist()
   }
 
@@ -1990,7 +2130,8 @@ object StreamingIngest {
     * (all replay-idempotent and cross-run-safe the same way as
     * [[dedupIndexBatch]] — probes exclude own `<runId>-<batchId>` tag,
     * writes are tag-scoped overwrites):
-    *  - `fp/`  one polyhash per kept doc (the exact-dup probe),
+    *  - `fp/`  one (polyhash, keeper doc_id) row per kept doc (the
+    *           exact-dup probe; the id is the delete fold's address),
     *  - `pfx/` exploded prefix postings (doc_id, s, n) — the candidate join,
     *  - `sh/`  full shingle-hash arrays — fetched per candidate for verify.
     *
@@ -2057,7 +2198,9 @@ object StreamingIngest {
     try {
       survivors.drop("fp", "sh", "n")
         .write.mode("overwrite").parquet(s"$outDir/batch=$batchTag")
-      survivors.select(col("fp"))
+      // (fp, doc_id) — the keeper id lets the delete fold (x89) address
+      // all three sub-indexes by one key column without a corpus scan
+      survivors.select(col("fp"), col("doc_id"))
         .write.mode("overwrite").parquet(s"$indexDir/fp/batch=$batchTag")
       prefixPostings(survivors)
         .select(col("doc_id"), col("s"), col("n"))

@@ -1279,4 +1279,201 @@ class DedupSimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got == expect)
   }
+
+  test("dedupIndexDeleteKeys: clean layers keep their exact files, never-kept keys are " +
+      "no-ops, an all-doomed layer drops, gate sides agree, and a replay touches nothing") {
+    import spark.implicits._
+    def mk(tag: String): String = {
+      val idxDir = graft.Tables.scratchDir(s"graft_x86_spec_$tag").toString + "/idx"
+      // prior layer: docs 1-3; fresh layer: docs 4-5 — fp values arbitrary
+      // but distinct (the artifact invariant: one keeper per fp)
+      Seq(("prior", 10L, 1L), ("prior", 11L, 2L), ("prior", 12L, 3L),
+          ("fresh", 13L, 4L), ("fresh", 14L, 5L))
+        .toDF("batch", "fp", "doc_id")
+        .write.partitionBy("batch").parquet(idxDir)
+      idxDir
+    }
+    def files(idxDir: String): Map[String, (Long, Long)] = {
+      val fs = new org.apache.hadoop.fs.Path(idxDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(idxDir), true)
+      val b = Map.newBuilder[String, (Long, Long)]
+      while (it.hasNext) { val s = it.next()
+        if (s.getPath.getName.endsWith(".parquet"))
+          b += s.getPath.toString -> ((s.getLen, s.getModificationTime)) }
+      b.result()
+    }
+    def rows(idxDir: String): Set[(String, Long, Long)] =
+      spark.read.parquet(idxDir).select(col("batch"), col("fp"), col("doc_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 2 dirties prior; 99 was never kept (ingest-time duplicate) — a
+    // structural no-op that must not dirty anything
+    val keys = Seq(2L, 99L).toDF("doc_id")
+    val survivors = Set(("prior", 10L, 1L), ("prior", 12L, 3L),
+      ("fresh", 13L, 4L), ("fresh", 14L, 5L))
+    val idxDir = mk("isin")
+    val before = files(idxDir)
+    assert(Dedup.dedupIndexDeleteKeys(spark, idxDir, keys) == Seq("prior"))
+    val after = files(idxDir)
+    val clean = before.filter(_._1.contains("batch=fresh"))
+    assert(clean.nonEmpty && clean.forall { case (p, m) => after.get(p).contains(m) },
+      "the clean fresh layer was rewritten")
+    assert(rows(idxDir) == survivors)
+    // replay: keys already absent → empty dirty set, no file touched
+    assert(Dedup.dedupIndexDeleteKeys(spark, idxDir, keys).isEmpty)
+    assert(files(idxDir) == after, "a replayed delete rewrote files")
+    // an all-doomed layer's directory drops entirely
+    assert(Dedup.dedupIndexDeleteKeys(spark, idxDir, Seq(4L, 5L).toDF("doc_id"))
+      == Seq("fresh"))
+    assert(!files(idxDir).keys.exists(_.contains("batch=fresh")),
+      "emptied fresh layer still has files")
+    assert(rows(idxDir) == survivors.filter(_._1 == "prior"))
+    // past the gate the restriction runs as a semi-join — same final state
+    val idxDir2 = mk("semi")
+    assert(Dedup.dedupIndexDeleteKeys(spark, idxDir2, keys, gate = 0) == Seq("prior"))
+    assert(rows(idxDir2) == survivors)
+  }
+
+  test("dedup-index upsert: delete-first readmits an insert matching a deleted keeper; " +
+      "same-batch cancels and in-batch keeper rule hold; batched folds legitimately " +
+      "diverge from the one-shot where arrival order matters") {
+    import spark.implicits._
+    def ids(idxDir: String): Set[Long] =
+      spark.read.parquet(idxDir).select(col("doc_id")).collect()
+        .map(_.getLong(0)).toSet
+    val idx = graft.Tables.scratchDir("graft_x87_spec").toString + "/idx"
+    Dedup.dedupAgainstIndex(spark,
+      Seq((1L, "aaa"), (2L, "bbb")).toDF("doc_id", "text"), idx, "s")
+    // one pass: delete keeper 1 ("aaa") and cancel insert 6; inserts carry
+    // a readmit of "aaa" (doc 3), a new text "ccc" kept by min-id (4 over
+    // 5), and the cancelled doc 6
+    Dedup.dedupIndexUpsertKeys(spark, idx,
+      Seq((3L, "aaa"), (4L, "ccc"), (5L, "ccc"), (6L, "ddd"))
+        .toDF("doc_id", "text"),
+      Seq(1L, 6L).toDF("doc_id"), "b")
+    assert(ids(idx) == Set(2L, 3L, 4L),
+      s"upsert semantics broke: kept ${ids(idx)}")
+    // ORDER SENSITIVITY (t23's contract): an insert rejected against a
+    // keeper deleted only in a LATER batch stays dropped — N batched
+    // folds are NOT the one-shot upsert, so t23's oracle restates the
+    // per-batch fold instead of carrying x87's
+    val twoStep = graft.Tables.scratchDir("graft_t23_div").toString + "/idx"
+    Dedup.dedupAgainstIndex(spark, Seq((1L, "aaa")).toDF("doc_id", "text"),
+      twoStep, "s")
+    Dedup.dedupIndexUpsertKeys(spark, twoStep,
+      Seq((10L, "aaa")).toDF("doc_id", "text"),
+      spark.emptyDataset[Long].toDF("doc_id"), "b1") // rejected: 1 still holds "aaa"
+    Dedup.dedupIndexUpsertKeys(spark, twoStep,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      Seq(1L).toDF("doc_id"), "b2")
+    assert(ids(twoStep) == Set.empty[Long],
+      "two-batch fold should have dropped 'aaa' entirely")
+    val oneShot = graft.Tables.scratchDir("graft_t23_one").toString + "/idx"
+    Dedup.dedupAgainstIndex(spark, Seq((1L, "aaa")).toDF("doc_id", "text"),
+      oneShot, "s")
+    Dedup.dedupIndexUpsertKeys(spark, oneShot,
+      Seq((10L, "aaa")).toDF("doc_id", "text"), Seq(1L).toDF("doc_id"), "b")
+    assert(ids(oneShot) == Set(10L), "one-shot upsert should readmit doc 10")
+  }
+
+  test("x89: deleting a keeper readmits its future NEAR-dups (pfx/sh legs), all three " +
+      "sub-indexes dirty together, and x90's compaction changes nothing") {
+    import spark.implicits._
+    import graft.streaming.StreamingIngest
+    val w = (1 to 12).map(i => s"w$i")
+    val a = w.mkString(" ")               // 10 3-shingles
+    val bTxt = (w :+ "w13").mkString(" ") // 11 shingles, J = 10/11 ≥ 0.8 vs a
+    val c = (1 to 12).map(i => s"z$i").mkString(" ") // unrelated filler keeper
+    def mk(tag: String): (String, String) = {
+      val root = graft.Tables.scratchDir(s"graft_x89_spec_$tag").toString
+      (root + "/idx", root + "/out")
+    }
+    def keptIds(idx: String): Set[Long] =
+      spark.read.parquet(s"$idx/fp").select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+    // control: with keeper 1 alive, near-dup B is dropped
+    val (idx1, out1) = mk("ctl")
+    StreamingIngest.nearDedupIndexBatch(
+      Seq((1L, a), (2L, c)).toDF("doc_id", "text"), "prior", idx1, out1)
+    StreamingIngest.nearDedupIndexBatch(
+      Seq((10L, bTxt)).toDF("doc_id", "text"), "fresh", idx1, out1)
+    assert(keptIds(idx1) == Set(1L, 2L), "control: near-dup B should be dropped")
+    // delete keeper 1 FIRST: B's candidate partner leaves pfx/sh, so the
+    // same fresh batch now admits it — the leg x86/x87's fp-only fold
+    // cannot witness
+    val (idx2, out2) = mk("del")
+    StreamingIngest.nearDedupIndexBatch(
+      Seq((1L, a), (2L, c)).toDF("doc_id", "text"), "prior", idx2, out2)
+    val dirty = Dedup.nearDedupIndexDeleteKeys(spark, idx2, Seq(1L).toDF("doc_id"))
+    assert(dirty == Map("fp" -> Seq("prior"), "pfx" -> Seq("prior"),
+      "sh" -> Seq("prior")), s"dirty: $dirty")
+    Seq("fp", "pfx", "sh").foreach { sub =>
+      assert(spark.read.parquet(s"$idx2/$sub")
+        .where(col("doc_id") === 1L).count() == 0,
+        s"$sub still holds the doomed keeper's rows")
+    }
+    StreamingIngest.nearDedupIndexBatch(
+      Seq((10L, bTxt)).toDF("doc_id", "text"), "fresh", idx2, out2)
+    assert(keptIds(idx2) == Set(2L, 10L),
+      "B was not readmitted after its near-partner's deletion")
+    // x90 == x89 at fixture scale: per-sub-index compaction is pure
+    // re-layout (the oracle states the same cross-engine)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows(Dedup.nearDedupIndexCompact(spark, sf)) ==
+      rows(Dedup.nearDedupIndexUpsert(spark, sf)),
+      "near-dup index compaction changed the admission outcome")
+  }
+
+  test("x88: dedup-index compaction is content-invariant, folds layers to one on the " +
+      "flat (no sub-partition) layout, and survives both crash windows") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // declared-query level: compaction after x86's history changes nothing
+    assert(rows(Dedup.dedupIndexCompact(spark, sf)) ==
+      rows(Dedup.dedupIndexDelete(spark, sf)),
+      "compaction changed the index contents")
+    // structural + crash drills on the FLAT layout (subPartition = empty —
+    // the branch x85's cell-partitioned drills never exercise)
+    def mk(): (String, Path, org.apache.hadoop.fs.FileSystem) = {
+      val idx = graft.Tables.scratchDir("graft_x88_spec").toString + "/idx"
+      Seq(("prior", 10L, 1L), ("prior", 11L, 2L), ("fresh", 13L, 4L))
+        .toDF("batch", "fp", "doc_id")
+        .write.partitionBy("batch").parquet(idx)
+      val p = new Path(idx)
+      (idx, p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+    }
+    def layers(fs: org.apache.hadoop.fs.FileSystem, p: Path): Seq[String] =
+      fs.listStatus(p).map(_.getPath.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    def contents(idx: String): Set[(Long, Long)] =
+      spark.read.parquet(idx).select(col("fp"), col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = Set((10L, 1L), (11L, 2L), (13L, 4L))
+    import graft.operators.Maintenance
+    val (idx, root, fs) = mk()
+    assert(Maintenance.compactLayers(spark, idx, "c0", Seq.empty, "graft_x88_sp_") == 2)
+    assert(layers(fs, root) == Seq("batch=c0") && contents(idx) == all)
+    assert(Maintenance.compactLayers(spark, idx, "c0", Seq.empty, "graft_x88_sp_") == 1)
+    // drill 1 — death between retire and publish: restore, then complete
+    val (idx2, root2, fs2) = mk()
+    val trash2 = new Path(root2.getParent, "." + root2.getName + "_compact_trash")
+    fs2.mkdirs(trash2)
+    layers(fs2, root2).foreach { n =>
+      require(fs2.rename(new Path(root2, n), new Path(trash2, n)))
+    }
+    assert(Maintenance.compactLayers(spark, idx2, "c0", Seq.empty, "graft_x88_sp_") == 2)
+    assert(layers(fs2, root2) == Seq("batch=c0") && contents(idx2) == all,
+      "retire-crash recovery did not restore and complete")
+    // drill 2 — death after publish: drop the stranded trash WITHOUT
+    // restoring (restoring would double every fingerprint)
+    val (idx3, root3, fs3) = mk()
+    assert(Maintenance.compactLayers(spark, idx3, "c0", Seq.empty, "graft_x88_sp_") == 2)
+    val trash3 = new Path(root3.getParent, "." + root3.getName + "_compact_trash")
+    fs3.mkdirs(new Path(trash3, "batch=prior"))
+    assert(Maintenance.compactLayers(spark, idx3, "c0", Seq.empty, "graft_x88_sp_") == 1)
+    assert(!fs3.exists(trash3) && contents(idx3) == all,
+      "publish-crash recovery restored retired layers over the live compacted one")
+  }
 }

@@ -1315,4 +1315,97 @@ class StreamingSpec extends SparkSpec {
       queryId = 0L, k = 10, nprobe = 4)) == oneShot,
       "crash-replay of an upsert batch diverged")
   }
+
+  test("t23 streaming dedup-index upsert equals its per-batch batch restatement; a crash " +
+      "between delete and append replays to convergence") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def state(idx: String) = rows(spark.read.parquet(idx)
+      .select(col("doc_id"), col("fp")).orderBy(col("doc_id")))
+    // the fold is ORDER-SENSITIVE (admission probes the state as-of
+    // arrival), so the streamed result is pinned against a manual replica
+    // of the same two arrival batches — NOT the one-shot x87 pass (the
+    // divergence itself is pinned in DedupSimilaritySpec). This is the
+    // JVM twin of what t23's oracle restates in SQL.
+    val docs = Tables.documents(spark, sf)
+    val half = pmod(graft.functions.TextFns.polyHash(
+      concat(lit("a"), col("doc_id").cast("string"))), lit(2L))
+    def fold(idx: String, arrivals: Seq[org.apache.spark.sql.Column]): Unit = {
+      Dedup.dedupAgainstIndex(spark, docs.where(Dedup.idxBucket <= 5), idx, "prior")
+      Dedup.dedupAgainstIndex(spark,
+        docs.where(Dedup.idxBucket === 6 || Dedup.idxBucket === 7), idx, "mid")
+      arrivals.zipWithIndex.foreach { case (arr, i) =>
+        Dedup.dedupIndexUpsertKeys(spark, idx,
+          docs.where(Dedup.idxBucket >= 8 && arr).select(col("doc_id"), col("text")),
+          docs.where(Dedup.idxDoomed && arr).select(col("doc_id")), s"b$i")
+      }
+    }
+    val manual = Tables.scratchDir("graft_t23_manual").toString + "/idx"
+    fold(manual, Seq(half === 0, half === 1))
+    assert(rows(StreamingIngest.streamDedupIndexUpsert(spark, sf)) == state(manual),
+      "streamed dedup-index upsert diverged from its per-batch restatement")
+    // crash drill: batch A's delete leg lands, death BEFORE the append;
+    // the replay re-runs BOTH legs (delete finds its keys absent, the
+    // append overwrites its own tag) and the stream converges
+    val crash = Tables.scratchDir("graft_t23_crash").toString + "/idx"
+    Dedup.dedupAgainstIndex(spark, docs.where(Dedup.idxBucket <= 5), crash, "prior")
+    Dedup.dedupAgainstIndex(spark,
+      docs.where(Dedup.idxBucket === 6 || Dedup.idxBucket === 7), crash, "mid")
+    Dedup.dedupIndexDeleteKeys(spark, crash,
+      docs.where(Dedup.idxDoomed && half === 0).select(col("doc_id"))) // attempt 1 dies here
+    Seq(half === 0, half === 1).zipWithIndex.foreach { case (arr, i) =>
+      Dedup.dedupIndexUpsertKeys(spark, crash,
+        docs.where(Dedup.idxBucket >= 8 && arr).select(col("doc_id"), col("text")),
+        docs.where(Dedup.idxDoomed && arr).select(col("doc_id")), s"b$i")
+    }
+    assert(state(crash) == state(manual),
+      "crash-replay of a dedup-index upsert batch diverged")
+  }
+
+  test("t24 streaming near-dup index upsert equals its per-batch restatement; a crashed " +
+      "batch replays both legs (and the full batch) to convergence") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val docs = Tables.documents(spark, sf)
+    val half = pmod(graft.functions.TextFns.polyHash(
+      concat(lit("a"), col("doc_id").cast("string"))), lit(2L))
+    // manual JVM replica of the two-batch fold — the twin of what t24's
+    // oracle restates in SQL. `replayA` additionally replays batch A in
+    // full after it completed (crash before the checkpoint commit): the
+    // delete finds its keys absent, the insert leg's probe EXCLUDES its
+    // own tag (so its own prior layer cannot suppress its rows) and its
+    // four writes overwrite themselves.
+    def fold(tag: String, replayA: Boolean): String = {
+      val root = Tables.scratchDir(s"graft_t24_$tag").toString
+      val idx = root + "/idx"
+      val out = root + "/out"
+      StreamingIngest.nearDedupIndexBatch(
+        docs.where(Dedup.idxBucket <= 7).select(col("doc_id"), col("text")),
+        "prior", idx, out)
+      Seq(half === 0, half === 1).zipWithIndex.foreach { case (arr, i) =>
+        val keys = docs.where(Dedup.idxDoomed && arr).select(col("doc_id"))
+        val ins = docs.where(Dedup.idxBucket >= 8 && arr)
+          .select(col("doc_id"), col("text"))
+          .join(broadcast(keys.distinct()), Seq("doc_id"), "leftanti")
+        def leg(): Unit = {
+          Dedup.nearDedupIndexDeleteKeys(spark, idx, keys)
+          StreamingIngest.nearDedupIndexBatch(ins, s"b$i", idx, out)
+        }
+        leg()
+        if (replayA && i == 0) leg() // full-batch replay
+      }
+      idx
+    }
+    def state(idx: String) = rows(spark.read.parquet(s"$idx/fp")
+      .select(col("doc_id"), col("fp")).orderBy(col("doc_id")))
+    val manual = state(fold("manual", replayA = false))
+    assert(rows(StreamingIngest.streamNearDedupIndexUpsert(spark, sf)) == manual,
+      "streamed near-dup index upsert diverged from its per-batch restatement")
+    assert(state(fold("replay", replayA = true)) == manual,
+      "full-batch replay of a near-dup upsert diverged")
+  }
 }
