@@ -757,26 +757,28 @@ object Dedup {
     pmod(TextFns.polyHash(concat(lit("d"), col("doc_id").cast("string"))),
       lit(5L)) === 0L
 
-  /** Apply a tombstone KEY table (`doc_id` rows, x75's delete-request
-    * model) to a batch-layered fingerprint index (the [[dedupAgainstIndex]]
-    * / `StreamingIngest.dedupIndexBatch` artifact) by rewriting ONLY the
-    * `batch=` layers that hold a doomed keeper — the x83 dirty-leaf
-    * economics on the one-level layout. The index stores `(fp, doc_id)`,
-    * so the dirty set is one broadcast semi-join of the keys against the
-    * index itself — O(index), two narrow columns, never the corpus: keys
-    * naming docs the index never kept (ingest-time duplicates, or keys
-    * replayed after their layer was already rewritten) simply match
-    * nothing. Under `gate` layers the survivor fetch is a compiled
-    * partition predicate (prunes at the scan), past it a broadcast
-    * semi-join on the tag. Survivors stage under `partitionBy(batch)`,
-    * dynamic overwrite replaces exactly the staged layers, fully-emptied
-    * layers are dropped explicitly, and the listing cache refreshed.
-    * Clean layers keep their exact files (spec-pinned). Replay-idempotent
-    * without markers (t20's argument): a replayed batch's keys are
-    * already absent, the dirty set is empty, no file is touched. Same
-    * single-writer / no-concurrent-reader contract as the index swaps it
-    * mirrors. Returns the dirty layer tags — bounded by the layer count,
-    * the same O(metadata) class as x75's partition keys.
+  /** Apply a tombstone KEY table (x75's delete-request model) to ANY
+    * one-level `batch=`-layered index whose rows carry the key column —
+    * the x83 dirty-leaf economics on the flat layout, shared by the
+    * exact-dup fingerprint index (x86, `(fp, doc_id)`), each near-dup
+    * sub-index (x89: fp/pfx/sh, all keyed `doc_id`), the winnowing span
+    * index (x91, `(doc_id, p, h)`), and the semantic vector index (x92,
+    * keyed `vec_id`). The dirty set is one broadcast semi-join of the
+    * keys against the index itself — O(index), narrow columns, never the
+    * corpus: keys naming rows the index never kept (ingest-time
+    * duplicates, or keys replayed after their layer was already
+    * rewritten) simply match nothing. Under `gate` layers the survivor
+    * fetch is a compiled partition predicate (prunes at the scan), past
+    * it a broadcast semi-join on the tag. Survivors stage under
+    * `partitionBy(batch)`, dynamic overwrite replaces exactly the staged
+    * layers, fully-emptied layers are dropped explicitly, and the
+    * listing cache refreshed. Clean layers keep their exact files
+    * (spec-pinned). Replay-idempotent without markers (t20's argument):
+    * a replayed batch's keys are already absent, the dirty set is empty,
+    * no file is touched. Same single-writer / no-concurrent-reader
+    * contract as the index swaps it mirrors. Returns the dirty layer
+    * tags — bounded by the layer count, the same O(metadata) class as
+    * x75's partition keys.
     *
     * Semantics note (the contract a caller must know): deleting a keeper
     * does NOT resurrect the duplicates it suppressed — they were dropped
@@ -788,18 +790,18 @@ object Dedup {
     * (`/root/reference/src/main/scala/org/apache/flume/sink/hive/batched/HiveBatchedSink.scala:318-322`)
     * applied to the dedup index artifact. */
   private[graft] def dedupIndexDeleteKeys(spark: SparkSession, idxDir: String,
-      keys: DataFrame,
+      keys: DataFrame, keyCol: String = "doc_id",
       gate: Int = Maintenance.keyGateDefault): Seq[String] = {
     val idx = spark.read.parquet(idxDir)
-    val k = broadcast(keys.select(col("doc_id")).distinct())
-    val dirtyDf = idx.join(k, Seq("doc_id"), "leftsemi")
+    val k = broadcast(keys.select(col(keyCol)).distinct())
+    val dirtyDf = idx.join(k, Seq(keyCol), "leftsemi")
       .select(col("batch")).distinct()
     val dirty = dirtyDf.collect().map(_.getString(0)).toSeq.sorted
     if (dirty.nonEmpty) {
       val restricted = Maintenance.restrictToKeys(idx, "batch", dirtyDf,
         dirty, gate)
       val stage = Tables.scratchDir("graft_dedup_idx_stage_").toString
-      restricted.join(k, Seq("doc_id"), "leftanti")
+      restricted.join(k, Seq(keyCol), "leftanti")
         .write.mode("overwrite").partitionBy("batch").parquet(stage)
       val fs = new org.apache.hadoop.fs.Path(idxDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -923,7 +925,8 @@ object Dedup {
       indexDir: String, keys: DataFrame,
       gate: Int = Maintenance.keyGateDefault): Map[String, Seq[String]] =
     Seq("fp", "pfx", "sh").map(sub =>
-      sub -> dedupIndexDeleteKeys(spark, s"$indexDir/$sub", keys, gate)).toMap
+      sub -> dedupIndexDeleteKeys(spark, s"$indexDir/$sub", keys,
+        gate = gate)).toMap
 
   /** X89 — the near-dup index UPSERT: stored history is one
     * `nearDedupIndexBatch` layer (buckets ≤7 — within a batch only exact

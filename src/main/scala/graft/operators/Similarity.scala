@@ -1292,6 +1292,49 @@ object Similarity {
         expr("n_same_cell * 1000000L div n_pairs").as("recall_ppm"))
   }
 
+  /** X92 — the SemDeDup cell index under one UPSERT pass: the last
+    * index-shaped artifact to gain its delete leg. t15's
+    * `semanticDedupBatch` persists kept vectors as a `batch=`-layered
+    * `(vec_id, embedding, cell, nrm)` index; without delete propagation a
+    * retracted kept vector keeps suppressing every future ε-ball
+    * neighbor. The fold is the shared one-level layered swap
+    * (`Dedup.dedupIndexDeleteKeys`, keyed `vec_id`) — same dirty-layer
+    * economics, file-identity, and markerless replay as x86/x89/x91.
+    * Fixture: stored layer = buckets ≤7 under the frozen disk-memoized
+    * x6b quantizer (doomed vectors legitimately participate in the
+    * within-batch greedy rule — they were live at build time), delete
+    * keys = the salted doomed set, insert batch = buckets ≥8 net of
+    * same-batch cancels, admitted against the SURVIVING keeps (a fresh
+    * vector inside a deleted keep's ε-ball is readmitted). Output = the
+    * final index (vec_id, cell); oracle = t15's retrained NOT-EXISTS
+    * chain with the doomed set removed between the two phases. */
+  def semanticIndexUpsert(spark: SparkSession, sfDir: String,
+                          threshold: Double = 0.4): DataFrame = {
+    import graft.streaming.StreamingIngest
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val bucket = pmod(graft.functions.TextFns.polyHash(
+      col("vec_id").cast("string")), lit(10L))
+    val doomed = pmod(graft.functions.TextFns.polyHash(
+      concat(lit("d"), col("vec_id").cast("string"))), lit(5L)) === 0L
+    val cents = ivfCentroids(spark, sfDir)
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toSeq).toSeq
+    val root = Tables.scratchDir("graft_x92_idx").toString
+    val idx = root + "/idx"
+    val out = root + "/out"
+    StreamingIngest.semanticDedupBatch(vecs.where(bucket <= 7), "prior",
+      cents, idx, out, threshold)
+    val keys = vecs.where(doomed).select(col("vec_id"))
+    Dedup.dedupIndexDeleteKeys(spark, idx, keys, keyCol = "vec_id")
+    StreamingIngest.semanticDedupBatch(
+      vecs.where(bucket >= 8)
+        .join(broadcast(keys.distinct()), Seq("vec_id"), "leftanti"),
+      "fresh", cents, idx, out, threshold)
+    spark.read.parquet(idx)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .orderBy(col("vec_id"))
+  }
+
   /** X72 — quantizer cell-drift audit: the when-to-retrain signal the
     * frozen-quantizer operating mode (x6h/t15) defers to. The corpus is
     * split into the standard prior/fresh arrival halves (t14/t15's

@@ -1313,6 +1313,13 @@ object TextAnalysis {
       docs.where(col("b") <= 7).select(col("doc_id"), col("text")), idx, "prior")
     val grown = spanIndexAppend(spark,
       docs.where(col("b") >= 8).select(col("doc_id"), col("text")), idx, "novel")
+    spanHitProbe(grown)
+  }
+
+  /** The x58/x60/x91 probe tail over a grown span index: each `novel`
+    * doc's spans hit-checked against the distinct `prior` span hashes,
+    * rolled up to per-doc hit ppm. */
+  private def spanHitProbe(grown: DataFrame): DataFrame = {
     val priorH = grown.where(col("batch") === "prior")
       .select(col("h")).distinct()
     grown.where(col("batch") === "novel")
@@ -1324,6 +1331,36 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_spans"), col("n_hit_spans"),
         expr("n_hit_spans * 1000000L div n_spans").as("hit_ppm"))
       .orderBy(col("doc_id"))
+  }
+
+  /** X91 — the span index under one UPSERT pass: x60's stored layer
+    * (buckets ≤7), then the delete keys fold through the shared
+    * one-level layered swap (`Dedup.dedupIndexDeleteKeys` — the span
+    * rows already carry `doc_id`, so the exact-dup index's fold applies
+    * verbatim: clean layers byte-identical, emptied layers drop,
+    * markerless replay), then the fresh batch (≥8, net of same-batch
+    * cancels) appends and the x60 contamination probe runs against the
+    * SURVIVING prior spans. A retracted document's spans leave the
+    * index, so a fresh document sharing a 64-char passage ONLY with the
+    * retracted document reports it as novel — the substring analog of
+    * x86/x89's readmission. Oracle = x58's probe with both sides
+    * restricted to survivors. At 100 TB the fold is O(delete batch +
+    * dirty layers' span rows); winnowing is per-doc pure, so nothing
+    * else recomputes. */
+  def spanIndexUpsertProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), Dedup.idxBucket.as("b"))
+    val idx = graft.Tables.scratchDir("graft_x91_idx").toString + "/idx"
+    spanIndexAppend(spark,
+      docs.where(col("b") <= 7).select(col("doc_id"), col("text")), idx, "prior")
+    val keys = docs.where(Dedup.idxDoomed).select(col("doc_id"))
+    Dedup.dedupIndexDeleteKeys(spark, idx, keys)
+    val grown = spanIndexAppend(spark,
+      docs.where(col("b") >= 8).select(col("doc_id"), col("text"))
+        .join(broadcast(keys.distinct()), Seq("doc_id"), "leftanti"),
+      idx, "novel")
+    spanHitProbe(grown)
   }
 
   /** X56 — exact repeated-substring REMOVAL, x54's decision applied the

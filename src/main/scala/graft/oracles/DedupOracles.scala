@@ -447,6 +447,40 @@ object DedupOracles {
     // batch B's near check runs against stored survivors PLUS batch A's
     // admits
     "t24_stream_neardup_index_upsert" -> nearDedupStreamSql,
+    // x92: t15's retrained NOT-EXISTS chain with the doomed set removed
+    // between the phases — prior keeps are selected WITH doomed vectors
+    // as greedy blockers (they were live at build time), then doomed
+    // keeps leave; fresh vectors (net of cancels) admit against
+    // SURVIVING keeps only, so a fresh vector inside a deleted keep's
+    // ε-ball is readmitted
+    "x92_semantic_index_upsert" ->
+      s"""WITH $ivfChainSql,
+          av AS MATERIALIZED (
+            SELECT a.cell, a.vec_id, e.embedding,
+              ${polyHashSql("CAST(e.vec_id AS VARCHAR)")} % 10 AS bkt,
+              ${polyHashSql("'d' || CAST(e.vec_id AS VARCHAR)")} % 5 = 0
+                AS doomed
+            FROM asg a JOIN embeddings e USING (vec_id)),
+          pr AS (SELECT * FROM av WHERE bkt <= 7),
+          fr AS (SELECT * FROM av WHERE bkt >= 8 AND NOT doomed),
+          pk AS MATERIALIZED (
+            SELECT p.cell, p.vec_id, p.embedding, p.doomed FROM pr p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM pr q WHERE q.cell = p.cell AND q.vec_id < p.vec_id
+                AND round(${cosineD("q.embedding", "p.embedding")}, 6) >= 0.4)),
+          pks AS (SELECT cell, vec_id, embedding FROM pk WHERE NOT doomed),
+          fk AS (
+            SELECT f.cell, f.vec_id FROM fr f
+            WHERE NOT EXISTS (
+              SELECT 1 FROM fr g WHERE g.cell = f.cell AND g.vec_id < f.vec_id
+                AND round(${cosineD("g.embedding", "f.embedding")}, 6) >= 0.4)
+            AND NOT EXISTS (
+              SELECT 1 FROM pks WHERE pks.cell = f.cell
+                AND round(${cosineD("pks.embedding", "f.embedding")}, 6) >= 0.4))
+          SELECT vec_id, CAST(cell AS BIGINT) AS cell
+          FROM (SELECT vec_id, cell FROM pks
+                UNION ALL SELECT vec_id, cell FROM fk)
+          ORDER BY vec_id""".stripMargin,
     "x6d_batch_topk" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
             FROM embeddings WHERE vec_id < 10),
@@ -562,6 +596,27 @@ object DedupOracles {
     // index is row-identical to the rebuild (spec-pinned) and x58's
     // oracle carries over verbatim
     "x60_span_append_probe" -> contaminationOracleSql,
+    // x91: x58's probe with BOTH sides restricted to survivors of the
+    // delete keys — a retracted document's spans leave the index, so a
+    // fresh doc sharing a 64-char passage only with it reports novel
+    "x91_span_index_upsert" ->
+      s"""WITH $winnowSpansSql,
+          b AS (SELECT doc_id, $idxBk AS bk, $idxDoomedSql AS doomed
+                FROM documents),
+          priorh AS (SELECT DISTINCT sp.h FROM sp
+                     JOIN b ON b.doc_id = sp.doc_id
+                     WHERE b.bk <= 7 AND NOT b.doomed),
+          newsp AS (SELECT sp.doc_id, sp.h FROM sp
+                    JOIN b ON b.doc_id = sp.doc_id
+                    WHERE b.bk >= 8 AND NOT b.doomed)
+          SELECT n.doc_id,
+            CAST(COUNT(*) AS BIGINT) AS n_spans,
+            CAST(SUM(CASE WHEN p.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_hit_spans,
+            CAST(SUM(CASE WHEN p.h IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+              // COUNT(*) AS BIGINT) AS hit_ppm
+          FROM newsp n LEFT JOIN priorh p ON p.h = n.h
+          GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin,
     // x56: x54's spans with keep-one-canonical semantics (the
     // (doc_id,p)-min per repeated span hash survives; every other
     // occurrence is cut), islands merged, the doc spliced back together

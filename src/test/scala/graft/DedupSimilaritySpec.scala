@@ -1425,6 +1425,58 @@ class DedupSimilaritySpec extends SparkSpec {
       "near-dup index compaction changed the admission outcome")
   }
 
+  test("x91: deleting a document's spans readmits future sharers of its passages; " +
+      "x92: deleting a kept vector readmits its future ε-ball neighbors") {
+    import spark.implicits._
+    import graft.operators.{Similarity, TextAnalysis}
+    import graft.streaming.StreamingIngest
+    // --- x91: a 160-char passage shared ONLY between stored doc 1 and
+    // fresh doc 10 (winnowing guarantees a common anchor well past
+    // spanLen + winnow + kGram)
+    val common = (1 to 40).map(i => f"p$i%02d").mkString // 160 chars
+    val docA = common + " tail of the stored document, long enough"
+    val docB = "fresh head text here " + common
+    def spanFold(tag: String, deleteFirst: Boolean): Long = {
+      val idx = graft.Tables.scratchDir(s"graft_x91_spec_$tag").toString + "/idx"
+      TextAnalysis.spanIndexAppend(spark,
+        Seq((1L, docA)).toDF("doc_id", "text"), idx, "prior")
+      if (deleteFirst)
+        Dedup.dedupIndexDeleteKeys(spark, idx, Seq(1L).toDF("doc_id"))
+      val grown = TextAnalysis.spanIndexAppend(spark,
+        Seq((10L, docB)).toDF("doc_id", "text"), idx, "novel")
+      val prior = grown.where(col("batch") === "prior").select(col("h"))
+      grown.where(col("batch") === "novel").select(col("h"))
+        .join(prior, Seq("h"), "leftsemi").count()
+    }
+    assert(spanFold("ctl", deleteFirst = false) > 0,
+      "control: the shared passage produced no shared span fingerprint")
+    assert(spanFold("del", deleteFirst = true) == 0,
+      "doc 1's spans still hit after its deletion")
+    // --- x92: one-cell quantizer, stored keep v1; fresh v10 inside its
+    // ε-ball (cosine ≈ 1 ≥ 0.4)
+    val cents = Seq(Seq(1.0, 0.0))
+    def vecs(rows: (Long, Seq[Float])*) = rows.toSeq
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    def semFold(tag: String, deleteFirst: Boolean): Set[Long] = {
+      val root = graft.Tables.scratchDir(s"graft_x92_spec_$tag").toString
+      val idx = root + "/idx"
+      StreamingIngest.semanticDedupBatch(vecs(1L -> Seq(1f, 0f)),
+        "prior", cents, idx, root + "/out", 0.4)
+      if (deleteFirst)
+        Dedup.dedupIndexDeleteKeys(spark, idx, Seq(1L).toDF("vec_id"),
+          keyCol = "vec_id")
+      StreamingIngest.semanticDedupBatch(vecs(10L -> Seq(0.99f, 0.01f)),
+        "fresh", cents, idx, root + "/out", 0.4)
+      spark.read.parquet(idx).select(col("vec_id"))
+        .collect().map(_.getLong(0)).toSet
+    }
+    assert(semFold("ctl", deleteFirst = false) == Set(1L),
+      "control: the ε-ball neighbor should have been dropped")
+    assert(semFold("del", deleteFirst = true) == Set(10L),
+      "v10 was not readmitted after its ε-ball partner's deletion")
+  }
+
   test("x88: dedup-index compaction is content-invariant, folds layers to one on the " +
       "flat (no sub-partition) layout, and survives both crash windows") {
     import spark.implicits._
