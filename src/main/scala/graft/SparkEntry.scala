@@ -141,6 +141,7 @@ object SparkEntry {
     "x90_neardup_index_compact" -> (Dedup.nearDedupIndexCompact _),
     "x91_span_index_upsert" -> (TextAnalysis.spanIndexUpsertProbe _),
     "x92_semantic_index_upsert" -> ((s, d) => Similarity.semanticIndexUpsert(s, d)),
+    "x93_bloom_index_decontam" -> ((s, d) => Dedup.bloomIndexDecontam(s, d)),
     "x69_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "x69b_semantic_blocking_recall" -> ((s, d) => Similarity.semanticBlockingRecall(s, d)),
     "x72_cell_drift" -> (Similarity.cellDrift _),

@@ -741,21 +741,155 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Append one benchmark batch's shingle-hash Bloom filter as a
+    * `batch=<tag>` layer of a PERSISTED decontamination index — the
+    * MERGEABLE-SKETCH maintained-artifact class: layers fold by bitwise
+    * OR (Bloom union is exact), so an append never rereads prior bench
+    * batches, and the artifact is O(bits) metadata however large the
+    * benchmark suite grows. Two deliberate contrasts with the row-keyed
+    * indexes (x86–x92): (1) the layer filter is built over the batch's
+    * UNCAPPED shingle hashes — the df-rarity cap is corpus-global and
+    * changes as training data grows, so baking it into a persisted layer
+    * would break `merge ≡ rebuild`; leaving it out only adds false
+    * positives, which the exact verify join prunes (Blooms have no false
+    * negatives, so the final x17 result is unchanged); (2) DELETES are
+    * structurally impossible — a Bloom cannot unlearn — so retracting a
+    * benchmark doc means rebuilding its layer (the honest `n/a` cell in
+    * SURVEY's lifecycle matrix). Fixed (items, bits) on every layer keep
+    * the sketches merge-compatible; the tag-scoped overwrite is the x16
+    * replay rule. */
+  private[graft] def bloomIndexAppend(spark: SparkSession, benchDocs: DataFrame,
+                                      idxDir: String, tag: String,
+                                      items: Long = 1000000L,
+                                      bits: Long = 8000000L): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.bridge
+    import spark.implicits._
+    val post = benchDocs.select(explode(array_distinct(
+      TextFns.shingleHashes(TextFns.tokens(col("text")), 3))).as("s"))
+    val agg = post.select(bridge.column(
+        new BloomFilterAggregate(bridge.expression(xxhash64(col("s"))),
+          Literal(items), Literal(bits)).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    // an aggregate over zero rows yields null — a batch with no shingles
+    // must still land a VALID (empty) filter so the layer merges
+    val bytes = Option(agg).getOrElse {
+      val empty = org.apache.spark.util.sketch.BloomFilter.create(items, bits)
+      val out = new java.io.ByteArrayOutputStream()
+      empty.writeTo(out)
+      out.toByteArray
+    }
+    Seq(bytes).toDF("bf").coalesce(1).write.mode("overwrite")
+      .parquet(s"$idxDir/batch=$tag")
+  }
+
+  /** Read every layer of a [[bloomIndexAppend]] index and fold them into
+    * one filter (Bloom union — exact, order-free, driver-side over
+    * O(layers) MB-sized sketches). */
+  private[graft] def bloomIndexMerged(spark: SparkSession,
+                                      idxDir: String): Array[Byte] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val blobs = spark.read.parquet(idxDir).select(col("bf"))
+      .collect().map(_.getAs[Array[Byte]](0))
+    require(blobs.nonEmpty, s"no Bloom layers under $idxDir")
+    val merged = blobs.map(b =>
+      BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+    val out = new java.io.ByteArrayOutputStream()
+    merged.writeTo(out)
+    out.toByteArray
+  }
+
+  /** X93 — x17's decontamination served through the PERSISTED,
+    * append-folded Bloom index: the benchmark split lands as two
+    * [[bloomIndexAppend]] layers (id-parity halves), the layers merge by
+    * Bloom union, and the merged filter prunes train postings before the
+    * shuffle join exactly as in x17b. Result ≡ x17 bit-for-bit (the
+    * prefilter admits supersets, the exact join decides), so x17's
+    * oracle carries over verbatim — the green hash states that the
+    * incrementally-grown sketch artifact reaches the same decision as
+    * the monolithic pass. The 100 TB story: benchmark suites grow by
+    * accretion (new evals added monthly); this is the artifact a
+    * decontamination pipeline keeps instead of re-shingling every bench
+    * set per run. */
+  def bloomIndexDecontam(spark: SparkSession, sfDir: String,
+                         minShared: Int = 5, maxDf: Int = 50): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.bridge
+    val bucket = pmod(TextFns.polyHash(col("doc_id").cast("string")), lit(10L))
+    val docs = Tables.documents(spark, sfDir)
+    val benchIds = docs.where(bucket === 9).select(col("doc_id"))
+    val trainIds = docs.where(bucket <= 7).select(col("doc_id"))
+    val idx = Tables.scratchDir("graft_x93_idx").toString + "/idx"
+    // split by id parity, NOT a polyhash salt: the bench bucket already
+    // constrains polyhash(doc_id), and 'a'-salted rehashes of the SAME
+    // polynomial turn out correlated with it (at sf0.001 every bench doc
+    // landed in one salted half — an accidentally empty layer). Parity is
+    // independent of the bucket hash; the layering never affects the
+    // result anyway (union is order- and split-free).
+    val half = pmod(col("doc_id"), lit(2L))
+    bloomIndexAppend(spark, docs.where(bucket === 9 && half === 0), idx, "b0")
+    bloomIndexAppend(spark, docs.where(bucket === 9 && half === 1), idx, "b1")
+    val mightContain = bridge.column(BloomFilterMightContain(
+      Literal.create(bloomIndexMerged(spark, idx),
+        org.apache.spark.sql.types.BinaryType),
+      bridge.expression(xxhash64(col("s")))))
+    val posting = shingled(spark, sfDir)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val rare = posting.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select(col("s"))
+    val filtered = posting.join(rare, "s")
+    val benchPost = filtered.join(benchIds, "doc_id")
+      .select(col("doc_id").as("bench_id"), col("s"))
+    val trainPost = filtered.join(trainIds, "doc_id")
+      .select(col("doc_id").as("train_id"), col("s"))
+      .where(mightContain)
+    val shared = benchPost.join(trainPost, "s")
+      .groupBy(col("bench_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    val perBench = shared.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_hits"), max(col("n_shared")).as("max_shared"))
+    benchIds.select(col("doc_id"))
+      .join(perBench.withColumnRenamed("bench_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_contaminating"),
+        coalesce(col("max_shared"), lit(0L)).as("max_shared"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The x61/x16 batch split (`polyhash(doc_id) % 10`) — one definition so
     * the maintenance fixtures (x86/x87/x88/t23) and their oracles can
     * never drift from the append fixtures. */
   private[graft] def idxBucket: Column =
     pmod(TextFns.polyHash(col("doc_id").cast("string")), lit(10L))
 
-  /** The maintenance fixtures' delete-request set: a salted hash so the
-    * doomed docs decorrelate from [[idxBucket]]'s batch split (an unsalted
-    * reuse would delete whole batches). Deliberately drawn from ALL
-    * doc_ids, keepers or not — a key naming a doc the index never kept
-    * (an ingest-time duplicate) must be a structural no-op, and the
-    * fixtures should exercise that path. */
+  /** The maintenance fixtures' delete-request set, decorrelated from
+    * [[idxBucket]] by a SECOND RESIDUE of the same hash (CRT: `h % 7`
+    * spreads within every `h % 10` class), NOT by salting the input.
+    * Salting is a trap here: the polynomial hash is computed without a
+    * modular wrap for short numeric ids (a ≤4-digit id's rolling value
+    * never exceeds p), so `polyhash(salt ‖ id) mod m` is a LINEAR
+    * function of `polyhash(id) mod m` — a 'd'-prefixed %5 "independent"
+    * doomed set turned out to be exactly buckets {0, 5}, and an
+    * 'a'-prefixed %2 arrival split exactly bucket parity. Deliberately
+    * drawn from ALL doc_ids, keepers or not — a key naming a doc the
+    * index never kept (an ingest-time duplicate) must be a structural
+    * no-op, and the fixtures should exercise that path. ~14% of ids;
+    * verified to hit stored keepers in every layer AND insert batches
+    * (same-batch cancels) at both gate SFs. */
   private[graft] def idxDoomed: Column =
-    pmod(TextFns.polyHash(concat(lit("d"), col("doc_id").cast("string"))),
-      lit(5L)) === 0L
+    pmod(TextFns.polyHash(col("doc_id").cast("string")), lit(7L)) === 3L
+
+  /** The streaming fixtures' (t23/t24) two-way arrival split — the next
+    * decimal digit of the same hash (`⌊h/10⌋ % 2`), independent of both
+    * [[idxBucket]] (`h % 10`) and [[idxDoomed]] (`h % 7`) for the same
+    * reason a salt is not (see [[idxDoomed]]). A doc's I and D ops share
+    * its arrival batch by construction. */
+  private[graft] def idxArrival: Column =
+    pmod((TextFns.polyHash(col("doc_id").cast("string")) / lit(10.0))
+      .cast("long"), lit(2L))
 
   /** Apply a tombstone KEY table (x75's delete-request model) to ANY
     * one-level `batch=`-layered index whose rows carry the key column —

@@ -1303,7 +1303,7 @@ object Similarity {
     * Fixture: stored layer = buckets ≤7 under the frozen disk-memoized
     * x6b quantizer (doomed vectors legitimately participate in the
     * within-batch greedy rule — they were live at build time), delete
-    * keys = the salted doomed set, insert batch = buckets ≥8 net of
+    * keys = the `h % 7` residue doomed set, insert batch = buckets ≥8 net of
     * same-batch cancels, admitted against the SURVIVING keeps (a fresh
     * vector inside a deleted keep's ε-ball is readmitted). Output = the
     * final index (vec_id, cell); oracle = t15's retrained NOT-EXISTS
@@ -1315,8 +1315,10 @@ object Similarity {
       .select(col("vec_id"), col("embedding"))
     val bucket = pmod(graft.functions.TextFns.polyHash(
       col("vec_id").cast("string")), lit(10L))
+    // second residue of the same hash, not a salt — Dedup.idxDoomed's
+    // linearity note applies to short numeric vec_ids identically
     val doomed = pmod(graft.functions.TextFns.polyHash(
-      concat(lit("d"), col("vec_id").cast("string"))), lit(5L)) === 0L
+      col("vec_id").cast("string")), lit(7L)) === 3L
     val cents = ivfCentroids(spark, sfDir)
       .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toSeq).toSeq
     val root = Tables.scratchDir("graft_x92_idx").toString

@@ -24,10 +24,14 @@ object DedupOracles {
     * byte-equivalent to `Dedup.idxBucket` / `Dedup.idxDoomed` / t23's
     * salted arrival hash. */
   private def idxBk = s"""${polyHashSql("CAST(doc_id AS VARCHAR)")} % 10"""
+  // second/third residues of the SAME hash, not salts — the polynomial
+  // hash never wraps mod p for short numeric ids, so a salted rehash is
+  // a linear function of the original mod any small modulus (a
+  // 'd'-prefixed %5 doomed set was exactly buckets {0,5})
   private def idxDoomedSql =
-    s"""${polyHashSql("'d' || CAST(doc_id AS VARCHAR)")} % 5 = 0"""
+    s"""${polyHashSql("CAST(doc_id AS VARCHAR)")} % 7 = 3"""
   private def idxArrivalSql =
-    s"""${polyHashSql("'a' || CAST(doc_id AS VARCHAR)")} % 2"""
+    s"""(${polyHashSql("CAST(doc_id AS VARCHAR)")} // 10) % 2"""
 
   /** x86/x88: x61's two-batch keeper set minus the keepers the doomed
     * keys name (a key naming a never-kept duplicate matches no keeper —
@@ -458,8 +462,7 @@ object DedupOracles {
           av AS MATERIALIZED (
             SELECT a.cell, a.vec_id, e.embedding,
               ${polyHashSql("CAST(e.vec_id AS VARCHAR)")} % 10 AS bkt,
-              ${polyHashSql("'d' || CAST(e.vec_id AS VARCHAR)")} % 5 = 0
-                AS doomed
+              ${polyHashSql("CAST(e.vec_id AS VARCHAR)")} % 7 = 3 AS doomed
             FROM asg a JOIN embeddings e USING (vec_id)),
           pr AS (SELECT * FROM av WHERE bkt <= 7),
           fr AS (SELECT * FROM av WHERE bkt >= 8 AND NOT doomed),
@@ -726,5 +729,10 @@ object DedupOracles {
     // identical by construction: the Bloom pre-filter has no false
     // negatives, so x17b must reproduce x17's rows exactly
     "x17b_contamination_bloom" -> x17Oracle,
+    // x93: the same decision served through the PERSISTED append-folded
+    // Bloom index — the prefilter admits supersets (uncapped layer
+    // blooms, merged by union) and the exact join decides, so x17's
+    // oracle carries over verbatim
+    "x93_bloom_index_decontam" -> x17Oracle,
   )
 }

@@ -1799,7 +1799,7 @@ object StreamingIngest {
     Dedup.dedupAgainstIndex(spark,
       docs.where(Dedup.idxBucket === 6 || Dedup.idxBucket === 7),
       idxDir, "mid")
-    // ops: buckets ≥8 arrive as inserts, the salted doomed set as
+    // ops: buckets ≥8 arrive as inserts, the idxDoomed residue set as
     // deletes — doomed inserts share their arrival hash with their D row
     // (both hash the same doc_id), so the same-batch cancel leg is
     // genuinely exercised, while doomed stored keepers exercise the
@@ -1811,12 +1811,10 @@ object StreamingIngest {
           lit(null).cast("string").as("text")))
     val srcDir = root.resolve("src")
     Files.createDirectories(srcDir)
-    // SALTED arrival hash: the batch split already derives from
-    // polyhash(doc_id) % 10, and ph % 2 == (ph % 10) % 2 — an unsalted
-    // arrival hash would make arrival exactly bucket parity (every batch-A
-    // insert from bucket 8, every batch-B insert from bucket 9)
-    val half = pmod(graft.functions.TextFns.polyHash(
-      concat(lit("a"), col("doc_id").cast("string"))), lit(2L))
+    // arrival split: a decorrelated second residue of the id hash
+    // (Dedup.idxArrival — see idxDoomed's note on why a SALT is not
+    // independent here)
+    val half = Dedup.idxArrival
     landArrivalSplits(ops, root, srcDir,
       Seq("a_first.parquet" -> (half === 0), "b_second.parquet" -> (half === 1)))
     withScratchCheckpoint { ck =>
@@ -1853,7 +1851,7 @@ object StreamingIngest {
     * so a crash anywhere between or inside the legs replays both and
     * converges (spec drill). Order-sensitive like t23 — admission probes
     * the index as-of arrival — so the oracle restates the per-batch fold
-    * over the salted arrival split; the streaming spec additionally pins
+    * over the idxArrival residue split; the streaming spec additionally pins
     * the streamed result against a JVM replica of the two-batch fold. */
   def streamNearDedupIndexUpsert(spark: SparkSession, sfDir: String): DataFrame = {
     import java.nio.file.Files
@@ -1873,8 +1871,7 @@ object StreamingIngest {
           lit(null).cast("string").as("text")))
     val srcDir = root.resolve("src")
     Files.createDirectories(srcDir)
-    val half = pmod(graft.functions.TextFns.polyHash(
-      concat(lit("a"), col("doc_id").cast("string"))), lit(2L))
+    val half = Dedup.idxArrival
     landArrivalSplits(ops, root, srcDir,
       Seq("a_first.parquet" -> (half === 0), "b_second.parquet" -> (half === 1)))
     withScratchCheckpoint { ck =>

@@ -1477,6 +1477,37 @@ class DedupSimilaritySpec extends SparkSpec {
       "v10 was not readmitted after its ε-ball partner's deletion")
   }
 
+  test("x93: the append-folded Bloom index reaches x17's exact decision; merged layers " +
+      "contain both halves' shingles") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.bridge
+    // merged-union drill: a shingle present in only ONE layer must be
+    // contained in the merged filter (no false negatives across layers)
+    val idx = graft.Tables.scratchDir("graft_x93_spec").toString + "/idx"
+    Dedup.bloomIndexAppend(spark,
+      Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text"), idx, "b0")
+    Dedup.bloomIndexAppend(spark,
+      Seq((2L, "epsilon zeta eta theta")).toDF("doc_id", "text"), idx, "b1")
+    val merged = Dedup.bloomIndexMerged(spark, idx)
+    val probes = Seq((1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+      .select(col("doc_id"), explode(graft.functions.TextFns.shingleHashes(
+        graft.functions.TextFns.tokens(col("text")), 3)).as("s"))
+    val contained = probes.where(bridge.column(BloomFilterMightContain(
+        Literal.create(merged, org.apache.spark.sql.types.BinaryType),
+        bridge.expression(xxhash64(col("s"))))))
+    assert(contained.count() == probes.count(),
+      "a shingle from one layer is missing from the merged filter")
+    // decision equality: the index-served pass equals the monolithic
+    // Bloom pass (itself pinned ≡ x17 by the shared oracle)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows(Dedup.bloomIndexDecontam(spark, sf)) ==
+      rows(Dedup.contaminationBloom(spark, sf)),
+      "the persisted Bloom index changed the decontamination decision")
+  }
+
   test("x88: dedup-index compaction is content-invariant, folds layers to one on the " +
       "flat (no sub-partition) layout, and survives both crash windows") {
     import spark.implicits._

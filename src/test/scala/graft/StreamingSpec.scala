@@ -1330,8 +1330,7 @@ class StreamingSpec extends SparkSpec {
     // divergence itself is pinned in DedupSimilaritySpec). This is the
     // JVM twin of what t23's oracle restates in SQL.
     val docs = Tables.documents(spark, sf)
-    val half = pmod(graft.functions.TextFns.polyHash(
-      concat(lit("a"), col("doc_id").cast("string"))), lit(2L))
+    val half = Dedup.idxArrival
     def fold(idx: String, arrivals: Seq[org.apache.spark.sql.Column]): Unit = {
       Dedup.dedupAgainstIndex(spark, docs.where(Dedup.idxBucket <= 5), idx, "prior")
       Dedup.dedupAgainstIndex(spark,
@@ -1371,8 +1370,7 @@ class StreamingSpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     val docs = Tables.documents(spark, sf)
-    val half = pmod(graft.functions.TextFns.polyHash(
-      concat(lit("a"), col("doc_id").cast("string"))), lit(2L))
+    val half = Dedup.idxArrival
     // manual JVM replica of the two-batch fold — the twin of what t24's
     // oracle restates in SQL. `replayA` additionally replays batch A in
     // full after it completed (crash before the checkpoint commit): the
