@@ -111,6 +111,7 @@ object SparkEntry {
     "t22_stream_index_upsert" -> (StreamingIngest.streamIndexUpsert _),
     "t23_stream_dedup_index_upsert" -> (StreamingIngest.streamDedupIndexUpsert _),
     "t24_stream_neardup_index_upsert" -> (StreamingIngest.streamNearDedupIndexUpsert _),
+    "t25_stream_span_index_upsert" -> (StreamingIngest.streamSpanIndexUpsert _),
     // M5 — [EXT] LLM-pipeline operators
     "x1_dedup_exact" -> (Dedup.exactDedup _),
     "x2_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),

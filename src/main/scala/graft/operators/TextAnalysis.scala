@@ -1319,7 +1319,7 @@ object TextAnalysis {
   /** The x58/x60/x91 probe tail over a grown span index: each `novel`
     * doc's spans hit-checked against the distinct `prior` span hashes,
     * rolled up to per-doc hit ppm. */
-  private def spanHitProbe(grown: DataFrame): DataFrame = {
+  private[graft] def spanHitProbe(grown: DataFrame): DataFrame = {
     val priorH = grown.where(col("batch") === "prior")
       .select(col("h")).distinct()
     grown.where(col("batch") === "novel")

@@ -100,6 +100,27 @@ object DedupOracles {
         SELECT doc_id, fp FROM fk WHERE doc_id NOT IN (SELECT doc_id FROM nf)
         ORDER BY doc_id""".stripMargin
 
+  /** x91/t25: x58's probe with both sides restricted to survivors of
+    * the delete keys. */
+  private lazy val spanUpsertSql: String =
+    s"""WITH $winnowSpansSql,
+        b AS (SELECT doc_id, $idxBk AS bk, $idxDoomedSql AS doomed
+              FROM documents),
+        priorh AS (SELECT DISTINCT sp.h FROM sp
+                   JOIN b ON b.doc_id = sp.doc_id
+                   WHERE b.bk <= 7 AND NOT b.doomed),
+        newsp AS (SELECT sp.doc_id, sp.h FROM sp
+                  JOIN b ON b.doc_id = sp.doc_id
+                  WHERE b.bk >= 8 AND NOT b.doomed)
+        SELECT n.doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_spans,
+          CAST(SUM(CASE WHEN p.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_hit_spans,
+          CAST(SUM(CASE WHEN p.h IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS hit_ppm
+        FROM newsp n LEFT JOIN priorh p ON p.h = n.h
+        GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin
+
   /** t24: x89's near-dup fold replayed batch-by-batch — the t23 state
     * chain with a near leg per batch. Batch A's inserts check exact-fp
     * and near-J against the post-delete stored keepers (s0d); batch B's
@@ -602,24 +623,13 @@ object DedupOracles {
     // x91: x58's probe with BOTH sides restricted to survivors of the
     // delete keys — a retracted document's spans leave the index, so a
     // fresh doc sharing a 64-char passage only with it reports novel
-    "x91_span_index_upsert" ->
-      s"""WITH $winnowSpansSql,
-          b AS (SELECT doc_id, $idxBk AS bk, $idxDoomedSql AS doomed
-                FROM documents),
-          priorh AS (SELECT DISTINCT sp.h FROM sp
-                     JOIN b ON b.doc_id = sp.doc_id
-                     WHERE b.bk <= 7 AND NOT b.doomed),
-          newsp AS (SELECT sp.doc_id, sp.h FROM sp
-                    JOIN b ON b.doc_id = sp.doc_id
-                    WHERE b.bk >= 8 AND NOT b.doomed)
-          SELECT n.doc_id,
-            CAST(COUNT(*) AS BIGINT) AS n_spans,
-            CAST(SUM(CASE WHEN p.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-              AS n_hit_spans,
-            CAST(SUM(CASE WHEN p.h IS NOT NULL THEN 1 ELSE 0 END) * 1000000
-              // COUNT(*) AS BIGINT) AS hit_ppm
-          FROM newsp n LEFT JOIN priorh p ON p.h = n.h
-          GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin,
+    "x91_span_index_upsert" -> spanUpsertSql,
+    // t25: x91's upsert as a micro-batch stream — the span fold is
+    // ORDER-INSENSITIVE (span rows are a pure per-doc function; landing
+    // never probes the index; cancels stay same-batch), so unlike
+    // t23/t24 the streamed state ≡ the one-shot pass and x91's oracle
+    // carries over verbatim
+    "t25_stream_span_index_upsert" -> spanUpsertSql,
     // x56: x54's spans with keep-one-canonical semantics (the
     // (doc_id,p)-min per repeated span hash survives; every other
     // occurrence is cut), islands merged, the doc spliced back together

@@ -1896,6 +1896,68 @@ object StreamingIngest {
       .orderBy(col("doc_id"))
   }
 
+  /** T25 — the winnowing span index's upsert as an OPERATIONAL LOOP:
+    * per micro-batch of ops rows, the delete keys fold through the
+    * shared flat swap (`Dedup.dedupIndexDeleteKeys` — span rows carry
+    * `doc_id`) and the insert leg (net of same-batch cancels) lands its
+    * spans as a new `batch=<runId-batchId>` layer
+    * (`TextAnalysis.spanIndexAppend`). UNLIKE the dedup-admission folds
+    * (t23/t24), this fold is ORDER-INSENSITIVE: a document's span rows
+    * are a pure function of its text — landing never probes the index —
+    * and a delete is a set subtraction, so N micro-batches ≡ the
+    * one-shot upsert regardless of arrival (a doomed insert's I and D
+    * share a batch, so cancels stay same-batch; a cross-batch delete of
+    * a landed insert cannot arise). The final x91 probe therefore
+    * carries x91's oracle VERBATIM — the green hash states streaming ≡
+    * batch for this artifact, the same theorem t20/t22 state for the
+    * row-independent ANN folds. Replay is markerless: delete keys
+    * already absent, the append overwrites its own tag. */
+  def streamSpanIndexUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.operators.{Dedup, TextAnalysis}
+    graft.Tables.ensureParquetConf(spark)
+    val root = graft.Tables.scratchDir("graft_t25")
+    val idxDir = root.resolve("idx").toString
+    val docs = graft.Tables.documents(spark, sfDir)
+    TextAnalysis.spanIndexAppend(spark,
+      docs.where(Dedup.idxBucket <= 7).select(col("doc_id"), col("text")),
+      idxDir, "prior")
+    val ops = docs.where(Dedup.idxBucket >= 8)
+      .select(col("doc_id"), lit("I").as("op"), col("text"))
+      .unionByName(docs.where(Dedup.idxDoomed)
+        .select(col("doc_id"), lit("D").as("op"),
+          lit(null).cast("string").as("text")))
+    val srcDir = root.resolve("src")
+    Files.createDirectories(srcDir)
+    val half = Dedup.idxArrival
+    landArrivalSplits(ops, root, srcDir,
+      Seq("a_first.parquet" -> (half === 0), "b_second.parquet" -> (half === 1)))
+    withScratchCheckpoint { ck =>
+      val run = runId(ck, spark.sessionState.newHadoopConf())
+      val q = spark.readStream.schema(ops.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          val keys = b.where(col("op") === "D").select(col("doc_id"))
+          Dedup.dedupIndexDeleteKeys(spark, idxDir, keys)
+          TextAnalysis.spanIndexAppend(spark,
+            b.where(col("op") === "I").select(col("doc_id"), col("text"))
+              .join(broadcast(keys.distinct()), Seq("doc_id"), "leftanti"),
+            idxDir, s"$run-$id")
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally { if (q.isActive) q.stop() }
+    }
+    // the x91 probe over the streamed state: every non-prior layer is
+    // the novel side, whatever its runId tag
+    TextAnalysis.spanHitProbe(spark.read.parquet(idxDir)
+      .withColumn("batch",
+        when(col("batch") === "prior", "prior").otherwise("novel")))
+  }
+
   /** Initialize the maintained BM25-stats artifacts (per-term df table +
     * scalar n_docs/total_len row — `Search.bm25TermDf`/`bm25Scalars` as
     * a VERSIONED store): the "base" snapshot holds both, `_LATEST` points

@@ -1406,4 +1406,17 @@ class StreamingSpec extends SparkSpec {
     assert(state(fold("replay", replayA = true)) == manual,
       "full-batch replay of a near-dup upsert diverged")
   }
+
+  test("t25 streaming span-index upsert equals the ONE-SHOT pass — the order-insensitive " +
+      "contrast to t23/t24") {
+    import graft.operators.TextAnalysis
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // span rows are a pure per-doc function and landing never probes the
+    // index, so N micro-batches ≡ the one-shot upsert — the row-level
+    // JVM twin of t25 carrying x91's oracle verbatim
+    assert(rows(StreamingIngest.streamSpanIndexUpsert(spark, sf)) ==
+      rows(TextAnalysis.spanIndexUpsertProbe(spark, sf)),
+      "streamed span-index upsert diverged from the one-shot pass")
+  }
 }
