@@ -659,15 +659,17 @@ object Dedup {
     * without the `batch` column, mixed directory schemes, corrupt footers)
     * must PROPAGATE — swallowing it as "first run" would silently drop
     * the entire prior corpus from the probe and re-admit every duplicate. */
-  private[graft] def readBatchIndex(spark: SparkSession, dir: String,
-                                    batchTag: String)
-                                   (empty: => DataFrame): DataFrame = {
+  /** "Exists" must mean VISIBLE DATA, not just a directory entry: a
+    * crashed first write leaves _temporary/.staging debris (or an empty
+    * batch= dir after overwrite cleared it), and treating that as a real
+    * index would make every retry fail on schema inference instead of
+    * self-healing — the readers skip hidden files, so should this probe.
+    * Shared by [[readBatchIndex]] (probes) and [[dedupIndexDeleteKeys]]
+    * (the delete fold — a delete arriving before any append, or a batch
+    * that emptied every layer, must be a structural no-op, not a schema
+    * inference crash in the operational loops). */
+  private[graft] def hasVisibleData(spark: SparkSession, dir: String): Boolean = {
     import org.apache.hadoop.fs.{FileSystem, Path}
-    // "exists" must mean VISIBLE DATA, not just a directory entry: a
-    // crashed first write leaves _temporary/.staging debris (or an empty
-    // batch= dir after overwrite cleared it), and treating that as a real
-    // index would make every retry fail on schema inference instead of
-    // self-healing — the readers skip hidden files, so should this probe.
     def hasVisibleFile(fs: FileSystem, p: Path): Boolean =
       fs.exists(p) && fs.listStatus(p).exists { s =>
         val n = s.getPath.getName
@@ -675,8 +677,14 @@ object Dedup {
           (s.isFile || hasVisibleFile(fs, s.getPath))
       }
     val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!hasVisibleFile(fs, p)) empty
+    hasVisibleFile(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private[graft] def readBatchIndex(spark: SparkSession, dir: String,
+                                    batchTag: String)
+                                   (empty: => DataFrame): DataFrame = {
+    Maintenance.guardInterruptedCompaction(spark, dir)
+    if (!hasVisibleData(spark, dir)) empty
     else spark.read.parquet(dir).where(col("batch") =!= batchTag).drop("batch")
   }
 
@@ -780,21 +788,50 @@ object Dedup {
       empty.writeTo(out)
       out.toByteArray
     }
-    Seq(bytes).toDF("bf").coalesce(1).write.mode("overwrite")
-      .parquet(s"$idxDir/batch=$tag")
+    // (items, bits) PERSIST with the layer (ADVICE r14): merge
+    // compatibility is a property of the sizing pair, and without it in
+    // the artifact a caller appending with different sizes only fails at
+    // merge time with no hint of which layer drifted — so validate HERE,
+    // against the stored params, before the incompatible layer can land
+    if (hasVisibleData(spark, idxDir)) {
+      val stored = spark.read.parquet(idxDir)
+        .where(col("batch") =!= tag) // a retry re-validates against OTHERS
+        .select(col("batch"), col("items"), col("bits"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val drifted = stored.filter(s => s._2 != items || s._3 != bits)
+      require(drifted.isEmpty,
+        s"bloomIndexAppend(batch=$tag, items=$items, bits=$bits) is " +
+          s"merge-incompatible with stored layer(s) " +
+          drifted.map(s => s"batch=${s._1}(items=${s._2}, bits=${s._3})")
+            .mkString(", "))
+    }
+    Seq((bytes, items, bits)).toDF("bf", "items", "bits").coalesce(1)
+      .write.mode("overwrite").parquet(s"$idxDir/batch=$tag")
   }
 
   /** Read every layer of a [[bloomIndexAppend]] index and fold them into
     * one filter (Bloom union — exact, order-free, driver-side over
-    * O(layers) MB-sized sketches). */
+    * O(layers) MB-sized sketches). Validates the persisted (items, bits)
+    * sizing params agree across layers BEFORE merging, naming the
+    * offending batch tags — the merge-time IncompatibleMergeException
+    * names nothing. */
   private[graft] def bloomIndexMerged(spark: SparkSession,
                                       idxDir: String): Array[Byte] = {
     import org.apache.spark.util.sketch.BloomFilter
-    val blobs = spark.read.parquet(idxDir).select(col("bf"))
-      .collect().map(_.getAs[Array[Byte]](0))
-    require(blobs.nonEmpty, s"no Bloom layers under $idxDir")
-    val merged = blobs.map(b =>
-      BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
+    val rows = spark.read.parquet(idxDir)
+      .select(col("batch"), col("bf"), col("items"), col("bits"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1),
+        r.getLong(2), r.getLong(3)))
+    require(rows.nonEmpty, s"no Bloom layers under $idxDir")
+    val combos = rows.map(r => (r._3, r._4)).distinct
+    require(combos.size == 1,
+      s"merge-incompatible Bloom layers under $idxDir: " +
+        rows.sortBy(_._1)
+          .map(r => s"batch=${r._1}(items=${r._3}, bits=${r._4})")
+          .mkString(", "))
+    val merged = rows.map(r =>
+      BloomFilter.readFrom(new java.io.ByteArrayInputStream(r._2)))
       .reduce { (a, b) => a.mergeInPlace(b); a }
     val out = new java.io.ByteArrayOutputStream()
     merged.writeTo(out)
@@ -926,6 +963,12 @@ object Dedup {
   private[graft] def dedupIndexDeleteKeys(spark: SparkSession, idxDir: String,
       keys: DataFrame, keyCol: String = "doc_id",
       gate: Int = Maintenance.keyGateDefault): Seq[String] = {
+    Maintenance.guardInterruptedCompaction(spark, idxDir)
+    // delete-before-any-append, or a prior batch that emptied every layer:
+    // no visible data ⇒ nothing to address ⇒ structural no-op (the same
+    // existence-not-exception contract as readBatchIndex — a MALFORMED
+    // index still propagates through the read below)
+    if (!hasVisibleData(spark, idxDir)) return Seq.empty
     val idx = spark.read.parquet(idxDir)
     val k = broadcast(keys.select(col(keyCol)).distinct())
     val dirtyDf = idx.join(k, Seq(keyCol), "leftsemi")
@@ -934,21 +977,25 @@ object Dedup {
     if (dirty.nonEmpty) {
       val restricted = Maintenance.restrictToKeys(idx, "batch", dirtyDf,
         dirty, gate)
-      val stage = Tables.scratchDir("graft_dedup_idx_stage_").toString
-      restricted.join(k, Seq(keyCol), "leftanti")
-        .write.mode("overwrite").partitionBy("batch").parquet(stage)
+      // SNAPSHOT the survivors (lineage truncation) instead of staging
+      // them through a scratch parquet roundtrip: the dynamic overwrite
+      // below rewrites idxDir while the survivor plan READS idxDir, so
+      // the lineage must be severed first — but severing it into executor
+      // blocks costs one materialization where the stage dir cost a full
+      // write + re-read (the t24 orchestration-I/O cut, VERDICT r14 #3).
+      // Durability is unchanged: the only mutation of the artifact is
+      // still the single dynamic overwrite, so both crash windows and the
+      // markerless replay argument carry over verbatim.
+      val surv = snapshot(spark, restricted.join(k, Seq(keyCol), "leftanti"))
+      // the staged-layer set is one distinct over the materialized
+      // survivors — bounded by the dirty-layer count
+      val staged = surv.select(col("batch")).distinct()
+        .collect().map(_.getString(0)).toSet
+      if (staged.nonEmpty)
+        surv.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch").parquet(idxDir)
       val fs = new org.apache.hadoop.fs.Path(idxDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // the staged-layer set is the staging dir's partition listing —
-      // free metadata, no second scan of the survivor rows
-      val staged = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
-        .map(_.getPath.getName).collect {
-          case n if n.startsWith("batch=") => n.stripPrefix("batch=")
-        }.toSet
-      if (staged.nonEmpty)
-        spark.read.parquet(stage)
-          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch").parquet(idxDir)
       val emptied = dirty.filterNot(staged)
       emptied.foreach { t =>
         fs.delete(new org.apache.hadoop.fs.Path(idxDir, s"batch=$t"), true); ()
@@ -1044,6 +1091,34 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** X95 — x88's compaction behind the THRESHOLD POLICY
+    * ([[Maintenance.compactIfNeeded]]): the same x86 maintenance history
+    * (two appends, a delete batch), then the policy is consulted twice —
+    * once BELOW threshold (`maxLayers` above the live layer count, no
+    * small-file pressure: must not fire, artifact untouched) and once
+    * ABOVE (`maxLayers = 1`: must fire and fold through the shared
+    * core). The query returns the maintained index; since a fired policy
+    * ≡ unconditional compaction ≡ pure re-layout, x86's oracle carries
+    * verbatim — the green hash states the policy path reaches the same
+    * artifact as the operator-scheduled one. The fires-iff-threshold
+    * contract (both triggers, the no-op byte-identity, and the
+    * crash-debris override) is spec-pinned. */
+  def dedupIndexCompactPolicy(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val idx = Tables.scratchDir("graft_x95_idx").toString + "/idx"
+    dedupAgainstIndex(spark, docs.where(idxBucket <= 7), idx, "prior")
+    dedupAgainstIndex(spark, docs.where(idxBucket >= 8), idx, "fresh")
+    dedupIndexDeleteKeys(spark, idx, docs.where(idxDoomed).select(col("doc_id")))
+    require(!Maintenance.compactIfNeeded(spark, idx, "compacted", Seq.empty,
+      "graft_x95_stage_", maxLayers = 16),
+      "x95: policy fired below its thresholds")
+    require(Maintenance.compactIfNeeded(spark, idx, "compacted", Seq.empty,
+      "graft_x95_stage_", maxLayers = 1),
+      "x95: policy did not fire above the layer threshold")
+    spark.read.parquet(idx).select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Apply a tombstone KEY table to the NEAR-dup triple index
     * (`StreamingIngest.nearDedupIndexBatch`'s artifact: `fp/`, `pfx/`,
     * `sh/`, each `batch=`-layered): one [[dedupIndexDeleteKeys]] swap per
@@ -1057,10 +1132,17 @@ object Dedup {
     * Returns the dirty layer tags per sub-index. */
   private[graft] def nearDedupIndexDeleteKeys(spark: SparkSession,
       indexDir: String, keys: DataFrame,
-      gate: Int = Maintenance.keyGateDefault): Map[String, Seq[String]] =
-    Seq("fp", "pfx", "sh").map(sub =>
-      sub -> dedupIndexDeleteKeys(spark, s"$indexDir/$sub", keys,
-        gate = gate)).toMap
+      gate: Int = Maintenance.keyGateDefault): Map[String, Seq[String]] = {
+    // derive the key set ONCE (lineage-truncated — the ops-batch scan
+    // behind `keys` must not re-run per sub-index), then run the three
+    // independent swaps concurrently: same final state as the sequential
+    // fold (distinct target dirs), one round of job overhead instead of
+    // three (the t24 cut)
+    val k = snapshot(spark, keys.select(keys.columns.head).distinct())
+    Maintenance.inParallel(Seq("fp", "pfx", "sh").map(sub => () =>
+      sub -> dedupIndexDeleteKeys(spark, s"$indexDir/$sub", k,
+        keyCol = keys.columns.head, gate = gate))).toMap
+  }
 
   /** X89 — the near-dup index UPSERT: stored history is one
     * `nearDedupIndexBatch` layer (buckets ≤7 — within a batch only exact

@@ -856,6 +856,9 @@ object Similarity {
   private[graft] def ivfPqLayerDeleteKeys(spark: SparkSession, idxDir: String,
       keys: DataFrame,
       gate: Int = Maintenance.keyGateDefault): Seq[(String, Int)] = {
+    // opener-side crash recovery for an interrupted x85 compaction
+    // (ADVICE r14) — same guard as the flat fold's
+    Maintenance.guardInterruptedCompaction(spark, idxDir)
     val idx = spark.read.parquet(idxDir)
     val k = broadcast(keys.select(col("vec_id")).distinct())
     val dirtyDf = idx.join(k, Seq("vec_id"), "leftsemi")
@@ -868,26 +871,21 @@ object Similarity {
           idx.where(dirty.map { case (b, c) =>
             col("batch") === b && col("cell") === c }.reduce(_ || _))
         else idx.join(broadcast(dirtyDf), Seq("batch", "cell"), "leftsemi")
-      val stage = Tables.scratchDir("graft_x83_stage_").toString
-      restricted.join(k, Seq("vec_id"), "leftanti")
-        .write.mode("overwrite").partitionBy("batch", "cell").parquet(stage)
+      // lineage-truncating snapshot instead of a scratch-parquet stage —
+      // the dedupIndexDeleteKeys argument verbatim (one materialization
+      // replaces a full write + re-read; durability unchanged, the only
+      // artifact mutation is still the single dynamic overwrite)
+      val surv = graft.operators.Dedup.snapshot(spark,
+        restricted.join(k, Seq("vec_id"), "leftanti"))
+      // the staged-pair set is one distinct over the materialized
+      // survivors — bounded by layers × K
+      val staged = surv.select(col("batch"), col("cell")).distinct()
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      if (staged.nonEmpty)
+        surv.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch", "cell").parquet(idxDir)
       val fs = new org.apache.hadoop.fs.Path(idxDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // the staged-pair set is the staging dir's two-level partition
-      // listing — free metadata, no second scan of the survivor rows
-      val staged = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-        .flatMap { b =>
-          fs.listStatus(b.getPath).map(_.getPath.getName).collect {
-            case n if n.startsWith("cell=") =>
-              (b.getPath.getName.stripPrefix("batch="),
-                n.stripPrefix("cell=").toInt)
-          }
-        }.toSet
-      if (staged.nonEmpty)
-        spark.read.parquet(stage)
-          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch", "cell").parquet(idxDir)
       val emptied = dirty.filterNot(staged)
       emptied.foreach { case (b, c) =>
         fs.delete(new org.apache.hadoop.fs.Path(idxDir, s"batch=$b/cell=$c"),

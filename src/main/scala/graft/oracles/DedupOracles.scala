@@ -447,6 +447,10 @@ object DedupOracles {
     // (pure re-layout, Maintenance.compactLayers), so x86's oracle
     // verbatim
     "x88_dedup_index_compact" -> dedupIndexDeleteSql,
+    // x95: x88 through the threshold POLICY (compactIfNeeded) — a fired
+    // policy runs the same shared core, so the same oracle again; the
+    // fires-iff-threshold contract itself is spec-pinned
+    "x95_compact_policy" -> dedupIndexDeleteSql,
     // x87: one upsert pass, delete-first — stored keepers (buckets ≤7 in
     // two layers) minus doomed, then inserts (≥8, net of same-batch
     // cancels) admitted against the POST-delete fingerprint set, so an

@@ -2210,11 +2210,27 @@ object StreamingIngest {
                                          indexDir: String, outDir: String,
                                          threshold: Double = 0.8): Unit = {
     import graft.functions.TextFns
-    val spark = batch.sparkSession
-    val withSh = batch
+    nearDedupIndexBatchEnriched(batch
       .withColumn("fp", TextFns.polyHash(col("text")))
       .withColumn("sh", TextFns.shingleHashes(TextFns.tokens(col("text")), 3))
-      .withColumn("n", size(col("sh")))
+      .withColumn("n", size(col("sh"))),
+      batchTag, indexDir, outDir, threshold)
+  }
+
+  /** [[nearDedupIndexBatch]] over a batch whose (fp, sh, n) derivation is
+    * already attached — the shared-derivation entry the x94/t26
+    * orchestrator uses so one Exchange computes the batch's shingle
+    * hashes for every consumer. The derivation is SNAPSHOT once here
+    * (lineage-truncated): the probe DAG references it from three
+    * branches (prefix postings, shingle fetch, survivor set) and Spark
+    * would otherwise re-tokenize the batch per branch (the t24
+    * orchestration-cost cut, VERDICT r14 #3). */
+  private[graft] def nearDedupIndexBatchEnriched(enriched: DataFrame,
+                                                 batchTag: String,
+                                                 indexDir: String, outDir: String,
+                                                 threshold: Double = 0.8): Unit = {
+    val spark = enriched.sparkSession
+    val withSh = graft.operators.Dedup.snapshot(spark, enriched)
     // existence probe, not exception catch: a malformed index propagates
     // instead of silently reading as "first batch" (Dedup.readBatchIndex)
     def readIdx(sub: String)(empty: => DataFrame): DataFrame =
@@ -2255,17 +2271,26 @@ object StreamingIngest {
       .where(col("rk") === 1).drop("rk")
     survivors.persist()
     try {
-      survivors.drop("fp", "sh", "n")
-        .write.mode("overwrite").parquet(s"$outDir/batch=$batchTag")
-      // (fp, doc_id) — the keeper id lets the delete fold (x89) address
-      // all three sub-indexes by one key column without a corpus scan
-      survivors.select(col("fp"), col("doc_id"))
-        .write.mode("overwrite").parquet(s"$indexDir/fp/batch=$batchTag")
-      prefixPostings(survivors)
-        .select(col("doc_id"), col("s"), col("n"))
-        .write.mode("overwrite").parquet(s"$indexDir/pfx/batch=$batchTag")
-      survivors.select(col("doc_id"), col("sh"), col("n"))
-        .write.mode("overwrite").parquet(s"$indexDir/sh/batch=$batchTag")
+      // materialize the probe ONCE before fanning out — four concurrent
+      // writes against an unmaterialized cache would each race to compute
+      // the same partitions; after the count they all read cached rows,
+      // and the independent tag-scoped writes overlap their job overhead
+      // (the t24 cut — these were four sequential Spark jobs per
+      // micro-batch)
+      survivors.count()
+      graft.operators.Maintenance.inParallel(Seq(
+        () => survivors.drop("fp", "sh", "n")
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchTag"),
+        // (fp, doc_id) — the keeper id lets the delete fold (x89) address
+        // all three sub-indexes by one key column without a corpus scan
+        () => survivors.select(col("fp"), col("doc_id"))
+          .write.mode("overwrite").parquet(s"$indexDir/fp/batch=$batchTag"),
+        () => prefixPostings(survivors)
+          .select(col("doc_id"), col("s"), col("n"))
+          .write.mode("overwrite").parquet(s"$indexDir/pfx/batch=$batchTag"),
+        () => survivors.select(col("doc_id"), col("sh"), col("n"))
+          .write.mode("overwrite").parquet(s"$indexDir/sh/batch=$batchTag")))
+      ()
     } finally survivors.unpersist()
   }
 

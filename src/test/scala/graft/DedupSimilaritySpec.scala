@@ -1559,4 +1559,182 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!fs3.exists(trash3) && contents(idx3) == all,
       "publish-crash recovery restored retired layers over the live compacted one")
   }
+
+  test("x95 compactIfNeeded fires iff a threshold holds: layer-count and small-file " +
+      "triggers, byte-identical no-op below, fired ≡ unconditional, crash-debris override") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    import graft.operators.Maintenance
+    def mk(tag: String): String = {
+      val idx = graft.Tables.scratchDir(s"graft_x95_spec_$tag").toString + "/idx"
+      Seq(("prior", 10L, 1L), ("prior", 11L, 2L), ("fresh", 13L, 4L))
+        .toDF("batch", "fp", "doc_id")
+        .write.partitionBy("batch").parquet(idx)
+      idx
+    }
+    def files(idx: String): Map[String, (Long, Long)] = {
+      val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new Path(idx), true)
+      val b = Map.newBuilder[String, (Long, Long)]
+      while (it.hasNext) { val s = it.next()
+        if (s.getPath.getName.endsWith(".parquet"))
+          b += s.getPath.toString -> ((s.getLen, s.getModificationTime)) }
+      b.result()
+    }
+    def rows(idx: String): Set[(Long, Long)] =
+      spark.read.parquet(idx).select(col("fp"), col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = Set((10L, 1L), (11L, 2L), (13L, 4L))
+    // BELOW both thresholds: no-op, artifact byte-identical
+    val idx1 = mk("below")
+    val before = files(idx1)
+    assert(!Maintenance.compactIfNeeded(spark, idx1, "c0", Seq.empty,
+      "graft_x95_sp_", maxLayers = 8))
+    assert(files(idx1) == before, "a below-threshold policy touched the artifact")
+    // layer-count trigger: fires, and the result equals the unconditional core
+    assert(Maintenance.compactIfNeeded(spark, idx1, "c0", Seq.empty,
+      "graft_x95_sp_", maxLayers = 1))
+    val idx2 = mk("uncond")
+    Maintenance.compactLayers(spark, idx2, "c0", Seq.empty, "graft_x95_sp_")
+    assert(rows(idx1) == rows(idx2) && rows(idx1) == all)
+    def layerNames(idx: String): Seq[String] = {
+      val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new Path(idx)).map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).sorted.toSeq
+    }
+    assert(layerNames(idx1) == Seq("batch=c0") && layerNames(idx2) == Seq("batch=c0"))
+    // one live layer NEVER fires, even under an absurd small-file bar
+    assert(!Maintenance.compactIfNeeded(spark, idx1, "c1", Seq.empty,
+      "graft_x95_sp_", maxLayers = 1, minFileBytes = Long.MaxValue))
+    // small-file trigger: 2 layers ≤ maxLayers, but KB-sized files under a
+    // high byte bar → fires
+    val idx3 = mk("small")
+    assert(Maintenance.compactIfNeeded(spark, idx3, "c0", Seq.empty,
+      "graft_x95_sp_", maxLayers = 8, minFileBytes = 1L << 20))
+    assert(rows(idx3) == all && layerNames(idx3) == Seq("batch=c0"))
+    // crash-debris override: a stranded trash fires regardless of thresholds
+    // and the core's recovery completes the interrupted swap
+    val idx4 = mk("debris")
+    val root4 = new Path(idx4)
+    val fs4 = root4.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val trash4 = new Path(root4.getParent, "." + root4.getName + "_compact_trash")
+    fs4.mkdirs(trash4)
+    fs4.listStatus(root4).filter(_.getPath.getName.startsWith("batch="))
+      .foreach(s => require(fs4.rename(s.getPath, new Path(trash4, s.getPath.getName))))
+    assert(Maintenance.compactIfNeeded(spark, idx4, "c0", Seq.empty,
+      "graft_x95_sp_", maxLayers = 99, minFileBytes = 0L))
+    assert(rows(idx4) == all && !fs4.exists(trash4))
+  }
+
+  test("delete fold on an absent or fully-emptied index is a structural no-op, " +
+      "never a schema-inference crash (ADVICE r14)") {
+    import spark.implicits._
+    val root = graft.Tables.scratchDir("graft_advfix1").toString
+    // delete before ANY append: the dir does not exist yet
+    assert(Dedup.dedupIndexDeleteKeys(spark, s"$root/idx",
+      Seq(1L).toDF("doc_id")).isEmpty)
+    // a delete batch empties EVERY layer, then a second delete arrives —
+    // the dir now holds only a _SUCCESS-style residue of the dropped
+    // layers' parent; the next fold must no-op, not crash (this is the
+    // t23/t24/t25 operational-loop path)
+    Seq(("only", 10L, 1L)).toDF("batch", "fp", "doc_id")
+      .write.partitionBy("batch").parquet(s"$root/idx")
+    assert(Dedup.dedupIndexDeleteKeys(spark, s"$root/idx",
+      Seq(1L).toDF("doc_id")) == Seq("only"))
+    assert(Dedup.dedupIndexDeleteKeys(spark, s"$root/idx",
+      Seq(2L).toDF("doc_id")).isEmpty,
+      "delete against an emptied index should be a no-op")
+    // and a subsequent append + probe still works against the healed tree
+    Dedup.dedupAgainstIndex(spark, Seq((7L, "zzz")).toDF("doc_id", "text"),
+      s"$root/idx", "fresh")
+    assert(spark.read.parquet(s"$root/idx").count() == 1)
+  }
+
+  test("index OPENERS finish an interrupted compaction via the trash marker: " +
+      "retire-window restores, publish-window drops, markerless fails fast (ADVICE r14)") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    import graft.operators.Maintenance
+    def mk(tag: String): (String, Path, org.apache.hadoop.fs.FileSystem) = {
+      val idx = graft.Tables.scratchDir(s"graft_advfix2_$tag").toString + "/idx"
+      Seq(("prior", 10L, 1L), ("fresh", 13L, 4L)).toDF("batch", "fp", "doc_id")
+        .write.partitionBy("batch").parquet(idx)
+      val p = new Path(idx)
+      (idx, p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+    }
+    def writeMarker(fs: org.apache.hadoop.fs.FileSystem, trash: Path): Unit = {
+      val o = fs.create(new Path(trash, "_PUBLISH_TAG"), true)
+      try o.write("batch=c0".getBytes("UTF-8")) finally o.close()
+    }
+    // retire-window crash: every layer retired to trash, nothing published
+    // — a PROBE (readBatchIndex) must restore before reading, else it
+    // silently reads an empty index and re-admits every duplicate
+    val (idx1, root1, fs1) = mk("ret")
+    val trash1 = new Path(root1.getParent, "." + root1.getName + "_compact_trash")
+    fs1.mkdirs(trash1); writeMarker(fs1, trash1)
+    fs1.listStatus(root1).filter(_.getPath.getName.startsWith("batch="))
+      .foreach(s => require(fs1.rename(s.getPath, new Path(trash1, s.getPath.getName))))
+    val probed = Dedup.readBatchIndex(spark, idx1, "other")(
+      spark.range(0).select(col("id").as("fp"), col("id").as("doc_id")))
+    assert(probed.count() == 2, "opener did not restore the retired layers")
+    assert(!fs1.exists(trash1), "trash not cleared after restore")
+    // publish-window crash: compacted layer live, old layers stranded in
+    // trash — the DELETE FOLD must drop the trash WITHOUT restoring
+    // (restoring would double every row)
+    val (idx2, root2, fs2) = mk("pub")
+    assert(Maintenance.compactLayers(spark, idx2, "c0", Seq.empty, "graft_advfix2_") == 2)
+    val trash2 = new Path(root2.getParent, "." + root2.getName + "_compact_trash")
+    fs2.mkdirs(trash2); writeMarker(fs2, trash2)
+    Seq(("prior", 10L, 1L)).toDF("batch", "fp", "doc_id")
+      .write.partitionBy("batch").parquet(trash2.toString + "/stranded")
+    fs2.rename(new Path(trash2, "stranded/batch=prior"), new Path(trash2, "batch=prior"))
+    assert(Dedup.dedupIndexDeleteKeys(spark, idx2, Seq(1L).toDF("doc_id"))
+      == Seq("c0"))
+    assert(!fs2.exists(trash2) && spark.read.parquet(idx2).count() == 1,
+      "publish-window trash was restored over the live compacted layer")
+    // a trash WITHOUT the marker is ambiguous to a reader — fail fast
+    val (idx3, root3, fs3) = mk("nomark")
+    val trash3 = new Path(root3.getParent, "." + root3.getName + "_compact_trash")
+    fs3.mkdirs(new Path(trash3, "batch=prior"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.readBatchIndex(spark, idx3, "other")(spark.range(0).toDF())
+    }
+    assert(e.getMessage.contains("interrupted compaction"))
+  }
+
+  test("Bloom layer sizing params persist with the artifact and drift fails loudly, " +
+      "naming the offending batch (ADVICE r14)") {
+    import spark.implicits._
+    val idx = graft.Tables.scratchDir("graft_advfix3").toString + "/idx"
+    Dedup.bloomIndexAppend(spark,
+      Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text"), idx, "b0")
+    // params are IN the artifact
+    val stored = spark.read.parquet(idx)
+      .select(col("batch"), col("items"), col("bits")).collect()
+    assert(stored.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq(("b0", 1000000L, 8000000L)))
+    // an append with drifted sizing dies AT APPEND, naming the stored layer
+    val eApp = intercept[IllegalArgumentException] {
+      Dedup.bloomIndexAppend(spark,
+        Seq((2L, "epsilon zeta eta theta")).toDF("doc_id", "text"), idx, "b1",
+        items = 500L, bits = 4000L)
+    }
+    assert(eApp.getMessage.contains("batch=b0") &&
+      eApp.getMessage.contains("merge-incompatible"), eApp.getMessage)
+    // a same-tag RETRY with different params validates against OTHERS only
+    Dedup.bloomIndexAppend(spark,
+      Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text"), idx, "b0")
+    // hand-plant a drifted layer (simulating a pre-validation writer):
+    // the merge names it instead of throwing a blind
+    // IncompatibleMergeException
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(500L, 4000L)
+    val bs = new java.io.ByteArrayOutputStream(); bf.writeTo(bs)
+    Seq((bs.toByteArray, 500L, 4000L)).toDF("bf", "items", "bits")
+      .write.parquet(s"$idx/batch=bad")
+    val eMrg = intercept[IllegalArgumentException] {
+      Dedup.bloomIndexMerged(spark, idx)
+    }
+    assert(eMrg.getMessage.contains("batch=bad") &&
+      eMrg.getMessage.contains("batch=b0"), eMrg.getMessage)
+  }
 }
