@@ -55,8 +55,14 @@ object Search {
     }
 
   /** [[bm25TermDf]]'s build over any `documents`-shaped slice. */
-  private[graft] def bm25TermDfOf(docs: DataFrame): DataFrame = docs
-    .select(explode(array_distinct(TextFns.tokens(col("text")))).as("term"))
+  private[graft] def bm25TermDfOf(docs: DataFrame): DataFrame =
+    bm25TermDfOfTk(docs.select(TextFns.tokens(col("text")).as("tk")))
+
+  /** The same build over rows that already CARRY their token array (`tk`)
+    * — the shared-derivation entry the x94/t26 orchestrator uses so the
+    * batch is tokenized once for every stats consumer. */
+  private[graft] def bm25TermDfOfTk(withTk: DataFrame): DataFrame = withTk
+    .select(explode(array_distinct(col("tk"))).as("term"))
     .groupBy(col("term")).agg(count(lit(1)).as("df"))
 
   /** The maintained scalar stats (corpus size, total token length): one
@@ -71,8 +77,13 @@ object Search {
     }
 
   /** [[bm25Scalars]]'s build over any `documents`-shaped slice. */
-  private[graft] def bm25ScalarsOf(docs: DataFrame): DataFrame = docs
-    .select(size(TextFns.tokens(col("text"))).cast("long").as("dl"))
+  private[graft] def bm25ScalarsOf(docs: DataFrame): DataFrame =
+    bm25ScalarsOfTk(docs.select(TextFns.tokens(col("text")).as("tk")))
+
+  /** [[bm25ScalarsOf]] over rows already carrying `tk` (see
+    * [[bm25TermDfOfTk]]). */
+  private[graft] def bm25ScalarsOfTk(withTk: DataFrame): DataFrame = withTk
+    .select(size(col("tk")).cast("long").as("dl"))
     .agg(count(lit(1)).as("n_docs"),
       coalesce(sum(col("dl")), lit(0L)).as("total_len"))
 

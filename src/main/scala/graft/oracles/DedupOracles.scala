@@ -197,6 +197,71 @@ object DedupOracles {
         UNION ALL SELECT doc_id, fp FROM insb
         ORDER BY doc_id""".stripMargin
 
+  /** x94: the single-pass multi-artifact orchestrator's conjunction
+    * oracle — each artifact's queryable form recomputed monolithically
+    * over the same final corpus (live = NOT doomed: stored ≤7 survivors ∪
+    * admitted ≥8 inserts net of same-batch cancels), unioned into the
+    * normalized (artifact, k1, v1, v2, v3, d1) frame the engine emits.
+    * The legs reuse the per-artifact oracle bodies: exact = the
+    * single-layer x86/x87 fold, near_fp = x89's (pks ∪ fk∖nf — the
+    * nf-vs-keeper order immateriality note there applies), span = x91's
+    * probe, bm25 = x20's monolithic scoring over the live corpus
+    * (x82's argument), agg = the direct per-source rollup. */
+  private lazy val multiArtifactSql: String =
+    s"""WITH $jaccardPairsCte,
+        $winnowSpansSql,
+        xb AS (SELECT doc_id, source, ${polyHashSql("text")} AS fp,
+          CAST(length(text) AS BIGINT) AS len, $idxBk AS bk,
+          $idxDoomedSql AS doomed FROM documents),
+        xpk AS (SELECT min(doc_id) AS doc_id, fp FROM xb WHERE bk <= 7
+                GROUP BY fp),
+        xpks AS (SELECT doc_id, fp FROM xpk WHERE doc_id NOT IN
+                 (SELECT doc_id FROM xb WHERE doomed)),
+        xins AS (SELECT min(doc_id) AS doc_id, fp FROM xb
+                 WHERE bk >= 8 AND NOT doomed
+                   AND fp NOT IN (SELECT fp FROM xpks) GROUP BY fp),
+        nnf AS (SELECT DISTINCT x.doc_id
+                FROM xb x JOIN pairs p ON (p.id1 = x.doc_id OR p.id2 = x.doc_id)
+                JOIN xpks ON (CASE WHEN p.id1 = x.doc_id THEN p.id2
+                                   ELSE p.id1 END) = xpks.doc_id
+                WHERE x.bk >= 8 AND NOT x.doomed),
+        sprh AS (SELECT DISTINCT sp.h FROM sp JOIN xb ON xb.doc_id = sp.doc_id
+                 WHERE xb.bk <= 7 AND NOT xb.doomed),
+        spn AS (SELECT sp.doc_id, sp.h FROM sp JOIN xb ON xb.doc_id = sp.doc_id
+                WHERE xb.bk >= 8 AND NOT xb.doomed),
+        spleg AS (SELECT n.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+            CAST(SUM(CASE WHEN p.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_hit,
+            CAST(SUM(CASE WHEN p.h IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+              // COUNT(*) AS BIGINT) AS hit_ppm
+          FROM spn n LEFT JOIN sprh p ON p.h = n.h GROUP BY n.doc_id)
+        SELECT 'corpus' AS artifact, CAST(doc_id AS VARCHAR) AS k1,
+          fp AS v1, len AS v2, CAST(NULL AS BIGINT) AS v3,
+          CAST(NULL AS DOUBLE) AS d1
+        FROM xb WHERE NOT doomed
+        UNION ALL
+        SELECT 'exact', CAST(doc_id AS VARCHAR), fp, NULL, NULL, NULL
+        FROM (SELECT doc_id, fp FROM xpks
+              UNION ALL SELECT doc_id, fp FROM xins)
+        UNION ALL
+        SELECT 'near_fp', CAST(doc_id AS VARCHAR), fp, NULL, NULL, NULL
+        FROM (SELECT doc_id, fp FROM xpks
+              UNION ALL
+              SELECT doc_id, fp FROM xins
+              WHERE doc_id NOT IN (SELECT doc_id FROM nnf))
+        UNION ALL
+        SELECT 'span', CAST(doc_id AS VARCHAR), n_spans, n_hit, hit_ppm, NULL
+        FROM spleg
+        UNION ALL
+        SELECT 'bm25', CAST(doc_id AS VARCHAR), tf_spark, tf_join, tf_window,
+          bm25
+        FROM (${bm25TopKSqlOver(s" WHERE NOT ($idxDoomedSql)")})
+        UNION ALL
+        SELECT 'agg', source, CAST(count(*) AS BIGINT),
+          CAST(coalesce(sum(len($toks)), 0) AS BIGINT), NULL, NULL
+        FROM documents WHERE NOT ($idxDoomedSql) GROUP BY source
+        ORDER BY 1, 2""".stripMargin
+
   private lazy val annDeleteTopKSql: String =
     s"""WITH $ivfChainSql
         SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
@@ -451,6 +516,9 @@ object DedupOracles {
     // policy runs the same shared core, so the same oracle again; the
     // fires-iff-threshold contract itself is spec-pinned
     "x95_compact_policy" -> dedupIndexDeleteSql,
+    // x94: the single-pass multi-artifact orchestrator — the conjunction
+    // of the per-artifact recomputes over the same final corpus, one hash
+    "x94_multi_artifact_upsert" -> multiArtifactSql,
     // x87: one upsert pass, delete-first — stored keepers (buckets ≤7 in
     // two layers) minus doomed, then inserts (≥8, net of same-batch
     // cancels) admitted against the POST-delete fingerprint set, so an

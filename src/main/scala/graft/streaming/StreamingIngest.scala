@@ -1404,13 +1404,13 @@ object StreamingIngest {
     * NEXT batch's fold, which cannot run until this batch commits, and a
     * replay of THIS batch rewrites the pointer without reading it (its
     * fold is skipped on the publish marker). */
-  private def readViewPointer(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def readViewPointer(fs: org.apache.hadoop.fs.FileSystem,
                               viewRoot: org.apache.hadoop.fs.Path): String = {
     val in = fs.open(new org.apache.hadoop.fs.Path(viewRoot, "_LATEST"))
     try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
   }
 
-  private def writeViewPointer(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def writeViewPointer(fs: org.apache.hadoop.fs.FileSystem,
                                viewRoot: org.apache.hadoop.fs.Path,
                                snapName: String): Unit = {
     val out = fs.create(new org.apache.hadoop.fs.Path(viewRoot, "_LATEST"), true)
@@ -1502,7 +1502,7 @@ object StreamingIngest {
     * won (marker present — ours is discarded) or a markerless partial
     * attempt occupies the slot (replaced rather than stranding the
     * batch). Shared by the t19 view fold and the t21 stats fold. */
-  private def publishSnapshot(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def publishSnapshot(fs: org.apache.hadoop.fs.FileSystem,
                               root: org.apache.hadoop.fs.Path,
                               snap: org.apache.hadoop.fs.Path)
                              (write: org.apache.hadoop.fs.Path => Unit): Unit = {
@@ -1528,7 +1528,7 @@ object StreamingIngest {
     * `.tmp_*` dirs (a crash between write and rename) go the same way;
     * other runs' snapshots, `base`, and the pointer target are never
     * touched. Shared by the t19 view loop and the t21 stats loop. */
-  private def gcSnapshots(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def gcSnapshots(fs: org.apache.hadoop.fs.FileSystem,
                           root: org.apache.hadoop.fs.Path,
                           batchTag: String): Unit = {
     val cut = batchTag.lastIndexOf('-')

@@ -323,4 +323,94 @@ class MaintenanceSpec extends SparkSpec {
     assert(deadGroups.exists { case (k, _) => expected.contains(k) },
       "no partially-retracted bucket in fixture")
   }
+
+  test("x94 orchestrator: one pass with shared derivations equals the per-artifact " +
+      "sequential composition; a full replay converges; the enriched batch is " +
+      "lineage-truncated (tokenized/shingled once)") {
+    import graft.operators.{Dedup, Maintenance, TextAnalysis}
+    import graft.streaming.StreamingIngest
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+    val stored = docs.where(Dedup.idxBucket <= 7)
+    val inserts = docs.where(Dedup.idxBucket >= 8)
+    val keys = docs.where(Dedup.idxDoomed).select(col("doc_id"))
+    def probeRows(dirs: Maintenance.MultiArtifactDirs): Seq[String] =
+      Maintenance.multiArtifactProbe(spark, dirs).collect().map(_.toString).sorted.toSeq
+
+    // orchestrated: ONE invocation
+    val orch = Maintenance.MultiArtifactDirs(
+      Tables.scratchDir("graft_x94_spec_orch").toString)
+    Maintenance.multiArtifactInit(spark, orch, stored)
+    val enriched = Maintenance.multiArtifactUpsert(spark, orch, inserts, keys, "ops")
+    val orchRows = probeRows(orch)
+
+    // shared-derivation pin: the returned batch is MATERIALIZED (its plan
+    // is a lineage-truncated RDD scan, not a recomputation chain), carries
+    // every derived column, and its plan re-derives nothing — so every
+    // consumer leg reads the one computed Exchange instead of
+    // re-tokenizing/re-shingling per artifact
+    assert(enriched.columns.toSet ==
+      Set("doc_id", "source", "text", "fp", "tk", "sh", "n"))
+    val plan = enriched.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD") || plan.contains("Scan ExistingRDD"),
+      s"enriched is not lineage-truncated:\n$plan")
+    assert(!plan.toLowerCase.contains("shinglehashes") &&
+      !plan.toLowerCase.contains("split("),
+      "enriched still re-derives its text analysis")
+
+    // sequential twin: the same init, then each artifact maintained by its
+    // OWN standalone operator, one after another
+    val twin = Maintenance.MultiArtifactDirs(
+      Tables.scratchDir("graft_x94_spec_twin").toString)
+    Maintenance.multiArtifactInit(spark, twin, stored)
+    val kdf = keys.distinct()
+    val netI = inserts.join(broadcast(kdf), Seq("doc_id"), "leftanti")
+    // stats folds read the PRE-delete corpus (phase-0 order), so fold the
+    // twin's stats before its corpus swap, exactly like the orchestrator
+    val ops = netI.select(col("doc_id"), lit("I").as("op"), col("text"))
+      .unionByName(kdf.select(col("doc_id"), lit("D").as("op"),
+        lit(null).cast("string").as("text")))
+    StreamingIngest.bm25StatsBatch(ops, "ops",
+      spark.read.parquet(twin.corpusDir).select(col("doc_id"), col("text")),
+      twin.bm25Dir)
+    val doomedTk = spark.read.parquet(twin.corpusDir)
+      .join(broadcast(kdf), Seq("doc_id"), "leftsemi")
+      .withColumn("tk", graft.functions.TextFns.tokens(col("text")))
+    val negAgg = Maintenance.docAggOfTk(doomedTk).select(col("source"),
+      (-col("n_docs")).as("n_docs"), (-col("n_tokens")).as("n_tokens"))
+    val aggFolded = Maintenance.readDocAggView(spark, twin.aggDir)
+      .unionByName(Maintenance.docAggOfTk(netI.withColumn("tk",
+        graft.functions.TextFns.tokens(col("text")))))
+      .unionByName(negAgg)
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .where(col("n_docs") > 0)
+    val aggSnap = new org.apache.hadoop.fs.Path(twin.aggDir, "batch=ops")
+    val aggFs = aggSnap.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Dedup.snapshot(spark, aggFolded).coalesce(1)
+      .write.mode("overwrite").parquet(aggSnap.toString)
+    StreamingIngest.writeViewPointer(aggFs,
+      new org.apache.hadoop.fs.Path(twin.aggDir), "batch=ops")
+    // swaps + appends, artifact by artifact
+    Dedup.dedupIndexDeleteKeys(spark, twin.corpusDir, kdf)
+    netI.write.mode("overwrite").parquet(s"${twin.corpusDir}/batch=ops")
+    Dedup.dedupIndexUpsertKeys(spark, twin.exactDir,
+      inserts.select(col("doc_id"), col("text")), kdf, "ops")
+    Dedup.nearDedupIndexDeleteKeys(spark, twin.nearDir, kdf)
+    StreamingIngest.nearDedupIndexBatch(
+      netI.select(col("doc_id"), col("text")), "ops", twin.nearDir,
+      twin.nearOutDir)
+    Dedup.dedupIndexDeleteKeys(spark, twin.spanDir, kdf)
+    TextAnalysis.spanIndexAppend(spark,
+      netI.select(col("doc_id"), col("text")), twin.spanDir, "ops")
+    assert(orchRows == probeRows(twin),
+      "one orchestrated pass diverged from the per-artifact composition")
+
+    // exactly-once drill: a FULL replay of the same batch (crash after
+    // everything but the checkpoint commit) converges — marker-gated
+    // stats folds skip, markerless swaps no-op, tag overwrites clobber
+    // themselves
+    Maintenance.multiArtifactUpsert(spark, orch, inserts, keys, "ops")
+    assert(probeRows(orch) == orchRows, "a full replay changed the artifacts")
+  }
 }
