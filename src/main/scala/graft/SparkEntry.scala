@@ -112,6 +112,7 @@ object SparkEntry {
     "t23_stream_dedup_index_upsert" -> (StreamingIngest.streamDedupIndexUpsert _),
     "t24_stream_neardup_index_upsert" -> (StreamingIngest.streamNearDedupIndexUpsert _),
     "t25_stream_span_index_upsert" -> (StreamingIngest.streamSpanIndexUpsert _),
+    "t26_stream_multi_artifact_upsert" -> (StreamingIngest.streamMultiArtifactUpsert _),
     // M5 — [EXT] LLM-pipeline operators
     "x1_dedup_exact" -> (Dedup.exactDedup _),
     "x2_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),

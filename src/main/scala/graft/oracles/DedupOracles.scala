@@ -207,24 +207,20 @@ object DedupOracles {
     * nf-vs-keeper order immateriality note there applies), span = x91's
     * probe, bm25 = x20's monolithic scoring over the live corpus
     * (x82's argument), agg = the direct per-source rollup. */
-  private lazy val multiArtifactSql: String =
+  /** The shared shell of the x94/t26 conjunction oracles: corpus, span,
+    * bm25 and agg legs are ORDER-FREE (same-batch cancels only — a doc's
+    * I and D share its arrival batch by construction; stats arithmetic
+    * commutes), so they are identical between the one-shot and streamed
+    * forms; only the admission-probing exact and near legs differ. */
+  private def multiArtifactShellSql(extraCtes: String, exactBody: String,
+                                    nearBody: String): String =
     s"""WITH $jaccardPairsCte,
         $winnowSpansSql,
         xb AS (SELECT doc_id, source, ${polyHashSql("text")} AS fp,
           CAST(length(text) AS BIGINT) AS len, $idxBk AS bk,
-          $idxDoomedSql AS doomed FROM documents),
+          $idxDoomedSql AS doomed, $idxArrivalSql AS h FROM documents),
         xpk AS (SELECT min(doc_id) AS doc_id, fp FROM xb WHERE bk <= 7
                 GROUP BY fp),
-        xpks AS (SELECT doc_id, fp FROM xpk WHERE doc_id NOT IN
-                 (SELECT doc_id FROM xb WHERE doomed)),
-        xins AS (SELECT min(doc_id) AS doc_id, fp FROM xb
-                 WHERE bk >= 8 AND NOT doomed
-                   AND fp NOT IN (SELECT fp FROM xpks) GROUP BY fp),
-        nnf AS (SELECT DISTINCT x.doc_id
-                FROM xb x JOIN pairs p ON (p.id1 = x.doc_id OR p.id2 = x.doc_id)
-                JOIN xpks ON (CASE WHEN p.id1 = x.doc_id THEN p.id2
-                                   ELSE p.id1 END) = xpks.doc_id
-                WHERE x.bk >= 8 AND NOT x.doomed),
         sprh AS (SELECT DISTINCT sp.h FROM sp JOIN xb ON xb.doc_id = sp.doc_id
                  WHERE xb.bk <= 7 AND NOT xb.doomed),
         spn AS (SELECT sp.doc_id, sp.h FROM sp JOIN xb ON xb.doc_id = sp.doc_id
@@ -234,21 +230,18 @@ object DedupOracles {
               AS n_hit,
             CAST(SUM(CASE WHEN p.h IS NOT NULL THEN 1 ELSE 0 END) * 1000000
               // COUNT(*) AS BIGINT) AS hit_ppm
-          FROM spn n LEFT JOIN sprh p ON p.h = n.h GROUP BY n.doc_id)
+          FROM spn n LEFT JOIN sprh p ON p.h = n.h GROUP BY n.doc_id),
+        $extraCtes
         SELECT 'corpus' AS artifact, CAST(doc_id AS VARCHAR) AS k1,
           fp AS v1, len AS v2, CAST(NULL AS BIGINT) AS v3,
           CAST(NULL AS DOUBLE) AS d1
         FROM xb WHERE NOT doomed
         UNION ALL
         SELECT 'exact', CAST(doc_id AS VARCHAR), fp, NULL, NULL, NULL
-        FROM (SELECT doc_id, fp FROM xpks
-              UNION ALL SELECT doc_id, fp FROM xins)
+        FROM ($exactBody)
         UNION ALL
         SELECT 'near_fp', CAST(doc_id AS VARCHAR), fp, NULL, NULL, NULL
-        FROM (SELECT doc_id, fp FROM xpks
-              UNION ALL
-              SELECT doc_id, fp FROM xins
-              WHERE doc_id NOT IN (SELECT doc_id FROM nnf))
+        FROM ($nearBody)
         UNION ALL
         SELECT 'span', CAST(doc_id AS VARCHAR), n_spans, n_hit, hit_ppm, NULL
         FROM spleg
@@ -261,6 +254,73 @@ object DedupOracles {
           CAST(coalesce(sum(len($toks)), 0) AS BIGINT), NULL, NULL
         FROM documents WHERE NOT ($idxDoomedSql) GROUP BY source
         ORDER BY 1, 2""".stripMargin
+
+  private lazy val multiArtifactSql: String = multiArtifactShellSql(
+    extraCtes = s"""xpks AS (SELECT doc_id, fp FROM xpk WHERE doc_id NOT IN
+                 (SELECT doc_id FROM xb WHERE doomed)),
+        xins AS (SELECT min(doc_id) AS doc_id, fp FROM xb
+                 WHERE bk >= 8 AND NOT doomed
+                   AND fp NOT IN (SELECT fp FROM xpks) GROUP BY fp),
+        nnf AS (SELECT DISTINCT x.doc_id
+                FROM xb x JOIN pairs p ON (p.id1 = x.doc_id OR p.id2 = x.doc_id)
+                JOIN xpks ON (CASE WHEN p.id1 = x.doc_id THEN p.id2
+                                   ELSE p.id1 END) = xpks.doc_id
+                WHERE x.bk >= 8 AND NOT x.doomed)""",
+    exactBody = """SELECT doc_id, fp FROM xpks
+              UNION ALL SELECT doc_id, fp FROM xins""",
+    nearBody = """SELECT doc_id, fp FROM xpks
+              UNION ALL
+              SELECT doc_id, fp FROM xins
+              WHERE doc_id NOT IN (SELECT doc_id FROM nnf)""")
+
+  /** t26: the orchestrator's fold replayed batch-by-batch over the
+    * idxArrival split — the exact leg is t23's state chain (single
+    * stored layer), the near leg t24's, while corpus/span/bm25/agg carry
+    * x94's legs verbatim (order-free, see [[multiArtifactShellSql]]). */
+  private lazy val multiArtifactStreamSql: String = multiArtifactShellSql(
+    extraCtes = s"""es0d AS (SELECT doc_id, fp FROM xpk WHERE doc_id NOT IN
+                 (SELECT doc_id FROM xb WHERE doomed AND h = 0)),
+        insa AS (SELECT min(doc_id) AS doc_id, fp FROM xb
+                 WHERE bk >= 8 AND h = 0 AND NOT doomed
+                   AND fp NOT IN (SELECT fp FROM es0d) GROUP BY fp),
+        es1 AS (SELECT doc_id, fp FROM es0d
+                UNION ALL SELECT doc_id, fp FROM insa),
+        es1d AS (SELECT doc_id, fp FROM es1 WHERE doc_id NOT IN
+                 (SELECT doc_id FROM xb WHERE doomed AND h = 1)),
+        insb AS (SELECT min(doc_id) AS doc_id, fp FROM xb
+                 WHERE bk >= 8 AND h = 1 AND NOT doomed
+                   AND fp NOT IN (SELECT fp FROM es1d) GROUP BY fp),
+        ns0d AS (SELECT doc_id, fp FROM xpk WHERE doc_id NOT IN
+                 (SELECT doc_id FROM xb WHERE doomed AND h = 0)),
+        nfa AS (SELECT DISTINCT x.doc_id
+                FROM xb x JOIN pairs p ON (p.id1 = x.doc_id OR p.id2 = x.doc_id)
+                JOIN ns0d ON (CASE WHEN p.id1 = x.doc_id THEN p.id2
+                                   ELSE p.id1 END) = ns0d.doc_id
+                WHERE x.bk >= 8 AND x.h = 0 AND NOT x.doomed),
+        keepa AS (SELECT doc_id, fp FROM (
+                  SELECT min(doc_id) AS doc_id, fp FROM xb
+                  WHERE bk >= 8 AND h = 0 AND NOT doomed
+                    AND fp NOT IN (SELECT fp FROM ns0d) GROUP BY fp)
+                  WHERE doc_id NOT IN (SELECT doc_id FROM nfa)),
+        ns1d AS (SELECT doc_id, fp FROM (
+                 SELECT doc_id, fp FROM ns0d
+                 UNION ALL SELECT doc_id, fp FROM keepa)
+                 WHERE doc_id NOT IN
+                 (SELECT doc_id FROM xb WHERE doomed AND h = 1)),
+        nfb AS (SELECT DISTINCT x.doc_id
+                FROM xb x JOIN pairs p ON (p.id1 = x.doc_id OR p.id2 = x.doc_id)
+                JOIN ns1d ON (CASE WHEN p.id1 = x.doc_id THEN p.id2
+                                   ELSE p.id1 END) = ns1d.doc_id
+                WHERE x.bk >= 8 AND x.h = 1 AND NOT x.doomed),
+        keepb AS (SELECT doc_id, fp FROM (
+                  SELECT min(doc_id) AS doc_id, fp FROM xb
+                  WHERE bk >= 8 AND h = 1 AND NOT doomed
+                    AND fp NOT IN (SELECT fp FROM ns1d) GROUP BY fp)
+                  WHERE doc_id NOT IN (SELECT doc_id FROM nfb))""",
+    exactBody = """SELECT doc_id, fp FROM es1d
+              UNION ALL SELECT doc_id, fp FROM insb""",
+    nearBody = """SELECT doc_id, fp FROM ns1d
+              UNION ALL SELECT doc_id, fp FROM keepb""")
 
   private lazy val annDeleteTopKSql: String =
     s"""WITH $ivfChainSql
@@ -519,6 +579,10 @@ object DedupOracles {
     // x94: the single-pass multi-artifact orchestrator — the conjunction
     // of the per-artifact recomputes over the same final corpus, one hash
     "x94_multi_artifact_upsert" -> multiArtifactSql,
+    // t26: the orchestrator inside foreachBatch — the admission-probing
+    // exact/near legs restate the per-batch fold over the arrival split
+    // (t23/t24's contracts); the order-free legs carry x94's verbatim
+    "t26_stream_multi_artifact_upsert" -> multiArtifactStreamSql,
     // x87: one upsert pass, delete-first — stored keepers (buckets ≤7 in
     // two layers) minus doomed, then inserts (≥8, net of same-batch
     // cancels) admitted against the POST-delete fingerprint set, so an

@@ -1958,6 +1958,65 @@ object StreamingIngest {
         when(col("batch") === "prior", "prior").otherwise("novel")))
   }
 
+  /** T26 — the x94 multi-artifact orchestrator as the engine's TRUE
+    * END-STATE loop: one ops stream `(doc_id, op ∈ {I,D}, source, text)`
+    * maintains EVERY persisted artifact — landed corpus, exact-dup
+    * fingerprint index, near-dup triple index, winnowing span index,
+    * BM25-stats store, per-source aggregate view — one
+    * `Maintenance.multiArtifactUpsert` invocation per micro-batch. This
+    * is the reference's actual job description re-expressed whole: a
+    * continuous loop that lands data and updates every derived
+    * bookkeeping artifact per batch (`HiveBatchedSink.scala:297-373`).
+    *
+    * Exactly-once is the orchestrator's phase argument, per batch: the
+    * stats folds are snapshot-marker gated (t21), the delete swaps
+    * markerless-idempotent (t20), the appends tag-scoped overwrites
+    * (x16) — so a replay of any prefix converges (x94's spec drills the
+    * full-batch replay). The exact and near legs probe the index as-of
+    * arrival, so like t23/t24 the oracle restates the per-batch fold
+    * over the idxArrival split; corpus, span, BM25 and aggregate legs
+    * are order-free and carry x94's oracle legs verbatim. */
+  def streamMultiArtifactUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.operators.{Dedup, Maintenance}
+    graft.Tables.ensureParquetConf(spark)
+    val root = graft.Tables.scratchDir("graft_t26")
+    val dirs = Maintenance.MultiArtifactDirs(root.resolve("art").toString)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+    Maintenance.multiArtifactInit(spark, dirs, docs.where(Dedup.idxBucket <= 7))
+    val ops = docs.where(Dedup.idxBucket >= 8)
+      .select(col("doc_id"), lit("I").as("op"), col("source"), col("text"))
+      .unionByName(docs.where(Dedup.idxDoomed)
+        .select(col("doc_id"), lit("D").as("op"),
+          lit(null).cast("string").as("source"),
+          lit(null).cast("string").as("text")))
+    val srcDir = root.resolve("src")
+    Files.createDirectories(srcDir)
+    val half = Dedup.idxArrival
+    landArrivalSplits(ops, root, srcDir,
+      Seq("a_first.parquet" -> (half === 0), "b_second.parquet" -> (half === 1)))
+    withScratchCheckpoint { ck =>
+      val run = runId(ck, spark.sessionState.newHadoopConf())
+      val q = spark.readStream.schema(ops.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          Maintenance.multiArtifactUpsert(spark, dirs,
+            b.where(col("op") === "I")
+              .select(col("doc_id"), col("source"), col("text")),
+            b.where(col("op") === "D").select(col("doc_id")),
+            s"$run-$id")
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally { if (q.isActive) q.stop() }
+    }
+    Maintenance.multiArtifactProbe(spark, dirs)
+  }
+
   /** Initialize the maintained BM25-stats artifacts (per-term df table +
     * scalar n_docs/total_len row — `Search.bm25TermDf`/`bm25Scalars` as
     * a VERSIONED store): the "base" snapshot holds both, `_LATEST` points

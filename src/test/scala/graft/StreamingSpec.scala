@@ -1419,4 +1419,32 @@ class StreamingSpec extends SparkSpec {
       rows(TextAnalysis.spanIndexUpsertProbe(spark, sf)),
       "streamed span-index upsert diverged from the one-shot pass")
   }
+
+  test("t26 streaming multi-artifact orchestrator equals its per-batch JVM replica " +
+      "across every artifact") {
+    import graft.operators.{Dedup, Maintenance}
+    // manual replica: the same orchestrator invoked once per arrival half
+    // — the streamed form must reach exactly this state (the oracle
+    // restates the same fold in SQL; this replica removes the remaining
+    // shared-engine doubt). The orchestrator-level replay drill lives in
+    // the x94 spec; t24's drills cover the in-loop crash windows of the
+    // shared legs.
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+    val dirs = Maintenance.MultiArtifactDirs(
+      Tables.scratchDir("graft_t26_manual").toString)
+    Maintenance.multiArtifactInit(spark, dirs, docs.where(Dedup.idxBucket <= 7))
+    Seq(0, 1).foreach { h =>
+      val arr = Dedup.idxArrival === h
+      Maintenance.multiArtifactUpsert(spark, dirs,
+        docs.where(Dedup.idxBucket >= 8 && arr),
+        docs.where(Dedup.idxDoomed && arr).select(col("doc_id")), s"b$h")
+    }
+    val manual = Maintenance.multiArtifactProbe(spark, dirs)
+      .collect().map(_.toString).toSeq
+    val streamed = StreamingIngest.streamMultiArtifactUpsert(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(streamed == manual,
+      "streamed multi-artifact orchestrator diverged from its per-batch replica")
+  }
 }
