@@ -113,6 +113,8 @@ object SparkEntry {
     "t24_stream_neardup_index_upsert" -> (StreamingIngest.streamNearDedupIndexUpsert _),
     "t25_stream_span_index_upsert" -> (StreamingIngest.streamSpanIndexUpsert _),
     "t26_stream_multi_artifact_upsert" -> (StreamingIngest.streamMultiArtifactUpsert _),
+    "t27_stream_semantic_index_upsert" -> ((s, d) => StreamingIngest.streamSemanticIndexUpsert(s, d)),
+    "t28_stream_bloom_decontam" -> ((s, d) => StreamingIngest.streamBloomDecontam(s, d)),
     // M5 — [EXT] LLM-pipeline operators
     "x1_dedup_exact" -> (Dedup.exactDedup _),
     "x2_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),

@@ -852,12 +852,8 @@ object Dedup {
     * set per run. */
   def bloomIndexDecontam(spark: SparkSession, sfDir: String,
                          minShared: Int = 5, maxDf: Int = 50): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.graft.bridge
     val bucket = pmod(TextFns.polyHash(col("doc_id").cast("string")), lit(10L))
     val docs = Tables.documents(spark, sfDir)
-    val benchIds = docs.where(bucket === 9).select(col("doc_id"))
-    val trainIds = docs.where(bucket <= 7).select(col("doc_id"))
     val idx = Tables.scratchDir("graft_x93_idx").toString + "/idx"
     // split by id parity, NOT a polyhash salt: the bench bucket already
     // constrains polyhash(doc_id), and 'a'-salted rehashes of the SAME
@@ -868,8 +864,24 @@ object Dedup {
     val half = pmod(col("doc_id"), lit(2L))
     bloomIndexAppend(spark, docs.where(bucket === 9 && half === 0), idx, "b0")
     bloomIndexAppend(spark, docs.where(bucket === 9 && half === 1), idx, "b1")
+    bloomDecontamProbe(spark, sfDir, idx, minShared, maxDf)
+  }
+
+  /** The x93/t28 probe tail: prune train postings with the MERGED layer
+    * filter of a [[bloomIndexAppend]] index, then decide with the exact
+    * shuffle join — the part that is independent of HOW the layers got
+    * there (one-shot appends or a micro-batch stream). */
+  private[graft] def bloomDecontamProbe(spark: SparkSession, sfDir: String,
+                                        idxDir: String, minShared: Int = 5,
+                                        maxDf: Int = 50): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.bridge
+    val bucket = pmod(TextFns.polyHash(col("doc_id").cast("string")), lit(10L))
+    val docs = Tables.documents(spark, sfDir)
+    val benchIds = docs.where(bucket === 9).select(col("doc_id"))
+    val trainIds = docs.where(bucket <= 7).select(col("doc_id"))
     val mightContain = bridge.column(BloomFilterMightContain(
-      Literal.create(bloomIndexMerged(spark, idx),
+      Literal.create(bloomIndexMerged(spark, idxDir),
         org.apache.spark.sql.types.BinaryType),
       bridge.expression(xxhash64(col("s")))))
     val posting = shingled(spark, sfDir)

@@ -322,6 +322,57 @@ object DedupOracles {
     nearBody = """SELECT doc_id, fp FROM ns1d
               UNION ALL SELECT doc_id, fp FROM keepb""")
 
+  /** t27: x92's fold replayed batch-by-batch over the vec_id-hash
+    * arrival split — the SemDeDup twin of the t23/t24 state chains.
+    * Prior keeps select with doomed vectors as greedy blockers (live at
+    * build time); each batch deletes its doomed keys, then admits its
+    * fresh vectors against BOTH the batch itself (lower-id greedy, any
+    * batch member — `semanticDedupBatch.dropInBatch`'s rule) and the
+    * CURRENT kept set — so batch B drops against batch A's admits, and a
+    * vector inside a key deleted in EITHER batch is readmitted. */
+  private lazy val semanticStreamSql: String =
+    s"""WITH $ivfChainSql,
+        av AS MATERIALIZED (
+          SELECT a.cell, a.vec_id, e.embedding,
+            ${polyHashSql("CAST(e.vec_id AS VARCHAR)")} % 10 AS bkt,
+            ${polyHashSql("CAST(e.vec_id AS VARCHAR)")} % 7 = 3 AS doomed,
+            (${polyHashSql("CAST(e.vec_id AS VARCHAR)")} // 10) % 2 AS h
+          FROM asg a JOIN embeddings e USING (vec_id)),
+        pr AS (SELECT * FROM av WHERE bkt <= 7),
+        pk AS MATERIALIZED (
+          SELECT p.cell, p.vec_id, p.embedding, p.doomed, p.h FROM pr p
+          WHERE NOT EXISTS (
+            SELECT 1 FROM pr q WHERE q.cell = p.cell AND q.vec_id < p.vec_id
+              AND round(${cosineD("q.embedding", "p.embedding")}, 6) >= 0.4)),
+        s0d AS (SELECT cell, vec_id, embedding FROM pk
+                WHERE NOT (doomed AND h = 0)),
+        fra AS (SELECT * FROM av WHERE bkt >= 8 AND NOT doomed AND h = 0),
+        keepa AS MATERIALIZED (
+          SELECT f.cell, f.vec_id, f.embedding FROM fra f
+          WHERE NOT EXISTS (
+            SELECT 1 FROM fra g WHERE g.cell = f.cell AND g.vec_id < f.vec_id
+              AND round(${cosineD("g.embedding", "f.embedding")}, 6) >= 0.4)
+          AND NOT EXISTS (
+            SELECT 1 FROM s0d WHERE s0d.cell = f.cell
+              AND round(${cosineD("s0d.embedding", "f.embedding")}, 6) >= 0.4)),
+        s1 AS (SELECT cell, vec_id, embedding FROM s0d
+               UNION ALL SELECT cell, vec_id, embedding FROM keepa),
+        s1d AS (SELECT * FROM s1 WHERE vec_id NOT IN
+                (SELECT vec_id FROM av WHERE doomed AND h = 1)),
+        frb AS (SELECT * FROM av WHERE bkt >= 8 AND NOT doomed AND h = 1),
+        keepb AS (
+          SELECT f.cell, f.vec_id FROM frb f
+          WHERE NOT EXISTS (
+            SELECT 1 FROM frb g WHERE g.cell = f.cell AND g.vec_id < f.vec_id
+              AND round(${cosineD("g.embedding", "f.embedding")}, 6) >= 0.4)
+          AND NOT EXISTS (
+            SELECT 1 FROM s1d WHERE s1d.cell = f.cell
+              AND round(${cosineD("s1d.embedding", "f.embedding")}, 6) >= 0.4))
+        SELECT vec_id, CAST(cell AS BIGINT) AS cell
+        FROM (SELECT vec_id, cell FROM s1d
+              UNION ALL SELECT vec_id, cell FROM keepb)
+        ORDER BY vec_id""".stripMargin
+
   private lazy val annDeleteTopKSql: String =
     s"""WITH $ivfChainSql
         SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
@@ -880,5 +931,14 @@ object DedupOracles {
     // blooms, merged by union) and the exact join decides, so x17's
     // oracle carries over verbatim
     "x93_bloom_index_decontam" -> x17Oracle,
+    // t28: the Bloom index grown by a micro-batch STREAM — union is
+    // order- and split-free and deletes are structurally impossible, so
+    // x17's oracle STILL carries verbatim (the t25-class theorem for the
+    // mergeable-sketch artifact)
+    "t28_stream_bloom_decontam" -> x17Oracle,
+    // t27: the SemDeDup index upsert as a stream — order-sensitive like
+    // t23/t24 (admission probes keeps as-of arrival), so the oracle
+    // restates the per-batch fold over the vec_id-hash arrival split
+    "t27_stream_semantic_index_upsert" -> semanticStreamSql,
   )
 }

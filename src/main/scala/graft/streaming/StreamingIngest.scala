@@ -1958,6 +1958,120 @@ object StreamingIngest {
         when(col("batch") === "prior", "prior").otherwise("novel")))
   }
 
+  /** T27 — the SemDeDup cell index's upsert as an OPERATIONAL LOOP (the
+    * x92 fold in `foreachBatch` — the streaming-matrix cell VERDICT r14
+    * #4 names): a stream of ops rows (op `I` with the embedding, op `D`
+    * vec_id keys) maintains the persisted `(vec_id, embedding, cell,
+    * nrm)` index under the FROZEN disk-memoized quantizer. Per
+    * micro-batch, delete-first through the shared flat swap
+    * (`Dedup.dedupIndexDeleteKeys`, keyed `vec_id`), then the insert leg
+    * (net of same-batch cancels) admits via [[semanticDedupBatch]]
+    * against the post-delete keeps — so a fresh vector inside a
+    * just-deleted keep's ε-ball is readmitted, and one inside a
+    * batch-A ADMIT's ε-ball is dropped in batch B. ORDER-SENSITIVE like
+    * t23/t24 (admission probes the index as-of arrival), so the oracle
+    * restates the per-batch fold over the arrival split of the vec_id
+    * hash; markerless replay is t23's argument verbatim (keys already
+    * absent; tag-scoped overwrites clobber themselves). */
+  def streamSemanticIndexUpsert(spark: SparkSession, sfDir: String,
+                                threshold: Double = 0.4): DataFrame = {
+    import java.nio.file.Files
+    import graft.operators.Dedup
+    graft.Tables.ensureParquetConf(spark)
+    val root = graft.Tables.scratchDir("graft_t27")
+    val idxDir = root.resolve("idx").toString
+    val outDir = root.resolve("out").toString
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val hash = graft.functions.TextFns.polyHash(col("vec_id").cast("string"))
+    val bucket = pmod(hash, lit(10L))
+    val doomed = pmod(hash, lit(7L)) === 3L
+    // the decorrelated second-residue arrival split, on the vec_id hash
+    // (Dedup.idxArrival's construction — see idxDoomed on why not a salt)
+    val half = pmod((hash / lit(10.0)).cast("long"), lit(2L))
+    val cents = graft.operators.Similarity.ivfCentroids(spark, sfDir)
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toSeq).toSeq
+    semanticDedupBatch(vecs.where(bucket <= 7), "prior", cents, idxDir,
+      outDir, threshold)
+    val ops = vecs.where(bucket >= 8)
+      .select(col("vec_id"), lit("I").as("op"), col("embedding"))
+      .unionByName(vecs.where(doomed)
+        .select(col("vec_id"), lit("D").as("op"),
+          lit(null).cast("array<float>").as("embedding")))
+    val srcDir = root.resolve("src")
+    Files.createDirectories(srcDir)
+    landArrivalSplits(ops, root, srcDir,
+      Seq("a_first.parquet" -> (half === 0), "b_second.parquet" -> (half === 1)))
+    withScratchCheckpoint { ck =>
+      val run = runId(ck, spark.sessionState.newHadoopConf())
+      val q = spark.readStream.schema(ops.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          val keys = b.where(col("op") === "D").select(col("vec_id"))
+          Dedup.dedupIndexDeleteKeys(spark, idxDir, keys, keyCol = "vec_id")
+          semanticDedupBatch(
+            b.where(col("op") === "I").select(col("vec_id"), col("embedding"))
+              .join(broadcast(keys.distinct()), Seq("vec_id"), "leftanti"),
+            s"$run-$id", cents, idxDir, outDir, threshold)
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally { if (q.isActive) q.stop() }
+    }
+    spark.read.parquet(idxDir)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** T28 — the Bloom decontamination index's streaming fold (the other
+    * streaming-matrix cell of VERDICT r14 #4, and the trivial one by
+    * design): benchmark batches arrive as a stream and each micro-batch
+    * lands its shingle-hash Bloom filter as a `batch=<runId-batchId>`
+    * layer ([[graft.operators.Dedup.bloomIndexAppend]] — tag-scoped
+    * overwrite, so replay is the x16 rule with NO delete leg to
+    * interleave: deletes are structurally impossible in a mergeable
+    * sketch). Bloom union is exact, order- and split-free, so the merged
+    * filter — and therefore the decontamination decision — is identical
+    * to x93's one-shot appends and to the monolithic x17: the oracle
+    * carries x17's VERBATIM, the t25-class theorem for the
+    * mergeable-sketch artifact. */
+  def streamBloomDecontam(spark: SparkSession, sfDir: String,
+                          minShared: Int = 5, maxDf: Int = 50): DataFrame = {
+    import java.nio.file.Files
+    import graft.operators.Dedup
+    graft.Tables.ensureParquetConf(spark)
+    val root = graft.Tables.scratchDir("graft_t28")
+    val idxDir = root.resolve("idx").toString
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val bucket = pmod(graft.functions.TextFns.polyHash(
+      col("doc_id").cast("string")), lit(10L))
+    val bench = docs.where(bucket === 9)
+    val srcDir = root.resolve("src")
+    Files.createDirectories(srcDir)
+    // id parity, not a salted rehash — x93's layer-split note
+    val half = pmod(col("doc_id"), lit(2L))
+    landArrivalSplits(bench, root, srcDir,
+      Seq("a_first.parquet" -> (half === 0), "b_second.parquet" -> (half === 1)))
+    withScratchCheckpoint { ck =>
+      val run = runId(ck, spark.sessionState.newHadoopConf())
+      val q = spark.readStream.schema(bench.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          Dedup.bloomIndexAppend(spark, b, idxDir, s"$run-$id")
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally { if (q.isActive) q.stop() }
+    }
+    Dedup.bloomDecontamProbe(spark, sfDir, idxDir, minShared, maxDf)
+  }
+
   /** T26 — the x94 multi-artifact orchestrator as the engine's TRUE
     * END-STATE loop: one ops stream `(doc_id, op ∈ {I,D}, source, text)`
     * maintains EVERY persisted artifact — landed corpus, exact-dup

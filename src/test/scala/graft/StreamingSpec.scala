@@ -1420,6 +1420,47 @@ class StreamingSpec extends SparkSpec {
       "streamed span-index upsert diverged from the one-shot pass")
   }
 
+  test("t27 streaming semantic-index upsert equals its per-batch JVM replica; " +
+      "t28 streaming Bloom fold equals the one-shot index AND the monolithic pass") {
+    import graft.operators.{Dedup, Similarity}
+    // --- t27: manual replica — the same delete-first fold invoked once
+    // per vec_id-hash arrival half (the twin of the per-batch SQL chain)
+    val vecs = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val hash = graft.functions.TextFns.polyHash(col("vec_id").cast("string"))
+    val bucket = pmod(hash, lit(10L))
+    val doomed = pmod(hash, lit(7L)) === 3L
+    val half = pmod((hash / lit(10.0)).cast("long"), lit(2L))
+    val cents = Similarity.ivfCentroids(spark, sf)
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toSeq).toSeq
+    val root = Tables.scratchDir("graft_t27_manual").toString
+    StreamingIngest.semanticDedupBatch(vecs.where(bucket <= 7), "prior",
+      cents, s"$root/idx", s"$root/out", 0.4)
+    Seq(0, 1).foreach { h =>
+      val keys = vecs.where(doomed && half === h).select(col("vec_id"))
+      Dedup.dedupIndexDeleteKeys(spark, s"$root/idx", keys, keyCol = "vec_id")
+      StreamingIngest.semanticDedupBatch(
+        vecs.where(bucket >= 8 && half === h)
+          .join(broadcast(keys.distinct()), Seq("vec_id"), "leftanti"),
+        s"b$h", cents, s"$root/idx", s"$root/out", 0.4)
+    }
+    val manual = spark.read.parquet(s"$root/idx")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .orderBy(col("vec_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val streamed = StreamingIngest.streamSemanticIndexUpsert(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed == manual,
+      "streamed semantic-index upsert diverged from its per-batch replica")
+    // --- t28: union is order- and split-free, so the STREAMED layer fold
+    // must reach the one-shot x93 decision, itself ≡ the monolithic x17b
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val t28 = rows(StreamingIngest.streamBloomDecontam(spark, sf))
+    assert(t28 == rows(Dedup.bloomIndexDecontam(spark, sf)),
+      "streamed Bloom fold diverged from the one-shot index")
+    assert(t28 == rows(Dedup.contaminationBloom(spark, sf)),
+      "streamed Bloom fold diverged from the monolithic pass")
+  }
+
   test("t26 streaming multi-artifact orchestrator equals its per-batch JVM replica " +
       "across every artifact") {
     import graft.operators.{Dedup, Maintenance}
