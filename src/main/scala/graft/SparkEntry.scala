@@ -143,6 +143,7 @@ object SparkEntry {
     "x88_dedup_index_compact" -> (Dedup.dedupIndexCompact _),
     "x95_compact_policy" -> (Dedup.dedupIndexCompactPolicy _),
     "x94_multi_artifact_upsert" -> (Maintenance.multiArtifactUpsertQuery _),
+    "x96_multi_artifact_compact" -> (Maintenance.multiArtifactCompactQuery _),
     "x89_neardup_index_upsert" -> (Dedup.nearDedupIndexUpsert _),
     "x90_neardup_index_compact" -> (Dedup.nearDedupIndexCompact _),
     "x91_span_index_upsert" -> (TextAnalysis.spanIndexUpsertProbe _),

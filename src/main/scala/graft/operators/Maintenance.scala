@@ -910,4 +910,54 @@ object Maintenance {
       docs.where(Dedup.idxDoomed).select(col("doc_id")), "ops")
     multiArtifactProbe(spark, dirs)
   }
+
+  /** The pipeline-wide maintenance-window sweep: consult the x95
+    * threshold policy on every LAYERED artifact of one
+    * [[MultiArtifactDirs]] pipeline, concurrently — the corpus, the
+    * exact-dup index, and all three near-dup sub-indexes. The span index
+    * is deliberately NOT swept here: its probe semantics depend on the
+    * layer tags (prior epoch vs novel batch), so its compaction belongs
+    * BETWEEN probe epochs — fold everything into the prior layer once
+    * the epoch's batch has been probed and absorbed, after which the
+    * next epoch's appends are the novel side. (The stats stores need no
+    * layer compaction: each snapshot is already one O(vocab)/O(groups)
+    * file and the per-batch GC bounds the snapshot count.) Returns which
+    * artifacts fired. */
+  private[graft] def multiArtifactCompactIfNeeded(spark: SparkSession,
+      dirs: MultiArtifactDirs, maxLayers: Int,
+      minFileBytes: Long = 0L): Map[String, Boolean] = {
+    val flats = Seq(
+      "corpus" -> dirs.corpusDir, "exact" -> dirs.exactDir,
+      "near_fp" -> s"${dirs.nearDir}/fp", "near_pfx" -> s"${dirs.nearDir}/pfx",
+      "near_sh" -> s"${dirs.nearDir}/sh")
+    inParallel(flats.map { case (name, d) => () =>
+      name -> compactIfNeeded(spark, d, "compacted", Seq.empty,
+        s"graft_sweep_${name}_", maxLayers, minFileBytes)
+    }).toMap
+  }
+
+  /** X96 — x94's history through the pipeline-wide compaction sweep:
+    * after the one-pass upsert every layered artifact holds two layers
+    * (stored + ops); [[multiArtifactCompactIfNeeded]] at `maxLayers = 1`
+    * fires on all five swept artifacts and each folds to one layer
+    * through the shared core. Compaction is a pure re-layout and the
+    * probe reads no layer tags on the swept artifacts, so x94's
+    * conjunction oracle carries VERBATIM — the green hash states the
+    * maintenance window changes no artifact's contents, pipeline-wide.
+    * A below-threshold consult first must fire nowhere (spec-pinned via
+    * x95's drills; asserted here so the declared query exercises both
+    * policy sides at fixture scale). */
+  def multiArtifactCompactQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val dirs = MultiArtifactDirs(Tables.scratchDir("graft_x96").toString)
+    multiArtifactInit(spark, dirs, docs.where(Dedup.idxBucket <= 7))
+    multiArtifactUpsert(spark, dirs, docs.where(Dedup.idxBucket >= 8),
+      docs.where(Dedup.idxDoomed).select(col("doc_id")), "ops")
+    val below = multiArtifactCompactIfNeeded(spark, dirs, maxLayers = 16)
+    require(below.values.forall(!_), s"x96: below-threshold sweep fired: $below")
+    val fired = multiArtifactCompactIfNeeded(spark, dirs, maxLayers = 1)
+    require(fired.values.forall(identity), s"x96: sweep did not fire: $fired")
+    multiArtifactProbe(spark, dirs)
+  }
 }

@@ -634,6 +634,10 @@ object DedupOracles {
     // exact/near legs restate the per-batch fold over the arrival split
     // (t23/t24's contracts); the order-free legs carry x94's verbatim
     "t26_stream_multi_artifact_upsert" -> multiArtifactStreamSql,
+    // x96: x94 through the pipeline-wide threshold-policy compaction
+    // sweep — pure re-layout on every swept artifact, so x94's
+    // conjunction oracle carries verbatim
+    "x96_multi_artifact_compact" -> multiArtifactSql,
     // x87: one upsert pass, delete-first — stored keepers (buckets ≤7 in
     // two layers) minus doomed, then inserts (≥8, net of same-batch
     // cancels) admitted against the POST-delete fingerprint set, so an

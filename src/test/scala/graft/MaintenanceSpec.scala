@@ -412,5 +412,28 @@ class MaintenanceSpec extends SparkSpec {
     // themselves
     Maintenance.multiArtifactUpsert(spark, orch, inserts, keys, "ops")
     assert(probeRows(orch) == orchRows, "a full replay changed the artifacts")
+
+    // x96: the pipeline-wide compaction sweep folds every swept artifact
+    // to ONE layer and changes no probe row (the span index is excluded
+    // by design — its probe reads the layer tags)
+    val below = Maintenance.multiArtifactCompactIfNeeded(spark, orch, maxLayers = 16)
+    assert(below.values.forall(!_), s"below-threshold sweep fired: $below")
+    assert(probeRows(orch) == orchRows)
+    val fired = Maintenance.multiArtifactCompactIfNeeded(spark, orch, maxLayers = 1)
+    assert(fired == Map("corpus" -> true, "exact" -> true, "near_fp" -> true,
+      "near_pfx" -> true, "near_sh" -> true), s"sweep outcome: $fired")
+    def layers(dir: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(p).map(_.getPath.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    }
+    Seq(orch.corpusDir, orch.exactDir, s"${orch.nearDir}/fp",
+        s"${orch.nearDir}/pfx", s"${orch.nearDir}/sh").foreach { d =>
+      assert(layers(d) == Seq("batch=compacted"), s"$d: ${layers(d)}")
+    }
+    assert(layers(orch.spanDir).toSet == Set("batch=stored", "batch=ops"),
+      "the span index must keep its epoch layers")
+    assert(probeRows(orch) == orchRows,
+      "the compaction sweep changed an artifact's contents")
   }
 }
