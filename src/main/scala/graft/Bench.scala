@@ -268,7 +268,11 @@ object Bench {
         // t21's stored-split BM25 stats (the fixture copies these tiny
         // artifacts per run; the build is two stored-corpus scans)
         "t21_stored_stats" -> (() => {
-          graft.streaming.StreamingIngest.t21StoredStatsDirs(spark, sfDir); () }))
+          graft.streaming.StreamingIngest.t21StoredStatsDirs(spark, sfDir); () }),
+        // x94/x96/t26's stored pipeline state (six artifacts, built once
+        // per corpus version; each query run takes a filesystem copy)
+        "x94_stored_tree" -> (() => {
+          graft.operators.Maintenance.multiArtifactStoredTree(spark, sfDir); () }))
       builders.foreach { case (name, f) =>
         try f() catch { case e: Throwable =>
           System.err.println(s"[bench] index prebuild $name failed: ${e.getMessage}")

@@ -211,4 +211,54 @@ private[graft] object DfCache {
       dir.toString
     }
   }
+
+  /** The published artifact TREE for `key` (building it first if absent)
+    * — [[materializedDir]] generalized from one DataFrame write to a
+    * whole directory tree the `build` callback fills under the path it
+    * is given (the x94/t26 pipeline's STORED STATE: six artifacts under
+    * one root, built once per corpus version; each query run then takes
+    * a private filesystem COPY to mutate). Same fingerprint-keyed
+    * staleness, stale-sibling sweep, atomic rename publication, lost-
+    * race discard, and build-ledger accounting as [[materializedDir]];
+    * nested [[memoizeDisk]] builds inside `build` keep their own ledger
+    * entries and are excluded from this key's exclusive seconds. */
+  private[graft] def materializedTree(spark: SparkSession, key: String,
+                                      sources: Seq[String])
+                                     (build: String => Unit): String = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(indexCacheRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val slug = sha(key)
+    val dir = new Path(root, s"${slug}_${fingerprint(spark, sources)}")
+    if (fs.exists(new Path(dir, "_SUCCESS"))) return dir.toString
+    if (fs.exists(root))
+      fs.listStatus(root)
+        .filter(s => s.getPath.getName.startsWith(slug + "_") &&
+          s.getPath.getName != dir.getName)
+        .foreach(s => fs.delete(s.getPath, true)) // stale source version
+    val tmp = new Path(root, s".tmp_${slug}_${java.util.UUID.randomUUID()}")
+    val stack = buildStack.get
+    stack.push(0.0)
+    val t0 = System.nanoTime()
+    try {
+      build(tmp.toString)
+      val tmpMarker = new Path(tmp, "_SUCCESS")
+      if (!fs.exists(tmpMarker)) fs.create(tmpMarker, true).close()
+      if (!fs.rename(tmp, dir)) {
+        if (fs.exists(new Path(dir, "_SUCCESS"))) fs.delete(tmp, true)
+        else {
+          fs.delete(dir, true)
+          if (!fs.rename(tmp, dir)) fs.delete(tmp, true)
+        }
+      } else {
+        val nested = new Path(dir, tmp.getName)
+        if (fs.exists(nested)) fs.delete(nested, true)
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val childSum = stack.pop()
+      if (stack.nonEmpty) stack.push(stack.pop() + wall)
+      buildLog.put(key, wall - childSum)
+    } catch { case e: Throwable => stack.pop(); throw e }
+    dir.toString
+  }
 }

@@ -744,6 +744,43 @@ object Maintenance {
     ()
   }
 
+  /** The x94/x96/t26 fixtures' STORED STATE as a durable artifact —
+    * [[multiArtifactInit]] over buckets ≤7, built ONCE per corpus version
+    * in the cross-process index cache ([[DfCache.materializedTree]]) and
+    * COPIED per query run ([[multiArtifactInitCopied]]): the three
+    * declared queries mutate their artifacts, so they each take a
+    * private filesystem copy (metadata-speed) instead of re-deriving six
+    * artifacts from the corpus per query — the t18/t19 landing-copy
+    * discipline applied to the whole pipeline tree. */
+  private[graft] def multiArtifactStoredTree(spark: SparkSession,
+                                             sfDir: String): String =
+    DfCache.materializedTree(spark, s"x94init:$sfDir",
+      Seq(s"$sfDir/documents.parquet")) { tmp =>
+      multiArtifactInit(spark, MultiArtifactDirs(tmp),
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("source"), col("text"))
+          .where(Dedup.idxBucket <= 7))
+    }
+
+  /** Give `dirs` a private mutable copy of the cached stored state. */
+  private[graft] def multiArtifactInitCopied(spark: SparkSession,
+      sfDir: String, dirs: MultiArtifactDirs): Unit = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new Path(multiArtifactStoredTree(spark, sfDir))
+    val dst = new Path(dirs.root)
+    val fs = src.getFileSystem(conf)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.mkdirs(dst)
+    // copy the six artifact roots, not the tree marker — the copy is a
+    // working pipeline, not a cache entry
+    fs.listStatus(src).filter(_.isDirectory).foreach { st =>
+      require(FileUtil.copy(fs, st.getPath, fs,
+        new Path(dst, st.getPath.getName), false, true, conf),
+        s"could not copy stored state ${st.getPath.getName} to $dst")
+    }
+  }
+
   /** ONE maintenance pass over EVERY artifact: the ops batch's tombstone
     * keys fold through every swap, its inserts (net of same-batch
     * cancels) land in every artifact — with the shared inputs derived
@@ -905,7 +942,7 @@ object Maintenance {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("text"))
     val dirs = MultiArtifactDirs(Tables.scratchDir("graft_x94").toString)
-    multiArtifactInit(spark, dirs, docs.where(Dedup.idxBucket <= 7))
+    multiArtifactInitCopied(spark, sfDir, dirs)
     multiArtifactUpsert(spark, dirs, docs.where(Dedup.idxBucket >= 8),
       docs.where(Dedup.idxDoomed).select(col("doc_id")), "ops")
     multiArtifactProbe(spark, dirs)
@@ -951,7 +988,7 @@ object Maintenance {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("text"))
     val dirs = MultiArtifactDirs(Tables.scratchDir("graft_x96").toString)
-    multiArtifactInit(spark, dirs, docs.where(Dedup.idxBucket <= 7))
+    multiArtifactInitCopied(spark, sfDir, dirs)
     multiArtifactUpsert(spark, dirs, docs.where(Dedup.idxBucket >= 8),
       docs.where(Dedup.idxDoomed).select(col("doc_id")), "ops")
     val below = multiArtifactCompactIfNeeded(spark, dirs, maxLayers = 16)

@@ -2098,7 +2098,7 @@ object StreamingIngest {
     val dirs = Maintenance.MultiArtifactDirs(root.resolve("art").toString)
     val docs = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("text"))
-    Maintenance.multiArtifactInit(spark, dirs, docs.where(Dedup.idxBucket <= 7))
+    Maintenance.multiArtifactInitCopied(spark, sfDir, dirs)
     val ops = docs.where(Dedup.idxBucket >= 8)
       .select(col("doc_id"), lit("I").as("op"), col("source"), col("text"))
       .unionByName(docs.where(Dedup.idxDoomed)
