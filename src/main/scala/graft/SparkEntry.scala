@@ -115,6 +115,7 @@ object SparkEntry {
     "t26_stream_multi_artifact_upsert" -> (StreamingIngest.streamMultiArtifactUpsert _),
     "t27_stream_semantic_index_upsert" -> ((s, d) => StreamingIngest.streamSemanticIndexUpsert(s, d)),
     "t28_stream_bloom_decontam" -> ((s, d) => StreamingIngest.streamBloomDecontam(s, d)),
+    "t29_stream_maintain_compact" -> (StreamingIngest.streamMultiArtifactMaintain _),
     // M5 — [EXT] LLM-pipeline operators
     "x1_dedup_exact" -> (Dedup.exactDedup _),
     "x2_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),

@@ -634,6 +634,10 @@ object DedupOracles {
     // exact/near legs restate the per-batch fold over the arrival split
     // (t23/t24's contracts); the order-free legs carry x94's verbatim
     "t26_stream_multi_artifact_upsert" -> multiArtifactStreamSql,
+    // t29: t26 followed by the post-stream pipeline-wide policy sweep —
+    // pure re-layout on the swept artifacts, span epochs untouched, so
+    // t26's per-batch oracle carries verbatim
+    "t29_stream_maintain_compact" -> multiArtifactStreamSql,
     // x96: x94 through the pipeline-wide threshold-policy compaction
     // sweep — pure re-layout on every swept artifact, so x94's
     // conjunction oracle carries verbatim

@@ -2090,7 +2090,15 @@ object StreamingIngest {
     * arrival, so like t23/t24 the oracle restates the per-batch fold
     * over the idxArrival split; corpus, span, BM25 and aggregate legs
     * are order-free and carry x94's oracle legs verbatim. */
-  def streamMultiArtifactUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamMultiArtifactUpsert(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Maintenance.multiArtifactProbe(spark, t26Dirs(spark, sfDir))
+
+  /** The t26 fixture's streamed pipeline state (shared with t29, which
+    * runs the maintenance window on top): init from the cached stored
+    * tree, stream the arrival-split ops through the orchestrator, return
+    * the artifact dirs. */
+  private def t26Dirs(spark: SparkSession,
+                      sfDir: String): graft.operators.Maintenance.MultiArtifactDirs = {
     import java.nio.file.Files
     import graft.operators.{Dedup, Maintenance}
     graft.Tables.ensureParquetConf(spark)
@@ -2128,6 +2136,36 @@ object StreamingIngest {
         .start()
       try q.awaitTermination() finally { if (q.isActive) q.stop() }
     }
+    dirs
+  }
+
+  /** T29 — the FULL production loop: t26's multi-artifact stream, then
+    * the x95/x96 threshold-policy maintenance window once the stream
+    * drains. Per micro-batch every artifact absorbs the ops; after
+    * termination `Maintenance.multiArtifactCompactIfNeeded` consults the
+    * policy pipeline-wide and folds each swept artifact's per-batch
+    * layers to one — the reference's complete lifecycle (land every
+    * batch, update every bookkeeping artifact, let the idle scan close
+    * and compact: `HiveBatchedSink.scala:98-154,297-373`) in one
+    * declared query. The sweep deliberately runs AFTER the stream, not
+    * inside `foreachBatch`: compaction folds a batch's tag-scoped layer
+    * away, so a crash after an in-loop sweep but before the checkpoint
+    * commit would let the batch's replayed append land a SECOND copy of
+    * rows the sweep already folded into the compacted layer — the
+    * tag-overwrite replay rule only protects layers that still exist
+    * per-tag. Post-stream (or any quiesced maintenance window — the
+    * shared single-writer contract) there is no uncommitted batch to
+    * replay, so the sweep is safe and pure re-layout: the probe reads no
+    * layer tags on the swept artifacts, the span index keeps its epoch
+    * layers (excluded by design), and t26's per-batch oracle carries
+    * VERBATIM. */
+  def streamMultiArtifactMaintain(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Maintenance
+    val dirs = t26Dirs(spark, sfDir)
+    val fired = Maintenance.multiArtifactCompactIfNeeded(spark, dirs,
+      maxLayers = 1)
+    require(fired.values.forall(identity),
+      s"t29: the post-stream sweep did not fire everywhere: $fired")
     Maintenance.multiArtifactProbe(spark, dirs)
   }
 

@@ -324,6 +324,20 @@ class MaintenanceSpec extends SparkSpec {
       "no partially-retracted bucket in fixture")
   }
 
+  test("inParallel: results keep task order, a failing leg propagates its own " +
+      "exception (fail fast, like the sequential form), singletons run inline") {
+    import graft.operators.Maintenance
+    assert(Maintenance.inParallel(Seq(() => 1, () => 2, () => 3)) == Seq(1, 2, 3))
+    assert(Maintenance.inParallel(Seq(() => 42)) == Seq(42))
+    assert(Maintenance.inParallel[Int](Seq.empty) == Seq.empty)
+    val boom = intercept[IllegalStateException] {
+      Maintenance.inParallel[Int](Seq(
+        () => 1, () => throw new IllegalStateException("leg failed"), () => 3))
+    }
+    assert(boom.getMessage == "leg failed",
+      "the leg's own exception must propagate, not a wrapper")
+  }
+
   test("x94 orchestrator: one pass with shared derivations equals the per-artifact " +
       "sequential composition; a full replay converges; the enriched batch is " +
       "lineage-truncated (tokenized/shingled once)") {
