@@ -147,70 +147,20 @@ private[graft] object DfCache {
       sys.env.getOrElse("GRAFT_INDEX_CACHE",
         sys.props("java.io.tmpdir") + "/graft_index_cache"))
 
+  /** One-DataFrame artifact publication — a projection of
+    * [[materializedTree]] (the ONE copy of the fingerprint/sweep/
+    * rename-race/ledger protocol) whose tree is a single parquet write,
+    * hive-laid-out when `partitionBy` is set so a partition-column
+    * filter prunes directories at the scan (the IVF cell index reads
+    * only the probed cells). */
   private def ensureDir(spark: SparkSession, key: String, sources: Seq[String],
                         partitionBy: Seq[String])
-                       (build: => DataFrame): String = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(indexCacheRoot)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val slug = sha(key)
-    val dir = new Path(root, s"${slug}_${fingerprint(spark, sources)}")
-    // _SUCCESS is the visibility marker: a crashed writer never produced
-    // one (rename publishes the whole dir including the marker atomically)
-    if (fs.exists(new Path(dir, "_SUCCESS"))) dir.toString
-    else {
-      if (fs.exists(root))
-        fs.listStatus(root)
-          // NEVER the current fingerprint's dir: a concurrent builder may
-          // publish it between our marker check and this sweep, and
-          // deleting it would yank a just-published index out from under
-          // its readers — only genuinely stale source versions go
-          .filter(s => s.getPath.getName.startsWith(slug + "_") &&
-            s.getPath.getName != dir.getName)
-          .foreach(s => fs.delete(s.getPath, true)) // stale source version
-      val tmp = new Path(root, s".tmp_${slug}_${java.util.UUID.randomUUID()}")
-      val stack = buildStack.get
-      stack.push(0.0) // collector frame for nested builds
-      val t0 = System.nanoTime()
-      try {
-        val w = build.write.mode("overwrite")
-        // hive-style layout so a partition-column filter prunes directories
-        // at the scan (the IVF cell index reads only the probed cells)
-        (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-          .parquet(tmp.toString)
-        // the visibility marker is written into the TEMP dir so the rename
-        // publishes it atomically even on deployments that disable
-        // mapreduce.fileoutputcommitter.marksuccessfuljobs — without it,
-        // every access would read the dir as unpublished and rebuild
-        val tmpMarker = new Path(tmp, "_SUCCESS")
-        if (!fs.exists(tmpMarker)) fs.create(tmpMarker, true).close()
-        if (!fs.rename(tmp, dir)) {
-          // rename refused (POSIX onto an existing dir): either a
-          // concurrent winner published (marker present — discard ours)
-          // or a markerless partial/legacy dir occupies the slot —
-          // replace it with the fresh build instead of reading garbage
-          if (fs.exists(new Path(dir, "_SUCCESS"))) fs.delete(tmp, true)
-          else {
-            fs.delete(dir, true)
-            if (!fs.rename(tmp, dir)) fs.delete(tmp, true)
-          }
-        }
-        else {
-          // HDFS rename semantics: renaming onto an EXISTING dir moves tmp
-          // INSIDE it as debris (hidden from parquet reads by the dot
-          // prefix, but a full leaked index copy) — the loser detects the
-          // nesting and removes its bytes
-          val nested = new Path(dir, tmp.getName)
-          if (fs.exists(nested)) fs.delete(nested, true)
-        }
-        val wall = (System.nanoTime() - t0) / 1e9
-        val childSum = stack.pop()
-        if (stack.nonEmpty) stack.push(stack.pop() + wall)
-        buildLog.put(key, wall - childSum)
-      } catch { case e: Throwable => stack.pop(); throw e }
-      dir.toString
+                       (build: => DataFrame): String =
+    materializedTree(spark, key, sources) { tmp =>
+      val w = build.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(tmp)
     }
-  }
 
   /** The published artifact TREE for `key` (building it first if absent)
     * — [[materializedDir]] generalized from one DataFrame write to a
@@ -230,27 +180,43 @@ private[graft] object DfCache {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val slug = sha(key)
     val dir = new Path(root, s"${slug}_${fingerprint(spark, sources)}")
+    // _SUCCESS is the visibility marker: a crashed writer never produced
+    // one (rename publishes the whole dir including the marker atomically)
     if (fs.exists(new Path(dir, "_SUCCESS"))) return dir.toString
     if (fs.exists(root))
       fs.listStatus(root)
+        // NEVER the current fingerprint's dir: a concurrent builder may
+        // publish it between our marker check and this sweep, and deleting
+        // it would yank a just-published index out from under its readers
+        // — only genuinely stale source versions go
         .filter(s => s.getPath.getName.startsWith(slug + "_") &&
           s.getPath.getName != dir.getName)
         .foreach(s => fs.delete(s.getPath, true)) // stale source version
     val tmp = new Path(root, s".tmp_${slug}_${java.util.UUID.randomUUID()}")
     val stack = buildStack.get
-    stack.push(0.0)
+    stack.push(0.0) // collector frame for nested builds
     val t0 = System.nanoTime()
     try {
       build(tmp.toString)
+      // the visibility marker is written into the TEMP dir so the rename
+      // publishes it atomically even on deployments that disable
+      // mapreduce.fileoutputcommitter.marksuccessfuljobs
       val tmpMarker = new Path(tmp, "_SUCCESS")
       if (!fs.exists(tmpMarker)) fs.create(tmpMarker, true).close()
       if (!fs.rename(tmp, dir)) {
+        // rename refused (POSIX onto an existing dir): either a concurrent
+        // winner published (marker present — discard ours) or a markerless
+        // partial/legacy dir occupies the slot — replace it with the fresh
+        // build instead of reading garbage
         if (fs.exists(new Path(dir, "_SUCCESS"))) fs.delete(tmp, true)
         else {
           fs.delete(dir, true)
           if (!fs.rename(tmp, dir)) fs.delete(tmp, true)
         }
       } else {
+        // HDFS rename semantics: renaming onto an EXISTING dir moves tmp
+        // INSIDE it as debris (hidden from parquet reads by the dot
+        // prefix, but a full leaked copy) — the loser removes its bytes
         val nested = new Path(dir, tmp.getName)
         if (fs.exists(nested)) fs.delete(nested, true)
       }

@@ -588,14 +588,19 @@ object Maintenance {
     val layers = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
     if (layers.length <= 1) return false // nothing to fold, ever
+    // the layer-count trigger is ONE directory listing; only when it did
+    // not fire AND a byte bar is actually set does the (O(files), remote-
+    // RPC-per-dir) recursive walk run — a minFileBytes = 0 consult must
+    // stay a single listStatus
     def dataFiles(p: Path): Seq[FileStatus] = fs.listStatus(p).toSeq.flatMap { s =>
       val n = s.getPath.getName
       if (n.startsWith("_") || n.startsWith(".")) Seq.empty
       else if (s.isFile) Seq(s) else dataFiles(s.getPath)
     }
-    val files = layers.toSeq.flatMap(l => dataFiles(l.getPath))
-    val smallFiles = files.nonEmpty &&
-      files.map(_.getLen).sum / files.length < minFileBytes
+    def smallFiles: Boolean = minFileBytes > 0L && {
+      val files = layers.toSeq.flatMap(l => dataFiles(l.getPath))
+      files.nonEmpty && files.map(_.getLen).sum / files.length < minFileBytes
+    }
     if (layers.length > maxLayers || smallFiles) {
       compactLayers(spark, idxDir, tag, subPartition, stagePrefix)
       true
@@ -609,16 +614,28 @@ object Maintenance {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val trash = compactTrashPath(root)
     val published = new Path(root, s"batch=$tag")
-    // recovery FIRST: death between retire and publish left the only
-    // copies in trash — restore them before anything reads the tree
-    if (fs.exists(trash) && !fs.exists(published))
-      fs.listStatus(trash).foreach { d =>
-        val live = new Path(root, d.getPath.getName)
-        if (d.isDirectory && !fs.exists(live))
-          require(fs.rename(d.getPath, live),
-            s"could not restore ${d.getPath.getName} from interrupted compaction")
+    // recovery FIRST, and MARKER-AWARE first: the stranded trash may be
+    // a DIFFERENT invocation's (another tag) — deciding restore-vs-drop
+    // by THIS invocation's publish path would restore retired layers
+    // next to that invocation's already-published compacted layer and
+    // double every row. The marker names the right publish path; only a
+    // legacy markerless trash falls back to this invocation's tag (the
+    // only guess available, correct when the crashed compaction was a
+    // same-tag retry — and the historical behavior).
+    if (fs.exists(trash)) {
+      if (fs.exists(new Path(trash, CompactMarker)))
+        guardInterruptedCompaction(spark, idxDir)
+      else {
+        if (!fs.exists(published))
+          fs.listStatus(trash).foreach { d =>
+            val live = new Path(root, d.getPath.getName)
+            if (d.isDirectory && !fs.exists(live))
+              require(fs.rename(d.getPath, live),
+                s"could not restore ${d.getPath.getName} from interrupted compaction")
+          }
+        fs.delete(trash, true)
       }
-    fs.delete(trash, true)
+    }
     val layers = fs.listStatus(root).map(_.getPath.getName)
       .filter(_.startsWith("batch=")).sorted
     if (layers.size <= 1) return layers.size
@@ -869,7 +886,8 @@ object Maintenance {
       },
       () => StreamingIngest.nearDedupIndexBatchEnriched(
         enriched.select(col("doc_id"), col("text"), col("fp"), col("sh"),
-          col("n")), tag, dirs.nearDir, dirs.nearOutDir),
+          col("n")), tag, dirs.nearDir, dirs.nearOutDir,
+        alreadyMaterialized = true),
       () => TextAnalysis.spanIndexAppend(spark,
         enriched.select(col("doc_id"), col("text")), dirs.spanDir, tag)))
     enriched

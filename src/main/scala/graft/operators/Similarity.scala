@@ -859,6 +859,10 @@ object Similarity {
     // opener-side crash recovery for an interrupted x85 compaction
     // (ADVICE r14) — same guard as the flat fold's
     Maintenance.guardInterruptedCompaction(spark, idxDir)
+    // delete-before-any-append / fully-emptied index: structural no-op,
+    // never a schema-inference crash — the flat fold's contract applies
+    // to the layered fold identically
+    if (!graft.operators.Dedup.hasVisibleData(spark, idxDir)) return Seq.empty
     val idx = spark.read.parquet(idxDir)
     val k = broadcast(keys.select(col("vec_id")).distinct())
     val dirtyDf = idx.join(k, Seq("vec_id"), "leftsemi")

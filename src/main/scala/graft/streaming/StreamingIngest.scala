@@ -2435,13 +2435,19 @@ object StreamingIngest {
     * (lineage-truncated): the probe DAG references it from three
     * branches (prefix postings, shingle fetch, survivor set) and Spark
     * would otherwise re-tokenize the batch per branch (the t24
-    * orchestration-cost cut, VERDICT r14 #3). */
+    * orchestration-cost cut, VERDICT r14 #3). A caller that ALREADY
+    * materialized the derivation (the orchestrator snapshots `enriched`
+    * for every leg) passes `alreadyMaterialized = true` to skip a second
+    * full checkpoint of the same rows per micro-batch. */
   private[graft] def nearDedupIndexBatchEnriched(enriched: DataFrame,
                                                  batchTag: String,
                                                  indexDir: String, outDir: String,
-                                                 threshold: Double = 0.8): Unit = {
+                                                 threshold: Double = 0.8,
+                                                 alreadyMaterialized: Boolean = false): Unit = {
     val spark = enriched.sparkSession
-    val withSh = graft.operators.Dedup.snapshot(spark, enriched)
+    val withSh =
+      if (alreadyMaterialized) enriched
+      else graft.operators.Dedup.snapshot(spark, enriched)
     // existence probe, not exception catch: a malformed index propagates
     // instead of silently reading as "first batch" (Dedup.readBatchIndex)
     def readIdx(sub: String)(empty: => DataFrame): DataFrame =

@@ -1702,6 +1702,58 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("interrupted compaction"))
   }
 
+  test("a LATER compaction with a DIFFERENT tag recovers a marked crash via the marker, " +
+      "never by its own publish path — no row doubling; layered delete fold no-ops on " +
+      "an absent index (review r15)") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    import graft.operators.{Maintenance, Similarity}
+    def mk(tag: String): (String, Path, org.apache.hadoop.fs.FileSystem) = {
+      val idx = graft.Tables.scratchDir(s"graft_r15rev_$tag").toString + "/idx"
+      Seq(("prior", 10L, 1L), ("fresh", 13L, 4L)).toDF("batch", "fp", "doc_id")
+        .write.partitionBy("batch").parquet(idx)
+      val p = new Path(idx)
+      (idx, p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+    }
+    def writeMarker(fs: org.apache.hadoop.fs.FileSystem, trash: Path,
+                    publish: String): Unit = {
+      val o = fs.create(new Path(trash, "_PUBLISH_TAG"), true)
+      try o.write(publish.getBytes("UTF-8")) finally o.close()
+    }
+    val all = Set((10L, 1L), (13L, 4L))
+    def contents(idx: String): Set[(Long, Long)] =
+      spark.read.parquet(idx).select(col("fp"), col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // publish-window crash of a tag-c0 compaction, recovered by a tag-c1
+    // compaction: deciding restore-vs-drop by c1's own publish path would
+    // restore the retired layers next to the live batch=c0 (every row
+    // doubled); the marker names c0, so the trash DROPS
+    val (idx1, root1, fs1) = mk("pub")
+    assert(Maintenance.compactLayers(spark, idx1, "c0", Seq.empty, "graft_r15rev_") == 2)
+    val trash1 = new Path(root1.getParent, "." + root1.getName + "_compact_trash")
+    fs1.mkdirs(trash1); writeMarker(fs1, trash1, "batch=c0")
+    Seq(("prior", 10L, 1L)).toDF("batch", "fp", "doc_id")
+      .write.partitionBy("batch").parquet(trash1.toString + "/stranded")
+    fs1.rename(new Path(trash1, "stranded/batch=prior"), new Path(trash1, "batch=prior"))
+    assert(Maintenance.compactLayers(spark, idx1, "c1", Seq.empty, "graft_r15rev_") == 1)
+    assert(contents(idx1) == all,
+      s"cross-tag recovery doubled rows: ${contents(idx1)}")
+    // retire-window crash of a tag-c0 compaction, recovered by tag-c1:
+    // nothing published under c0, so the layers RESTORE, then c1 folds them
+    val (idx2, root2, fs2) = mk("ret")
+    val trash2 = new Path(root2.getParent, "." + root2.getName + "_compact_trash")
+    fs2.mkdirs(trash2); writeMarker(fs2, trash2, "batch=c0")
+    fs2.listStatus(root2).filter(_.getPath.getName.startsWith("batch="))
+      .foreach(s => require(fs2.rename(s.getPath, new Path(trash2, s.getPath.getName))))
+    assert(Maintenance.compactLayers(spark, idx2, "c1", Seq.empty, "graft_r15rev_") == 2)
+    assert(contents(idx2) == all)
+    // the layered delete fold's structural no-op (the flat fold's
+    // ADVICE-r14 contract, applied symmetrically)
+    assert(Similarity.ivfPqLayerDeleteKeys(spark,
+      graft.Tables.scratchDir("graft_r15rev_absent").toString + "/never",
+      Seq(1L).toDF("vec_id")).isEmpty)
+  }
+
   test("Bloom layer sizing params persist with the artifact and drift fails loudly, " +
       "naming the offending batch (ADVICE r14)") {
     import spark.implicits._
