@@ -148,6 +148,7 @@ object SparkEntry {
     "x89_neardup_index_upsert" -> (Dedup.nearDedupIndexUpsert _),
     "x90_neardup_index_compact" -> (Dedup.nearDedupIndexCompact _),
     "x91_span_index_upsert" -> (TextAnalysis.spanIndexUpsertProbe _),
+    "x97_span_epoch_compact" -> (TextAnalysis.spanEpochProbe _),
     "x92_semantic_index_upsert" -> ((s, d) => Similarity.semanticIndexUpsert(s, d)),
     "x93_bloom_index_decontam" -> ((s, d) => Dedup.bloomIndexDecontam(s, d)),
     "x69_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),

@@ -171,7 +171,14 @@ private[graft] object DfCache {
     * staleness, stale-sibling sweep, atomic rename publication, lost-
     * race discard, and build-ledger accounting as [[materializedDir]];
     * nested [[memoizeDisk]] builds inside `build` keep their own ledger
-    * entries and are excluded from this key's exclusive seconds. */
+    * entries and are excluded from this key's exclusive seconds — with
+    * one known limitation (accounting only, r15 advisory): the build
+    * stack is a plain ThreadLocal, so nested builds that `build` fans
+    * out to POOL threads (`Maintenance.inParallel`) run on fresh stacks
+    * — their wall time is not subtracted from this key's exclusive
+    * seconds (overstating it) and their own parent attribution is
+    * dropped. The ledger is a diagnostic, not a correctness surface, so
+    * the cross-thread frame propagation is deliberately not built. */
   private[graft] def materializedTree(spark: SparkSession, key: String,
                                       sources: Seq[String])
                                      (build: String => Unit): String = {

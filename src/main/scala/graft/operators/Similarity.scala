@@ -751,17 +751,43 @@ object Similarity {
     * nprobe filter still prunes directories across every batch. */
   def ivfPqAppend(spark: SparkSession, sfDir: String, newVecs: DataFrame,
                   indexDir: String, batchTag: String): DataFrame = {
+    ivfPqAppendEncoded(encodeVectorBatch(spark, sfDir, newVecs), indexDir,
+      batchTag)
+    spark.read.parquet(indexDir)
+  }
+
+  /** Encode a batch of raw `(vec_id, embedding)` rows ONCE for EVERY
+    * embedding artifact the pipeline maintains — the shared-derivation
+    * twin of the orchestrator's `enriched` text batch (x94's discipline
+    * applied to vectors): the frozen coarse cell (`assignCell`), the PQ
+    * codes, the fixed-point view and the row norm all attach in one
+    * map-only pass, so the IVF-PQ append reads `(u, codes, cell)`, the
+    * SemDeDup admit reads `(embedding, cell, nrm)`, and nothing assigns
+    * or quantizes twice. Both quantizers are bounded driver metadata
+    * (disk-memoized), so the expression is pure codegen over the scan. */
+  private[graft] def encodeVectorBatch(spark: SparkSession, sfDir: String,
+                                       vecs: DataFrame): DataFrame = {
     val cents = ivfCentroids(spark, sfDir)
       .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toSeq).toSeq
     val pq = pqCodebooks(spark, sfDir)
-    newVecs
+    vecs
       .select(col("vec_id"), col("embedding"), pqFixed.as("u"))
-      .select(col("vec_id"), col("u"), pqCodesExpr(col("u"), pq).as("codes"),
-        assignCell(cents).as("cell"))
+      .select(col("vec_id"), col("embedding"), col("u"),
+        pqCodesExpr(col("u"), pq).as("codes"),
+        assignCell(cents).as("cell"),
+        VectorFns.norm(col("embedding")).as("nrm"))
+  }
+
+  /** Land an [[encodeVectorBatch]] batch as the tag-scoped
+    * `batch=<tag>/cell=<c>/` layer of an IVF-PQ index — [[ivfPqAppend]]'s
+    * write with the encoding already done (the orchestrator encodes once
+    * for two artifacts). Same columns, same layout, same x16 retry rule. */
+  private[graft] def ivfPqAppendEncoded(encoded: DataFrame, indexDir: String,
+                                        batchTag: String): Unit =
+    encoded
+      .select(col("vec_id"), col("u"), col("codes"), col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/batch=$batchTag")
-    spark.read.parquet(indexDir)
-  }
 
   /** X6g — IVF-PQ with exact refine, the ladder composed into the index
     * every production vector store actually ships: the probe picks

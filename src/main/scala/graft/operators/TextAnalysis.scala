@@ -1363,6 +1363,64 @@ object TextAnalysis {
     spanHitProbe(grown)
   }
 
+  /** X97 — span-index EPOCH compaction (VERDICT r15 #2): the one layered
+    * artifact the pipeline-wide sweep must not touch mid-epoch finally
+    * gets its own maintenance window. The span index's probe reads layer
+    * TAGS (prior epoch vs novel batch), so its layers can only fold
+    * BETWEEN probe epochs: once an epoch's batch has been probed and
+    * absorbed, everything folds into the `batch=prior` layer — the shared
+    * crash-safe core (`Maintenance.compactLayers`) with `prior` as the
+    * publish tag — and the NEXT epoch's appends are the novel side.
+    * Without this fold a long-lived span index accumulates one layer per
+    * epoch forever — exactly the small-file pathology x95 exists to
+    * prevent.
+    *
+    * The declared history: stored spans land in two epochs-worth of
+    * layers (buckets ≤5 as `stored`, then {6,7} as the epoch-1 batch),
+    * the delete keys fold through the shared swap, the epoch-1 probe
+    * runs and is absorbed (witnessed by an action), the x95 threshold
+    * policy consults the index between epochs — below its bar it must
+    * not fire, at it the epoch fold runs through the shared core — and
+    * the epoch-2 batch (buckets ≥8, net of cancels) appends as `novel`.
+    * The final probe reads prior = the COMPACTED epoch-1 state = the
+    * bucket-≤7 survivors, which is exactly x91's prior side — so x91's
+    * oracle carries VERBATIM on the next epoch's batch: the green hash
+    * states the epoch fold is probe-invariant for every future epoch.
+    * (The spec additionally pins the fold against an uncompacted twin
+    * row-for-row.) */
+  def spanEpochProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{Dedup, Maintenance}
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), Dedup.idxBucket.as("b"))
+    val idx = graft.Tables.scratchDir("graft_x97_idx").toString + "/idx"
+    spanIndexAppend(spark,
+      docs.where(col("b") <= 5).select(col("doc_id"), col("text")), idx,
+      "stored")
+    spanIndexAppend(spark,
+      docs.where(col("b") === 6 || col("b") === 7)
+        .select(col("doc_id"), col("text")), idx, "e1")
+    val keys = docs.where(Dedup.idxDoomed).select(col("doc_id"))
+    Dedup.dedupIndexDeleteKeys(spark, idx, keys)
+    // the epoch-1 probe, absorbed (the operational precondition of the
+    // fold — layers only fold once their epoch has been read)
+    val e1 = spanHitProbe(spark.read.parquet(idx).withColumn("batch",
+      when(col("batch") === "stored", "prior").otherwise("novel"))).count()
+    require(e1 > 0, "x97: the epoch-1 probe saw no novel docs")
+    // between-epochs policy: below the layer bar the index is untouched;
+    // at it the epoch fold publishes batch=prior through the shared core
+    require(!Maintenance.compactIfNeeded(spark, idx, "prior", Seq.empty,
+      "graft_x97_sweep_", maxLayers = 16),
+      "x97: below-threshold epoch consult fired")
+    require(Maintenance.compactIfNeeded(spark, idx, "prior", Seq.empty,
+      "graft_x97_sweep_", maxLayers = 1),
+      "x97: the epoch fold did not fire at threshold")
+    val grown = spanIndexAppend(spark,
+      docs.where(col("b") >= 8).select(col("doc_id"), col("text"))
+        .join(broadcast(keys.distinct()), Seq("doc_id"), "leftanti"),
+      idx, "novel")
+    spanHitProbe(grown)
+  }
+
   /** X56 — exact repeated-substring REMOVAL, x54's decision applied the
     * way Lee et al. (ACL 2022) apply it: every repeated span keeps ONE
     * canonical occurrence corpus-wide (the (doc_id, p)-minimum per span

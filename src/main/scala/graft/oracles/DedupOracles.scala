@@ -208,14 +208,27 @@ object DedupOracles {
     * probe, bm25 = x20's monolithic scoring over the live corpus
     * (x82's argument), agg = the direct per-source rollup. */
   /** The shared shell of the x94/t26 conjunction oracles: corpus, span,
-    * bm25 and agg legs are ORDER-FREE (same-batch cancels only — a doc's
-    * I and D share its arrival batch by construction; stats arithmetic
-    * commutes), so they are identical between the one-shot and streamed
-    * forms; only the admission-probing exact and near legs differ. */
+    * bm25, agg and (round 16) the embedding legs' order-free parts are
+    * identical between the one-shot and streamed forms (same-batch
+    * cancels only — a doc's I and D share its arrival batch by
+    * construction; stats arithmetic commutes; the layered ANN index's
+    * final state is the survivor set whatever the batch count, x83/x84's
+    * convergence); only the admission-probing exact, near and SemDeDup
+    * legs differ, passed in per form. The `ann` leg replays the full x6g
+    * retraining chain (both quantizers retrained in SQL) with the doomed
+    * residue excluded from the CANDIDATE set — x83's oracle with this
+    * fixture's tombstones; the `semantic` legs are x92's / t27's
+    * NOT-EXISTS chains spliced in under `sem`-prefixed CTE names. */
   private def multiArtifactShellSql(extraCtes: String, exactBody: String,
-                                    nearBody: String): String =
+                                    nearBody: String, semCtes: String,
+                                    semBody: String,
+                                    policyLeg: String = ""): String =
     s"""WITH $jaccardPairsCte,
         $winnowSpansSql,
+        $pqChainSql,
+        $ivfChainSql,
+        ${ivfPqCandExactCtes(s"""
+              AND NOT (${polyHashSql("CAST(c.vec_id AS VARCHAR)")} % 7 = 3)""")},
         xb AS (SELECT doc_id, source, ${polyHashSql("text")} AS fp,
           CAST(length(text) AS BIGINT) AS len, $idxBk AS bk,
           $idxDoomedSql AS doomed, $idxArrivalSql AS h FROM documents),
@@ -231,6 +244,7 @@ object DedupOracles {
             CAST(SUM(CASE WHEN p.h IS NOT NULL THEN 1 ELSE 0 END) * 1000000
               // COUNT(*) AS BIGINT) AS hit_ppm
           FROM spn n LEFT JOIN sprh p ON p.h = n.h GROUP BY n.doc_id),
+        $semCtes,
         $extraCtes
         SELECT 'corpus' AS artifact, CAST(doc_id AS VARCHAR) AS k1,
           fp AS v1, len AS v2, CAST(NULL AS BIGINT) AS v3,
@@ -253,9 +267,109 @@ object DedupOracles {
         SELECT 'agg', source, CAST(count(*) AS BIGINT),
           CAST(coalesce(sum(len($toks)), 0) AS BIGINT), NULL, NULL
         FROM documents WHERE NOT ($idxDoomedSql) GROUP BY source
+        UNION ALL
+        SELECT 'semantic', CAST(vec_id AS VARCHAR), CAST(cell AS BIGINT),
+          NULL, NULL, NULL
+        FROM ($semBody)
+        UNION ALL
+        SELECT 'ann', CAST(vec_id AS VARCHAR), l2_dist, NULL, NULL, NULL
+        FROM (SELECT vec_id, l2_dist FROM exact
+              ORDER BY l2_dist, vec_id LIMIT 10)$policyLeg
         ORDER BY 1, 2""".stripMargin
 
-  private lazy val multiArtifactSql: String = multiArtifactShellSql(
+  /** The x96/t29 sweep-outcome rows as oracle CONSTANTS: below-bar
+    * consults fire nowhere, at-bar consults fire on all seven swept
+    * artifacts, the span index's mid-epoch consult stays below its bar
+    * (its epoch fold is x97's). An engine policy that deviates breaks
+    * the hash. */
+  private def policyLegSql(belowCol: String): String =
+    s"""
+        UNION ALL
+        SELECT 'policy', name, CAST($belowCol AS BIGINT), CAST(f AS BIGINT),
+          CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+        FROM (VALUES ('ann', 0, 1), ('corpus', 0, 1), ('exact', 0, 1),
+          ('near_fp', 0, 1), ('near_pfx', 0, 1), ('near_sh', 0, 1),
+          ('sem', 0, 1)) p(name, b, f)
+        UNION ALL
+        SELECT 'policy', 'span', CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+          CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)"""
+
+  /** x94's one-shot SemDeDup leg — x92's oracle chain, `sem`-prefixed:
+    * prior keeps select with doomed vectors as greedy blockers, doomed
+    * keeps leave, fresh vectors (net of cancels) admit against SURVIVING
+    * keeps only. */
+  private def semOneShotCtes: String =
+    s"""sav AS MATERIALIZED (
+          SELECT a.cell, a.vec_id, e.embedding,
+            ${polyHashSql("CAST(e.vec_id AS VARCHAR)")} % 10 AS bkt,
+            ${polyHashSql("CAST(e.vec_id AS VARCHAR)")} % 7 = 3 AS doomed,
+            (${polyHashSql("CAST(e.vec_id AS VARCHAR)")} // 10) % 2 AS sh2
+          FROM asg a JOIN embeddings e USING (vec_id)),
+        spr AS (SELECT * FROM sav WHERE bkt <= 7),
+        spk AS MATERIALIZED (
+          SELECT p.cell, p.vec_id, p.embedding, p.doomed, p.sh2 FROM spr p
+          WHERE NOT EXISTS (
+            SELECT 1 FROM spr q WHERE q.cell = p.cell AND q.vec_id < p.vec_id
+              AND round(${cosineD("q.embedding", "p.embedding")}, 6) >= 0.4)),
+        spks AS (SELECT cell, vec_id, embedding FROM spk WHERE NOT doomed),
+        sfr AS (SELECT * FROM sav WHERE bkt >= 8 AND NOT doomed),
+        sfk AS (
+          SELECT f.cell, f.vec_id FROM sfr f
+          WHERE NOT EXISTS (
+            SELECT 1 FROM sfr g WHERE g.cell = f.cell AND g.vec_id < f.vec_id
+              AND round(${cosineD("g.embedding", "f.embedding")}, 6) >= 0.4)
+          AND NOT EXISTS (
+            SELECT 1 FROM spks WHERE spks.cell = f.cell
+              AND round(${cosineD("spks.embedding", "f.embedding")}, 6) >= 0.4))"""
+
+  private def semOneShotBody: String =
+    """SELECT vec_id, cell FROM spks
+              UNION ALL SELECT vec_id, cell FROM sfk"""
+
+  /** t26's streamed SemDeDup leg — t27's per-batch chain, `sem`-prefixed:
+    * each arrival half deletes its doomed keys, then admits its fresh
+    * vectors against the batch itself (lower-id greedy) and the CURRENT
+    * kept set. */
+  private def semStreamCtes: String =
+    s"""$semOneShotCtes,
+        ss0d AS (SELECT cell, vec_id, embedding FROM spk
+                 WHERE NOT (doomed AND sh2 = 0)),
+        sfra AS (SELECT * FROM sfr WHERE sh2 = 0),
+        skeepa AS MATERIALIZED (
+          SELECT f.cell, f.vec_id, f.embedding FROM sfra f
+          WHERE NOT EXISTS (
+            SELECT 1 FROM sfra g WHERE g.cell = f.cell AND g.vec_id < f.vec_id
+              AND round(${cosineD("g.embedding", "f.embedding")}, 6) >= 0.4)
+          AND NOT EXISTS (
+            SELECT 1 FROM ss0d WHERE ss0d.cell = f.cell
+              AND round(${cosineD("ss0d.embedding", "f.embedding")}, 6) >= 0.4)),
+        ss1 AS (SELECT cell, vec_id, embedding FROM ss0d
+                UNION ALL SELECT cell, vec_id, embedding FROM skeepa),
+        ss1d AS (SELECT * FROM ss1 WHERE vec_id NOT IN
+                 (SELECT vec_id FROM sav WHERE doomed AND sh2 = 1)),
+        sfrb AS (SELECT * FROM sfr WHERE sh2 = 1),
+        skeepb AS (
+          SELECT f.cell, f.vec_id FROM sfrb f
+          WHERE NOT EXISTS (
+            SELECT 1 FROM sfrb g WHERE g.cell = f.cell AND g.vec_id < f.vec_id
+              AND round(${cosineD("g.embedding", "f.embedding")}, 6) >= 0.4)
+          AND NOT EXISTS (
+            SELECT 1 FROM ss1d WHERE ss1d.cell = f.cell
+              AND round(${cosineD("ss1d.embedding", "f.embedding")}, 6) >= 0.4))"""
+
+  private def semStreamBody: String =
+    """SELECT vec_id, cell FROM ss1d
+              UNION ALL SELECT vec_id, cell FROM skeepb"""
+
+  private lazy val multiArtifactSql: String = multiArtifactOneShotSql("")
+
+  /** x96's oracle = x94's conjunction + the sweep-outcome constants
+    * (below consults all 0, at-bar fires all 1). */
+  private lazy val multiArtifactCompactSql: String =
+    multiArtifactOneShotSql(policyLegSql("b"))
+
+  private def multiArtifactOneShotSql(policyLeg: String): String =
+    multiArtifactShellSql(
     extraCtes = s"""xpks AS (SELECT doc_id, fp FROM xpk WHERE doc_id NOT IN
                  (SELECT doc_id FROM xb WHERE doomed)),
         xins AS (SELECT min(doc_id) AS doc_id, fp FROM xb
@@ -271,13 +385,24 @@ object DedupOracles {
     nearBody = """SELECT doc_id, fp FROM xpks
               UNION ALL
               SELECT doc_id, fp FROM xins
-              WHERE doc_id NOT IN (SELECT doc_id FROM nnf)""")
+              WHERE doc_id NOT IN (SELECT doc_id FROM nnf)""",
+    semCtes = semOneShotCtes,
+    semBody = semOneShotBody,
+    policyLeg = policyLeg)
 
   /** t26: the orchestrator's fold replayed batch-by-batch over the
     * idxArrival split — the exact leg is t23's state chain (single
     * stored layer), the near leg t24's, while corpus/span/bm25/agg carry
     * x94's legs verbatim (order-free, see [[multiArtifactShellSql]]). */
-  private lazy val multiArtifactStreamSql: String = multiArtifactShellSql(
+  private lazy val multiArtifactStreamSql: String = multiArtifactStreamedSql("")
+
+  /** t29's oracle = t26's per-batch conjunction + the sweep-outcome
+    * constants (no below phase → NULL, at-bar fires all 1). */
+  private lazy val multiArtifactMaintainSql: String =
+    multiArtifactStreamedSql(policyLegSql("NULL"))
+
+  private def multiArtifactStreamedSql(policyLeg: String): String =
+    multiArtifactShellSql(
     extraCtes = s"""es0d AS (SELECT doc_id, fp FROM xpk WHERE doc_id NOT IN
                  (SELECT doc_id FROM xb WHERE doomed AND h = 0)),
         insa AS (SELECT min(doc_id) AS doc_id, fp FROM xb
@@ -320,7 +445,10 @@ object DedupOracles {
     exactBody = """SELECT doc_id, fp FROM es1d
               UNION ALL SELECT doc_id, fp FROM insb""",
     nearBody = """SELECT doc_id, fp FROM ns1d
-              UNION ALL SELECT doc_id, fp FROM keepb""")
+              UNION ALL SELECT doc_id, fp FROM keepb""",
+    semCtes = semStreamCtes,
+    semBody = semStreamBody,
+    policyLeg = policyLeg)
 
   /** t27: x92's fold replayed batch-by-batch over the vec_id-hash
     * arrival split — the SemDeDup twin of the t23/t24 state chains.
@@ -628,7 +756,11 @@ object DedupOracles {
     // fires-iff-threshold contract itself is spec-pinned
     "x95_compact_policy" -> dedupIndexDeleteSql,
     // x94: the single-pass multi-artifact orchestrator — the conjunction
-    // of the per-artifact recomputes over the same final corpus, one hash
+    // of the per-artifact recomputes over the same final corpus, one
+    // hash; round 16 the frame gains the SemDeDup leg (x92's chain) and
+    // the layered-ANN leg (the x6g retraining chain with the doomed
+    // residue out of the candidate set — x83's oracle on this fixture's
+    // tombstones)
     "x94_multi_artifact_upsert" -> multiArtifactSql,
     // t26: the orchestrator inside foreachBatch — the admission-probing
     // exact/near legs restate the per-batch fold over the arrival split
@@ -636,12 +768,15 @@ object DedupOracles {
     "t26_stream_multi_artifact_upsert" -> multiArtifactStreamSql,
     // t29: t26 followed by the post-stream pipeline-wide policy sweep —
     // pure re-layout on the swept artifacts, span epochs untouched, so
-    // t26's per-batch oracle carries verbatim
-    "t29_stream_maintain_compact" -> multiArtifactStreamSql,
+    // t26's per-batch oracle carries verbatim, plus the sweep-outcome
+    // constants (the policy sits under the hash, not just a require)
+    "t29_stream_maintain_compact" -> multiArtifactMaintainSql,
     // x96: x94 through the pipeline-wide threshold-policy compaction
     // sweep — pure re-layout on every swept artifact, so x94's
-    // conjunction oracle carries verbatim
-    "x96_multi_artifact_compact" -> multiArtifactSql,
+    // conjunction oracle carries verbatim, plus the sweep-outcome
+    // constants (below-bar consults 0, byte-pressure fires 1, span's
+    // mid-epoch consult 0)
+    "x96_multi_artifact_compact" -> multiArtifactCompactSql,
     // x87: one upsert pass, delete-first — stored keepers (buckets ≤7 in
     // two layers) minus doomed, then inserts (≥8, net of same-batch
     // cancels) admitted against the POST-delete fingerprint set, so an
@@ -825,6 +960,13 @@ object DedupOracles {
     // t23/t24 the streamed state ≡ the one-shot pass and x91's oracle
     // carries over verbatim
     "t25_stream_span_index_upsert" -> spanUpsertSql,
+    // x97: x91's history with the stored side landed as TWO epochs and
+    // the EPOCH FOLD (all layers → batch=prior, through the threshold
+    // policy) run between them — the fold is a pure re-layout whose
+    // prior side equals x91's by construction, so the next epoch's probe
+    // carries x91's oracle verbatim: the green hash states epoch
+    // compaction is probe-invariant for every future epoch
+    "x97_span_epoch_compact" -> spanUpsertSql,
     // x56: x54's spans with keep-one-canonical semantics (the
     // (doc_id,p)-min per repeated span hash survives; every other
     // occurrence is cut), islands merged, the doc spliced back together

@@ -186,10 +186,11 @@ object OracleDefs {
   // `candExtra` injects an additional candidate-set predicate — x83/x84
   // exclude tombstoned vectors HERE (not at the final rank: dropping
   // index rows changes which 50 survivors reach the shortlist).
-  private[graft] def ivfPqOracleSqlWhere(candExtra: String): String =
-    s"""WITH $pqChainSql,
-          $ivfChainSql,
-          cand AS MATERIALIZED (
+  // The shortlist + rerank CTEs alone (no WITH, no final SELECT) — shared
+  // by the standalone x6g/x83 oracles and the multi-artifact conjunction
+  // oracle's `ann` leg, which splices them into its own WITH list.
+  private[graft] def ivfPqCandExactCtes(candExtra: String): String =
+    s"""cand AS MATERIALIZED (
             SELECT c.vec_id FROM codes c
             JOIN asg a ON a.vec_id = c.vec_id
             JOIN probed p ON p.cell = a.cell
@@ -200,7 +201,12 @@ object OracleDefs {
             SELECT u.vec_id, CAST(SUM((u.v - q.v) * (u.v - q.v)) AS BIGINT) AS l2_dist
             FROM pqu u JOIN pqu q ON q.vec_id = 0 AND q.s = u.s AND q.j = u.j
             JOIN cand ON cand.vec_id = u.vec_id
-            GROUP BY 1)
+            GROUP BY 1)"""
+
+  private[graft] def ivfPqOracleSqlWhere(candExtra: String): String =
+    s"""WITH $pqChainSql,
+          $ivfChainSql,
+          ${ivfPqCandExactCtes(candExtra)}
           SELECT vec_id, l2_dist FROM exact
           ORDER BY l2_dist, vec_id LIMIT 10"""
 

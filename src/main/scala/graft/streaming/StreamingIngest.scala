@@ -2091,7 +2091,8 @@ object StreamingIngest {
     * over the idxArrival split; corpus, span, BM25 and aggregate legs
     * are order-free and carry x94's oracle legs verbatim. */
   def streamMultiArtifactUpsert(spark: SparkSession, sfDir: String): DataFrame =
-    graft.operators.Maintenance.multiArtifactProbe(spark, t26Dirs(spark, sfDir))
+    graft.operators.Maintenance.multiArtifactProbe(spark, sfDir,
+      t26Dirs(spark, sfDir))
 
   /** The t26 fixture's streamed pipeline state (shared with t29, which
     * runs the maintenance window on top): init from the cached stored
@@ -2107,6 +2108,11 @@ object StreamingIngest {
     val docs = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("text"))
     Maintenance.multiArtifactInitCopied(spark, sfDir, dirs)
+    // warm both frozen quantizers BEFORE the stream: the per-batch encode
+    // reads them as driver metadata, and the first touch builds them into
+    // the durable index cache — an index-build cost, not a per-batch one
+    graft.operators.Similarity.ivfCentroids(spark, sfDir).count()
+    graft.operators.Similarity.pqCodebooks(spark, sfDir)
     val ops = docs.where(Dedup.idxBucket >= 8)
       .select(col("doc_id"), lit("I").as("op"), col("source"), col("text"))
       .unionByName(docs.where(Dedup.idxDoomed)
@@ -2124,7 +2130,7 @@ object StreamingIngest {
         .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
         .writeStream
         .foreachBatch { (b: DataFrame, id: Long) =>
-          Maintenance.multiArtifactUpsert(spark, dirs,
+          Maintenance.multiArtifactUpsert(spark, sfDir, dirs,
             b.where(col("op") === "I")
               .select(col("doc_id"), col("source"), col("text")),
             b.where(col("op") === "D").select(col("doc_id")),
@@ -2164,9 +2170,21 @@ object StreamingIngest {
     val dirs = t26Dirs(spark, sfDir)
     val fired = Maintenance.multiArtifactCompactIfNeeded(spark, dirs,
       maxLayers = 1)
-    require(fired.values.forall(identity),
-      s"t29: the post-stream sweep did not fire everywhere: $fired")
-    Maintenance.multiArtifactProbe(spark, dirs)
+    // the span index consults its OWN policy with the epoch tag: the probe
+    // below reads this epoch's layer tags (prior vs the streamed batches),
+    // so mid-epoch the consult must stay under its layer bar — the full
+    // epoch fold (everything into batch=prior, next epoch = novel) runs
+    // BETWEEN probe epochs and sits under the gate as x97. Both consult
+    // outcomes ride in the RESULT frame as `policy` rows, hash-checked
+    // against constant oracle rows (the x96 discipline) — a sweep that
+    // fails to fire (or a span consult that fires mid-epoch) breaks the
+    // hash, not merely an assertion.
+    val spanConsult = Maintenance.compactIfNeeded(spark, dirs.spanDir,
+      "prior", Seq.empty, "graft_t29_span_", maxLayers = 16)
+    Maintenance.multiArtifactProbe(spark, sfDir, dirs)
+      .unionByName(Maintenance.policyRows(spark, fired.keys.toSeq,
+        _ => None, n => Some(fired(n)), spanConsult))
+      .orderBy(col("artifact"), col("k1"))
   }
 
   /** Initialize the maintained BM25-stats artifacts (per-term df table +
@@ -2179,21 +2197,63 @@ object StreamingIngest {
     val root = new Path(statsDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = new Path(root, "base")
-    graft.operators.Search.bm25TermDfOf(docs).coalesce(1)
-      .write.mode("overwrite").parquet(new Path(base, "df").toString)
+    writeBm25TermDf(graft.operators.Search.bm25TermDfOf(docs),
+      new Path(base, "df").toString)
     graft.operators.Search.bm25ScalarsOf(docs).coalesce(1)
       .write.mode("overwrite").parquet(new Path(base, "scalars").toString)
     writeViewPointer(fs, root, "base")
   }
 
-  /** The current stats artifacts `(termDf, scalars)` via `_LATEST`. */
+  /** Vocabulary-size gate past which a term-df snapshot sheds the
+    * single-file layout (sys-prop `graft.bm25.shardRowGate`; the
+    * `unionFindGate` shape — small vocabularies take the cheap one-file
+    * path, large ones the sharded one, a differential spec pins the two
+    * layouts row-identical). Default 2^20 terms: below it one task
+    * rewriting the snapshot is noise; a 100 TB web corpus's term-df table
+    * is 10⁸–10⁹ rows, where one funnel task per fold becomes the
+    * pipeline's serial bottleneck (VERDICT r15 #3). */
+  private[graft] def bm25ShardRowGate: Long =
+    java.lang.Long.getLong("graft.bm25.shardRowGate", 1L << 20)
+
+  /** Shard fan-out for a gated term-df snapshot (sys-prop
+    * `graft.bm25.shardCount`): hash-bucketed `partitionBy` directories,
+    * so the snapshot write runs wide while every reader still gets one
+    * logical table. */
+  private[graft] def bm25ShardCount: Int =
+    Integer.getInteger("graft.bm25.shardCount", 32)
+
+  /** Write a term-df snapshot in whichever layout its size earns: one
+    * file below [[bm25ShardRowGate]] rows (the x78 O(vocab) ledger
+    * shape), hash-bucketed `shard=` partitions above it — the fold stops
+    * funneling the whole vocabulary through one task exactly when that
+    * task stops being noise. The df is SNAPSHOTTED first (lineage
+    * truncation) so the row-count consult and the write run one plan, not
+    * two recomputes of the fold. Both layouts are row-identical
+    * (spec-pinned) and [[readBm25Stats]] reads either — the shard column
+    * is layout, not data. */
+  private[graft] def writeBm25TermDf(termDf: DataFrame, dest: String): Unit = {
+    val spark = termDf.sparkSession
+    val snap = graft.operators.Dedup.snapshot(spark, termDf)
+    if (snap.count() > bm25ShardRowGate)
+      snap.withColumn("shard",
+          pmod(graft.functions.TextFns.polyHash(col("term")),
+            lit(bm25ShardCount.toLong)))
+        .write.mode("overwrite").partitionBy("shard").parquet(dest)
+    else snap.coalesce(1).write.mode("overwrite").parquet(dest)
+  }
+
+  /** The current stats artifacts `(termDf, scalars)` via `_LATEST`.
+    * Layout-blind: a sharded snapshot's `shard=` partition column is
+    * dropped on read, so folds and probes see the same logical table
+    * whichever layout [[writeBm25TermDf]] chose. */
   private[graft] def readBm25Stats(spark: SparkSession,
                                    statsDir: String): (DataFrame, DataFrame) = {
     import org.apache.hadoop.fs.Path
     val root = new Path(statsDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val snap = new Path(root, readViewPointer(fs, root))
-    (spark.read.parquet(new Path(snap, "df").toString),
+    val df = spark.read.parquet(new Path(snap, "df").toString)
+    (if (df.columns.contains("shard")) df.drop("shard") else df,
       spark.read.parquet(new Path(snap, "scalars").toString))
   }
 
@@ -2248,9 +2308,9 @@ object StreamingIngest {
         Search.bm25RetractScalars(spark, baseSc, Search.bm25ScalarsOf(doomed)),
         Search.bm25ScalarsOf(inserts))
       publishSnapshot(fs, root, snap) { tmp =>
-        // O(vocabulary) + O(1) rows — single-file artifacts, the x78 shape
-        newDf.coalesce(1).write.mode("overwrite")
-          .parquet(new Path(tmp, "df").toString)
+        // O(vocabulary) rows — gated layout (one file until the vocab
+        // earns sharding, VERDICT r15 #3); scalars are ONE row, always
+        writeBm25TermDf(newDf, new Path(tmp, "df").toString)
         newSc.coalesce(1).write.mode("overwrite")
           .parquet(new Path(tmp, "scalars").toString)
         // the sub-artifact writes each leave their own parquet _SUCCESS;
@@ -2658,10 +2718,25 @@ object StreamingIngest {
                                         indexDir: String, outDir: String,
                                         threshold: Double): Unit = {
     import graft.functions.VectorFns
-    val spark = batch.sparkSession
-    val asg = batch
-      .withColumn("cell", graft.operators.Similarity.assignCell(cents))
-      .withColumn("nrm", VectorFns.norm(col("embedding")))
+    semanticDedupBatchAssigned(batch
+        .withColumn("cell", graft.operators.Similarity.assignCell(cents))
+        .withColumn("nrm", VectorFns.norm(col("embedding"))),
+      batchTag, indexDir, outDir, threshold)
+  }
+
+  /** [[semanticDedupBatch]] over rows that already CARRY their frozen
+    * cell assignment and norm (`vec_id, embedding, cell, nrm`) — the
+    * shared-derivation entry the multi-artifact orchestrator uses
+    * (`Similarity.encodeVectorBatch` assigns once for both embedding
+    * artifacts). Cell assignment is a pure function of the frozen
+    * quantizer, so the two entries are row-identical by construction. */
+  private[graft] def semanticDedupBatchAssigned(asg: DataFrame,
+                                                batchTag: String,
+                                                indexDir: String,
+                                                outDir: String,
+                                                threshold: Double): Unit = {
+    import graft.functions.VectorFns
+    val spark = asg.sparkSession
     // x5's IEEE-pinned 6-dp rounded cosine — the x69 pair test verbatim
     def cos(a: String, b: String) = round(
       VectorFns.dot(col(s"$a.embedding"), col(s"$b.embedding"))

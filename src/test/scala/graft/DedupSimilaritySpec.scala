@@ -1754,6 +1754,52 @@ class DedupSimilaritySpec extends SparkSpec {
       Seq(1L).toDF("vec_id")).isEmpty)
   }
 
+  test("a SAME-TAG re-compaction retires its prior published layer BEFORE the marker: " +
+      "a mid-retire crash restores losslessly instead of reading as death-after-publish " +
+      "(ADVICE r15 high)") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    import graft.operators.Maintenance
+    val idx = graft.Tables.scratchDir("graft_r16adv").toString + "/idx"
+    Seq(("prior", 10L, 1L), ("fresh", 13L, 4L)).toDF("batch", "fp", "doc_id")
+      .write.partitionBy("batch").parquet(idx)
+    assert(Maintenance.compactLayers(spark, idx, "compacted", Seq.empty,
+      "graft_r16adv_") == 2)
+    // the maintenance-window rhythm: a new batch lands after the sweep
+    Seq(("late", 99L, 9L)).toDF("batch", "fp", "doc_id")
+      .write.mode("append").partitionBy("batch").parquet(idx)
+    val root = new Path(idx)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // construct the exact state the NEW retire order leaves when a
+    // re-compaction (same constant tag) dies mid-retire AFTER the marker:
+    // the old batch=compacted is already in trash (it retires first), the
+    // marker names batch=compacted, batch=late is still live, nothing
+    // published. Under the old order this instant had batch=compacted
+    // still live instead — the guard read it as death-after-publish and
+    // deleted the trash holding the only copy of the retired layers.
+    val trash = new Path(root.getParent, "." + root.getName + "_compact_trash")
+    fs.mkdirs(trash)
+    require(fs.rename(new Path(root, "batch=compacted"),
+      new Path(trash, "batch=compacted")))
+    val o = fs.create(new Path(trash, "_PUBLISH_TAG"), true)
+    try o.write("batch=compacted".getBytes("UTF-8")) finally o.close()
+    // any opener must classify this as a retire-window death and RESTORE
+    Maintenance.guardInterruptedCompaction(spark, idx)
+    assert(!fs.exists(trash))
+    def contents: Set[(Long, Long)] = spark.read.parquet(idx)
+      .select(col("fp"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(contents == Set((10L, 1L), (13L, 4L), (99L, 9L)),
+      s"mid-retire recovery lost rows: $contents")
+    // and the re-compaction then completes for real, same tag, no loss
+    assert(Maintenance.compactLayers(spark, idx, "compacted", Seq.empty,
+      "graft_r16adv_") == 2)
+    assert(contents == Set((10L, 1L), (13L, 4L), (99L, 9L)))
+    val layers = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).toSeq
+    assert(layers == Seq("batch=compacted"))
+  }
+
   test("Bloom layer sizing params persist with the artifact and drift fails loudly, " +
       "naming the offending batch (ADVICE r14)") {
     import spark.implicits._

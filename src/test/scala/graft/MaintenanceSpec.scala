@@ -325,7 +325,7 @@ class MaintenanceSpec extends SparkSpec {
   }
 
   test("inParallel: results keep task order, a failing leg propagates its own " +
-      "exception (fail fast, like the sequential form), singletons run inline") {
+      "exception after every leg completes (ADVICE r15: not fail-fast), singletons run inline") {
     import graft.operators.Maintenance
     assert(Maintenance.inParallel(Seq(() => 1, () => 2, () => 3)) == Seq(1, 2, 3))
     assert(Maintenance.inParallel(Seq(() => 42)) == Seq(42))
@@ -341,7 +341,7 @@ class MaintenanceSpec extends SparkSpec {
   test("x94 orchestrator: one pass with shared derivations equals the per-artifact " +
       "sequential composition; a full replay converges; the enriched batch is " +
       "lineage-truncated (tokenized/shingled once)") {
-    import graft.operators.{Dedup, Maintenance, TextAnalysis}
+    import graft.operators.{Dedup, Maintenance, Similarity, TextAnalysis}
     import graft.streaming.StreamingIngest
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("source"), col("text"))
@@ -349,13 +349,15 @@ class MaintenanceSpec extends SparkSpec {
     val inserts = docs.where(Dedup.idxBucket >= 8)
     val keys = docs.where(Dedup.idxDoomed).select(col("doc_id"))
     def probeRows(dirs: Maintenance.MultiArtifactDirs): Seq[String] =
-      Maintenance.multiArtifactProbe(spark, dirs).collect().map(_.toString).sorted.toSeq
+      Maintenance.multiArtifactProbe(spark, sf, dirs)
+        .collect().map(_.toString).sorted.toSeq
 
     // orchestrated: ONE invocation
     val orch = Maintenance.MultiArtifactDirs(
       Tables.scratchDir("graft_x94_spec_orch").toString)
-    Maintenance.multiArtifactInit(spark, orch, stored)
-    val enriched = Maintenance.multiArtifactUpsert(spark, orch, inserts, keys, "ops")
+    Maintenance.multiArtifactInit(spark, sf, orch, stored)
+    val enriched = Maintenance.multiArtifactUpsert(spark, sf, orch, inserts,
+      keys, "ops")
     val orchRows = probeRows(orch)
 
     // shared-derivation pin: the returned batch is MATERIALIZED (its plan
@@ -376,7 +378,7 @@ class MaintenanceSpec extends SparkSpec {
     // OWN standalone operator, one after another
     val twin = Maintenance.MultiArtifactDirs(
       Tables.scratchDir("graft_x94_spec_twin").toString)
-    Maintenance.multiArtifactInit(spark, twin, stored)
+    Maintenance.multiArtifactInit(spark, sf, twin, stored)
     val kdf = keys.distinct()
     val netI = inserts.join(broadcast(kdf), Seq("doc_id"), "leftanti")
     // stats folds read the PRE-delete corpus (phase-0 order), so fold the
@@ -417,6 +419,20 @@ class MaintenanceSpec extends SparkSpec {
     Dedup.dedupIndexDeleteKeys(spark, twin.spanDir, kdf)
     TextAnalysis.spanIndexAppend(spark,
       netI.select(col("doc_id"), col("text")), twin.spanDir, "ops")
+    // the embedding artifacts, by their own standalone operators (the
+    // x92 fold; the x83/x6h layered delete + append), same phase order
+    val kdfVec = kdf.select(col("doc_id").as("vec_id"))
+    val netIVecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .join(broadcast(netI.select(col("doc_id").as("vec_id"))),
+        Seq("vec_id"), "leftsemi")
+    val cents = Similarity.ivfCentroids(spark, sf)
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toSeq).toSeq
+    Dedup.dedupIndexDeleteKeys(spark, twin.semDir, kdfVec, keyCol = "vec_id")
+    StreamingIngest.semanticDedupBatch(netIVecs, "ops", cents, twin.semDir,
+      twin.semOutDir, Maintenance.SemDedupThreshold)
+    Similarity.ivfPqLayerDeleteKeys(spark, twin.annDir, kdfVec)
+    Similarity.ivfPqAppend(spark, sf, netIVecs, twin.annDir, "ops")
     assert(orchRows == probeRows(twin),
       "one orchestrated pass diverged from the per-artifact composition")
 
@@ -424,30 +440,89 @@ class MaintenanceSpec extends SparkSpec {
     // everything but the checkpoint commit) converges — marker-gated
     // stats folds skip, markerless swaps no-op, tag overwrites clobber
     // themselves
-    Maintenance.multiArtifactUpsert(spark, orch, inserts, keys, "ops")
+    Maintenance.multiArtifactUpsert(spark, sf, orch, inserts, keys, "ops")
     assert(probeRows(orch) == orchRows, "a full replay changed the artifacts")
 
     // x96: the pipeline-wide compaction sweep folds every swept artifact
     // to ONE layer and changes no probe row (the span index is excluded
-    // by design — its probe reads the layer tags)
+    // by design — its probe reads the layer tags; its own epoch fold is
+    // x97's, drilled in StreamingSpec)
     val below = Maintenance.multiArtifactCompactIfNeeded(spark, orch, maxLayers = 16)
     assert(below.values.forall(!_), s"below-threshold sweep fired: $below")
     assert(probeRows(orch) == orchRows)
     val fired = Maintenance.multiArtifactCompactIfNeeded(spark, orch, maxLayers = 1)
     assert(fired == Map("corpus" -> true, "exact" -> true, "near_fp" -> true,
-      "near_pfx" -> true, "near_sh" -> true), s"sweep outcome: $fired")
+      "near_pfx" -> true, "near_sh" -> true, "sem" -> true, "ann" -> true),
+      s"sweep outcome: $fired")
     def layers(dir: String): Seq[String] = {
       val p = new org.apache.hadoop.fs.Path(dir)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .listStatus(p).map(_.getPath.getName).filter(_.startsWith("batch=")).sorted.toSeq
     }
     Seq(orch.corpusDir, orch.exactDir, s"${orch.nearDir}/fp",
-        s"${orch.nearDir}/pfx", s"${orch.nearDir}/sh").foreach { d =>
+        s"${orch.nearDir}/pfx", s"${orch.nearDir}/sh", orch.semDir,
+        orch.annDir).foreach { d =>
       assert(layers(d) == Seq("batch=compacted"), s"$d: ${layers(d)}")
     }
     assert(layers(orch.spanDir).toSet == Set("batch=stored", "batch=ops"),
       "the span index must keep its epoch layers")
     assert(probeRows(orch) == orchRows,
       "the compaction sweep changed an artifact's contents")
+  }
+
+  test("writer lease: a second concurrent writer refuses loudly naming the holder; " +
+      "a crashed holder's stale lease is taken over; release is nonce-scoped " +
+      "(VERDICT r15 #4)") {
+    import org.apache.hadoop.fs.Path
+    import graft.operators.Maintenance
+    val root = Tables.scratchDir("graft_lease_spec").toString
+    val lease = new Path(root, Maintenance.WriterLeaseFile)
+    val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // concurrent refusal: while writer A holds the lease, writer B fails
+    // fast and the message names A
+    Maintenance.withWriterLease(spark, root, "writer-A") {
+      val e = intercept[IllegalStateException] {
+        Maintenance.withWriterLease(spark, root, "writer-B") {
+          fail("writer B must not run")
+        }
+      }
+      assert(e.getMessage.contains("writer-A"), e.getMessage)
+      assert(fs.exists(lease))
+    }
+    assert(!fs.exists(lease), "lease not released after the body")
+    // crashed-holder takeover: a lease older than the stale bound is
+    // presumed dead — the next writer takes over and runs
+    val stale = fs.create(lease, true)
+    try stale.write(("holder=crashed-writer nonce=dead ts=" +
+      (System.currentTimeMillis() - Maintenance.staleLeaseMs - 1000L))
+      .getBytes("UTF-8")) finally stale.close()
+    var ran = false
+    Maintenance.withWriterLease(spark, root, "writer-C") { ran = true }
+    assert(ran && !fs.exists(lease))
+    // an unparseable lease must not fence the pipeline forever — treated
+    // as stale
+    val junk = fs.create(lease, true)
+    try junk.write("garbage".getBytes("UTF-8")) finally junk.close()
+    Maintenance.withWriterLease(spark, root, "writer-D") {}
+    assert(!fs.exists(lease))
+    // nonce-scoped release: if a takeover replaced OUR lease mid-body
+    // (we outlived the stale bound), release must NOT delete the new
+    // writer's lease
+    Maintenance.withWriterLease(spark, root, "writer-E") {
+      val thief = fs.create(lease, true)
+      try thief.write(("holder=thief nonce=stolen ts=" +
+        System.currentTimeMillis()).getBytes("UTF-8")) finally thief.close()
+    }
+    assert(fs.exists(lease), "release deleted a lease it no longer owned")
+    fs.delete(lease, false)
+    // integration: the orchestrator itself refuses a held pipeline
+    val dirs = Maintenance.MultiArtifactDirs(
+      Tables.scratchDir("graft_lease_orch").toString)
+    Maintenance.withWriterLease(spark, dirs.root, "someone-else") {
+      val e = intercept[IllegalStateException] {
+        Maintenance.multiArtifactCompactIfNeeded(spark, dirs, maxLayers = 16)
+      }
+      assert(e.getMessage.contains("someone-else"))
+    }
   }
 }

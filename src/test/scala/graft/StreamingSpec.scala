@@ -1263,6 +1263,60 @@ class StreamingSpec extends SparkSpec {
       s"stats root not GC'd to the live set: $names")
   }
 
+  test("bm25 term-df snapshots shard past the row gate: sharded ≡ single-file " +
+      "row-identical, both layouts readable, the fold unchanged (VERDICT r15 #3)") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val root = Tables.scratchDir("graft_bm25shard")
+    val corpus = Seq(
+      (1L, "spark join window"), (2L, "spark spark filter"),
+      (3L, "window scan"), (4L, "join join join window"))
+      .toDF("doc_id", "text")
+    val ops = Seq((5L, "I", "spark rerank"), (2L, "D", null))
+      .toDF("doc_id", "op", "text")
+    def stats(dir: String): (Map[String, Long], (Long, Long)) = {
+      val (d, s) = StreamingIngest.readBm25Stats(spark, dir)
+      val r = s.head()
+      (d.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+        (r.getLong(0), r.getLong(1)))
+    }
+    // single-file lineage (gate at default 2^20: vocab stays one file)
+    val single = root.resolve("single").toString
+    StreamingIngest.initBm25Stats(spark, corpus, single)
+    StreamingIngest.bm25StatsBatch(ops, "r-0", corpus, single)
+    // sharded lineage: gate forced to 0 — every snapshot (init + fold)
+    // lands hash-bucketed
+    val sharded = root.resolve("sharded").toString
+    val prev = System.setProperty("graft.bm25.shardRowGate", "0")
+    try {
+      StreamingIngest.initBm25Stats(spark, corpus, sharded)
+      StreamingIngest.bm25StatsBatch(ops, "r-0", corpus, sharded)
+    } finally {
+      if (prev == null) System.clearProperty("graft.bm25.shardRowGate")
+      else System.setProperty("graft.bm25.shardRowGate", prev)
+    }
+    // the layout really is sharded — shard= partition dirs on disk
+    val fs = new Path(sharded).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shardDirs = fs.listStatus(new Path(sharded, "batch=r-0/df"))
+      .map(_.getPath.getName).filter(_.startsWith("shard="))
+    assert(shardDirs.nonEmpty, "gate at 0 did not produce a sharded layout")
+    // row-identical across layouts, init→fold, both readable layout-blind
+    assert(stats(sharded) == stats(single),
+      "sharded term-df snapshot diverged from the single-file layout")
+    // a fold whose BASE is sharded still works (the read drops the layout
+    // column before the retract join / fold union)
+    val ops2 = Seq((1L, "D", null)).toDF("doc_id", "op", "text")
+    StreamingIngest.bm25StatsBatch(ops2, "r-1", corpus, single)
+    val prev2 = System.setProperty("graft.bm25.shardRowGate", "0")
+    try StreamingIngest.bm25StatsBatch(ops2, "r-1", corpus, sharded)
+    finally {
+      if (prev2 == null) System.clearProperty("graft.bm25.shardRowGate")
+      else System.setProperty("graft.bm25.shardRowGate", prev2)
+    }
+    assert(stats(sharded) == stats(single),
+      "fold over a sharded base diverged from the single-file lineage")
+  }
+
   test("t20 streaming index delete equals the one-shot dirty-cell rewrite") {
     import graft.operators.Similarity
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
@@ -1420,6 +1474,40 @@ class StreamingSpec extends SparkSpec {
       "streamed span-index upsert diverged from the one-shot pass")
   }
 
+  test("x97 span-index epoch compaction is probe-invariant: the post-fold next-epoch " +
+      "probe equals an UNCOMPACTED twin's, and equals x91's one-shot upsert " +
+      "(VERDICT r15 #2)") {
+    import graft.operators.{Dedup, TextAnalysis}
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // the uncompacted twin: identical epoch history (stored ≤5, e1 {6,7},
+    // deletes, then the ≥8 novel batch) with NO fold between epochs — the
+    // probe maps every non-novel tag to prior, which is what the fold
+    // makes literal
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), Dedup.idxBucket.as("b"))
+    val idx = Tables.scratchDir("graft_x97_twin").toString + "/idx"
+    TextAnalysis.spanIndexAppend(spark,
+      docs.where(col("b") <= 5).select(col("doc_id"), col("text")), idx, "stored")
+    TextAnalysis.spanIndexAppend(spark,
+      docs.where(col("b") === 6 || col("b") === 7)
+        .select(col("doc_id"), col("text")), idx, "e1")
+    val keys = docs.where(Dedup.idxDoomed).select(col("doc_id"))
+    Dedup.dedupIndexDeleteKeys(spark, idx, keys)
+    val grown = TextAnalysis.spanIndexAppend(spark,
+      docs.where(col("b") >= 8).select(col("doc_id"), col("text"))
+        .join(broadcast(keys.distinct()), Seq("doc_id"), "leftanti"),
+      idx, "novel")
+    val twin = rows(TextAnalysis.spanHitProbe(grown.withColumn("batch",
+      when(col("batch") === "novel", "novel").otherwise("prior"))))
+    val folded = rows(TextAnalysis.spanEpochProbe(spark, sf))
+    assert(folded == twin,
+      "the epoch fold changed the next epoch's probe")
+    // and both equal x91's one-shot upsert — the oracle x97 carries
+    assert(folded == rows(TextAnalysis.spanIndexUpsertProbe(spark, sf)),
+      "the epoch-compacted probe diverged from x91's one-shot pass")
+  }
+
   test("t27 streaming semantic-index upsert equals its per-batch JVM replica; " +
       "t28 streaming Bloom fold equals the one-shot index AND the monolithic pass") {
     import graft.operators.{Dedup, Similarity}
@@ -1474,14 +1562,15 @@ class StreamingSpec extends SparkSpec {
       .select(col("doc_id"), col("source"), col("text"))
     val dirs = Maintenance.MultiArtifactDirs(
       Tables.scratchDir("graft_t26_manual").toString)
-    Maintenance.multiArtifactInit(spark, dirs, docs.where(Dedup.idxBucket <= 7))
+    Maintenance.multiArtifactInit(spark, sf, dirs,
+      docs.where(Dedup.idxBucket <= 7))
     Seq(0, 1).foreach { h =>
       val arr = Dedup.idxArrival === h
-      Maintenance.multiArtifactUpsert(spark, dirs,
+      Maintenance.multiArtifactUpsert(spark, sf, dirs,
         docs.where(Dedup.idxBucket >= 8 && arr),
         docs.where(Dedup.idxDoomed && arr).select(col("doc_id")), s"b$h")
     }
-    val manual = Maintenance.multiArtifactProbe(spark, dirs)
+    val manual = Maintenance.multiArtifactProbe(spark, sf, dirs)
       .collect().map(_.toString).toSeq
     val streamed = StreamingIngest.streamMultiArtifactUpsert(spark, sf)
       .collect().map(_.toString).toSeq
