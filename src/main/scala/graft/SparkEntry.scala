@@ -170,6 +170,8 @@ object SparkEntry {
     "x12_frame_sample" -> (Multimodal.frameSample _),
     "x13_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "x44_cluster_canonical" -> (Dedup.clusterCanonical _),
+    "x98_cluster_index_upsert" -> ((s, d) => Dedup.clusterIndexUpsertQuery(s, d)),
+    "t30_stream_cluster_index_upsert" -> (StreamingIngest.streamClusterIndexUpsert _),
     "x14_split_stats" -> (TextAnalysis.splitStats _),
     "x16_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "x17_contamination" -> ((s, d) => Dedup.contamination(s, d)),

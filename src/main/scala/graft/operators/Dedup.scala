@@ -371,15 +371,29 @@ object Dedup {
   }
 
   private def computeClusters(spark: SparkSession, sfDir: String,
-                              threshold: Double): DataFrame = {
-    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+                              threshold: Double): DataFrame =
+    ccLabelsOf(spark, Tables.documents(spark, sfDir).select(col("doc_id")),
+      verifiedPairs(spark, sfDir, threshold))
+
+  /** The connected-components core behind [[dupClusters]] (x13), hoisted
+    * over an explicit (nodes, pairs) input so the INCREMENTAL cluster
+    * maintenance (x98) can run it over a dirty REGION instead of the
+    * whole graph: every `doc_id` in `nodes` gets its component's minimum
+    * id as `cluster_id` (nodes outside any pair are their own singleton
+    * cluster). `pairs` carries (id1 < id2) rows — [[verifiedPairs]]'
+    * convention. Same gated union-find fast path / Kiveris et al.
+    * alternating-star distributed path as always (the x13 semantics are
+    * bit-identical: this IS x13's body, parameterized). */
+  private[graft] def ccLabelsOf(spark: SparkSession, nodes: DataFrame,
+                                pairs: DataFrame): DataFrame = {
+    val docs = nodes.select(col("doc_id"))
     // Canonical directed edges u > v (pairs come as id1 < id2). Eager
     // [[snapshot]], and again each round: both star operators reference
     // their input several times, so without truncation the logical plan
     // (and the driver's re-analysis cost) grows ~8× per round — profiled
     // at 10 s/round on a 256-edge graph by round 2. Checkpointing makes
     // every round start from a leaf-level cached relation.
-    var cur = snapshot(spark, verifiedPairs(spark, sfDir, threshold)
+    var cur = snapshot(spark, pairs
       .select(col("id2").as("u"), col("id1").as("v")))
     // Large-star: every node links its larger neighbors to the minimum of
     // its closed neighborhood. Small-star: every node links its smaller
@@ -497,6 +511,253 @@ object Dedup {
         count(lit(1)).over(byCluster).as("n_members"),
         (row_number().over(pick) === 1).as("keep"))
       .orderBy(col("doc_id"))
+  }
+
+  // ──────────────────────────────────────────────────────────────────────
+  // X98/T30 — the dup-cluster assignment as a MAINTAINED artifact: the
+  // one lifecycle-matrix row that was still one-shot (x13 recomputes CC
+  // from scratch). State = the dup-graph EDGE table (batch=-layered
+  // verified pairs) + the versioned LABEL table; one upsert pass folds a
+  // tombstone-key batch (edges incident to doomed docs leave; their
+  // clusters may SPLIT) and an insert batch (new edges may MERGE
+  // clusters and open new ones) by recomputing connected components over
+  // the touched REGION only — O(touched components + batch), never the
+  // graph. Reference anchor: the per-(name, logdate) bookkeeping rows
+  // maintained incrementally as batches land
+  // (`dao/HiveSinkDetailDao.scala:73-98`) — here the maintained rows are
+  // a graph partition function.
+  // ──────────────────────────────────────────────────────────────────────
+
+  /** The maintained cluster pipeline's layout: the edge artifact
+    * (`batch=<tag>` layers of verified (id1 < id2) pairs) and the
+    * versioned label store (`_LATEST`-pointed snapshots, the t19/t21
+    * discipline — the fold is read-modify-write, so it is
+    * snapshot-marker gated). */
+  final case class ClusterDirs(root: String) {
+    val edgesDir: String = s"$root/edges"
+    val labelsDir: String = s"$root/labels"
+  }
+
+  /** Remove every edge incident to a doomed key from a batch=-layered
+    * (id1, id2) edge table — the TWO-ENDPOINT variant of
+    * [[dedupIndexDeleteKeys]] (an edge is addressed by either endpoint;
+    * one key column cannot name it). Same dirty-layer economics: layers
+    * holding no doomed endpoint keep their exact files, survivors stage
+    * under `partitionBy(batch)` dynamic overwrite, emptied layers drop,
+    * markerless replay no-ops. Returns the dirty layer tags. */
+  private[graft] def edgeIndexDeleteKeys(spark: SparkSession, idxDir: String,
+      keys: DataFrame,
+      gate: Int = Maintenance.keyGateDefault): Seq[String] = {
+    Maintenance.guardInterruptedCompaction(spark, idxDir)
+    if (!hasVisibleData(spark, idxDir)) return Seq.empty
+    val idx = spark.read.parquet(idxDir)
+    val k = broadcast(keys.select(col("doc_id")).distinct())
+    val touches = idx.join(k, col("id1") === col("doc_id"), "leftsemi")
+      .unionByName(idx.join(k, col("id2") === col("doc_id"), "leftsemi"))
+    val dirtyDf = touches.select(col("batch")).distinct()
+    val dirty = dirtyDf.collect().map(_.getString(0)).toSeq.sorted
+    if (dirty.nonEmpty) {
+      val restricted = Maintenance.restrictToKeys(idx, "batch", dirtyDf,
+        dirty, gate)
+      val surv = snapshot(spark, restricted
+        .join(k, col("id1") === col("doc_id"), "leftanti")
+        .join(k, col("id2") === col("doc_id"), "leftanti"))
+      val staged = surv.select(col("batch")).distinct()
+        .collect().map(_.getString(0)).toSet
+      if (staged.nonEmpty)
+        surv.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch").parquet(idxDir)
+      val fs = new org.apache.hadoop.fs.Path(idxDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val emptied = dirty.filterNot(staged)
+      emptied.foreach { t =>
+        fs.delete(new org.apache.hadoop.fs.Path(idxDir, s"batch=$t"), true); ()
+      }
+      if (emptied.nonEmpty) spark.catalog.refreshByPath(idxDir)
+    }
+    dirty
+  }
+
+  /** Initialize the maintained cluster pipeline from a stored doc-id set:
+    * the edge artifact's `batch=stored` layer holds the verified pairs
+    * with BOTH endpoints stored, and the label store's `batch=base`
+    * layer is x13's CC over exactly that graph (every row an upsert at
+    * sequence 0). `allPairs` is the corpus-wide verified pair set (the
+    * shared memoized index — in deployment the batch probe against the
+    * x89-class prefix index produces the same rows). */
+  private[graft] def clusterIndexInit(spark: SparkSession, dirs: ClusterDirs,
+      storedIds: DataFrame, allPairs: DataFrame): Unit = {
+    val ids = storedIds.select(col("doc_id"))
+    val storedEdges = allPairs
+      .join(broadcast(ids.select(col("doc_id").as("id1"))), Seq("id1"), "leftsemi")
+      .join(broadcast(ids.select(col("doc_id").as("id2"))), Seq("id2"), "leftsemi")
+      .select(col("id1"), col("id2"))
+    storedEdges.write.mode("overwrite")
+      .parquet(s"${dirs.edgesDir}/batch=stored")
+    ccLabelsOf(spark, ids, spark.read.parquet(dirs.edgesDir).drop("batch"))
+      .select(col("doc_id"), col("cluster_id"), lit("U").as("op"),
+        lit(0L).as("seq"))
+      .write.mode("overwrite").parquet(s"${dirs.labelsDir}/batch=base")
+  }
+
+  /** The label store's CURRENT view: last-writer-wins merge of the delta
+    * layers — per doc, the highest-sequence row wins, and a winning
+    * tombstone (`op = 'D'`) removes the doc. The merge is one window over
+    * the layered rows; the x95 policy compaction
+    * ([[clusterLabelsCompactContent]]) keeps the layer count — and so
+    * this read's row volume — bounded. */
+  private[graft] def readClusterLabels(spark: SparkSession,
+                                       labelsDir: String): DataFrame =
+    mergeClusterLabels(spark.read.parquet(labelsDir))
+
+  /** [[readClusterLabels]]'s merge over an explicit row set (shared with
+    * the own-tag-excluded prior read inside the fold and the compaction
+    * content hook). */
+  private[graft] def mergeClusterLabels(rows: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("seq").desc)
+    rows.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1 && col("op") === "U")
+      .select(col("doc_id"), col("cluster_id"))
+  }
+
+  /** The label store's semantic compaction content: collapse the delta
+    * layers to the surviving latest-upsert rows (tombstoned docs leave;
+    * each kept row keeps its own `seq`, so the next fold's sequence
+    * derivation is unchanged). The merged VIEW is identical before and
+    * after by construction — [[mergeClusterLabels]] of the latest-U set
+    * is itself — so this slots into the shared crash-safe swap core as a
+    * content hook ([[Maintenance.compactLayersWith]]). */
+  private[graft] def clusterLabelsCompactContent(layered: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("seq").desc)
+    layered.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1 && col("op") === "U")
+      .select(col("doc_id"), col("cluster_id"), col("op"), col("seq"))
+  }
+
+  /** ONE maintenance pass over the cluster pipeline: tombstone keys fold
+    * through the edge artifact (edges incident to a doomed doc leave —
+    * their cluster may SPLIT), the insert batch's verified pairs land as
+    * a `batch=<tag>` layer (new edges may MERGE clusters and connect new
+    * docs), and connected components are recomputed over the touched
+    * REGION only:
+    *  - dirty clusters = the labels of doomed members plus the labels of
+    *    stored endpoints of new edges (both one broadcast semi-join,
+    *    O(batch));
+    *  - the region = surviving members of dirty clusters plus the net
+    *    inserts; its edges = the post-swap artifact restricted to the
+    *    region (a surviving stored edge's endpoints share an old cluster,
+    *    so restricting id1 suffices; new edges' endpoints are in the
+    *    region by construction);
+    *  - untouched clusters carry their labels over verbatim — the fold
+    *    never reads them.
+    * The label store is an LSM-style DELTA artifact — the 100 TB answer
+    * to "never rewrite the untouched corpus per fold": each batch
+    * appends ONE `batch=<tag>` layer holding only the region's relabels
+    * (op 'U') and the doomed docs' tombstones (op 'D') at the next
+    * sequence number; reads merge last-writer-wins per doc
+    * ([[mergeClusterLabels]]); the x95 policy compacts the layers
+    * between windows ([[clusterLabelsCompactContent]]). Exactly-once
+    * WITHOUT markers: the edge swap is markerless-idempotent, the edge
+    * append and the label delta are tag-scoped overwrites, and every
+    * derivation reads the artifact with the batch's OWN tag excluded
+    * (the probeIndexKeepFirst rule) — so a replay recomputes the same
+    * delta bytes and clobbers itself. Final labels ≡ CC over the pairs
+    * among LIVE docs whatever the batch split — deletes remove a doc's
+    * edges everywhere, inserts net of cancels never land, and an
+    * insert's edge to a later-deleted doc leaves with that doc's delete
+    * — so the streamed form (t30) carries the one-shot oracle VERBATIM,
+    * the t25-class order-free contrast to t23/t24.
+    *
+    * `newPairs` = the verified pairs with at least one endpoint in the
+    * insert batch (fixture: the shared memoized pair index restricted to
+    * the batch; deployment: the x89-class prefix-index probe of the
+    * batch). Returns the merged final label table. */
+  private[graft] def clusterIndexUpsert(spark: SparkSession,
+      dirs: ClusterDirs, inserts: DataFrame, keys: DataFrame,
+      newPairs: DataFrame, tag: String): DataFrame = {
+    val kdf = snapshot(spark, keys.select(col("doc_id")).distinct())
+    val ins = snapshot(spark, inserts.select(col("doc_id")).distinct()
+      .join(broadcast(kdf), Seq("doc_id"), "leftanti"))
+    // prior state with the batch's OWN layer excluded — the replay rule
+    val priorRows = snapshot(spark,
+      readBatchIndex(spark, dirs.labelsDir, tag)(
+        spark.range(0).select(col("id").as("doc_id"),
+          col("id").as("cluster_id"), lit("U").as("op"), col("id").as("seq"))))
+    val priorLabels = snapshot(spark, mergeClusterLabels(priorRows))
+    val maxSeqRow = priorRows.agg(max(col("seq"))).head()
+    val nextSeq = (if (maxSeqRow.isNullAt(0)) 0L else maxSeqRow.getLong(0)) + 1L
+    // live docs after this batch: stored survivors ∪ net inserts
+    val liveIds = priorLabels.select(col("doc_id"))
+      .join(broadcast(kdf), Seq("doc_id"), "leftanti")
+      .unionByName(ins).distinct()
+    // new edges: at least one endpoint inserted, both endpoints live
+    val newEdges = snapshot(spark, newPairs.select(col("id1"), col("id2"))
+      .join(broadcast(ins.select(col("doc_id").as("id1"))), Seq("id1"), "leftsemi")
+      .unionByName(newPairs.select(col("id1"), col("id2"))
+        .join(broadcast(ins.select(col("doc_id").as("id2"))), Seq("id2"), "leftsemi"))
+      .distinct()
+      .join(liveIds.select(col("doc_id").as("id1")), Seq("id1"), "leftsemi")
+      .join(liveIds.select(col("doc_id").as("id2")), Seq("id2"), "leftsemi"))
+    // edge-artifact mutations first (both idempotent), then the region
+    // recompute reads the post-mutation graph deterministically
+    edgeIndexDeleteKeys(spark, dirs.edgesDir, kdf)
+    newEdges.write.mode("overwrite").parquet(s"${dirs.edgesDir}/batch=$tag")
+    // dirty clusters: every component a doomed doc or a new edge's
+    // stored endpoint belongs to — O(batch) semi-joins, never the graph
+    val dirtyLbls = broadcast(priorLabels
+      .join(broadcast(kdf), Seq("doc_id"), "leftsemi")
+      .select(col("cluster_id"))
+      .unionByName(priorLabels.join(broadcast(
+          newEdges.select(col("id1").as("doc_id"))
+            .unionByName(newEdges.select(col("id2").as("doc_id")))
+            .distinct()),
+        Seq("doc_id"), "leftsemi").select(col("cluster_id")))
+      .distinct())
+    // the touched REGION: surviving members of dirty clusters + inserts;
+    // its edges: post-swap artifact rows whose id1 is in the region (a
+    // surviving stored edge's endpoints share an old cluster, so one
+    // endpoint in ⇒ both in; a new edge's endpoints are in the region by
+    // construction)
+    val regionNodes = snapshot(spark, priorLabels
+      .join(dirtyLbls, Seq("cluster_id"), "leftsemi")
+      .select(col("doc_id"))
+      .join(broadcast(kdf), Seq("doc_id"), "leftanti")
+      .unionByName(ins).distinct())
+    val regionEdges = spark.read.parquet(dirs.edgesDir).drop("batch")
+      .join(broadcast(regionNodes.select(col("doc_id").as("id1"))),
+        Seq("id1"), "leftsemi")
+    val dirtyLabels = ccLabelsOf(spark, regionNodes, regionEdges)
+    // ONE delta layer: the region's relabels + the doomed tombstones —
+    // O(region + batch) rows, never the corpus
+    dirtyLabels.select(col("doc_id"), col("cluster_id"), lit("U").as("op"))
+      .unionByName(priorLabels.join(broadcast(kdf), Seq("doc_id"), "leftsemi")
+        .select(col("doc_id"), lit(null).cast("long").as("cluster_id"),
+          lit("D").as("op")))
+      .withColumn("seq", lit(nextSeq))
+      .write.mode("overwrite").parquet(s"${dirs.labelsDir}/batch=$tag")
+    readClusterLabels(spark, dirs.labelsDir).orderBy(col("doc_id"))
+  }
+
+  /** X98 — the maintained cluster assignment under the driver's oracle
+    * gate: stored state initializes over buckets ≤7 (doomed docs live at
+    * build time, per the index-fixture convention), then ONE
+    * [[clusterIndexUpsert]] pass carries the insert batch (buckets ≥8)
+    * and the doomed-residue delete keys through the edge artifact and
+    * the label store. The fixture's doomed set hits real cluster
+    * members, so the pass exercises splits, merges, readmissions and
+    * fresh singletons together. The oracle is x13's recursive-CTE CC
+    * restricted to the LIVE corpus — hash equality states the
+    * touched-region recompute ≡ the from-scratch rebuild, i.e. the fold
+    * maintains labels ≡ CC(live graph) exactly. */
+  def clusterIndexUpsertQuery(spark: SparkSession, sfDir: String,
+                              threshold: Double = 0.8): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+    val dirs = ClusterDirs(Tables.scratchDir("graft_x98").toString)
+    val pairs = verifiedPairs(spark, sfDir, threshold)
+    clusterIndexInit(spark, dirs, docs.where(idxBucket <= 7), pairs)
+    clusterIndexUpsert(spark, dirs, docs.where(idxBucket >= 8),
+      docs.where(idxDoomed).select(col("doc_id")), pairs, "ops")
   }
 
   /** X16 — incremental (cross-run) dedup: the operational 100 TB mode. A

@@ -584,14 +584,25 @@ object Maintenance {
     * scheduled. Same single-writer contract as the core it wraps. */
   private[graft] def compactIfNeeded(spark: SparkSession, idxDir: String,
       tag: String, subPartition: Seq[String], stagePrefix: String,
-      maxLayers: Int, minFileBytes: Long = 0L): Boolean = {
+      maxLayers: Int, minFileBytes: Long = 0L): Boolean =
+    compactIfNeededWith(spark, idxDir, tag, subPartition, stagePrefix,
+      maxLayers, minFileBytes)(identity)
+
+  /** [[compactIfNeeded]] with an explicit staged-content hook — see
+    * [[compactLayersWith]] (the label store's last-writer-wins collapse
+    * is a SEMANTIC compaction, not a re-layout, but the policy and the
+    * crash discipline are the same). */
+  private[graft] def compactIfNeededWith(spark: SparkSession, idxDir: String,
+      tag: String, subPartition: Seq[String], stagePrefix: String,
+      maxLayers: Int, minFileBytes: Long = 0L)
+      (content: DataFrame => DataFrame): Boolean = {
     import org.apache.hadoop.fs.{FileStatus, Path}
     require(maxLayers >= 1, s"maxLayers must be >= 1, got $maxLayers")
     val root = new Path(idxDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // crash debris = mandatory maintenance, whatever the thresholds say
     if (fs.exists(compactTrashPath(root))) {
-      compactLayers(spark, idxDir, tag, subPartition, stagePrefix)
+      compactLayersWith(spark, idxDir, tag, subPartition, stagePrefix)(content)
       return true
     }
     if (!fs.exists(root)) return false
@@ -612,13 +623,25 @@ object Maintenance {
       files.nonEmpty && files.map(_.getLen).sum / files.length < minFileBytes
     }
     if (layers.length > maxLayers || smallFiles) {
-      compactLayers(spark, idxDir, tag, subPartition, stagePrefix)
+      compactLayersWith(spark, idxDir, tag, subPartition, stagePrefix)(content)
       true
     } else false
   }
 
   private[graft] def compactLayers(spark: SparkSession, idxDir: String,
-      tag: String, subPartition: Seq[String], stagePrefix: String): Int = {
+      tag: String, subPartition: Seq[String], stagePrefix: String): Int =
+    compactLayersWith(spark, idxDir, tag, subPartition, stagePrefix)(identity)
+
+  /** [[compactLayers]] with an explicit hook for the STAGED content:
+    * the default (drop the layer key, keep every row) is the pure
+    * re-layout every row-immutable artifact uses; the label store's
+    * last-writer-wins collapse ([[Dedup.clusterLabelsCompactContent]])
+    * is a semantic fold whose MERGED VIEW is invariant instead. The
+    * retire/marker/publish/restore crash discipline is shared verbatim —
+    * the hook only decides what the compacted layer holds. */
+  private[graft] def compactLayersWith(spark: SparkSession, idxDir: String,
+      tag: String, subPartition: Seq[String], stagePrefix: String)
+      (content: DataFrame => DataFrame): Int = {
     import org.apache.hadoop.fs.Path
     val root = new Path(idxDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -652,8 +675,9 @@ object Maintenance {
     // stage the compacted layer OUTSIDE the artifact (a stage inside
     // would double every row for a concurrent lister)
     val stage = new Path(Tables.scratchDir(stagePrefix).toString, "layer")
-    val compacted = spark.read.parquet(idxDir)
-      .drop("batch") // collapsing the layer key is the whole point
+    // collapsing the layer key is the whole point; the hook decides what
+    // else the compacted layer holds (default: every row, pure re-layout)
+    val compacted = content(spark.read.parquet(idxDir)).drop("batch")
     val w = compacted.write.mode("overwrite")
     (if (subPartition.nonEmpty) w.partitionBy(subPartition: _*) else w)
       .parquet(stage.toString)
@@ -853,7 +877,7 @@ object Maintenance {
     * already published, then move `_LATEST` and GC — so a replayed batch
     * skips straight to the (idempotent) pointer move instead of folding
     * its own output into itself. */
-  private def statsSnapshotFold(spark: SparkSession, rootDir: String,
+  private[graft] def statsSnapshotFold(spark: SparkSession, rootDir: String,
       tag: String)(fold: org.apache.hadoop.fs.Path => Unit): Unit = {
     import org.apache.hadoop.fs.Path
     import graft.streaming.StreamingIngest

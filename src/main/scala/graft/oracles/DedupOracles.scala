@@ -501,6 +501,29 @@ object DedupOracles {
               UNION ALL SELECT vec_id, cell FROM keepb)
         ORDER BY vec_id""".stripMargin
 
+  /** x98/t30: x13's CC chain over the LIVE docs only. */
+  private lazy val clusterLiveCcSql: String =
+    s"""WITH RECURSIVE
+        docs AS (SELECT doc_id, $toks AS tk FROM documents
+                 WHERE NOT ($idxDoomedSql)),
+        sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+               FROM docs, unnest(generate_series(1, len(tk) - 2)) AS t(i)
+               WHERE len(tk) >= 3),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (SELECT id1, id2
+                  FROM inter JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+                  WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.8),
+        edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                  UNION ALL SELECT id2, id1 FROM pairs),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM docs
+          UNION
+          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+        SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+        ORDER BY doc_id""".stripMargin
+
   private lazy val annDeleteTopKSql: String =
     s"""WITH $ivfChainSql
         SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
@@ -866,6 +889,18 @@ object DedupOracles {
             UNION
             SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
           SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id""",
+    // x98/t30: the maintained cluster assignment — x13's recursive-CTE
+    // connected components restricted to the LIVE corpus (stored ≤7
+    // survivors ∪ admitted inserts: NOT doomed is exactly that set, the
+    // x94-corpus-leg argument). Hash equality states the touched-region
+    // recompute (splits from the delete leg, merges/singletons from the
+    // insert leg, delta-layer label store) ≡ the from-scratch rebuild.
+    // t30 carries the same SQL VERBATIM: the final live graph — and so
+    // its components — is batch-split-invariant, and both post-stream
+    // compactions (edges re-layout, labels last-writer-wins fold) are
+    // view-invariant.
+    "x98_cluster_index_upsert" -> clusterLiveCcSql,
+    "t30_stream_cluster_index_upsert" -> clusterLiveCcSql,
     "x44_cluster_canonical" ->
       s"""WITH RECURSIVE
           docs AS (SELECT doc_id, $toks AS tk FROM documents),

@@ -2187,6 +2187,67 @@ object StreamingIngest {
       .orderBy(col("artifact"), col("k1"))
   }
 
+  /** T30 — the maintained dup-cluster assignment (x98) as an operational
+    * stream, plus its maintenance window: each micro-batch's ops fold
+    * through `Dedup.clusterIndexUpsert` (edge swap, edge append, ONE
+    * label delta layer), and once the stream drains the x95 policy
+    * compacts both cluster artifacts — the edge table by pure re-layout,
+    * the label store by the last-writer-wins SEMANTIC fold
+    * (`Dedup.clusterLabelsCompactContent`), both through the shared
+    * crash-safe core. Final labels are CC over the live graph whatever
+    * the batch split (deletes remove a doc's edges everywhere; an
+    * insert's edge to a later-deleted doc leaves with that delete;
+    * cancels stay same-batch), and both compactions are view-invariant —
+    * so t30 carries x98's one-shot oracle VERBATIM, the t25-class
+    * order-free contrast to t23/t24. */
+  def streamClusterIndexUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.operators.{Dedup, Maintenance}
+    graft.Tables.ensureParquetConf(spark)
+    val root = graft.Tables.scratchDir("graft_t30")
+    val dirs = Dedup.ClusterDirs(root.resolve("art").toString)
+    val docs = graft.Tables.documents(spark, sfDir).select(col("doc_id"))
+    val pairs = Dedup.verifiedPairs(spark, sfDir, 0.8)
+    Dedup.clusterIndexInit(spark, dirs, docs.where(Dedup.idxBucket <= 7), pairs)
+    val ops = docs.where(Dedup.idxBucket >= 8)
+      .select(col("doc_id"), lit("I").as("op"))
+      .unionByName(docs.where(Dedup.idxDoomed)
+        .select(col("doc_id"), lit("D").as("op")))
+    val srcDir = root.resolve("src")
+    Files.createDirectories(srcDir)
+    val half = Dedup.idxArrival
+    landArrivalSplits(ops, root, srcDir,
+      Seq("a_first.parquet" -> (half === 0), "b_second.parquet" -> (half === 1)))
+    withScratchCheckpoint { ck =>
+      val run = runId(ck, spark.sessionState.newHadoopConf())
+      val q = spark.readStream.schema(ops.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          Dedup.clusterIndexUpsert(spark, dirs,
+            b.where(col("op") === "I").select(col("doc_id")),
+            b.where(col("op") === "D").select(col("doc_id")),
+            pairs, s"$run-$id")
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally { if (q.isActive) q.stop() }
+    }
+    // the maintenance window: both cluster artifacts through the policy
+    // (three layers each after two batches — the count bar fires; both
+    // folds are view-invariant, so the oracle carries through them)
+    val edgesFired = Maintenance.compactIfNeeded(spark, dirs.edgesDir,
+      "compacted", Seq.empty, "graft_t30_edges_", maxLayers = 1)
+    val labelsFired = Maintenance.compactIfNeededWith(spark, dirs.labelsDir,
+      "compacted", Seq.empty, "graft_t30_labels_", maxLayers = 1)(
+      Dedup.clusterLabelsCompactContent)
+    require(edgesFired && labelsFired,
+      s"t30: the cluster sweep did not fire (edges=$edgesFired, labels=$labelsFired)")
+    Dedup.readClusterLabels(spark, dirs.labelsDir).orderBy(col("doc_id"))
+  }
+
   /** Initialize the maintained BM25-stats artifacts (per-term df table +
     * scalar n_docs/total_len row — `Search.bm25TermDf`/`bm25Scalars` as
     * a VERSIONED store): the "base" snapshot holds both, `_LATEST` points

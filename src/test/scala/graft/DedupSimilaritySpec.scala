@@ -1800,6 +1800,70 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(layers == Seq("batch=compacted"))
   }
 
+  test("x98 cluster-index upsert on a hand graph: splits, merges, fresh singletons, " +
+      "readmission; the delta layer holds ONLY the touched region; a full replay " +
+      "converges; the semantic compaction is view-invariant") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    import graft.operators.Maintenance
+    // stored graph: {1,2,3} via 1-2, 2-3 (label 1); {5,6} (label 5);
+    // singletons 7, 8
+    val dirs = Dedup.ClusterDirs(
+      graft.Tables.scratchDir("graft_x98_spec").toString)
+    val stored = Seq(1L, 2L, 3L, 5L, 6L, 7L, 8L).toDF("doc_id")
+    val storedPairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    Dedup.clusterIndexInit(spark, dirs, stored, storedPairs)
+    def labels(): Map[Long, Long] = Dedup.readClusterLabels(spark, dirs.labelsDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels() == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      7L -> 7L, 8L -> 8L))
+    // ONE upsert: delete 2 (splits {1,2,3} into {1} and {3}); insert
+    // 10, 11, 12 with new pairs (3,10), (10,11) — 3's SPLIT remainder
+    // merges with fresh docs — and (8,12) — a stored singleton merges;
+    // cluster {5,6} and singleton 7 must be untouched
+    val ins = Seq(10L, 11L, 12L).toDF("doc_id")
+    val keys = Seq(2L).toDF("doc_id")
+    val newPairs = Seq((3L, 10L), (10L, 11L), (8L, 12L)).toDF("id1", "id2")
+    val out = Dedup.clusterIndexUpsert(spark, dirs, ins, keys, newPairs, "ops")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = Map(1L -> 1L, 3L -> 3L, 10L -> 3L, 11L -> 3L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L, 12L -> 8L)
+    assert(out == expect, s"fold state: $out")
+    // the delta layer is O(region): only the touched clusters' survivors,
+    // the inserts, and the tombstone — never untouched docs 5/6/7
+    val delta = spark.read.parquet(s"${dirs.labelsDir}/batch=ops")
+      .select(col("doc_id"), col("op")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(delta == Set((1L, "U"), (3L, "U"), (10L, "U"), (11L, "U"),
+      (8L, "U"), (12L, "U"), (2L, "D")), s"delta layer: $delta")
+    // edges incident to the doomed doc left the edge artifact
+    val edges = spark.read.parquet(dirs.edgesDir)
+      .select(col("id1"), col("id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges == Set((5L, 6L), (3L, 10L), (10L, 11L), (8L, 12L)))
+    // full-batch replay (crash after everything but the checkpoint
+    // commit): markerless convergence — same merged view, same delta
+    Dedup.clusterIndexUpsert(spark, dirs, ins, keys, newPairs, "ops")
+    assert(labels() == expect, "a full replay changed the labels")
+    // the label store's SEMANTIC compaction: last-writer-wins collapse —
+    // merged view invariant, tombstoned doc stays gone, one layer left
+    assert(Maintenance.compactIfNeededWith(spark, dirs.labelsDir,
+      "compacted", Seq.empty, "graft_x98_spec_", maxLayers = 1)(
+      Dedup.clusterLabelsCompactContent))
+    assert(labels() == expect, "the label compaction changed the view")
+    val fs = new Path(dirs.labelsDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new Path(dirs.labelsDir)).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).toSeq == Seq("batch=compacted"))
+    // and the NEXT fold works off the compacted store (sequence derivation
+    // reads the kept rows' seq): delete 12 → 8 back to a singleton
+    Dedup.clusterIndexUpsert(spark, dirs,
+      spark.range(0).select(col("id").as("doc_id")),
+      Seq(12L).toDF("doc_id"),
+      spark.range(0).select(col("id").as("id1"), col("id").as("id2")), "ops2")
+    assert(labels() == expect - 12L, "post-compaction fold diverged")
+  }
+
   test("Bloom layer sizing params persist with the artifact and drift fails loudly, " +
       "naming the offending batch (ADVICE r14)") {
     import spark.implicits._
