@@ -833,6 +833,7 @@ object Maintenance {
     val semDir: String = s"$root/sem"
     val semOutDir: String = s"$root/sem_out"
     val annDir: String = s"$root/ann"
+    val cluster: Dedup.ClusterDirs = Dedup.ClusterDirs(s"$root/cluster")
   }
 
   /** The pipeline's SemDeDup admission threshold — x92/t15's fixture
@@ -931,10 +932,18 @@ object Maintenance {
           Similarity.ivfPqAppendEncoded(
             Similarity.encodeVectorBatch(spark, sfDir, vecs), dirs.annDir,
             "stored")
-        }))
+        },
+        () => Dedup.clusterIndexInit(spark, dirs.cluster,
+          docs.select(col("doc_id")),
+          Dedup.verifiedPairs(spark, sfDir, ClusterThreshold))))
     }
     ()
   }
+
+  /** The pipeline's near-dup cluster threshold — x13/x98's fixture value,
+    * shared so the orchestrator's cluster leg and its oracle state the
+    * same graph. */
+  private[graft] val ClusterThreshold = 0.8
 
   /** The x94/x96/t26 fixtures' STORED STATE as a durable artifact —
     * [[multiArtifactInit]] over buckets ≤7, built ONCE per corpus version
@@ -946,7 +955,10 @@ object Maintenance {
     * discipline applied to the whole pipeline tree. */
   private[graft] def multiArtifactStoredTree(spark: SparkSession,
                                              sfDir: String): String =
-    DfCache.materializedTree(spark, s"x94init:$sfDir",
+    // key versioned with the artifact inventory: a new artifact class in
+    // the stored tree must invalidate caches whose SOURCE fingerprints
+    // haven't moved (the cluster leg landed exactly this way)
+    DfCache.materializedTree(spark, s"x94init:v2:$sfDir",
       Seq(s"$sfDir/documents.parquet", s"$sfDir/embeddings.parquet")) { tmp =>
       multiArtifactInit(spark, sfDir, MultiArtifactDirs(tmp),
         Tables.documents(spark, sfDir)
@@ -1085,7 +1097,14 @@ object Maintenance {
         () => StreamingIngest.semanticDedupBatchAssigned(
           vecEnriched.select(col("vec_id"), col("embedding"), col("cell"),
             col("nrm")), tag, dirs.semDir, dirs.semOutDir, SemDedupThreshold),
-        () => Similarity.ivfPqAppendEncoded(vecEnriched, dirs.annDir, tag)))
+        () => Similarity.ivfPqAppendEncoded(vecEnriched, dirs.annDir, tag),
+        // the cluster pipeline folds as ONE self-contained leg (x98's
+        // pass: edge swap, edge append, one label delta — internally
+        // delete-before-admit, replay-convergent without markers); its
+        // dirs are disjoint from every other leg's
+        () => Dedup.clusterIndexUpsert(spark, dirs.cluster,
+          enriched.select(col("doc_id")), kdf,
+          Dedup.verifiedPairs(spark, sfDir, ClusterThreshold), tag)))
     }
     enriched
   }
@@ -1106,7 +1125,9 @@ object Maintenance {
     *  - `semantic` — the SemDeDup kept-vector index's (vec_id, cell) rows;
     *  - `ann`     — the x6g probe (top-10 by exact integer L2 after the
     *                ADC shortlist) served from the maintained layered
-    *                IVF-PQ index. */
+    *                IVF-PQ index;
+    *  - `cluster` — the maintained dup-cluster assignment's merged
+    *                (doc_id, cluster_id) view (x98's label store). */
   private[graft] def multiArtifactProbe(spark: SparkSession, sfDir: String,
       dirs: MultiArtifactDirs,
       terms: Seq[String] = Seq("spark", "join", "window")): DataFrame = {
@@ -1154,8 +1175,14 @@ object Maintenance {
         spark.read.parquet(dirs.annDir), queryId = 0L, k = 10, nprobe = 4)
       .select(lit("ann").as("artifact"), col("vec_id").cast("string").as("k1"),
         col("l2_dist").as("v1"), nulL.as("v2"), nulL.as("v3"), nulD.as("d1"))
+    val cluster = Dedup.readClusterLabels(spark, dirs.cluster.labelsDir)
+      .select(lit("cluster").as("artifact"),
+        col("doc_id").cast("string").as("k1"),
+        col("cluster_id").as("v1"), nulL.as("v2"), nulL.as("v3"),
+        nulD.as("d1"))
     corpus.unionByName(exact).unionByName(near).unionByName(span)
       .unionByName(bm).unionByName(agg).unionByName(sem).unionByName(ann)
+      .unionByName(cluster)
       .orderBy(col("artifact"), col("k1"))
   }
 
@@ -1201,18 +1228,24 @@ object Maintenance {
   private[graft] def multiArtifactCompactIfNeeded(spark: SparkSession,
       dirs: MultiArtifactDirs, maxLayers: Int,
       minFileBytes: Long = 0L): Map[String, Boolean] = {
-    val arts = Seq(
-      ("corpus", dirs.corpusDir, Seq.empty[String]),
-      ("exact", dirs.exactDir, Seq.empty[String]),
-      ("near_fp", s"${dirs.nearDir}/fp", Seq.empty[String]),
-      ("near_pfx", s"${dirs.nearDir}/pfx", Seq.empty[String]),
-      ("near_sh", s"${dirs.nearDir}/sh", Seq.empty[String]),
-      ("sem", dirs.semDir, Seq.empty[String]),
-      ("ann", dirs.annDir, Seq("cell")))
+    val relayout: DataFrame => DataFrame = identity
+    val arts: Seq[(String, String, Seq[String], DataFrame => DataFrame)] = Seq(
+      ("corpus", dirs.corpusDir, Seq.empty, relayout),
+      ("exact", dirs.exactDir, Seq.empty, relayout),
+      ("near_fp", s"${dirs.nearDir}/fp", Seq.empty, relayout),
+      ("near_pfx", s"${dirs.nearDir}/pfx", Seq.empty, relayout),
+      ("near_sh", s"${dirs.nearDir}/sh", Seq.empty, relayout),
+      ("sem", dirs.semDir, Seq.empty, relayout),
+      ("ann", dirs.annDir, Seq("cell"), relayout),
+      ("cluster_edges", dirs.cluster.edgesDir, Seq.empty, relayout),
+      // the label store folds SEMANTICALLY (last-writer-wins collapse) —
+      // the merged view, and so the probe, is invariant
+      ("cluster_labels", dirs.cluster.labelsDir, Seq.empty,
+        Dedup.clusterLabelsCompactContent _))
     withWriterLease(spark, dirs.root, "multiArtifactCompactIfNeeded") {
-      inParallel(arts.map { case (name, d, sub) => () =>
-        name -> compactIfNeeded(spark, d, "compacted", sub,
-          s"graft_sweep_${name}_", maxLayers, minFileBytes)
+      inParallel(arts.map { case (name, d, sub, content) => () =>
+        name -> compactIfNeededWith(spark, d, "compacted", sub,
+          s"graft_sweep_${name}_", maxLayers, minFileBytes)(content)
       }).toMap
     }
   }

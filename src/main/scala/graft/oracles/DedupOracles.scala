@@ -223,7 +223,7 @@ object DedupOracles {
                                     nearBody: String, semCtes: String,
                                     semBody: String,
                                     policyLeg: String = ""): String =
-    s"""WITH $jaccardPairsCte,
+    s"""WITH RECURSIVE $jaccardPairsCte,
         $winnowSpansSql,
         $pqChainSql,
         $ivfChainSql,
@@ -244,6 +244,15 @@ object DedupOracles {
             CAST(SUM(CASE WHEN p.h IS NOT NULL THEN 1 ELSE 0 END) * 1000000
               // COUNT(*) AS BIGINT) AS hit_ppm
           FROM spn n LEFT JOIN sprh p ON p.h = n.h GROUP BY n.doc_id),
+        clpairs AS (SELECT p.id1, p.id2 FROM pairs p
+          JOIN xb a ON a.doc_id = p.id1 JOIN xb b ON b.doc_id = p.id2
+          WHERE NOT a.doomed AND NOT b.doomed),
+        cledges AS (SELECT id1 AS src, id2 AS dst FROM clpairs
+                    UNION ALL SELECT id2, id1 FROM clpairs),
+        clreach(id, r) AS (
+          SELECT doc_id, doc_id FROM xb WHERE NOT doomed
+          UNION
+          SELECT e.src, clreach.r FROM cledges e JOIN clreach ON e.dst = clreach.id),
         $semCtes,
         $extraCtes
         SELECT 'corpus' AS artifact, CAST(doc_id AS VARCHAR) AS k1,
@@ -274,7 +283,10 @@ object DedupOracles {
         UNION ALL
         SELECT 'ann', CAST(vec_id AS VARCHAR), l2_dist, NULL, NULL, NULL
         FROM (SELECT vec_id, l2_dist FROM exact
-              ORDER BY l2_dist, vec_id LIMIT 10)$policyLeg
+              ORDER BY l2_dist, vec_id LIMIT 10)
+        UNION ALL
+        SELECT 'cluster', CAST(id AS VARCHAR), min(r), NULL, NULL, NULL
+        FROM clreach GROUP BY id$policyLeg
         ORDER BY 1, 2""".stripMargin
 
   /** The x96/t29 sweep-outcome rows as oracle CONSTANTS: below-bar
@@ -287,7 +299,8 @@ object DedupOracles {
         UNION ALL
         SELECT 'policy', name, CAST($belowCol AS BIGINT), CAST(f AS BIGINT),
           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
-        FROM (VALUES ('ann', 0, 1), ('corpus', 0, 1), ('exact', 0, 1),
+        FROM (VALUES ('ann', 0, 1), ('cluster_edges', 0, 1),
+          ('cluster_labels', 0, 1), ('corpus', 0, 1), ('exact', 0, 1),
           ('near_fp', 0, 1), ('near_pfx', 0, 1), ('near_sh', 0, 1),
           ('sem', 0, 1)) p(name, b, f)
         UNION ALL

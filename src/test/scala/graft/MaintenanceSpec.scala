@@ -433,6 +433,8 @@ class MaintenanceSpec extends SparkSpec {
       twin.semOutDir, Maintenance.SemDedupThreshold)
     Similarity.ivfPqLayerDeleteKeys(spark, twin.annDir, kdfVec)
     Similarity.ivfPqAppend(spark, sf, netIVecs, twin.annDir, "ops")
+    Dedup.clusterIndexUpsert(spark, twin.cluster, netI.select(col("doc_id")),
+      kdf, Dedup.verifiedPairs(spark, sf, Maintenance.ClusterThreshold), "ops")
     assert(orchRows == probeRows(twin),
       "one orchestrated pass diverged from the per-artifact composition")
 
@@ -452,7 +454,8 @@ class MaintenanceSpec extends SparkSpec {
     assert(probeRows(orch) == orchRows)
     val fired = Maintenance.multiArtifactCompactIfNeeded(spark, orch, maxLayers = 1)
     assert(fired == Map("corpus" -> true, "exact" -> true, "near_fp" -> true,
-      "near_pfx" -> true, "near_sh" -> true, "sem" -> true, "ann" -> true),
+      "near_pfx" -> true, "near_sh" -> true, "sem" -> true, "ann" -> true,
+      "cluster_edges" -> true, "cluster_labels" -> true),
       s"sweep outcome: $fired")
     def layers(dir: String): Seq[String] = {
       val p = new org.apache.hadoop.fs.Path(dir)
@@ -461,7 +464,7 @@ class MaintenanceSpec extends SparkSpec {
     }
     Seq(orch.corpusDir, orch.exactDir, s"${orch.nearDir}/fp",
         s"${orch.nearDir}/pfx", s"${orch.nearDir}/sh", orch.semDir,
-        orch.annDir).foreach { d =>
+        orch.annDir, orch.cluster.edgesDir, orch.cluster.labelsDir).foreach { d =>
       assert(layers(d) == Seq("batch=compacted"), s"$d: ${layers(d)}")
     }
     assert(layers(orch.spanDir).toSet == Set("batch=stored", "batch=ops"),
