@@ -1237,6 +1237,12 @@ object Maintenance {
       ("near_sh", s"${dirs.nearDir}/sh", Seq.empty, relayout),
       ("sem", dirs.semDir, Seq.empty, relayout),
       ("ann", dirs.annDir, Seq("cell"), relayout),
+      // the per-batch DECISION LOGS (kept-doc / kept-vector outputs) are
+      // batch=-layered too and grow a layer per micro-batch like every
+      // append artifact — unprobed, but a long-lived pipeline still owes
+      // them the small-file sweep
+      ("near_out", dirs.nearOutDir, Seq.empty, relayout),
+      ("sem_out", dirs.semOutDir, Seq.empty, relayout),
       ("cluster_edges", dirs.cluster.edgesDir, Seq.empty, relayout),
       // the label store folds SEMANTICALLY (last-writer-wins collapse) —
       // the merged view, and so the probe, is invariant

@@ -301,8 +301,9 @@ object DedupOracles {
           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
         FROM (VALUES ('ann', 0, 1), ('cluster_edges', 0, 1),
           ('cluster_labels', 0, 1), ('corpus', 0, 1), ('exact', 0, 1),
-          ('near_fp', 0, 1), ('near_pfx', 0, 1), ('near_sh', 0, 1),
-          ('sem', 0, 1)) p(name, b, f)
+          ('near_fp', 0, 1), ('near_out', 0, 1), ('near_pfx', 0, 1),
+          ('near_sh', 0, 1), ('sem', 0, 1), ('sem_out', 0, 1))
+          p(name, b, f)
         UNION ALL
         SELECT 'policy', 'span', CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)"""

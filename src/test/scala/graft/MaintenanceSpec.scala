@@ -455,6 +455,7 @@ class MaintenanceSpec extends SparkSpec {
     val fired = Maintenance.multiArtifactCompactIfNeeded(spark, orch, maxLayers = 1)
     assert(fired == Map("corpus" -> true, "exact" -> true, "near_fp" -> true,
       "near_pfx" -> true, "near_sh" -> true, "sem" -> true, "ann" -> true,
+      "near_out" -> true, "sem_out" -> true,
       "cluster_edges" -> true, "cluster_labels" -> true),
       s"sweep outcome: $fired")
     def layers(dir: String): Seq[String] = {
@@ -464,7 +465,8 @@ class MaintenanceSpec extends SparkSpec {
     }
     Seq(orch.corpusDir, orch.exactDir, s"${orch.nearDir}/fp",
         s"${orch.nearDir}/pfx", s"${orch.nearDir}/sh", orch.semDir,
-        orch.annDir, orch.cluster.edgesDir, orch.cluster.labelsDir).foreach { d =>
+        orch.annDir, orch.nearOutDir, orch.semOutDir,
+        orch.cluster.edgesDir, orch.cluster.labelsDir).foreach { d =>
       assert(layers(d) == Seq("batch=compacted"), s"$d: ${layers(d)}")
     }
     assert(layers(orch.spanDir).toSet == Set("batch=stored", "batch=ops"),
