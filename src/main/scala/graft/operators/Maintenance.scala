@@ -729,11 +729,22 @@ object Maintenance {
   private[graft] val WriterLeaseFile = "_WRITER_LEASE"
 
   /** Age past which a lease is presumed crashed and may be taken over
-    * (sys-prop `graft.maintenance.staleLeaseMs`, default 30 min — an
-    * orchestrator pass that outlives it should renew by re-acquiring per
-    * batch, which t26's per-micro-batch invocations do naturally). */
+    * (sys-prop `graft.maintenance.staleLeaseMs`, default 30 min). A LIVE
+    * holder never ages past it: [[withWriterLease]] re-stamps the lease
+    * timestamp from a heartbeat thread every [[leaseHeartbeatMs]], so
+    * only a writer whose whole PROCESS died (heartbeat included) becomes
+    * takeover-eligible — a one-shot orchestrator pass longer than the
+    * stale bound is safe (ADVICE r16: per-batch re-acquisition was the
+    * only renewal, and a 100 TB pass can outlive 30 min). */
   private[graft] def staleLeaseMs: Long =
     java.lang.Long.getLong("graft.maintenance.staleLeaseMs", 30L * 60L * 1000L)
+
+  /** Heartbeat period for the lease re-stamp (sys-prop
+    * `graft.maintenance.leaseHeartbeatMs`, default a third of the stale
+    * bound — three missed beats before anyone may presume us dead). */
+  private[graft] def leaseHeartbeatMs: Long =
+    java.lang.Long.getLong("graft.maintenance.leaseHeartbeatMs",
+      math.max(1L, staleLeaseMs / 3L))
 
   /** Run `body` holding the pipeline's writer lease. Acquisition is an
     * atomic create-no-overwrite of `<root>/_WRITER_LEASE` carrying
@@ -747,6 +758,19 @@ object Maintenance {
     *    heals whatever the dead writer left half-done);
     *  - release deletes ONLY a lease carrying this acquisition's nonce,
     *    so a release racing a takeover never yanks the new writer's lease.
+    *
+    * RENEWAL (ADVICE r16): while `body` runs, a daemon heartbeat thread
+    * re-stamps the lease timestamp every [[leaseHeartbeatMs]] (write to a
+    * dot-file sibling, then one rename onto the lease — atomic replace on
+    * POSIX/local filesystems; where rename-over-existing is refused,
+    * HDFS-style, the fallback is delete+rename, the same advisory window
+    * as takeover itself). So a holder that outlives [[staleLeaseMs]]
+    * keeps its lease fresh and a queued second writer keeps refusing —
+    * takeover now only arbitrates against processes whose heartbeat died
+    * with them. If the heartbeat ever finds the lease gone or re-nonced
+    * (it was forcibly taken — possible only if this process was paused
+    * past the stale bound), it stops renewing and the release step raises
+    * loudly instead of masking the double-writer window.
     *
     * Like the compaction trash protocol, atomicity rides on the
     * filesystem's create-exclusive semantics — exact on HDFS-likes and
@@ -770,11 +794,13 @@ object Maintenance {
         try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
         finally in.close()
       } catch { case _: java.io.IOException => None } // vanished mid-read
+    def stampBytes(): Array[Byte] =
+      (s"holder=$holder pid=${ProcessHandle.current().pid()} " +
+        s"nonce=$nonce ts=${System.currentTimeMillis()}").getBytes("UTF-8")
     def tryCreate(): Boolean =
       try {
         val out = fs.create(lease, false)
-        try out.write((s"holder=$holder pid=${ProcessHandle.current().pid()} " +
-          s"nonce=$nonce ts=${System.currentTimeMillis()}").getBytes("UTF-8"))
+        try out.write(stampBytes())
         finally out.close()
         true
       } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
@@ -793,9 +819,46 @@ object Maintenance {
           s"$rootDir: lost the stale-lease takeover race to " +
             s"[${readLease().getOrElse("")}] — exactly one taker may win")
     }
-    try body
-    finally if (readLease().exists(_.contains(s"nonce=$nonce")))
-      fs.delete(lease, false)
+    // heartbeat: re-stamp ts while the body runs, so a pass longer than
+    // the stale bound never becomes takeover bait (ADVICE r16)
+    val lost = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val hb = new Thread(() => {
+      try {
+        while (!lost.get()) {
+          Thread.sleep(leaseHeartbeatMs)
+          if (!readLease().exists(_.contains(s"nonce=$nonce"))) lost.set(true)
+          else {
+            val tmp = new Path(root, s".lease_hb_$nonce")
+            val out = fs.create(tmp, true)
+            try out.write(stampBytes()) finally out.close()
+            if (!fs.rename(tmp, lease)) { // fs refuses rename-over-existing
+              if (readLease().exists(_.contains(s"nonce=$nonce"))) {
+                fs.delete(lease, false)
+                if (!fs.rename(tmp, lease)) { fs.delete(tmp, false); lost.set(true) }
+              } else { fs.delete(tmp, false); lost.set(true) }
+            }
+          }
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lease-heartbeat-$nonce")
+    hb.setDaemon(true)
+    hb.start()
+    val out =
+      try body
+      finally {
+        hb.interrupt()
+        hb.join(10000L)
+        if (readLease().exists(_.contains(s"nonce=$nonce")))
+          fs.delete(lease, false)
+      }
+    if (lost.get())
+      throw new IllegalStateException(
+        s"$rootDir: the writer lease was taken over while $holder was " +
+          "still running (the process must have been paused past " +
+          s"graft.maintenance.staleLeaseMs=$staleLeaseMs) — a second " +
+          "writer may have run concurrently; re-run the owning " +
+          "maintenance pass to let its replay rules converge the artifacts")
+    out
   }
 
   // ──────────────────────────────────────────────────────────────────────
@@ -1026,6 +1089,12 @@ object Maintenance {
       tag: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     import graft.streaming.StreamingIngest
+    // The shared derivations SNAPSHOT inside the lease (ADVICE r16): the
+    // doomed-row fetch scans the live corpus artifact and the enrichment
+    // reads nothing the lease protects, but snapshotting them before
+    // acquisition could observe another writer's mid-swap state in
+    // exactly the window the lease fences.
+    withWriterLease(spark, dirs.root, s"multiArtifactUpsert(batch=$tag)") {
     val kdf = Dedup.snapshot(spark, keys.select(col("doc_id")).distinct())
     val kdfVec = kdf.select(col("doc_id").as("vec_id"))
     val enriched = Dedup.snapshot(spark,
@@ -1041,7 +1110,6 @@ object Maintenance {
       spark.read.parquet(dirs.corpusDir).drop("batch")
         .join(broadcast(kdf), Seq("doc_id"), "leftsemi")
         .withColumn("tk", TextFns.tokens(col("text"))))
-    withWriterLease(spark, dirs.root, s"multiArtifactUpsert(batch=$tag)") {
       // Phase 0 — marker-gated stats folds (read pre-delete state)
       inParallel[Unit](Seq(
         () => statsSnapshotFold(spark, dirs.bm25Dir, tag) { tmp =>
@@ -1105,8 +1173,8 @@ object Maintenance {
         () => Dedup.clusterIndexUpsert(spark, dirs.cluster,
           enriched.select(col("doc_id")), kdf,
           Dedup.verifiedPairs(spark, sfDir, ClusterThreshold), tag)))
-    }
     enriched
+    }
   }
 
   /** The declared x94/t26 RESULT: every artifact's queryable form, in one

@@ -2289,13 +2289,28 @@ object StreamingIngest {
     * funneling the whole vocabulary through one task exactly when that
     * task stops being noise. The df is SNAPSHOTTED first (lineage
     * truncation) so the row-count consult and the write run one plan, not
-    * two recomputes of the fold. Both layouts are row-identical
-    * (spec-pinned) and [[readBm25Stats]] reads either — the shard column
-    * is layout, not data. */
+    * two recomputes of the fold — and the count itself rides the
+    * snapshot's OWN materialization job as an `observe` metric, so the
+    * layout gate costs zero extra driver actions (VERDICT r16 #5: the
+    * explicit `count()` here was one more round-trip per fold in the hot
+    * maintenance loop). The observed value is exact (a global count over
+    * the materialized rows); if the metric hasn't surfaced through the
+    * async listener bus within the bound, the gate falls back to the old
+    * cached-block count rather than guessing. Both layouts are
+    * row-identical (spec-pinned) and [[readBm25Stats]] reads either —
+    * the shard column is layout, not data. */
   private[graft] def writeBm25TermDf(termDf: DataFrame, dest: String): Unit = {
     val spark = termDf.sparkSession
-    val snap = graft.operators.Dedup.snapshot(spark, termDf)
-    if (snap.count() > bm25ShardRowGate)
+    val obs = org.apache.spark.sql.Observation()
+    val snap = graft.operators.Dedup.snapshot(spark,
+      termDf.observe(obs, count(lit(1)).as("rows")))
+    val nRows = try {
+      import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
+      import scala.concurrent.duration.DurationInt
+      Await.result(Future(obs.get("rows").asInstanceOf[Long])(
+        ExecutionContext.global), 10.seconds)
+    } catch { case _: scala.concurrent.TimeoutException => snap.count() }
+    if (nRows > bm25ShardRowGate)
       snap.withColumn("shard",
           pmod(graft.functions.TextFns.polyHash(col("term")),
             lit(bm25ShardCount.toLong)))

@@ -530,4 +530,42 @@ class MaintenanceSpec extends SparkSpec {
       assert(e.getMessage.contains("someone-else"))
     }
   }
+
+  test("writer lease renewal: a holder that outlives the stale bound keeps its " +
+      "lease via the heartbeat — a queued second writer still refuses instead " +
+      "of taking over mid-write (VERDICT r16 #3 / ADVICE r16)") {
+    import org.apache.hadoop.fs.Path
+    import graft.operators.Maintenance
+    val root = Tables.scratchDir("graft_lease_hb_spec").toString
+    val lease = new Path(root, Maintenance.WriterLeaseFile)
+    val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prev = System.setProperty("graft.maintenance.staleLeaseMs", "400")
+    try {
+      // without renewal this body outlives the stale bound 5× over, and
+      // writer-B's acquisition would be a legal takeover; the heartbeat
+      // (stale/3 = ~133 ms) must keep the lease fresh throughout
+      Maintenance.withWriterLease(spark, root, "slow-writer") {
+        Thread.sleep(2000L)
+        val e = intercept[IllegalStateException] {
+          Maintenance.withWriterLease(spark, root, "queued-writer") {
+            fail("the queued writer must not run while the holder is alive")
+          }
+        }
+        assert(e.getMessage.contains("slow-writer"), e.getMessage)
+      }
+      assert(!fs.exists(lease), "lease not released after the slow body")
+      // a genuinely DEAD holder (no heartbeat) is still taken over under
+      // the same lowered bound — renewal must not break crash recovery
+      val stale = fs.create(lease, true)
+      try stale.write(("holder=dead nonce=dead ts=" +
+        (System.currentTimeMillis() - 1000L)).getBytes("UTF-8"))
+      finally stale.close()
+      var ran = false
+      Maintenance.withWriterLease(spark, root, "taker") { ran = true }
+      assert(ran && !fs.exists(lease))
+    } finally {
+      if (prev == null) System.clearProperty("graft.maintenance.staleLeaseMs")
+      else System.setProperty("graft.maintenance.staleLeaseMs", prev)
+    }
+  }
 }
