@@ -670,9 +670,16 @@ object Dedup {
     * the t25-class order-free contrast to t23/t24.
     *
     * `newPairs` = the verified pairs with at least one endpoint in the
-    * insert batch (fixture: the shared memoized pair index restricted to
-    * the batch; deployment: the x89-class prefix-index probe of the
-    * batch). Returns the merged final label table. */
+    * insert batch. The x94/t26 orchestrator derives them from the
+    * MAINTAINED near-dup index (VERDICT r16 #1): ONE
+    * `StreamingIngest.nearIndexProbePairs` probe (batch vs the stored
+    * pfx/sh sub-indexes, shared verbatim with the near admit) plus the
+    * batch's `batchInternalPairs` self-join — O(batch) per pass, no
+    * corpus-sized pair table read. The standalone fixtures (x98/t30)
+    * pass the shared memoized pair index restricted to the batch — the
+    * MaintenanceSpec equivalence drill pins the two derivations to the
+    * same edges on the gate fixtures. Returns the merged final label
+    * table. */
   private[graft] def clusterIndexUpsert(spark: SparkSession,
       dirs: ClusterDirs, inserts: DataFrame, keys: DataFrame,
       newPairs: DataFrame, tag: String): DataFrame = {

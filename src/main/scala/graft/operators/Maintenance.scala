@@ -581,7 +581,21 @@ object Maintenance {
     * `maxOpenFiles` LRU close
     * (`/root/reference/src/main/scala/org/apache/flume/sink/hive/batched/HiveBatchedSink.scala:98-154`)
     * — automatic, threshold-driven maintenance instead of operator-
-    * scheduled. Same single-writer contract as the core it wraps. */
+    * scheduled. Same single-writer contract as the core it wraps.
+    *
+    * RUNBOOK — markerless-trash refusal (ADVICE r16): the core retires a
+    * same-tag prior layer BEFORE writing the trash marker (the r15
+    * data-loss fix), so a crash in that narrow window leaves a
+    * `*_compact_trash` WITHOUT a marker and with the published layer
+    * missing from the root. Every opener ([[guardInterruptedCompaction]])
+    * then refuses the artifact LOUDLY — probes fail, they do not read
+    * partial state. Recovery is: re-invoke the owning compaction with
+    * the SAME tag (any x95 sweep entry — this method, x96's query, or
+    * t29's post-stream window — uses the sweep's fixed tag `compacted`,
+    * so simply re-running the sweep recovers); its legacy-trash path
+    * restores the retired layers and re-runs the fold. Do NOT hand-move
+    * directories out of the trash: the restore is rename-ordered against
+    * the publish path and a manual copy can double rows. */
   private[graft] def compactIfNeeded(spark: SparkSession, idxDir: String,
       tag: String, subPartition: Seq[String], stagePrefix: String,
       maxLayers: Int, minFileBytes: Long = 0L): Boolean =
@@ -955,7 +969,7 @@ object Maintenance {
   }
 
   /** Initialize every artifact of [[MultiArtifactDirs]] from the stored
-    * corpus — eight independent builds, run concurrently (each scans
+    * corpus — nine independent builds, run concurrently (each scans
     * `storedDocs` — or its embedding rows — with its own column pruning),
     * under the pipeline's writer lease. The SemDeDup stored layer keeps
     * x92's build-time semantics (doomed vectors participate as greedy
@@ -1146,6 +1160,27 @@ object Maintenance {
         () => Dedup.dedupIndexDeleteKeys(spark, dirs.semDir, kdfVec,
           keyCol = "vec_id"),
         () => Similarity.ivfPqLayerDeleteKeys(spark, dirs.annDir, kdfVec)))
+      // The batch-vs-stored near-pair probe, ONCE (VERDICT r16 #1): it
+      // reads the post-delete pfx/sh sub-indexes with the batch's own
+      // tag excluded — exactly the state the near leg probed when it ran
+      // the probe itself — and its snapshot feeds BOTH Phase-2 consumers:
+      // the near admit (new_id side) and the cluster pipeline's new
+      // edges (the pairs, plus the batch's internal self-pairs the
+      // own-tag-excluded probe cannot see). No corpus-global pair
+      // artifact is read per pass — the probe is O(batch) against
+      // O(corpus) index metadata, and at 100 TB the t26 loop's per-batch
+      // cluster fold costs what the near fold already paid. One shared
+      // threshold by construction ([[ClusterThreshold]] — the near leg
+      // is invoked with the same value, or the pairs would state a
+      // different graph than the admit).
+      val probePairs = Dedup.snapshot(spark, StreamingIngest.nearIndexProbePairs(
+        enriched.select(col("doc_id"), col("sh"), col("n")), tag,
+        dirs.nearDir, ClusterThreshold))
+      val clusterPairs = probePairs
+        .select(least(col("new_id"), col("prior_id")).as("id1"),
+          greatest(col("new_id"), col("prior_id")).as("id2"))
+        .unionByName(StreamingIngest.batchInternalPairs(
+          enriched.select(col("doc_id"), col("sh"), col("n")), ClusterThreshold))
       // Phase 2 — the enriched batch lands in every artifact
       inParallel[Any](Seq(
         () => enriched.select(col("doc_id"), col("source"), col("text"))
@@ -1159,7 +1194,8 @@ object Maintenance {
         () => StreamingIngest.nearDedupIndexBatchEnriched(
           enriched.select(col("doc_id"), col("text"), col("fp"), col("sh"),
             col("n")), tag, dirs.nearDir, dirs.nearOutDir,
-          alreadyMaterialized = true),
+          threshold = ClusterThreshold, alreadyMaterialized = true,
+          probedPairs = Some(probePairs)),
         () => TextAnalysis.spanIndexAppend(spark,
           enriched.select(col("doc_id"), col("text")), dirs.spanDir, tag),
         () => StreamingIngest.semanticDedupBatchAssigned(
@@ -1171,8 +1207,7 @@ object Maintenance {
         // delete-before-admit, replay-convergent without markers); its
         // dirs are disjoint from every other leg's
         () => Dedup.clusterIndexUpsert(spark, dirs.cluster,
-          enriched.select(col("doc_id")), kdf,
-          Dedup.verifiedPairs(spark, sfDir, ClusterThreshold), tag)))
+          enriched.select(col("doc_id")), kdf, clusterPairs, tag)))
     enriched
     }
   }
@@ -1257,7 +1292,8 @@ object Maintenance {
   /** X94 — the orchestrator under the driver's oracle gate: stored state
     * initializes from buckets ≤7 (every artifact), then ONE
     * [[multiArtifactUpsert]] invocation carries the insert batch (buckets
-    * ≥8) and the doomed-residue delete keys through all seven artifacts.
+    * ≥8) and the doomed-residue delete keys through all nine artifact
+    * classes.
     * The oracle is the monolithic per-artifact recompute over the same
     * final corpus, unioned into the same normalized frame — the green
     * hash states that ONE pass with shared derivations reaches exactly
@@ -1276,11 +1312,14 @@ object Maintenance {
 
   /** The pipeline-wide maintenance-window sweep: consult the x95
     * threshold policy on every LAYERED artifact of one
-    * [[MultiArtifactDirs]] pipeline, concurrently — the corpus, the
-    * exact-dup index, all three near-dup sub-indexes, the SemDeDup
-    * kept-vector index (flat, tag-blind probe) and the layered IVF-PQ
-    * index (cell sub-partitioned — x85's re-layout, probe-invariant
-    * under the frozen quantizers). The span index is deliberately NOT
+    * [[MultiArtifactDirs]] pipeline, concurrently — ELEVEN artifacts:
+    * the corpus, the exact-dup index, all three near-dup sub-indexes,
+    * the SemDeDup kept-vector index (flat, tag-blind probe), the
+    * layered IVF-PQ index (cell sub-partitioned — x85's re-layout,
+    * probe-invariant under the frozen quantizers), both per-batch
+    * decision logs (near_out/sem_out), and both cluster artifacts (the
+    * edge table by pure re-layout, the label store by its semantic
+    * last-writer-wins fold). The span index is deliberately NOT
     * swept here: its probe semantics depend on the layer tags (prior
     * epoch vs novel batch), so its compaction belongs BETWEEN probe
     * epochs — the x97 epoch fold ([[TextAnalysis.spanEpochProbe]] drives
@@ -1326,7 +1365,9 @@ object Maintenance {
 
   /** X96 — x94's history through the pipeline-wide compaction sweep:
     * after the one-pass upsert every layered artifact holds two layers
-    * (stored + ops); the sweep fires on all seven swept artifacts and
+    * (stored + ops); the sweep fires on all ELEVEN swept artifacts
+    * (corpus, exact, the near triple, the SemDeDup and layered-ANN
+    * indexes, both per-batch decision logs, both cluster artifacts) and
     * each folds to one layer through the shared core. This query drives
     * BOTH policy dimensions under the oracle gate (VERDICT r15 #5):
     * first a consult below both bars (layer count under `maxLayers`,

@@ -2579,41 +2579,21 @@ object StreamingIngest {
                                                  batchTag: String,
                                                  indexDir: String, outDir: String,
                                                  threshold: Double = 0.8,
-                                                 alreadyMaterialized: Boolean = false): Unit = {
+                                                 alreadyMaterialized: Boolean = false,
+                                                 probedPairs: Option[DataFrame] = None): Unit = {
     val spark = enriched.sparkSession
     val withSh =
       if (alreadyMaterialized) enriched
       else graft.operators.Dedup.snapshot(spark, enriched)
     // existence probe, not exception catch: a malformed index propagates
     // instead of silently reading as "first batch" (Dedup.readBatchIndex)
-    def readIdx(sub: String)(empty: => DataFrame): DataFrame =
-      graft.operators.Dedup.readBatchIndex(spark, s"$indexDir/$sub", batchTag)(empty)
-    val priorFp = readIdx("fp") {
+    val priorFp = graft.operators.Dedup.readBatchIndex(
+      spark, s"$indexDir/fp", batchTag) {
       spark.range(0).select(col("id").as("fp")) }
-    val priorPfx = readIdx("pfx") {
-      spark.range(0).select(col("id").as("doc_id"), col("id").as("s"),
-        col("id").cast("int").as("n")) }
-    val priorSh = readIdx("sh") {
-      spark.range(0).select(col("id").as("doc_id"),
-        array().cast("array<bigint>").as("sh"), col("id").cast("int").as("n")) }
-    // ceil FP guard may only lengthen the prefix — same as prefixIndex
-    def prefixPostings(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), col("n"), explode(slice(array_sort(col("sh")),
-        lit(1), (col("n") - ceil(lit(threshold) * col("n") - 1e-9) + 1).cast("int"))).as("s"))
-    val cand = prefixPostings(withSh).as("a")
-      .join(priorPfx.as("b"), col("a.s") === col("b.s") &&
-        graft.operators.Dedup.lengthCompatible(col("a.n"), col("b.n"), threshold))
-      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("prior_id"))
-      .distinct()
-    val nearIds = cand
-      .join(withSh.select(col("doc_id").as("new_id"), col("sh").as("sh1")), "new_id")
-      .join(priorSh.select(col("doc_id").as("prior_id"), col("sh").as("sh2")), "prior_id")
-      .select(col("new_id"),
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double").as("i"),
-        size(col("sh1")).as("n1"), size(col("sh2")).as("n2"))
-      // round-to-6 before the threshold: Dedup.verifyJaccard's convention,
-      // so the cross-engine oracle's rounded restatement is defined-identical
-      .where(round(col("i") / (col("n1") + col("n2") - col("i")), 6) >= threshold)
+    def prefixPostings(df: DataFrame): DataFrame =
+      nearPrefixPostings(df, threshold)
+    val nearIds = probedPairs
+      .getOrElse(nearIndexProbePairs(withSh, batchTag, indexDir, threshold))
       .select(col("new_id").as("doc_id")).distinct()
     val survivors = withSh
       .join(priorFp.select(col("fp").as("seen_fp")),
@@ -2645,6 +2625,88 @@ object StreamingIngest {
           .write.mode("overwrite").parquet(s"$indexDir/sh/batch=$batchTag")))
       ()
     } finally survivors.unpersist()
+  }
+
+  /** One batch's prefix postings under the maintained near index's
+    * HASH-VALUE prefix order (stable as the corpus grows — see
+    * [[nearDedupIndexBatch]]): the `n − ⌈t·n⌉ + 1` smallest shingle
+    * hashes per doc, exploded to (doc_id, n, s) rows. The ceil FP guard
+    * may only lengthen the prefix — same as `Dedup.prefixIndex`. */
+  private[graft] def nearPrefixPostings(df: DataFrame,
+                                        threshold: Double): DataFrame = df
+    .select(col("doc_id"), col("n"), explode(slice(array_sort(col("sh")),
+      lit(1), (col("n") - ceil(lit(threshold) * col("n") - 1e-9) + 1).cast("int"))).as("s"))
+
+  /** The batch-vs-stored verified near-pair PROBE, factored out of
+    * [[nearDedupIndexBatchEnriched]] so ONE invocation per micro-batch
+    * feeds BOTH consumers (VERDICT r16 #1): the near-dedup admit (drop
+    * batch docs near ANY prior keeper — it only reads `new_id`) and the
+    * cluster pipeline's new-edge derivation (it reads the pairs
+    * themselves). Batch shingles against the maintained `pfx`/`sh`
+    * sub-indexes with the batch's own tag excluded (the replay rule);
+    * candidates prefix-filtered and length-gated, then exact-Jaccard
+    * verified at `threshold` — O(batch · candidates) work against
+    * O(corpus) index metadata, never a corpus-sized pair artifact.
+    * Returns verified `(new_id, prior_id)` rows. Population note: the
+    * prior side is the maintained index's KEEPER set — a batch edge to a
+    * live doc that was itself near-dropped on arrival is not derived
+    * (its keeper, which blocked it at J ≥ t, is the probe's witness for
+    * the same neighborhood; the periodic full x4/x13 pass is the sweep
+    * for residue, and the x94/t26 equivalence spec pins probe-derived ≡
+    * corpus-pair-derived cluster edges on the gate fixtures). */
+  private[graft] def nearIndexProbePairs(withSh: DataFrame, batchTag: String,
+                                         indexDir: String,
+                                         threshold: Double): DataFrame = {
+    val spark = withSh.sparkSession
+    val priorPfx = graft.operators.Dedup.readBatchIndex(
+      spark, s"$indexDir/pfx", batchTag) {
+      spark.range(0).select(col("id").as("doc_id"), col("id").as("s"),
+        col("id").cast("int").as("n")) }
+    val priorSh = graft.operators.Dedup.readBatchIndex(
+      spark, s"$indexDir/sh", batchTag) {
+      spark.range(0).select(col("id").as("doc_id"),
+        array().cast("array<bigint>").as("sh"), col("id").cast("int").as("n")) }
+    val cand = nearPrefixPostings(withSh, threshold).as("a")
+      .join(priorPfx.as("b"), col("a.s") === col("b.s") &&
+        graft.operators.Dedup.lengthCompatible(col("a.n"), col("b.n"), threshold))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("prior_id"))
+      .distinct()
+    cand
+      .join(withSh.select(col("doc_id").as("new_id"), col("sh").as("sh1")), "new_id")
+      .join(priorSh.select(col("doc_id").as("prior_id"), col("sh").as("sh2")), "prior_id")
+      .select(col("new_id"), col("prior_id"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double").as("i"),
+        size(col("sh1")).as("n1"), size(col("sh2")).as("n2"))
+      // round-to-6 before the threshold: Dedup.verifyJaccard's convention,
+      // so the cross-engine oracle's rounded restatement is defined-identical
+      .where(round(col("i") / (col("n1") + col("n2") - col("i")), 6) >= threshold)
+      .select(col("new_id"), col("prior_id"))
+  }
+
+  /** The batch's WITHIN-batch verified near pairs — the half of the
+    * cluster pipeline's new-edge set that [[nearIndexProbePairs]] cannot
+    * see (the probe excludes the batch's own tag): a prefix-filtered
+    * self-join of the batch's postings under the same hash-value order,
+    * length-gated, exact-Jaccard verified at `threshold`. O(batch²
+    * candidate-bounded) — bounded by the micro-batch, never the corpus.
+    * Returns `(id1 < id2)` rows, [[Dedup.verifiedPairs]]' orientation. */
+  private[graft] def batchInternalPairs(withSh: DataFrame,
+                                        threshold: Double): DataFrame = {
+    val post = nearPrefixPostings(withSh, threshold)
+    val cand = post.as("a")
+      .join(post.as("b"), col("a.s") === col("b.s") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        graft.operators.Dedup.lengthCompatible(col("a.n"), col("b.n"), threshold))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    cand
+      .join(withSh.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(withSh.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double").as("i"),
+        size(col("sh1")).as("n1"), size(col("sh2")).as("n2"))
+      .where(round(col("i") / (col("n1") + col("n2") - col("i")), 6) >= threshold)
+      .select(col("id1"), col("id2"))
   }
 
   /** Drive [[dedupIndexBatch]] (or, with `nearThreshold`,

@@ -437,6 +437,17 @@ class MaintenanceSpec extends SparkSpec {
       kdf, Dedup.verifiedPairs(spark, sf, Maintenance.ClusterThreshold), "ops")
     assert(orchRows == probeRows(twin),
       "one orchestrated pass diverged from the per-artifact composition")
+    // VERDICT r16 #1: the orchestrator's cluster edges are PROBE-derived
+    // (ONE maintained-near-index probe + the batch's internal self-pairs)
+    // while the twin's come from the corpus-global verified-pair index —
+    // pin the two derivations to the same EDGE SET, not merely the same
+    // merged label view (labels could agree across different graphs)
+    def edgeSet(dirs: Maintenance.MultiArtifactDirs): Set[(Long, Long)] =
+      spark.read.parquet(dirs.cluster.edgesDir)
+        .select(col("id1"), col("id2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edgeSet(orch) == edgeSet(twin),
+      "probe-derived cluster edges diverged from pair-index-derived edges")
 
     // exactly-once drill: a FULL replay of the same batch (crash after
     // everything but the checkpoint commit) converges — marker-gated
