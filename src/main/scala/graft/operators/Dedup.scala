@@ -548,6 +548,25 @@ object Dedup {
   private[graft] def edgeIndexDeleteKeys(spark: SparkSession, idxDir: String,
       keys: DataFrame,
       gate: Int = Maintenance.keyGateDefault): Seq[String] = {
+    // versioned roots: the two-endpoint variant of the versioned branch
+    // in [[dedupIndexDeleteKeys]] — manifest-pruned dirty read, one
+    // staged rewrite, one manifest swap
+    if (VersionedLayers.isVersioned(spark, idxDir)) {
+      if (VersionedLayers.layers(spark, idxDir).isEmpty) return Seq.empty
+      val idx = VersionedLayers.read(spark, idxDir)(return Seq.empty)
+      val k = broadcast(keys.select(col("doc_id")).distinct())
+      val touches = idx.join(k, col("id1") === col("doc_id"), "leftsemi")
+        .unionByName(idx.join(k, col("id2") === col("doc_id"), "leftsemi"))
+      val dirty = touches.select(col("batch")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      if (dirty.nonEmpty) {
+        val surv = VersionedLayers.readTags(spark, idxDir, dirty.toSet)
+          .join(k, col("id1") === col("doc_id"), "leftanti")
+          .join(k, col("id2") === col("doc_id"), "leftanti")
+        VersionedLayers.rewriteLayers(spark, idxDir, dirty, surv)
+      }
+      return dirty
+    }
     Maintenance.guardInterruptedCompaction(spark, idxDir)
     if (!hasVisibleData(spark, idxDir)) return Seq.empty
     val idx = spark.read.parquet(idxDir)
@@ -592,12 +611,12 @@ object Dedup {
       .join(broadcast(ids.select(col("doc_id").as("id1"))), Seq("id1"), "leftsemi")
       .join(broadcast(ids.select(col("doc_id").as("id2"))), Seq("id2"), "leftsemi")
       .select(col("id1"), col("id2"))
-    storedEdges.write.mode("overwrite")
-      .parquet(s"${dirs.edgesDir}/batch=stored")
-    ccLabelsOf(spark, ids, spark.read.parquet(dirs.edgesDir).drop("batch"))
-      .select(col("doc_id"), col("cluster_id"), lit("U").as("op"),
-        lit(0L).as("seq"))
-      .write.mode("overwrite").parquet(s"${dirs.labelsDir}/batch=base")
+    VersionedLayers.writeTagged(spark, dirs.edgesDir, "stored", storedEdges)
+    VersionedLayers.writeTagged(spark, dirs.labelsDir, "base",
+      ccLabelsOf(spark, ids,
+          VersionedLayers.readAny(spark, dirs.edgesDir).drop("batch"))
+        .select(col("doc_id"), col("cluster_id"), lit("U").as("op"),
+          lit(0L).as("seq")))
   }
 
   /** The label store's CURRENT view: last-writer-wins merge of the delta
@@ -608,7 +627,7 @@ object Dedup {
     * this read's row volume — bounded. */
   private[graft] def readClusterLabels(spark: SparkSession,
                                        labelsDir: String): DataFrame =
-    mergeClusterLabels(spark.read.parquet(labelsDir))
+    mergeClusterLabels(VersionedLayers.readAny(spark, labelsDir))
 
   /** [[readClusterLabels]]'s merge over an explicit row set (shared with
     * the own-tag-excluded prior read inside the fold and the compaction
@@ -709,7 +728,7 @@ object Dedup {
     // edge-artifact mutations first (both idempotent), then the region
     // recompute reads the post-mutation graph deterministically
     edgeIndexDeleteKeys(spark, dirs.edgesDir, kdf)
-    newEdges.write.mode("overwrite").parquet(s"${dirs.edgesDir}/batch=$tag")
+    VersionedLayers.writeTagged(spark, dirs.edgesDir, tag, newEdges)
     // dirty clusters: every component a doomed doc or a new edge's
     // stored endpoint belongs to — O(batch) semi-joins, never the graph
     val dirtyLbls = broadcast(priorLabels
@@ -731,18 +750,18 @@ object Dedup {
       .select(col("doc_id"))
       .join(broadcast(kdf), Seq("doc_id"), "leftanti")
       .unionByName(ins).distinct())
-    val regionEdges = spark.read.parquet(dirs.edgesDir).drop("batch")
+    val regionEdges = VersionedLayers.readAny(spark, dirs.edgesDir).drop("batch")
       .join(broadcast(regionNodes.select(col("doc_id").as("id1"))),
         Seq("id1"), "leftsemi")
     val dirtyLabels = ccLabelsOf(spark, regionNodes, regionEdges)
     // ONE delta layer: the region's relabels + the doomed tombstones —
     // O(region + batch) rows, never the corpus
-    dirtyLabels.select(col("doc_id"), col("cluster_id"), lit("U").as("op"))
-      .unionByName(priorLabels.join(broadcast(kdf), Seq("doc_id"), "leftsemi")
-        .select(col("doc_id"), lit(null).cast("long").as("cluster_id"),
-          lit("D").as("op")))
-      .withColumn("seq", lit(nextSeq))
-      .write.mode("overwrite").parquet(s"${dirs.labelsDir}/batch=$tag")
+    VersionedLayers.writeTagged(spark, dirs.labelsDir, tag,
+      dirtyLabels.select(col("doc_id"), col("cluster_id"), lit("U").as("op"))
+        .unionByName(priorLabels.join(broadcast(kdf), Seq("doc_id"), "leftsemi")
+          .select(col("doc_id"), lit(null).cast("long").as("cluster_id"),
+            lit("D").as("op")))
+        .withColumn("seq", lit(nextSeq)))
     readClusterLabels(spark, dirs.labelsDir).orderBy(col("doc_id"))
   }
 
@@ -951,6 +970,11 @@ object Dedup {
   private[graft] def readBatchIndex(spark: SparkSession, dir: String,
                                     batchTag: String)
                                    (empty: => DataFrame): DataFrame = {
+    // versioned roots: own-tag exclusion is manifest pruning, and no
+    // trash protocol exists to guard (VersionedLayers' crash discipline)
+    if (VersionedLayers.isVersioned(spark, dir))
+      return VersionedLayers.read(spark, dir, Some(batchTag))(empty)
+        .drop("batch")
     Maintenance.guardInterruptedCompaction(spark, dir)
     if (!hasVisibleData(spark, dir)) empty
     else spark.read.parquet(dir).where(col("batch") =!= batchTag).drop("batch")
@@ -989,8 +1013,8 @@ object Dedup {
     val survivors = snapshot(spark, probeIndexKeepFirst(withFp, indexDir, batchTag))
     // overwrite of the tag-scoped partition: a retry clobbers its own prior
     // attempt byte-for-byte instead of appending a second copy
-    survivors.select(col("fp"), col("doc_id")).write.mode("overwrite")
-      .parquet(s"$indexDir/batch=$batchTag")
+    VersionedLayers.writeTagged(spark, indexDir, batchTag,
+      survivors.select(col("fp"), col("doc_id")))
     survivors
   }
 
@@ -1243,6 +1267,25 @@ object Dedup {
   private[graft] def dedupIndexDeleteKeys(spark: SparkSession, idxDir: String,
       keys: DataFrame, keyCol: String = "doc_id",
       gate: Int = Maintenance.keyGateDefault): Seq[String] = {
+    // versioned roots: same dirty-layer economics, but the rewrite lands
+    // as NEW store dirs + one manifest swap — concurrent readers keep the
+    // pre-delete snapshot (VERDICT r16 #2), and no snapshot() of the
+    // survivors is needed because source and destination never collide
+    if (VersionedLayers.isVersioned(spark, idxDir)) {
+      if (VersionedLayers.layers(spark, idxDir).isEmpty) return Seq.empty
+      val idx = VersionedLayers.read(spark, idxDir)(
+        return Seq.empty)
+      val k = broadcast(keys.select(col(keyCol)).distinct())
+      val dirty = idx.join(k, Seq(keyCol), "leftsemi")
+        .select(col("batch")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      if (dirty.nonEmpty) {
+        val surv = VersionedLayers.readTags(spark, idxDir, dirty.toSet)
+          .join(k, Seq(keyCol), "leftanti")
+        VersionedLayers.rewriteLayers(spark, idxDir, dirty, surv)
+      }
+      return dirty
+    }
     Maintenance.guardInterruptedCompaction(spark, idxDir)
     // delete-before-any-append, or a prior batch that emptied every layer:
     // no visible data ⇒ nothing to address ⇒ structural no-op (the same

@@ -614,6 +614,28 @@ object Maintenance {
     require(maxLayers >= 1, s"maxLayers must be >= 1, got $maxLayers")
     val root = new Path(idxDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: Path): Seq[FileStatus] = fs.listStatus(p).toSeq.flatMap { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+      else if (s.isFile) Seq(s) else dataFiles(s.getPath)
+    }
+    def meanBelow(dirs: Seq[Path]): Boolean = minFileBytes > 0L && {
+      val files = dirs.flatMap(dataFiles)
+      files.nonEmpty && files.map(_.getLen).sum / files.length < minFileBytes
+    }
+    // versioned roots: the layer listing is the MANIFEST (one pointer +
+    // one small file read), the byte walk covers the live store dirs,
+    // and there is no crash-debris branch — the manifest swap has no
+    // interrupted state an opener could refuse
+    if (VersionedLayers.isVersioned(spark, idxDir)) {
+      val live = VersionedLayers.layerPaths(spark, idxDir)
+      if (live.size <= 1) return false
+      if (live.size > maxLayers || meanBelow(live)) {
+        compactLayersWith(spark, idxDir, tag, subPartition, stagePrefix)(content)
+        return true
+      }
+      return false
+    }
     // crash debris = mandatory maintenance, whatever the thresholds say
     if (fs.exists(compactTrashPath(root))) {
       compactLayersWith(spark, idxDir, tag, subPartition, stagePrefix)(content)
@@ -627,16 +649,7 @@ object Maintenance {
     // not fire AND a byte bar is actually set does the (O(files), remote-
     // RPC-per-dir) recursive walk run — a minFileBytes = 0 consult must
     // stay a single listStatus
-    def dataFiles(p: Path): Seq[FileStatus] = fs.listStatus(p).toSeq.flatMap { s =>
-      val n = s.getPath.getName
-      if (n.startsWith("_") || n.startsWith(".")) Seq.empty
-      else if (s.isFile) Seq(s) else dataFiles(s.getPath)
-    }
-    def smallFiles: Boolean = minFileBytes > 0L && {
-      val files = layers.toSeq.flatMap(l => dataFiles(l.getPath))
-      files.nonEmpty && files.map(_.getLen).sum / files.length < minFileBytes
-    }
-    if (layers.length > maxLayers || smallFiles) {
+    if (layers.length > maxLayers || meanBelow(layers.toSeq.map(_.getPath))) {
       compactLayersWith(spark, idxDir, tag, subPartition, stagePrefix)(content)
       true
     } else false
@@ -656,6 +669,11 @@ object Maintenance {
   private[graft] def compactLayersWith(spark: SparkSession, idxDir: String,
       tag: String, subPartition: Seq[String], stagePrefix: String)
       (content: DataFrame => DataFrame): Int = {
+    // versioned roots: manifest-atomic fold, no trash protocol and no
+    // refusal window — a concurrent reader keeps the pre-fold manifest
+    if (VersionedLayers.isVersioned(spark, idxDir))
+      return VersionedLayers.compactVersioned(spark, idxDir, tag,
+        subPartition)(content)
     import org.apache.hadoop.fs.Path
     val root = new Path(idxDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -984,9 +1002,21 @@ object Maintenance {
     val cents = Similarity.ivfCentroids(spark, sfDir)
       .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toSeq).toSeq
     withWriterLease(spark, dirs.root, "multiArtifactInit") {
+      // the pipeline's layered artifacts are VERSIONED from birth
+      // (VERDICT r16 #2): every fold below and every later upsert/sweep
+      // publishes through a manifest + pointer move, so probes running
+      // concurrently with maintenance read a consistent snapshot. The
+      // layered IVF-PQ index keeps the in-place batch=/cell= layout this
+      // round (its delete fold is (batch, cell)-granular — documented in
+      // VersionedLayers); the stats stores have their own snapshot
+      // discipline (t19/t21).
+      Seq(dirs.corpusDir, dirs.exactDir, dirs.spanDir, dirs.semDir,
+        s"${dirs.nearDir}/fp", s"${dirs.nearDir}/pfx", s"${dirs.nearDir}/sh",
+        dirs.nearOutDir, dirs.semOutDir, dirs.cluster.edgesDir,
+        dirs.cluster.labelsDir).foreach(VersionedLayers.init(spark, _))
       inParallel[Any](Seq(
-        () => docs.write.mode("overwrite")
-          .parquet(s"${dirs.corpusDir}/batch=stored"),
+        () => VersionedLayers.writeTagged(spark, dirs.corpusDir, "stored",
+          docs),
         () => Dedup.dedupAgainstIndex(spark,
           docs.select(col("doc_id"), col("text")), dirs.exactDir, "stored"),
         () => StreamingIngest.nearDedupIndexBatch(
@@ -1035,7 +1065,7 @@ object Maintenance {
     // key versioned with the artifact inventory: a new artifact class in
     // the stored tree must invalidate caches whose SOURCE fingerprints
     // haven't moved (the cluster leg landed exactly this way)
-    DfCache.materializedTree(spark, s"x94init:v2:$sfDir",
+    DfCache.materializedTree(spark, s"x94init:v3:$sfDir",
       Seq(s"$sfDir/documents.parquet", s"$sfDir/embeddings.parquet")) { tmp =>
       multiArtifactInit(spark, sfDir, MultiArtifactDirs(tmp),
         Tables.documents(spark, sfDir)
@@ -1121,7 +1151,7 @@ object Maintenance {
     val vecEnriched = Dedup.snapshot(spark, Similarity.encodeVectorBatch(
       spark, sfDir, vecsOfDocs(spark, sfDir, enriched.select(col("doc_id")))))
     val doomedStored = Dedup.snapshot(spark,
-      spark.read.parquet(dirs.corpusDir).drop("batch")
+      VersionedLayers.readAny(spark, dirs.corpusDir).drop("batch")
         .join(broadcast(kdf), Seq("doc_id"), "leftsemi")
         .withColumn("tk", TextFns.tokens(col("text"))))
       // Phase 0 — marker-gated stats folds (read pre-delete state)
@@ -1183,13 +1213,13 @@ object Maintenance {
           enriched.select(col("doc_id"), col("sh"), col("n")), ClusterThreshold))
       // Phase 2 — the enriched batch lands in every artifact
       inParallel[Any](Seq(
-        () => enriched.select(col("doc_id"), col("source"), col("text"))
-          .write.mode("overwrite").parquet(s"${dirs.corpusDir}/batch=$tag"),
+        () => VersionedLayers.writeTagged(spark, dirs.corpusDir, tag,
+          enriched.select(col("doc_id"), col("source"), col("text"))),
         () => {
           val surv = Dedup.snapshot(spark, Dedup.probeIndexKeepFirst(
             enriched.select(col("doc_id"), col("fp")), dirs.exactDir, tag))
-          surv.select(col("fp"), col("doc_id")).write.mode("overwrite")
-            .parquet(s"${dirs.exactDir}/batch=$tag")
+          VersionedLayers.writeTagged(spark, dirs.exactDir, tag,
+            surv.select(col("fp"), col("doc_id")))
         },
         () => StreamingIngest.nearDedupIndexBatchEnriched(
           enriched.select(col("doc_id"), col("text"), col("fp"), col("sh"),
@@ -1237,19 +1267,20 @@ object Maintenance {
     import graft.streaming.StreamingIngest
     val nulL = lit(null).cast("long")
     val nulD = lit(null).cast("double")
-    val corpus = spark.read.parquet(dirs.corpusDir)
+    val corpus = VersionedLayers.readAny(spark, dirs.corpusDir)
       .select(lit("corpus").as("artifact"),
         col("doc_id").cast("string").as("k1"),
         TextFns.polyHash(col("text")).as("v1"),
         length(col("text")).cast("long").as("v2"), nulL.as("v3"), nulD.as("d1"))
-    val exact = spark.read.parquet(dirs.exactDir)
+    val exact = VersionedLayers.readAny(spark, dirs.exactDir)
       .select(lit("exact").as("artifact"), col("doc_id").cast("string").as("k1"),
         col("fp").as("v1"), nulL.as("v2"), nulL.as("v3"), nulD.as("d1"))
-    val near = spark.read.parquet(s"${dirs.nearDir}/fp")
+    val near = VersionedLayers.readAny(spark, s"${dirs.nearDir}/fp")
       .select(lit("near_fp").as("artifact"),
         col("doc_id").cast("string").as("k1"),
         col("fp").as("v1"), nulL.as("v2"), nulL.as("v3"), nulD.as("d1"))
-    val span = TextAnalysis.spanHitProbe(spark.read.parquet(dirs.spanDir)
+    val span = TextAnalysis.spanHitProbe(
+      VersionedLayers.readAny(spark, dirs.spanDir)
         .withColumn("batch",
           when(col("batch").isin("stored", "prior"), "prior")
             .otherwise("novel")))
@@ -1257,7 +1288,7 @@ object Maintenance {
         col("n_spans").as("v1"), col("n_hit_spans").as("v2"),
         col("hit_ppm").as("v3"), nulD.as("d1"))
     val (termDf, scalars) = StreamingIngest.readBm25Stats(spark, dirs.bm25Dir)
-    val live = spark.read.parquet(dirs.corpusDir)
+    val live = VersionedLayers.readAny(spark, dirs.corpusDir)
       .select(col("doc_id"), col("text"))
     val bm = Search.bm25ScoredAgainst(Search.tfPass(live, terms), terms,
         termDf, scalars)
@@ -1269,7 +1300,7 @@ object Maintenance {
       .select(lit("agg").as("artifact"), col("source").as("k1"),
         col("n_docs").as("v1"), col("n_tokens").as("v2"),
         nulL.as("v3"), nulD.as("d1"))
-    val sem = spark.read.parquet(dirs.semDir)
+    val sem = VersionedLayers.readAny(spark, dirs.semDir)
       .select(lit("semantic").as("artifact"),
         col("vec_id").cast("string").as("k1"),
         col("cell").cast("long").as("v1"), nulL.as("v2"), nulL.as("v3"),

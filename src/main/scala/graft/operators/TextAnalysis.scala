@@ -1146,9 +1146,9 @@ object TextAnalysis {
     // (doc_id, p INT, h) — the exact schema of the batch-built
     // [[spanIndex]], so batches and rebuilds are byte-compatible reads
     // of one index
-    localSpanRows(newDocs, spanLen, winnow, kGram)
-      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchTag")
-    spark.read.parquet(indexDir)
+    VersionedLayers.writeTagged(spark, indexDir, batchTag,
+      localSpanRows(newDocs, spanLen, winnow, kGram))
+    VersionedLayers.readAny(spark, indexDir)
   }
 
   /** X62 — content-defined chunking rollup: split every doc at rolling-hash

@@ -1,0 +1,318 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Copy-free snapshot isolation for `batch=`-layered swap artifacts
+  * (VERDICT r16 #2 — "readers have no isolation during swaps").
+  *
+  * The in-place layout mutates the only copy of a layer (dynamic
+  * partition overwrite, layer drops, the compaction trash swap), so every
+  * swap core documents "no concurrent reader during the window". A
+  * production pipeline serves probes WHILE maintaining, so the maintained
+  * pipeline's artifacts move to the `_LATEST`-pointer discipline the
+  * stats stores (t19/t21) already use — generalized to LAYERED artifacts
+  * without copying the artifact per fold (a versioned ROOT would rewrite
+  * 100 TB per batch; a versioned MANIFEST rewrites O(delta)):
+  *
+  * {{{
+  *   <root>/_LATEST            pointer file → "m-<seq>"
+  *   <root>/manifests/m-<seq>  one "<tag>\t<storeDirName>" line per layer
+  *   <root>/store/<tag>-g<seq>/  immutable layer data (parquet, optional
+  *                               sub-partitioning, e.g. cell=)
+  * }}}
+  *
+  * Writers (single-writer, under the pipeline lease) never touch a
+  * published store dir: every mutation writes NEW store dirs, then
+  * publishes manifest `m-<seq+1>` and moves the pointer. A reader that
+  * resolved the pointer before the move keeps reading the PREVIOUS
+  * manifest's store dirs, which survive GC for one manifest generation
+  * plus [[gcGraceMs]] — so a probe concurrent with any fold observes
+  * exactly the pre-fold or the post-fold artifact, never a torn one.
+  * (Isolation is per-PUBLISH: a pass that deletes then appends publishes
+  * twice, and a reader between the two sees the consistent
+  * deletes-applied version — the same intermediate the in-place layout
+  * exposed, minus the torn windows.)
+  *
+  * Crash discipline — SIMPLER than the legacy trash protocol, because no
+  * step destroys the only copy:
+  *  - crash mid-store-write → an orphan store dir no manifest references:
+  *    invisible to every reader, deleted by a later publish's GC;
+  *  - crash before the pointer move → the artifact is bit-for-bit at the
+  *    prior version (the half-written manifest file is unreferenced);
+  *  - a replayed fold re-derives the same layer content into a fresh gen
+  *    dir and re-publishes — convergent without markers (the x16 rule:
+  *    the manifest REPLACES the tag's entry, it never appends a second).
+  *
+  * Like the lease and the trash protocol, pointer atomicity rides on the
+  * filesystem's rename/create semantics — exact on HDFS-likes and local
+  * filesystems, advisory on object stores without conditional writes.
+  *
+  * Adoption state: the multi-artifact orchestrator pipeline
+  * (`Maintenance.MultiArtifactDirs` — corpus, exact, near triple, span,
+  * SemDeDup, both decision logs, both cluster artifacts) initializes
+  * versioned; the shared fold cores are dual-mode (they detect the
+  * layout), so the standalone one-shot fixtures (x86/x89/x98… — no
+  * concurrent reader exists inside a one-shot oracle query) keep the
+  * in-place layout and their byte-level drills. The layered IVF-PQ index
+  * keeps the in-place `batch=/cell=` layout this round (its delete fold
+  * is (batch, cell)-granular; same discipline, next migration).
+  *
+  * Reference anchor: the reference swaps bookkeeping under a ZK writer
+  * lock and lets readers hit Hive's last-published partition list
+  * (`dao/HiveSinkDetailDao.scala:73-98`) — the pointer generalizes that
+  * published-version read to every maintained artifact. */
+object VersionedLayers {
+
+  final case class Layer(tag: String, rel: String)
+
+  private def pointerPath(root: Path) = new Path(root, "_LATEST")
+  private def manifestsPath(root: Path) = new Path(root, "manifests")
+  private def storePath(root: Path) = new Path(root, "store")
+
+  private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val root = new Path(dir)
+    (root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+  }
+
+  /** Grace age before an unreferenced store dir / stale manifest may be
+    * GC'd (sys-prop `graft.versioned.gcGraceMs`, default 10 min): an
+    * in-flight reader holds paths it resolved from a manifest that was
+    * current when it planned; one generation of manifests plus this age
+    * bounds how stale that plan may be and still scan successfully. */
+  private[graft] def gcGraceMs: Long =
+    java.lang.Long.getLong("graft.versioned.gcGraceMs", 10L * 60L * 1000L)
+
+  /** A versioned root = pointer AND manifests dir (the stats stores use
+    * `_LATEST` alone — different discipline, snapshot-per-fold). */
+  private[graft] def isVersioned(spark: SparkSession, dir: String): Boolean = {
+    val (fs, root) = fsOf(spark, dir)
+    fs.exists(pointerPath(root)) && fs.exists(manifestsPath(root))
+  }
+
+  /** Initialize an empty versioned artifact: manifest m-0 (no layers),
+    * pointer at it. Idempotent — an existing versioned root is left
+    * untouched. */
+  private[graft] def init(spark: SparkSession, dir: String): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    if (isVersioned(spark, dir)) return
+    fs.mkdirs(storePath(root))
+    fs.mkdirs(manifestsPath(root))
+    writeManifest(fs, root, 0L, Seq.empty)
+    graft.streaming.StreamingIngest.writeViewPointer(fs, root, "m-0")
+  }
+
+  private def currentSeq(fs: FileSystem, root: Path): Long = {
+    val name = graft.streaming.StreamingIngest.readViewPointer(fs, root)
+    require(name.startsWith("m-") && name.drop(2).forall(_.isDigit),
+      s"$root: malformed versioned-layer pointer '$name'")
+    name.drop(2).toLong
+  }
+
+  private def writeManifest(fs: FileSystem, root: Path, seq: Long,
+                            layers: Seq[Layer]): Unit = {
+    // overwrite=true: a crash-before-pointer-move leaves an orphan
+    // m-<seq> that the (leased, single) writer's retry may clobber
+    val out = fs.create(new Path(manifestsPath(root), s"m-$seq"), true)
+    try out.write(layers.map(l => s"${l.tag}\t${l.rel}\n").mkString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readManifest(fs: FileSystem, root: Path, seq: Long): Seq[Layer] = {
+    val in = fs.open(new Path(manifestsPath(root), s"m-$seq"))
+    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+      val i = line.indexOf('\t')
+      require(i > 0, s"$root: malformed manifest line '$line'")
+      Layer(line.substring(0, i), line.substring(i + 1))
+    }
+  }
+
+  /** The live layer list (resolved through the pointer). */
+  private[graft] def layers(spark: SparkSession, dir: String): Seq[Layer] = {
+    val (fs, root) = fsOf(spark, dir)
+    readManifest(fs, root, currentSeq(fs, root))
+  }
+
+  /** Snapshot-isolated read of the artifact: the union of the manifest's
+    * store dirs, each with its `batch` tag attached — schema-compatible
+    * with the legacy partitioned read (batch column last, string). Own-tag
+    * exclusion is MANIFEST pruning (the excluded layer is never even
+    * listed, where the legacy read filtered it row-wise). `empty` when the
+    * manifest holds no layers. */
+  private[graft] def read(spark: SparkSession, dir: String,
+                          exclude: Option[String] = None)
+                         (empty: => DataFrame): DataFrame = {
+    val (_, root) = fsOf(spark, dir)
+    val live = layers(spark, dir).filterNot(l => exclude.contains(l.tag))
+    if (live.isEmpty) empty
+    else live.map { l =>
+      spark.read.parquet(new Path(storePath(root), l.rel).toString)
+        .withColumn("batch", lit(l.tag))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Read ONLY the named tags' layers (manifest pruning — the versioned
+    * delete folds read just the dirty layers, where the legacy layout
+    * needed a partition filter). Caller guarantees a non-empty
+    * intersection with the live manifest. */
+  private[graft] def readTags(spark: SparkSession, dir: String,
+                              tags: Set[String]): DataFrame = {
+    val (_, root) = fsOf(spark, dir)
+    val live = layers(spark, dir).filter(l => tags.contains(l.tag))
+    require(live.nonEmpty, s"$dir: none of $tags is a live layer")
+    live.map { l =>
+      spark.read.parquet(new Path(storePath(root), l.rel).toString)
+        .withColumn("batch", lit(l.tag))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** The live layers' store paths (the x95 policy's byte walk). */
+  private[graft] def layerPaths(spark: SparkSession, dir: String): Seq[Path] = {
+    val (_, root) = fsOf(spark, dir)
+    layers(spark, dir).map(l => new Path(storePath(root), l.rel))
+  }
+
+  /** Layout-blind whole-artifact read (probes): versioned roots resolve
+    * the pointer, legacy roots read the partitioned dir — both yield the
+    * `batch` column. */
+  private[graft] def readAny(spark: SparkSession, dir: String): DataFrame =
+    if (isVersioned(spark, dir))
+      read(spark, dir)(throw new IllegalStateException(
+        s"$dir: versioned artifact has no layers — probe before init/append"))
+    else spark.read.parquet(dir)
+
+  /** Publish `next` as the new manifest: write m-<seq+1>, move the
+    * pointer, GC. Single-writer (the pipeline lease). */
+  private def publish(fs: FileSystem, root: Path,
+                      next: Seq[Layer]): Unit = {
+    val seq = currentSeq(fs, root)
+    val prev = readManifest(fs, root, seq)
+    writeManifest(fs, root, seq + 1L, next)
+    graft.streaming.StreamingIngest.writeViewPointer(fs, root, s"m-${seq + 1L}")
+    gc(fs, root, seq + 1L, keep = (next ++ prev).map(_.rel).toSet)
+  }
+
+  /** GC after a pointer move: drop store dirs referenced by NEITHER the
+    * new nor the previous manifest (one-generation reader grace), and
+    * manifests older than the previous — both only once they are older
+    * than [[gcGraceMs]]. Orphans from crashed writes age out the same
+    * way. */
+  private def gc(fs: FileSystem, root: Path, seq: Long,
+                 keep: Set[String]): Unit = {
+    val cutoff = System.currentTimeMillis() - gcGraceMs
+    fs.listStatus(storePath(root)).foreach { st =>
+      if (!keep.contains(st.getPath.getName) &&
+          st.getModificationTime < cutoff) {
+        fs.delete(st.getPath, true); ()
+      }
+    }
+    fs.listStatus(manifestsPath(root)).foreach { st =>
+      val n = st.getPath.getName
+      val stale = n.startsWith("m-") && n.drop(2).forall(_.isDigit) &&
+        n.drop(2).toLong < seq - 1L
+      if (stale && st.getModificationTime < cutoff) {
+        fs.delete(st.getPath, false); ()
+      }
+    }
+  }
+
+  /** The versioned form of the tag-scoped layer overwrite: write `df` to
+    * a fresh store dir, then publish a manifest where `tag` maps to it
+    * (replacing any prior entry — the x16 replay rule; with
+    * `replaceAll`, the manifest holds ONLY this layer — compaction). A
+    * result with NO visible files (a write that produced not even a
+    * footer-only part file) drops the tag rather than publish an
+    * unreadable dir; a 0-row write that kept its schema footer stays a
+    * valid (and harmless) layer, and the delete fold's rewrite drops
+    * genuinely emptied tags regardless (`partitionBy` stages no dir for
+    * them). */
+  private[graft] def publishLayer(spark: SparkSession, dir: String, tag: String,
+                                  df: DataFrame,
+                                  subPartition: Seq[String] = Seq.empty,
+                                  replaceAll: Boolean = false): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    val rel = s"$tag-g${currentSeq(fs, root) + 1L}"
+    val dest = new Path(storePath(root), rel)
+    if (fs.exists(dest)) fs.delete(dest, true) // replay debris
+    val w = df.write.mode("overwrite")
+    (if (subPartition.nonEmpty) w.partitionBy(subPartition: _*) else w)
+      .parquet(dest.toString)
+    val visible = Dedup.hasVisibleData(spark, dest.toString)
+    if (!visible) fs.delete(dest, true)
+    publish(fs, root, {
+      val entry = if (visible) Seq(Layer(tag, rel)) else Seq.empty
+      if (replaceAll) entry
+      else layers(spark, dir).filterNot(_.tag == tag) ++ entry
+    })
+  }
+
+  /** Route a tag-scoped layer write by layout: versioned roots go through
+    * [[publishLayer]], legacy roots keep the byte-identical in-place
+    * `batch=<tag>` overwrite. Every append site writes through here. */
+  private[graft] def writeTagged(spark: SparkSession, dir: String, tag: String,
+                                 df: DataFrame,
+                                 subPartition: Seq[String] = Seq.empty): Unit =
+    if (isVersioned(spark, dir)) publishLayer(spark, dir, tag, df, subPartition)
+    else {
+      val w = df.write.mode("overwrite")
+      (if (subPartition.nonEmpty) w.partitionBy(subPartition: _*) else w)
+        .parquet(s"$dir/batch=$tag")
+    }
+
+  /** The versioned dirty-layer rewrite behind the delete folds:
+    * `survivors` (carrying the `batch` column, restricted to
+    * `dirtyTags`) stages under ONE `partitionBy(batch)` job — the same
+    * single-job economics as the legacy dynamic overwrite — then each
+    * staged layer renames into the store and the manifest swaps all
+    * dirty tags at once (staged ones remapped, emptied ones dropped).
+    * Readers of the pre-delete manifest keep their store dirs. */
+  private[graft] def rewriteLayers(spark: SparkSession, dir: String,
+                                   dirtyTags: Seq[String],
+                                   survivors: DataFrame): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    val seq = currentSeq(fs, root)
+    val stage = new Path(root, s".stage_g${seq + 1L}")
+    if (fs.exists(stage)) fs.delete(stage, true)
+    survivors.write.mode("overwrite").partitionBy("batch")
+      .parquet(stage.toString)
+    val staged = fs.listStatus(stage)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=")).toSet
+    val remapped = staged.toSeq.sorted.map { t =>
+      val rel = s"$t-g${seq + 1L}"
+      val dest = new Path(storePath(root), rel)
+      if (fs.exists(dest)) fs.delete(dest, true) // replay debris
+      require(fs.rename(new Path(stage, s"batch=$t"), dest),
+        s"$dir: could not land rewritten layer $t")
+      t -> rel
+    }.toMap
+    fs.delete(stage, true)
+    val dirty = dirtyTags.toSet
+    publish(fs, root, layers(spark, dir).flatMap { l =>
+      if (!dirty.contains(l.tag)) Some(l)
+      else remapped.get(l.tag).map(rel => Layer(l.tag, rel))
+    })
+  }
+
+  /** The versioned compaction core: fold every live layer through
+    * `content` into ONE `batch=<tag>` layer (manifest-atomic — no trash
+    * protocol, no refusal window: a crash at any point leaves either the
+    * old manifest or the new one, both complete). Returns the pre-fold
+    * layer count, [[Maintenance.compactLayers]]' contract. */
+  private[graft] def compactVersioned(spark: SparkSession, dir: String,
+                                      tag: String, subPartition: Seq[String])
+                                     (content: DataFrame => DataFrame): Int = {
+    val live = layers(spark, dir)
+    if (live.size <= 1) return live.size
+    val folded = content(read(spark, dir)(
+      throw new IllegalStateException(s"$dir: compacting an empty artifact")))
+      .drop("batch")
+    // no snapshot needed: the fold READS the live store dirs and WRITES a
+    // fresh one — unlike the in-place core, source and destination never
+    // collide, which is the whole point of the layout
+    publishLayer(spark, dir, tag, folded, subPartition, replaceAll = true)
+    live.size
+  }
+}

@@ -2521,11 +2521,12 @@ object StreamingIngest {
     val survivors = graft.operators.Dedup.probeIndexKeepFirst(withFp, indexDir, batchTag)
     survivors.persist()
     try {
-      survivors.drop("fp").write.mode("overwrite").parquet(s"$outDir/batch=$batchTag")
+      graft.operators.VersionedLayers.writeTagged(survivors.sparkSession,
+        outDir, batchTag, survivors.drop("fp"))
       // (fp, doc_id) — the keeper id is what lets the delete fold (x86/t23)
       // address index rows by key without a corpus scan
-      survivors.select(col("fp"), col("doc_id")).write.mode("overwrite")
-        .parquet(s"$indexDir/batch=$batchTag")
+      graft.operators.VersionedLayers.writeTagged(survivors.sparkSession,
+        indexDir, batchTag, survivors.select(col("fp"), col("doc_id")))
     } finally survivors.unpersist()
   }
 
@@ -2611,18 +2612,18 @@ object StreamingIngest {
       // (the t24 cut — these were four sequential Spark jobs per
       // micro-batch)
       survivors.count()
+      val vl = graft.operators.VersionedLayers
       graft.operators.Maintenance.inParallel(Seq(
-        () => survivors.drop("fp", "sh", "n")
-          .write.mode("overwrite").parquet(s"$outDir/batch=$batchTag"),
+        () => vl.writeTagged(spark, outDir, batchTag,
+          survivors.drop("fp", "sh", "n")),
         // (fp, doc_id) — the keeper id lets the delete fold (x89) address
         // all three sub-indexes by one key column without a corpus scan
-        () => survivors.select(col("fp"), col("doc_id"))
-          .write.mode("overwrite").parquet(s"$indexDir/fp/batch=$batchTag"),
-        () => prefixPostings(survivors)
-          .select(col("doc_id"), col("s"), col("n"))
-          .write.mode("overwrite").parquet(s"$indexDir/pfx/batch=$batchTag"),
-        () => survivors.select(col("doc_id"), col("sh"), col("n"))
-          .write.mode("overwrite").parquet(s"$indexDir/sh/batch=$batchTag")))
+        () => vl.writeTagged(spark, s"$indexDir/fp", batchTag,
+          survivors.select(col("fp"), col("doc_id"))),
+        () => vl.writeTagged(spark, s"$indexDir/pfx", batchTag,
+          prefixPostings(survivors).select(col("doc_id"), col("s"), col("n"))),
+        () => vl.writeTagged(spark, s"$indexDir/sh", batchTag,
+          survivors.select(col("doc_id"), col("sh"), col("n")))))
       ()
     } finally survivors.unpersist()
   }
@@ -2895,10 +2896,10 @@ object StreamingIngest {
     val kept = keptBatch.join(dropVsPrior, Seq("vec_id"), "left_anti")
     kept.persist()
     try {
-      kept.select(col("vec_id"), col("cell").cast("long").as("cell"))
-        .write.mode("overwrite").parquet(s"$outDir/batch=$batchTag")
-      kept.select(col("vec_id"), col("embedding"), col("cell"), col("nrm"))
-        .write.mode("overwrite").parquet(s"$indexDir/batch=$batchTag")
+      graft.operators.VersionedLayers.writeTagged(spark, outDir, batchTag,
+        kept.select(col("vec_id"), col("cell").cast("long").as("cell")))
+      graft.operators.VersionedLayers.writeTagged(spark, indexDir, batchTag,
+        kept.select(col("vec_id"), col("embedding"), col("cell"), col("nrm")))
     } finally kept.unpersist()
   }
 

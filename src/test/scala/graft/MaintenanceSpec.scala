@@ -387,9 +387,10 @@ class MaintenanceSpec extends SparkSpec {
       .unionByName(kdf.select(col("doc_id"), lit("D").as("op"),
         lit(null).cast("string").as("text")))
     StreamingIngest.bm25StatsBatch(ops, "ops",
-      spark.read.parquet(twin.corpusDir).select(col("doc_id"), col("text")),
+      graft.operators.VersionedLayers.readAny(spark, twin.corpusDir)
+        .select(col("doc_id"), col("text")),
       twin.bm25Dir)
-    val doomedTk = spark.read.parquet(twin.corpusDir)
+    val doomedTk = graft.operators.VersionedLayers.readAny(spark, twin.corpusDir)
       .join(broadcast(kdf), Seq("doc_id"), "leftsemi")
       .withColumn("tk", graft.functions.TextFns.tokens(col("text")))
     val negAgg = Maintenance.docAggOfTk(doomedTk).select(col("source"),
@@ -409,7 +410,7 @@ class MaintenanceSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(twin.aggDir), "batch=ops")
     // swaps + appends, artifact by artifact
     Dedup.dedupIndexDeleteKeys(spark, twin.corpusDir, kdf)
-    netI.write.mode("overwrite").parquet(s"${twin.corpusDir}/batch=ops")
+    graft.operators.VersionedLayers.writeTagged(spark, twin.corpusDir, "ops", netI)
     Dedup.dedupIndexUpsertKeys(spark, twin.exactDir,
       inserts.select(col("doc_id"), col("text")), kdf, "ops")
     Dedup.nearDedupIndexDeleteKeys(spark, twin.nearDir, kdf)
@@ -443,7 +444,7 @@ class MaintenanceSpec extends SparkSpec {
     // pin the two derivations to the same EDGE SET, not merely the same
     // merged label view (labels could agree across different graphs)
     def edgeSet(dirs: Maintenance.MultiArtifactDirs): Set[(Long, Long)] =
-      spark.read.parquet(dirs.cluster.edgesDir)
+      graft.operators.VersionedLayers.readAny(spark, dirs.cluster.edgesDir)
         .select(col("id1"), col("id2")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(edgeSet(orch) == edgeSet(twin),
@@ -469,10 +470,17 @@ class MaintenanceSpec extends SparkSpec {
       "near_out" -> true, "sem_out" -> true,
       "cluster_edges" -> true, "cluster_labels" -> true),
       s"sweep outcome: $fired")
+    // layout-blind layer listing: versioned roots list the manifest,
+    // legacy roots (the ann index) list batch= dirs
     def layers(dir: String): Seq[String] = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .listStatus(p).map(_.getPath.getName).filter(_.startsWith("batch=")).sorted.toSeq
+      import graft.operators.VersionedLayers
+      if (VersionedLayers.isVersioned(spark, dir))
+        VersionedLayers.layers(spark, dir).map(l => s"batch=${l.tag}").sorted
+      else {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .listStatus(p).map(_.getPath.getName).filter(_.startsWith("batch=")).sorted.toSeq
+      }
     }
     Seq(orch.corpusDir, orch.exactDir, s"${orch.nearDir}/fp",
         s"${orch.nearDir}/pfx", s"${orch.nearDir}/sh", orch.semDir,
