@@ -629,8 +629,11 @@ object Maintenance {
     // interrupted state an opener could refuse
     if (VersionedLayers.isVersioned(spark, idxDir)) {
       val live = VersionedLayers.layerPaths(spark, idxDir)
-      if (live.size <= 1) return false
-      if (live.size > maxLayers || meanBelow(live)) {
+      // the LAYER count is the distinct tag count (cell-granular
+      // artifacts hold one entry per leaf); the byte walk covers leaves
+      val nLayers = VersionedLayers.layers(spark, idxDir).map(_.tag).distinct.size
+      if (nLayers <= 1) return false
+      if (nLayers > maxLayers || meanBelow(live)) {
         compactLayersWith(spark, idxDir, tag, subPartition, stagePrefix)(content)
         return true
       }
@@ -1006,13 +1009,13 @@ object Maintenance {
       // (VERDICT r16 #2): every fold below and every later upsert/sweep
       // publishes through a manifest + pointer move, so probes running
       // concurrently with maintenance read a consistent snapshot. The
-      // layered IVF-PQ index keeps the in-place batch=/cell= layout this
-      // round (its delete fold is (batch, cell)-granular — documented in
-      // VersionedLayers); the stats stores have their own snapshot
-      // discipline (t19/t21).
+      // layered IVF-PQ index versions at (tag, cell)-LEAF granularity
+      // (one manifest entry per leaf — the x83 dirty-leaf economics,
+      // copy-free); the stats stores have their own snapshot discipline
+      // (t19/t21).
       Seq(dirs.corpusDir, dirs.exactDir, dirs.spanDir, dirs.semDir,
         s"${dirs.nearDir}/fp", s"${dirs.nearDir}/pfx", s"${dirs.nearDir}/sh",
-        dirs.nearOutDir, dirs.semOutDir, dirs.cluster.edgesDir,
+        dirs.nearOutDir, dirs.semOutDir, dirs.annDir, dirs.cluster.edgesDir,
         dirs.cluster.labelsDir).foreach(VersionedLayers.init(spark, _))
       inParallel[Any](Seq(
         () => VersionedLayers.writeTagged(spark, dirs.corpusDir, "stored",
@@ -1065,7 +1068,7 @@ object Maintenance {
     // key versioned with the artifact inventory: a new artifact class in
     // the stored tree must invalidate caches whose SOURCE fingerprints
     // haven't moved (the cluster leg landed exactly this way)
-    DfCache.materializedTree(spark, s"x94init:v3:$sfDir",
+    DfCache.materializedTree(spark, s"x94init:v4:$sfDir",
       Seq(s"$sfDir/documents.parquet", s"$sfDir/embeddings.parquet")) { tmp =>
       multiArtifactInit(spark, sfDir, MultiArtifactDirs(tmp),
         Tables.documents(spark, sfDir)
@@ -1306,7 +1309,8 @@ object Maintenance {
         col("cell").cast("long").as("v1"), nulL.as("v2"), nulL.as("v3"),
         nulD.as("d1"))
     val ann = Similarity.ivfPqProbe(spark, sfDir,
-        spark.read.parquet(dirs.annDir), queryId = 0L, k = 10, nprobe = 4)
+        VersionedLayers.readAny(spark, dirs.annDir), queryId = 0L, k = 10,
+        nprobe = 4)
       .select(lit("ann").as("artifact"), col("vec_id").cast("string").as("k1"),
         col("l2_dist").as("v1"), nulL.as("v2"), nulL.as("v3"), nulD.as("d1"))
     val cluster = Dedup.readClusterLabels(spark, dirs.cluster.labelsDir)

@@ -753,7 +753,7 @@ object Similarity {
                   indexDir: String, batchTag: String): DataFrame = {
     ivfPqAppendEncoded(encodeVectorBatch(spark, sfDir, newVecs), indexDir,
       batchTag)
-    spark.read.parquet(indexDir)
+    graft.operators.VersionedLayers.readAny(spark, indexDir)
   }
 
   /** Encode a batch of raw `(vec_id, embedding)` rows ONCE for EVERY
@@ -784,10 +784,10 @@ object Similarity {
     * for two artifacts). Same columns, same layout, same x16 retry rule. */
   private[graft] def ivfPqAppendEncoded(encoded: DataFrame, indexDir: String,
                                         batchTag: String): Unit =
-    encoded
-      .select(col("vec_id"), col("u"), col("codes"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexDir/batch=$batchTag")
+    graft.operators.VersionedLayers.writeTagged(encoded.sparkSession,
+      indexDir, batchTag,
+      encoded.select(col("vec_id"), col("u"), col("codes"), col("cell")),
+      subPartition = Seq("cell"))
 
   /** X6g — IVF-PQ with exact refine, the ladder composed into the index
     * every production vector store actually ships: the probe picks
@@ -882,6 +882,27 @@ object Similarity {
   private[graft] def ivfPqLayerDeleteKeys(spark: SparkSession, idxDir: String,
       keys: DataFrame,
       gate: Int = Maintenance.keyGateDefault): Seq[(String, Int)] = {
+    // versioned roots (VERDICT r16 #2): the same (batch, cell)
+    // dirty-leaf economics, but each dirty LEAF lands as a new store dir
+    // and all dirty entries swap in one manifest publish — clean cells
+    // of the same tag keep their immutable dirs, concurrent probes keep
+    // the pre-delete snapshot, and the survivor snapshot() is dropped
+    // (source and destination never collide)
+    if (graft.operators.VersionedLayers.isVersioned(spark, idxDir)) {
+      import graft.operators.VersionedLayers
+      if (VersionedLayers.layers(spark, idxDir).isEmpty) return Seq.empty
+      val idx = VersionedLayers.read(spark, idxDir)(return Seq.empty)
+      val k = broadcast(keys.select(col("vec_id")).distinct())
+      val dirty = idx.join(k, Seq("vec_id"), "leftsemi")
+        .select(col("batch"), col("cell")).distinct()
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+      if (dirty.nonEmpty) {
+        val surv = VersionedLayers.readCells(spark, idxDir, dirty.toSet)
+          .join(k, Seq("vec_id"), "leftanti")
+        VersionedLayers.rewriteCellLayers(spark, idxDir, dirty, surv)
+      }
+      return dirty
+    }
     // opener-side crash recovery for an interrupted x85 compaction
     // (ADVICE r14) — same guard as the flat fold's
     Maintenance.guardInterruptedCompaction(spark, idxDir)

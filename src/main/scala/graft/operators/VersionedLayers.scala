@@ -51,13 +51,13 @@ import org.apache.spark.sql.functions._
   *
   * Adoption state: the multi-artifact orchestrator pipeline
   * (`Maintenance.MultiArtifactDirs` — corpus, exact, near triple, span,
-  * SemDeDup, both decision logs, both cluster artifacts) initializes
-  * versioned; the shared fold cores are dual-mode (they detect the
-  * layout), so the standalone one-shot fixtures (x86/x89/x98… — no
-  * concurrent reader exists inside a one-shot oracle query) keep the
-  * in-place layout and their byte-level drills. The layered IVF-PQ index
-  * keeps the in-place `batch=/cell=` layout this round (its delete fold
-  * is (batch, cell)-granular; same discipline, next migration).
+  * SemDeDup, both decision logs, both cluster artifacts, AND the
+  * layered IVF-PQ index, whose entries version at (tag, cell)-leaf
+  * granularity) initializes versioned; the shared fold cores are
+  * dual-mode (they detect the layout), so the standalone one-shot
+  * fixtures (x86/x89/x98… — no concurrent reader exists inside a
+  * one-shot oracle query) keep the in-place layout and their
+  * byte-level drills.
   *
   * Reference anchor: the reference swaps bookkeeping under a ZK writer
   * lock and lets readers hit Hive's last-published partition list
@@ -65,7 +65,13 @@ import org.apache.spark.sql.functions._
   * published-version read to every maintained artifact. */
 object VersionedLayers {
 
-  final case class Layer(tag: String, rel: String)
+  /** One manifest entry. Flat artifacts publish one entry per layer tag;
+    * cell-granular artifacts (the layered IVF-PQ index — `subPartition =
+    * Seq("cell")`) publish one entry per (tag, cell) LEAF, so the delete
+    * fold can swap a single dirty cell of a layer while every clean cell
+    * of the SAME tag keeps its immutable dir — the x83 dirty-leaf
+    * economics, copy-free. */
+  final case class Layer(tag: String, rel: String, cell: Option[Int] = None)
 
   private def pointerPath(root: Path) = new Path(root, "_LATEST")
   private def manifestsPath(root: Path) = new Path(root, "manifests")
@@ -115,7 +121,12 @@ object VersionedLayers {
     // overwrite=true: a crash-before-pointer-move leaves an orphan
     // m-<seq> that the (leased, single) writer's retry may clobber
     val out = fs.create(new Path(manifestsPath(root), s"m-$seq"), true)
-    try out.write(layers.map(l => s"${l.tag}\t${l.rel}\n").mkString.getBytes("UTF-8"))
+    try out.write(layers.map { l =>
+      l.cell match {
+        case Some(c) => s"${l.tag}\t$c\t${l.rel}\n"
+        case None => s"${l.tag}\t${l.rel}\n"
+      }
+    }.mkString.getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -123,9 +134,12 @@ object VersionedLayers {
     val in = fs.open(new Path(manifestsPath(root), s"m-$seq"))
     val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
-      val i = line.indexOf('\t')
-      require(i > 0, s"$root: malformed manifest line '$line'")
-      Layer(line.substring(0, i), line.substring(i + 1))
+      line.split("\t", -1).toSeq match {
+        case Seq(tag, rel) => Layer(tag, rel)
+        case Seq(tag, cell, rel) => Layer(tag, rel, Some(cell.toInt))
+        case _ => throw new IllegalStateException(
+          s"$root: malformed manifest line '$line'")
+      }
     }
   }
 
@@ -141,16 +155,20 @@ object VersionedLayers {
     * exclusion is MANIFEST pruning (the excluded layer is never even
     * listed, where the legacy read filtered it row-wise). `empty` when the
     * manifest holds no layers. */
+  private def readEntries(spark: SparkSession, root: Path,
+                          live: Seq[Layer]): DataFrame =
+    live.map { l =>
+      val df = spark.read.parquet(new Path(storePath(root), l.rel).toString)
+        .withColumn("batch", lit(l.tag))
+      l.cell.fold(df)(c => df.withColumn("cell", lit(c)))
+    }.reduce(_.unionByName(_))
+
   private[graft] def read(spark: SparkSession, dir: String,
                           exclude: Option[String] = None)
                          (empty: => DataFrame): DataFrame = {
     val (_, root) = fsOf(spark, dir)
     val live = layers(spark, dir).filterNot(l => exclude.contains(l.tag))
-    if (live.isEmpty) empty
-    else live.map { l =>
-      spark.read.parquet(new Path(storePath(root), l.rel).toString)
-        .withColumn("batch", lit(l.tag))
-    }.reduce(_.unionByName(_))
+    if (live.isEmpty) empty else readEntries(spark, root, live)
   }
 
   /** Read ONLY the named tags' layers (manifest pruning — the versioned
@@ -162,10 +180,18 @@ object VersionedLayers {
     val (_, root) = fsOf(spark, dir)
     val live = layers(spark, dir).filter(l => tags.contains(l.tag))
     require(live.nonEmpty, s"$dir: none of $tags is a live layer")
-    live.map { l =>
-      spark.read.parquet(new Path(storePath(root), l.rel).toString)
-        .withColumn("batch", lit(l.tag))
-    }.reduce(_.unionByName(_))
+    readEntries(spark, root, live)
+  }
+
+  /** Read ONLY the named (tag, cell) leaves of a cell-granular artifact
+    * — the IVF-PQ delete fold's manifest-pruned dirty read. */
+  private[graft] def readCells(spark: SparkSession, dir: String,
+                               pairs: Set[(String, Int)]): DataFrame = {
+    val (_, root) = fsOf(spark, dir)
+    val live = layers(spark, dir).filter(l =>
+      l.cell.exists(c => pairs.contains((l.tag, c))))
+    require(live.nonEmpty, s"$dir: none of $pairs is a live (tag, cell) leaf")
+    readEntries(spark, root, live)
   }
 
   /** The live layers' store paths (the x95 policy's byte walk). */
@@ -233,18 +259,85 @@ object VersionedLayers {
                                   subPartition: Seq[String] = Seq.empty,
                                   replaceAll: Boolean = false): Unit = {
     val (fs, root) = fsOf(spark, dir)
-    val rel = s"$tag-g${currentSeq(fs, root) + 1L}"
-    val dest = new Path(storePath(root), rel)
-    if (fs.exists(dest)) fs.delete(dest, true) // replay debris
-    val w = df.write.mode("overwrite")
-    (if (subPartition.nonEmpty) w.partitionBy(subPartition: _*) else w)
-      .parquet(dest.toString)
-    val visible = Dedup.hasVisibleData(spark, dest.toString)
-    if (!visible) fs.delete(dest, true)
+    val seq = currentSeq(fs, root) + 1L
+    val entries: Seq[Layer] = subPartition match {
+      case Seq() =>
+        val rel = s"$tag-g$seq"
+        val dest = new Path(storePath(root), rel)
+        if (fs.exists(dest)) fs.delete(dest, true) // replay debris
+        df.write.mode("overwrite").parquet(dest.toString)
+        if (Dedup.hasVisibleData(spark, dest.toString)) Seq(Layer(tag, rel))
+        else { fs.delete(dest, true); Seq.empty }
+      case Seq(cellCol) =>
+        // cell-granular artifact: ONE partitionBy job stages the layer,
+        // each cell leaf becomes its own immutable store dir + manifest
+        // entry, so a later delete can swap one cell without touching
+        // its siblings (the x83 dirty-leaf economics)
+        val stage = new Path(root, s".stage_g$seq")
+        if (fs.exists(stage)) fs.delete(stage, true)
+        df.write.mode("overwrite").partitionBy(cellCol)
+          .parquet(stage.toString)
+        val staged = fs.listStatus(stage).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$cellCol="))
+          .map { st =>
+            val c = st.getPath.getName.stripPrefix(s"$cellCol=").toInt
+            val rel = s"$tag-c$c-g$seq"
+            val dest = new Path(storePath(root), rel)
+            if (fs.exists(dest)) fs.delete(dest, true) // replay debris
+            require(fs.rename(st.getPath, dest),
+              s"$dir: could not land cell layer $tag/$c")
+            Layer(tag, rel, Some(c))
+          }
+        fs.delete(stage, true)
+        staged
+      case other => throw new IllegalArgumentException(
+        s"$dir: at most one sub-partition column is supported, got $other")
+    }
     publish(fs, root, {
-      val entry = if (visible) Seq(Layer(tag, rel)) else Seq.empty
-      if (replaceAll) entry
-      else layers(spark, dir).filterNot(_.tag == tag) ++ entry
+      if (replaceAll) entries
+      else layers(spark, dir).filterNot(_.tag == tag) ++ entries
+    })
+  }
+
+  /** The cell-granular dirty-leaf rewrite behind the IVF-PQ delete fold:
+    * `survivors` (carrying `batch` and `cell`, restricted to
+    * `dirtyPairs`) stages under ONE two-level `partitionBy` job, each
+    * staged leaf renames into the store, and the manifest swaps all
+    * dirty (tag, cell) entries at once — clean cells of the SAME tag
+    * keep their immutable dirs. */
+  private[graft] def rewriteCellLayers(spark: SparkSession, dir: String,
+                                       dirtyPairs: Seq[(String, Int)],
+                                       survivors: DataFrame): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    val seq = currentSeq(fs, root) + 1L
+    val stage = new Path(root, s".stage_g$seq")
+    if (fs.exists(stage)) fs.delete(stage, true)
+    survivors.write.mode("overwrite").partitionBy("batch", "cell")
+      .parquet(stage.toString)
+    val remapped = fs.listStatus(stage).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .flatMap { bdir =>
+        val t = bdir.getPath.getName.stripPrefix("batch=")
+        fs.listStatus(bdir.getPath).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+          .map { cdir =>
+            val c = cdir.getPath.getName.stripPrefix("cell=").toInt
+            val rel = s"$t-c$c-g$seq"
+            val dest = new Path(storePath(root), rel)
+            if (fs.exists(dest)) fs.delete(dest, true) // replay debris
+            require(fs.rename(cdir.getPath, dest),
+              s"$dir: could not land rewritten cell layer $t/$c")
+            (t, c) -> rel
+          }
+      }.toMap
+    fs.delete(stage, true)
+    val dirty = dirtyPairs.toSet
+    publish(fs, root, layers(spark, dir).flatMap { l =>
+      l.cell match {
+        case Some(c) if dirty.contains((l.tag, c)) =>
+          remapped.get((l.tag, c)).map(rel => Layer(l.tag, rel, Some(c)))
+        case _ => Some(l)
+      }
     })
   }
 
@@ -304,7 +397,9 @@ object VersionedLayers {
   private[graft] def compactVersioned(spark: SparkSession, dir: String,
                                       tag: String, subPartition: Seq[String])
                                      (content: DataFrame => DataFrame): Int = {
-    val live = layers(spark, dir)
+    // the LAYER count is the distinct tag count — a cell-granular
+    // artifact holds one entry per (tag, cell) leaf
+    val live = layers(spark, dir).map(_.tag).distinct
     if (live.size <= 1) return live.size
     val folded = content(read(spark, dir)(
       throw new IllegalStateException(s"$dir: compacting an empty artifact")))

@@ -1413,8 +1413,23 @@ object StreamingIngest {
   private[graft] def writeViewPointer(fs: org.apache.hadoop.fs.FileSystem,
                                viewRoot: org.apache.hadoop.fs.Path,
                                snapName: String): Unit = {
-    val out = fs.create(new org.apache.hadoop.fs.Path(viewRoot, "_LATEST"), true)
+    import org.apache.hadoop.fs.Path
+    // write-then-RENAME, not create-truncate: every versioned-layer
+    // probe resolves this pointer, and a racing reader of a truncate-
+    // then-write could see a half-written name. Rename is atomic on
+    // POSIX/HDFS; where rename-over-existing is refused the fallback is
+    // delete+rename (the lease-heartbeat pattern — a far narrower
+    // window than truncate+write, and single-writer anyway).
+    val latest = new Path(viewRoot, "_LATEST")
+    // fixed name: single-writer (leased), and a crash leftover is
+    // clobbered by the next pointer move's own create-overwrite
+    val tmp = new Path(viewRoot, ".latest_tmp")
+    val out = fs.create(tmp, true)
     try out.write(snapName.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, latest)) {
+      fs.delete(latest, false)
+      require(fs.rename(tmp, latest), s"could not move pointer at $viewRoot")
+    }
   }
 
   /** Initialize a maintained aggregate view over a day-partitioned events

@@ -475,7 +475,8 @@ class MaintenanceSpec extends SparkSpec {
     def layers(dir: String): Seq[String] = {
       import graft.operators.VersionedLayers
       if (VersionedLayers.isVersioned(spark, dir))
-        VersionedLayers.layers(spark, dir).map(l => s"batch=${l.tag}").sorted
+        VersionedLayers.layers(spark, dir).map(l => s"batch=${l.tag}")
+          .distinct.sorted
       else {
         val p = new org.apache.hadoop.fs.Path(dir)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -162,4 +162,40 @@ class VersionedLayersSpec extends SparkSpec {
     val t3 = VersionedLayers.layers(spark, vDir).find(_.tag == "t3").get
     assert(t3.rel == "t3-g3", s"untouched layer was rewritten: ${t3.rel}")
   }
+
+  test("cell-granular artifact: a delete swaps only the dirty (tag, cell) " +
+      "leaves — clean cells of the SAME tag keep their immutable dirs, and " +
+      "the versioned fold matches the legacy fold row-for-row") {
+    import graft.operators.Similarity
+    def vecs(ids: Range): DataFrame =
+      ids.map(i => (i.toLong, i % 4, i * 10L)).toDF("vec_id", "cell", "u")
+    val vDir = Tables.scratchDir("graft_vl_cell_v").toString
+    val lDir = Tables.scratchDir("graft_vl_cell_l").toString
+    VersionedLayers.init(spark, vDir)
+    Seq(vDir, lDir).foreach { d =>
+      VersionedLayers.writeTagged(spark, d, "b0", vecs(1 to 40), Seq("cell"))
+      VersionedLayers.writeTagged(spark, d, "b1", vecs(41 to 80), Seq("cell"))
+    }
+    val before = VersionedLayers.layers(spark, vDir)
+    assert(before.map(_.tag).distinct.sorted == Seq("b0", "b1") &&
+      before.forall(_.cell.isDefined) && before.size == 8,
+      s"expected 2 tags x 4 cell leaves: $before")
+    // vec 5 lives in (b0, cell 1); vec 44 in (b1, cell 0)
+    val keys = Seq(5L, 44L).toDF("vec_id")
+    val dv = Similarity.ivfPqLayerDeleteKeys(spark, vDir, keys)
+    val dl = Similarity.ivfPqLayerDeleteKeys(spark, lDir, keys)
+    assert(dv == dl && dv == Seq(("b0", 1), ("b1", 0)), s"dirty: $dv vs $dl")
+    def contents(d: String): Set[(Long, Int, Long, String)] =
+      VersionedLayers.readAny(spark, d)
+        .select(col("vec_id"), col("cell"), col("u"), col("batch")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3))).toSet
+    assert(contents(vDir) == contents(lDir),
+      "versioned and legacy cell folds diverged")
+    // clean leaves (including clean cells of the DIRTY tags' siblings)
+    // kept their exact store dirs; only the two dirty leaves re-genned
+    val after = VersionedLayers.layers(spark, vDir)
+    val changed = after.toSet -- before.toSet
+    assert(changed.map(l => (l.tag, l.cell.get)) == Set("b0" -> 1, "b1" -> 0),
+      s"rewrote more than the dirty leaves: $changed")
+  }
 }
