@@ -131,6 +131,17 @@ object Maintenance {
     * already do: each leg is individually idempotent, so re-running the
     * phase after a partial failure converges. Bounded pool per call;
     * daemon threads so a dying driver never hangs on them. */
+  /** Run `f` with a Spark job description (UI / listener attribution —
+    * guide §1.5). Descriptions are thread-local, so [[inParallel]] legs
+    * label themselves without clobbering each other; the previous
+    * description is restored so nesting composes. */
+  private[graft] def labeled[A](spark: SparkSession, desc: String)(f: => A): A = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try f finally sc.setJobDescription(prev)
+  }
+
   private[graft] def inParallel[A](tasks: Seq[() => A]): Seq[A] = {
     if (tasks.sizeIs <= 1) return tasks.map(_())
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -1018,17 +1029,19 @@ object Maintenance {
         dirs.nearOutDir, dirs.semOutDir, dirs.annDir, dirs.cluster.edgesDir,
         dirs.cluster.labelsDir).foreach(VersionedLayers.init(spark, _))
       inParallel[Any](Seq(
-        () => VersionedLayers.writeTagged(spark, dirs.corpusDir, "stored",
-          docs),
-        () => Dedup.dedupAgainstIndex(spark,
-          docs.select(col("doc_id"), col("text")), dirs.exactDir, "stored"),
-        () => StreamingIngest.nearDedupIndexBatch(
+        () => labeled(spark, "x94 init: corpus") {
+          VersionedLayers.writeTagged(spark, dirs.corpusDir, "stored",
+            docs) },
+        () => labeled(spark, "x94 init: exact") { Dedup.dedupAgainstIndex(spark,
+          docs.select(col("doc_id"), col("text")), dirs.exactDir, "stored") },
+        () => labeled(spark, "x94 init: near") { StreamingIngest.nearDedupIndexBatch(
           docs.select(col("doc_id"), col("text")), "stored",
-          dirs.nearDir, dirs.nearOutDir),
-        () => TextAnalysis.spanIndexAppend(spark,
-          docs.select(col("doc_id"), col("text")), dirs.spanDir, "stored"),
-        () => StreamingIngest.initBm25Stats(spark, docs, dirs.bm25Dir),
-        () => {
+          dirs.nearDir, dirs.nearOutDir) },
+        () => labeled(spark, "x94 init: span") { TextAnalysis.spanIndexAppend(spark,
+          docs.select(col("doc_id"), col("text")), dirs.spanDir, "stored") },
+        () => labeled(spark, "x94 init: bm25") {
+          StreamingIngest.initBm25Stats(spark, docs, dirs.bm25Dir) },
+        () => labeled(spark, "x94 init: agg") {
           val root = new Path(dirs.aggDir)
           val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
           docAggOfTk(docs.withColumn("tk", TextFns.tokens(col("text"))))
@@ -1036,16 +1049,18 @@ object Maintenance {
             .parquet(new Path(root, "base").toString)
           StreamingIngest.writeViewPointer(fs, root, "base")
         },
-        () => StreamingIngest.semanticDedupBatch(vecs, "stored", cents,
-          dirs.semDir, dirs.semOutDir, SemDedupThreshold),
-        () => {
+        () => labeled(spark, "x94 init: sem") {
+          StreamingIngest.semanticDedupBatch(vecs, "stored", cents,
+            dirs.semDir, dirs.semOutDir, SemDedupThreshold) },
+        () => labeled(spark, "x94 init: ann") {
           Similarity.ivfPqAppendEncoded(
             Similarity.encodeVectorBatch(spark, sfDir, vecs), dirs.annDir,
             "stored")
         },
-        () => Dedup.clusterIndexInit(spark, dirs.cluster,
-          docs.select(col("doc_id")),
-          Dedup.verifiedPairs(spark, sfDir, ClusterThreshold))))
+        () => labeled(spark, "x94 init: cluster") {
+          Dedup.clusterIndexInit(spark, dirs.cluster,
+            docs.select(col("doc_id")),
+            Dedup.verifiedPairs(spark, sfDir, ClusterThreshold)) }))
     }
     ()
   }
@@ -1068,7 +1083,7 @@ object Maintenance {
     // key versioned with the artifact inventory: a new artifact class in
     // the stored tree must invalidate caches whose SOURCE fingerprints
     // haven't moved (the cluster leg landed exactly this way)
-    DfCache.materializedTree(spark, s"x94init:v4:$sfDir",
+    DfCache.materializedTree(spark, s"x94init:v5:$sfDir",
       Seq(s"$sfDir/documents.parquet", s"$sfDir/embeddings.parquet")) { tmp =>
       multiArtifactInit(spark, sfDir, MultiArtifactDirs(tmp),
         Tables.documents(spark, sfDir)
@@ -1142,24 +1157,28 @@ object Maintenance {
     // acquisition could observe another writer's mid-swap state in
     // exactly the window the lease fences.
     withWriterLease(spark, dirs.root, s"multiArtifactUpsert(batch=$tag)") {
-    val kdf = Dedup.snapshot(spark, keys.select(col("doc_id")).distinct())
+    val kdf = labeled(spark, "x94: snapshot kdf") {
+      Dedup.snapshot(spark, keys.select(col("doc_id")).distinct()) }
     val kdfVec = kdf.select(col("doc_id").as("vec_id"))
-    val enriched = Dedup.snapshot(spark,
+    val enriched = labeled(spark, "x94: snapshot enriched") { Dedup.snapshot(spark,
       inserts.select(col("doc_id"), col("source"), col("text"))
         .join(broadcast(kdf), Seq("doc_id"), "leftanti")
         .withColumn("fp", TextFns.polyHash(col("text")))
         .withColumn("tk", TextFns.tokens(col("text")))
         .withColumn("sh", TextFns.shingleHashes(col("tk"), 3))
-        .withColumn("n", size(col("sh"))))
-    val vecEnriched = Dedup.snapshot(spark, Similarity.encodeVectorBatch(
-      spark, sfDir, vecsOfDocs(spark, sfDir, enriched.select(col("doc_id")))))
-    val doomedStored = Dedup.snapshot(spark,
-      VersionedLayers.readAny(spark, dirs.corpusDir).drop("batch")
-        .join(broadcast(kdf), Seq("doc_id"), "leftsemi")
-        .withColumn("tk", TextFns.tokens(col("text"))))
+        .withColumn("n", size(col("sh")))) }
+    val vecEnriched = labeled(spark, "x94: snapshot vecEnriched") {
+      Dedup.snapshot(spark, Similarity.encodeVectorBatch(
+        spark, sfDir, vecsOfDocs(spark, sfDir, enriched.select(col("doc_id"))))) }
+    val doomedStored = labeled(spark, "x94: snapshot doomedStored") {
+      Dedup.snapshot(spark,
+        VersionedLayers.readAny(spark, dirs.corpusDir).drop("batch")
+          .join(broadcast(kdf), Seq("doc_id"), "leftsemi")
+          .withColumn("tk", TextFns.tokens(col("text")))) }
       // Phase 0 — marker-gated stats folds (read pre-delete state)
       inParallel[Unit](Seq(
-        () => statsSnapshotFold(spark, dirs.bm25Dir, tag) { tmp =>
+        () => labeled(spark, "x94 p0: bm25 fold") {
+          statsSnapshotFold(spark, dirs.bm25Dir, tag) { tmp =>
           val (baseDf, baseSc) = StreamingIngest.readBm25Stats(spark, dirs.bm25Dir)
           StreamingIngest.writeBm25TermDf(
             Search.bm25FoldTermDf(
@@ -1172,8 +1191,9 @@ object Maintenance {
               Search.bm25ScalarsOfTk(enriched))
             .coalesce(1).write.mode("overwrite")
             .parquet(new Path(tmp, "scalars").toString)
-        },
-        () => statsSnapshotFold(spark, dirs.aggDir, tag) { tmp =>
+        } },
+        () => labeled(spark, "x94 p0: agg fold") {
+          statsSnapshotFold(spark, dirs.aggDir, tag) { tmp =>
           val neg = docAggOfTk(doomedStored).select(col("source"),
             (-col("n_docs")).as("n_docs"), (-col("n_tokens")).as("n_tokens"))
           readDocAggView(spark, dirs.aggDir)
@@ -1183,16 +1203,22 @@ object Maintenance {
               sum(col("n_tokens")).as("n_tokens"))
             .where(col("n_docs") > 0)
             .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        }))
+        } }))
       // Phase 1 — the key set folds through every swap
       inParallel[Any](Seq(
-        () => Dedup.dedupIndexDeleteKeys(spark, dirs.corpusDir, kdf),
-        () => Dedup.dedupIndexDeleteKeys(spark, dirs.exactDir, kdf),
-        () => Dedup.dedupIndexDeleteKeys(spark, dirs.spanDir, kdf),
-        () => Dedup.nearDedupIndexDeleteKeys(spark, dirs.nearDir, kdf),
-        () => Dedup.dedupIndexDeleteKeys(spark, dirs.semDir, kdfVec,
-          keyCol = "vec_id"),
-        () => Similarity.ivfPqLayerDeleteKeys(spark, dirs.annDir, kdfVec)))
+        () => labeled(spark, "x94 p1: corpus delete") {
+          Dedup.dedupIndexDeleteKeys(spark, dirs.corpusDir, kdf) },
+        () => labeled(spark, "x94 p1: exact delete") {
+          Dedup.dedupIndexDeleteKeys(spark, dirs.exactDir, kdf) },
+        () => labeled(spark, "x94 p1: span delete") {
+          Dedup.dedupIndexDeleteKeys(spark, dirs.spanDir, kdf) },
+        () => labeled(spark, "x94 p1: near delete") {
+          Dedup.nearDedupIndexDeleteKeys(spark, dirs.nearDir, kdf) },
+        () => labeled(spark, "x94 p1: sem delete") {
+          Dedup.dedupIndexDeleteKeys(spark, dirs.semDir, kdfVec,
+            keyCol = "vec_id") },
+        () => labeled(spark, "x94 p1: ann delete") {
+          Similarity.ivfPqLayerDeleteKeys(spark, dirs.annDir, kdfVec) }))
       // The batch-vs-stored near-pair probe, ONCE (VERDICT r16 #1): it
       // reads the post-delete pfx/sh sub-indexes with the batch's own
       // tag excluded — exactly the state the near leg probed when it ran
@@ -1206,9 +1232,10 @@ object Maintenance {
       // threshold by construction ([[ClusterThreshold]] — the near leg
       // is invoked with the same value, or the pairs would state a
       // different graph than the admit).
-      val probePairs = Dedup.snapshot(spark, StreamingIngest.nearIndexProbePairs(
-        enriched.select(col("doc_id"), col("sh"), col("n")), tag,
-        dirs.nearDir, ClusterThreshold))
+      val probePairs = labeled(spark, "x94: snapshot probePairs") {
+        Dedup.snapshot(spark, StreamingIngest.nearIndexProbePairs(
+          enriched.select(col("doc_id"), col("sh"), col("n")), tag,
+          dirs.nearDir, ClusterThreshold)) }
       val clusterPairs = probePairs
         .select(least(col("new_id"), col("prior_id")).as("id1"),
           greatest(col("new_id"), col("prior_id")).as("id2"))
@@ -1216,31 +1243,37 @@ object Maintenance {
           enriched.select(col("doc_id"), col("sh"), col("n")), ClusterThreshold))
       // Phase 2 — the enriched batch lands in every artifact
       inParallel[Any](Seq(
-        () => VersionedLayers.writeTagged(spark, dirs.corpusDir, tag,
-          enriched.select(col("doc_id"), col("source"), col("text"))),
-        () => {
+        () => labeled(spark, "x94 p2: corpus append") {
+          VersionedLayers.writeTagged(spark, dirs.corpusDir, tag,
+            enriched.select(col("doc_id"), col("source"), col("text"))) },
+        () => labeled(spark, "x94 p2: exact append") {
           val surv = Dedup.snapshot(spark, Dedup.probeIndexKeepFirst(
             enriched.select(col("doc_id"), col("fp")), dirs.exactDir, tag))
           VersionedLayers.writeTagged(spark, dirs.exactDir, tag,
             surv.select(col("fp"), col("doc_id")))
         },
-        () => StreamingIngest.nearDedupIndexBatchEnriched(
-          enriched.select(col("doc_id"), col("text"), col("fp"), col("sh"),
-            col("n")), tag, dirs.nearDir, dirs.nearOutDir,
-          threshold = ClusterThreshold, alreadyMaterialized = true,
-          probedPairs = Some(probePairs)),
-        () => TextAnalysis.spanIndexAppend(spark,
-          enriched.select(col("doc_id"), col("text")), dirs.spanDir, tag),
-        () => StreamingIngest.semanticDedupBatchAssigned(
-          vecEnriched.select(col("vec_id"), col("embedding"), col("cell"),
-            col("nrm")), tag, dirs.semDir, dirs.semOutDir, SemDedupThreshold),
-        () => Similarity.ivfPqAppendEncoded(vecEnriched, dirs.annDir, tag),
+        () => labeled(spark, "x94 p2: near append") {
+          StreamingIngest.nearDedupIndexBatchEnriched(
+            enriched.select(col("doc_id"), col("text"), col("fp"), col("sh"),
+              col("n")), tag, dirs.nearDir, dirs.nearOutDir,
+            threshold = ClusterThreshold, alreadyMaterialized = true,
+            probedPairs = Some(probePairs)) },
+        () => labeled(spark, "x94 p2: span append") {
+          TextAnalysis.spanIndexAppend(spark,
+            enriched.select(col("doc_id"), col("text")), dirs.spanDir, tag) },
+        () => labeled(spark, "x94 p2: sem append") {
+          StreamingIngest.semanticDedupBatchAssigned(
+            vecEnriched.select(col("vec_id"), col("embedding"), col("cell"),
+              col("nrm")), tag, dirs.semDir, dirs.semOutDir, SemDedupThreshold) },
+        () => labeled(spark, "x94 p2: ann append") {
+          Similarity.ivfPqAppendEncoded(vecEnriched, dirs.annDir, tag) },
         // the cluster pipeline folds as ONE self-contained leg (x98's
         // pass: edge swap, edge append, one label delta — internally
         // delete-before-admit, replay-convergent without markers); its
         // dirs are disjoint from every other leg's
-        () => Dedup.clusterIndexUpsert(spark, dirs.cluster,
-          enriched.select(col("doc_id")), kdf, clusterPairs, tag)))
+        () => labeled(spark, "x94 p2: cluster fold") {
+          Dedup.clusterIndexUpsert(spark, dirs.cluster,
+            enriched.select(col("doc_id")), kdf, clusterPairs, tag) }))
     enriched
     }
   }
@@ -1392,8 +1425,9 @@ object Maintenance {
         Dedup.clusterLabelsCompactContent _))
     withWriterLease(spark, dirs.root, "multiArtifactCompactIfNeeded") {
       inParallel(arts.map { case (name, d, sub, content) => () =>
-        name -> compactIfNeededWith(spark, d, "compacted", sub,
-          s"graft_sweep_${name}_", maxLayers, minFileBytes)(content)
+        name -> labeled(spark, s"x96 sweep: $name") {
+          compactIfNeededWith(spark, d, "compacted", sub,
+            s"graft_sweep_${name}_", maxLayers, minFileBytes)(content) }
       }).toMap
     }
   }

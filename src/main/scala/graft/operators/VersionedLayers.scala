@@ -65,12 +65,18 @@ import org.apache.spark.sql.functions._
   * published-version read to every maintained artifact. */
 object VersionedLayers {
 
-  /** One manifest entry. Flat artifacts publish one entry per layer tag;
-    * cell-granular artifacts (the layered IVF-PQ index — `subPartition =
-    * Seq("cell")`) publish one entry per (tag, cell) LEAF, so the delete
-    * fold can swap a single dirty cell of a layer while every clean cell
-    * of the SAME tag keeps its immutable dir — the x83 dirty-leaf
-    * economics, copy-free. */
+  /** One manifest entry. Flat artifacts publish one entry per layer tag
+    * (`rel = <tag>-g<seq>`); cell-granular artifacts (the layered IVF-PQ
+    * index — `subPartition = Seq("cell")`) publish one entry per
+    * (tag, cell) LEAF (`rel = <tag>-g<seq>/cell=<c>` — a hive-style leaf
+    * INSIDE its generation dir), so the delete fold can swap a single
+    * dirty cell of a layer while every clean cell of the SAME tag keeps
+    * its immutable dir — the x83 dirty-leaf economics, copy-free. The
+    * hive-style leaf layout is what lets a reader batch every leaf of one
+    * generation into ONE `spark.read` (partition discovery recovers
+    * `cell`), instead of one read call per leaf — the r17 read-grouping
+    * fix: per-leaf reads made every versioned ANN probe/fold pay ~16
+    * extra planning+footer round-trips per tag. */
   final case class Layer(tag: String, rel: String, cell: Option[Int] = None)
 
   private def pointerPath(root: Path) = new Path(root, "_LATEST")
@@ -154,14 +160,39 @@ object VersionedLayers {
     * with the legacy partitioned read (batch column last, string). Own-tag
     * exclusion is MANIFEST pruning (the excluded layer is never even
     * listed, where the legacy read filtered it row-wise). `empty` when the
-    * manifest holds no layers. */
+    * manifest holds no layers.
+    *
+    * Reads are BATCHED (guide §1.2 — fewer driver round-trips): flat
+    * layers group into ONE `spark.read.parquet(dirs*)` per tag; cell
+    * leaves group per (tag, generation dir) with hive partition discovery
+    * recovering `cell` — so a 16-cell tag costs one read call, not 16.
+    * The union width (and so planning cost) shrinks the same way. */
   private def readEntries(spark: SparkSession, root: Path,
-                          live: Seq[Layer]): DataFrame =
-    live.map { l =>
-      val df = spark.read.parquet(new Path(storePath(root), l.rel).toString)
-        .withColumn("batch", lit(l.tag))
-      l.cell.fold(df)(c => df.withColumn("cell", lit(c)))
-    }.reduce(_.unionByName(_))
+                          live: Seq[Layer]): DataFrame = {
+    val store = storePath(root)
+    val groups: Seq[DataFrame] =
+      live.groupBy(_.tag).toSeq.sortBy(_._1).flatMap { case (tag, ls) =>
+        val (flat, leaves) = ls.partition(_.cell.isEmpty)
+        val flatDf =
+          if (flat.isEmpty) Seq.empty
+          else Seq(spark.read
+            .parquet(flat.map(l => new Path(store, l.rel).toString): _*)
+            .withColumn("batch", lit(tag)))
+        // cell leaves: one read per generation dir (rel = "<gen>/cell=<c>");
+        // basePath pins discovery so only the LISTED leaves are scanned
+        // while `cell` still comes from the directory name
+        val leafDfs = leaves.groupBy(_.rel.takeWhile(_ != '/')).toSeq
+          .sortBy(_._1).map { case (gen, gls) =>
+            spark.read
+              .option("basePath", new Path(store, gen).toString)
+              .parquet(gls.map(l => new Path(store, l.rel).toString): _*)
+              .withColumn("cell", col("cell").cast("int"))
+              .withColumn("batch", lit(tag))
+          }
+        flatDf ++ leafDfs
+      }
+    groups.reduce(_.unionByName(_))
+  }
 
   private[graft] def read(spark: SparkSession, dir: String,
                           exclude: Option[String] = None)
@@ -224,14 +255,29 @@ object VersionedLayers {
     * new nor the previous manifest (one-generation reader grace), and
     * manifests older than the previous — both only once they are older
     * than [[gcGraceMs]]. Orphans from crashed writes age out the same
-    * way. */
+    * way. A cell-granular `rel` ("<gen>/cell=<c>") references its whole
+    * generation dir; inside a PARTIALLY referenced generation, leaf dirs
+    * no rel names are dropped individually once past the grace (a cell
+    * swap re-gens only the dirty leaves — the clean siblings' old gen
+    * copies would otherwise linger until compaction). */
   private def gc(fs: FileSystem, root: Path, seq: Long,
                  keep: Set[String]): Unit = {
     val cutoff = System.currentTimeMillis() - gcGraceMs
+    val keptTop = keep.map(_.takeWhile(_ != '/'))
     fs.listStatus(storePath(root)).foreach { st =>
-      if (!keep.contains(st.getPath.getName) &&
-          st.getModificationTime < cutoff) {
-        fs.delete(st.getPath, true); ()
+      val name = st.getPath.getName
+      if (!keptTop.contains(name)) {
+        if (st.getModificationTime < cutoff) { fs.delete(st.getPath, true); () }
+      } else if (!keep.contains(name)) {
+        // a generation dir referenced only through SOME of its leaves:
+        // drop the unreferenced leaves, keep the dir
+        fs.listStatus(st.getPath).foreach { leaf =>
+          val rel = s"$name/${leaf.getPath.getName}"
+          if (leaf.isDirectory && !keep.contains(rel) &&
+              leaf.getModificationTime < cutoff) {
+            fs.delete(leaf.getPath, true); ()
+          }
+        }
       }
     }
     fs.listStatus(manifestsPath(root)).foreach { st =>
@@ -270,26 +316,25 @@ object VersionedLayers {
         else { fs.delete(dest, true); Seq.empty }
       case Seq(cellCol) =>
         // cell-granular artifact: ONE partitionBy job stages the layer,
-        // each cell leaf becomes its own immutable store dir + manifest
-        // entry, so a later delete can swap one cell without touching
-        // its siblings (the x83 dirty-leaf economics)
+        // then ONE rename lands the whole generation dir; each cell leaf
+        // inside it gets its own manifest entry, so a later delete can
+        // swap one cell without touching its siblings (the x83 dirty-leaf
+        // economics), while readers batch the generation into one scan
         val stage = new Path(root, s".stage_g$seq")
         if (fs.exists(stage)) fs.delete(stage, true)
         df.write.mode("overwrite").partitionBy(cellCol)
           .parquet(stage.toString)
-        val staged = fs.listStatus(stage).toSeq
+        val gen = s"$tag-g$seq"
+        val dest = new Path(storePath(root), gen)
+        if (fs.exists(dest)) fs.delete(dest, true) // replay debris
+        require(fs.rename(stage, dest),
+          s"$dir: could not land cell layer generation $gen")
+        fs.listStatus(dest).toSeq
           .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$cellCol="))
           .map { st =>
             val c = st.getPath.getName.stripPrefix(s"$cellCol=").toInt
-            val rel = s"$tag-c$c-g$seq"
-            val dest = new Path(storePath(root), rel)
-            if (fs.exists(dest)) fs.delete(dest, true) // replay debris
-            require(fs.rename(st.getPath, dest),
-              s"$dir: could not land cell layer $tag/$c")
-            Layer(tag, rel, Some(c))
+            Layer(tag, s"$gen/${st.getPath.getName}", Some(c))
           }
-        fs.delete(stage, true)
-        staged
       case other => throw new IllegalArgumentException(
         s"$dir: at most one sub-partition column is supported, got $other")
     }
@@ -314,20 +359,22 @@ object VersionedLayers {
     if (fs.exists(stage)) fs.delete(stage, true)
     survivors.write.mode("overwrite").partitionBy("batch", "cell")
       .parquet(stage.toString)
+    // land ONE generation dir per dirty tag (its rewritten cells inside),
+    // then remap the dirty leaves to hive-style rels within it
     val remapped = fs.listStatus(stage).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
       .flatMap { bdir =>
         val t = bdir.getPath.getName.stripPrefix("batch=")
-        fs.listStatus(bdir.getPath).toSeq
+        val gen = s"$t-g$seq"
+        val dest = new Path(storePath(root), gen)
+        if (fs.exists(dest)) fs.delete(dest, true) // replay debris
+        require(fs.rename(bdir.getPath, dest),
+          s"$dir: could not land rewritten cell generation $gen")
+        fs.listStatus(dest).toSeq
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
           .map { cdir =>
             val c = cdir.getPath.getName.stripPrefix("cell=").toInt
-            val rel = s"$t-c$c-g$seq"
-            val dest = new Path(storePath(root), rel)
-            if (fs.exists(dest)) fs.delete(dest, true) // replay debris
-            require(fs.rename(cdir.getPath, dest),
-              s"$dir: could not land rewritten cell layer $t/$c")
-            (t, c) -> rel
+            (t, c) -> s"$gen/${cdir.getPath.getName}"
           }
       }.toMap
     fs.delete(stage, true)
