@@ -701,10 +701,19 @@ object Dedup {
     * table. */
   private[graft] def clusterIndexUpsert(spark: SparkSession,
       dirs: ClusterDirs, inserts: DataFrame, keys: DataFrame,
-      newPairs: DataFrame, tag: String): DataFrame = {
-    val kdf = snapshot(spark, keys.select(col("doc_id")).distinct())
-    val ins = snapshot(spark, inserts.select(col("doc_id")).distinct()
-      .join(broadcast(kdf), Seq("doc_id"), "leftanti"))
+      newPairs: DataFrame, tag: String,
+      prepared: Boolean = false): DataFrame = {
+    // `prepared`: the caller (the x94/t26 orchestrator) already holds
+    // keys distinct+materialized and inserts distinct, net of same-batch
+    // cancels, and materialized — re-snapshotting both here was two
+    // redundant localCheckpoint jobs per micro-batch
+    val kdf =
+      if (prepared) keys
+      else snapshot(spark, keys.select(col("doc_id")).distinct())
+    val ins =
+      if (prepared) inserts.select(col("doc_id"))
+      else snapshot(spark, inserts.select(col("doc_id")).distinct()
+        .join(broadcast(kdf), Seq("doc_id"), "leftanti"))
     // prior state with the batch's OWN layer excluded — the replay rule
     val priorRows = snapshot(spark,
       readBatchIndex(spark, dirs.labelsDir, tag)(
@@ -1266,19 +1275,27 @@ object Dedup {
     * applied to the dedup index artifact. */
   private[graft] def dedupIndexDeleteKeys(spark: SparkSession, idxDir: String,
       keys: DataFrame, keyCol: String = "doc_id",
-      gate: Int = Maintenance.keyGateDefault): Seq[String] = {
+      gate: Int = Maintenance.keyGateDefault,
+      knownDirty: Option[Seq[String]] = None): Seq[String] = {
     // versioned roots: same dirty-layer economics, but the rewrite lands
     // as NEW store dirs + one manifest swap — concurrent readers keep the
     // pre-delete snapshot (VERDICT r16 #2), and no snapshot() of the
     // survivors is needed because source and destination never collide
     if (VersionedLayers.isVersioned(spark, idxDir)) {
-      if (VersionedLayers.layers(spark, idxDir).isEmpty) return Seq.empty
+      val live = VersionedLayers.layers(spark, idxDir)
+      if (live.isEmpty) return Seq.empty
       val idx = VersionedLayers.read(spark, idxDir)(
         return Seq.empty)
       val k = broadcast(keys.select(col(keyCol)).distinct())
-      val dirty = idx.join(k, Seq(keyCol), "leftsemi")
-        .select(col("batch")).distinct()
-        .collect().map(_.getString(0)).toSeq.sorted
+      // `knownDirty` = the caller already ran the dirty-tag detection
+      // (the near triple's three sub-indexes detect all at once — one
+      // action instead of three); intersect with the live manifest so a
+      // tag another sub-index holds but this one doesn't is skipped
+      val dirty = knownDirty
+        .map(_.filter(live.map(_.tag).toSet).sorted)
+        .getOrElse(idx.join(k, Seq(keyCol), "leftsemi")
+          .select(col("batch")).distinct()
+          .collect().map(_.getString(0)).toSeq.sorted)
       if (dirty.nonEmpty) {
         val surv = VersionedLayers.readTags(spark, idxDir, dirty.toSet)
           .join(k, Seq(keyCol), "leftanti")
@@ -1294,9 +1311,15 @@ object Dedup {
     if (!hasVisibleData(spark, idxDir)) return Seq.empty
     val idx = spark.read.parquet(idxDir)
     val k = broadcast(keys.select(col(keyCol)).distinct())
-    val dirtyDf = idx.join(k, Seq(keyCol), "leftsemi")
-      .select(col("batch")).distinct()
-    val dirty = dirtyDf.collect().map(_.getString(0)).toSeq.sorted
+    val dirtyDf = knownDirty match {
+      case Some(tags) =>
+        import spark.implicits._
+        tags.toDF("batch")
+      case None => idx.join(k, Seq(keyCol), "leftsemi")
+        .select(col("batch")).distinct()
+    }
+    val dirty = knownDirty.map(_.sorted)
+      .getOrElse(dirtyDf.collect().map(_.getString(0)).toSeq.sorted)
     if (dirty.nonEmpty) {
       val restricted = Maintenance.restrictToKeys(idx, "batch", dirtyDf,
         dirty, gate)
@@ -1461,10 +1484,41 @@ object Dedup {
     // independent swaps concurrently: same final state as the sequential
     // fold (distinct target dirs), one round of job overhead instead of
     // three (the t24 cut)
-    val k = snapshot(spark, keys.select(keys.columns.head).distinct())
-    Maintenance.inParallel(Seq("fp", "pfx", "sh").map(sub => () =>
+    val keyCol = keys.columns.head
+    val k = snapshot(spark, keys.select(keyCol).distinct())
+    val kb = broadcast(k)
+    // dirty-tag detection for ALL THREE sub-indexes in ONE action (r17:
+    // three separate semi-join+collect rounds were pure job overhead —
+    // every sub-index is keyed by the keeper's doc_id, so one union scan
+    // answers all three EXACTLY; a doc too short to shingle can make fp
+    // dirty while pfx/sh stay clean, which per-sub rows preserve)
+    val subs = Seq("fp", "pfx", "sh")
+    val perSub = subs.flatMap { sub =>
+      val dir = s"$indexDir/$sub"
+      val rows =
+        if (VersionedLayers.isVersioned(spark, dir)) {
+          if (VersionedLayers.layers(spark, dir).isEmpty) None
+          else Some(VersionedLayers.read(spark, dir)(
+            return subs.map(_ -> Seq.empty[String]).toMap))
+        } else {
+          Maintenance.guardInterruptedCompaction(spark, dir)
+          if (!hasVisibleData(spark, dir)) None
+          else Some(spark.read.parquet(dir))
+        }
+      rows.map(df => sub -> df.select(col(keyCol), col("batch"))
+        .join(kb, Seq(keyCol), "leftsemi")
+        .select(lit(sub).as("sub"), col("batch")).distinct())
+    }
+    val dirtyBySub: Map[String, Seq[String]] =
+      if (perSub.isEmpty) Map.empty
+      else perSub.map(_._2).reduce(_.unionByName(_))
+        .collect().toSeq
+        .groupBy(_.getString(0))
+        .map { case (s, rs) => s -> rs.map(_.getString(1)).sorted }
+    Maintenance.inParallel(subs.map(sub => () =>
       sub -> dedupIndexDeleteKeys(spark, s"$indexDir/$sub", k,
-        keyCol = keys.columns.head, gate = gate))).toMap
+        keyCol = keyCol, gate = gate,
+        knownDirty = Some(dirtyBySub.getOrElse(sub, Seq.empty))))).toMap
   }
 
   /** X89 — the near-dup index UPSERT: stored history is one

@@ -1167,16 +1167,23 @@ object Maintenance {
         .withColumn("tk", TextFns.tokens(col("text")))
         .withColumn("sh", TextFns.shingleHashes(col("tk"), 3))
         .withColumn("n", size(col("sh")))) }
-    val vecEnriched = labeled(spark, "x94: snapshot vecEnriched") {
-      Dedup.snapshot(spark, Similarity.encodeVectorBatch(
-        spark, sfDir, vecsOfDocs(spark, sfDir, enriched.select(col("doc_id"))))) }
     val doomedStored = labeled(spark, "x94: snapshot doomedStored") {
       Dedup.snapshot(spark,
         VersionedLayers.readAny(spark, dirs.corpusDir).drop("batch")
           .join(broadcast(kdf), Seq("doc_id"), "leftsemi")
           .withColumn("tk", TextFns.tokens(col("text")))) }
-      // Phase 0 — marker-gated stats folds (read pre-delete state)
+      // Phase 0 — marker-gated stats folds (read pre-delete state). The
+      // vector-batch encode rides in the same parallel group: it reads
+      // only the embeddings table + the already-materialized `enriched`,
+      // so deriving it here overlaps its wall time with the stats folds
+      // instead of serializing before them (its consumers are Phase 1/2).
+      val vecEnrichedRef =
+        new java.util.concurrent.atomic.AtomicReference[DataFrame]()
       inParallel[Unit](Seq(
+        () => labeled(spark, "x94: snapshot vecEnriched") {
+          vecEnrichedRef.set(Dedup.snapshot(spark, Similarity.encodeVectorBatch(
+            spark, sfDir,
+            vecsOfDocs(spark, sfDir, enriched.select(col("doc_id")))))) },
         () => labeled(spark, "x94 p0: bm25 fold") {
           statsSnapshotFold(spark, dirs.bm25Dir, tag) { tmp =>
           val (baseDf, baseSc) = StreamingIngest.readBm25Stats(spark, dirs.bm25Dir)
@@ -1204,6 +1211,7 @@ object Maintenance {
             .where(col("n_docs") > 0)
             .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         } }))
+      val vecEnriched = vecEnrichedRef.get()
       // Phase 1 — the key set folds through every swap
       inParallel[Any](Seq(
         () => labeled(spark, "x94 p1: corpus delete") {
@@ -1273,7 +1281,8 @@ object Maintenance {
         // dirs are disjoint from every other leg's
         () => labeled(spark, "x94 p2: cluster fold") {
           Dedup.clusterIndexUpsert(spark, dirs.cluster,
-            enriched.select(col("doc_id")), kdf, clusterPairs, tag) }))
+            enriched.select(col("doc_id")), kdf, clusterPairs, tag,
+            prepared = true) }))
     enriched
     }
   }

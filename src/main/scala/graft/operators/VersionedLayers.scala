@@ -96,6 +96,20 @@ object VersionedLayers {
   private[graft] def gcGraceMs: Long =
     java.lang.Long.getLong("graft.versioned.gcGraceMs", 10L * 60L * 1000L)
 
+  /** Scale-adaptive write sizing (guide §6): REBALANCE before a layer
+    * write lets AQE pick the output partition count from the data's
+    * actual bytes (advisoryPartitionSizeInBytes) — a KB-sized micro-batch
+    * layer lands as ONE file instead of one near-empty file per shuffle
+    * partition, and every later scan of the layer runs one task instead
+    * of 32; a 100 TB layer still fans out wide. Keyed by the write's
+    * partition columns when present, so a partitionBy write stops
+    * emitting (tasks x dirs) files. No-op when AQE is off (REBALANCE
+    * falls back to a fixed-width shuffle that would help nothing). */
+  private def sizedForWrite(df: DataFrame, keys: Seq[String]): DataFrame =
+    if (df.sparkSession.conf.get("spark.sql.adaptive.enabled", "true") != "true") df
+    else if (keys.isEmpty) df.hint("REBALANCE")
+    else df.hint("REBALANCE", keys.map(col): _*)
+
   /** A versioned root = pointer AND manifests dir (the stats stores use
     * `_LATEST` alone — different discipline, snapshot-per-fold). */
   private[graft] def isVersioned(spark: SparkSession, dir: String): Boolean = {
@@ -311,7 +325,8 @@ object VersionedLayers {
         val rel = s"$tag-g$seq"
         val dest = new Path(storePath(root), rel)
         if (fs.exists(dest)) fs.delete(dest, true) // replay debris
-        df.write.mode("overwrite").parquet(dest.toString)
+        sizedForWrite(df, Seq.empty).write.mode("overwrite")
+          .parquet(dest.toString)
         if (Dedup.hasVisibleData(spark, dest.toString)) Seq(Layer(tag, rel))
         else { fs.delete(dest, true); Seq.empty }
       case Seq(cellCol) =>
@@ -322,8 +337,8 @@ object VersionedLayers {
         // economics), while readers batch the generation into one scan
         val stage = new Path(root, s".stage_g$seq")
         if (fs.exists(stage)) fs.delete(stage, true)
-        df.write.mode("overwrite").partitionBy(cellCol)
-          .parquet(stage.toString)
+        sizedForWrite(df, Seq(cellCol)).write.mode("overwrite")
+          .partitionBy(cellCol).parquet(stage.toString)
         val gen = s"$tag-g$seq"
         val dest = new Path(storePath(root), gen)
         if (fs.exists(dest)) fs.delete(dest, true) // replay debris
@@ -357,8 +372,8 @@ object VersionedLayers {
     val seq = currentSeq(fs, root) + 1L
     val stage = new Path(root, s".stage_g$seq")
     if (fs.exists(stage)) fs.delete(stage, true)
-    survivors.write.mode("overwrite").partitionBy("batch", "cell")
-      .parquet(stage.toString)
+    sizedForWrite(survivors, Seq("batch", "cell")).write.mode("overwrite")
+      .partitionBy("batch", "cell").parquet(stage.toString)
     // land ONE generation dir per dirty tag (its rewritten cells inside),
     // then remap the dirty leaves to hive-style rels within it
     val remapped = fs.listStatus(stage).toSeq
@@ -415,8 +430,8 @@ object VersionedLayers {
     val seq = currentSeq(fs, root)
     val stage = new Path(root, s".stage_g${seq + 1L}")
     if (fs.exists(stage)) fs.delete(stage, true)
-    survivors.write.mode("overwrite").partitionBy("batch")
-      .parquet(stage.toString)
+    sizedForWrite(survivors, Seq("batch")).write.mode("overwrite")
+      .partitionBy("batch").parquet(stage.toString)
     val staged = fs.listStatus(stage)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
       .map(_.getPath.getName.stripPrefix("batch=")).toSet
