@@ -1485,7 +1485,8 @@ object Dedup {
     // fold (distinct target dirs), one round of job overhead instead of
     // three (the t24 cut)
     val keyCol = keys.columns.head
-    val k = snapshot(spark, keys.select(keyCol).distinct())
+    val k = Maintenance.labeled(spark, "near: key snapshot") {
+      snapshot(spark, keys.select(keyCol).distinct()) }
     val kb = broadcast(k)
     // dirty-tag detection for ALL THREE sub-indexes in ONE action (r17:
     // three separate semi-join+collect rounds were pure job overhead —
@@ -1511,14 +1512,16 @@ object Dedup {
     }
     val dirtyBySub: Map[String, Seq[String]] =
       if (perSub.isEmpty) Map.empty
-      else perSub.map(_._2).reduce(_.unionByName(_))
-        .collect().toSeq
-        .groupBy(_.getString(0))
-        .map { case (s, rs) => s -> rs.map(_.getString(1)).sorted }
+      else Maintenance.labeled(spark, "near: dirty detect") {
+        perSub.map(_._2).reduce(_.unionByName(_))
+          .collect().toSeq
+          .groupBy(_.getString(0))
+          .map { case (s, rs) => s -> rs.map(_.getString(1)).sorted } }
     Maintenance.inParallel(subs.map(sub => () =>
-      sub -> dedupIndexDeleteKeys(spark, s"$indexDir/$sub", k,
-        keyCol = keyCol, gate = gate,
-        knownDirty = Some(dirtyBySub.getOrElse(sub, Seq.empty))))).toMap
+      sub -> Maintenance.labeled(spark, s"near: $sub delete") {
+        dedupIndexDeleteKeys(spark, s"$indexDir/$sub", k,
+          keyCol = keyCol, gate = gate,
+          knownDirty = Some(dirtyBySub.getOrElse(sub, Seq.empty))) })).toMap
   }
 
   /** X89 — the near-dup index UPSERT: stored history is one

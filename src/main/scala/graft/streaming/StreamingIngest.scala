@@ -2626,19 +2626,24 @@ object StreamingIngest {
       // and the independent tag-scoped writes overlap their job overhead
       // (the t24 cut — these were four sequential Spark jobs per
       // micro-batch)
-      survivors.count()
+      graft.operators.Maintenance.labeled(spark, "near: survivor probe") {
+        survivors.count() }
       val vl = graft.operators.VersionedLayers
       graft.operators.Maintenance.inParallel(Seq(
-        () => vl.writeTagged(spark, outDir, batchTag,
-          survivors.drop("fp", "sh", "n")),
+        () => graft.operators.Maintenance.labeled(spark, "near: out write") {
+          vl.writeTagged(spark, outDir, batchTag,
+            survivors.drop("fp", "sh", "n")) },
         // (fp, doc_id) — the keeper id lets the delete fold (x89) address
         // all three sub-indexes by one key column without a corpus scan
-        () => vl.writeTagged(spark, s"$indexDir/fp", batchTag,
-          survivors.select(col("fp"), col("doc_id"))),
-        () => vl.writeTagged(spark, s"$indexDir/pfx", batchTag,
-          prefixPostings(survivors).select(col("doc_id"), col("s"), col("n"))),
-        () => vl.writeTagged(spark, s"$indexDir/sh", batchTag,
-          survivors.select(col("doc_id"), col("sh"), col("n")))))
+        () => graft.operators.Maintenance.labeled(spark, "near: fp write") {
+          vl.writeTagged(spark, s"$indexDir/fp", batchTag,
+            survivors.select(col("fp"), col("doc_id"))) },
+        () => graft.operators.Maintenance.labeled(spark, "near: pfx write") {
+          vl.writeTagged(spark, s"$indexDir/pfx", batchTag,
+            prefixPostings(survivors).select(col("doc_id"), col("s"), col("n"))) },
+        () => graft.operators.Maintenance.labeled(spark, "near: sh write") {
+          vl.writeTagged(spark, s"$indexDir/sh", batchTag,
+            survivors.select(col("doc_id"), col("sh"), col("n"))) }))
       ()
     } finally survivors.unpersist()
   }
