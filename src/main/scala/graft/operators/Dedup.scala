@@ -387,14 +387,59 @@ object Dedup {
   private[graft] def ccLabelsOf(spark: SparkSession, nodes: DataFrame,
                                 pairs: DataFrame): DataFrame = {
     val docs = nodes.select(col("doc_id"))
-    // Canonical directed edges u > v (pairs come as id1 < id2). Eager
-    // [[snapshot]], and again each round: both star operators reference
-    // their input several times, so without truncation the logical plan
-    // (and the driver's re-analysis cost) grows ~8× per round — profiled
-    // at 10 s/round on a 256-edge graph by round 2. Checkpointing makes
-    // every round start from a leaf-level cached relation.
-    var cur = snapshot(spark, pairs
-      .select(col("id2").as("u"), col("id1").as("v")))
+    // Canonical directed edges u > v (pairs come as id1 < id2).
+    val base = pairs.select(col("id2").as("u"), col("id1").as("v"))
+    // Small-graph fast path FIRST, in ONE action (r17 — the previous
+    // order paid snapshot + signature + collect, three driver actions,
+    // before union-find even started): fetch up to gate+1 edges; at or
+    // under the gate that IS the whole edge set and union-find labels it
+    // driver-side (identical result — both algorithms label every node
+    // with its component's minimum id), past it the distributed path
+    // below runs unchanged. The gate is a deployment knob
+    // (`graft.cc.unionFindGate`), and the edges are two longs each
+    // (≤ ~16 MB at the 1M gate), the same bounded-fetch class as before.
+    val ufGate = sys.props.get("graft.cc.unionFindGate")
+      .map(_.toLong).getOrElse(1000000L)
+    val gated: Array[(Long, Long)] = {
+      import spark.implicits._
+      // limit+collect: CollectLimit stops scanning once gate+1 rows are
+      // in hand, so an over-gate graph pays one bounded probe, not a scan
+      base.as[(Long, Long)].limit(
+        math.min(ufGate + 1L, Int.MaxValue.toLong).toInt).collect()
+    }
+    if (gated.isEmpty) {
+      // zero near-dup pairs → every doc is its own singleton cluster
+      return docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }
+    if (gated.length <= ufGate) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      gated.foreach { e =>
+        val (ru, rv) = (find(e._1), find(e._2))
+        if (ru != rv) { // union by min: the smaller id becomes the root
+          if (ru < rv) parent(rv) = ru else parent(ru) = rv
+        }
+      }
+      val labels = parent.keys.toSeq.map(x => (x, find(x))).filter(p => p._1 != p._2)
+      import spark.implicits._
+      return docs.join(labels.toDF("doc_id", "lbl"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }
+    // Distributed path: eager [[snapshot]], and again each round: both
+    // star operators reference their input several times, so without
+    // truncation the logical plan (and the driver's re-analysis cost)
+    // grows ~8× per round — profiled at 10 s/round on a 256-edge graph by
+    // round 2. Checkpointing makes every round start from a leaf-level
+    // cached relation.
+    var cur = snapshot(spark, base)
     // Large-star: every node links its larger neighbors to the minimum of
     // its closed neighborhood. Small-star: every node links its smaller
     // neighbors (and itself) to that minimum. Both preserve connectivity;
@@ -423,52 +468,6 @@ object Dedup {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var curSig = sig(cur)
-    // Zero near-dup pairs → every doc is its own singleton cluster (the
-    // agg-on-empty path NPE'd in round 2). The count is free — it is the
-    // first component of the signature just computed (no separate isEmpty
-    // action).
-    if (curSig._1 == 0L) {
-      return docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
-        .orderBy(col("doc_id"))
-    }
-    // Small-graph fast path: the dup EDGE set (never the corpus) under a
-    // bounded gate runs union-find driver-side — the count is already in
-    // hand from the signature, the edges are two longs each (≤ ~16 MB at
-    // the gate), and the result is identical by construction (both
-    // algorithms label every node with its component's minimum id). This
-    // removes O(log n) rounds of join+distinct+action latency — pure
-    // fixed cost at bench scale — while graphs past the gate take the
-    // Kiveris et al. large-star/small-star path unchanged. The gate is a
-    // deployment knob (and lets the spec pin the distributed path).
-    val ufGate = sys.props.get("graft.cc.unionFindGate")
-      .map(_.toLong).getOrElse(1000000L)
-    if (curSig._1 <= ufGate) {
-      val parent = scala.collection.mutable.LongMap.empty[Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      // primitive-typed collect: (Long, Long) tuples, not GenericRow —
-      // at the 1M-edge gate that is ~2 boxed longs/edge on the driver
-      // instead of ~10× of Row object overhead
-      locally {
-        import spark.implicits._
-        cur.select(col("u"), col("v")).as[(Long, Long)].collect().foreach { e =>
-          val (ru, rv) = (find(e._1), find(e._2))
-          if (ru != rv) { // union by min: the smaller id becomes the root
-            if (ru < rv) parent(rv) = ru else parent(ru) = rv
-          }
-        }
-      }
-      val labels = parent.keys.toSeq.map(x => (x, find(x))).filter(p => p._1 != p._2)
-      import spark.implicits._
-      return docs.join(labels.toDF("doc_id", "lbl"), Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
-        .orderBy(col("doc_id"))
-    }
     var converged = false
     while (!converged) {
       val next = snapshot(spark, smallStar(largeStar(cur)))
@@ -714,11 +713,16 @@ object Dedup {
       if (prepared) inserts.select(col("doc_id"))
       else snapshot(spark, inserts.select(col("doc_id")).distinct()
         .join(broadcast(kdf), Seq("doc_id"), "leftanti"))
-    // prior state with the batch's OWN layer excluded — the replay rule
-    val priorRows = snapshot(spark,
+    // prior state with the batch's OWN layer excluded — the replay rule.
+    // Plain read, not a snapshot: its only consumers are the merged-label
+    // snapshot below and the one max(seq) aggregate, so materializing the
+    // whole O(corpus) label store into executor blocks per micro-batch
+    // bought nothing (r17 — two scans of the store beat one scan plus a
+    // corpus-sized checkpoint write at every scale)
+    val priorRows =
       readBatchIndex(spark, dirs.labelsDir, tag)(
         spark.range(0).select(col("id").as("doc_id"),
-          col("id").as("cluster_id"), lit("U").as("op"), col("id").as("seq"))))
+          col("id").as("cluster_id"), lit("U").as("op"), col("id").as("seq")))
     val priorLabels = snapshot(spark, mergeClusterLabels(priorRows))
     val maxSeqRow = priorRows.agg(max(col("seq"))).head()
     val nextSeq = (if (maxSeqRow.isNullAt(0)) 0L else maxSeqRow.getLong(0)) + 1L
@@ -735,9 +739,40 @@ object Dedup {
       .join(liveIds.select(col("doc_id").as("id1")), Seq("id1"), "leftsemi")
       .join(liveIds.select(col("doc_id").as("id2")), Seq("id2"), "leftsemi"))
     // edge-artifact mutations first (both idempotent), then the region
-    // recompute reads the post-mutation graph deterministically
-    edgeIndexDeleteKeys(spark, dirs.edgesDir, kdf)
-    VersionedLayers.writeTagged(spark, dirs.edgesDir, tag, newEdges)
+    // recompute reads the post-mutation graph deterministically. On a
+    // versioned root the delete-survivor rewrite and the new batch layer
+    // stage in ONE partitionBy(batch) write and swap in ONE manifest
+    // publish (r17): readers see a single pre→post transition, and the
+    // fold pays one write job instead of two plus two pointer moves.
+    // Replay converges exactly as before — the dirty set never includes
+    // the batch's own tag (newEdges excludes doomed endpoints), and the
+    // staged tag layer clobbers a crashed attempt's entry.
+    if (VersionedLayers.isVersioned(spark, dirs.edgesDir)) {
+      val live = VersionedLayers.layers(spark, dirs.edgesDir)
+      val k = broadcast(kdf)
+      val dirty =
+        if (live.isEmpty) Seq.empty[String]
+        else {
+          val idx = VersionedLayers.read(spark, dirs.edgesDir)(
+            spark.range(0).select(col("id").as("id1"), col("id").as("id2"),
+              lit("").as("batch")))
+          idx.join(k, col("id1") === col("doc_id"), "leftsemi")
+            .unionByName(idx.join(k, col("id2") === col("doc_id"), "leftsemi"))
+            .select(col("batch")).distinct()
+            .collect().map(_.getString(0)).toSeq.sorted
+        }
+      val fresh = newEdges.withColumn("batch", lit(tag))
+      val staged =
+        if (dirty.isEmpty) fresh
+        else VersionedLayers.readTags(spark, dirs.edgesDir, dirty.toSet)
+          .join(k, col("id1") === col("doc_id"), "leftanti")
+          .join(k, col("id2") === col("doc_id"), "leftanti")
+          .unionByName(fresh)
+      VersionedLayers.rewriteLayers(spark, dirs.edgesDir, dirty :+ tag, staged)
+    } else {
+      edgeIndexDeleteKeys(spark, dirs.edgesDir, kdf)
+      VersionedLayers.writeTagged(spark, dirs.edgesDir, tag, newEdges)
+    }
     // dirty clusters: every component a doomed doc or a new edge's
     // stored endpoint belongs to — O(batch) semi-joins, never the graph
     val dirtyLbls = broadcast(priorLabels

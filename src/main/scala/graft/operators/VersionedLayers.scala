@@ -445,9 +445,18 @@ object VersionedLayers {
     }.toMap
     fs.delete(stage, true)
     val dirty = dirtyTags.toSet
-    publish(fs, root, layers(spark, dir).flatMap { l =>
+    val prior = layers(spark, dir)
+    val priorTags = prior.map(_.tag).toSet
+    // staged tags the prior manifest never held are APPENDED (the cluster
+    // fold stages its delete-survivors and its new batch layer in one
+    // write — one publish, one reader-visible transition, instead of a
+    // delete publish followed by an append publish); staged tags the
+    // prior manifest held replace their entry, emptied dirty tags drop
+    publish(fs, root, prior.flatMap { l =>
       if (!dirty.contains(l.tag)) Some(l)
       else remapped.get(l.tag).map(rel => Layer(l.tag, rel))
+    } ++ remapped.toSeq.sortBy(_._1).collect {
+      case (t, rel) if !priorTags.contains(t) => Layer(t, rel)
     })
   }
 

@@ -2916,10 +2916,18 @@ object StreamingIngest {
     val kept = keptBatch.join(dropVsPrior, Seq("vec_id"), "left_anti")
     kept.persist()
     try {
-      graft.operators.VersionedLayers.writeTagged(spark, outDir, batchTag,
-        kept.select(col("vec_id"), col("cell").cast("long").as("cell")))
-      graft.operators.VersionedLayers.writeTagged(spark, indexDir, batchTag,
-        kept.select(col("vec_id"), col("embedding"), col("cell"), col("nrm")))
+      // materialize the probe once, then the two independent tag-scoped
+      // writes overlap their job overhead (the near-leg discipline)
+      kept.count()
+      graft.operators.Maintenance.inParallel(Seq(
+        () => graft.operators.VersionedLayers.writeTagged(spark, outDir,
+          batchTag,
+          kept.select(col("vec_id"), col("cell").cast("long").as("cell"))),
+        () => graft.operators.VersionedLayers.writeTagged(spark, indexDir,
+          batchTag,
+          kept.select(col("vec_id"), col("embedding"), col("cell"),
+            col("nrm")))))
+      ()
     } finally kept.unpersist()
   }
 

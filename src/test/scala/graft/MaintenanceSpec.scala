@@ -559,13 +559,16 @@ class MaintenanceSpec extends SparkSpec {
     val root = Tables.scratchDir("graft_lease_hb_spec").toString
     val lease = new Path(root, Maintenance.WriterLeaseFile)
     val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val prev = System.setProperty("graft.maintenance.staleLeaseMs", "400")
+    val prev = System.setProperty("graft.maintenance.staleLeaseMs", "1200")
     try {
-      // without renewal this body outlives the stale bound 5× over, and
+      // without renewal this body outlives the stale bound 3× over, and
       // writer-B's acquisition would be a legal takeover; the heartbeat
-      // (stale/3 = ~133 ms) must keep the lease fresh throughout
+      // (stale/3 = 400 ms) must keep the lease fresh throughout. The
+      // bound leaves ~800 ms of heartbeat slip before the test turns
+      // false-negative — a 400 ms bound flaked under a loaded host (one
+      // delayed beat made the takeover legal).
       Maintenance.withWriterLease(spark, root, "slow-writer") {
-        Thread.sleep(2000L)
+        Thread.sleep(3600L)
         val e = intercept[IllegalStateException] {
           Maintenance.withWriterLease(spark, root, "queued-writer") {
             fail("the queued writer must not run while the holder is alive")
@@ -578,7 +581,7 @@ class MaintenanceSpec extends SparkSpec {
       // the same lowered bound — renewal must not break crash recovery
       val stale = fs.create(lease, true)
       try stale.write(("holder=dead nonce=dead ts=" +
-        (System.currentTimeMillis() - 1000L)).getBytes("UTF-8"))
+        (System.currentTimeMillis() - 3000L)).getBytes("UTF-8"))
       finally stale.close()
       var ran = false
       Maintenance.withWriterLease(spark, root, "taker") { ran = true }
