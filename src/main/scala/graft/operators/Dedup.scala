@@ -723,21 +723,32 @@ object Dedup {
       readBatchIndex(spark, dirs.labelsDir, tag)(
         spark.range(0).select(col("id").as("doc_id"),
           col("id").as("cluster_id"), lit("U").as("op"), col("id").as("seq")))
-    val priorLabels = snapshot(spark, mergeClusterLabels(priorRows))
-    val maxSeqRow = priorRows.agg(max(col("seq"))).head()
+    val priorLabels = Maintenance.labeled(spark, "cluster: prior labels") {
+      snapshot(spark, mergeClusterLabels(priorRows)) }
+    val maxSeqRow = Maintenance.labeled(spark, "cluster: max seq") {
+      priorRows.agg(max(col("seq"))).head() }
     val nextSeq = (if (maxSeqRow.isNullAt(0)) 0L else maxSeqRow.getLong(0)) + 1L
     // live docs after this batch: stored survivors ∪ net inserts
     val liveIds = priorLabels.select(col("doc_id"))
       .join(broadcast(kdf), Seq("doc_id"), "leftanti")
       .unionByName(ins).distinct()
-    // new edges: at least one endpoint inserted, both endpoints live
-    val newEdges = snapshot(spark, newPairs.select(col("id1"), col("id2"))
+    // new edges: at least one endpoint inserted, both endpoints live. In
+    // `prepared` mode both properties hold by construction — the pairs
+    // are the post-delete index probe (prior endpoints are live keepers)
+    // plus the batch's internal self-pairs net of cancels (both
+    // endpoints inserted) — so the batch-endpoint semi-joins and the
+    // live-endpoint filters are skipped; the standalone path's pairs are
+    // a corpus-global artifact restricted to nothing, so it keeps them.
+    val newEdges = Maintenance.labeled(spark, "cluster: new edges") {
+      if (prepared)
+        snapshot(spark, newPairs.select(col("id1"), col("id2")).distinct())
+      else snapshot(spark, newPairs.select(col("id1"), col("id2"))
       .join(broadcast(ins.select(col("doc_id").as("id1"))), Seq("id1"), "leftsemi")
       .unionByName(newPairs.select(col("id1"), col("id2"))
         .join(broadcast(ins.select(col("doc_id").as("id2"))), Seq("id2"), "leftsemi"))
       .distinct()
       .join(liveIds.select(col("doc_id").as("id1")), Seq("id1"), "leftsemi")
-      .join(liveIds.select(col("doc_id").as("id2")), Seq("id2"), "leftsemi"))
+      .join(liveIds.select(col("doc_id").as("id2")), Seq("id2"), "leftsemi")) }
     // edge-artifact mutations first (both idempotent), then the region
     // recompute reads the post-mutation graph deterministically. On a
     // versioned root the delete-survivor rewrite and the new batch layer
@@ -768,7 +779,8 @@ object Dedup {
           .join(k, col("id1") === col("doc_id"), "leftanti")
           .join(k, col("id2") === col("doc_id"), "leftanti")
           .unionByName(fresh)
-      VersionedLayers.rewriteLayers(spark, dirs.edgesDir, dirty :+ tag, staged)
+      Maintenance.labeled(spark, "cluster: edge fold") {
+        VersionedLayers.rewriteLayers(spark, dirs.edgesDir, dirty :+ tag, staged) }
     } else {
       edgeIndexDeleteKeys(spark, dirs.edgesDir, kdf)
       VersionedLayers.writeTagged(spark, dirs.edgesDir, tag, newEdges)
@@ -789,23 +801,26 @@ object Dedup {
     // surviving stored edge's endpoints share an old cluster, so one
     // endpoint in ⇒ both in; a new edge's endpoints are in the region by
     // construction)
-    val regionNodes = snapshot(spark, priorLabels
-      .join(dirtyLbls, Seq("cluster_id"), "leftsemi")
-      .select(col("doc_id"))
-      .join(broadcast(kdf), Seq("doc_id"), "leftanti")
-      .unionByName(ins).distinct())
+    val regionNodes = Maintenance.labeled(spark, "cluster: region nodes") {
+      snapshot(spark, priorLabels
+        .join(dirtyLbls, Seq("cluster_id"), "leftsemi")
+        .select(col("doc_id"))
+        .join(broadcast(kdf), Seq("doc_id"), "leftanti")
+        .unionByName(ins).distinct()) }
     val regionEdges = VersionedLayers.readAny(spark, dirs.edgesDir).drop("batch")
       .join(broadcast(regionNodes.select(col("doc_id").as("id1"))),
         Seq("id1"), "leftsemi")
-    val dirtyLabels = ccLabelsOf(spark, regionNodes, regionEdges)
+    val dirtyLabels = Maintenance.labeled(spark, "cluster: region cc") {
+      ccLabelsOf(spark, regionNodes, regionEdges) }
     // ONE delta layer: the region's relabels + the doomed tombstones —
     // O(region + batch) rows, never the corpus
-    VersionedLayers.writeTagged(spark, dirs.labelsDir, tag,
-      dirtyLabels.select(col("doc_id"), col("cluster_id"), lit("U").as("op"))
-        .unionByName(priorLabels.join(broadcast(kdf), Seq("doc_id"), "leftsemi")
-          .select(col("doc_id"), lit(null).cast("long").as("cluster_id"),
-            lit("D").as("op")))
-        .withColumn("seq", lit(nextSeq)))
+    Maintenance.labeled(spark, "cluster: label delta") {
+      VersionedLayers.writeTagged(spark, dirs.labelsDir, tag,
+        dirtyLabels.select(col("doc_id"), col("cluster_id"), lit("U").as("op"))
+          .unionByName(priorLabels.join(broadcast(kdf), Seq("doc_id"), "leftsemi")
+            .select(col("doc_id"), lit(null).cast("long").as("cluster_id"),
+              lit("D").as("op")))
+          .withColumn("seq", lit(nextSeq))) }
     readClusterLabels(spark, dirs.labelsDir).orderBy(col("doc_id"))
   }
 

@@ -1179,11 +1179,36 @@ object Maintenance {
       // instead of serializing before them (its consumers are Phase 1/2).
       val vecEnrichedRef =
         new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+      // the SemDeDup admit's WITHIN-batch half is index-free too (x69's
+      // greedy rule inside the batch) — derived here, chained after the
+      // encode it consumes, so the Phase-2 sem leg only pays the
+      // prior-probe half (which must see the post-delete index)
+      val semSelfKeptRef =
+        new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+      // the batch's WITHIN-batch verified near pairs are index-free (a
+      // pure self-join of the materialized batch), so they derive here
+      // too — keeping them inside the Phase-2 cluster leg made that leg
+      // the phase straggler (the self-join chain is the priciest part of
+      // the fold)
+      val internalPairsRef =
+        new java.util.concurrent.atomic.AtomicReference[DataFrame]()
       inParallel[Unit](Seq(
-        () => labeled(spark, "x94: snapshot vecEnriched") {
-          vecEnrichedRef.set(Dedup.snapshot(spark, Similarity.encodeVectorBatch(
-            spark, sfDir,
-            vecsOfDocs(spark, sfDir, enriched.select(col("doc_id")))))) },
+        () => labeled(spark, "x94: snapshot internalPairs") {
+          internalPairsRef.set(Dedup.snapshot(spark,
+            StreamingIngest.batchInternalPairs(
+              enriched.select(col("doc_id"), col("sh"), col("n")),
+              ClusterThreshold))) },
+        () => {
+          labeled(spark, "x94: snapshot vecEnriched") {
+            vecEnrichedRef.set(Dedup.snapshot(spark, Similarity.encodeVectorBatch(
+              spark, sfDir,
+              vecsOfDocs(spark, sfDir, enriched.select(col("doc_id")))))) }
+          labeled(spark, "x94: snapshot semSelfKept") {
+            semSelfKeptRef.set(Dedup.snapshot(spark,
+              StreamingIngest.semanticBatchSelfKept(
+                vecEnrichedRef.get().select(col("vec_id"), col("embedding"),
+                  col("cell"), col("nrm")), SemDedupThreshold))) }
+        },
         () => labeled(spark, "x94 p0: bm25 fold") {
           statsSnapshotFold(spark, dirs.bm25Dir, tag) { tmp =>
           val (baseDf, baseSc) = StreamingIngest.readBm25Stats(spark, dirs.bm25Dir)
@@ -1247,8 +1272,7 @@ object Maintenance {
       val clusterPairs = probePairs
         .select(least(col("new_id"), col("prior_id")).as("id1"),
           greatest(col("new_id"), col("prior_id")).as("id2"))
-        .unionByName(StreamingIngest.batchInternalPairs(
-          enriched.select(col("doc_id"), col("sh"), col("n")), ClusterThreshold))
+        .unionByName(internalPairsRef.get())
       // Phase 2 — the enriched batch lands in every artifact
       inParallel[Any](Seq(
         () => labeled(spark, "x94 p2: corpus append") {
@@ -1271,8 +1295,8 @@ object Maintenance {
             enriched.select(col("doc_id"), col("text")), dirs.spanDir, tag) },
         () => labeled(spark, "x94 p2: sem append") {
           StreamingIngest.semanticDedupBatchAssigned(
-            vecEnriched.select(col("vec_id"), col("embedding"), col("cell"),
-              col("nrm")), tag, dirs.semDir, dirs.semOutDir, SemDedupThreshold) },
+            semSelfKeptRef.get(), tag, dirs.semDir, dirs.semOutDir,
+            SemDedupThreshold, selfKept = true) },
         () => labeled(spark, "x94 p2: ann append") {
           Similarity.ivfPqAppendEncoded(vecEnriched, dirs.annDir, tag) },
         // the cluster pipeline folds as ONE self-contained leg (x98's

@@ -2889,22 +2889,36 @@ object StreamingIngest {
     * (`Similarity.encodeVectorBatch` assigns once for both embedding
     * artifacts). Cell assignment is a pure function of the frozen
     * quantizer, so the two entries are row-identical by construction. */
+  /** x5's IEEE-pinned 6-dp rounded cosine — the x69 pair test verbatim. */
+  private def semCos(a: String, b: String) = round(
+    graft.functions.VectorFns.dot(col(s"$a.embedding"), col(s"$b.embedding"))
+      / (col(s"$a.nrm") * col(s"$b.nrm")), 6)
+
+  /** The WITHIN-batch half of the SemDeDup admit — x69's greedy rule
+    * applied inside the batch (lower vec_id survives its ε-ball), a pure
+    * self-join of the batch that reads NO index. Factored out so the
+    * orchestrator can derive it concurrently with the Phase-0 stats folds
+    * (its prior-probe half must wait for the Phase-1 deletes; this half
+    * must not). */
+  private[graft] def semanticBatchSelfKept(asg: DataFrame,
+                                           threshold: Double): DataFrame = {
+    val dropInBatch = asg.as("a").join(asg.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
+      .where(semCos("a", "b") >= threshold)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+    asg.join(dropInBatch, Seq("vec_id"), "left_anti")
+  }
+
   private[graft] def semanticDedupBatchAssigned(asg: DataFrame,
                                                 batchTag: String,
                                                 indexDir: String,
                                                 outDir: String,
-                                                threshold: Double): Unit = {
-    import graft.functions.VectorFns
+                                                threshold: Double,
+                                                selfKept: Boolean = false): Unit = {
     val spark = asg.sparkSession
-    // x5's IEEE-pinned 6-dp rounded cosine — the x69 pair test verbatim
-    def cos(a: String, b: String) = round(
-      VectorFns.dot(col(s"$a.embedding"), col(s"$b.embedding"))
-        / (col(s"$a.nrm") * col(s"$b.nrm")), 6)
-    val dropInBatch = asg.as("a").join(asg.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
-      .where(cos("a", "b") >= threshold)
-      .select(col("a.vec_id").as("vec_id")).distinct()
-    val keptBatch = asg.join(dropInBatch, Seq("vec_id"), "left_anti")
+    def cos(a: String, b: String) = semCos(a, b)
+    val keptBatch =
+      if (selfKept) asg else semanticBatchSelfKept(asg, threshold)
     val prior = graft.operators.Dedup.readBatchIndex(spark, indexDir, batchTag)(
       spark.range(0).select(col("id").as("vec_id"),
         array().cast("array<float>").as("embedding"),
