@@ -403,9 +403,12 @@ object Dedup {
     val gated: Array[(Long, Long)] = {
       import spark.implicits._
       // limit+collect: CollectLimit stops scanning once gate+1 rows are
-      // in hand, so an over-gate graph pays one bounded probe, not a scan
-      base.as[(Long, Long)].limit(
-        math.min(ufGate + 1L, Int.MaxValue.toLong).toInt).collect()
+      // in hand, so an over-gate graph pays one bounded probe, not a
+      // scan. Clamp BEFORE the +1 — a Long.MaxValue gate (the spec's
+      // force-union-find setting) must not overflow to limit(0).
+      val fetch = (math.min(math.max(ufGate, 0L),
+        Int.MaxValue.toLong - 1L) + 1L).toInt
+      base.as[(Long, Long)].limit(fetch).collect()
     }
     if (gated.isEmpty) {
       // zero near-dup pairs → every doc is its own singleton cluster
@@ -583,7 +586,8 @@ object Dedup {
       val staged = surv.select(col("batch")).distinct()
         .collect().map(_.getString(0)).toSet
       if (staged.nonEmpty)
-        surv.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        VersionedLayers.sizedForWrite(surv, Seq("batch"))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch").parquet(idxDir)
       val fs = new org.apache.hadoop.fs.Path(idxDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1388,7 +1392,8 @@ object Dedup {
       val staged = surv.select(col("batch")).distinct()
         .collect().map(_.getString(0)).toSet
       if (staged.nonEmpty)
-        surv.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        VersionedLayers.sizedForWrite(surv, Seq("batch"))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch").parquet(idxDir)
       val fs = new org.apache.hadoop.fs.Path(idxDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -724,7 +724,11 @@ object Maintenance {
     // collapsing the layer key is the whole point; the hook decides what
     // else the compacted layer holds (default: every row, pure re-layout)
     val compacted = content(spark.read.parquet(idxDir)).drop("batch")
-    val w = compacted.write.mode("overwrite")
+    // adaptive output sizing (guide §6): the compacted layer is the whole
+    // artifact — REBALANCE lets AQE size its files instead of one file
+    // per shuffle partition
+    val w = VersionedLayers.sizedForWrite(compacted, subPartition)
+      .write.mode("overwrite")
     (if (subPartition.nonEmpty) w.partitionBy(subPartition: _*) else w)
       .parquet(stage.toString)
     fs.mkdirs(trash)

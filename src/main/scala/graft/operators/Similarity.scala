@@ -933,7 +933,8 @@ object Similarity {
       val staged = surv.select(col("batch"), col("cell")).distinct()
         .collect().map(r => (r.getString(0), r.getInt(1))).toSet
       if (staged.nonEmpty)
-        surv.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        graft.operators.VersionedLayers.sizedForWrite(surv, Seq("batch", "cell"))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch", "cell").parquet(idxDir)
       val fs = new org.apache.hadoop.fs.Path(idxDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -105,7 +105,7 @@ object VersionedLayers {
     * partition columns when present, so a partitionBy write stops
     * emitting (tasks x dirs) files. No-op when AQE is off (REBALANCE
     * falls back to a fixed-width shuffle that would help nothing). */
-  private def sizedForWrite(df: DataFrame, keys: Seq[String]): DataFrame =
+  private[graft] def sizedForWrite(df: DataFrame, keys: Seq[String]): DataFrame =
     if (df.sparkSession.conf.get("spark.sql.adaptive.enabled", "true") != "true") df
     else if (keys.isEmpty) df.hint("REBALANCE")
     else df.hint("REBALANCE", keys.map(col): _*)
@@ -411,7 +411,11 @@ object VersionedLayers {
                                  subPartition: Seq[String] = Seq.empty): Unit =
     if (isVersioned(spark, dir)) publishLayer(spark, dir, tag, df, subPartition)
     else {
-      val w = df.write.mode("overwrite")
+      // the legacy in-place layer gets the same adaptive sizing: a
+      // KB-sized batch layer as one file, not one near-empty file per
+      // shuffle partition (deterministic for a deterministic input, so
+      // the replay byte-identity drills hold)
+      val w = sizedForWrite(df, subPartition).write.mode("overwrite")
       (if (subPartition.nonEmpty) w.partitionBy(subPartition: _*) else w)
         .parquet(s"$dir/batch=$tag")
     }
