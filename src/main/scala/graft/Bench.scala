@@ -367,17 +367,23 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] $artifact write failed: $e") }
-    // The ONE stdout JSON line stays under ~1,600 chars so a 2,000-char
-    // tail always holds it whole: the 45 costliest queries (3 dp,
-    // alphabetical for round-over-round diffing) plus an explicit
-    // omitted-summary — never a silent drop — and the headline total.
+    // The ONE stdout JSON line stays well under ~1,600 chars so a
+    // 2,000-char tail always holds it whole (the r16 capture truncated
+    // mid-line and nulled the driver's whole round-over-round comparison
+    // — VERDICT r17 #3): the 40 costliest queries (3 dp, alphabetical
+    // for round-over-round diffing) plus an explicit omitted-summary —
+    // never a silent drop — and the headline total. The per-index
+    // `index_build` DETAIL lives only in the file artifact now
+    // (BENCH_LOCAL.json keeps the full dict); the stdout line carries
+    // the total and the cache state — the ~650-char dict was the one
+    // part of the line that grew with the index inventory.
     val passed = results.collect { case (k, v, _, _, true) => (k, v) }
     val top = passed.sortBy(-_._2).take(40).sortBy(_._1)
     val omitted = passed.sortBy(-_._2).drop(40)
     val qs = top.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val om = s"""{"n":${omitted.size},"sec":${r3(omitted.map(_._2).sum)}}"""
-    println(s"""{"metric":"total","value":${r3(total)},"single_shot_total_sec":${r3(totalFirst)},"unit":"sec","reps":$reps,"protocol":"$protocol",$prov,"queries":$qs,"omitted":$om,"index_build":$ib,"index_build_total_sec":$ibTotal,"index_cache":"$indexCacheState","failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"single_shot_total_sec":${r3(totalFirst)},"unit":"sec","reps":$reps,"protocol":"$protocol",$prov,"queries":$qs,"omitted":$om,"index_build_total_sec":$ibTotal,"index_cache":"$indexCacheState","failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 

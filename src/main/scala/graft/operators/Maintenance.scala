@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.{Headers, TextFns, Times}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-maintenance operators over a MAINTAINED, time-partitioned
@@ -1196,7 +1197,77 @@ object Maintenance {
       // the fold)
       val internalPairsRef =
         new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+      // dirty-layer detection for EVERY artifact in ONE action (the near
+      // triple's one-union trick, pipeline-wide — r18): each fold below
+      // would otherwise pay its own semi-join+collect round per
+      // micro-batch (six extra driver actions); one union scan answers
+      // all nine artifacts EXACTLY (per-artifact rows keep per-artifact
+      // precision — a key can dirty fp but not pfx), and every fold
+      // receives its slice via knownDirty. Reads published (pre-fold)
+      // state with the batch's own tag excluded — own-tag rows are net
+      // of cancels, so they never match the keys anyway.
+      val dirtyByArtRef = new java.util.concurrent.atomic.AtomicReference[
+        Map[String, Seq[(String, Int)]]]()
       inParallel[Unit](Seq(
+        () => labeled(spark, "x94: dirty detect") {
+          def rowsOf(art: String, dir: String, kb: DataFrame,
+                     keyCol: String): Option[DataFrame] = {
+            if (!VersionedLayers.isVersioned(spark, dir) ||
+                VersionedLayers.layers(spark, dir).forall(_.tag == tag)) None
+            else Some(VersionedLayers.read(spark, dir, exclude = Some(tag))(
+                spark.range(0).select(col("id").as(keyCol), lit("").as("batch")))
+              .select(col(keyCol), col("batch"))
+              .join(kb, Seq(keyCol), "leftsemi")
+              .select(lit(art).as("art"), col("batch"),
+                lit(-1).as("cell")))
+          }
+          val kb = broadcast(kdf)
+          val kbVec = broadcast(kdfVec)
+          val ann: Option[DataFrame] =
+            if (VersionedLayers.layers(spark, dirs.annDir).forall(_.tag == tag))
+              None
+            else Some(VersionedLayers.read(spark, dirs.annDir,
+                exclude = Some(tag))(
+                spark.range(0).select(col("id").as("vec_id"),
+                  lit("").as("batch"), col("id").cast("int").as("cell")))
+              .select(col("vec_id"), col("batch"), col("cell"))
+              .join(kbVec, Seq("vec_id"), "leftsemi")
+              .select(lit("ann").as("art"), col("batch"), col("cell")))
+          val edges: Option[DataFrame] =
+            if (VersionedLayers.layers(spark, dirs.cluster.edgesDir)
+                .forall(_.tag == tag)) None
+            else {
+              val idx = VersionedLayers.read(spark, dirs.cluster.edgesDir,
+                exclude = Some(tag))(
+                spark.range(0).select(col("id").as("id1"), col("id").as("id2"),
+                  lit("").as("batch")))
+              Some(idx.join(kb, col("id1") === col("doc_id"), "leftsemi")
+                .unionByName(
+                  idx.join(kb, col("id2") === col("doc_id"), "leftsemi"))
+                .select(lit("edges").as("art"), col("batch"),
+                  lit(-1).as("cell")))
+            }
+          val frames = Seq(
+            rowsOf("corpus", dirs.corpusDir, kb, "doc_id"),
+            rowsOf("exact", dirs.exactDir, kb, "doc_id"),
+            rowsOf("span", dirs.spanDir, kb, "doc_id"),
+            rowsOf("fp", s"${dirs.nearDir}/fp", kb, "doc_id"),
+            rowsOf("pfx", s"${dirs.nearDir}/pfx", kb, "doc_id"),
+            rowsOf("sh", s"${dirs.nearDir}/sh", kb, "doc_id"),
+            rowsOf("sem", dirs.semDir, kbVec, "vec_id"),
+            ann, edges).flatten
+          // ONE distinct over the union, not one per frame: the
+          // partial (map-side) aggregation compresses each frame's
+          // matches to its (art, batch, cell) set before the single
+          // exchange, so nine exchanges collapse to one without the
+          // collect ever seeing per-row volume
+          dirtyByArtRef.set(
+            if (frames.isEmpty) Map.empty
+            else frames.reduce(_.unionByName(_)).distinct().collect().toSeq
+              .groupBy(_.getString(0))
+              .map { case (a, rs) =>
+                a -> rs.map(r => (r.getString(1), r.getInt(2))).sorted })
+        },
         () => labeled(spark, "x94: snapshot internalPairs") {
           internalPairsRef.set(Dedup.snapshot(spark,
             StreamingIngest.batchInternalPairs(
@@ -1241,76 +1312,90 @@ object Maintenance {
             .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         } }))
       val vecEnriched = vecEnrichedRef.get()
-      // Phase 1 — the key set folds through every swap
-      inParallel[Any](Seq(
-        () => labeled(spark, "x94 p1: corpus delete") {
-          Dedup.dedupIndexDeleteKeys(spark, dirs.corpusDir, kdf) },
-        () => labeled(spark, "x94 p1: exact delete") {
-          Dedup.dedupIndexDeleteKeys(spark, dirs.exactDir, kdf) },
-        () => labeled(spark, "x94 p1: span delete") {
-          Dedup.dedupIndexDeleteKeys(spark, dirs.spanDir, kdf) },
-        () => labeled(spark, "x94 p1: near delete") {
-          Dedup.nearDedupIndexDeleteKeys(spark, dirs.nearDir, kdf) },
-        () => labeled(spark, "x94 p1: sem delete") {
-          Dedup.dedupIndexDeleteKeys(spark, dirs.semDir, kdfVec,
-            keyCol = "vec_id") },
-        () => labeled(spark, "x94 p1: ann delete") {
-          Similarity.ivfPqLayerDeleteKeys(spark, dirs.annDir, kdfVec) }))
-      // The batch-vs-stored near-pair probe, ONCE (VERDICT r16 #1): it
-      // reads the post-delete pfx/sh sub-indexes with the batch's own
-      // tag excluded — exactly the state the near leg probed when it ran
-      // the probe itself — and its snapshot feeds BOTH Phase-2 consumers:
-      // the near admit (new_id side) and the cluster pipeline's new
-      // edges (the pairs, plus the batch's internal self-pairs the
-      // own-tag-excluded probe cannot see). No corpus-global pair
-      // artifact is read per pass — the probe is O(batch) against
-      // O(corpus) index metadata, and at 100 TB the t26 loop's per-batch
-      // cluster fold costs what the near fold already paid. One shared
-      // threshold by construction ([[ClusterThreshold]] — the near leg
-      // is invoked with the same value, or the pairs would state a
-      // different graph than the admit).
+      val dirtyByArt = dirtyByArtRef.get()
+      def dirtyTags(art: String): Option[Seq[String]] =
+        Some(dirtyByArt.getOrElse(art, Seq.empty).map(_._1))
+      // The batch-vs-stored near-pair probe, ONCE (VERDICT r16 #1),
+      // against the POST-DELETE VIEW derived by anti-joining the key set
+      // onto the published pfx/sh reads (own tag excluded) — row-identical
+      // to the state a separate delete publish exposed, which is what
+      // lets the probe run BEFORE any fold publishes (it used to sit on
+      // the phase-1 barrier). Its snapshot feeds BOTH consumers: the near
+      // admit (new_id side) and the cluster pipeline's new edges (the
+      // pairs, plus the batch's internal self-pairs the own-tag-excluded
+      // probe cannot see). No corpus-global pair artifact is read per
+      // pass — the probe is O(batch) against O(corpus) index metadata.
+      // One shared threshold by construction ([[ClusterThreshold]]).
       val probePairs = labeled(spark, "x94: snapshot probePairs") {
         Dedup.snapshot(spark, StreamingIngest.nearIndexProbePairs(
           enriched.select(col("doc_id"), col("sh"), col("n")), tag,
-          dirs.nearDir, ClusterThreshold)) }
+          dirs.nearDir, ClusterThreshold, deleteKeys = Some(kdf))) }
       val clusterPairs = probePairs
         .select(least(col("new_id"), col("prior_id")).as("id1"),
           greatest(col("new_id"), col("prior_id")).as("id2"))
         .unionByName(internalPairsRef.get())
-      // Phase 2 — the enriched batch lands in every artifact
+      // Phase 1 — ONE-publish delete+append fold per artifact (VERDICT
+      // r17 #1): each leg stages its dirty layers' delete-survivors and
+      // its admitted batch layer in ONE write and publishes ONCE — the
+      // old phase-1 (six delete publishes) and phase-2 (seven append
+      // publishes) merge into seven folds, halving the per-batch write
+      // jobs and pointer moves. Every admit probes the post-delete view
+      // via the key anti-join (row-identical to the old barrier state),
+      // so admission semantics are unchanged; each fold is independently
+      // idempotent and atomic, so the replay argument is per-artifact
+      // exactly as before (a replayed batch's keys are absent, its tag
+      // layer clobbers itself).
       inParallel[Any](Seq(
-        () => labeled(spark, "x94 p2: corpus append") {
-          VersionedLayers.writeTagged(spark, dirs.corpusDir, tag,
-            enriched.select(col("doc_id"), col("source"), col("text"))) },
-        () => labeled(spark, "x94 p2: exact append") {
-          val surv = Dedup.snapshot(spark, Dedup.probeIndexKeepFirst(
-            enriched.select(col("doc_id"), col("fp")), dirs.exactDir, tag))
-          VersionedLayers.writeTagged(spark, dirs.exactDir, tag,
-            surv.select(col("fp"), col("doc_id")))
+        () => labeled(spark, "x94 f: corpus fold") {
+          Dedup.indexUpsertFold(spark, dirs.corpusDir, kdf, tag,
+            enriched.select(col("doc_id"), col("source"), col("text")),
+            knownDirty = dirtyTags("corpus")) },
+        () => labeled(spark, "x94 f: exact fold") {
+          // the admit probe: post-delete fp view (own tag excluded, keys
+          // anti-joined), then x1's keep-first rule within the batch
+          val existing = Dedup.readBatchIndex(spark, dirs.exactDir, tag)(
+              spark.range(0).select(col("id").as("fp"), col("id").as("doc_id")))
+            .join(broadcast(kdf), Seq("doc_id"), "leftanti")
+            .select(col("fp").as("seen_fp"))
+          val surv = enriched.select(col("doc_id"), col("fp"))
+            .join(existing, col("fp") === col("seen_fp"), "left_anti")
+            .withColumn("rk", row_number().over(
+              Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+            .where(col("rk") === 1).drop("rk")
+          Dedup.indexUpsertFold(spark, dirs.exactDir, kdf, tag,
+            surv.select(col("fp"), col("doc_id")),
+            knownDirty = dirtyTags("exact"))
         },
-        () => labeled(spark, "x94 p2: near append") {
+        () => labeled(spark, "x94 f: near fold") {
           StreamingIngest.nearDedupIndexBatchEnriched(
             enriched.select(col("doc_id"), col("text"), col("fp"), col("sh"),
               col("n")), tag, dirs.nearDir, dirs.nearOutDir,
             threshold = ClusterThreshold, alreadyMaterialized = true,
-            probedPairs = Some(probePairs)) },
-        () => labeled(spark, "x94 p2: span append") {
-          TextAnalysis.spanIndexAppend(spark,
-            enriched.select(col("doc_id"), col("text")), dirs.spanDir, tag) },
-        () => labeled(spark, "x94 p2: sem append") {
+            probedPairs = Some(probePairs), deleteKeys = Some(kdf),
+            knownDirtyBySub = Some(Dedup.NearSubIndexes.map(s =>
+              s -> dirtyTags(s).get).toMap)) },
+        () => labeled(spark, "x94 f: span fold") {
+          TextAnalysis.spanIndexUpsertKeys(spark, dirs.spanDir,
+            enriched.select(col("doc_id"), col("text")), kdf, tag,
+            knownDirty = dirtyTags("span")) },
+        () => labeled(spark, "x94 f: sem fold") {
           StreamingIngest.semanticDedupBatchAssigned(
             semSelfKeptRef.get(), tag, dirs.semDir, dirs.semOutDir,
-            SemDedupThreshold, selfKept = true) },
-        () => labeled(spark, "x94 p2: ann append") {
-          Similarity.ivfPqAppendEncoded(vecEnriched, dirs.annDir, tag) },
-        // the cluster pipeline folds as ONE self-contained leg (x98's
-        // pass: edge swap, edge append, one label delta — internally
-        // delete-before-admit, replay-convergent without markers); its
-        // dirs are disjoint from every other leg's
-        () => labeled(spark, "x94 p2: cluster fold") {
+            SemDedupThreshold, selfKept = true,
+            deleteKeys = Some(kdfVec), knownDirty = dirtyTags("sem")) },
+        () => labeled(spark, "x94 f: ann fold") {
+          Similarity.ivfPqUpsertEncodedKeys(spark, dirs.annDir, kdfVec, tag,
+            vecEnriched,
+            knownDirty = Some(dirtyByArt.getOrElse("ann", Seq.empty))) },
+        // the cluster pipeline already folds as ONE self-contained
+        // one-publish leg (x98's pass: edge swap + append in one staged
+        // write, one label delta — internally delete-before-admit,
+        // replay-convergent without markers); its dirs are disjoint from
+        // every other leg's
+        () => labeled(spark, "x94 f: cluster fold") {
           Dedup.clusterIndexUpsert(spark, dirs.cluster,
             enriched.select(col("doc_id")), kdf, clusterPairs, tag,
-            prepared = true) }))
+            prepared = true, knownDirtyEdges = dirtyTags("edges")) }))
     enriched
     }
   }
@@ -1340,11 +1425,30 @@ object Maintenance {
     import graft.streaming.StreamingIngest
     val nulL = lit(null).cast("long")
     val nulD = lit(null).cast("double")
-    val corpus = VersionedLayers.readAny(spark, dirs.corpusDir)
+    // ONE corpus text scan feeds BOTH text-reading legs (VERDICT r17 #4
+    // — the corpus-rows leg and the bm25 tf leg each rescanned the live
+    // text): every text-derived value — fingerprint, char length, token
+    // count, per-term tf — computes in one pass and materializes as
+    // NARROW columns (O(docs × 7 numbers), the fingerprint-index
+    // envelope; the text itself is never checkpointed), which both legs
+    // then read. Same expressions, same values, so every oracle hash
+    // carries verbatim.
+    val corpusNarrow = Dedup.snapshot(spark,
+      VersionedLayers.readAny(spark, dirs.corpusDir)
+        .select(col("doc_id"), col("text"),
+          TextFns.tokens(col("text")).as("tk"))
+        .select(col("doc_id") +:
+          TextFns.polyHash(col("text")).as("fpv") +:
+          length(col("text")).cast("long").as("lenv") +:
+          size(col("tk")).cast("double").as("dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            size(filter(col("tk"), w => w === lit(t))).cast("double")
+              .as(s"tf$i") }: _*))
+    val corpus = corpusNarrow
       .select(lit("corpus").as("artifact"),
         col("doc_id").cast("string").as("k1"),
-        TextFns.polyHash(col("text")).as("v1"),
-        length(col("text")).cast("long").as("v2"), nulL.as("v3"), nulD.as("d1"))
+        col("fpv").as("v1"),
+        col("lenv").as("v2"), nulL.as("v3"), nulD.as("d1"))
     val exact = VersionedLayers.readAny(spark, dirs.exactDir)
       .select(lit("exact").as("artifact"), col("doc_id").cast("string").as("k1"),
         col("fp").as("v1"), nulL.as("v2"), nulL.as("v3"), nulD.as("d1"))
@@ -1361,9 +1465,12 @@ object Maintenance {
         col("n_spans").as("v1"), col("n_hit_spans").as("v2"),
         col("hit_ppm").as("v3"), nulD.as("d1"))
     val (termDf, scalars) = StreamingIngest.readBm25Stats(spark, dirs.bm25Dir)
-    val live = VersionedLayers.readAny(spark, dirs.corpusDir)
-      .select(col("doc_id"), col("text"))
-    val bm = Search.bm25ScoredAgainst(Search.tfPass(live, terms), terms,
+    // the tf leg reads the SAME materialized narrow pass — its columns
+    // are exactly Search.tfPass's (doc_id, dl, tf0..tf2), so the scoring
+    // arithmetic (and the oracle hash) is unchanged
+    val bm = Search.bm25ScoredAgainst(
+        corpusNarrow.select(col("doc_id") +: col("dl") +:
+          terms.indices.map(i => col(s"tf$i")): _*), terms,
         termDf, scalars)
       .orderBy(col("bm25").desc, col("doc_id")).limit(10)
       .select(lit("bm25").as("artifact"), col("doc_id").cast("string").as("k1"),

@@ -948,6 +948,106 @@ object Similarity {
     dirty
   }
 
+  /** ONE-publish upsert over a batch-layered IVF-PQ index (VERDICT r17
+    * #1, the cell-granular twin of `Dedup.indexUpsertFold`): the dirty
+    * (batch, cell) leaves' delete-survivors AND the encoded insert
+    * batch's new `batch=<tag>` layer stage in ONE two-level
+    * `partitionBy(batch, cell)` write and land in ONE publish — a
+    * versioned root swaps+appends the manifest once, a legacy root runs
+    * one dynamic overwrite — where the append-then-delete pair paid two
+    * write jobs and two publishes. Equivalence with the pair is
+    * order-free: `encoded` is net of same-batch cancels, so its rows
+    * never match `keys` and the dirty set is identical whether the
+    * fresh layer exists yet or not; final state ≡ (stored \ keys) ∪
+    * fresh either way (x84's oracle argument). Replay converges by the
+    * same rules (keys already absent ⇒ dirty = ∅; the re-derived tag
+    * layer replaces its own prior entry). Returns the dirty pairs. */
+  private[graft] def ivfPqUpsertEncodedKeys(spark: SparkSession, idxDir: String,
+      keys: DataFrame, tag: String, encoded: DataFrame,
+      gate: Int = Maintenance.keyGateDefault,
+      knownDirty: Option[Seq[(String, Int)]] = None): Seq[(String, Int)] = {
+    import graft.operators.VersionedLayers
+    val k = broadcast(keys.select(col("vec_id")).distinct())
+    val fresh = encoded.select(col("vec_id"), col("u"), col("codes"), col("cell"))
+      .withColumn("batch", lit(tag))
+    if (VersionedLayers.isVersioned(spark, idxDir)) {
+      val live = VersionedLayers.layers(spark, idxDir).filterNot(_.tag == tag)
+      val livePairs = live.flatMap(l => l.cell.map(c => (l.tag, c))).toSet
+      val dirty = knownDirty
+        .map(_.filter(livePairs).sorted)
+        .getOrElse {
+        if (live.isEmpty) Seq.empty[(String, Int)]
+        else VersionedLayers.read(spark, idxDir, exclude = Some(tag))(
+            spark.range(0).select(col("id").as("vec_id"),
+              lit("").as("batch"), col("id").cast("int").as("cell")))
+          .join(k, Seq("vec_id"), "leftsemi")
+          .select(col("batch"), col("cell")).distinct()
+          .collect().map(r => (r.getString(0), r.getInt(1))).toSeq.sorted }
+      val staged =
+        if (dirty.isEmpty) fresh
+        else VersionedLayers.readCells(spark, idxDir, dirty.toSet)
+          .join(k, Seq("vec_id"), "leftanti")
+          .select(col("vec_id"), col("u"), col("codes"), col("cell"),
+            col("batch"))
+          .unionByName(fresh)
+      VersionedLayers.rewriteCellLayers(spark, idxDir, dirty, staged,
+        appendTag = Some(tag))
+      return dirty
+    }
+    Maintenance.guardInterruptedCompaction(spark, idxDir)
+    val idxOpt =
+      if (graft.operators.Dedup.hasVisibleData(spark, idxDir))
+        Some(spark.read.parquet(idxDir))
+      else None
+    val dirtyDf = idxOpt match {
+      case None => spark.range(0).select(col("id").cast("string").as("batch"),
+        col("id").cast("int").as("cell"))
+      case Some(idx) => knownDirty match {
+        case Some(pairs) =>
+          import spark.implicits._
+          pairs.filterNot(_._1 == tag).toDF("batch", "cell")
+        case None => idx.where(col("batch") =!= tag)
+          .join(k, Seq("vec_id"), "leftsemi")
+          .select(col("batch"), col("cell")).distinct()
+      }
+    }
+    val dirty =
+      if (idxOpt.isEmpty) Seq.empty[(String, Int)]
+      else knownDirty.map(_.filterNot(_._1 == tag).sorted).getOrElse(
+        dirtyDf.collect().map(r => (r.getString(0), r.getInt(1))).toSeq.sorted)
+    val surv = idxOpt match {
+      case Some(idx) if dirty.nonEmpty =>
+        val restricted =
+          if (dirty.size <= gate)
+            idx.where(dirty.map { case (b, c) =>
+              col("batch") === b && col("cell") === c }.reduce(_ || _))
+          else idx.join(broadcast(dirtyDf), Seq("batch", "cell"), "leftsemi")
+        restricted.join(k, Seq("vec_id"), "leftanti")
+          .select(col("vec_id"), col("u"), col("codes"), col("cell"),
+            col("batch"))
+      case _ => null
+    }
+    // snapshot before the overwrite — the survivor fetch reads idxDir
+    // (the ivfPqLayerDeleteKeys argument, applied to the combined stage)
+    val staged = graft.operators.Dedup.snapshot(spark,
+      if (surv == null) fresh else surv.unionByName(fresh))
+    val stagedPairs = staged.select(col("batch"), col("cell")).distinct()
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    if (stagedPairs.nonEmpty)
+      VersionedLayers.sizedForWrite(staged, Seq("batch", "cell"))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch", "cell").parquet(idxDir)
+    val fs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val emptied = dirty.filterNot(stagedPairs)
+    emptied.foreach { case (b, c) =>
+      fs.delete(new org.apache.hadoop.fs.Path(idxDir, s"batch=$b/cell=$c"),
+        true); ()
+    }
+    if (emptied.nonEmpty) spark.catalog.refreshByPath(idxDir)
+    dirty
+  }
+
   /** X83 — the x6g probe served from an incrementally-grown index
     * maintained under DELETES: x6h's two [[ivfPqAppend]] batches land the
     * layered `batch=<tag>/cell=<c>` artifact, then a tombstone batch
@@ -1042,13 +1142,14 @@ object Similarity {
     // stored history: the even half, landed as the base layer
     ivfPqAppend(spark, sfDir, vecs.where(pmod(col("vec_id"), lit(2L)) === 0L),
       idx, "base")
-    // ONE upsert pass: land the insert batch net of its own tombstones,
-    // then fold the deletes through the stored layers
-    ivfPqAppend(spark, sfDir,
-      vecs.where(pmod(col("vec_id"), lit(2L)) === 1L)
-        .join(broadcast(tombs), Seq("vec_id"), "leftanti"),
-      idx, "grow")
-    ivfPqLayerDeleteKeys(spark, idx, tombs)
+    // ONE upsert pass, ONE staged write + publish (VERDICT r17 #1): the
+    // insert batch (net of its own tombstones) and the stored layers'
+    // delete-survivors land together — final state ≡ (stored \ doomed) ∪
+    // inserts either way, so x83's oracle carries verbatim
+    ivfPqUpsertEncodedKeys(spark, idx, tombs, "grow",
+      encodeVectorBatch(spark, sfDir,
+        vecs.where(pmod(col("vec_id"), lit(2L)) === 1L)
+          .join(broadcast(tombs), Seq("vec_id"), "leftanti")))
     ivfPqProbe(spark, sfDir, spark.read.parquet(idx), queryId, k, nprobe)
   }
 
@@ -1377,11 +1478,11 @@ object Similarity {
     StreamingIngest.semanticDedupBatch(vecs.where(bucket <= 7), "prior",
       cents, idx, out, threshold)
     val keys = vecs.where(doomed).select(col("vec_id"))
-    Dedup.dedupIndexDeleteKeys(spark, idx, keys, keyCol = "vec_id")
+    // delete fold + admitted fresh batch in ONE publish (VERDICT r17 #1/#2)
     StreamingIngest.semanticDedupBatch(
       vecs.where(bucket >= 8)
         .join(broadcast(keys.distinct()), Seq("vec_id"), "leftanti"),
-      "fresh", cents, idx, out, threshold)
+      "fresh", cents, idx, out, threshold, deleteKeys = Some(keys))
     spark.read.parquet(idx)
       .select(col("vec_id"), col("cell").cast("long").as("cell"))
       .orderBy(col("vec_id"))

@@ -1151,6 +1151,22 @@ object TextAnalysis {
     VersionedLayers.readAny(spark, indexDir)
   }
 
+  /** The span index's full UPSERT in ONE publish (VERDICT r17 #1): the
+    * delete keys' dirty-layer survivors and the new batch's span rows
+    * stage in one write through `Dedup.indexUpsertFold`. Landing never
+    * probes the index (span rows are a pure per-doc function — the
+    * [[spanIndexAppend]] contract), so the pair→fold rewrite is
+    * trivially order-free: final state ≡ (stored \ keys) ∪ spans(batch)
+    * either way, and t25 keeps carrying x91's oracle verbatim. `newDocs`
+    * must already be net of same-batch cancels. */
+  private[graft] def spanIndexUpsertKeys(spark: SparkSession, indexDir: String,
+      newDocs: DataFrame, keys: DataFrame, batchTag: String,
+      knownDirty: Option[Seq[String]] = None): Unit = {
+    Dedup.indexUpsertFold(spark, indexDir, keys, batchTag,
+      localSpanRows(newDocs), knownDirty = knownDirty)
+    ()
+  }
+
   /** X62 — content-defined chunking rollup: split every doc at rolling-hash
     * boundaries ([[TextFns.cdcChunksLocal]] — boundaries follow content, so
     * shared passages chunk identically regardless of their byte offset in

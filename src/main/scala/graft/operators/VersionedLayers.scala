@@ -364,10 +364,16 @@ object VersionedLayers {
     * `dirtyPairs`) stages under ONE two-level `partitionBy` job, each
     * staged leaf renames into the store, and the manifest swaps all
     * dirty (tag, cell) entries at once — clean cells of the SAME tag
-    * keep their immutable dirs. */
+    * keep their immutable dirs. With `appendTag`, `survivors` ALSO
+    * carries the batch's new `batch=<appendTag>` rows and the SAME
+    * staged write + manifest publish lands them (any prior entry of
+    * that tag is replaced wholesale — the x16 replay rule): the
+    * delete-publish/append-publish pair of the layered-index upsert
+    * becomes one write job and one pointer move (VERDICT r17 #1). */
   private[graft] def rewriteCellLayers(spark: SparkSession, dir: String,
                                        dirtyPairs: Seq[(String, Int)],
-                                       survivors: DataFrame): Unit = {
+                                       survivors: DataFrame,
+                                       appendTag: Option[String] = None): Unit = {
     val (fs, root) = fsOf(spark, dir)
     val seq = currentSeq(fs, root) + 1L
     val stage = new Path(root, s".stage_g$seq")
@@ -395,11 +401,17 @@ object VersionedLayers {
     fs.delete(stage, true)
     val dirty = dirtyPairs.toSet
     publish(fs, root, layers(spark, dir).flatMap { l =>
-      l.cell match {
+      // an appended tag's prior entries (a replayed batch's own earlier
+      // attempt) are replaced wholesale by the staged generation
+      if (appendTag.contains(l.tag)) None
+      else l.cell match {
         case Some(c) if dirty.contains((l.tag, c)) =>
           remapped.get((l.tag, c)).map(rel => Layer(l.tag, rel, Some(c)))
         case _ => Some(l)
       }
+    } ++ appendTag.toSeq.flatMap { t =>
+      remapped.toSeq.collect { case ((tt, c), rel) if tt == t => (c, rel) }
+        .sortBy(_._1).map { case (c, rel) => Layer(t, rel, Some(c)) }
     })
   }
 
