@@ -1481,29 +1481,41 @@ object Dedup {
     }
     val dirty = knownDirty.map(_.filterNot(_ == tag).sorted).getOrElse(
       dirtyDf.collect().map(_.getString(0)).toSeq.sorted)
-    val surv = idxOpt match {
+    // SNAPSHOT the dirty layers' survivors before the overwrite (the
+    // dedupIndexDeleteKeys argument: the overwrite rewrites exactly the
+    // partitions their plan reads). The FRESH side deliberately rides
+    // the write un-checkpointed — its probe reads partitions the
+    // overwrite does not touch until job commit, the same safety the
+    // separate append always had; checkpointing it too made t27's
+    // embedding-heavy batch pay a whole extra materialization.
+    val (survTags, stagedSurv) = idxOpt match {
       case Some(idx) if dirty.nonEmpty =>
-        Maintenance.restrictToKeys(idx, "batch", dirtyDf, dirty, gate)
-          .join(k, Seq(keyCol), "leftanti")
-      case _ => null
+        val s = snapshot(spark,
+          Maintenance.restrictToKeys(idx, "batch", dirtyDf, dirty, gate)
+            .join(k, Seq(keyCol), "leftanti"))
+        (s.select(col("batch")).distinct()
+          .collect().map(_.getString(0)).toSet, s)
+      case _ => (Set.empty[String], null)
     }
-    // SNAPSHOT before the overwrite: both the survivor fetch and (via the
-    // caller's post-delete probe) the new rows' lineage may READ idxDir —
-    // the dedupIndexDeleteKeys argument, applied to the combined stage
-    val staged = snapshot(spark,
-      if (surv == null) fresh else surv.unionByName(fresh))
-    val stagedTags = staged.select(col("batch")).distinct()
-      .collect().map(_.getString(0)).toSet
-    if (stagedTags.nonEmpty)
-      VersionedLayers.sizedForWrite(staged, Seq("batch"))
-        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch").parquet(idxDir)
+    val staged =
+      if (stagedSurv == null) fresh else stagedSurv.unionByName(fresh)
+    VersionedLayers.sizedForWrite(staged, Seq("batch"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(idxDir)
     val fs = new org.apache.hadoop.fs.Path(idxDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val emptied = dirty.filterNot(stagedTags)
+    val emptied = dirty.filterNot(survTags)
     emptied.foreach { t =>
       fs.delete(new org.apache.hadoop.fs.Path(idxDir, s"batch=$t"), true); ()
     }
+    // degenerate end state (everything deleted, nothing admitted): the
+    // dynamic partitionBy write of 0 rows stages NO file at all, where
+    // the old direct-path append left a footer-only part file that kept
+    // the artifact schema-readable (the t23 divergence drill reads it
+    // bare) — land that same marker when the fold emptied the artifact
+    if (!hasVisibleData(spark, idxDir))
+      newRows.where(lit(false)).coalesce(1).write.mode("overwrite")
+        .parquet(s"$idxDir/batch=$tag")
     if (emptied.nonEmpty) spark.catalog.refreshByPath(idxDir)
     dirty
   }

@@ -1015,31 +1015,35 @@ object Similarity {
       if (idxOpt.isEmpty) Seq.empty[(String, Int)]
       else knownDirty.map(_.filterNot(_._1 == tag).sorted).getOrElse(
         dirtyDf.collect().map(r => (r.getString(0), r.getInt(1))).toSeq.sorted)
-    val surv = idxOpt match {
+    // snapshot the dirty leaves' SURVIVORS only before the overwrite
+    // (the ivfPqLayerDeleteKeys argument); the fresh encoded batch rides
+    // the write un-checkpointed — its lineage reads nothing the dynamic
+    // overwrite touches before job commit, the same safety the separate
+    // append always had, and checkpointing the encoded batch again was
+    // a whole extra materialization per micro-batch
+    val (survPairs, stagedSurv) = idxOpt match {
       case Some(idx) if dirty.nonEmpty =>
         val restricted =
           if (dirty.size <= gate)
             idx.where(dirty.map { case (b, c) =>
               col("batch") === b && col("cell") === c }.reduce(_ || _))
           else idx.join(broadcast(dirtyDf), Seq("batch", "cell"), "leftsemi")
-        restricted.join(k, Seq("vec_id"), "leftanti")
-          .select(col("vec_id"), col("u"), col("codes"), col("cell"),
-            col("batch"))
-      case _ => null
+        val s = graft.operators.Dedup.snapshot(spark,
+          restricted.join(k, Seq("vec_id"), "leftanti")
+            .select(col("vec_id"), col("u"), col("codes"), col("cell"),
+              col("batch")))
+        (s.select(col("batch"), col("cell")).distinct()
+          .collect().map(r => (r.getString(0), r.getInt(1))).toSet, s)
+      case _ => (Set.empty[(String, Int)], null)
     }
-    // snapshot before the overwrite — the survivor fetch reads idxDir
-    // (the ivfPqLayerDeleteKeys argument, applied to the combined stage)
-    val staged = graft.operators.Dedup.snapshot(spark,
-      if (surv == null) fresh else surv.unionByName(fresh))
-    val stagedPairs = staged.select(col("batch"), col("cell")).distinct()
-      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
-    if (stagedPairs.nonEmpty)
-      VersionedLayers.sizedForWrite(staged, Seq("batch", "cell"))
-        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch", "cell").parquet(idxDir)
+    val staged =
+      if (stagedSurv == null) fresh else stagedSurv.unionByName(fresh)
+    VersionedLayers.sizedForWrite(staged, Seq("batch", "cell"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch", "cell").parquet(idxDir)
     val fs = new org.apache.hadoop.fs.Path(idxDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val emptied = dirty.filterNot(stagedPairs)
+    val emptied = dirty.filterNot(survPairs)
     emptied.foreach { case (b, c) =>
       fs.delete(new org.apache.hadoop.fs.Path(idxDir, s"batch=$b/cell=$c"),
         true); ()

@@ -198,4 +198,93 @@ class VersionedLayersSpec extends SparkSpec {
     assert(changed.map(l => (l.tag, l.cell.get)) == Set("b0" -> 1, "b1" -> 0),
       s"rewrote more than the dirty leaves: $changed")
   }
+
+  private def pointerSeq(dir: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.streaming.StreamingIngest.readViewPointer(fs, root)
+      .stripPrefix("m-").toLong
+  }
+
+  test("one-publish upsert folds (r18): indexUpsertFold equals the delete-then-" +
+      "append composition in EXACTLY ONE manifest publish, drops emptied layers, " +
+      "keeps clean layers' dirs, and a full replay converges") {
+    val fDir = Tables.scratchDir("graft_vl_upfold").toString
+    val tDir = Tables.scratchDir("graft_vl_uptwin").toString
+    Seq(fDir, tDir).foreach { d =>
+      VersionedLayers.init(spark, d)
+      VersionedLayers.writeTagged(spark, d, "t1", rows(1 to 40, 1))
+      VersionedLayers.writeTagged(spark, d, "t2", rows(41 to 80, 2))
+      VersionedLayers.writeTagged(spark, d, "t3", rows(81 to 120, 3))
+    }
+    // keys dirty t1 (one row) and EMPTY t2 entirely; t3 stays clean
+    val keys = (Seq(5L) ++ (41L to 80L)).toDF("doc_id")
+    val fresh = rows(200 to 210, 9)
+    // twin: the sequential two-step composition (two publishes)
+    Dedup.dedupIndexDeleteKeys(spark, tDir, keys)
+    VersionedLayers.writeTagged(spark, tDir, "b9", fresh)
+    // fold: one publish — the pointer advances by EXACTLY one generation
+    val seq0 = pointerSeq(fDir)
+    val dirty = Dedup.indexUpsertFold(spark, fDir, keys, "b9", fresh)
+    assert(pointerSeq(fDir) == seq0 + 1L,
+      "the combined fold published more than once")
+    assert(dirty == Seq("t1", "t2"), s"dirty tags: $dirty")
+    assert(observed(fDir) == observed(tDir),
+      "one-publish fold diverged from the delete-then-append composition")
+    val tags = VersionedLayers.layers(spark, fDir)
+    assert(tags.map(_.tag).sorted == Seq("b9", "t1", "t3"),
+      s"emptied layer survived or append missing: ${tags.map(_.tag)}")
+    assert(tags.find(_.tag == "t3").get.rel == "t3-g3",
+      "clean layer was rewritten by the fold")
+    // full-batch replay (keys already folded, own tag live): converges and
+    // still publishes exactly once
+    val seq1 = pointerSeq(fDir)
+    assert(Dedup.indexUpsertFold(spark, fDir, keys, "b9", fresh).isEmpty)
+    assert(pointerSeq(fDir) == seq1 + 1L)
+    assert(observed(fDir) == observed(tDir), "fold replay diverged")
+  }
+
+  test("one-publish cell upsert (r18): ivfPqUpsertEncodedKeys equals the append-" +
+      "then-delete composition in one publish; replay replaces its own tag's " +
+      "leaves wholesale") {
+    import graft.operators.Similarity
+    def enc(ids: Range): DataFrame = ids.map(i => (i.toLong,
+      Seq(i.toLong), Seq(i % 16), i % 4)).toDF("vec_id", "u", "codes", "cell")
+    val fDir = Tables.scratchDir("graft_vl_cellup_f").toString
+    val tDir = Tables.scratchDir("graft_vl_cellup_t").toString
+    Seq(fDir, tDir).foreach { d =>
+      VersionedLayers.init(spark, d)
+      VersionedLayers.writeTagged(spark, d, "base",
+        enc(1 to 40).select(col("vec_id"), col("u"), col("codes"), col("cell")),
+        Seq("cell"))
+    }
+    val keys = Seq(5L, 6L).toDF("vec_id") // cells 1 and 2 of base go dirty
+    val fresh = enc(41 to 60)
+    // twin: append then delete (two publishes)
+    VersionedLayers.writeTagged(spark, tDir, "grow",
+      fresh.select(col("vec_id"), col("u"), col("codes"), col("cell")),
+      Seq("cell"))
+    Similarity.ivfPqLayerDeleteKeys(spark, tDir, keys)
+    def contents(d: String): Set[(Long, Int, String)] =
+      VersionedLayers.readAny(spark, d)
+        .select(col("vec_id"), col("cell"), col("batch")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val seq0 = pointerSeq(fDir)
+    val dirty = Similarity.ivfPqUpsertEncodedKeys(spark, fDir, keys, "grow", fresh)
+    assert(pointerSeq(fDir) == seq0 + 1L,
+      "the combined cell fold published more than once")
+    assert(dirty == Seq(("base", 1), ("base", 2)), s"dirty pairs: $dirty")
+    assert(contents(fDir) == contents(tDir),
+      "one-publish cell fold diverged from append-then-delete")
+    // clean leaves of base keep their dirs; replay replaces grow's leaves
+    val cleanBefore = VersionedLayers.layers(spark, fDir)
+      .filter(l => l.tag == "base" && !Seq(1, 2).contains(l.cell.get)).toSet
+    assert(Similarity.ivfPqUpsertEncodedKeys(spark, fDir, keys, "grow", fresh)
+      .isEmpty)
+    assert(contents(fDir) == contents(tDir), "cell fold replay diverged")
+    val cleanAfter = VersionedLayers.layers(spark, fDir)
+      .filter(l => l.tag == "base" && !Seq(1, 2).contains(l.cell.get)).toSet
+    assert(cleanBefore == cleanAfter,
+      "replay rewrote clean leaves of an untouched tag")
+  }
 }

@@ -1,7 +1,7 @@
-// Plan-capture script (guide §1/§7.2): runs each named declared query
+// Plan-capture script (guide ?1/?7.2): runs each named declared query
 // (fixture setup executes, so the final DataFrame reflects the maintained
 // artifact) and writes its `.explain("formatted")` text to
-// $PLAN_DIR/<query>_$PLAN_SUFFIX.txt — the committed before/after plan
+// $PLAN_DIR/<query>_$PLAN_SUFFIX.txt -- the committed before/after plan
 // evidence for the optimization rounds.
 //
 // Usage:
