@@ -3003,27 +3003,32 @@ object StreamingIngest {
     val kept = keptBatch.join(dropVsPrior, Seq("vec_id"), "left_anti")
     kept.persist()
     try {
-      // materialize the probe once; then the two tag-scoped writes run
-      // SEQUENTIALLY — r17 ran them concurrently and the driver's numbers
-      // showed the opposite of a win (x92 0.74× vs r16, and 2.4× FASTER
-      // at 8 cores than 32: two KB-scale AQE writes in flight double the
-      // stage storms for no overlap). Both read the materialized kept
-      // set, so serializing costs one job's latency, never a recompute;
-      // at data scale two full-width writes would only split the cluster.
-      kept.count()
+      // The two tag-scoped writes run SEQUENTIALLY — r17 ran them
+      // concurrently and the driver's numbers showed the opposite of a
+      // win (x92 0.74× vs r16, and 2.4× FASTER at 8 cores than 32: two
+      // KB-scale AQE writes in flight double the stage storms for no
+      // overlap; at data scale they would only split the cluster).
+      // Serialization also retires the explicit materialization action
+      // the parallel form needed (concurrent writes raced to compute the
+      // same cached partitions): the FIRST write populates the persist
+      // cache as its own scan runs, and the second reads cached rows —
+      // one whole probe-plan execution fewer per micro-batch.
       deleteKeys match {
         case Some(ks) =>
-          graft.operators.Dedup.indexUpsertFold(spark, indexDir, ks, batchTag,
-            kept.select(col("vec_id"), col("embedding"), col("cell"),
-              col("nrm")), keyCol = "vec_id", knownDirty = knownDirty)
+          graft.operators.Maintenance.labeled(spark, "sem: index fold") {
+            graft.operators.Dedup.indexUpsertFold(spark, indexDir, ks, batchTag,
+              kept.select(col("vec_id"), col("embedding"), col("cell"),
+                col("nrm")), keyCol = "vec_id", knownDirty = knownDirty) }
         case None =>
-          graft.operators.VersionedLayers.writeTagged(spark, indexDir,
-            batchTag,
-            kept.select(col("vec_id"), col("embedding"), col("cell"),
-              col("nrm")))
+          graft.operators.Maintenance.labeled(spark, "sem: index write") {
+            graft.operators.VersionedLayers.writeTagged(spark, indexDir,
+              batchTag,
+              kept.select(col("vec_id"), col("embedding"), col("cell"),
+                col("nrm"))) }
       }
-      graft.operators.VersionedLayers.writeTagged(spark, outDir, batchTag,
-        kept.select(col("vec_id"), col("cell").cast("long").as("cell")))
+      graft.operators.Maintenance.labeled(spark, "sem: out write") {
+        graft.operators.VersionedLayers.writeTagged(spark, outDir, batchTag,
+          kept.select(col("vec_id"), col("cell").cast("long").as("cell"))) }
       ()
     } finally kept.unpersist()
   }
