@@ -728,11 +728,20 @@ object Dedup {
       readBatchIndex(spark, dirs.labelsDir, tag)(
         spark.range(0).select(col("id").as("doc_id"),
           col("id").as("cluster_id"), lit("U").as("op"), col("id").as("seq")))
+    // max(seq) rides the merged-labels snapshot's own materialization
+    // job as an observe metric (the t21 discipline — it observes the
+    // rows BELOW the window filter, so the max is over every prior row):
+    // one driver action where the fold paid two, with the old aggregate
+    // as the honest fallback if the listener bus is slow
+    val seqObs = org.apache.spark.sql.Observation()
     val priorLabels = Maintenance.labeled(spark, "cluster: prior labels") {
-      snapshot(spark, mergeClusterLabels(priorRows)) }
-    val maxSeqRow = Maintenance.labeled(spark, "cluster: max seq") {
-      priorRows.agg(max(col("seq"))).head() }
-    val nextSeq = (if (maxSeqRow.isNullAt(0)) 0L else maxSeqRow.getLong(0)) + 1L
+      snapshot(spark, mergeClusterLabels(
+        priorRows.observe(seqObs, max(col("seq")).as("mx")))) }
+    val nextSeq = Maintenance.observedOr[Long](seqObs, "mx") {
+      val r = Maintenance.labeled(spark, "cluster: max seq") {
+        priorRows.agg(max(col("seq"))).head() }
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    } + 1L
     // live docs after this batch: stored survivors ∪ net inserts
     val liveIds = priorLabels.select(col("doc_id"))
       .join(broadcast(kdf), Seq("doc_id"), "leftanti")

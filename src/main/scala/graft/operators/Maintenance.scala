@@ -143,6 +143,29 @@ object Maintenance {
     try f finally sc.setJobDescription(prev)
   }
 
+  /** One reusable daemon thread for bounded Observation waits (the t21
+    * observe discipline, shared): a metric that rode an already-finished
+    * job normally surfaces in milliseconds; a stuck listener bus costs
+    * the caller's fallback and an interrupt, never a parked thread. */
+  private lazy val obsWaiter = java.util.concurrent.Executors
+    .newSingleThreadExecutor { (r: Runnable) =>
+      val t = new Thread(r, "graft-maint-obs-wait"); t.setDaemon(true); t }
+
+  /** The named observed metric, or `fallback` if the listener bus hasn't
+    * surfaced it within 10 s (or the metric row's value is null — an
+    * empty observed input). */
+  private[graft] def observedOr[A](obs: org.apache.spark.sql.Observation,
+      key: String)(fallback: => A): A = {
+    val fut = obsWaiter.submit(new java.util.concurrent.Callable[Any] {
+      override def call(): Any = obs.get.getOrElse(key, null)
+    })
+    try {
+      val v = fut.get(10, java.util.concurrent.TimeUnit.SECONDS)
+      if (v == null) fallback else v.asInstanceOf[A]
+    } catch { case _: java.util.concurrent.TimeoutException =>
+      fut.cancel(true); fallback }
+  }
+
   private[graft] def inParallel[A](tasks: Seq[() => A]): Seq[A] = {
     if (tasks.sizeIs <= 1) return tasks.map(_())
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
